@@ -1,0 +1,67 @@
+"""Scalar-function layer (SURVEY.md §2.4 F1-F10).
+
+Every scalar the reference uses, as composable Column expressions —
+all native (JVM, whole-stage-codegen'd), zero Python UDFs in the data
+path (100 TB posture, SURVEY.md §2.10).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def domain_from_url(url: str | Column, no_domain: str = "(no_domain)") -> Column:
+    """Domain extraction pipeline of `sql/mart/02_marts.sql:56-65`:
+
+    CASE WHEN url IS NULL OR url = '' THEN '(no_domain)'
+    ELSE split_part(replace(replace(lower(url),'https://',''),
+                            'http://',''), '/', 1) END
+
+    Exact-parity composition: nested ``replace`` (F2) + ``lower`` (F1)
+    + ``split_part`` (F3) + CASE (F4).
+    """
+    u = F.col(url) if isinstance(url, str) else url
+    stripped = F.replace(
+        F.replace(F.lower(u), F.lit("https://"), F.lit("")),
+        F.lit("http://"),
+        F.lit(""),
+    )
+    host = F.split_part(stripped, F.lit("/"), F.lit(1))
+    return F.when(u.isNull() | (u == ""), F.lit(no_domain)).otherwise(host)
+
+
+def coalesce_default(col: str | Column, default) -> Column:
+    """F5: COALESCE(x, default) (`sql/mart/02_marts.sql:14-15,66,100-101`)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.coalesce(c, F.lit(default))
+
+
+def to_metric_date(ts: str | Column) -> Column:
+    """F6: ``time_utc::date`` day bucketing (`sql/mart/02_marts.sql:13`).
+
+    Correct only under a UTC session timezone (see session.py).
+    """
+    c = F.col(ts) if isinstance(ts, str) else ts
+    return F.to_date(c)
+
+
+def money2(col: Column) -> Column:
+    """F7: numeric(10,2) output typing (`sql/mart/01_schema.sql:15,17`)."""
+    return col.cast("decimal(10,2)")
+
+
+def epoch_to_ts(col: str | Column) -> Column:
+    """P7: epoch seconds → UTC timestamp
+    (`src/transform/hn_transform.py:88`)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.timestamp_seconds(c)
+
+
+def batch_ts_from_filename(pattern_prefix: str = "hn_raw_") -> Column:
+    """S8: parse the batch timestamp out of the input file name
+    (`src/transform/hn_transform.py:29-36`) — deterministic lineage,
+    never wall clock (`src/common/files.py:9-13`)."""
+    name = F.element_at(F.split(F.input_file_name(), "/"), -1)
+    stamp = F.regexp_extract(name, pattern_prefix + r"(\d{8}_\d{6})", 1)
+    return F.to_timestamp(stamp, "yyyyMMdd_HHmmss")

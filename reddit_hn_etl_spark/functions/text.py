@@ -1,0 +1,137 @@
+"""Text-analysis operators for LLM-data pipelines (north-star surface).
+
+All native Column expressions (JVM-side, codegen'd) unless noted:
+language-ID via marker n-grams, quality scoring, token counting
+(whitespace + BPE-ish regex), and rolling-hash fingerprinting.
+Designed to run over trillions of documents: every function is a pure
+per-row projection — no shuffle, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.dedup import tokens
+
+# Tiny per-language marker lexicons (public-knowledge stopwords).
+# Real deployments would swap in fastText/CLD3 via a Pandas UDF; the
+# heuristic keeps the hot path JVM-side and dependency-free.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with"],
+    "de": ["der", "die", "das", "und", "nicht", "ist", "ein", "mit"],
+    "fr": ["le", "la", "les", "et", "est", "une", "que", "dans"],
+    "es": ["el", "la", "los", "que", "es", "una", "con", "para"],
+}
+
+
+def marker_hits(text: str | Column, markers: list[str]) -> Column:
+    """Count of marker-word occurrences (word-boundary regex)."""
+    c = F.col(text) if isinstance(text, str) else text
+    pat = r"\b(" + "|".join(markers) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(c), F.lit(pat), F.lit(0)))
+
+
+def lang_id(text: str | Column, default: str = "unknown") -> Column:
+    """Heuristic language-ID: argmax of marker-hit rate.
+
+    Deterministic tie-break: languages are compared in sorted order
+    and strictly-greater wins, so the first (alphabetical) language
+    with the max score is chosen.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    best_lang = F.lit(default)
+    best_score = F.lit(0)
+    for lang in sorted(LANG_MARKERS):
+        score = marker_hits(c, LANG_MARKERS[lang])
+        take = score > best_score
+        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(take, score).otherwise(best_score)
+    return best_lang
+
+
+def token_count_ws(text: str | Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text, lowercase=False))
+
+
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def token_count_bpe_ish(text: str | Column) -> Column:
+    """BPE-ish token estimate: letter runs, single digits, punctuation.
+
+    Mirrors the pre-tokenizer split of GPT-style BPE (letters / digits
+    / punctuation classes) without a vocab — a standard cheap proxy
+    for LLM token budgeting at corpus scale.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), F.lit(0)))
+
+
+def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document quality features (pure projection):
+
+    n_chars, n_tokens, avg_token_len, alpha_ratio (fraction of
+    non-space chars that are letters), punct_ratio, stopword_ratio
+    (English markers), plus a composite ``quality_score`` in [0,1].
+    """
+    c = F.col(text_col)
+    toks = tokens(c)
+    n_chars = F.length(c)
+    n_tokens = F.size(toks)
+    nonspace = F.length(F.regexp_replace(c, r"\s+", ""))
+    alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
+    punct = F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", ""))
+    stop_hits = marker_hits(c, LANG_MARKERS["en"])
+    avg_tok = F.when(n_tokens > 0, nonspace / n_tokens).otherwise(F.lit(0.0))
+    alpha_ratio = F.when(nonspace > 0, alpha / nonspace).otherwise(F.lit(0.0))
+    punct_ratio = F.when(nonspace > 0, punct / nonspace).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, stop_hits / n_tokens).otherwise(F.lit(0.0))
+    # Composite: reward letter-heavy, stopword-bearing, mid-length docs.
+    length_ok = (
+        F.when(n_tokens >= 5, F.lit(1.0)).otherwise(n_tokens / F.lit(5.0))
+    )
+    score = F.least(
+        F.lit(1.0),
+        F.lit(0.4) * alpha_ratio + F.lit(0.4) * length_ok + F.lit(0.2)
+        * F.least(F.lit(1.0), stop_ratio * 4),
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.cast("int").alias("n_tokens"),
+        F.round(avg_tok, 4).alias("avg_token_len"),
+        F.round(alpha_ratio, 4).alias("alpha_ratio"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(score, 4).alias("quality_score"),
+    )
+
+
+def fingerprint_md5(text: str | Column, normalize: bool = True) -> Column:
+    """Document fingerprint: md5 over whitespace-normalized lowercase
+    text — the exact-dedup / lineage id used across the corpus."""
+    c = F.col(text) if isinstance(text, str) else text
+    if normalize:
+        c = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return F.md5(c)
+
+
+def rolling_hash_fingerprint(
+    text: str | Column, window: int = 8, keep: int = 4
+) -> Column:
+    """Winnowing-style fingerprint: xxhash64 of each ``window``-token
+    shingle, keep the ``keep`` smallest hashes as the doc sketch
+    (array<bigint>). Shared sketch values across docs indicate local
+    overlap (plagiarism-style detection) — a cheap per-row sketch that
+    joins on ``F.explode``."""
+    toks = tokens(text)
+    k = F.size(toks) - (window - 1)
+    idx = F.when(k > 0, F.sequence(F.lit(0), k - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    hashes = F.transform(
+        idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, window)))
+    )
+    return F.slice(F.array_sort(hashes), 1, keep)

@@ -1,0 +1,348 @@
+"""Deduplication operators: exact key, keep-last, and content dedup.
+
+Reference semantics (SURVEY.md §2.5):
+  * A6 `drop_duplicates(subset=["id"], keep="last")`
+    (`src/transform/hn_transform.py:109-111`) — pandas keeps the last
+    occurrence *in file order*. File order is not stable in a
+    distributed engine, so our keep-last takes an explicit ordering
+    (SURVEY.md §7.3d) — callers pass e.g. ``extracted_at`` plus a
+    unique tiebreaker.
+  * A5 duplicate *detection* via GROUP BY key HAVING COUNT(*) > 1
+    (`sql/load/04_checks.sql:5-8`) lives in operators/checks.py.
+
+North-star content dedup (exact hash, MinHash-LSH, SimHash, n-gram
+Jaccard) for LLM-data pipelines is in this module too — all built on
+shuffle-lean groupBy/join plans, no Python row UDFs. MinHash/SimHash
+aggregate per-position with plain ``min``/``sum`` expressions so Spark
+does map-side partial aggregation (no collect_list memory blowup at
+100 TB).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dedup_keep_last(
+    df: DataFrame, keys: Sequence[str], order_by: Sequence[str | Column]
+) -> DataFrame:
+    """Keep, per key group, the single row that sorts LAST by ``order_by``.
+
+    Deterministic replacement for pandas ``keep="last"``
+    (`src/transform/hn_transform.py:109-111`): the caller supplies the
+    order; pass a unique tiebreaker (e.g. a surrogate id) as the final
+    order column for full determinism.
+
+    Plan: single hash shuffle on ``keys`` + per-partition sort
+    (window ``row_number``) — no global sort. Skewed hot keys are
+    handled by AQE at scale.
+    """
+    ordering = [
+        c.desc() if isinstance(c, Column) else F.col(c).desc() for c in order_by
+    ]
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*ordering)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def dedup_exact(
+    df: DataFrame,
+    content_cols: Sequence[str],
+    id_col: str,
+) -> DataFrame:
+    """Exact content dedup: keep the min-id row per identical content.
+
+    Content identity is md5 over the concatenated columns (cheap,
+    JVM-side, stable across engines). Returns one row per distinct
+    content: (content_hash, keep_<id_col>, dup_count).
+
+    Plan: map-side partial agg then one shuffle on the 128-bit hash —
+    the canonical web-scale exact-dedup shape.
+    """
+    h = F.md5(F.concat_ws(" ", *[F.col(c) for c in content_cols]))
+    return (
+        df.select(h.alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias(f"keep_{id_col}"),
+            F.count("*").alias("dup_count"),
+        )
+    )
+
+
+def tokens(text_col: str | Column, lowercase: bool = True) -> Column:
+    """Whitespace tokenization as an array column (no ghost empties)."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    if lowercase:
+        col = F.lower(col)
+    toks = F.split(F.trim(col), r"\s+")
+    return F.filter(toks, lambda t: t != "")
+
+
+def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Explode each document into its distinct word n-gram shingles.
+
+    Built entirely from native array functions (no UDF): tokenize →
+    sliding window via transform over indices → explode distinct.
+    Documents shorter than ``n`` tokens yield no shingles.
+    Output: (id_col, shingle).
+    """
+    toks = tokens(text_col)
+    k = F.size(toks) - (n - 1)
+    idx = F.when(k > 0, F.sequence(F.lit(0), k - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    shingles = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return df.select(
+        F.col(id_col), F.explode(F.array_distinct(shingles)).alias("shingle")
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 1,
+    threshold: float = 0.5,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """All-pairs n-gram Jaccard similarity ≥ threshold.
+
+    Inverted-index join: explode to (doc, shingle), self-join on
+    shingle, count intersections, then |A∪B| = |A|+|B|−|A∩B|.
+    Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
+
+    Scale: hot shingles blow up the candidate join quadratically;
+    ``df_cap`` drops shingles occurring in more than that many docs
+    (stopword shingles carry no signal) — at 100 TB use that or
+    ``minhash_lsh_pairs``. NOTE: df_cap changes the measured set, so
+    it is an approximation switch, off by default.
+    """
+    if n > 1:
+        sh = word_shingles(df, id_col, text_col, n=n)
+    else:
+        sh = df.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(tokens(text_col))).alias("shingle"),
+        )
+    sh = sh.persist()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
+    joinable = sh
+    if df_cap is not None:
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        joinable = sh.join(
+            F.broadcast(freq.where(F.col("df") <= df_cap).select("shingle")), "shingle"
+        )
+    a, b = joinable.alias("a"), joinable.alias("b")
+    inter = (
+        a.join(b, on="shingle")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("set_size").alias("size_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signatures from word shingles, all JVM-side.
+
+    hash_i(s) = xxhash64(s, seed=i); signature[i] = min over the doc's
+    shingles. Implemented as ``num_hashes`` plain ``min`` aggregate
+    expressions over an array column, so Spark performs map-side
+    partial aggregation and the shuffle carries one signature row per
+    document per map task.
+
+    Output: (id_col, sig: array<bigint>).
+    """
+    sh = word_shingles(df, id_col, text_col, n=shingle_n)
+    hashed = sh.select(
+        F.col(id_col),
+        *[
+            F.xxhash64(F.col("shingle"), F.lit(i)).alias(f"h{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    sig = hashed.groupBy(id_col).agg(
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(num_hashes)]
+    )
+    return sig.select(
+        F.col(id_col),
+        F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("sig"),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + LSH banding candidate pairs with estimated Jaccard.
+
+    Signature → ``bands`` bands of ``num_hashes/bands`` positions; docs
+    sharing any band bucket become candidates (one shuffle on the
+    band-bucket hash); estimated similarity = fraction of equal
+    signature positions. Output: (doc_a, doc_b, est_jaccard).
+
+    This is the 100 TB-scale near-dup path: candidate cost is
+    O(docs × bands) rows into the bucket join instead of all-pairs.
+    """
+    assert num_hashes % bands == 0, "num_hashes must be divisible by bands"
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n).persist()
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col("sig").getItem(b * rows_per_band + r).cast("string")
+                            for r in range(rows_per_band)
+                        ],
+                    ),
+                    F.lit(b),
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(
+        F.col(id_col), F.col("sig"), F.explode(band_structs).alias("bb")
+    ).select(id_col, "sig", "bb.band", "bb.bucket")
+
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, on=["band", "bucket"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cand.withColumn("est_jaccard", F.round(est / F.lit(num_hashes), 4))
+        .where(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+    """SimHash fingerprint per document, JVM-side.
+
+    Each distinct token hashes to ``bits`` bits (xxhash64); per bit
+    position the signed votes (+1 if set, −1 otherwise) are summed
+    across the doc's tokens; the sign of each total forms the
+    fingerprint. Near-duplicates differ in few bits — compare with
+    ``bit_count(a ^ b)``. Per-position ``sum`` aggregates keep it
+    map-side partial-aggregated.
+
+    Output: (id_col, simhash: bigint).
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    h = F.xxhash64("tok")
+    votes = toks.select(
+        F.col(id_col),
+        *[
+            F.when(
+                h.bitwiseAND(F.shiftleft(F.lit(1).cast("long"), i)) != 0, 1
+            ).otherwise(-1).alias(f"b{i}")
+            for i in range(bits)
+        ],
+    )
+    summed = votes.groupBy(id_col).agg(
+        *[F.sum(f"b{i}").alias(f"s{i}") for i in range(bits)]
+    )
+    fp = None
+    for i in range(bits):
+        bit = F.when(
+            F.col(f"s{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+        fp = bit if fp is None else fp.bitwiseOR(bit)
+    return summed.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bits: int = 64,
+    blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Pigeonhole blocking: split the fingerprint into ``blocks`` chunks;
+    any pair within distance ``max_hamming < blocks`` must agree on at
+    least one chunk, so candidates are generated by equality join on
+    (block_idx, chunk) — one shuffle, no all-pairs.
+    Output: (doc_a, doc_b, hamming).
+    """
+    assert bits % blocks == 0
+    w = bits // blocks
+    fps = simhash(df, id_col, text_col, bits=bits).persist()
+    chunk_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("blk"),
+                F.shiftrightunsigned(F.col("simhash"), i * w)
+                .bitwiseAND(F.lit((1 << w) - 1).cast("long"))
+                .alias("chunk"),
+            )
+            for i in range(blocks)
+        ]
+    )
+    blocked = fps.select(
+        F.col(id_col), F.col("simhash"), F.explode(chunk_structs).alias("c")
+    ).select(id_col, "simhash", "c.blk", "c.chunk")
+    a, b = blocked.alias("a"), blocked.alias("b")
+    return (
+        a.join(b, on=["blk", "chunk"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .where(F.col("hamming") <= max_hamming)
+    )

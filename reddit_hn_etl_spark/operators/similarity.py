@@ -1,0 +1,158 @@
+"""Similarity search over embedding columns (north-star surface).
+
+Brute-force cosine top-k as the exact baseline, and an LSH-bucketed
+(random hyperplane / IVF-style) variant as the 100 TB scale path.
+Vector math uses native higher-order array functions (``zip_with`` +
+``aggregate``) — JVM-side, no Python in the row path. The query side
+is broadcast; the corpus side streams, so the exact search is a
+single scan with no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in doubles, accumulated in array order (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def knn_cosine_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``queries`` (query_id_col, vec_col) is broadcast against the
+    corpus — one corpus scan, no shuffle for the scoring; the top-k
+    per query is a windowed rank over (queries × corpus) rows, cheap
+    because the query side is small.
+
+    Output: (query_id, vec_id, cosine_sim, rank) with rank 1..k,
+    deterministic tie-break on vec_id.
+    """
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("_qvec")
+    )
+    scored = corpus.crossJoin(F.broadcast(q)).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine(F.col("_qvec"), F.col(vec_col)).alias("_cos"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("_cos"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            F.round("_cos", 4).alias("cosine_sim"),
+            "rank",
+        )
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit-ish hyperplanes (pure python,
+    driver-side, tiny) for cosine LSH bucketing."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
+    ]
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-of-projection bitcode → one bigint bucket id per vector."""
+    code = None
+    for i, p in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(float(x)) for x in p]),
+                lambda v, w: v.cast("double") * w,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bit = F.when(proj >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+            F.lit(0).cast("long")
+        )
+        code = bit if code is None else code.bitwiseOR(bit)
+    return code
+
+
+def knn_cosine_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane LSH with ``n_tables``
+    independent codebooks; candidates = corpus vectors sharing a
+    bucket with the query in any table, then exact cosine re-rank.
+
+    At 100 TB the bucket join replaces the full-corpus scan per query
+    batch with a key-partitioned probe — the standard ANN trade: may
+    miss true neighbors (recall < 1), bounded by n_tables.
+    """
+    cand = None
+    for t in range(n_tables):
+        planes = random_hyperplanes(dim, n_planes, seed=seed + 1000 * t)
+        c_b = corpus.select(
+            F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col), planes).alias("_b")
+        )
+        q_b = queries.select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("_qvec"),
+            lsh_bucket(F.col(vec_col), planes).alias("_b"),
+        )
+        pairs = c_b.join(F.broadcast(q_b), on="_b").select(
+            query_id_col, id_col, "_qvec", vec_col
+        )
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    cand = cand.dropDuplicates([query_id_col, id_col])
+    scored = cand.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine(F.col("_qvec"), F.col(vec_col)).alias("_cos"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("_cos"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, F.round("_cos", 4).alias("cosine_sim"), "rank")
+    )

@@ -1,0 +1,863 @@
+"""Named correctness queries + DuckDB oracles (driver contract).
+
+Each entry pairs a Spark DataFrame plan (built from the engine's
+operators) with an ANSI-SQL oracle DuckDB runs on the same parquet
+tables. Names, aliases, and value typing are matched on both sides —
+the driver compares row count + schema + order-insensitive value hash
+(see `__spark_entry__.py`).
+
+Float policy (differential-testing discipline):
+  * per-row arithmetic → left raw (bit-identical in both engines);
+  * SUM/AVG over the 2-decimal "money" doubles → cast to
+    DECIMAL(18,2) *before* summing: decimal summation is exact and
+    order-independent, so both engines produce the same rational
+    number; the final CAST AS DOUBLE is then bit-identical. (Rounding
+    a double sum instead is fragile: engine summation order differs,
+    and DuckDB's double→decimal cast rounds via the shortest decimal
+    string while Spark uses the exact binary expansion — 102.575
+    rounds differently.) AVG = exact decimal sum cast to double, then
+    double-divided by COUNT(*) — identical on both sides.
+  * cosine similarities → ROUND(x, 4), double accumulation both sides.
+
+Operator coverage map: SURVEY.md §2.12.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import scalars, text as textfn
+from ..operators import checks, dedup, merge, similarity
+from ..sources.tables import read_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Flagship: TPC-H Q1-style pricing summary (filter → hash agg).
+# Exercises P10 predicate, F7 casts, A1-family aggregates. The plan is
+# a single scan with pushed filter + partial/final hash aggregation.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)      AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                    * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE)
+               AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+               AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+               AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+               AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    tax = F.col("l_tax").cast("decimal(18,2)")
+    disc_price = price * (F.lit(1) - disc)
+    n = F.count("*")
+    return (
+        li.where(F.col("l_shipdate") <= F.to_timestamp(F.lit("2000-12-01")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(disc_price * (F.lit(1) + tax)).cast("double").alias("sum_charge"),
+            (F.sum(qty).cast("double") / n).alias("avg_qty"),
+            (F.sum(price).cast("double") / n).alias("avg_price"),
+            (F.sum(disc).cast("double") / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reference mart analogues on `events` (A1-A3 + F5/F6/F7).
+# daily_story_metrics → daily_metrics; top_domains_daily → type_daily;
+# user_activity_daily → user_activity (`sql/mart/02_marts.sql:9-46,79-125`).
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "daily_metrics",
+    """
+    SELECT CAST(ts AS DATE)                   AS metric_date,
+           CAST(COUNT(*) AS INTEGER)          AS events_count,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+               AS avg_value,
+           MAX(ts)                            AS last_event_ts
+    FROM events
+    WHERE event_type IS NOT NULL AND ts IS NOT NULL
+    GROUP BY CAST(ts AS DATE)
+    """,
+)
+def daily_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    val = F.col("value").cast("decimal(18,2)")
+    return (
+        ev.where(F.col("event_type").isNotNull() & F.col("ts").isNotNull())
+        .groupBy(scalars.to_metric_date("ts").alias("metric_date"))
+        .agg(
+            F.count("*").cast("int").alias("events_count"),
+            F.sum(val).cast("double").alias("total_value"),
+            (F.sum(val).cast("double") / F.count("*")).alias("avg_value"),
+            F.max("ts").alias("last_event_ts"),
+        )
+    )
+
+
+@_q(
+    "type_daily",
+    """
+    SELECT CAST(ts AS DATE)                  AS metric_date,
+           COALESCE(event_type, '(unknown)') AS event_type,
+           CAST(COUNT(*) AS INTEGER)         AS events_count,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+               AS avg_value,
+           MAX(ts)                           AS last_event_ts
+    FROM events
+    WHERE ts IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def type_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    val = F.col("value").cast("decimal(18,2)")
+    return (
+        ev.where(F.col("ts").isNotNull())
+        .groupBy(
+            scalars.to_metric_date("ts").alias("metric_date"),
+            scalars.coalesce_default("event_type", "(unknown)").alias("event_type"),
+        )
+        .agg(
+            F.count("*").cast("int").alias("events_count"),
+            (F.sum(val).cast("double") / F.count("*")).alias("avg_value"),
+            F.max("ts").alias("last_event_ts"),
+        )
+    )
+
+
+@_q(
+    "user_activity",
+    """
+    SELECT CAST(ts AS DATE)                  AS metric_date,
+           user_id,
+           CAST(COUNT(*) AS INTEGER)         AS events_count,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+               AS avg_value,
+           MAX(ts)                           AS last_event_ts
+    FROM events
+    WHERE ts IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    val = F.col("value").cast("decimal(18,2)")
+    return (
+        ev.where(F.col("ts").isNotNull())
+        .groupBy(scalars.to_metric_date("ts").alias("metric_date"), F.col("user_id"))
+        .agg(
+            F.count("*").cast("int").alias("events_count"),
+            F.sum(val).cast("double").alias("total_value"),
+            (F.sum(val).cast("double") / F.count("*")).alias("avg_value"),
+            F.max("ts").alias("last_event_ts"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# String pipeline (F1-F4): the reference's domain-extraction logic
+# (`sql/mart/02_marts.sql:56-65`) applied to a synthesized URL column
+# (testdata has no URLs), including the NULL / '' → '(no_domain)' branch.
+# ---------------------------------------------------------------------------
+
+_URL_SQL = """
+        CASE WHEN doc_id % 19 = 0 THEN NULL
+             WHEN doc_id % 23 = 0 THEN ''
+             ELSE 'https://' || upper(source) || '.Example.com/' || lang
+                  || '/' || CAST(doc_id AS VARCHAR)
+        END"""
+
+
+@_q(
+    "domain_extract",
+    f"""
+    WITH urls AS (
+        SELECT doc_id, {_URL_SQL} AS url FROM documents
+    ),
+    domains AS (
+        SELECT CASE WHEN url IS NULL OR url = '' THEN '(no_domain)'
+                    ELSE split_part(replace(replace(lower(url), 'https://', ''),
+                                            'http://', ''), '/', 1)
+               END AS domain
+        FROM urls
+    )
+    SELECT domain, COUNT(*) AS url_count FROM domains GROUP BY domain
+    """,
+)
+def domain_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    url = (
+        F.when(F.col("doc_id") % 19 == 0, F.lit(None).cast("string"))
+        .when(F.col("doc_id") % 23 == 0, F.lit(""))
+        .otherwise(
+            F.concat(
+                F.lit("https://"),
+                F.upper("source"),
+                F.lit(".Example.com/"),
+                F.col("lang"),
+                F.lit("/"),
+                F.col("doc_id").cast("string"),
+            )
+        )
+    )
+    return (
+        docs.select(scalars.domain_from_url(url).alias("domain"))
+        .groupBy("domain")
+        .agg(F.count("*").alias("url_count"))
+    )
+
+
+@_q(
+    "part_type_norm",
+    """
+    SELECT CASE WHEN p_type IS NULL OR p_type = '' THEN '(none)'
+                ELSE split_part(replace(replace(lower(p_type), 'economy', 'eco'),
+                                        'standard', 'std'), ' ', 1)
+           END                           AS type_norm,
+           COUNT(*)                      AS part_count,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+               AS avg_price
+    FROM part
+    GROUP BY 1
+    """,
+)
+def part_type_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = read_table(spark, sf_dir, "part")
+    norm = F.split_part(
+        F.replace(
+            F.replace(F.lower(F.col("p_type")), F.lit("economy"), F.lit("eco")),
+            F.lit("standard"),
+            F.lit("std"),
+        ),
+        F.lit(" "),
+        F.lit(1),
+    )
+    type_norm = F.when(
+        F.col("p_type").isNull() | (F.col("p_type") == ""), F.lit("(none)")
+    ).otherwise(norm)
+    return (
+        part.select(type_norm.alias("type_norm"), "p_retailprice")
+        .groupBy("type_norm")
+        .agg(
+            F.count("*").alias("part_count"),
+            (
+                F.sum(F.col("p_retailprice").cast("decimal(18,2)")).cast("double")
+                / F.count("*")
+            ).alias("avg_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Checks / scalar aggregates (A4, A5) — `sql/load/04_checks.sql:1-8`.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "scalar_summary",
+    """
+    SELECT COUNT(*) AS row_count, MIN(ts) AS min_ts, MAX(ts) AS max_ts FROM events
+    """,
+)
+def scalar_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return checks.table_summary(read_table(spark, sf_dir, "events"), ts_col="ts")
+
+
+@_q(
+    "dup_detect",
+    """
+    SELECT user_id, CAST(ts AS DATE) AS metric_date,
+           CAST(COUNT(*) AS BIGINT) AS dup_count
+    FROM events
+    GROUP BY 1, 2
+    HAVING COUNT(*) > 1
+    """,
+)
+def dup_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", scalars.to_metric_date("ts").alias("metric_date")
+    )
+    return checks.duplicate_keys(ev, ["user_id", "metric_date"])
+
+
+# ---------------------------------------------------------------------------
+# Dedup keep-last (A6) — deterministic replacement for pandas
+# keep="last" (`src/transform/hn_transform.py:109-111`).
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "dedup_keep_last",
+    """
+    SELECT event_id, user_id, event_type, value, ts
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) t
+    WHERE rn = 1
+    """,
+)
+def dedup_keep_last_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return dedup.dedup_keep_last(ev, keys=["user_id"], order_by=["ts", "event_id"]).select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )
+
+
+# ---------------------------------------------------------------------------
+# MERGE / upsert with freshness gate (A7) — `sql/load/03_merge.sql:1-32`.
+# Two snapshots are derived deterministically from `events`:
+#   * source updates every id % 5 == 0 (fresher batch_ts when id even
+#     → update; staler when odd → freshness gate keeps target);
+#   * source inserts brand-new ids (id + 10000000 for id % 7 == 0).
+# ---------------------------------------------------------------------------
+
+_MERGE_SRC_SQL = """
+    target AS (
+        SELECT event_id, user_id, event_type, value, ts AS batch_ts FROM events
+    ),
+    source AS (
+        SELECT event_id, user_id, event_type, value + 1000 AS value,
+               CASE WHEN event_id % 2 = 0 THEN ts + INTERVAL 1 HOUR
+                    ELSE ts - INTERVAL 1 HOUR END AS batch_ts
+        FROM events WHERE event_id % 5 = 0
+        UNION ALL
+        SELECT event_id + 10000000, user_id, 'inserted', value, ts
+        FROM events WHERE event_id % 7 = 0
+    )"""
+
+
+def _merge_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    ev = read_table(spark, sf_dir, "events")
+    target = ev.select(
+        "event_id", "user_id", "event_type", "value", F.col("ts").alias("batch_ts")
+    )
+    updates = ev.where(F.col("event_id") % 5 == 0).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        (F.col("value") + 1000).alias("value"),
+        F.when(
+            F.col("event_id") % 2 == 0,
+            F.col("ts") + F.expr("INTERVAL 1 HOUR"),
+        )
+        .otherwise(F.col("ts") - F.expr("INTERVAL 1 HOUR"))
+        .alias("batch_ts"),
+    )
+    inserts = ev.where(F.col("event_id") % 7 == 0).select(
+        (F.col("event_id") + 10000000).alias("event_id"),
+        "user_id",
+        F.lit("inserted").alias("event_type"),
+        "value",
+        F.col("ts").alias("batch_ts"),
+    )
+    return target, updates.unionByName(inserts)
+
+
+@_q(
+    "merge_upsert",
+    f"""
+    WITH {_MERGE_SRC_SQL}
+    SELECT COALESCE(t.event_id, s.event_id) AS event_id,
+           CASE WHEN t.event_id IS NULL
+                     OR (s.event_id IS NOT NULL AND s.batch_ts > t.batch_ts)
+                THEN s.user_id ELSE t.user_id END AS user_id,
+           CASE WHEN t.event_id IS NULL
+                     OR (s.event_id IS NOT NULL AND s.batch_ts > t.batch_ts)
+                THEN s.event_type ELSE t.event_type END AS event_type,
+           CASE WHEN t.event_id IS NULL
+                     OR (s.event_id IS NOT NULL AND s.batch_ts > t.batch_ts)
+                THEN s.value ELSE t.value END AS value,
+           CASE WHEN t.event_id IS NULL
+                     OR (s.event_id IS NOT NULL AND s.batch_ts > t.batch_ts)
+                THEN s.batch_ts ELSE t.batch_ts END AS batch_ts
+    FROM target t FULL JOIN source s ON t.event_id = s.event_id
+    """,
+)
+def merge_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    target, source = _merge_frames(spark, sf_dir)
+    return merge.merge_resolve(
+        target, source, keys=["event_id"], freshness_col="batch_ts"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (J1-J3): broadcast equi-join + agg, anti join, 1-row-agg join.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "segment_revenue",
+    """
+    SELECT c_mktsegment,
+           COUNT(*)                    AS order_count,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_revenue,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+               AS avg_revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = read_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("order_count"),
+            F.sum(price).cast("double").alias("total_revenue"),
+            (F.sum(price).cast("double") / F.count("*")).alias("avg_revenue"),
+        )
+    )
+
+
+@_q(
+    "customers_no_orders",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders").select("o_custkey")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@_q(
+    "events_last_day",
+    """
+    WITH last_day AS (SELECT MAX(CAST(ts AS DATE)) AS d FROM events)
+    SELECT CAST(e.ts AS DATE) AS metric_date, COUNT(*) AS events_count
+    FROM events e JOIN last_day ld ON CAST(e.ts AS DATE) = ld.d
+    GROUP BY 1
+    """,
+)
+def events_last_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select(
+        scalars.to_metric_date("ts").alias("metric_date")
+    )
+    last_day = ev.agg(F.max("metric_date").alias("d"))
+    return (
+        ev.join(F.broadcast(last_day), ev.metric_date == last_day.d)
+        .groupBy("metric_date")
+        .agg(F.count("*").alias("events_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set ops / top-k (O1, O3) — `sql/mart/03_checks.sql:8-15`, `README.md:78-79`.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "table_counts",
+    """
+    SELECT 'orders' AS table_name, COUNT(*) AS row_count FROM orders
+    UNION ALL
+    SELECT 'lineitem', COUNT(*) FROM lineitem
+    UNION ALL
+    SELECT 'events', COUNT(*) FROM events
+    UNION ALL
+    SELECT 'customer', COUNT(*) FROM customer
+    """,
+)
+def table_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for name in ("orders", "lineitem", "events", "customer"):
+        one = read_table(spark, sf_dir, name).agg(
+            F.count("*").alias("row_count")
+        ).select(F.lit(name).alias("table_name"), "row_count")
+        out = one if out is None else out.unionByName(one)
+    return out
+
+
+@_q(
+    "top_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        read_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions (§2.8): top-N per group + lag deltas.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "top_orders_per_segment",
+    """
+    SELECT c_mktsegment, o_orderkey, o_totalprice, rnk
+    FROM (
+        SELECT c_mktsegment, o_orderkey, o_totalprice,
+               CAST(ROW_NUMBER() OVER (
+                    PARTITION BY c_mktsegment
+                    ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rnk
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    ) t
+    WHERE rnk <= 3
+    """,
+)
+def top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_mktsegment",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("int").alias("rnk"),
+        )
+        .where(F.col("rnk") <= 3)
+    )
+
+
+@_q(
+    "customer_order_deltas",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           o_totalprice - LAG(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS delta_prev
+    FROM orders
+    """,
+)
+def customer_order_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        (F.col("o_totalprice") - F.lag("o_totalprice").over(w)).alias("delta_prev"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Projection / JSON scalar path (P3-P5 + json extraction).
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "filter_project",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           l_extendedprice * (1 - l_discount) AS net_price
+    FROM lineitem
+    WHERE l_returnflag = 'R' AND l_shipdate IS NOT NULL AND l_quantity > 30
+    """,
+)
+def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_returnflag") == "R")
+        & F.col("l_shipdate").isNotNull()
+        & (F.col("l_quantity") > 30)
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+    )
+
+
+@_q(
+    "json_props",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k,
+           COALESCE(CAST(json_extract_string(props, '$.missing') AS INTEGER), -1)
+               AS prop_missing
+    FROM events
+    """,
+)
+def json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+        F.coalesce(
+            F.get_json_object("props", "$.missing").cast("int"), F.lit(-1)
+        ).alias("prop_missing"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# North-star: dedup / similarity / text analysis over documents+embeddings.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "doc_exact_dedup",
+    """
+    SELECT md5(text) AS content_hash,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS dup_count
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup.dedup_exact(docs, content_cols=["text"], id_col="doc_id")
+
+
+@_q(
+    "doc_token_jaccard",
+    r"""
+    WITH tok AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                  x -> x <> '')) AS w
+        FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM tok GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(inter / (sa.set_size + sb.set_size - inter), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON inter.doc_a = sa.doc_id
+    JOIN sizes sb ON inter.doc_b = sb.doc_id
+    WHERE inter / (sa.set_size + sb.set_size - inter) >= 0.5
+    """,
+)
+def doc_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup.jaccard_pairs(docs, "doc_id", "text", n=1, threshold=0.5)
+
+
+@_q("doc_minhash_pairs")  # rows-only: hash family not SQL-portable
+def doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=64, bands=16, shingle_n=1, threshold=0.4
+    )
+
+
+@_q("doc_simhash_pairs")  # rows-only: hash family not SQL-portable
+def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_pairs(docs, "doc_id", "text", max_hamming=8)
+
+
+@_q(
+    "knn_cosine",
+    """
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+        FROM embeddings WHERE vec_id < 5
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id,
+               list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS cos
+        FROM q CROSS JOIN embeddings e
+    )
+    SELECT query_id, vec_id, ROUND(cos, 4) AS cosine_sim,
+           CAST(rn AS INTEGER) AS rnk
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
+        FROM scored
+    ) t
+    WHERE rn <= 10
+    """,
+)
+def knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.knn_cosine_bruteforce(
+        emb, queries, id_col="vec_id", vec_col="embedding", k=10
+    )
+    return out.withColumnRenamed("rank", "rnk").withColumn(
+        "rnk", F.col("rnk").cast("int")
+    )
+
+
+@_q("knn_cosine_lsh")  # rows-only: plane seeds not SQL-portable
+def knn_cosine_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.knn_cosine_lsh(emb, queries, dim=64, k=10)
+
+
+def _marker_sql(lang: str) -> str:
+    pat = r"\b(" + "|".join(textfn.LANG_MARKERS[lang]) + r")\b"
+    return f"len(regexp_extract_all(lower(text), '{pat}'))"
+
+
+@_q(
+    "doc_lang_id",
+    f"""
+    WITH s AS (
+        SELECT doc_id,
+               {_marker_sql("de")} AS de_s,
+               {_marker_sql("en")} AS en_s,
+               {_marker_sql("es")} AS es_s,
+               {_marker_sql("fr")} AS fr_s
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN GREATEST(de_s, en_s, es_s, fr_s) <= 0 THEN 'unknown'
+                WHEN de_s = GREATEST(de_s, en_s, es_s, fr_s) THEN 'de'
+                WHEN en_s = GREATEST(de_s, en_s, es_s, fr_s) THEN 'en'
+                WHEN es_s = GREATEST(de_s, en_s, es_s, fr_s) THEN 'es'
+                ELSE 'fr' END AS lang_pred
+    FROM s
+    """,
+)
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", textfn.lang_id("text").alias("lang_pred"))
+
+
+@_q(
+    "doc_tokens",
+    r"""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                x -> x <> '')) AS INTEGER) AS n_tokens_ws,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))
+                AS INTEGER) AS n_tokens_bpe
+    FROM documents
+    """,
+)
+def doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        textfn.token_count_ws("text").cast("int").alias("n_tokens_ws"),
+        textfn.token_count_bpe_ish("text").cast("int").alias("n_tokens_bpe"),
+    )
+
+
+@_q(
+    "doc_fingerprint",
+    r"""
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", textfn.fingerprint_md5("text").alias("fingerprint")
+    )
+
+
+@_q(
+    "doc_quality",
+    rf"""
+    WITH t AS (
+        SELECT doc_id,
+               LENGTH(text) AS n_chars,
+               len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                               x -> x <> '')) AS n_tokens,
+               LENGTH(regexp_replace(text, '\s+', '', 'g')) AS nonspace,
+               LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+               LENGTH(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS punct,
+               {_marker_sql("en")} AS stop_hits
+        FROM documents
+    )
+    SELECT doc_id, n_chars,
+           CAST(n_tokens AS INTEGER) AS n_tokens,
+           ROUND(CASE WHEN n_tokens > 0 THEN nonspace / n_tokens
+                      ELSE CAST(0.0 AS DOUBLE) END, 4) AS avg_token_len,
+           ROUND(CASE WHEN nonspace > 0 THEN alpha / nonspace
+                      ELSE CAST(0.0 AS DOUBLE) END, 4) AS alpha_ratio,
+           ROUND(CASE WHEN nonspace > 0 THEN punct / nonspace
+                      ELSE CAST(0.0 AS DOUBLE) END, 4) AS punct_ratio,
+           ROUND(CASE WHEN n_tokens > 0 THEN stop_hits / n_tokens
+                      ELSE CAST(0.0 AS DOUBLE) END, 4) AS stopword_ratio,
+           ROUND(LEAST(CAST(1.0 AS DOUBLE),
+                 CAST(0.4 AS DOUBLE) * (CASE WHEN nonspace > 0 THEN alpha / nonspace
+                                             ELSE CAST(0.0 AS DOUBLE) END)
+               + CAST(0.4 AS DOUBLE) * (CASE WHEN n_tokens >= 5 THEN CAST(1.0 AS DOUBLE)
+                                             ELSE n_tokens / CAST(5.0 AS DOUBLE) END)
+               + CAST(0.2 AS DOUBLE) * LEAST(CAST(1.0 AS DOUBLE),
+                     (CASE WHEN n_tokens > 0 THEN stop_hits / n_tokens
+                           ELSE CAST(0.0 AS DOUBLE) END) * 4)), 4) AS quality_score
+    FROM t
+    """,
+)
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return textfn.quality_features(docs, "doc_id", "text")
