@@ -1,0 +1,98 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Execution is measured with the `noop` sink (full pipeline runs, no
+driver-side collect cost), after a small warm-up action to absorb JVM
+/ codegen startup. Heavy all-pairs queries (token jaccard, unigram
+minhash) are deliberately excluded — the scale path for those is the
+LSH family; see reddit_hn_etl_spark/operators/dedup.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+from reddit_hn_etl_spark.plans.queries import QUERIES  # noqa: E402
+
+BENCH_QUERIES = [
+    # relational core
+    "pricing_summary",
+    "daily_metrics",
+    "type_daily",
+    "user_activity",
+    "segment_revenue",
+    "top_orders",
+    "top_orders_per_segment",
+    "customer_order_deltas",
+    "dedup_keep_last",
+    "merge_upsert",
+    "dup_detect",
+    "filter_project",
+    "json_props",
+    # north-star text / vector
+    "doc_exact_dedup",
+    "doc_fingerprint",
+    "doc_tokens",
+    "doc_quality",
+    "doc_lang_id",
+    "knn_cosine",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("reddit-hn-etl-spark-bench")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.host", "127.0.0.1")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm-up: touch every input table once (JVM + reader init).
+    QUERIES["table_counts"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline-query wall time, local[%s], noop sink" % cpus,
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
