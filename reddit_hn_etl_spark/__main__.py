@@ -1,0 +1,120 @@
+"""CLI: run the full pipeline over a directory of raw HN batch files.
+
+    python -m reddit_hn_etl_spark --raw-dir raw/ --out warehouse/ [--all-batches]
+
+Phases (mirrors `src/pipeline.py:8-13`, re-expressed as one Spark app):
+  1. select batch(es)  — lexicographic latest by default (S7)
+  2. transform         — raw JSON → typed staging (P1-P9 + A6)
+  3. merge             — freshness-gated upsert into the staging table (A7)
+  4. marts             — 3 aggregate marts, atomically published (A1-A3, D5)
+  5. checks            — fail-fast validators in-pipeline (§5)
+All audited (K5). Exit code 0/1 is the phase result
+(`src/load/hn_load.py:174-175`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import sys
+
+from .audit import AuditLog
+from .plans import hn_pipeline as hp
+from .session import get_session
+from .sources import batches, publish
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="reddit_hn_etl_spark")
+    ap.add_argument("--raw-dir", required=True, help="directory of hn_raw_*.json")
+    ap.add_argument("--out", required=True, help="warehouse root directory")
+    ap.add_argument(
+        "--all-batches",
+        action="store_true",
+        help="process every raw batch in name order (default: latest only)",
+    )
+    args = ap.parse_args(argv)
+
+    spark = get_session(app_name="reddit-hn-etl-spark")
+    spark.sparkContext.setLogLevel("ERROR")
+    audit = AuditLog(spark, os.path.join(args.out, "audit_runs"))
+    staging_root = os.path.join(args.out, "staging")
+
+    if args.all_batches:
+        paths = sorted(glob.glob(os.path.join(args.raw_dir, "hn_raw_*.json")))
+        if not paths:
+            print(f"no raw batches in {args.raw_dir}", file=sys.stderr)
+            return 1
+    else:
+        try:
+            paths = [batches.latest_file_by_name(args.raw_dir, "hn_raw_*.json")]
+        except FileNotFoundError as exc:
+            print(str(exc), file=sys.stderr)
+            return 1
+
+    target = None
+    if os.path.isdir(staging_root) and glob.glob(staging_root + "/*"):
+        target = batches.read_staging(spark, staging_root)
+
+    for path in paths:
+        rec = audit.start_run("load", source_file=os.path.basename(path))
+        try:
+            ts = batches.parse_ts_from_raw_filename(path)
+            staged = hp.transform_raw(batches.read_raw_batch(spark, path), ts)
+            hp.validate_staging(staged)
+            rows = staged.count()
+            if target is None:
+                target, metrics = staged, None
+                inserted, updated = rows, 0
+            else:
+                target, metrics = hp.load_merge(target, staged)
+                inserted, updated = metrics.inserted, metrics.updated
+            audit.succeed(rec, rows_copied=rows, inserted=inserted, updated=updated)
+            print(
+                f"load {os.path.basename(path)}: rows={rows} "
+                f"inserted={inserted} updated={updated}"
+            )
+        except Exception as exc:  # noqa: BLE001 - audit then fail (ref protocol)
+            audit.fail(rec, exc)
+            print(f"load failed for {path}: {exc}", file=sys.stderr)
+            return 1
+
+    # Persist the merged staging table (overwrite = the reconciled state).
+    rec = audit.start_run("staging_publish")
+    try:
+        target.write.mode("overwrite").parquet(staging_root + "_next")
+        # swap: write-new-then-promote keeps readers consistent
+        tmp_old = staging_root + "_old"
+        if os.path.isdir(staging_root):
+            os.rename(staging_root, tmp_old)
+        os.rename(staging_root + "_next", staging_root)
+        if os.path.isdir(tmp_old):
+            import shutil
+
+            shutil.rmtree(tmp_old)
+        n = spark.read.parquet(staging_root).count()
+        audit.succeed(rec, rows_copied=n, inserted=0, updated=0)
+    except Exception as exc:  # noqa: BLE001
+        audit.fail(rec, exc)
+        print(f"staging publish failed: {exc}", file=sys.stderr)
+        return 1
+
+    rec = audit.start_run("mart")
+    try:
+        staging = batches.read_staging(spark, staging_root)
+        marts = hp.build_marts(staging)
+        version = publish.publish_tables(marts, os.path.join(args.out, "marts"))
+        hp.run_mart_checks(staging, marts)
+        total = sum(df.count() for df in marts.values())
+        audit.succeed(rec, rows_copied=total, inserted=0, updated=0)
+        print(f"marts published: version={version} rows={total}")
+    except Exception as exc:  # noqa: BLE001
+        audit.fail(rec, exc)
+        print(f"mart refresh failed: {exc}", file=sys.stderr)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

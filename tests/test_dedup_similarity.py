@@ -1,0 +1,83 @@
+"""Sanity tests for content dedup + similarity operators: MinHash must
+approximate true Jaccard, SimHash must find planted near-dups, and
+LSH kNN must recover most exact neighbors."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from reddit_hn_etl_spark.operators import dedup, similarity
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bank tonight"),  # near-dup of 1
+    (3, "completely different text about spark dataframes and shuffle partitions"),
+    (4, "completely different text about spark dataframes and shuffle partitions"),  # exact dup of 3
+    (5, "unrelated musings on database query optimization and join ordering"),
+]
+
+
+def _docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(spark):
+    out = dedup.dedup_exact(_docs_df(spark), ["text"], "doc_id").collect()
+    groups = {r.keep_doc_id: r.dup_count for r in out}
+    assert groups[3] == 2  # 3 & 4 identical, min id kept
+    assert groups[1] == 1 and groups[2] == 1
+
+
+def test_jaccard_pairs_finds_near_dup(spark):
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.jaccard_pairs(_docs_df(spark), "doc_id", "text", n=1, threshold=0.5).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.8
+    assert (3, 4) in pairs and pairs[(3, 4)] == 1.0
+    assert (1, 5) not in pairs
+
+
+def test_minhash_estimates_jaccard(spark):
+    est = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in dedup.minhash_lsh_pairs(
+            _docs_df(spark), "doc_id", "text",
+            num_hashes=64, bands=32, shingle_n=1, threshold=0.3,
+        ).collect()
+    }
+    assert (3, 4) in est and est[(3, 4)] == 1.0
+    assert (1, 2) in est and est[(1, 2)] > 0.6  # true jaccard ≈ 0.86
+
+
+def test_simhash_near_pairs(spark):
+    fps = {r.doc_id: r.simhash for r in dedup.simhash(_docs_df(spark), "doc_id", "text").collect()}
+    assert fps[3] == fps[4]  # identical docs → identical fingerprints
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dedup.simhash_near_pairs(
+            _docs_df(spark), "doc_id", "text", max_hamming=16
+        ).collect()
+    }
+    assert pairs[(3, 4)] == 0
+    assert (1, 2) in pairs  # near-dup within hamming budget
+
+
+def test_lsh_knn_recall_against_bruteforce(spark, sf_dir):
+    from reddit_hn_etl_spark.sources.tables import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.knn_cosine_bruteforce(emb, queries, k=10)
+    # 4 hyperplanes/table keeps the per-table collision probability
+    # usable for mid-similarity neighbors ((1-θ/π)^4); 8 tables for
+    # recall. More planes = finer buckets = cheaper but lower recall.
+    approx = similarity.knn_cosine_lsh(
+        emb, queries, dim=64, k=10, n_planes=4, n_tables=8
+    )
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    a = {(r.query_id, r.vec_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
