@@ -1,0 +1,155 @@
+"""Multimodal columns: image/audio/video as opaque binary + metadata.
+
+North-star surface for LLM-data pipelines. Media payloads are opaque
+``binary`` columns with a typed metadata struct; decode / feature
+extraction / resize / frame sampling run as Arrow-batched Pandas UDFs
+over ``mapInPandas`` — the only place Python touches rows, and it
+touches them in columnar batches.
+
+DECODE IS STUBBED: this container has no image/audio codecs (no PIL/
+ffmpeg). Each ``_decode_*`` below first tries the real library and
+otherwise falls back to a clearly-marked DETERMINISTIC FAKE (features
+derived from a stable hash of the payload bytes). The Spark-side
+plumbing — schema, partitioning, UDF signature, Arrow batch shape —
+is real and tested; swapping in a real decoder touches only the
+``_decode_*`` function bodies.
+
+Scale notes: media rows are wide (payload) and features are narrow —
+``extract_*`` projects the payload away immediately so the shuffle
+after feature extraction carries only features. Partition on the id,
+not the payload. For very large blobs store pointers (path + offset)
+in the binary column's place and fetch inside the UDF.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("duration_ms", T.LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+IMAGE_FEATURE_DIM = 16
+
+
+def _stable_floats(payload: bytes, n: int, salt: bytes = b"") -> list[float]:
+    """DETERMINISTIC FAKE feature vector: sha256-expanded payload
+    bytes → floats in [0, 1). Replace with a real model/codec."""
+    out: list[float] = []
+    counter = 0
+    while len(out) < n:
+        h = hashlib.sha256(salt + counter.to_bytes(4, "big") + payload).digest()
+        out.extend(b / 255.0 for b in h[:8])
+        counter += 1
+    return out[:n]
+
+
+def _decode_image(payload: bytes) -> tuple[int, int, list[float]]:
+    """(width, height, features). Real decode via PIL when available;
+    deterministic fake otherwise."""
+    try:  # pragma: no cover - container has no PIL
+        from PIL import Image  # type: ignore
+        import io
+
+        img = Image.open(io.BytesIO(payload))
+        w, h = img.size
+        # A real featurizer would run here (e.g. pooled embeddings).
+        return w, h, _stable_floats(payload, IMAGE_FEATURE_DIM)
+    except Exception:
+        fake = _stable_floats(payload, IMAGE_FEATURE_DIM)
+        w = 64 + int(fake[0] * 64)  # fake-but-deterministic dimensions
+        h = 64 + int(fake[1] * 64)
+        return w, h, fake
+
+
+def extract_image_features(df: DataFrame, id_col: str = "media_id",
+                           payload_col: str = "payload") -> DataFrame:
+    """payload → (id, width, height, features[16]) via mapInPandas.
+
+    Output drops the payload immediately: downstream shuffles carry
+    ~150 bytes/row instead of the blob.
+    """
+    out_schema = (
+        f"{id_col} long, width int, height int, "
+        f"features array<double>"
+    )
+
+    def featurize(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                w, h, feats = _decode_image(bytes(payload))
+                rows.append((mid, w, h, feats))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "width", "height", "features"]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(featurize, out_schema)
+
+
+def sample_frame_offsets(df: DataFrame, n_frames: int = 4,
+                         duration_col: str = "meta.duration_ms") -> DataFrame:
+    """Video frame-sampling PLAN: evenly spaced frame timestamps from
+    the metadata — pure native expressions (the expensive decode of
+    each chosen frame would then run through extract_image_features).
+    Output: one row per (media_id, frame_idx, frame_offset_ms).
+    """
+    dur = F.col(duration_col)
+    idx = F.sequence(F.lit(0), F.lit(n_frames - 1))
+    offsets = F.transform(
+        idx, lambda i: (dur * (i * 2 + 1) / F.lit(2 * n_frames)).cast("long")
+    )
+    return (
+        df.where(dur.isNotNull() & (dur > 0))
+        .select(
+            "media_id",
+            F.posexplode(offsets).alias("frame_idx", "frame_offset_ms"),
+        )
+    )
+
+
+def _decode_audio_features(payload: bytes, n: int = 8) -> list[float]:
+    """Stub MFCC-ish summary vector (deterministic fake; swap for a
+    real audio pipeline — librosa/torchaudio — when available)."""
+    return _stable_floats(payload, n, salt=b"audio")
+
+
+def extract_audio_features(df: DataFrame, id_col: str = "media_id",
+                           payload_col: str = "payload") -> DataFrame:
+    out_schema = f"{id_col} long, features array<double>"
+
+    def featurize(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = [
+                (mid, _decode_audio_features(bytes(p)))
+                for mid, p in zip(pdf[id_col], pdf[payload_col])
+                if p is not None
+            ]
+            yield pd.DataFrame(rows, columns=[id_col, "features"])
+
+    return df.select(id_col, payload_col).mapInPandas(featurize, out_schema)

@@ -1,0 +1,155 @@
+"""Join operators beyond Spark's built-ins: as-of and interval joins.
+
+Absent in the reference (SURVEY.md §2.6 lists them as extension
+surface) but first-class in time-series engines; both are implemented
+as compositions of existing DataFrame ops — no UDFs, no Catalyst
+internals — with plans that survive 100 TB:
+
+  * as-of join: union + window (single shuffle on the key), instead
+    of the naive per-row subquery;
+  * interval join: time-bucket blocking (shuffle on (key, bucket))
+    instead of the quadratic theta join.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_SIDE = "_asof_side"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Backward as-of LEFT join: each left row gets the right row with
+    the greatest ``right_ts`` <= ``left_ts`` for the same key (ties on
+    the timestamp DO match: ``<=``, not ``<``).
+
+    Plan: tag both sides, union, one window pass per key ordered by
+    (ts, side) carrying the latest right row forward as a single
+    struct (atomic: all matched values come from the SAME right row,
+    even when some of its columns are null). ONE shuffle on the key —
+    same cost as a plain equi-join, versus the quadratic naive
+    formulation. Matches DuckDB ``ASOF JOIN`` semantics
+    (oracle-checked in plans/queries.py).
+
+    ``right`` should be unique per (key, right_ts) — pre-dedup with
+    dedup_keep_last for determinism.
+
+    Output: all left columns + ``value_cols`` (null when no match) +
+    ``matched_ts`` (the matched right timestamp).
+    """
+    on = list(on)
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in on and c != right_ts]
+
+    r_struct_type = T.StructType(
+        [T.StructField("matched_ts", right.schema[right_ts].dataType)]
+        + [T.StructField(c, right.schema[c].dataType) for c in value_cols]
+    )
+    l_tag = left.select(
+        *[F.col(c) for c in left.columns],
+        F.lit(1).alias(_SIDE),
+        F.col(left_ts).alias("_asof_ts"),
+        F.lit(None).cast(r_struct_type).alias("_rrow"),
+    )
+    r_tag = right.select(
+        *[F.col(c) for c in on],
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left.columns
+            if c not in on
+        ],
+        F.lit(0).alias(_SIDE),
+        F.col(right_ts).alias("_asof_ts"),
+        F.struct(
+            F.col(right_ts).alias("matched_ts"),
+            *[F.col(c).alias(c) for c in value_cols],
+        ).alias("_rrow"),
+    ).select(*l_tag.columns)  # align column order for unionByName
+
+    # Right rows sort BEFORE left rows at equal ts (side 0 < 1) so a
+    # tie matches — the `<=` contract.
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("_asof_ts").asc(), F.col(_SIDE).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l_tag.unionByName(r_tag).select(
+        *[F.col(c) for c in left.columns],
+        F.col(_SIDE),
+        F.last("_rrow", ignorenulls=True).over(w).alias("_m"),
+    )
+    return carried.where(F.col(_SIDE) == 1).select(
+        *[F.col(c) for c in left.columns],
+        *[F.col(f"_m.{c}").alias(c) for c in value_cols],
+        F.col("_m.matched_ts").alias("matched_ts"),
+    )
+
+
+def interval_join_count(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    lower: int | Column,
+    upper: int | Column,
+    bucket_seconds: int,
+    count_alias: str = "matches",
+) -> DataFrame:
+    """For each left row, COUNT right rows of the same key with
+    ``right_ts`` in [left_ts + lower, left_ts + upper] seconds.
+
+    Blocking plan: the right side is bucketed by
+    floor(epoch/bucket_seconds); each left row is replicated to every
+    candidate bucket its window overlaps, equi-joined on
+    (key, bucket), then exact-range filtered. Each right row lives in
+    exactly one bucket, so no double counting. Shuffle carries
+    O(rows × window/bucket) instead of the quadratic theta join —
+    choose ``bucket_seconds`` ≈ the window width.
+
+    ``left`` must contain a unique key among its columns (the final
+    groupBy is over all left columns).
+    """
+    on = list(on)
+    lo = lower if isinstance(lower, Column) else F.lit(int(lower))
+    hi = upper if isinstance(upper, Column) else F.lit(int(upper))
+
+    l_epoch = F.unix_timestamp(F.col(left_ts))
+    r_epoch = F.unix_timestamp(F.col(right_ts))
+
+    lb = left.select(
+        *[F.col(c) for c in left.columns],
+        F.explode(
+            F.sequence(
+                F.floor((l_epoch + lo) / bucket_seconds),
+                F.floor((l_epoch + hi) / bucket_seconds),
+            )
+        ).alias("_bucket"),
+        l_epoch.alias("_l_epoch"),
+    )
+    rb = right.select(
+        *[F.col(c).alias(f"_r_{c}") for c in on],
+        F.floor(r_epoch / bucket_seconds).alias("_bucket"),
+        r_epoch.alias("_r_epoch"),
+    )
+    cond = [F.col(c) == F.col(f"_r_{c}") for c in on] + [
+        lb["_bucket"] == rb["_bucket"],
+        F.col("_r_epoch") >= F.col("_l_epoch") + lo,
+        F.col("_r_epoch") <= F.col("_l_epoch") + hi,
+    ]
+    joined = lb.join(rb, cond, "left")
+    return (
+        joined.groupBy(*[F.col(c) for c in left.columns])
+        .agg(F.count("_r_epoch").alias(count_alias))
+    )

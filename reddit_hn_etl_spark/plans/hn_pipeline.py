@@ -20,7 +20,7 @@ atomically via the versioned-pointer protocol in sources/publish.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.scalars import (
@@ -99,7 +99,9 @@ def transform_raw(raw: DataFrame, batch_ts) -> DataFrame:
         .cast("long")
         .alias("kids_count"),
         "text",
-        F.lit(batch_ts).cast("timestamp").alias("extracted_at"),
+        (
+            batch_ts if isinstance(batch_ts, Column) else F.lit(batch_ts)
+        ).cast("timestamp").alias("extracted_at"),
         *([F.col("_seq")] if "_seq" in df.columns else []),
     )
 

@@ -861,3 +861,336 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return textfn.quality_features(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Time-series joins: as-of (backward, <=) and bucketed interval join.
+# Spark lacks both natively; operators/joins.py builds them from
+# window algebra / bucket blocking. DuckDB's native ASOF JOIN is the
+# oracle for ours.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "asof_rates",
+    """
+    WITH rates AS (
+        SELECT user_id, ts AS rate_ts, value AS rate
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+            FROM events WHERE event_type = 'signup'
+        ) d WHERE rn = 1
+    )
+    SELECT e.event_id, e.user_id, e.ts, e.value,
+           r.rate, r.rate_ts AS matched_ts
+    FROM events e
+    ASOF LEFT JOIN rates r
+        ON e.user_id = r.user_id AND e.ts >= r.rate_ts
+    """,
+)
+def asof_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import asof_join
+
+    ev = read_table(spark, sf_dir, "events")
+    left = ev.select("event_id", "user_id", "ts", "value")
+    rates = dedup.dedup_keep_last(
+        ev.where(F.col("event_type") == "signup"),
+        keys=["user_id", "ts"],
+        order_by=["event_id"],
+    ).select("user_id", F.col("ts").alias("rate_ts"), F.col("value").alias("rate"))
+    return asof_join(
+        left, rates, on=["user_id"], left_ts="ts", right_ts="rate_ts",
+        value_cols=["rate"],
+    )
+
+
+@_q(
+    "interval_purchases_near_errors",
+    """
+    SELECT e.event_id, e.user_id, e.ts, COUNT(p.ts) AS purchases_nearby
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+    LEFT JOIN events p
+      ON p.user_id = e.user_id AND p.event_type = 'purchase'
+     AND FLOOR(epoch(p.ts)) >= FLOOR(epoch(e.ts)) - 300
+     AND FLOOR(epoch(p.ts)) <= FLOOR(epoch(e.ts)) + 300
+    GROUP BY 1, 2, 3
+    """,
+)
+def interval_purchases_near_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import interval_join_count
+
+    ev = read_table(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select("user_id", "ts")
+    return interval_join_count(
+        errors, purchases, on=["user_id"], left_ts="ts", right_ts="ts",
+        lower=-300, upper=300, bucket_seconds=600,
+        count_alias="purchases_nearby",
+    )
+
+
+@_q(
+    "sessionize",
+    """
+    WITH g AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR FLOOR(epoch(ts)) - FLOOR(epoch(LAG(ts) OVER w)) > 1800
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT user_id, ts,
+               SUM(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM g
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events
+    FROM s GROUP BY 1, 2
+    """,
+)
+def sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sessions import session_summary
+
+    ev = read_table(spark, sf_dir, "events")
+    return session_summary(
+        ev, key_cols=["user_id"], ts_col="ts", gap_seconds=1800,
+        order_tiebreak=["event_id"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-dim aggregation: rollup / cube / pivot / distinct counts /
+# exact percentiles — the OLAP layer above the reference's plain
+# GROUP BYs.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "rollup_daily",
+    """
+    SELECT CAST(ts AS DATE) AS metric_date, event_type,
+           COUNT(*) AS events_count,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY ROLLUP (CAST(ts AS DATE), event_type)
+    """,
+)
+def rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    val = F.col("value").cast("decimal(18,2)")
+    return ev.rollup(
+        scalars.to_metric_date("ts").alias("metric_date"), F.col("event_type")
+    ).agg(
+        F.count("*").alias("events_count"),
+        F.sum(val).cast("double").alias("total_value"),
+    )
+
+
+@_q(
+    "orders_cube",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS order_count,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("order_count"),
+        F.sum(price).cast("double").alias("total_revenue"),
+    )
+
+
+@_q(
+    "pivot_daily_types",
+    """
+    SELECT CAST(ts AS DATE) AS metric_date,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+    FROM events
+    GROUP BY 1
+    """,
+)
+def pivot_daily_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.groupBy(scalars.to_metric_date("ts").alias("metric_date"))
+        .pivot("event_type", types)
+        .count()
+    )
+    return out.select(
+        "metric_date",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in types],
+    )
+
+
+@_q(
+    "distinct_users_daily",
+    """
+    SELECT CAST(ts AS DATE) AS metric_date,
+           COUNT(DISTINCT user_id) AS distinct_users,
+           COUNT(*) AS events_count
+    FROM events
+    GROUP BY 1
+    """,
+)
+def distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy(scalars.to_metric_date("ts").alias("metric_date")).agg(
+        F.countDistinct("user_id").alias("distinct_users"),
+        F.count("*").alias("events_count"),
+    )
+
+
+@_q("approx_distinct_users")  # rows-only: HLL sketches are engine-specific
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy(scalars.to_metric_date("ts").alias("metric_date")).agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+    )
+
+
+@_q(
+    "value_percentiles",
+    """
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 4) AS p50,
+           ROUND(quantile_cont(value, 0.9), 4) AS p90
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", 0.5), 4).alias("p50"),
+        F.round(F.percentile("value", 0.9), 4).alias("p90"),
+    )
+
+
+@_q(
+    "brand_revenue",
+    """
+    SELECT p_brand,
+           COUNT(*) AS line_count,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS revenue
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY p_brand
+    """,
+)
+def brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    supp = read_table(spark, sf_dir, "supplier").select("s_suppkey")
+    net = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("line_count"),
+            F.sum(net).cast("double").alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Calendar / date-function coverage (F6-family extensions).
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "calendar_breakdown",
+    """
+    SELECT CAST(year(ts) AS INTEGER)  AS y,
+           CAST(month(ts) AS INTEGER) AS m,
+           CAST(hour(ts) AS INTEGER)  AS h,
+           CAST(dayofweek(ts) AS INTEGER) AS dow,
+           COUNT(*) AS events_count
+    FROM events
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def calendar_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.year("ts").cast("int").alias("y"),
+        F.month("ts").cast("int").alias("m"),
+        F.hour("ts").cast("int").alias("h"),
+        # Spark dayofweek: 1=Sunday..7; DuckDB: 0=Sunday..6 — align.
+        (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+    ).agg(F.count("*").alias("events_count"))
+
+
+@_q(
+    "weekly_counts",
+    """
+    SELECT CAST(date_trunc('week', ts) AS DATE) AS week_start,
+           COUNT(*) AS events_count
+    FROM events
+    GROUP BY 1
+    """,
+)
+def weekly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week_start")
+    ).agg(F.count("*").alias("events_count"))
+
+
+@_q(
+    "conditional_agg",
+    """
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+               AS purchases,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+               AS errors,
+           CAST(SUM(CASE WHEN event_type = 'purchase'
+                         THEN CAST(value AS DECIMAL(18,2))
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+               AS purchase_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    is_purchase = F.col("event_type") == "purchase"
+    return ev.groupBy("user_id").agg(
+        F.sum(F.when(is_purchase, 1).otherwise(0)).cast("long").alias("purchases"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("errors"),
+        F.sum(
+            F.when(is_purchase, F.col("value").cast("decimal(18,2)")).otherwise(
+                F.lit(0).cast("decimal(18,2)")
+            )
+        )
+        .cast("double")
+        .alias("purchase_value"),
+    )

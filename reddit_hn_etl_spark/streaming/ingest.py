@@ -1,0 +1,148 @@
+"""Structured Streaming surface (SURVEY.md §2.9).
+
+The reference is strictly batch, but its batch-id + idempotent-merge
+design is exactly the micro-batch contract of Structured Streaming's
+``foreachBatch`` — so the streaming ingest below REUSES the batch
+transform + merge operators unchanged: each micro-batch is
+transformed, freshness-merged into the staging table, and atomically
+swapped. Exactly-once story: the merge is idempotent by key+freshness
+(`sql/load/03_merge.sql` semantics), so replayed micro-batches
+converge — the same property the reference documents for re-runs
+(`README.md:210-225`).
+
+Also provides the windowed/watermarked aggregation surface a
+streaming mart needs (daily metrics → sliding/tumbling windows) and
+native session windows.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..plans.hn_pipeline import transform_raw
+from ..schema import RAW_SCHEMA
+
+
+def read_raw_stream(spark: SparkSession, raw_dir: str, max_files: int = 10) -> DataFrame:
+    """File-source stream of raw JSONL batches with the explicit
+    schema (never inferred). ``maxFilesPerTrigger`` bounds micro-batch
+    size — at scale this is the ingest backpressure knob."""
+    return (
+        spark.readStream.schema(RAW_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .json(raw_dir)
+    )
+
+
+def _swap_dir(new: str, live: str) -> None:
+    old = live + "_old"
+    if os.path.isdir(live):
+        os.rename(live, old)
+    os.rename(new, live)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def stream_merge_to_staging(
+    raw_stream: DataFrame,
+    staging_root: str,
+    checkpoint: str,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """writeStream → foreachBatch(transform + merge + atomic swap).
+
+    Each micro-batch uses its batch_id as the freshness tiebreaker
+    epoch: ``extracted_at`` is the max event-ingest instant of the
+    batch (deterministic from data, not wall clock), so replays
+    produce identical rows and the merge converges.
+    """
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if not batch_df.take(1):
+            return
+        # Deterministic batch stamp: derive from the data itself
+        # (max time in batch) — replay-safe, monotone per batch.
+        max_time = batch_df.agg(F.max("time")).collect()[0][0] or 0
+        staged = transform_raw(
+            batch_df, batch_ts=F.timestamp_seconds(F.lit(max_time))
+        )
+        if os.path.isdir(staging_root) and os.listdir(staging_root):
+            from ..plans.hn_pipeline import load_merge
+
+            target = spark.read.parquet(staging_root)
+            merged, _ = load_merge(target, staged)
+        else:
+            merged = staged
+        out = staging_root + f"_b{batch_id}"
+        merged.write.mode("overwrite").parquet(out)
+        _swap_dir(out, staging_root)
+
+    writer = raw_stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling/sliding window counts — the streaming
+    analogue of the daily-metrics mart (A1). Works on batch frames
+    too (window without watermark semantics).
+
+    Late rows beyond ``watermark`` are dropped by the engine; state
+    for closed windows is evicted — bounded memory at firehose scale.
+    """
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    win = F.window(F.col(ts_col), window, slide) if slide else F.window(
+        F.col(ts_col), window
+    )
+    return df.groupBy(win.alias("win")).agg(
+        F.count("*").alias("events_count"),
+        F.sum("value").alias("total_value"),
+    ).select(
+        F.col("win.start").alias("window_start"),
+        F.col("win.end").alias("window_end"),
+        "events_count",
+        "total_value",
+    )
+
+
+def session_windows(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Native session windows (gap-based) per key — Spark's built-in
+    stateful session operator; JVM-side state store, no Python state.
+    """
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return df.groupBy(
+        F.session_window(F.col(ts_col), gap).alias("sess"), F.col(key_col)
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum("value").alias("total_value"),
+    ).select(
+        key_col,
+        F.col("sess.start").alias("session_start"),
+        F.col("sess.end").alias("session_end"),
+        "n_events",
+        "total_value",
+    )

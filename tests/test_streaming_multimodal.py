@@ -1,0 +1,124 @@
+"""Streaming ingest (foreachBatch merge), watermarked windows, session
+windows, and multimodal feature-extraction plumbing."""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from reddit_hn_etl_spark.functions import multimodal as mm
+from reddit_hn_etl_spark.streaming import ingest
+
+T_BASE = 1705276800  # 2024-01-15 00:00:00 UTC
+
+
+def _write_jsonl(path, records):
+    with open(path, "w", encoding="utf-8") as f:
+        for r in records:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_stream_merge_converges_with_batch_merge(spark, tmp_path):
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    _write_jsonl(raw / "b1.jsonl", [
+        {"id": 1, "type": "story", "by": "a", "time": T_BASE, "title": "t1", "score": 1},
+        {"id": 2, "type": "story", "by": "b", "time": T_BASE + 60, "title": "t2"},
+    ])
+    staging = str(tmp_path / "staging")
+    ckpt = str(tmp_path / "ckpt")
+
+    q = ingest.stream_merge_to_staging(
+        ingest.read_raw_stream(spark, str(raw)), staging, ckpt, available_now=True
+    )
+    q.awaitTermination(120)
+
+    got = {r.id: r for r in spark.read.parquet(staging).collect()}
+    assert sorted(got) == [1, 2] and got[1].score == 1
+
+    # second file arrives: id=2 refreshed (newer time→fresher batch), id=3 new
+    _write_jsonl(raw / "b2.jsonl", [
+        {"id": 2, "type": "story", "by": "b", "time": T_BASE + 7200, "title": "t2-edit", "score": 9},
+        {"id": 3, "type": "story", "by": "c", "time": T_BASE + 7260, "title": "t3"},
+    ])
+    q = ingest.stream_merge_to_staging(
+        ingest.read_raw_stream(spark, str(raw)), staging, ckpt, available_now=True
+    )
+    q.awaitTermination(120)
+
+    got = {r.id: r for r in spark.read.parquet(staging).collect()}
+    assert sorted(got) == [1, 2, 3]
+    assert got[2].title == "t2-edit" and got[2].score == 9
+
+
+def test_windowed_counts_batch_equivalence(spark, sf_dir):
+    from reddit_hn_etl_spark.sources.tables import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    win = ingest.windowed_event_counts(ev, window="1 hour")
+    rows = win.collect()
+    assert sum(r.events_count for r in rows) == ev.count()
+    assert all(r.window_end > r.window_start for r in rows)
+
+
+def test_session_windows_gap_semantics(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 1.0),
+            (1, "2024-01-01 10:10:00", 1.0),   # same session (gap 10m < 30m)
+            (1, "2024-01-01 11:30:00", 1.0),   # new session (gap 80m)
+            (2, "2024-01-01 10:00:00", 1.0),
+        ],
+        "user_id long, ts_str string, value double",
+    ).select("user_id", F.to_timestamp("ts_str").alias("ts"), "value")
+    out = ingest.session_windows(ev, gap="30 minutes").collect()
+    per_user = {}
+    for r in out:
+        per_user.setdefault(r.user_id, []).append(r)
+    assert len(per_user[1]) == 2 and len(per_user[2]) == 1
+    first = min(per_user[1], key=lambda r: r.session_start)
+    assert first.n_events == 2
+
+
+@pytest.fixture()
+def media_df(spark):
+    rows = [
+        Row(
+            media_id=i,
+            payload=hashlib.sha256(str(i).encode()).digest() * 4,
+            meta=Row(mime="image/png", width=None, height=None,
+                     duration_ms=(i + 1) * 10000),
+        )
+        for i in range(6)
+    ] + [Row(media_id=99, payload=None, meta=Row(mime=None, width=None,
+                                                 height=None, duration_ms=None))]
+    return spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+
+
+def test_image_features_deterministic(spark, media_df):
+    out1 = {r.media_id: r for r in mm.extract_image_features(media_df).collect()}
+    out2 = {r.media_id: r for r in mm.extract_image_features(media_df).collect()}
+    assert sorted(out1) == [0, 1, 2, 3, 4, 5]  # null payload skipped
+    for mid in out1:
+        assert out1[mid].features == out2[mid].features  # deterministic fake
+        assert len(out1[mid].features) == mm.IMAGE_FEATURE_DIM
+        assert out1[mid].width >= 64 and out1[mid].height >= 64
+
+
+def test_frame_offsets_plan(spark, media_df):
+    out = mm.sample_frame_offsets(media_df, n_frames=4).collect()
+    by_media = {}
+    for r in out:
+        by_media.setdefault(r.media_id, []).append(r.frame_offset_ms)
+    assert 99 not in by_media  # null duration filtered
+    assert by_media[0] == [1250, 3750, 6250, 8750]  # evenly spaced mid-frames
+    assert all(len(v) == 4 for v in by_media.values())
+
+
+def test_audio_features(spark, media_df):
+    out = mm.extract_audio_features(media_df).collect()
+    assert len(out) == 6 and all(len(r.features) == 8 for r in out)
