@@ -89,24 +89,57 @@ def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[flo
     ]
 
 
-def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-of-projection bitcode → one bigint bucket id per vector."""
-    code = None
-    for i, p in enumerate(planes):
-        proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.array(*[F.lit(float(x)) for x in p]),
-                lambda v, w: v.cast("double") * w,
-            ),
+def all_plane_projections(vec: Column, planes: list[list[float]]) -> Column:
+    """array<double> of ⟨vec, pᵢ⟩ for every plane — ONE transform over
+    a constant plane matrix. Building a separate aggregate expression
+    per plane instead makes the expression tree (and its compile
+    time) scale with n_planes; this keeps it constant."""
+    planes_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in p]) for p in planes]
+    )
+    return F.transform(
+        planes_lit,
+        lambda p: F.aggregate(
+            F.zip_with(vec, p, lambda v, w: v.cast("double") * w),
             F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bit = F.when(proj >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-            F.lit(0).cast("long")
-        )
-        code = bit if code is None else code.bitwiseOR(bit)
-    return code
+            lambda acc, x: acc + x,
+        ),
+    )
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-of-projection code → one bigint bucket id per vector
+    (hash of the sign pattern; bucket ids only need equality)."""
+    projs = all_plane_projections(vec, planes)
+    signs = F.transform(projs, lambda p: F.when(p >= 0, "1").otherwise("0"))
+    return F.xxhash64(F.concat_ws("", signs))
+
+
+def _table_buckets(vec: Column, planes_by_table: list[list[list[float]]]) -> Column:
+    """array<struct<tbl,bucket>> — ALL tables' bucket codes from one
+    flattened projection pass (constant-size expression tree: the
+    plane matrix is a single literal, the per-table slicing happens
+    inside one transform)."""
+    n_tables = len(planes_by_table)
+    n_planes = len(planes_by_table[0])
+    flat = [p for table in planes_by_table for p in table]
+    projs = all_plane_projections(vec, flat)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_tables - 1)),
+        lambda t: F.struct(
+            t.alias("tbl"),
+            F.xxhash64(
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.slice(projs, t * n_planes + 1, n_planes),
+                        lambda p: F.when(p >= 0, "1").otherwise("0"),
+                    ),
+                ),
+                t,
+            ).alias("bucket"),
+        ),
+    )
 
 
 def knn_cosine_lsh(
@@ -123,28 +156,33 @@ def knn_cosine_lsh(
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane LSH with ``n_tables``
     independent codebooks; candidates = corpus vectors sharing a
-    bucket with the query in any table, then exact cosine re-rank.
+    bucket with a query in ANY table (one explode + one join), then
+    exact cosine re-rank.
 
     At 100 TB the bucket join replaces the full-corpus scan per query
     batch with a key-partitioned probe — the standard ANN trade: may
-    miss true neighbors (recall < 1), bounded by n_tables.
+    miss true neighbors (recall < 1, raise n_tables / lower n_planes
+    to trade cost for recall).
     """
-    cand = None
-    for t in range(n_tables):
-        planes = random_hyperplanes(dim, n_planes, seed=seed + 1000 * t)
-        c_b = corpus.select(
-            F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col), planes).alias("_b")
-        )
-        q_b = queries.select(
-            F.col(query_id_col),
-            F.col(vec_col).alias("_qvec"),
-            lsh_bucket(F.col(vec_col), planes).alias("_b"),
-        )
-        pairs = c_b.join(F.broadcast(q_b), on="_b").select(
-            query_id_col, id_col, "_qvec", vec_col
-        )
-        cand = pairs if cand is None else cand.unionByName(pairs)
-    cand = cand.dropDuplicates([query_id_col, id_col])
+    planes_by_table = [
+        random_hyperplanes(dim, n_planes, seed=seed + 1000 * t)
+        for t in range(n_tables)
+    ]
+    c_b = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.explode(_table_buckets(F.col(vec_col), planes_by_table)).alias("_tb"),
+    ).select(id_col, vec_col, "_tb.tbl", "_tb.bucket")
+    q_b = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        F.explode(_table_buckets(F.col(vec_col), planes_by_table)).alias("_tb"),
+    ).select(query_id_col, "_qvec", "_tb.tbl", "_tb.bucket")
+
+    cand = (
+        c_b.join(F.broadcast(q_b), on=["tbl", "bucket"])
+        .dropDuplicates([query_id_col, id_col])
+    )
     scored = cand.select(
         F.col(query_id_col),
         F.col(id_col),

@@ -1194,3 +1194,52 @@ def conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("purchase_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar subqueries (O2, `sql/mart/03_checks.sql:2-5`) + embedding
+# near-dup (north-star: content dedup in embedding space).
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "scalar_subqueries",
+    """
+    SELECT (SELECT COUNT(*) FROM orders)   AS n_orders,
+           (SELECT COUNT(*) FROM lineitem) AS n_lineitem,
+           (SELECT COUNT(*) FROM events)   AS n_events
+    """,
+)
+def scalar_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-row frame from independent scalar aggregates — Catalyst
+    plans the cross-joins of 1-row aggs as broadcast nested loops."""
+    o = read_table(spark, sf_dir, "orders").agg(F.count("*").alias("n_orders"))
+    l = read_table(spark, sf_dir, "lineitem").agg(F.count("*").alias("n_lineitem"))
+    e = read_table(spark, sf_dir, "events").agg(F.count("*").alias("n_events"))
+    return o.crossJoin(l).crossJoin(e)
+
+
+@_q(
+    "embedding_near_dup",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_cosine_similarity(a.e, b.e), 4) AS cosine_sim
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.e, b.e) >= 0.35
+    """,
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force all-pairs cosine ≥ threshold. Exact baseline for
+    embedding-space dedup; the scale path is the same LSH bucketing
+    as knn_cosine_lsh (candidates → exact re-rank)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("_ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("_eb"))
+    cos = similarity.cosine(F.col("_ea"), F.col("_eb"))
+    return (
+        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        .withColumn("_cos", cos)
+        .where(F.col("_cos") >= 0.35)
+        .select("vec_a", "vec_b", F.round("_cos", 4).alias("cosine_sim"))
+    )
