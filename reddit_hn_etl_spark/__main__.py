@@ -34,6 +34,13 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="process every raw batch in name order (default: latest only)",
     )
+    ap.add_argument(
+        "--incremental-marts",
+        action="store_true",
+        help="rebuild only the mart date-partitions touched by this "
+        "run's batches (dynamic partition overwrite) instead of the "
+        "atomic full refresh",
+    )
     args = ap.parse_args(argv)
 
     spark = get_session(app_name="reddit-hn-etl-spark")
@@ -57,12 +64,14 @@ def main(argv: list[str] | None = None) -> int:
     if os.path.isdir(staging_root) and glob.glob(staging_root + "/*"):
         target = batches.read_staging(spark, staging_root)
 
+    staged_batches = []
     for path in paths:
         rec = audit.start_run("load", source_file=os.path.basename(path))
         try:
             ts = batches.parse_ts_from_raw_filename(path)
             staged = hp.transform_raw(batches.read_raw_batch(spark, path), ts)
             hp.validate_staging(staged)
+            staged_batches.append(staged)
             rows = staged.count()
             if target is None:
                 target, metrics = staged, None
@@ -103,12 +112,22 @@ def main(argv: list[str] | None = None) -> int:
     rec = audit.start_run("mart")
     try:
         staging = batches.read_staging(spark, staging_root)
-        marts = hp.build_marts(staging)
-        version = publish.publish_tables(marts, os.path.join(args.out, "marts"))
-        hp.run_mart_checks(staging, marts)
-        total = sum(df.count() for df in marts.values())
-        audit.succeed(rec, rows_copied=total, inserted=0, updated=0)
-        print(f"marts published: version={version} rows={total}")
+        if args.incremental_marts:
+            batch_union = staged_batches[0]
+            for b in staged_batches[1:]:
+                batch_union = batch_union.unionByName(b)
+            dates = hp.refresh_marts_incremental(
+                staging, batch_union, os.path.join(args.out, "marts_inc")
+            )
+            audit.succeed(rec, rows_copied=len(dates), inserted=0, updated=0)
+            print(f"marts incrementally refreshed: dates={sorted(map(str, dates))}")
+        else:
+            marts = hp.build_marts(staging)
+            version = publish.publish_tables(marts, os.path.join(args.out, "marts"))
+            hp.run_mart_checks(staging, marts)
+            total = sum(df.count() for df in marts.values())
+            audit.succeed(rec, rows_copied=total, inserted=0, updated=0)
+            print(f"marts published: version={version} rows={total}")
     except Exception as exc:  # noqa: BLE001
         audit.fail(rec, exc)
         print(f"mart refresh failed: {exc}", file=sys.stderr)

@@ -1243,3 +1243,176 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("_cos") >= 0.35)
         .select("vec_a", "vec_b", F.round("_cos", 4).alias("cosine_sim"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Deep relational coverage: TPC-H-style multi-join analytics over the
+# full star schema (region/nation dims finally in play), word
+# frequencies via explode, statistical aggregates, and a salted
+# aggregation (skew-handling pattern; same answer as plain groupBy).
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "local_supplier_volume",
+    """
+    SELECT n_name,
+           COUNT(*) AS line_count,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: one big fact scan, every dim broadcast, filter
+    pushed through the dim chain (region -> nation -> supplier)."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey")
+    supp = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = read_table(spark, sf_dir, "region").where(
+        F.col("r_name") == "ASIA"
+    ).select("r_regionkey")
+    net = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        li.join(F.broadcast(orders.join(F.broadcast(cust),
+                                        orders.o_custkey == cust.c_custkey)),
+                li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("line_count"),
+            F.sum(net).cast("double").alias("revenue"),
+        )
+    )
+
+
+@_q(
+    "shipping_priority",
+    """
+    SELECT o_orderkey, o_orderdate, o_orderpriority,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS revenue
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'O'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: fact-fact join, agg, global top-k
+    (TakeOrderedAndProject — no full sort)."""
+    orders = read_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "O"
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    net = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(net).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@_q(
+    "top_words",
+    r"""
+    WITH tok AS (
+        SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                  x -> x <> '')) AS word
+        FROM documents
+    )
+    SELECT word, COUNT(*) AS word_count
+    FROM tok GROUP BY word
+    ORDER BY word_count DESC, word
+    LIMIT 20
+    """,
+)
+def top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus word frequency: explode + partial-aggregated count +
+    top-k. The canonical explode/lateral-view coverage query."""
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(dedup.tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("word_count"))
+        .orderBy(F.desc("word_count"), F.asc("word"))
+        .limit(20)
+    )
+
+
+@_q(
+    "value_stats",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           ROUND(stddev_pop(value), 4)          AS value_stddev,
+           ROUND(var_pop(value), 4)             AS value_var,
+           ROUND(corr(value, CAST(user_id AS DOUBLE)), 4) AS corr_value_user
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates. Both engines use numerically-stable
+    one-pass (Welford-style) formulas; ROUND(4) absorbs the
+    last-ulp summation-order differences."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.stddev_pop("value"), 4).alias("value_stddev"),
+        F.round(F.var_pop("value"), 4).alias("value_var"),
+        F.round(F.corr("value", F.col("user_id").cast("double")), 4).alias(
+            "corr_value_user"
+        ),
+    )
+
+
+@_q(
+    "salted_user_counts",
+    """
+    SELECT user_id, COUNT(*) AS events_count
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def salted_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation: groupBy (key, salt) then re-agg
+    by key. The skew-mitigation pattern for hot keys at 100 TB (AQE
+    handles moderate skew automatically; salting is the explicit
+    version for pathological keys). Result identical to the plain
+    groupBy — which is exactly what the oracle checks.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    salt = (F.col("event_id") % 8).alias("_salt")
+    partial = ev.select("user_id", salt).groupBy("user_id", "_salt").agg(
+        F.count("*").alias("_c")
+    )
+    return partial.groupBy("user_id").agg(
+        F.sum("_c").cast("long").alias("events_count")
+    )

@@ -1,0 +1,71 @@
+"""External format / database IO (K3 parity surface).
+
+The reference's load path serializes pandas → CSV text and bulk-COPYs
+into PostgreSQL (`src/load/hn_load.py:85-98`). Spark-native design
+keeps parquet end-to-end (SURVEY.md §1.3), but users of the reference
+expect the CSV and database seams to exist, so both are provided:
+
+  * CSV read/write with the reference's NULL convention (``\\N``,
+    `src/load/hn_load.py:87`) — schema always explicit, never inferred;
+  * a JDBC upsert-shaped sink: Spark's ``jdbc`` writer only appends/
+    overwrites, so the merge happens engine-side (operators/merge.py)
+    and the reconciled state is written back — same observable result
+    as the reference's tmp-table + MERGE protocol, minus the
+    row-by-row conflict handling Postgres did.
+
+No database runs in the test container; ``write_jdbc_reconciled`` is
+exercised for plan construction only and gated at call time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+CSV_NULL = r"\N"  # `src/load/hn_load.py:87`
+
+
+def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
+    """K3: CSV serialize with the reference's NULL sentinel."""
+    (
+        df.write.mode("overwrite")
+        .option("header", str(header).lower())
+        .option("nullValue", CSV_NULL)
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .csv(path)
+    )
+
+
+def read_csv(spark: SparkSession, path: str, schema: T.StructType,
+             header: bool = True) -> DataFrame:
+    """CSV scan with explicit schema (never inferSchema — an extra
+    full pass and nondeterministic types) and the same NULL sentinel."""
+    return (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .option("nullValue", CSV_NULL)
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .csv(path)
+    )
+
+
+def write_jdbc_reconciled(
+    merged: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "overwrite",
+    **options: str,
+) -> None:
+    """Write the engine-side merged state to a JDBC table.
+
+    The reference's COPY-into-UNLOGGED-tmp + SQL MERGE
+    (`sql/load/02_tmp.sql`, `sql/load/03_merge.sql`) is replaced by:
+    merge in Spark (merge_upsert) → single set-based write here.
+    ``overwrite`` with ``truncate=true`` preserves the target's DDL.
+    """
+    writer = merged.write.format("jdbc").option("url", url).option(
+        "dbtable", table
+    )
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.mode(mode).save()
