@@ -39,13 +39,25 @@ BENCH_QUERIES = [
     "dup_detect",
     "filter_project",
     "json_props",
+    "local_supplier_volume",
+    "shipping_priority",
+    "brand_revenue",
+    "rollup_daily",
+    "distinct_users_daily",
+    "pivot_daily_types",
+    # time-series ops
+    "asof_rates",
+    "interval_purchases_near_errors",
+    "sessionize",
     # north-star text / vector
     "doc_exact_dedup",
     "doc_fingerprint",
     "doc_tokens",
     "doc_quality",
     "doc_lang_id",
+    "top_words",
     "knn_cosine",
+    "embedding_near_dup",
 ]
 
 

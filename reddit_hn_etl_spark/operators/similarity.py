@@ -194,3 +194,63 @@ def knn_cosine_lsh(
         .where(F.col("rank") <= k)
         .select(query_id_col, id_col, F.round("_cos", 4).alias("cosine_sim"), "rank")
     )
+
+
+def cosine_pairs_blocked(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All-pairs cosine ≥ threshold via a blocked matrix product.
+
+    The Arrow-batched escape hatch for dense vector math: interpreted
+    higher-order array functions cost ~µs per element; numpy's BLAS
+    does the same block in nanoseconds. Each partition's block A
+    (n×d) multiplies the broadcast, pre-normalized corpus matrix Mᵀ
+    (d×N) in one GEMM; pairs above threshold stream out.
+
+    Scale contract: ONE side must fit in executor memory (the
+    broadcast matrix — 1M×256-d floats ≈ 1 GB). For corpus×corpus at
+    100 TB, first bucket with LSH (knn_cosine_lsh's banding) and run
+    this kernel within buckets. Emits (vec_a, vec_b, cosine_sim)
+    with vec_a < vec_b, ROUND(4).
+    """
+    import numpy as np
+
+    rows = corpus.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    norms[norms == 0] = 1.0
+    matn = mat / norms[:, None]
+
+    spark = corpus.sparkSession
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(matn)
+
+    def block(batches):
+        import pandas as pd
+
+        all_ids = b_ids.value
+        m = b_mat.value
+        pos = {int(v): i for i, v in enumerate(all_ids)}
+        for pdf in batches:
+            idx = np.array([pos[int(v)] for v in pdf[id_col]], dtype=np.int64)
+            a = m[idx]                       # (n, d), already normalized
+            sims = a @ m.T                   # one GEMM: (n, N)
+            ai, bj = np.nonzero(sims >= threshold)
+            left = all_ids[idx[ai]]
+            right = all_ids[bj]
+            keep = left < right              # dedup + drop self-pairs
+            yield pd.DataFrame(
+                {
+                    "vec_a": left[keep],
+                    "vec_b": right[keep],
+                    "cosine_sim": np.round(sims[ai[keep], bj[keep]], 4),
+                }
+            )
+
+    return corpus.select(id_col).mapInPandas(
+        block, "vec_a long, vec_b long, cosine_sim double"
+    )

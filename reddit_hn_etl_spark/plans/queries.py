@@ -1234,14 +1234,8 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding-space dedup; the scale path is the same LSH bucketing
     as knn_cosine_lsh (candidates → exact re-rank)."""
     emb = read_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("_ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("_eb"))
-    cos = similarity.cosine(F.col("_ea"), F.col("_eb"))
-    return (
-        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
-        .withColumn("_cos", cos)
-        .where(F.col("_cos") >= 0.35)
-        .select("vec_a", "vec_b", F.round("_cos", 4).alias("cosine_sim"))
+    return similarity.cosine_pairs_blocked(
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.35
     )
 
 
