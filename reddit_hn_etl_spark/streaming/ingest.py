@@ -146,3 +146,63 @@ def session_windows(
         "n_events",
         "total_value",
     )
+
+
+def running_user_totals(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-key running totals emitted each micro-batch.
+
+    This is the escape hatch for stateful logic Spark's built-in
+    operators can't express (session_window and windowed aggs cover
+    the common cases above) — arbitrary per-key state held in the
+    state store, updated from Arrow batches. State here is tiny
+    (n, total, max_ts) per key; at firehose scale the state store
+    shards by key across executors.
+
+    Output per batch: (key, n_events, total_value, last_ts) with the
+    cumulative values including all previous batches.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        f"{key_col} long, n_events long, total_value double, last_ts timestamp"
+    )
+    state_schema = "n long, total double, last_ts timestamp"
+
+    def update(key, pdfs, state):
+        n, total, last_ts = (
+            state.get if state.exists else (0, 0.0, None)
+        )
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf[value_col].sum())
+            batch_max = pdf[ts_col].max()
+            if last_ts is None or (batch_max is not None and batch_max > last_ts):
+                last_ts = batch_max
+        state.update((n, total, last_ts))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 6)],
+                "last_ts": [last_ts],
+            }
+        )
+
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

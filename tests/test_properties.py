@@ -1,0 +1,136 @@
+"""Property-based differential tests (hypothesis): core operators vs
+brute-force Python models on random inputs. Complements the
+DuckDB-oracle suite — these hit edge shapes (empty overlaps, equal
+timestamps, singleton groups) random SQL data rarely produces.
+
+Examples are kept small and few: each example runs real Spark jobs.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from reddit_hn_etl_spark.operators.dedup import dedup_keep_last
+from reddit_hn_etl_spark.operators.merge import merge_upsert
+from reddit_hn_etl_spark.operators.sessions import session_summary
+
+SET = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+BASE = dt.datetime(2024, 1, 1)
+
+# (key, freshness_minute, value) rows; small key/ts domains force
+# collisions, equal-timestamp ties, and disjoint/overlapping key sets.
+row = st.tuples(
+    st.integers(0, 5), st.integers(0, 10), st.integers(-100, 100)
+)
+rows = st.lists(row, min_size=0, max_size=20)
+
+
+def _df(spark, data):
+    return spark.createDataFrame(
+        [(k, BASE + dt.timedelta(minutes=m), v) for k, m, v in data],
+        "k long, ts timestamp, v long",
+    )
+
+
+def _merge_model(target, source):
+    """Reference semantics of sql/load/03_merge.sql: per key, source
+    applies iff key absent or source strictly fresher."""
+    # dedup source: freshest per key (ties broken by larger v to
+    # mirror dedup_keep_last(order_by=[ts, v]))
+    src = {}
+    for k, m, v in source:
+        if k not in src or (m, v) > (src[k][0], src[k][1]):
+            src[k] = (m, v)
+    tgt = {k: (m, v) for k, m, v in target}  # unique keys by construction
+    out = dict(tgt)
+    inserted = updated = 0
+    for k, (m, v) in src.items():
+        if k not in out:
+            out[k] = (m, v)
+            inserted += 1
+        elif m > out[k][0]:
+            out[k] = (m, v)
+            updated += 1
+    return out, inserted, updated
+
+
+@given(target=rows, source=rows)
+@SET
+def test_merge_matches_model(spark, target, source):
+    # make target keys unique (staging invariant: PK per key)
+    tgt = list({k: (k, m, v) for k, m, v in target}.values())
+    t_df, s_df = _df(spark, tgt), _df(spark, source)
+    merged, metrics = merge_upsert(
+        dedup_keep_last(t_df, ["k"], ["ts", "v"]),
+        dedup_keep_last(s_df, ["k"], ["ts", "v"]),
+        keys=["k"],
+        freshness_col="ts",
+    )
+    got = {r.k: ((r.ts - BASE).seconds // 60, r.v) for r in merged.collect()}
+    want, ins, upd = _merge_model(
+        [(k, m, v) for k, m, v in
+         {k: (k, m, v) for k, m, v in tgt}.values()],
+        source,
+    )
+    assert got == want
+    assert (metrics.inserted, metrics.updated) == (ins, upd)
+
+
+@given(data=rows)
+@SET
+def test_dedup_keep_last_matches_model(spark, data):
+    out = dedup_keep_last(_df(spark, data), ["k"], ["ts", "v"]).collect()
+    got = {r.k: ((r.ts - BASE).seconds // 60, r.v) for r in out}
+    want = {}
+    for k, m, v in data:
+        if k not in want or (m, v) > want[k]:
+            want[k] = (m, v)
+    assert got == want
+
+
+def _session_model(data, gap_minutes):
+    """Brute-force sessionization (sorted scan per key)."""
+    per_key = {}
+    for k, m, v in data:
+        per_key.setdefault(k, []).append((m, v))
+    out = {}
+    for k, evs in per_key.items():
+        evs.sort()  # (minute, v) — v acts as the deterministic tiebreak
+        sess_no = 0
+        prev = None
+        for m, v in evs:
+            if prev is None or (m - prev) * 60 > gap_minutes * 60:
+                sess_no += 1
+                out[(k, sess_no)] = [m, m, 0]
+            out[(k, sess_no)][1] = m
+            out[(k, sess_no)][2] += 1
+            prev = m
+    return {
+        key: (start, end, n) for key, (start, end, n) in out.items()
+    }
+
+
+@given(data=rows, gap=st.integers(1, 4))
+@SET
+def test_sessionize_matches_model(spark, data, gap):
+    out = session_summary(
+        _df(spark, data), key_cols=["k"], ts_col="ts",
+        gap_seconds=gap * 60, order_tiebreak=["v"],
+    ).collect()
+    got = {
+        (r.k, r.session_no): (
+            (r.session_start - BASE).seconds // 60,
+            (r.session_end - BASE).seconds // 60,
+            r.n_events,
+        )
+        for r in out
+    }
+    assert got == _session_model(data, gap)

@@ -1,0 +1,69 @@
+"""applyInPandasWithState: running totals accumulate across
+micro-batches through the state store."""
+
+from __future__ import annotations
+
+import json
+
+from reddit_hn_etl_spark.streaming import ingest
+
+
+def _write_events_jsonl(path, rows):
+    with open(path, "w", encoding="utf-8") as f:
+        for event_id, ts, user_id, value in rows:
+            f.write(json.dumps({
+                "event_id": event_id, "ts": ts, "user_id": user_id,
+                "event_type": "view", "value": value, "props": "{}",
+            }) + "\n")
+
+
+def test_running_totals_across_batches(spark, tmp_path):
+    src = tmp_path / "events_stream"
+    src.mkdir()
+    out = tmp_path / "out"
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_events_jsonl(src / "b1.jsonl", [
+        (1, "2024-01-01 10:00:00", 7, 1.5),
+        (2, "2024-01-01 10:05:00", 7, 2.5),
+        (3, "2024-01-01 10:06:00", 8, 10.0),
+    ])
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        ).option("maxFilesPerTrigger", 1).json(str(src))
+    )
+    totals = ingest.running_user_totals(stream)
+
+    def sink(batch_df, batch_id):
+        # update-mode stream → append each batch's emissions (the
+        # standard foreachBatch pattern for update streams on
+        # append-only sinks)
+        batch_df.write.mode("append").parquet(str(out))
+
+    def run_once():
+        q = (totals.writeStream.foreachBatch(sink)
+             .option("checkpointLocation", ckpt)
+             .outputMode("update")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run_once()
+
+    # batch 2 arrives: user 7 gains one more event
+    _write_events_jsonl(src / "b2.jsonl", [
+        (4, "2024-01-01 11:00:00", 7, 6.0),
+    ])
+    run_once()
+
+    rows = spark.read.parquet(str(out)).collect()
+    # per-key latest emission = cumulative across both micro-batches
+    latest = {}
+    for r in rows:
+        if r.user_id not in latest or r.n_events > latest[r.user_id].n_events:
+            latest[r.user_id] = r
+    assert latest[7].n_events == 3 and abs(latest[7].total_value - 10.0) < 1e-9
+    assert latest[8].n_events == 1 and abs(latest[8].total_value - 10.0) < 1e-9
+    assert str(latest[7].last_ts) == "2024-01-01 11:00:00"
