@@ -82,8 +82,12 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm-up: touch every input table once (JVM + reader init).
-    QUERIES["table_counts"](spark, sf_dir).collect()
+    # Warm-up: touch every input table once (JVM + reader init) and
+    # the noop sink path (first write initializes the datasource v2
+    # machinery — ~1s of one-time cost that isn't query work).
+    QUERIES["table_counts"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

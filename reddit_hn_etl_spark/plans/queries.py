@@ -1410,3 +1410,85 @@ def salted_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partial.groupBy("user_id").agg(
         F.sum("_c").cast("long").alias("events_count")
     )
+
+
+# ---------------------------------------------------------------------------
+# Breadth coverage: deterministic array aggregation, string-function
+# kitchen sink, null-handling semantics.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "user_event_type_sets",
+    """
+    SELECT user_id,
+           list_sort(list(DISTINCT event_type)) AS event_types,
+           COUNT(DISTINCT event_type) AS n_types
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def user_event_type_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic array aggregation: collect_set is unordered in
+    both engines, so results are sorted before comparison — the only
+    portable contract for array-valued aggregates."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("event_types"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+@_q(
+    "string_kitchen_sink",
+    """
+    SELECT p_partkey,
+           concat_ws('|', p_brand, p_type)              AS brand_type,
+           substring(p_name, 1, 8)                      AS name_prefix,
+           lpad(CAST(p_size AS VARCHAR), 4, '0')        AS size_padded,
+           reverse(p_brand)                             AS brand_rev,
+           translate(p_type, 'AEIOU', 'aeiou')          AS type_lowervowel,
+           length(p_name)                               AS name_len,
+           CAST(strpos(p_name, 'a') AS INTEGER)         AS first_a
+    FROM part
+    """,
+)
+def string_kitchen_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = read_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.translate("p_type", "AEIOU", "aeiou").alias("type_lowervowel"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.instr(F.col("p_name"), "a").cast("int").alias("first_a"),
+    )
+
+
+@_q(
+    "null_semantics",
+    """
+    SELECT o_orderkey,
+           NULLIF(o_orderstatus, 'O')                        AS status_or_null,
+           COALESCE(NULLIF(o_orderpriority, ''), '(none)')   AS priority_clean,
+           CASE WHEN o_totalprice IS NULL THEN -1.0
+                ELSE o_totalprice END                        AS price_nn,
+           GREATEST(o_totalprice, 50000.0)                   AS price_floor
+    FROM orders
+    """,
+)
+def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("status_or_null"),
+        F.coalesce(
+            F.nullif(F.col("o_orderpriority"), F.lit("")), F.lit("(none)")
+        ).alias("priority_clean"),
+        F.when(F.col("o_totalprice").isNull(), F.lit(-1.0))
+        .otherwise(F.col("o_totalprice"))
+        .alias("price_nn"),
+        F.greatest(F.col("o_totalprice"), F.lit(50000.0)).alias("price_floor"),
+    )
