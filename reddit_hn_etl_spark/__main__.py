@@ -41,12 +41,51 @@ def main(argv: list[str] | None = None) -> int:
         "run's batches (dynamic partition overwrite) instead of the "
         "atomic full refresh",
     )
+    ap.add_argument(
+        "--stream",
+        action="store_true",
+        help="ingest via Structured Streaming (foreachBatch merge over "
+        "JSONL files in --raw-dir; drains available files then stops)",
+    )
     args = ap.parse_args(argv)
 
     spark = get_session(app_name="reddit-hn-etl-spark")
     spark.sparkContext.setLogLevel("ERROR")
     audit = AuditLog(spark, os.path.join(args.out, "audit_runs"))
     staging_root = os.path.join(args.out, "staging")
+
+    if args.stream:
+        from .streaming.ingest import read_raw_stream, stream_merge_to_staging
+
+        rec = audit.start_run("stream_ingest", source_file=args.raw_dir)
+        try:
+            q = stream_merge_to_staging(
+                read_raw_stream(spark, args.raw_dir),
+                staging_root,
+                os.path.join(args.out, "checkpoint"),
+                available_now=True,
+            )
+            q.awaitTermination()
+            n = spark.read.parquet(staging_root).count()
+            audit.succeed(rec, rows_copied=n, inserted=0, updated=0)
+            print(f"stream ingest drained: staging rows={n}")
+        except Exception as exc:  # noqa: BLE001
+            audit.fail(rec, exc)
+            print(f"stream ingest failed: {exc}", file=sys.stderr)
+            return 1
+        staging = batches.read_staging(spark, staging_root)
+        rec = audit.start_run("mart")
+        try:
+            marts = hp.build_marts(staging)
+            version = publish.publish_tables(marts, os.path.join(args.out, "marts"))
+            total = sum(df.count() for df in marts.values())
+            audit.succeed(rec, rows_copied=total, inserted=0, updated=0)
+            print(f"marts published: version={version} rows={total}")
+        except Exception as exc:  # noqa: BLE001
+            audit.fail(rec, exc)
+            print(f"mart refresh failed: {exc}", file=sys.stderr)
+            return 1
+        return 0
 
     if args.all_batches:
         paths = sorted(glob.glob(os.path.join(args.raw_dir, "hn_raw_*.json")))

@@ -1,0 +1,143 @@
+"""Corpus curation: the composed LLM-training-data pipeline.
+
+The north-star use case that motivates the operator set: given a raw
+document table, produce a training-ready corpus by chaining
+
+  1. quality gate        — functions/text.quality_features score
+  2. language filter     — functions/text.lang_id ∈ allowed set
+  3. exact dedup         — operators/dedup.dedup_exact (md5 groups)
+  4. near-dup removal    — operators/dedup.minhash_lsh_pairs; from
+                           each near-dup pair the higher doc_id drops
+                           (greedy; one pass — at 100 TB replace with
+                           connected components over the pair graph
+                           for transitive clusters)
+  5. token budgeting     — whitespace + BPE-ish token counts and the
+                           cumulative corpus budget
+
+Every stage is a lazy DataFrame plan built from already-verified
+operators; the composition itself is verified by unit test with
+planted duplicates and a rows-only driver query.
+
+Scale shape: stages 1-2 are pure projections (no shuffle); stage 3 is
+one hash shuffle; stage 4 is the banded LSH join; stage 5 is a
+projection + one global agg. Nothing quadratic, nothing collected to
+the driver except the final stats row.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as textfn
+from ..operators import dedup
+
+
+@dataclass
+class CurationConfig:
+    min_quality: float = 0.5
+    allowed_langs: tuple[str, ...] = ()  # empty = keep all
+    minhash_threshold: float = 0.8
+    num_hashes: int = 64
+    bands: int = 16
+    shingle_n: int = 3
+
+
+def curate_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    config: CurationConfig | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (kept_docs, audit) where ``kept_docs`` is the curated
+    corpus annotated with quality/token columns and ``audit`` is one
+    row per ORIGINAL document recording its fate:
+    kept | low_quality | wrong_lang | exact_dup | near_dup.
+    """
+    cfg = config or CurationConfig()
+
+    feats = textfn.quality_features(docs, id_col, text_col)
+    annotated = (
+        docs.join(feats, on=id_col)
+        .withColumn("lang_pred", textfn.lang_id(text_col))
+        .withColumn("n_tokens_bpe", textfn.token_count_bpe_ish(text_col))
+        .withColumn("fingerprint", textfn.fingerprint_md5(text_col))
+    )
+
+    low_q = F.col("quality_score") < cfg.min_quality
+    wrong_lang = (
+        ~F.col("lang_pred").isin(list(cfg.allowed_langs))
+        if cfg.allowed_langs
+        else F.lit(False)
+    )
+
+    # Exact dedup: keep the min-id doc of each identical-content group.
+    exact = dedup.dedup_exact(docs, [text_col], id_col).select(
+        F.col(f"keep_{id_col}").alias("_keep_id")
+    )
+
+    survivors = annotated.where(~low_q & ~wrong_lang)
+    survivors = survivors.join(
+        exact, survivors[id_col] == exact["_keep_id"], "left"
+    ).withColumn("_exact_dup", F.col("_keep_id").isNull()).drop("_keep_id")
+
+    # Near-dup removal among exact-survivors: drop the higher id of
+    # each candidate pair (greedy single pass).
+    pool = survivors.where(~F.col("_exact_dup"))
+    near_pairs = dedup.minhash_lsh_pairs(
+        pool.select(id_col, text_col),
+        id_col,
+        text_col,
+        num_hashes=cfg.num_hashes,
+        bands=cfg.bands,
+        shingle_n=cfg.shingle_n,
+        threshold=cfg.minhash_threshold,
+    )
+    near_drop = near_pairs.select(F.col("doc_b").alias(id_col)).distinct()
+
+    kept = pool.join(near_drop, on=id_col, how="left_anti").drop("_exact_dup")
+
+    fate = (
+        annotated.select(id_col)
+        .join(
+            kept.select(F.col(id_col), F.lit("kept").alias("_f1")), id_col, "left"
+        )
+        .join(
+            near_drop.select(F.col(id_col), F.lit("near_dup").alias("_f2")),
+            id_col,
+            "left",
+        )
+        .join(
+            annotated.where(low_q).select(
+                F.col(id_col), F.lit("low_quality").alias("_f3")
+            ),
+            id_col,
+            "left",
+        )
+        .join(
+            annotated.where(wrong_lang & ~low_q).select(
+                F.col(id_col), F.lit("wrong_lang").alias("_f4")
+            ),
+            id_col,
+            "left",
+        )
+        .select(
+            id_col,
+            F.coalesce("_f3", "_f4", "_f2", "_f1", F.lit("exact_dup")).alias(
+                "fate"
+            ),
+        )
+    )
+    return kept, fate
+
+
+def corpus_stats(kept: DataFrame) -> DataFrame:
+    """One-row corpus budget summary for the curated set."""
+    return kept.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens_bpe").cast("long").alias("total_tokens_bpe"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+    )

@@ -1492,3 +1492,46 @@ def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("price_nn"),
         F.greatest(F.col("o_totalprice"), F.lit(50000.0)).alias("price_floor"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Composed corpus-curation pipeline (rows-only: the composition is
+# unit-tested with planted dups in tests/test_curation.py; its
+# building blocks are individually oracle-checked above) + try_cast
+# semantics.
+# ---------------------------------------------------------------------------
+
+
+@_q("curate_documents")  # rows-only: minhash stage is hash-family specific
+def curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm_data_pipeline import CurationConfig, curate_corpus
+
+    docs = read_table(spark, sf_dir, "documents")
+    kept, _fate = curate_corpus(
+        docs, config=CurationConfig(min_quality=0.3, minhash_threshold=0.9)
+    )
+    return kept.select(
+        "doc_id", "quality_score", "lang_pred", "n_tokens_bpe", "fingerprint"
+    )
+
+
+@_q(
+    "try_cast_semantics",
+    """
+    SELECT doc_id,
+           TRY_CAST(substring(source, 4) AS INTEGER)  AS source_num,
+           TRY_CAST(lang AS INTEGER)                  AS lang_num,
+           TRY_CAST(CAST(n_chars AS VARCHAR) AS INTEGER) AS chars_roundtrip
+    FROM documents
+    """,
+)
+def try_cast_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lenient-cast parity (the P5 semantic as a standalone surface):
+    malformed input → NULL in both engines, never a job abort."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.substring("source", 4, 2147483647).try_cast("int").alias("source_num"),
+        F.col("lang").try_cast("int").alias("lang_num"),
+        F.col("n_chars").cast("string").try_cast("int").alias("chars_roundtrip"),
+    )
