@@ -1535,3 +1535,46 @@ def try_cast_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").try_cast("int").alias("lang_num"),
         F.col("n_chars").cast("string").try_cast("int").alias("chars_roundtrip"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Semi joins (completing the join-type matrix: inner/broadcast,
+# anti, full-outer-merge, as-of, interval — and now semi).
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "customers_with_orders",
+    """
+    SELECT c_custkey, c_name, c_mktsegment FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders").select("o_custkey")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@_q(
+    "orders_with_heavy_lines",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45
+    )
+    """,
+)
+def orders_with_heavy_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional semi join: the filter rides on the probe side and
+    is pushed into the lineitem scan before the join."""
+    orders = read_table(spark, sf_dir, "orders")
+    heavy = read_table(spark, sf_dir, "lineitem").where(
+        F.col("l_quantity") > 45
+    ).select("l_orderkey")
+    return orders.join(
+        heavy, orders.o_orderkey == heavy.l_orderkey, "left_semi"
+    ).select("o_orderkey", "o_totalprice")
