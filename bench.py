@@ -74,6 +74,7 @@ def main() -> None:
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("reddit-hn-etl-spark-bench")
         .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")

@@ -131,7 +131,9 @@ def jaccard_pairs(
             F.col(id_col),
             F.explode(F.array_distinct(tokens(text_col))).alias("shingle"),
         )
-    sh = sh.persist()
+    # No persist: the shingle explode is a cheap projection recomputed
+    # per branch; caching the exploded table leaks storage memory
+    # across queries in long-lived sessions (observed OOM at 1g heap).
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
     joinable = sh
     if df_cap is not None:
@@ -217,7 +219,7 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0, "num_hashes must be divisible by bands"
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n).persist()
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
     band_structs = F.array(
         *[
             F.struct(
@@ -317,7 +319,7 @@ def simhash_near_pairs(
     """
     assert bits % blocks == 0
     w = bits // blocks
-    fps = simhash(df, id_col, text_col, bits=bits).persist()
+    fps = simhash(df, id_col, text_col, bits=bits)
     chunk_structs = F.array(
         *[
             F.struct(

@@ -675,16 +675,22 @@ def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "doc_token_jaccard",
     r"""
-    WITH tok AS (
-        SELECT DISTINCT doc_id,
-               unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
-                                  x -> x <> '')) AS w
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                           x -> x <> '') AS w
         FROM documents
     ),
-    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM tok GROUP BY doc_id),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(w[1:len(w) - 1],
+                                     (x, i) -> x || ' ' || w[i + 1])) AS shingle
+        FROM toks
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
     inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-        FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     )
     SELECT doc_a, doc_b,
@@ -692,19 +698,28 @@ def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM inter
     JOIN sizes sa ON inter.doc_a = sa.doc_id
     JOIN sizes sb ON inter.doc_b = sb.doc_id
-    WHERE inter / (sa.set_size + sb.set_size - inter) >= 0.5
+    WHERE inter / (sa.set_size + sb.set_size - inter) >= 0.2
     """,
 )
 def doc_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-shingle Jaccard: a real near-dup measure. Unigram
+    Jaccard over this testdata's small shared vocabulary matches
+    nearly ALL pairs (~9M at sf0.1 — quadratic output); bigrams give
+    selective shingles, so both the inverted-index join and the
+    result stay proportional to true near-duplication."""
     docs = read_table(spark, sf_dir, "documents")
-    return dedup.jaccard_pairs(docs, "doc_id", "text", n=1, threshold=0.5)
+    return dedup.jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.2)
 
 
 @_q("doc_minhash_pairs")  # rows-only: hash family not SQL-portable
 def doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
+    # 3-gram shingles: discriminative signatures. Unigram shingles
+    # over a small shared vocabulary degenerate — every doc collides
+    # in every band and the candidate join goes quadratic (observed:
+    # 12.5M candidate pairs at sf0.1 before this was changed).
     return dedup.minhash_lsh_pairs(
-        docs, "doc_id", "text", num_hashes=64, bands=16, shingle_n=1, threshold=0.4
+        docs, "doc_id", "text", num_hashes=64, bands=16, shingle_n=3, threshold=0.5
     )
 
 
