@@ -12,6 +12,9 @@ the scan.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -58,3 +61,37 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view for spark.sql use."""
     for name in TESTDATA_TABLES:
         read_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    num_buckets: int = 16,
+    sort_col: str | None = None,
+) -> None:
+    """Persist as a bucketed (hash-partitioned-on-disk) catalog table.
+
+    Bucketing pre-shuffles data at WRITE time: two tables bucketed on
+    the same key into the same bucket count join with NO exchange at
+    read time — the co-located-join strategy for repeated big-big
+    joins at 100 TB (pay the shuffle once, amortize over every join).
+    ``sortBy`` additionally pre-sorts within buckets so sort-merge
+    joins skip the sort too.
+    """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # A crashed previous write can leave the managed location behind
+    # without a catalog entry; clear it so saveAsTable can recreate.
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = os.path.join(warehouse.removeprefix("file:"), table.lower())
+    if os.path.isdir(loc):
+        shutil.rmtree(loc, ignore_errors=True)
+    writer = df.write.mode("overwrite").bucketBy(num_buckets, bucket_col)
+    if sort_col is not None:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table)
+
+
+def read_catalog_table(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)
