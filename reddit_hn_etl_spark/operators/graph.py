@@ -1,0 +1,83 @@
+"""Connected components on DataFrames: transitive dedup clusters.
+
+Near-duplicate detection yields PAIRS; correct dedup needs CLUSTERS
+(a~b, b~c ⇒ {a,b,c} keep one). This module computes connected
+components with the iterated min-label propagation ("hash-to-min"
+style) entirely in DataFrame algebra — no GraphFrames dependency, no
+driver-side graph:
+
+    label(v) ← min(label(v), min over neighbors' labels)
+
+repeated until no label changes. Each iteration is one join + one
+aggregation (two shuffles); convergence takes O(diameter) iterations
+— near-dup graphs are unions of small cliques, so diameter is tiny
+(2-3). A ``max_iter`` guard bounds pathological chains; at planetary
+scale switch to the alternating small-star/large-star optimization
+(same primitive ops, fewer rounds).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(vertex, component) for every vertex in ``edges``; component =
+    the minimum vertex id reachable from it.
+
+    Deterministic: labels are ids, min is order-free.
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+    )
+    labels = sym.select(F.col("u").alias("vertex")).distinct().select(
+        "vertex", F.col("vertex").alias("component")
+    )
+
+    for _ in range(max_iter):
+        # neighbor-min pass: smallest label among each vertex's
+        # neighborhood (including itself)
+        neigh = (
+            sym.join(labels, sym.v == labels.vertex)
+            .select(F.col("u").alias("vertex"), F.col("component"))
+            .unionByName(labels)
+            .groupBy("vertex")
+            .agg(F.min("component").alias("component"))
+        )
+        # converged when no vertex changed label
+        changed = (
+            neigh.alias("n")
+            .join(labels.alias("l"), on="vertex")
+            .where(F.col("n.component") != F.col("l.component"))
+            .limit(1)
+            .count()
+        )
+        labels = neigh.localCheckpoint(eager=True)  # cut lineage per round
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """From near-dup pairs to a drop-list: every vertex whose cluster
+    representative (min id in its component) is not itself.
+
+    Output: (<src> alias 'drop_id', component) — anti-join your
+    corpus against drop_id to keep exactly one doc per cluster.
+    """
+    cc = connected_components(pairs, src=src, dst=dst)
+    return cc.where(F.col("vertex") != F.col("component")).select(
+        F.col("vertex").alias("drop_id"), F.col("component")
+    )

@@ -254,3 +254,134 @@ def cosine_pairs_blocked(
     return corpus.select(id_col).mapInPandas(
         block, "vec_a long, vec_b long, cosine_sim double"
     )
+
+
+def _assign_cells(df, id_col, vec_col, centroids, extra_cols=()):
+    """(id, cell) assignment via blocked GEMM against broadcast
+    centroids (numpy; same Arrow escape hatch as cosine_pairs_blocked)."""
+    import numpy as np
+
+    spark = df.sparkSession
+    c = np.asarray(centroids, dtype=np.float64)
+    cn = c / np.maximum(np.linalg.norm(c, axis=1), 1e-12)[:, None]
+    b_c = spark.sparkContext.broadcast(cn)
+    cols = [id_col, vec_col, *extra_cols]
+    out_schema = f"{id_col} long, cell int"
+
+    def assign(batches):
+        import pandas as pd
+
+        cm = b_c.value
+        for pdf in batches:
+            m = np.array(list(pdf[vec_col]), dtype=np.float64)
+            mn = m / np.maximum(np.linalg.norm(m, axis=1), 1e-12)[:, None]
+            cells = (mn @ cm.T).argmax(axis=1).astype("int32")
+            yield pd.DataFrame({id_col: pdf[id_col], "cell": cells})
+
+    return df.select(*cols).mapInPandas(assign, out_schema)
+
+
+def kmeans_centroids(
+    corpus,
+    dim: int,
+    n_cells: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Spherical k-means coarse quantizer, deterministic.
+
+    Init: the ``n_cells`` vectors with the smallest ids (seed-free,
+    replay-stable). Each Lloyd iteration: assign (blocked GEMM) →
+    per-cell per-dimension mean (posexplode + partial-aggregated
+    avg) → renormalize driver-side (centroid matrix is tiny:
+    n_cells × dim). Returns list[list[float]].
+    """
+    import numpy as np
+
+    init = (
+        corpus.orderBy(id_col).limit(n_cells).select(vec_col).collect()
+    )
+    centroids = [list(r[0]) for r in init]
+
+    for _ in range(iters):
+        assigned = _assign_cells(corpus, id_col, vec_col, centroids)
+        joined = corpus.select(id_col, vec_col).join(assigned, id_col)
+        sums = (
+            joined.select(
+                "cell", F.posexplode(vec_col).alias("pos", "val")
+            )
+            .groupBy("cell", "pos")
+            .agg(F.avg("val").alias("mean"))
+            .collect()
+        )
+        new = np.array(centroids, dtype=np.float64)
+        for r in sums:
+            new[r.cell][r.pos] = r.mean
+        centroids = new.tolist()
+    return centroids
+
+
+def knn_cosine_ivf(
+    corpus,
+    queries,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    iters: int = 3,
+):
+    """IVF-style approximate kNN: k-means cells over the corpus; each
+    query probes its ``n_probe`` nearest cells; exact cosine re-rank
+    within the probed candidates.
+
+    Scale shape: the corpus is partitioned by cell ONCE (inverted
+    file); each query batch touches n_probe/n_cells of the data — the
+    classic recall/cost dial. Candidate generation is an equi-join on
+    cell (one shuffle); re-ranking reuses the exact cosine kernel.
+    """
+    import numpy as np
+
+    centroids = kmeans_centroids(
+        corpus, dim, n_cells=n_cells, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    c = np.asarray(centroids, dtype=np.float64)
+    cn = c / np.maximum(np.linalg.norm(c, axis=1), 1e-12)[:, None]
+
+    corpus_cells = _assign_cells(corpus, id_col, vec_col, centroids).join(
+        corpus.select(id_col, vec_col), id_col
+    )
+
+    # Driver-side probe list per query (query set is the small side).
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    probes = []
+    for r in q_rows:
+        v = np.asarray(r[1], dtype=np.float64)
+        v = v / max(np.linalg.norm(v), 1e-12)
+        order = (cn @ v).argsort()[::-1][:n_probe]
+        probes.extend((int(r[0]), int(cell)) for cell in order)
+    spark = corpus.sparkSession
+    probe_df = spark.createDataFrame(probes, f"{query_id_col} long, cell int")
+    q_vec = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("_qvec")
+    )
+
+    cand = (
+        corpus_cells.join(F.broadcast(probe_df), "cell")
+        .join(F.broadcast(q_vec), query_id_col)
+        .dropDuplicates([query_id_col, id_col])
+    )
+    scored = cand.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine(F.col("_qvec"), F.col(vec_col)).alias("_cos"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("_cos"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, F.round("_cos", 4).alias("cosine_sim"), "rank")
+    )

@@ -83,8 +83,11 @@ def curate_corpus(
         exact, survivors[id_col] == exact["_keep_id"], "left"
     ).withColumn("_exact_dup", F.col("_keep_id").isNull()).drop("_keep_id")
 
-    # Near-dup removal among exact-survivors: drop the higher id of
-    # each candidate pair (greedy single pass).
+    # Near-dup removal among exact-survivors: connected components
+    # over the candidate-pair graph, keep the min-id representative
+    # per cluster. (A greedy drop-every-doc_b pass is NOT transitive:
+    # with pairs (1,3),(2,3), doc 2 would survive although it is a
+    # dup of 1 via 3.)
     pool = survivors.where(~F.col("_exact_dup"))
     near_pairs = dedup.minhash_lsh_pairs(
         pool.select(id_col, text_col),
@@ -95,7 +98,11 @@ def curate_corpus(
         shingle_n=cfg.shingle_n,
         threshold=cfg.minhash_threshold,
     )
-    near_drop = near_pairs.select(F.col("doc_b").alias(id_col)).distinct()
+    from ..operators.graph import dedup_clusters
+
+    near_drop = dedup_clusters(near_pairs).select(
+        F.col("drop_id").alias(id_col)
+    )
 
     kept = pool.join(near_drop, on=id_col, how="left_anti").drop("_exact_dup")
 

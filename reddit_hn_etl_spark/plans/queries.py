@@ -1593,3 +1593,122 @@ def orders_with_heavy_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.join(
         heavy, orders.o_orderkey == heavy.l_orderkey, "left_semi"
     ).select("o_orderkey", "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
+# Correlated / nested subquery shapes (TPC-H Q2 / Q13 / Q16 / Q22
+# analogues on the available tables).
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "cheapest_order_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM orders o
+    WHERE o_totalprice = (
+        SELECT MIN(o2.o_totalprice) FROM orders o2
+        WHERE o2.o_custkey = o.o_custkey
+    )
+    """,
+)
+def cheapest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape: correlated scalar MIN subquery. Spark plan: window
+    min over the partition + equality filter — one shuffle, no
+    self-join (Catalyst decorrelates the SQL form the same way).
+    Ties: all tied rows returned, matching SQL semantics."""
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return (
+        orders.withColumn("_min_price", F.min("o_totalprice").over(w))
+        .where(F.col("o_totalprice") == F.col("_min_price"))
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+@_q(
+    "customer_order_distribution",
+    """
+    SELECT order_count, COUNT(*) AS cust_count
+    FROM (
+        SELECT c_custkey, COUNT(o_orderkey) AS order_count
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+    ) t
+    GROUP BY order_count
+    """,
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape: left join + per-entity count + distribution over
+    the counts (two-level aggregation)."""
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = read_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("order_count"))
+    )
+    return per_cust.groupBy("order_count").agg(F.count("*").alias("cust_count"))
+
+
+@_q(
+    "suppliers_outside_region",
+    """
+    SELECT s_suppkey, s_name FROM supplier
+    WHERE s_nationkey NOT IN (
+        SELECT n_nationkey FROM nation WHERE n_regionkey = 2
+    )
+    """,
+)
+def suppliers_outside_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape: NOT IN over a non-null subquery = anti join (the
+    null-free case; with nullable keys NOT IN needs the null-aware
+    anti join, which Spark plans from the SQL form)."""
+    supp = read_table(spark, sf_dir, "supplier")
+    asia_nations = read_table(spark, sf_dir, "nation").where(
+        F.col("n_regionkey") == 2
+    ).select("n_nationkey")
+    return supp.join(
+        asia_nations, supp.s_nationkey == asia_nations.n_nationkey, "left_anti"
+    ).select("s_suppkey", "s_name")
+
+
+@_q(
+    "orders_above_global_avg",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > (
+        SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*)
+        FROM orders WHERE o_totalprice > 0
+    )
+    """,
+)
+def orders_above_global_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: filter against a global scalar aggregate. The
+    threshold uses the decimal-sum-to-double discipline so both
+    engines compare against the bit-identical value."""
+    orders = read_table(spark, sf_dir, "orders")
+    avg_df = orders.where(F.col("o_totalprice") > 0).agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            / F.count("*")
+        ).alias("_avg")
+    )
+    return (
+        orders.crossJoin(F.broadcast(avg_df))
+        .where(F.col("o_totalprice") > F.col("_avg"))
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@_q("knn_cosine_ivf")  # rows-only: k-means cells are engine-internal
+def knn_cosine_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.knn_cosine_ivf(
+        emb, queries, dim=64, k=10, n_cells=16, n_probe=4, iters=3
+    )

@@ -206,3 +206,21 @@ def running_user_totals(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def dedup_stream_within_watermark(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming dedup with bounded state: drops duplicate keys seen
+    within the watermark horizon (state for keys older than the
+    watermark is evicted — the only way dedup state stays finite on
+    an infinite stream). Exact within the horizon; duplicates farther
+    apart than the watermark pass through — pair with the batch
+    freshness merge downstream for full idempotency.
+    """
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )

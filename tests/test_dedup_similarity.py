@@ -81,3 +81,26 @@ def test_lsh_knn_recall_against_bruteforce(spark, sf_dir):
     a = {(r.query_id, r.vec_id) for r in approx.collect()}
     recall = len(e & a) / len(e)
     assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_ivf_knn_recall_against_bruteforce(spark, sf_dir):
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from reddit_hn_etl_spark.operators.similarity import (
+        knn_cosine_bruteforce,
+        knn_cosine_ivf,
+    )
+    from reddit_hn_etl_spark.sources.tables import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = knn_cosine_bruteforce(emb, queries, k=10)
+    approx = knn_cosine_ivf(
+        emb, queries, dim=64, k=10, n_cells=8, n_probe=4, iters=2
+    )
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    a = {(r.query_id, r.vec_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"

@@ -1,0 +1,35 @@
+"""Connected components + transitive dedup clusters."""
+
+from __future__ import annotations
+
+from reddit_hn_etl_spark.operators.graph import (
+    connected_components,
+    dedup_clusters,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "doc_a long, doc_b long")
+
+
+def test_components_chains_and_islands(spark):
+    # chain 1-2-3-4, triangle 10-11-12, island pair 20-21
+    edges = _edges(spark, [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)])
+    cc = {r.vertex: r.component for r in connected_components(edges).collect()}
+    assert {cc[1], cc[2], cc[3], cc[4]} == {1}
+    assert {cc[10], cc[11], cc[12]} == {10}
+    assert {cc[20], cc[21]} == {20}
+
+
+def test_dedup_clusters_transitive(spark):
+    # (1,3),(2,3): 2 is a dup of 1 only transitively via 3 — the case
+    # a greedy drop-doc_b pass gets wrong (it would keep 2).
+    drops = {r.drop_id for r in dedup_clusters(_edges(spark, [(1, 3), (2, 3)])).collect()}
+    assert drops == {2, 3}
+
+
+def test_long_chain_converges(spark):
+    n = 12
+    edges = _edges(spark, [(i, i + 1) for i in range(n)])
+    cc = {r.vertex: r.component for r in connected_components(edges).collect()}
+    assert set(cc.values()) == {0} and len(cc) == n + 1

@@ -67,3 +67,32 @@ def test_running_totals_across_batches(spark, tmp_path):
     assert latest[7].n_events == 3 and abs(latest[7].total_value - 10.0) < 1e-9
     assert latest[8].n_events == 1 and abs(latest[8].total_value - 10.0) < 1e-9
     assert str(latest[7].last_ts) == "2024-01-01 11:00:00"
+
+
+def test_dedup_within_watermark(spark, tmp_path):
+    src = tmp_path / "dupstream"
+    src.mkdir()
+    out = tmp_path / "dedup_out"
+    ckpt = str(tmp_path / "dedup_ckpt")
+
+    _write_events_jsonl(src / "b1.jsonl", [
+        (1, "2024-01-01 10:00:00", 7, 1.0),
+        (1, "2024-01-01 10:00:30", 7, 1.0),   # dup event_id within watermark
+        (2, "2024-01-01 10:01:00", 8, 2.0),
+    ])
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        ).json(str(src))
+    )
+    from reddit_hn_etl_spark.streaming.ingest import dedup_stream_within_watermark
+
+    deduped = dedup_stream_within_watermark(stream, ["event_id"])
+    q = (deduped.writeStream.format("parquet")
+         .option("path", str(out)).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    rows = spark.read.parquet(str(out)).collect()
+    assert sorted(r.event_id for r in rows) == [1, 2]  # dup dropped
