@@ -1712,3 +1712,79 @@ def knn_cosine_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_cosine_ivf(
         emb, queries, dim=64, k=10, n_cells=16, n_probe=4, iters=3
     )
+
+
+@_q(
+    "brand_value_concentration",
+    """
+    SELECT p_brand, sum_value
+    FROM (
+        SELECT p_brand,
+               CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_value
+        FROM part GROUP BY p_brand
+    ) t
+    WHERE sum_value > (
+        SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) * 0.042
+        FROM part
+    )
+    """,
+)
+def brand_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape: HAVING against a global scalar fraction (groups
+    holding >4.2% of total value — discriminating on this data:
+    25 brands average 4% each). Decimal-exact sums on both levels."""
+    part = read_table(spark, sf_dir, "part")
+    price = F.col("p_retailprice").cast("decimal(18,2)")
+    per_brand = part.groupBy("p_brand").agg(
+        F.sum(price).cast("double").alias("sum_value")
+    )
+    total = part.agg((F.sum(price).cast("double") * 0.042).alias("_threshold"))
+    return (
+        per_brand.crossJoin(F.broadcast(total))
+        .where(F.col("sum_value") > F.col("_threshold"))
+        .select("p_brand", "sum_value")
+    )
+
+
+@_q(
+    "large_volume_orders",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 150
+    )
+    """,
+)
+def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape: IN over a grouped-HAVING subquery → semi join
+    against the aggregated key set."""
+    orders = read_table(spark, sf_dir, "orders")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    heavy = (
+        read_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum(qty).cast("double").alias("_sq"))
+        .where(F.col("_sq") > 150)
+        .select("l_orderkey")
+    )
+    return orders.join(
+        heavy, orders.o_orderkey == heavy.l_orderkey, "left_semi"
+    ).select("o_orderkey", "o_totalprice")
+
+
+@_q("media_features")  # rows-only: mapInPandas featurizer (stubbed decode)
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing on driver data: documents' text bytes as
+    opaque payloads → Arrow-batched feature extraction (deterministic
+    fake decode; see functions/multimodal.py)."""
+    from ..functions.multimodal import extract_image_features
+
+    docs = read_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    return extract_image_features(media)

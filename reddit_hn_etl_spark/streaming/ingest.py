@@ -52,6 +52,7 @@ def stream_merge_to_staging(
     staging_root: str,
     checkpoint: str,
     available_now: bool = False,
+    marts_root: str | None = None,
 ) -> StreamingQuery:
     """writeStream → foreachBatch(transform + merge + atomic swap).
 
@@ -59,6 +60,12 @@ def stream_merge_to_staging(
     epoch: ``extracted_at`` is the max event-ingest instant of the
     batch (deterministic from data, not wall clock), so replays
     produce identical rows and the merge converges.
+
+    With ``marts_root`` set, each micro-batch also incrementally
+    refreshes the mart date-partitions it touched (the streaming
+    completion of the reference's "incremental MART updates" roadmap
+    item, `README.md:342`) — full end-to-end latency from raw file to
+    refreshed mart is one micro-batch.
     """
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
@@ -81,6 +88,11 @@ def stream_merge_to_staging(
         out = staging_root + f"_b{batch_id}"
         merged.write.mode("overwrite").parquet(out)
         _swap_dir(out, staging_root)
+        if marts_root is not None:
+            from ..plans.hn_pipeline import refresh_marts_incremental
+
+            staging = spark.read.parquet(staging_root)
+            refresh_marts_incremental(staging, staged, marts_root)
 
     writer = raw_stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint

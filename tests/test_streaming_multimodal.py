@@ -122,3 +122,26 @@ def test_frame_offsets_plan(spark, media_df):
 def test_audio_features(spark, media_df):
     out = mm.extract_audio_features(media_df).collect()
     assert len(out) == 6 and all(len(r.features) == 8 for r in out)
+
+
+def test_stream_with_incremental_marts(spark, tmp_path):
+    raw = tmp_path / "raw_m"
+    raw.mkdir()
+    _write_jsonl(raw / "b1.jsonl", [
+        {"id": 1, "type": "story", "by": "a", "time": T_BASE, "title": "t1", "score": 4},
+        {"id": 2, "type": "story", "by": "b", "time": T_BASE + 86400, "title": "t2", "score": 6},
+    ])
+    staging = str(tmp_path / "staging_m")
+    marts = str(tmp_path / "marts_m")
+
+    q = ingest.stream_merge_to_staging(
+        ingest.read_raw_stream(spark, str(raw)), staging,
+        str(tmp_path / "ckpt_m"), available_now=True, marts_root=marts,
+    )
+    q.awaitTermination(120)
+
+    daily = {
+        str(r.metric_date): (r.stories_count, r.total_score)
+        for r in spark.read.parquet(f"{marts}/daily_story_metrics").collect()
+    }
+    assert daily == {"2024-01-15": (1, 4), "2024-01-16": (1, 6)}
