@@ -13,6 +13,7 @@ import datetime as dt
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from pyspark.sql import functions as F
 from reddit_hn_etl_spark.operators.dedup import dedup_keep_last
 from reddit_hn_etl_spark.operators.merge import merge_upsert
 from reddit_hn_etl_spark.operators.sessions import session_summary
@@ -134,3 +135,46 @@ def test_sessionize_matches_model(spark, data, gap):
         for r in out
     }
     assert got == _session_model(data, gap)
+
+
+def _asof_model(left, right):
+    """Brute force: for each left row the right row with greatest
+    ts <= left ts (ties on ts resolved by the dedup: max v wins)."""
+    # dedup right per (k, ts): keep max v (mirrors dedup_keep_last order)
+    r = {}
+    for k, m, v in right:
+        if (k, m) not in r or v > r[(k, m)]:
+            r[(k, m)] = v
+    out = []
+    for k, m, v in left:
+        cands = [(rm, rv) for (rk, rm), rv in r.items() if rk == k and rm <= m]
+        match = max(cands) if cands else None
+        out.append((k, m, v, match[1] if match else None,
+                    match[0] if match else None))
+    return sorted(out)
+
+
+@given(left=rows, right=rows)
+@SET
+def test_asof_join_matches_model(spark, left, right):
+    from reddit_hn_etl_spark.operators.dedup import dedup_keep_last
+    from reddit_hn_etl_spark.operators.joins import asof_join
+
+    l_df = _df(spark, left)
+    r_df = dedup_keep_last(
+        _df(spark, right), keys=["k", "ts"], order_by=["v"]
+    ).select("k", F.col("ts").alias("rts"), F.col("v").alias("rv"))
+    out = asof_join(
+        l_df, r_df, on=["k"], left_ts="ts", right_ts="rts", value_cols=["rv"]
+    ).collect()
+    got = sorted(
+        (
+            r.k,
+            (r.ts - BASE).seconds // 60,
+            r.v,
+            r.rv,
+            None if r.matched_ts is None else (r.matched_ts - BASE).seconds // 60,
+        )
+        for r in out
+    )
+    assert got == _asof_model(left, right)

@@ -96,3 +96,50 @@ def test_dedup_within_watermark(spark, tmp_path):
 
     rows = spark.read.parquet(str(out)).collect()
     assert sorted(r.event_id for r in rows) == [1, 2]  # dup dropped
+
+
+def test_late_data_dropped_by_watermark(spark, tmp_path):
+    """Watermark semantics: once the watermark has advanced past a
+    window, a late row targeting it is dropped from the windowed agg
+    (bounded state; the late row must NOT resurrect the closed window
+    in append mode)."""
+    src = tmp_path / "latestream"
+    src.mkdir()
+    out = tmp_path / "late_out"
+    ckpt = str(tmp_path / "late_ckpt")
+
+    from reddit_hn_etl_spark.streaming.ingest import windowed_event_counts
+
+    def run_once():
+        stream = spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        ).option("maxFilesPerTrigger", 1).json(str(src))
+        win = windowed_event_counts(
+            stream, window="1 hour", watermark="30 minutes"
+        )
+        q = (win.writeStream.format("parquet")
+             .option("path", str(out)).option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    # batch 1: events in the 10:00 window, max ts 14:00 → watermark
+    # after batch ≈ 13:30, so the 10:00-11:00 window is closed+emitted
+    _write_events_jsonl(src / "b1.jsonl", [
+        (1, "2024-01-01 10:05:00", 1, 1.0),
+        (2, "2024-01-01 10:20:00", 1, 1.0),
+        (3, "2024-01-01 14:00:00", 1, 1.0),
+    ])
+    run_once()
+    # batch 2: a LATE row for the closed 10:00 window + a fresh row
+    _write_events_jsonl(src / "b2.jsonl", [
+        (4, "2024-01-01 10:30:00", 1, 1.0),   # late: beyond watermark
+        (5, "2024-01-01 15:00:00", 1, 1.0),
+    ])
+    run_once()
+
+    rows = {str(r.window_start): r.events_count
+            for r in spark.read.parquet(str(out)).collect()}
+    # the 10:00 window emitted exactly once with 2 events; the late
+    # row (event 4) did not create a duplicate/updated emission
+    assert rows.get("2024-01-01 10:00:00") == 2
