@@ -1788,3 +1788,79 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode("text", "utf-8").alias("payload"),
     )
     return extract_image_features(media)
+
+
+# ---------------------------------------------------------------------------
+# Set operations beyond UNION (INTERSECT / EXCEPT — absent in the
+# reference, SURVEY §2.7) and window frames (running / moving
+# aggregates, first_value).
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "users_purchase_and_error",
+    """
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'error'
+    """,
+)
+def users_purchase_and_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select("user_id")
+    e = ev.where(F.col("event_type") == "error").select("user_id")
+    return p.intersect(e)
+
+
+@_q(
+    "users_purchase_no_error",
+    """
+    SELECT user_id, CAST(ts AS DATE) AS metric_date
+    FROM events WHERE event_type = 'purchase'
+    EXCEPT
+    SELECT user_id, CAST(ts AS DATE)
+    FROM events WHERE event_type = 'error'
+    """,
+)
+def users_purchase_no_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT at (user, day) grain — at the coarser user grain every
+    user eventually does everything in this data (vacuous result)."""
+    ev = read_table(spark, sf_dir, "events")
+    day = scalars.to_metric_date("ts").alias("metric_date")
+    p = ev.where(F.col("event_type") == "purchase").select("user_id", day)
+    e = ev.where(F.col("event_type") == "error").select("user_id", day)
+    return p.subtract(e)  # EXCEPT (set semantics), not EXCEPT ALL
+
+
+@_q(
+    "running_user_value",
+    """
+    SELECT event_id, user_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS DOUBLE)       AS running_value,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                                                          AS moving3_value,
+           FIRST_VALUE(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS first_type
+    FROM events
+    """,
+)
+def running_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frames: running + moving decimal-exact sums and
+    first_value, all over one partition sort."""
+    ev = read_table(spark, sf_dir, "events")
+    val = F.col("value").cast("decimal(18,2)")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    moving3 = w.rowsBetween(-2, Window.currentRow)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(val).over(running).cast("double").alias("running_value"),
+        F.sum(val).over(moving3).cast("double").alias("moving3_value"),
+        F.first("event_type").over(w).alias("first_type"),
+    )
