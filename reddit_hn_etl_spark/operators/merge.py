@@ -79,15 +79,18 @@ def merge_resolve(
 
     src = dedup_keep_last(source, keys=keys, order_by=[freshness_col])
 
-    t = target.alias("t")
-    s = src.alias("s")
+    # Presence markers instead of key-nullability tests: the join is
+    # null-safe on the keys, so a row with a NULL key value is still a
+    # legitimate match — only the marker says which side exists.
+    t = target.withColumn("_t_present", F.lit(1)).alias("t")
+    s = src.withColumn("_s_present", F.lit(1)).alias("s")
     cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys]
     joined = t.join(s, on=cond, how="full_outer")
 
-    t_key = F.col(f"t.{keys[0]}")
-    s_key = F.col(f"s.{keys[0]}")
-    take_source: Column = s_key.isNotNull() & (
-        t_key.isNull() | (F.col(f"s.{freshness_col}") > F.col(f"t.{freshness_col}"))
+    t_here = F.col("t._t_present").isNotNull()
+    s_here = F.col("s._s_present").isNotNull()
+    take_source: Column = s_here & (
+        ~t_here | (F.col(f"s.{freshness_col}") > F.col(f"t.{freshness_col}"))
     )
 
     out_cols = [
@@ -95,7 +98,7 @@ def merge_resolve(
         for c in cols
     ]
     action = (
-        F.when(t_key.isNull(), F.lit("inserted"))
+        F.when(~t_here, F.lit("inserted"))
         .when(take_source, F.lit("updated"))
         .otherwise(F.lit("kept"))
         .alias(ACTION_COL)
