@@ -1864,3 +1864,151 @@ def running_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(val).over(moving3).cast("double").alias("moving3_value"),
         F.first("event_type").over(w).alias("first_type"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Final breadth batch: Q7-style nation-volume join, UNPIVOT,
+# ntile/percent_rank, width_bucket histogram.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "nation_trade_volume",
+    """
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           COUNT(*) AS line_count,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS volume
+    FROM lineitem
+    JOIN orders    ON l_orderkey = o_orderkey
+    JOIN customer  ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN supplier  ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE cn.n_name <> sn.n_name
+    GROUP BY 1, 2, 3
+    """,
+)
+def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape: cross-nation trade volume by year — the same nation
+    dim joined twice under different roles, fact chain broadcast."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = read_table(spark, sf_dir, "nation")
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    net = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), cust.c_nationkey == cn.cn_key)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), supp.s_nationkey == sn.sn_key)
+        .where(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy(
+            "cust_nation",
+            "supp_nation",
+            F.year("o_orderdate").cast("int").alias("order_year"),
+        )
+        .agg(
+            F.count("*").alias("line_count"),
+            F.sum(net).cast("double").alias("volume"),
+        )
+    )
+
+
+@_q(
+    "unpivot_daily_types",
+    """
+    WITH p AS (
+        SELECT CAST(ts AS DATE) AS metric_date,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+               CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        FROM events GROUP BY 1
+    )
+    SELECT metric_date, event_type, events_count
+    FROM p UNPIVOT (events_count FOR event_type IN (click, purchase, view))
+    """,
+)
+def unpivot_daily_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot → UNPIVOT roundtrip: wide per-type counts melted back to
+    long form (Spark ``unpivot`` == SQL stack)."""
+    ev = read_table(spark, sf_dir, "events")
+    types = ["click", "purchase", "view"]
+    wide = (
+        ev.groupBy(scalars.to_metric_date("ts").alias("metric_date"))
+        .pivot("event_type", types)
+        .count()
+        .select(
+            "metric_date",
+            *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in types],
+        )
+    )
+    return wide.unpivot(
+        ids=["metric_date"],
+        values=types,
+        variableColumnName="event_type",
+        valueColumnName="events_count",
+    )
+
+
+@_q(
+    "order_price_ranks",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           CAST(ntile(4) OVER w AS INTEGER)        AS price_quartile,
+           ROUND(percent_rank() OVER w, 6)         AS price_pct_rank
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def order_price_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile + percent_rank over a deterministic sort (unique
+    o_orderkey tiebreak — rank functions are only portable under a
+    total order)."""
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(4).over(w).cast("int").alias("price_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("price_pct_rank"),
+    )
+
+
+@_q(
+    "value_histogram",
+    """
+    SELECT CASE WHEN value < 0 THEN 0
+                WHEN value >= 200 THEN 11
+                ELSE CAST(FLOOR(value / 20) AS INTEGER) + 1 END AS bucket,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY 1
+    """,
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via width_bucket; the oracle spells out
+    the bucket arithmetic (DuckDB 1.0 has no width_bucket) — same
+    semantics: out-of-range values land in buckets 0 / n+1."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.width_bucket("value", F.lit(0), F.lit(200), F.lit(10))
+        .cast("int")
+        .alias("bucket")
+    ).agg(F.count("*").alias("n"))
