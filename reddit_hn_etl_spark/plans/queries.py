@@ -2012,3 +2012,31 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("bucket")
     ).agg(F.count("*").alias("n"))
+
+
+@_q(
+    "quarter_hour_counts",
+    """
+    SELECT time_bucket(INTERVAL 15 MINUTE, ts) AS bucket_start,
+           COUNT(*) AS events_count,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def quarter_hour_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series downsampling: epoch-aligned 15-minute buckets via
+    the batch ``window`` function (same operator the streaming marts
+    use, here oracle-checked against DuckDB's time_bucket)."""
+    ev = read_table(spark, sf_dir, "events")
+    val = F.col("value").cast("decimal(18,2)")
+    return (
+        ev.groupBy(F.window("ts", "15 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("events_count"),
+            F.sum(val).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("bucket_start"), "events_count", "total_value"
+        )
+    )
