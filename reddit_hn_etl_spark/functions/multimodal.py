@@ -153,3 +153,49 @@ def extract_audio_features(df: DataFrame, id_col: str = "media_id",
             yield pd.DataFrame(rows, columns=[id_col, "features"])
 
     return df.select(id_col, payload_col).mapInPandas(featurize, out_schema)
+
+
+def resize_images(df: DataFrame, target_w: int, target_h: int,
+                  id_col: str = "media_id",
+                  payload_col: str = "payload") -> DataFrame:
+    """Resize plumbing: payload → resized payload + updated metadata.
+
+    STUBBED DECODE: without codecs the "resized" payload is a
+    deterministic re-encoding (sha256 chain over original bytes +
+    target dims — stable, size-proportional to target area) and the
+    metadata records the new dimensions. A real implementation swaps
+    only the ``_resize`` body (PIL ``Image.resize`` + re-encode); the
+    Spark contract — Arrow batches in, binary column out, metadata
+    struct rebuilt — is exercised for real.
+    """
+    out_schema = (
+        f"{id_col} long, payload binary, "
+        "meta struct<mime:string,width:int,height:int,duration_ms:bigint>"
+    )
+
+    def _fake_bytes(payload: bytes, n: int) -> bytes:
+        out = bytearray()
+        counter = 0
+        seed = payload + target_w.to_bytes(4, "big") + target_h.to_bytes(4, "big")
+        while len(out) < n:
+            out.extend(hashlib.sha256(seed + counter.to_bytes(4, "big")).digest())
+            counter += 1
+        return bytes(out[:n])
+
+    def work(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                rows.append((
+                    mid,
+                    _fake_bytes(bytes(payload), max(32, (target_w * target_h) // 64)),
+                    {"mime": "image/raw", "width": target_w,
+                     "height": target_h, "duration_ms": None},
+                ))
+            yield pd.DataFrame(rows, columns=[id_col, "payload", "meta"])
+
+    return df.select(id_col, payload_col).mapInPandas(work, out_schema)

@@ -145,3 +145,16 @@ def test_stream_with_incremental_marts(spark, tmp_path):
         for r in spark.read.parquet(f"{marts}/daily_story_metrics").collect()
     }
     assert daily == {"2024-01-15": (1, 4), "2024-01-16": (1, 6)}
+
+
+def test_resize_images(spark, media_df):
+    out = {r.media_id: r for r in mm.resize_images(media_df, 32, 32).collect()}
+    assert sorted(out) == [0, 1, 2, 3, 4, 5]  # null payload skipped
+    r = out[0]
+    assert r.meta.width == 32 and r.meta.height == 32
+    assert len(r.payload) == max(32, 32 * 32 // 64)  # 32-byte floor
+    # deterministic + dimension-sensitive
+    again = {x.media_id: x for x in mm.resize_images(media_df, 32, 32).collect()}
+    other = {x.media_id: x for x in mm.resize_images(media_df, 64, 64).collect()}
+    assert bytes(again[0].payload) == bytes(r.payload)
+    assert bytes(other[0].payload) != bytes(r.payload)
