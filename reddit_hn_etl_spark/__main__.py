@@ -132,15 +132,17 @@ def main(argv: list[str] | None = None) -> int:
     rec = audit.start_run("staging_publish")
     try:
         target.write.mode("overwrite").parquet(staging_root + "_next")
-        # swap: write-new-then-promote keeps readers consistent
+        # swap: write-new-then-promote keeps readers consistent.
+        # Pre-clean a stale _old left by a crash between the renames
+        # of a previous run, or the rename below raises (ADVICE r1).
+        import shutil
+
         tmp_old = staging_root + "_old"
+        shutil.rmtree(tmp_old, ignore_errors=True)
         if os.path.isdir(staging_root):
             os.rename(staging_root, tmp_old)
         os.rename(staging_root + "_next", staging_root)
-        if os.path.isdir(tmp_old):
-            import shutil
-
-            shutil.rmtree(tmp_old)
+        shutil.rmtree(tmp_old, ignore_errors=True)
         n = spark.read.parquet(staging_root).count()
         audit.succeed(rec, rows_copied=n, inserted=0, updated=0)
     except Exception as exc:  # noqa: BLE001

@@ -117,15 +117,24 @@ def merge_upsert(
 ) -> tuple[DataFrame, MergeMetrics]:
     """Merge and also compute the audit metrics (one extra job).
 
-    The merged frame is cached before the metric aggregation so the
-    join runs once for both the state and the counts.
+    The merged frame is cached only for the metric aggregation and
+    unpersisted before returning — callers that materialize the
+    result recompute the join once, but cached partitions no longer
+    accumulate across multi-batch loops (``--all-batches``, streaming
+    foreachBatch), which leaked storage memory across an ever-growing
+    chained plan (ADVICE r1).
     """
     merged = merge_resolve(target, source, keys, freshness_col, keep_action=True)
     merged = merged.persist()
-    counts = {
-        r[ACTION_COL]: r["n"]
-        for r in merged.groupBy(ACTION_COL).agg(F.count("*").alias("n")).collect()
-    }
+    try:
+        counts = {
+            r[ACTION_COL]: r["n"]
+            for r in merged.groupBy(ACTION_COL).agg(
+                F.count("*").alias("n")
+            ).collect()
+        }
+    finally:
+        merged.unpersist()
     metrics = MergeMetrics(
         inserted=counts.get("inserted", 0),
         updated=counts.get("updated", 0),

@@ -55,13 +55,26 @@ def knn_cosine_bruteforce(
     Output: (query_id, vec_id, cosine_sim, rank) with rank 1..k,
     deterministic tie-break on vec_id.
     """
+    # Norms are computed ONCE per row in the pre-join projections
+    # (they survive as plain columns through the join), not per scored
+    # pair — recomputing l2_norm inside the pair expression tripled
+    # the interpreted higher-order-function cost (VERDICT r1 #5).
+    # dot/(qn*cn) is float-identical to cosine(): same op order.
     q = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("_qvec")
+        F.col(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
     )
-    scored = corpus.crossJoin(F.broadcast(q)).select(
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        l2_norm(F.col(vec_col)).alias("_cn"),
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
         F.col(query_id_col),
         F.col(id_col),
-        cosine(F.col("_qvec"), F.col(vec_col)).alias("_cos"),
+        (dot(F.col("_qvec"), F.col(vec_col))
+         / (F.col("_qn") * F.col("_cn"))).alias("_cos"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("_cos"), F.asc(id_col)
@@ -171,13 +184,15 @@ def knn_cosine_lsh(
     c_b = corpus.select(
         F.col(id_col),
         F.col(vec_col),
+        l2_norm(F.col(vec_col)).alias("_cn"),
         F.explode(_table_buckets(F.col(vec_col), planes_by_table)).alias("_tb"),
-    ).select(id_col, vec_col, "_tb.tbl", "_tb.bucket")
+    ).select(id_col, vec_col, "_cn", "_tb.tbl", "_tb.bucket")
     q_b = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("_qvec"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
         F.explode(_table_buckets(F.col(vec_col), planes_by_table)).alias("_tb"),
-    ).select(query_id_col, "_qvec", "_tb.tbl", "_tb.bucket")
+    ).select(query_id_col, "_qvec", "_qn", "_tb.tbl", "_tb.bucket")
 
     cand = (
         c_b.join(F.broadcast(q_b), on=["tbl", "bucket"])
@@ -186,7 +201,8 @@ def knn_cosine_lsh(
     scored = cand.select(
         F.col(query_id_col),
         F.col(id_col),
-        cosine(F.col("_qvec"), F.col(vec_col)).alias("_cos"),
+        (dot(F.col("_qvec"), F.col(vec_col))
+         / (F.col("_qn") * F.col("_cn"))).alias("_cos"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("_cos"), F.asc(id_col))
     return (
@@ -196,13 +212,99 @@ def knn_cosine_lsh(
     )
 
 
+def cosine_pairs_grid(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.5,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """EXACT all-pairs cosine ≥ threshold, fully distributed — the
+    100 TB-safe shape (no driver collect, no full-corpus broadcast;
+    replaces the collect() kernel flagged in VERDICT r1 #3).
+
+    Grid self-join: vectors hash into ``n_blocks`` blocks; each
+    unordered block pair (bi ≤ bj) becomes ONE applyInPandas group
+    holding just those two blocks' rows, scored with a single numpy
+    GEMM. Per-task memory is O(2·N/B·d) regardless of corpus size —
+    pick n_blocks so a block fits an executor. Each row is replicated
+    ~(B+1)/2 ≈ B/2 times on average (its own block-diagonal pair plus
+    one side of each cross pair), the standard exact all-pairs
+    trade: compute stays O(N²·d) (inherent to exactness) but memory
+    and parallelism are controlled. For sub-quadratic candidate
+    generation use LSH banding (knn_cosine_lsh) instead.
+
+    Emits (vec_a, vec_b, cosine_sim) with vec_a < vec_b, ROUND(4) —
+    bit-identical contract to :func:`cosine_pairs_blocked` (same
+    normalized-float64 GEMM; asserted in tests).
+    """
+    import numpy as np  # noqa: F401  (kernel imports inside the UDF)
+
+    spark = corpus.sparkSession
+    pairs = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "bi int, bj int",
+    )
+    base = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks))
+        .cast("int")
+        .alias("_b"),
+    )
+    left = base.join(F.broadcast(pairs), base["_b"] == pairs["bi"]).select(
+        "bi", "bj", F.lit(0).alias("_side"), "_id", "_v"
+    )
+    right = base.join(
+        F.broadcast(pairs),
+        (base["_b"] == pairs["bj"]) & (pairs["bi"] != pairs["bj"]),
+    ).select("bi", "bj", F.lit(1).alias("_side"), "_id", "_v")
+    tagged = left.unionByName(right)
+
+    def emit(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        bi, bj = key
+        ids = pdf["_id"].to_numpy(dtype=np.int64)
+        m = np.array(list(pdf["_v"]), dtype=np.float64)
+        norms = np.sqrt((m * m).sum(axis=1))
+        norms[norms == 0] = 1.0
+        mn = m / norms[:, None]
+        if bi == bj:
+            sims = mn @ mn.T
+            ai, bx = np.nonzero(sims >= threshold)
+            la, rb = ids[ai], ids[bx]
+            keep = la < rb  # drop self-pairs + one of each mirrored pair
+            la, rb, s = la[keep], rb[keep], sims[ai[keep], bx[keep]]
+        else:
+            a_idx = np.flatnonzero(pdf["_side"].to_numpy() == 0)
+            b_idx = np.flatnonzero(pdf["_side"].to_numpy() == 1)
+            sims = mn[a_idx] @ mn[b_idx].T
+            ai, bx = np.nonzero(sims >= threshold)
+            xa, xb = ids[a_idx[ai]], ids[b_idx[bx]]
+            # Blocks are disjoint: each cross pair appears once, but id
+            # order vs block order is arbitrary — canonicalize.
+            la, rb = np.minimum(xa, xb), np.maximum(xa, xb)
+            s = sims[ai, bx]
+        return pd.DataFrame(
+            {"vec_a": la, "vec_b": rb, "cosine_sim": np.round(s, 4)}
+        )
+
+    return tagged.groupBy("bi", "bj").applyInPandas(
+        emit, "vec_a long, vec_b long, cosine_sim double"
+    )
+
+
 def cosine_pairs_blocked(
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.5,
+    max_rows: int = 2_000_000,
 ) -> DataFrame:
-    """All-pairs cosine ≥ threshold via a blocked matrix product.
+    """All-pairs cosine ≥ threshold via a blocked matrix product
+    against a driver-collected, broadcast corpus matrix.
 
     The Arrow-batched escape hatch for dense vector math: interpreted
     higher-order array functions cost ~µs per element; numpy's BLAS
@@ -210,14 +312,23 @@ def cosine_pairs_blocked(
     (n×d) multiplies the broadcast, pre-normalized corpus matrix Mᵀ
     (d×N) in one GEMM; pairs above threshold stream out.
 
-    Scale contract: ONE side must fit in executor memory (the
-    broadcast matrix — 1M×256-d floats ≈ 1 GB). For corpus×corpus at
-    100 TB, first bucket with LSH (knn_cosine_lsh's banding) and run
-    this kernel within buckets. Emits (vec_a, vec_b, cosine_sim)
-    with vec_a < vec_b, ROUND(4).
+    Scale contract: the corpus matrix must fit on the driver AND in
+    every executor (1M×256-d float64 ≈ 2 GB) — enforced by a loud
+    ``max_rows`` guard rather than a silent OOM. Above the bound use
+    :func:`cosine_pairs_grid` (same exact result, no single-node
+    materialization) or LSH banding for sub-quadratic candidates.
+    Emits (vec_a, vec_b, cosine_sim) with vec_a < vec_b, ROUND(4).
     """
     import numpy as np
 
+    n = corpus.count()
+    if n > max_rows:
+        raise ValueError(
+            f"cosine_pairs_blocked: corpus has {n} rows > max_rows="
+            f"{max_rows}; the collect/broadcast kernel would OOM the "
+            "driver. Use cosine_pairs_grid (distributed exact) or "
+            "knn_cosine_lsh (sub-quadratic approximate) instead."
+        )
     rows = corpus.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([r[1] for r in rows], dtype=np.float64)
@@ -352,7 +463,10 @@ def knn_cosine_ivf(
     cn = c / np.maximum(np.linalg.norm(c, axis=1), 1e-12)[:, None]
 
     corpus_cells = _assign_cells(corpus, id_col, vec_col, centroids).join(
-        corpus.select(id_col, vec_col), id_col
+        corpus.select(
+            id_col, vec_col, l2_norm(F.col(vec_col)).alias("_cn")
+        ),
+        id_col,
     )
 
     # Driver-side probe list per query (query set is the small side).
@@ -366,7 +480,9 @@ def knn_cosine_ivf(
     spark = corpus.sparkSession
     probe_df = spark.createDataFrame(probes, f"{query_id_col} long, cell int")
     q_vec = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("_qvec")
+        F.col(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
     )
 
     cand = (
@@ -377,7 +493,8 @@ def knn_cosine_ivf(
     scored = cand.select(
         F.col(query_id_col),
         F.col(id_col),
-        cosine(F.col("_qvec"), F.col(vec_col)).alias("_cos"),
+        (dot(F.col("_qvec"), F.col(vec_col))
+         / (F.col("_qn") * F.col("_cn"))).alias("_cos"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("_cos"), F.asc(id_col))
     return (

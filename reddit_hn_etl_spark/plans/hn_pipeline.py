@@ -65,7 +65,9 @@ def transform_raw(raw: DataFrame, batch_ts) -> DataFrame:
     df = HN_RAW_CONTRACT.normalize(raw)
 
     # P1: drop records that are entirely null (JSON nulls in the array).
-    data_cols = [c for c in df.columns if c != "_seq"]
+    # Underscore columns are reader-attached lineage (_seq, _src_file),
+    # not data — they must not keep an all-null record alive.
+    data_cols = [c for c in df.columns if not c.startswith("_")]
     df = df.na.drop(how="all", subset=data_cols)
 
     # P4 strict + P5 lenient casts. Raw may arrive string-typed from

@@ -1245,11 +1245,13 @@ def scalar_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force all-pairs cosine ≥ threshold. Exact baseline for
-    embedding-space dedup; the scale path is the same LSH bucketing
-    as knn_cosine_lsh (candidates → exact re-rank)."""
+    """Exact all-pairs cosine ≥ threshold via the distributed grid
+    kernel (block-pair applyInPandas GEMM — no driver collect, no
+    full-corpus broadcast; VERDICT r1 #3). Identical output to the
+    small-corpus collect kernel (pinned in tests); the sub-quadratic
+    approximate path is LSH banding (knn_cosine_lsh)."""
     emb = read_table(spark, sf_dir, "embeddings")
-    return similarity.cosine_pairs_blocked(
+    return similarity.cosine_pairs_grid(
         emb, id_col="vec_id", vec_col="embedding", threshold=0.35
     )
 
@@ -1281,8 +1283,12 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: one big fact scan, every dim broadcast, filter
-    pushed through the dim chain (region -> nation -> supplier)."""
+    """TPC-H Q5 shape: one big fact scan; only TRUE dimension tables
+    (supplier/nation/region) are broadcast. orders and customer are
+    fact-sized at scale — forcing them broadcast OOMs every executor
+    at 100 TB (VERDICT r1 #2), so the lineitem⋈orders⋈customer chain
+    is left to AQE, which picks shuffle-hash/broadcast from runtime
+    sizes and can still convert post-shuffle when a side is small."""
     li = read_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
     )
@@ -1299,8 +1305,7 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
     )
     return (
-        li.join(F.broadcast(orders.join(F.broadcast(cust),
-                                        orders.o_custkey == cust.c_custkey)),
+        li.join(orders.join(cust, orders.o_custkey == cust.c_custkey),
                 li.l_orderkey == F.col("o_orderkey"))
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
@@ -1329,7 +1334,10 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: fact-fact join, agg, global top-k
-    (TakeOrderedAndProject — no full sort)."""
+    (TakeOrderedAndProject — no full sort). orders is a fact table
+    (~half survives the status filter) so it is NOT force-broadcast
+    (VERDICT r1 #2); AQE decides the physical join from runtime
+    stats."""
     orders = read_table(spark, sf_dir, "orders").where(
         F.col("o_orderstatus") == "O"
     ).select("o_orderkey", "o_orderdate", "o_orderpriority")
@@ -1340,7 +1348,7 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
     )
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(net).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
@@ -1437,7 +1445,8 @@ def salted_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "user_event_type_sets",
     """
     SELECT user_id,
-           list_sort(list(DISTINCT event_type)) AS event_types,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',')
+               AS event_types,
            COUNT(DISTINCT event_type) AS n_types
     FROM events
     GROUP BY user_id
@@ -1445,8 +1454,26 @@ def salted_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def user_event_type_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic array aggregation: collect_set is unordered in
-    both engines, so results are sorted before comparison — the only
-    portable contract for array-valued aggregates."""
+    both engines, so the set is sorted before use. The driver output
+    is the *joined string* (comma-separated) rather than the raw
+    array — the driver's canonicalizer sorts pandas frames, and
+    Python lists are unhashable (red row in CORRECTNESS_r01). The
+    raw-array variant is pinned under pytest
+    (tests/test_queries_misc.py::test_event_type_sets_array)."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.array_join(
+            F.sort_array(F.collect_set("event_type")), ","
+        ).alias("event_types"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+def user_event_type_sets_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-valued variant of :func:`user_event_type_sets` — the
+    natural Spark output shape (``array<string>``), kept out of the
+    driver registry because unhashable list cells break its pandas
+    canonicalizer. Covered by pytest instead."""
     ev = read_table(spark, sf_dir, "events")
     return ev.groupBy("user_id").agg(
         F.sort_array(F.collect_set("event_type")).alias("event_types"),

@@ -36,15 +36,86 @@ def read_raw_stream(spark: SparkSession, raw_dir: str, max_files: int = 10) -> D
         spark.readStream.schema(RAW_SCHEMA)
         .option("maxFilesPerTrigger", max_files)
         .json(raw_dir)
+        # Source-file lineage for the monotone batch stamp (the
+        # reference derives extracted_at from the batch *file name*,
+        # `src/common/files.py:9-13`); underscore-prefixed so the
+        # transform treats it as reader metadata, not data.
+        .withColumn("_src_file", F.col("_metadata.file_path"))
     )
 
 
 def _swap_dir(new: str, live: str) -> None:
+    """Promote ``new`` over ``live`` with a two-rename swap.
+
+    A previous crash between the renames can leave a stale
+    ``<live>_old`` behind, which would make the next swap's
+    ``os.rename(live, old)`` raise — so stale artifacts are cleaned
+    BEFORE swapping (ADVICE r1). Not atomic for concurrent readers;
+    the mart path uses the versioned-pointer protocol in
+    sources/publish.py for that — staging here has a single writer
+    (the streaming query) and readers only between batches.
+    """
     old = live + "_old"
+    shutil.rmtree(old, ignore_errors=True)  # stale from a prior crash
     if os.path.isdir(live):
         os.rename(live, old)
     os.rename(new, live)
     shutil.rmtree(old, ignore_errors=True)
+
+
+def _batch_stamp_epoch(batch_df: DataFrame, prev_epoch: int) -> int:
+    """Monotone, replay-deterministic extraction stamp for a
+    micro-batch (epoch seconds).
+
+    Preference order (ADVICE r1, medium):
+      1. max batch-filename timestamp of the micro-batch's source
+         files (``hn_raw_YYYYMMDD_HHMMSS.json`` — the reference's
+         extraction instant, `src/common/files.py:9-13`): extraction
+         time always increases for newly extracted batches, unlike
+         max *event* time, which a backfill/out-of-order batch can
+         regress — silently losing the freshness merge.
+      2. max event time in the batch (file names not parseable —
+         non-reference file layout).
+      3. ``prev_epoch`` (all-null times — never epoch 0).
+
+    The result is clamped to ``>= prev_epoch`` so the stamp sequence
+    this run is non-decreasing; a batch of genuinely older extractions
+    stamps equal to the newest seen and the strict ``>`` freshness
+    gate correctly keeps the already-merged newer rows.
+    """
+    import datetime as dt
+
+    from ..sources.batches import RAW_NAME_RE, TS_FORMAT
+
+    candidate = 0
+    try:
+        src = (
+            F.col("_src_file")
+            if "_src_file" in batch_df.columns
+            else F.col("_metadata.file_path")
+        )
+        files = [
+            r[0]
+            for r in batch_df.select(src.alias("f")).distinct().collect()
+        ]
+        stamps = []
+        for f in files:
+            m = RAW_NAME_RE.search(os.path.basename(f))
+            if m:
+                stamps.append(
+                    dt.datetime.strptime(m.group(1), TS_FORMAT).replace(
+                        tzinfo=dt.timezone.utc
+                    )
+                )
+        if stamps:
+            candidate = int(max(stamps).timestamp())
+    except Exception:  # noqa: BLE001 - non-file source: no metadata col
+        candidate = 0
+    if candidate == 0:
+        candidate = batch_df.agg(
+            F.max(F.col("time").try_cast("long"))
+        ).collect()[0][0] or 0
+    return max(int(candidate), prev_epoch)
 
 
 def stream_merge_to_staging(
@@ -53,13 +124,23 @@ def stream_merge_to_staging(
     checkpoint: str,
     available_now: bool = False,
     marts_root: str | None = None,
+    dead_letter_root: str | None = None,
 ) -> StreamingQuery:
-    """writeStream → foreachBatch(transform + merge + atomic swap).
+    """writeStream → foreachBatch(transform + validate + merge +
+    atomic swap).
 
-    Each micro-batch uses its batch_id as the freshness tiebreaker
-    epoch: ``extracted_at`` is the max event-ingest instant of the
-    batch (deterministic from data, not wall clock), so replays
-    produce identical rows and the merge converges.
+    ``extracted_at`` is the batch-filename extraction timestamp
+    (monotone — see :func:`_batch_stamp_epoch`), carried across
+    micro-batches and restarts (re-seeded from the staging table's
+    max on the first batch), so replays produce identical rows and
+    the freshness merge converges.
+
+    Rows failing the staging contract (NULL id/time after try_cast —
+    the reference aborts on these via ``pd.to_numeric(errors=
+    'raise')``) are split out BEFORE the merge: appended to
+    ``dead_letter_root`` (default ``<staging_root>_deadletter``)
+    with the batch id, instead of flowing into the null-safe key join
+    as phantom keys (ADVICE r1).
 
     With ``marts_root`` set, each micro-batch also incrementally
     refreshes the mart date-partitions it touched (the streaming
@@ -67,17 +148,45 @@ def stream_merge_to_staging(
     item, `README.md:342`) — full end-to-end latency from raw file to
     refreshed mart is one micro-batch.
     """
+    dl_root = dead_letter_root or (staging_root + "_deadletter")
+    # Mutable cell: the newest stamp seen this run (monotone floor).
+    last_epoch = [0]
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         if not batch_df.take(1):
             return
-        # Deterministic batch stamp: derive from the data itself
-        # (max time in batch) — replay-safe, monotone per batch.
-        max_time = batch_df.agg(F.max("time")).collect()[0][0] or 0
+        if last_epoch[0] == 0 and os.path.isdir(staging_root) and os.listdir(
+            staging_root
+        ):
+            # Restart: re-seed the monotone floor from what's merged.
+            prev = (
+                spark.read.parquet(staging_root)
+                .agg(F.max(F.unix_timestamp("extracted_at")))
+                .collect()[0][0]
+            )
+            last_epoch[0] = int(prev or 0)
+        stamp = _batch_stamp_epoch(batch_df, last_epoch[0])
+        last_epoch[0] = stamp
         staged = transform_raw(
-            batch_df, batch_ts=F.timestamp_seconds(F.lit(max_time))
+            batch_df, batch_ts=F.timestamp_seconds(F.lit(stamp))
         )
+        # Contract check (reference fail-fast, softened to dead-letter
+        # so one poison record doesn't halt the stream): id/time must
+        # have survived the strict cast.
+        bad = staged.where(
+            F.col("id").isNull() | F.col("time").isNull()
+        )
+        bad_n = bad.count()
+        if bad_n:
+            bad.withColumn("_batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(dl_root)
+            staged = staged.where(
+                F.col("id").isNotNull() & F.col("time").isNotNull()
+            )
+            if not staged.take(1):
+                return
         if os.path.isdir(staging_root) and os.listdir(staging_root):
             from ..plans.hn_pipeline import load_merge
 
@@ -86,6 +195,7 @@ def stream_merge_to_staging(
         else:
             merged = staged
         out = staging_root + f"_b{batch_id}"
+        shutil.rmtree(out, ignore_errors=True)  # stale from prior crash
         merged.write.mode("overwrite").parquet(out)
         _swap_dir(out, staging_root)
         if marts_root is not None:

@@ -83,6 +83,38 @@ def test_lsh_knn_recall_against_bruteforce(spark, sf_dir):
     assert recall >= 0.5, f"LSH recall too low: {recall}"
 
 
+def test_grid_pairs_match_collect_kernel(spark, sf_dir):
+    """The distributed grid kernel must emit EXACTLY the pairs of the
+    collect/broadcast kernel (same normalized-float64 GEMM math)."""
+    from reddit_hn_etl_spark.sources.tables import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    grid = {
+        (r.vec_a, r.vec_b): r.cosine_sim
+        for r in similarity.cosine_pairs_grid(
+            emb, threshold=0.35, n_blocks=4
+        ).collect()
+    }
+    blocked = {
+        (r.vec_a, r.vec_b): r.cosine_sim
+        for r in similarity.cosine_pairs_blocked(
+            emb, threshold=0.35
+        ).collect()
+    }
+    assert grid == blocked
+    assert len(grid) > 0
+
+
+def test_blocked_kernel_size_guard(spark, sf_dir):
+    import pytest
+
+    from reddit_hn_etl_spark.sources.tables import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="max_rows"):
+        similarity.cosine_pairs_blocked(emb, threshold=0.35, max_rows=5)
+
+
 def test_ivf_knn_recall_against_bruteforce(spark, sf_dir):
     from pyspark.sql import functions as F  # noqa: F811
 

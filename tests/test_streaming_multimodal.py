@@ -55,6 +55,74 @@ def test_stream_merge_converges_with_batch_merge(spark, tmp_path):
     assert got[2].title == "t2-edit" and got[2].score == 9
 
 
+def test_stream_stamp_from_filename_is_monotone(spark, tmp_path):
+    """ADVICE r1 (medium): a later extraction whose *event* times are
+    older must still win the freshness merge — extracted_at derives
+    from the batch FILENAME timestamp (reference semantics), not from
+    max event time."""
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    staging = str(tmp_path / "staging")
+    ckpt = str(tmp_path / "ckpt")
+
+    # Extraction 1: event time far in the "future" relative to ext 2.
+    _write_jsonl(raw / "hn_raw_20240115_000000.json", [
+        {"id": 1, "type": "story", "by": "a", "time": T_BASE + 7200,
+         "title": "v1", "score": 1},
+    ])
+    q = ingest.stream_merge_to_staging(
+        ingest.read_raw_stream(spark, str(raw)), staging, ckpt,
+        available_now=True,
+    )
+    q.awaitTermination(120)
+
+    # Extraction 2 (newer filename): same key, OLDER event time,
+    # updated content. Max-event-time stamping would discard it.
+    _write_jsonl(raw / "hn_raw_20240116_000000.json", [
+        {"id": 1, "type": "story", "by": "a", "time": T_BASE,
+         "title": "v2", "score": 5},
+    ])
+    q = ingest.stream_merge_to_staging(
+        ingest.read_raw_stream(spark, str(raw)), staging, ckpt,
+        available_now=True,
+    )
+    q.awaitTermination(120)
+
+    got = {r.id: r for r in spark.read.parquet(staging).collect()}
+    assert got[1].title == "v2" and got[1].score == 5
+    # Stamp is the filename instant, not the event time.
+    assert got[1].extracted_at.strftime("%Y%m%d") == "20240116"
+
+
+def test_stream_dead_letters_contract_violations(spark, tmp_path):
+    """ADVICE r1: rows failing the staging contract (null id/time
+    after strict cast) must not enter the merge as phantom keys —
+    they are routed to the dead-letter sink and the stream
+    continues."""
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    staging = str(tmp_path / "staging")
+    ckpt = str(tmp_path / "ckpt")
+    dl = str(tmp_path / "dead")
+
+    _write_jsonl(raw / "hn_raw_20240115_000000.json", [
+        {"id": 1, "type": "story", "by": "a", "time": T_BASE,
+         "title": "good", "score": 1},
+        # time missing → null after cast → contract violation
+        {"id": 7, "type": "story", "by": "x", "title": "poison"},
+    ])
+    q = ingest.stream_merge_to_staging(
+        ingest.read_raw_stream(spark, str(raw)), staging, ckpt,
+        available_now=True, dead_letter_root=dl,
+    )
+    q.awaitTermination(120)
+
+    ok = {r.id for r in spark.read.parquet(staging).collect()}
+    assert ok == {1}
+    dead = spark.read.parquet(dl).collect()
+    assert len(dead) == 1 and dead[0].id == 7 and dead[0]._batch_id == 0
+
+
 def test_windowed_counts_batch_equivalence(spark, sf_dir):
     from reddit_hn_etl_spark.sources.tables import read_table
 
