@@ -20,6 +20,7 @@ import os
 import sys
 
 from .audit import AuditLog
+from .logging_utils import get_logger
 from .plans import hn_pipeline as hp
 from .session import get_session
 from .sources import batches, publish
@@ -50,6 +51,7 @@ def main(argv: list[str] | None = None) -> int:
     args = ap.parse_args(argv)
 
     spark = get_session(app_name="reddit-hn-etl-spark")
+    log = get_logger("reddit_hn_etl_spark", "pipeline.log")
     spark.sparkContext.setLogLevel("ERROR")
     audit = AuditLog(spark, os.path.join(args.out, "audit_runs"))
     staging_root = os.path.join(args.out, "staging")
@@ -68,10 +70,10 @@ def main(argv: list[str] | None = None) -> int:
             q.awaitTermination()
             n = spark.read.parquet(staging_root).count()
             audit.succeed(rec, rows_copied=n, inserted=0, updated=0)
-            print(f"stream ingest drained: staging rows={n}")
+            log.info(f"stream ingest drained: staging rows={n}")
         except Exception as exc:  # noqa: BLE001
             audit.fail(rec, exc)
-            print(f"stream ingest failed: {exc}", file=sys.stderr)
+            log.error(f"stream ingest failed: {exc}")
             return 1
         staging = batches.read_staging(spark, staging_root)
         rec = audit.start_run("mart")
@@ -80,23 +82,23 @@ def main(argv: list[str] | None = None) -> int:
             version = publish.publish_tables(marts, os.path.join(args.out, "marts"))
             total = sum(df.count() for df in marts.values())
             audit.succeed(rec, rows_copied=total, inserted=0, updated=0)
-            print(f"marts published: version={version} rows={total}")
+            log.info(f"marts published: version={version} rows={total}")
         except Exception as exc:  # noqa: BLE001
             audit.fail(rec, exc)
-            print(f"mart refresh failed: {exc}", file=sys.stderr)
+            log.error(f"mart refresh failed: {exc}")
             return 1
         return 0
 
     if args.all_batches:
         paths = sorted(glob.glob(os.path.join(args.raw_dir, "hn_raw_*.json")))
         if not paths:
-            print(f"no raw batches in {args.raw_dir}", file=sys.stderr)
+            log.error(f"no raw batches in {args.raw_dir}")
             return 1
     else:
         try:
             paths = [batches.latest_file_by_name(args.raw_dir, "hn_raw_*.json")]
         except FileNotFoundError as exc:
-            print(str(exc), file=sys.stderr)
+            log.error(str(exc))
             return 1
 
     target = None
@@ -119,13 +121,13 @@ def main(argv: list[str] | None = None) -> int:
                 target, metrics = hp.load_merge(target, staged)
                 inserted, updated = metrics.inserted, metrics.updated
             audit.succeed(rec, rows_copied=rows, inserted=inserted, updated=updated)
-            print(
+            log.info(
                 f"load {os.path.basename(path)}: rows={rows} "
                 f"inserted={inserted} updated={updated}"
             )
         except Exception as exc:  # noqa: BLE001 - audit then fail (ref protocol)
             audit.fail(rec, exc)
-            print(f"load failed for {path}: {exc}", file=sys.stderr)
+            log.error(f"load failed for {path}: {exc}")
             return 1
 
     # Persist the merged staging table (overwrite = the reconciled state).
@@ -147,7 +149,7 @@ def main(argv: list[str] | None = None) -> int:
         audit.succeed(rec, rows_copied=n, inserted=0, updated=0)
     except Exception as exc:  # noqa: BLE001
         audit.fail(rec, exc)
-        print(f"staging publish failed: {exc}", file=sys.stderr)
+        log.error(f"staging publish failed: {exc}")
         return 1
 
     rec = audit.start_run("mart")
@@ -161,17 +163,17 @@ def main(argv: list[str] | None = None) -> int:
                 staging, batch_union, os.path.join(args.out, "marts_inc")
             )
             audit.succeed(rec, rows_copied=len(dates), inserted=0, updated=0)
-            print(f"marts incrementally refreshed: dates={sorted(map(str, dates))}")
+            log.info(f"marts incrementally refreshed: dates={sorted(map(str, dates))}")
         else:
             marts = hp.build_marts(staging)
             version = publish.publish_tables(marts, os.path.join(args.out, "marts"))
             hp.run_mart_checks(staging, marts)
             total = sum(df.count() for df in marts.values())
             audit.succeed(rec, rows_copied=total, inserted=0, updated=0)
-            print(f"marts published: version={version} rows={total}")
+            log.info(f"marts published: version={version} rows={total}")
     except Exception as exc:  # noqa: BLE001
         audit.fail(rec, exc)
-        print(f"mart refresh failed: {exc}", file=sys.stderr)
+        log.error(f"mart refresh failed: {exc}")
         return 1
     return 0
 

@@ -61,11 +61,20 @@ class AuditRecord:
 
 
 class AuditLog:
-    """Append-only audit manifest over a parquet directory."""
+    """Append-only audit manifest over a parquet directory.
+
+    Every state transition is also logged through the shared
+    operational logger (reference `src/common/logging_utils.py:7-33`
+    wired through every phase) — logs are the first debugging stop,
+    the audit table the durable record.
+    """
 
     def __init__(self, spark: SparkSession, path: str):
+        from .logging_utils import get_logger
+
         self.spark = spark
         self.path = path
+        self.log = get_logger("reddit_hn_etl_spark.audit", "pipeline.log")
 
     def _append(self, rec: AuditRecord) -> None:
         df = self.spark.createDataFrame([asdict(rec)], schema=AUDIT_SCHEMA)
@@ -83,6 +92,10 @@ class AuditLog:
             status="running",
         )
         self._append(rec)
+        self.log.info(
+            "phase=%s run_id=%s status=running source=%s",
+            phase, rec.run_id, source_file,
+        )
         return rec
 
     def succeed(
@@ -103,6 +116,10 @@ class AuditLog:
             }
         )
         self._append(done)
+        self.log.info(
+            "phase=%s run_id=%s status=success rows=%d inserted=%d updated=%d",
+            rec.phase, rec.run_id, rows_copied, inserted, updated,
+        )
         return done
 
     def fail(self, rec: AuditRecord, error: Exception | str) -> AuditRecord:
@@ -115,6 +132,10 @@ class AuditLog:
             }
         )
         self._append(done)
+        self.log.error(
+            "phase=%s run_id=%s status=failed error=%s",
+            rec.phase, rec.run_id, str(error)[:500],
+        )
         return done
 
     def current_state(self) -> DataFrame:

@@ -12,14 +12,25 @@ from pyspark.sql import functions as F
 
 
 def domain_from_url(url: str | Column, no_domain: str = "(no_domain)") -> Column:
-    """Domain extraction pipeline of `sql/mart/02_marts.sql:56-65`:
+    """Domain extraction pipeline after `sql/mart/02_marts.sql:56-65`
+    — same operator composition (nested ``replace`` F2 + ``lower`` F1
+    + ``split_part`` F3 + CASE F4), with ONE deliberate divergence in
+    operation order:
 
-    CASE WHEN url IS NULL OR url = '' THEN '(no_domain)'
-    ELSE split_part(replace(replace(lower(url),'https://',''),
-                            'http://',''), '/', 1) END
+    * reference: ``lower(split_part(replace(replace(url, 'https://',
+      ''), 'http://', ''), '/', 1))`` — strips the scheme
+      CASE-SENSITIVELY, so ``HTTPS://Example.com/x`` keeps its scheme
+      and yields ``https:`` (scheme-cased URLs leak through as junk
+      domains);
+    * here: ``lower`` FIRST, then strip, then split — the same input
+      yields ``example.com``.
 
-    Exact-parity composition: nested ``replace`` (F2) + ``lower`` (F1)
-    + ``split_part`` (F3) + CASE (F4).
+    The divergence is intentional (uppercase-scheme URLs exist in the
+    wild; a junk ``https:`` domain row is a data bug) and pinned by
+    ``tests/test_queries_misc.py::test_domain_from_url_scheme_case``.
+    For lowercase-scheme URLs — every row the reference test corpus
+    contains — the two compositions are identical, and the mart
+    oracles mirror this form.
     """
     u = F.col(url) if isinstance(url, str) else url
     stripped = F.replace(

@@ -711,15 +711,69 @@ def doc_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.2)
 
 
-@_q("doc_minhash_pairs")  # rows-only: hash family not SQL-portable
+@_q(
+    "doc_minhash_pairs",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                           x -> x <> '') AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(w[1:len(w) - 2],
+                      (x, i) -> x || ' ' || w[i + 1] || ' ' || w[i + 2]))
+                   AS shingle
+        FROM toks
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(inter / (sa.set_size + sb.set_size - inter), 4) AS jaccard,
+           TRUE AS est_within
+    FROM inter
+    JOIN sizes sa ON inter.doc_a = sa.doc_id
+    JOIN sizes sb ON inter.doc_b = sb.doc_id
+    WHERE inter / (sa.set_size + sb.set_size - inter) >= 0.5
+    """,
+)
 def doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH, bound-checked against exact Jaccard so the driver
+    CAN hash-verify the hash family (VERDICT r1 #6). The output is
+    every TRUE 3-gram-Jaccard ≥ 0.5 pair; ``est_within`` asserts that
+    LSH banding surfaced the pair as a candidate (recall — at J≥0.5
+    with 16 bands × 4 rows the miss probability is ~(1−J⁴)¹⁶ < 1e-9
+    per dup pair) AND its MinHash estimate is within 0.2 of the true
+    Jaccard (64 hashes → σ ≈ 0.06 at J=0.5). A banding miss or a
+    drifting estimator turns the flag false and fails the compare.
+    The raw candidate surface stays pinned in
+    tests/test_dedup_similarity.py.
+
+    3-gram shingles: discriminative signatures. Unigram shingles over
+    a small shared vocabulary degenerate — every doc collides in
+    every band and the candidate join goes quadratic (observed:
+    12.5M candidate pairs at sf0.1 before this was changed)."""
     docs = read_table(spark, sf_dir, "documents")
-    # 3-gram shingles: discriminative signatures. Unigram shingles
-    # over a small shared vocabulary degenerate — every doc collides
-    # in every band and the candidate join goes quadratic (observed:
-    # 12.5M candidate pairs at sf0.1 before this was changed).
-    return dedup.minhash_lsh_pairs(
-        docs, "doc_id", "text", num_hashes=64, bands=16, shingle_n=3, threshold=0.5
+    true_pairs = dedup.jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5
+    )
+    est = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text",
+        num_hashes=64, bands=16, shingle_n=3, threshold=0.0,
+    ).select("doc_a", "doc_b", "est_jaccard")
+    return true_pairs.join(est, ["doc_a", "doc_b"], "left").select(
+        "doc_a",
+        "doc_b",
+        "jaccard",
+        (
+            F.col("est_jaccard").isNotNull()
+            & (F.abs(F.col("est_jaccard") - F.col("jaccard")) <= 0.2)
+        ).alias("est_within"),
     )
 
 
@@ -764,13 +818,37 @@ def knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("knn_cosine_lsh")  # rows-only: plane seeds not SQL-portable
+@_q(
+    "knn_cosine_lsh",
+    """
+    SELECT vec_id AS query_id, TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 5
+    """,
+)
 def knn_cosine_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate kNN, bound-checked per query
+    (VERDICT r1 #6): plane seeds aren't SQL-portable, but "LSH top-10
+    recovers ≥ half of the exact top-10 for every query" is — the
+    query computes exact and LSH top-k side by side and emits the
+    per-query recall flag the oracle asserts TRUE. The raw LSH
+    ranking stays pinned in tests/test_dedup_similarity.py."""
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return similarity.knn_cosine_lsh(emb, queries, dim=64, k=10)
+    exact = similarity.knn_cosine_bruteforce(emb, queries, k=10).select(
+        "query_id", "vec_id"
+    )
+    approx = similarity.knn_cosine_lsh(
+        emb, queries, dim=64, k=10, n_planes=4, n_tables=8
+    ).select("query_id", "vec_id")
+    hits = exact.join(approx, ["query_id", "vec_id"], "left_semi").groupBy(
+        "query_id"
+    ).agg(F.count("*").alias("_hits"))
+    return queries.select("query_id").join(hits, "query_id", "left").select(
+        "query_id",
+        (F.coalesce(F.col("_hits"), F.lit(0)) >= 5).alias("recall_ok"),
+    )
 
 
 def _marker_sql(lang: str) -> str:
@@ -1073,11 +1151,29 @@ def distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("approx_distinct_users")  # rows-only: HLL sketches are engine-specific
+@_q(
+    "approx_distinct_users",
+    """
+    SELECT CAST(ts AS DATE) AS metric_date,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS within_5pct
+    FROM events
+    GROUP BY 1
+    """,
+)
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct, bound-checked so the driver CAN
+    hash-verify it (VERDICT r1 #6): the sketch value itself is
+    engine-specific, but |approx − exact| ≤ 5%·exact is a portable
+    claim — emitted as a boolean next to the exact count, with the
+    oracle asserting TRUE per group. A sketch drifting out of its
+    error budget turns a row false and fails the hash compare."""
     ev = read_table(spark, sf_dir, "events")
+    exact = F.countDistinct("user_id")
+    approx = F.approx_count_distinct("user_id", rsd=0.02)
     return ev.groupBy(scalars.to_metric_date("ts").alias("metric_date")).agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        exact.alias("exact_users"),
+        (F.abs(approx - exact) <= 0.05 * exact).alias("within_5pct"),
     )
 
 
@@ -1817,6 +1913,56 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_image_features(media)
 
 
+@_q(
+    "media_frames",
+    """
+    SELECT doc_id AS media_id, frame_idx,
+           CAST(FLOOR(length(text) * (frame_idx * 2 + 1) / 8.0) AS BIGINT)
+               AS frame_offset_ms
+    FROM documents
+    CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS frame_idx) f
+    WHERE length(text) > 0
+    """,
+)
+def media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan over driver data: synthesize a
+    duration (text length as ms) into the typed media metadata, then
+    emit evenly spaced frame offsets — pure native expressions, and
+    (unlike the decode stages) fully SQL-expressible, so it gets a
+    real oracle. FLOOR in the oracle mirrors Spark's truncating
+    double→long cast (DuckDB's CAST rounds)."""
+    from ..functions.multimodal import sample_frame_offsets
+
+    docs = read_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.struct(
+            F.lit("video/mp4").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.length("text").cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    return sample_frame_offsets(media, n_frames=4)
+
+
+@_q("media_resize")  # rows-only: stubbed decode → binary payload out
+def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing on driver data (documents' bytes as payloads):
+    Arrow-batched mapInPandas, binary column out, metadata struct
+    rebuilt. Decode is the labeled deterministic stub
+    (functions/multimodal.py) — the Spark contract is what's
+    exercised."""
+    from ..functions.multimodal import resize_images
+
+    docs = read_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    return resize_images(media, 32, 32)
+
+
 # ---------------------------------------------------------------------------
 # Set operations beyond UNION (INTERSECT / EXCEPT — absent in the
 # reference, SURVEY §2.7) and window frames (running / moving
@@ -2065,5 +2211,272 @@ def quarter_hour_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             F.col("w.start").alias("bucket_start"), "events_count", "total_value"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H correlated-subquery family (VERDICT r1 #5): the relational
+# shapes a warehouse user hits weekly — correlated min (Q2), NOT IN
+# (Q16), IN over grouped HAVING (Q20), EXISTS + NOT EXISTS self-joins
+# (Q21), NOT EXISTS + scalar avg subquery (Q22). Adapted to the
+# testdata star schema (no partsupp/comment/phone columns); the
+# *decorrelation patterns* are the point: Catalyst rewrites each to
+# the same join shape the oracle's subquery planner picks.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "min_cost_supplier",
+    """
+    SELECT l.l_partkey, p.p_brand, l.l_suppkey, s.s_name,
+           l.l_extendedprice AS min_price
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    WHERE p.p_size <= 4
+      AND l.l_extendedprice = (
+          SELECT MIN(l2.l_extendedprice)
+          FROM lineitem l2
+          WHERE l2.l_partkey = l.l_partkey
+      )
+    """,
+)
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated min-per-group subquery in WHERE.
+
+    Decorrelated the way Catalyst (and every modern planner) does it:
+    a window MIN over the correlation key, then an equality filter —
+    ONE shuffle on l_partkey, no self-join re-scan of the fact table.
+    Ties all survive, exactly like the correlated form. Double
+    equality is safe: the min is a selected value, not arithmetic.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    part = read_table(spark, sf_dir, "part").where(F.col("p_size") <= 4).select(
+        "p_partkey", "p_brand"
+    )
+    supp = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    w = Window.partitionBy("l_partkey")
+    return (
+        li.withColumn("_min_price", F.min("l_extendedprice").over(w))
+        .where(F.col("l_extendedprice") == F.col("_min_price"))
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            "l_partkey", "p_brand", "l_suppkey", "s_name",
+            F.col("l_extendedprice").alias("min_price"),
+        )
+    )
+
+
+@_q(
+    "part_supplier_counts",
+    """
+    SELECT p_brand, p_type, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_type NOT LIKE 'small%'
+      AND l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type
+    """,
+)
+def part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: NOT IN over a subquery + distinct-count agg.
+
+    NOT IN compiles to a broadcast LEFT ANTI join (s_suppkey is a
+    non-null key, so NOT IN ≡ anti join; with nullable probe columns
+    you'd need the null-aware variant Catalyst plans for literal
+    NOT IN). Exclusion list is dim-sized → broadcast.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = (
+        read_table(spark, sf_dir, "part")
+        .where((F.col("p_brand") != "Brand#1") & ~F.col("p_type").like("small%"))
+        .select("p_partkey", "p_brand", "p_type")
+    )
+    bad_supp = read_table(spark, sf_dir, "supplier").where(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad_supp),
+                li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@_q(
+    "bulk_suppliers",
+    """
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem
+        WHERE l_partkey IN (
+            SELECT p_partkey FROM part WHERE p_name LIKE '%ol%'
+        )
+        GROUP BY l_suppkey
+        HAVING SUM(l_quantity) > 5000
+    )
+    """,
+)
+def bulk_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: IN → IN-with-HAVING nesting. Inner IN is a
+    broadcast semi join (part dim pre-filtered), the grouped HAVING
+    is a partial-agg shuffle on l_suppkey, and the outer IN is a
+    semi join against that tiny aggregate — no correlated re-scan."""
+    supp = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    parts = read_table(spark, sf_dir, "part").where(
+        F.col("p_name").like("%ol%")
+    ).select("p_partkey")
+    heavy = (
+        li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey, "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+        .where(F.col("_qty") > 5000)
+        .select("l_suppkey")
+    )
+    return supp.join(
+        F.broadcast(heavy), supp.s_suppkey == heavy.l_suppkey, "left_semi"
+    )
+
+
+@_q(
+    "sole_late_suppliers",
+    """
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 365 DAY
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o.o_orderdate + INTERVAL 365 DAY
+      )
+    GROUP BY s.s_name
+    """,
+)
+def sole_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS + correlated NOT EXISTS over the same
+    fact self-join — "suppliers who were the ONLY late shipper on a
+    multi-supplier finished order" (lateness = shipped >365 days
+    after order date; testdata has no commit/receipt dates).
+
+    Spark shape: the EXISTS is a left-semi self-join on orderkey with
+    a non-equal supplier predicate; the NOT EXISTS is the same join
+    left-anti with the lateness predicate folded in. Both shuffle on
+    l_orderkey — the natural co-partitioning — and the dim join
+    (supplier) is broadcast at the end.
+    """
+    supp = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    orders = read_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    # Both columns are TIMESTAMP in the testdata: timestamp + interval
+    # keeps time-of-day (date_add would truncate and diverge from the
+    # oracle's `+ INTERVAL 365 DAY`).
+    late_cut = F.col("o_orderdate") + F.expr("INTERVAL 365 DAYS")
+
+    l1 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .where(F.col("l_shipdate") > late_cut)
+        .select("l_orderkey", "l_suppkey", "o_orderdate")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("r_orderkey"),
+        F.col("l_suppkey").alias("r_suppkey"),
+        F.col("l_shipdate").alias("r_shipdate"),
+    )
+    exists_other = l1.join(
+        l2,
+        (F.col("l_orderkey") == F.col("r_orderkey"))
+        & (F.col("l_suppkey") != F.col("r_suppkey")),
+        "left_semi",
+    )
+    sole_late = exists_other.join(
+        l2,
+        (F.col("l_orderkey") == F.col("r_orderkey"))
+        & (F.col("l_suppkey") != F.col("r_suppkey"))
+        & (F.col("r_shipdate")
+           > F.col("o_orderdate") + F.expr("INTERVAL 365 DAYS")),
+        "left_anti",
+    )
+    return (
+        sole_late.join(F.broadcast(supp),
+                       F.col("l_suppkey") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+@_q(
+    "rich_idle_customers",
+    """
+    SELECT c_nationkey, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer c
+    WHERE c_acctbal > (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*)
+        FROM customer WHERE c_acctbal > 0
+    )
+    AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+    )
+    GROUP BY c_nationkey
+    """,
+)
+def rich_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar AVG subquery threshold + correlated
+    NOT EXISTS — above-average-balance customers with no big-ticket
+    order, grouped by nation.
+
+    The scalar subquery is a 1-row agg cross-joined (broadcast nested
+    loop — free); the NOT EXISTS is a left-anti join on o_custkey
+    with the price predicate pushed into the anti side's scan. AVG is
+    decimal-sum→double / COUNT(*) on both engines (float-parity
+    policy in the module docstring)."""
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
+        (F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+         / F.count("*")).alias("_avg")
+    )
+    big_orders = read_table(spark, sf_dir, "orders").where(
+        F.col("o_totalprice") > 400000
+    ).select("o_custkey")
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("_avg"))
+        .join(F.broadcast(big_orders),
+              cust.c_custkey == big_orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("totacctbal"),
         )
     )

@@ -1,0 +1,59 @@
+"""E2E CLI run with the operational logging layer: every phase must
+leave log lines (stdout+file), matching the reference's shared logger
+wired through each phase (`src/common/logging_utils.py:7-33`)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import logging
+
+
+def _reset_loggers():
+    for name in ("reddit_hn_etl_spark", "reddit_hn_etl_spark.audit"):
+        lg = logging.getLogger(name)
+        for h in list(lg.handlers):
+            lg.removeHandler(h)
+            h.close()
+
+
+def test_cli_run_emits_phase_logs(spark, tmp_path, monkeypatch):
+    from reddit_hn_etl_spark.__main__ import main
+
+    monkeypatch.setenv("SPARK_ETL_LOG_DIR", str(tmp_path / "logs"))
+    _reset_loggers()
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    ts = dt.datetime(2024, 1, 16, 1, 0, 0)
+    recs = [
+        {"id": 1, "type": "story", "by": "a", "time": 1705276800,
+         "title": "t1", "url": "https://example.com/x", "score": 3},
+        {"id": 2, "type": "story", "by": "b", "time": 1705276860,
+         "title": "t2"},
+    ]
+    (raw / f"hn_raw_{ts.strftime('%Y%m%d_%H%M%S')}.json").write_text(
+        json.dumps(recs), encoding="utf-8"
+    )
+    out = tmp_path / "wh"
+
+    try:
+        rc = main(["--raw-dir", str(raw), "--out", str(out)])
+    finally:
+        log_text = (tmp_path / "logs" / "pipeline.log").read_text(
+            encoding="utf-8"
+        )
+        _reset_loggers()  # don't leak tmp_path handlers to other tests
+
+    assert rc == 0
+    # One line per phase transition, reference-style format.
+    for needle in (
+        "phase=load run_id=",
+        "status=success",
+        "phase=staging_publish",
+        "phase=mart",
+        "load hn_raw_20240116_010000.json: rows=2",
+        "marts published: version=",
+    ):
+        assert needle in log_text, f"missing log line: {needle}"
+    assert "| ERROR |" not in log_text

@@ -13,6 +13,35 @@ from reddit_hn_etl_spark.plans.queries import (
 )
 
 
+def test_domain_from_url_scheme_case(spark):
+    """Pin the documented divergence from the reference: uppercase
+    schemes are stripped (reference would emit the junk domain
+    'https:'); lowercase-scheme URLs behave identically to the
+    reference composition."""
+    from pyspark.sql import functions as F
+
+    from reddit_hn_etl_spark.functions.scalars import domain_from_url
+
+    df = spark.createDataFrame(
+        [
+            ("HTTPS://Example.com/x",),
+            ("https://example.com/x",),
+            ("http://Sub.Host.org",),
+            ("",),
+            (None,),
+        ],
+        "url string",
+    )
+    got = [r.d for r in df.select(domain_from_url(F.col("url")).alias("d")).collect()]
+    assert got == [
+        "example.com",     # divergence: reference yields 'https:'
+        "example.com",     # identical to reference
+        "sub.host.org",
+        "(no_domain)",
+        "(no_domain)",
+    ]
+
+
 def test_event_type_sets_array(spark, sf_dir):
     """Array variant agrees element-wise with the driver's joined-string
     variant, and every array is sorted (deterministic)."""
