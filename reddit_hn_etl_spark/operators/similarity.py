@@ -217,7 +217,9 @@ def cosine_pairs_grid(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.5,
-    n_blocks: int = 8,
+    n_blocks: int | None = None,
+    rows_per_block: int = 4096,
+    max_blocks: int = 64,
 ) -> DataFrame:
     """EXACT all-pairs cosine ≥ threshold, fully distributed — the
     100 TB-safe shape (no driver collect, no full-corpus broadcast;
@@ -238,9 +240,21 @@ def cosine_pairs_grid(
     bit-identical contract to :func:`cosine_pairs_blocked` (same
     normalized-float64 GEMM; asserted in tests).
     """
+    import math
+
     import numpy as np  # noqa: F401  (kernel imports inside the UDF)
 
     spark = corpus.sparkSession
+    if n_blocks is None:
+        # Size blocks from a (parquet-metadata-cheap) count so each
+        # applyInPandas group holds ~2·rows_per_block vectors: small
+        # corpora get few groups (Python worker overhead dominates),
+        # big ones get bounded per-task memory. Shuffle replication is
+        # ~B/2 per row — the inherent exact-all-pairs cost — so B is
+        # capped; past ~max_blocks·rows_per_block vectors, exact
+        # all-pairs is the wrong tool (use LSH banding).
+        n = corpus.count()
+        n_blocks = max(1, min(max_blocks, math.ceil(n / rows_per_block)))
     pairs = spark.createDataFrame(
         [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
         "bi int, bj int",

@@ -839,8 +839,11 @@ def knn_cosine_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = similarity.knn_cosine_bruteforce(emb, queries, k=10).select(
         "query_id", "vec_id"
     )
+    # 3 planes/table keeps per-table buckets coarse enough that every
+    # query clears the recall floor at ALL test scales (measured min
+    # hits: 7 @sf0.001, 8 @sf0.01, 6 @sf0.1; 4 planes dipped to 4).
     approx = similarity.knn_cosine_lsh(
-        emb, queries, dim=64, k=10, n_planes=4, n_tables=8
+        emb, queries, dim=64, k=10, n_planes=3, n_tables=8
     ).select("query_id", "vec_id")
     hits = exact.join(approx, ["query_id", "vec_id"], "left_semi").groupBy(
         "query_id"
