@@ -2483,3 +2483,209 @@ def rich_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q15/Q8-style shapes (view + max scalar; share-of-total per year) and
+# training-data selection ops: deterministic content-hash splits and
+# benchmark decontamination — the selection stages of an LLM data
+# pipeline that are pure relational algebra (no model in the loop).
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "top_revenue_supplier",
+    """
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                   AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: a revenue "view" consumed twice — once for the
+    MAX scalar subquery, once for the equality filter. Spark shape:
+    ONE aggregation (shuffle on l_suppkey), its 1-row MAX cross-joined
+    back broadcast — the view is not recomputed (both consumers hang
+    off the same frame; AQE reuses the exchange). Ties all survive,
+    like the SQL. Equality on the decimal-sum→double revenue is exact:
+    both consumers read the identical aggregated value."""
+    li = read_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    net = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(net).cast("double").alias("total_revenue")
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("_max"))
+    supp = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.crossJoin(F.broadcast(max_rev))
+        .where(F.col("total_revenue") == F.col("_max"))
+        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@_q(
+    "nation_share_by_year",
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(SUM(CASE WHEN n_name = 'NATION_3'
+                    THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+           / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS mkt_share
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    GROUP BY 1
+    """,
+)
+def nation_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: share-of-total via conditional aggregation per
+    year. Both the numerator (CASE-gated) and denominator are exact
+    decimal sums cast to double before the single division — the only
+    float op, identical on both engines. One fact shuffle (the
+    groupBy); supplier/nation broadcast."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    supp = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    net = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    gated = F.when(F.col("n_name") == "NATION_3", net).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            (F.sum(gated).cast("double") / F.sum(net).cast("double"))
+            .alias("mkt_share")
+        )
+    )
+
+
+@_q(
+    "train_val_split_counts",
+    """
+    WITH assigned AS (
+        SELECT doc_id,
+               CASE WHEN substring(md5(text), 1, 1)
+                         IN ('0','1','2','3','4','5','6','7','8','9','a','b')
+                    THEN 'train' ELSE 'val' END AS split
+        FROM documents
+    )
+    SELECT split, COUNT(*) AS n_docs
+    FROM assigned GROUP BY split
+    """,
+)
+def train_val_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash train/val split — the standard
+    large-corpus pattern (split must be stable across re-runs and
+    machines, never random()): first md5 hex nibble of the CONTENT
+    buckets each doc 12/16 train, 4/16 val. Pure projection +
+    aggregation; md5 is bit-identical across engines. Splitting on
+    content (not doc_id) also keeps exact duplicates in the same
+    split — no train/val leakage through dup pairs."""
+    docs = read_table(spark, sf_dir, "documents")
+    nibble = F.substring(F.md5(F.col("text").cast("binary")), 1, 1)
+    split = F.when(
+        nibble.isin(*"0123456789ab"), F.lit("train")
+    ).otherwise(F.lit("val"))
+    return docs.select(split.alias("split")).groupBy("split").agg(
+        F.count("*").alias("n_docs")
+    )
+
+
+@_q(
+    "benchmark_contamination",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                           x -> x <> '') AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(w[1:len(w) - 2],
+                      (x, i) -> x || ' ' || w[i + 1] || ' ' || w[i + 2]))
+                   AS shingle
+        FROM toks
+    ),
+    bench AS (SELECT shingle FROM sh WHERE doc_id < 10),
+    hits AS (
+        SELECT s.doc_id, COUNT(DISTINCT s.shingle) AS overlap
+        FROM sh s JOIN (SELECT DISTINCT shingle FROM bench) b
+          ON s.shingle = b.shingle
+        WHERE s.doc_id >= 10
+        GROUP BY s.doc_id
+    ),
+    sizes AS (
+        SELECT doc_id, COUNT(*) AS n_shingles FROM sh
+        WHERE doc_id >= 10 GROUP BY doc_id
+    )
+    SELECT h.doc_id, h.overlap,
+           ROUND(h.overlap / z.n_shingles, 4) AS contamination
+    FROM hits h JOIN sizes z ON h.doc_id = z.doc_id
+    WHERE h.overlap / z.n_shingles >= 0.1
+    """,
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs whose 3-gram
+    shingle overlap with a benchmark set (here: doc_id < 10) exceeds
+    a contamination threshold (10% — 8 flagged docs at sf0.01, 59 at
+    sf0.1: discriminating, not vacuous) — the screen every serious training
+    corpus runs before training. Shape: benchmark shingles are a
+    broadcast semi-joinable set (benchmarks are tiny vs the corpus);
+    overlap is a distinct-count per doc, one shuffle on doc_id.
+    Int/int division is exact in double for these magnitudes —
+    identical in both engines."""
+    docs = read_table(spark, sf_dir, "documents")
+    sh = dedup.word_shingles(docs, "doc_id", "text", n=3)
+    bench = sh.where(F.col("doc_id") < 10).select("shingle").distinct()
+    corpus = sh.where(F.col("doc_id") >= 10)
+    hits = (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("shingle").alias("overlap"))
+    )
+    sizes = corpus.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    return (
+        hits.join(sizes, "doc_id")
+        .where(F.col("overlap") / F.col("n_shingles") >= 0.1)
+        .select(
+            "doc_id",
+            "overlap",
+            F.round(F.col("overlap") / F.col("n_shingles"), 4)
+            .alias("contamination"),
+        )
+    )
