@@ -60,6 +60,18 @@ BENCH_QUERIES = [
     "embedding_near_dup",
 ]
 
+# Added in round 2 — benched for per-query visibility, but kept out of
+# the r1-comparable subtotal (BENCH_r01 is the 30-query baseline).
+BENCH_QUERIES_R2 = [
+    "min_cost_supplier",
+    "sole_late_suppliers",
+    "bulk_suppliers",
+    "nation_share_by_year",
+    "top_revenue_supplier",
+    "train_val_split_counts",
+    "benchmark_contamination",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -94,7 +106,7 @@ def main() -> None:
     # plan compilation + codegen; the repeat measures steady-state
     # engine throughput (what a warm cluster delivers).
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    for name in BENCH_QUERIES + BENCH_QUERIES_R2:
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
@@ -105,6 +117,7 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    base_total = round(sum(timings[n] for n in BENCH_QUERIES), 3)
     print(
         json.dumps(
             {
@@ -113,6 +126,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                # Apples-to-apples vs BENCH_r01: the original 30-query
+                # subtotal (r2 added 7 queries; totals aren't comparable).
+                "r01_comparable_subtotal": base_total,
             }
         )
     )
