@@ -2710,3 +2710,115 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("contamination"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Null-aware NOT IN (the semantics trap), GROUPING SETS, and a
+# bound-checked approximate percentile — relational breadth r2.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "not_in_null_semantics",
+    """
+    SELECT 'null_poisoned' AS variant, COUNT(*) AS n
+    FROM customer
+    WHERE c_custkey NOT IN (
+        SELECT CASE WHEN s_acctbal < 0 THEN NULL ELSE s_suppkey END
+        FROM supplier
+    )
+    UNION ALL
+    SELECT 'null_free' AS variant, COUNT(*) AS n
+    FROM customer
+    WHERE c_custkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal >= 0
+    )
+    """,
+)
+def not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN with a nullable in-list — the classic three-valued-logic
+    trap: ONE null in the subquery makes `x NOT IN (...)` never-true,
+    so the poisoned variant counts 0 while the null-free variant
+    counts real rows. Expressed through the engine's SQL surface
+    (spark.sql) because this is precisely where DataFrame `left_anti`
+    is WRONG — Catalyst plans a null-aware anti join
+    (BroadcastNestedLoop under the hood) only from the SQL form.
+    Both variants in one result so the driver check is
+    discriminating, not a vacuous 0-row match."""
+    read_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    read_table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    return spark.sql(
+        """
+        SELECT 'null_poisoned' AS variant, COUNT(*) AS n
+        FROM customer
+        WHERE c_custkey NOT IN (
+            SELECT CASE WHEN s_acctbal < 0 THEN NULL ELSE s_suppkey END
+            FROM supplier
+        )
+        UNION ALL
+        SELECT 'null_free' AS variant, COUNT(*) AS n
+        FROM customer
+        WHERE c_custkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal >= 0
+        )
+        """
+    )
+
+
+@_q(
+    "status_priority_grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                            (o_orderstatus, o_orderpriority))
+    """,
+)
+def status_priority_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (beyond rollup/cube, which are its
+    special cases): per-status, per-priority, and per-pair aggregates
+    in one pass — Spark expands to a single Expand + hash aggregate,
+    not three scans."""
+    orders = read_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_price
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority))
+        """
+    )
+
+
+@_q(
+    "approx_value_percentiles",
+    """
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 4) AS exact_p50,
+           TRUE AS approx_within
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (t-digest-style sketch), bound-checked like
+    the HLL query: the sketch value is engine-specific, but
+    |approx − exact| ≤ 2% of the per-group value RANGE is portable —
+    emitted as a boolean next to the exact percentile. At 100 TB the
+    sketch is the only option (exact percentile is a full sort);
+    the bound is what makes it trustworthy."""
+    ev = read_table(spark, sf_dir, "events")
+    exact = F.expr("percentile(value, 0.5)")
+    approx = F.expr("approx_percentile(value, 0.5, 10000)")
+    rng = F.max("value") - F.min("value")
+    return ev.groupBy("event_type").agg(
+        F.round(exact, 4).alias("exact_p50"),
+        (F.abs(approx - exact) <= 0.02 * rng).alias("approx_within"),
+    )
