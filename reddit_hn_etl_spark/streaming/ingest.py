@@ -330,6 +330,41 @@ def running_user_totals(
     )
 
 
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    left_ts: str = "l_ts",
+    right_ts: str = "r_ts",
+    max_gap: str = "15 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join within a time interval: right events
+    within ``[left_ts, left_ts + max_gap]`` per key — the streaming
+    form of the batch interval join (operators/joins.py), e.g.
+    "purchase followed by an error within 15 minutes".
+
+    Both sides carry watermarks and the join condition bounds the
+    event-time skew, which is what lets the engine EVICT buffered
+    state for rows past `watermark + max_gap` — without the time
+    bound a stream-stream join's state grows forever. Works on batch
+    frames too (same condition, no state).
+    """
+    lw = left.withWatermark(left_ts, watermark) if left.isStreaming else left
+    rw = right.withWatermark(right_ts, watermark) if right.isStreaming else right
+    gap = F.expr(f"INTERVAL {max_gap}")
+    return lw.alias("l").join(
+        rw.alias("r"),
+        (F.col(f"l.{key_col}") == F.col(f"r.{key_col}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + gap),
+    ).select(
+        F.col(f"l.{key_col}").alias(key_col),
+        F.col(f"l.{left_ts}").alias(left_ts),
+        F.col(f"r.{right_ts}").alias(right_ts),
+    )
+
+
 def dedup_stream_within_watermark(
     events: DataFrame,
     keys: list[str],

@@ -143,3 +143,46 @@ def test_late_data_dropped_by_watermark(spark, tmp_path):
     # the 10:00 window emitted exactly once with 2 events; the late
     # row (event 4) did not create a duplicate/updated emission
     assert rows.get("2024-01-01 10:00:00") == 2
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Stream-stream join with watermarks: right events within the
+    interval pair up; out-of-interval events don't; results match the
+    identical batch-mode join (same code path, no state)."""
+    import json
+
+    lsrc = tmp_path / "purchases"
+    rsrc = tmp_path / "errors"
+    lsrc.mkdir(); rsrc.mkdir()
+    out = tmp_path / "joined"
+    ckpt = str(tmp_path / "ckpt_ss")
+
+    with open(lsrc / "l1.jsonl", "w", encoding="utf-8") as f:
+        for uid, ts in [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 10:00:00")]:
+            f.write(json.dumps({"user_id": uid, "l_ts": ts}) + "\n")
+    with open(rsrc / "r1.jsonl", "w", encoding="utf-8") as f:
+        for uid, ts in [
+            (1, "2024-01-01 10:10:00"),   # within 15m of user 1 purchase
+            (1, "2024-01-01 11:00:00"),   # outside the interval
+            (2, "2024-01-01 09:59:00"),   # before the purchase → no match
+        ]:
+            f.write(json.dumps({"user_id": uid, "r_ts": ts}) + "\n")
+
+    lstream = spark.readStream.schema("user_id long, l_ts timestamp").json(str(lsrc))
+    rstream = spark.readStream.schema("user_id long, r_ts timestamp").json(str(rsrc))
+    joined = ingest.interval_join_streams(lstream, rstream)
+    q = (joined.writeStream.format("parquet")
+         .option("path", str(out)).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {(r.user_id, str(r.l_ts), str(r.r_ts))
+           for r in spark.read.parquet(str(out)).collect()}
+    assert got == {(1, "2024-01-01 10:00:00", "2024-01-01 10:10:00")}
+
+    # Batch-mode equivalence: same operator, batch frames.
+    lb = spark.read.schema("user_id long, l_ts timestamp").json(str(lsrc))
+    rb = spark.read.schema("user_id long, r_ts timestamp").json(str(rsrc))
+    batch = {(r.user_id, str(r.l_ts), str(r.r_ts))
+             for r in ingest.interval_join_streams(lb, rb).collect()}
+    assert batch == got
