@@ -2692,17 +2692,29 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical in both engines."""
     docs = read_table(spark, sf_dir, "documents")
     sh = dedup.word_shingles(docs, "doc_id", "text", n=3)
-    bench = sh.where(F.col("doc_id") < 10).select("shingle").distinct()
-    corpus = sh.where(F.col("doc_id") >= 10)
-    hits = (
-        corpus.join(F.broadcast(bench), "shingle")
-        .groupBy("doc_id")
-        .agg(F.countDistinct("shingle").alias("overlap"))
+    bench = (
+        sh.where(F.col("doc_id") < 10)
+        .select("shingle")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
     )
-    sizes = corpus.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    # One pass over the exploded corpus: left-join the (distinct,
+    # broadcast) benchmark shingle set as an indicator, then overlap
+    # and size come from the SAME groupBy — shingles are distinct per
+    # doc already (word_shingles), so count(_hit) == distinct overlap.
+    # (The first cut computed hits and sizes as two aggregations over
+    # two explode passes — 2x the dominant cost.)
+    corpus = sh.where(F.col("doc_id") >= 10)
+    agg = (
+        corpus.join(F.broadcast(bench), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count("_hit").alias("overlap"),
+        )
+    )
     return (
-        hits.join(sizes, "doc_id")
-        .where(F.col("overlap") / F.col("n_shingles") >= 0.1)
+        agg.where(F.col("overlap") / F.col("n_shingles") >= 0.1)
         .select(
             "doc_id",
             "overlap",
