@@ -33,10 +33,15 @@ def connected_components(
 
     Deterministic: labels are ids, min is order-free.
     """
+    # Materialize the symmetric edge set ONCE: it is re-read every
+    # round, and `edges` may itself be an expensive pipeline (the
+    # near-dup candidate join in curate_documents) that must not be
+    # recomputed per iteration.
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = sym.select(F.col("u").alias("vertex")).distinct().select(
         "vertex", F.col("vertex").alias("component")
@@ -52,15 +57,19 @@ def connected_components(
             .groupBy("vertex")
             .agg(F.min("component").alias("component"))
         )
-        # converged when no vertex changed label
+        # Checkpoint FIRST (one materialization, cut lineage), then
+        # run the convergence probe against the materialized frame —
+        # probing the un-checkpointed plan re-ran the whole round's
+        # join a second time.
+        new_labels = neigh.localCheckpoint(eager=True)
         changed = (
-            neigh.alias("n")
+            new_labels.alias("n")
             .join(labels.alias("l"), on="vertex")
             .where(F.col("n.component") != F.col("l.component"))
             .limit(1)
             .count()
         )
-        labels = neigh.localCheckpoint(eager=True)  # cut lineage per round
+        labels = new_labels
         if changed == 0:
             break
     return labels
