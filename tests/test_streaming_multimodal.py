@@ -226,3 +226,35 @@ def test_resize_images(spark, media_df):
     other = {x.media_id: x for x in mm.resize_images(media_df, 64, 64).collect()}
     assert bytes(again[0].payload) == bytes(r.payload)
     assert bytes(other[0].payload) != bytes(r.payload)
+
+
+def test_stream_swap_recovers_from_crash_artifacts(spark, tmp_path):
+    """ADVICE r1: a crash between the two swap renames leaves
+    '<staging>_old' / '<staging>_b<N>' behind; the next run must
+    pre-clean them instead of raising on os.rename."""
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    staging = str(tmp_path / "staging")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_jsonl(raw / "hn_raw_20240115_000000.json", [
+        {"id": 1, "type": "story", "by": "a", "time": T_BASE,
+         "title": "t1", "score": 1},
+    ])
+    # Simulate leftovers from a previous crashed run.
+    import os
+    os.makedirs(staging + "_old")
+    (tmp_path / "staging_old" / "junk.txt").write_text("stale")
+    os.makedirs(staging + "_b0")
+    (tmp_path / "staging_b0" / "junk.txt").write_text("stale")
+
+    q = ingest.stream_merge_to_staging(
+        ingest.read_raw_stream(spark, str(raw)), staging, ckpt,
+        available_now=True,
+    )
+    q.awaitTermination(120)
+
+    got = {r.id for r in spark.read.parquet(staging).collect()}
+    assert got == {1}
+    assert not os.path.isdir(staging + "_old")
+    assert not os.path.isdir(staging + "_b0")
