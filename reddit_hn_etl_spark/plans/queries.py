@@ -2834,3 +2834,132 @@ def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(exact, 4).alias("exact_p50"),
         (F.abs(approx - exact) <= 0.02 * rng).alias("approx_within"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series depth r2: forward fill (LOCF), RANGE window frames, and
+# calendar gap detection — the ops a metrics/observability user runs
+# daily that plain aggregates don't cover.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "forward_fill_values",
+    """
+    SELECT event_id, user_id,
+           last_value(CASE WHEN event_type = 'error' THEN NULL
+                           ELSE value END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS value_filled
+    FROM events
+    """,
+)
+def forward_fill_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill / LOCF: error readings are gaps (NULL) carried
+    over by the last observed value per user — ``last(...,
+    ignorenulls=True)`` over an unbounded-preceding frame. The
+    standard sensor-gap repair; one shuffle on the partition key,
+    total order (ts, event_id) for determinism. Values pass through
+    unfilled or copied — no arithmetic, so parity is exact."""
+    ev = read_table(spark, sf_dir, "events")
+    gap = F.when(F.col("event_type") == "error", F.lit(None)).otherwise(
+        F.col("value")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.last(gap, ignorenulls=True).over(w).alias("value_filled"),
+    )
+
+
+@_q(
+    "value_range_frame_sums",
+    """
+    SELECT event_id, event_type, value,
+           CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                OVER (PARTITION BY event_type ORDER BY value
+                      RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS near_value_sum
+    FROM events
+    """,
+)
+def value_range_frame_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame (value-based, not row-based): per event
+    type, the sum of all values within 5 units below the current
+    row's value. RANGE frames include ORDER-BY peers, so the result
+    is deterministic even with duplicate values — the reason to
+    prefer RANGE over ROWS when the frame is defined by the data, not
+    position. Decimal window sum for cross-engine exactness."""
+    ev = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rangeBetween(-5, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("near_value_sum"),
+    )
+
+
+@_q(
+    "user_missing_days",
+    """
+    WITH active AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    eligible AS (
+        SELECT user_id FROM active GROUP BY user_id HAVING COUNT(*) >= 25
+    ),
+    spine AS (
+        SELECT CAST(unnest(generate_series(DATE '2024-01-01',
+                                           DATE '2024-01-30',
+                                           INTERVAL 1 DAY)) AS DATE) AS d
+    )
+    SELECT e.user_id, s.d AS missing_date
+    FROM eligible e CROSS JOIN spine s
+    LEFT JOIN active a ON a.user_id = e.user_id AND a.d = s.d
+    WHERE a.user_id IS NULL
+    """,
+)
+def user_missing_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap detection: for near-daily-active users (≥25
+    active days in the window), which days are MISSING — a date-spine
+    cross join anti-joined with observed activity. The spine is a
+    tiny generated literal (broadcast); the anti join shuffles on
+    (user_id, date). The canonical "find the holes" time-series op
+    that pure aggregation cannot express."""
+    ev = read_table(spark, sf_dir, "events")
+    active = ev.select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct()
+    eligible = (
+        active.groupBy("user_id").agg(F.count("*").alias("_days"))
+        .where(F.col("_days") >= 25)
+        .select("user_id")
+    )
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("date"),
+                F.lit("2024-01-30").cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("d")
+    )
+    return (
+        eligible.crossJoin(F.broadcast(spine))
+        .join(active, ["user_id", "d"], "left_anti")
+        .select("user_id", F.col("d").alias("missing_date"))
+    )
