@@ -46,6 +46,22 @@ AUDIT_SCHEMA = T.StructType(
 )
 
 
+def latest_state(raw: DataFrame) -> DataFrame:
+    """Last-writer-wins resolution over an append-only manifest: the
+    newest finished record per run_id wins; an unfinished ``running``
+    row only surfaces while no terminal row exists. Status is the
+    deterministic tie-break (success > running > failed lexically
+    DESC) for same-timestamp records."""
+    w = Window.partitionBy("run_id").orderBy(
+        F.desc_nulls_last("finished_at"), F.desc("status")
+    )
+    return (
+        raw.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 @dataclass
 class AuditRecord:
     run_id: str
@@ -142,14 +158,7 @@ class AuditLog:
         """Latest record per run_id (the mutable-table view of the
         append-only log)."""
         raw = self.spark.read.schema(AUDIT_SCHEMA).parquet(self.path)
-        w = Window.partitionBy("run_id").orderBy(
-            F.desc_nulls_last("finished_at"), F.desc("status")
-        )
-        return (
-            raw.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .drop("_rn")
-        )
+        return latest_state(raw)
 
     def history(self) -> DataFrame:
         return self.spark.read.schema(AUDIT_SCHEMA).parquet(self.path)

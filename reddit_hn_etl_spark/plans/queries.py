@@ -2963,3 +2963,617 @@ def user_missing_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(active, ["user_id", "d"], "left_anti")
         .select("user_id", F.col("d").alias("missing_date"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Completing the TPC-H shape family. With these, every one of the 22
+# TPC-H query archetypes has a representative (adapted to this schema:
+# no partsupp/commitdate/shipmode columns):
+#   Q1 pricing_summary, Q2 min_cost_supplier, Q3 shipping_priority,
+#   Q4 order_priority_check, Q5 local_supplier_volume,
+#   Q6 revenue_forecast, Q7 volume_shipping, Q8 nation_share_by_year,
+#   Q9 product_type_profit, Q10 returned_item_revenue,
+#   Q11 brand_value_concentration, Q12 conditional_agg (CASE-count),
+#   Q13 customer_order_distribution, Q14 promo_revenue_share,
+#   Q15 top_revenue_supplier, Q16 part_supplier_counts,
+#   Q17 small_qty_revenue, Q18 large_volume_orders,
+#   Q19 disjunctive_part_revenue, Q20 bulk_suppliers,
+#   Q21 sole_late_suppliers, Q22 rich_idle_customers.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "order_priority_check",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """,
+)
+def order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS-gated count by category → left-semi join
+    then hash agg. The lineitem side is pre-filtered and projected to
+    the join key only, so the semi join shuffles the minimal column
+    set; the agg is partial+final on a 5-value grouping key."""
+    orders = read_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    ).select("o_orderkey", "o_orderpriority")
+    returned = (
+        read_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey,
+                    "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@_q(
+    "revenue_forecast",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+)
+def revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter+scalar agg — the canonical
+    predicate-pushdown showcase. All four predicates reach the parquet
+    scan (PushedFilters); only 4 columns are read. n_lines is emitted
+    alongside so a vacuous empty-filter result would be visible."""
+    li = read_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * F.col(
+        "l_discount"
+    ).cast("decimal(18,2)")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@_q(
+    "volume_shipping",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INT) AS l_year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS revenue
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation n1 ON n1.n_nationkey = s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c_nationkey
+    WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_4')
+       OR (n1.n_name = 'NATION_4' AND n2.n_name = 'NATION_3')
+    GROUP BY 1, 2, 3
+    """,
+)
+def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bidirectional two-nation trade volume. The
+    nation table joins twice under different roles (supplier side /
+    customer side) — both broadcast; the disjunctive nation-pair
+    predicate lands after both joins and AQE prunes the fact side.
+    orders and customer stay shuffle-side (fact-sized at scale)."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+        "l_shipdate",
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    supp = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    n1 = nation.select(
+        F.col("n_nationkey").alias("_n1key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("_n2key"), F.col("n_name").alias("cust_nation")
+    )
+    net = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_4")
+    ) | (
+        (F.col("supp_nation") == "NATION_4") & (F.col("cust_nation") == "NATION_3")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("_n1key"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("_n2key"))
+        .where(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(F.sum(net).cast("double").alias("revenue"))
+    )
+
+
+@_q(
+    "product_type_profit",
+    """
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS profit
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    """,
+)
+def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation × order year for a
+    name-pattern part subset (no ps_supplycost in this schema, so
+    profit = net revenue). part is filtered BEFORE its broadcast —
+    the LIKE prunes ~1/8 of parts, and the join then prunes the fact
+    scan via AQE; supplier/nation broadcast; orders stays
+    shuffle-side."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+        "l_discount",
+    )
+    part = read_table(spark, sf_dir, "part").where(
+        F.col("p_name").like("%widget%")
+    ).select("p_partkey")
+    supp = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    net = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            "nation", F.year("o_orderdate").cast("int").alias("o_year")
+        )
+        .agg(F.sum(net).cast("double").alias("profit"))
+    )
+
+
+@_q(
+    "returned_item_revenue",
+    """
+    SELECT c_custkey, c_name, c_acctbal, n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS revenue
+    FROM customer
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON n_nationkey = c_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-07-01'
+      AND l_returnflag = 'R'
+    GROUP BY 1, 2, 3, 4
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: lost-revenue ranking — fact-fact join chain,
+    group by customer, global top-20 (TakeOrderedAndProject, no full
+    sort). Ties on the exact decimal-sum revenue break by c_custkey,
+    so the top-20 set is deterministic on both engines."""
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    orders = read_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-07-01")
+    ).select("o_orderkey", "o_custkey")
+    li = read_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    nation = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    net = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(net).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@_q(
+    "promo_revenue_share",
+    """
+    SELECT CAST(100.0 AS DOUBLE)
+           * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                      THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                           * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+           / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS promo_revenue_pct,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l_shipdate <  TIMESTAMP '1996-10-01'
+    """,
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-sum ratio after a dim join. Both
+    sums are exact decimals cast to double; the percent division is
+    the single float op (identical on both engines). part broadcasts;
+    the month filter is pushed to the fact scan."""
+    li = read_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-09-01")
+        & (F.col("l_shipdate") < "1996-10-01")
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    net = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    promo = F.when(F.col("p_type") == "PROMO", net).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(net).cast("double")
+            ).alias("promo_revenue_pct"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@_q(
+    "small_qty_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+               AS avg_yearly,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#7'
+      AND l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
+                        FROM lineitem l2
+                        WHERE l2.l_partkey = lineitem.l_partkey)
+    """,
+)
+def small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated per-group average → decorrelated as
+    a window AVG over l_partkey (one shuffle, no self-join). Float
+    safety: quantities are integer-valued doubles, so the window
+    SUM/COUNT — and hence AVG — are exact in both engines regardless
+    of accumulation order; the 0.5× comparison is then deterministic."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    part = read_table(spark, sf_dir, "part").where(
+        F.col("p_brand") == "Brand#7"
+    ).select("p_partkey")
+    w = Window.partitionBy("l_partkey")
+    flagged = li.withColumn("_avg_qty", F.avg("l_quantity").over(w))
+    return (
+        flagged.where(F.col("l_quantity") < 0.5 * F.col("_avg_qty"))
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                .cast("double") / 7.0
+            ).alias("avg_yearly"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@_q(
+    "disjunctive_part_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+           AND l_quantity >= 10 AND l_quantity <= 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+           AND l_quantity >= 20 AND l_quantity <= 40)
+    """,
+)
+def disjunctive_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs spanning both join sides. Catalyst
+    pushes the derivable single-side residuals (quantity 1-40, the
+    brand/size union) below the join while keeping the cross-side
+    disjunction as the join filter — the plan to check in
+    EXPLAINS.md."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = read_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    q = F.col("l_quantity")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & (q >= 1) & (q <= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & (q >= 10) & (q <= 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(20, 50)
+            & (q >= 20) & (q <= 40)
+        )
+    )
+    net = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .where(cond)
+        .agg(
+            F.sum(net).cast("double").alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Verification depth for previously rows-only surfaces (r2 cont.):
+# the curation pipeline's SQL-expressible stage funnel, a planted-pair
+# recall bound for simhash, and the audit last-writer-wins view over a
+# deterministic literal fixture.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "curation_funnel",
+    f"""
+    WITH oq AS ({ORACLES["doc_quality"]}),
+    ol AS ({ORACLES["doc_lang_id"]}),
+    corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text FROM documents
+        WHERE doc_id < 25
+    ),
+    keep AS (SELECT MIN(doc_id) AS doc_id FROM corpus GROUP BY md5(text)),
+    ann AS (
+        SELECT c.doc_id, oq.quality_score, ol.lang_pred,
+               k.doc_id IS NOT NULL AS is_keep
+        FROM corpus c
+        JOIN oq ON oq.doc_id = CASE WHEN c.doc_id >= 1000000
+                                    THEN c.doc_id - 1000000 ELSE c.doc_id END
+        JOIN ol ON ol.doc_id = CASE WHEN c.doc_id >= 1000000
+                                    THEN c.doc_id - 1000000 ELSE c.doc_id END
+        LEFT JOIN keep k ON k.doc_id = c.doc_id
+    )
+    SELECT COUNT(*) AS n_input,
+           CAST(SUM(CASE WHEN quality_score >= 0.82 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_quality_pass,
+           CAST(SUM(CASE WHEN lang_pred = 'en' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_lang_en_total,
+           CAST(SUM(CASE WHEN quality_score >= 0.82 AND lang_pred = 'en'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_pass,
+           CAST(SUM(CASE WHEN quality_score >= 0.82 AND lang_pred = 'en'
+                         AND is_keep
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_survivors
+    FROM ann
+    """,
+)
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage survivor counts of the curation pipeline's
+    SQL-expressible prefix (quality gate → language filter → exact
+    dedup), built from the SAME building blocks `curate_corpus` chains
+    (functions/text.quality_features, lang_id; operators/dedup.
+    dedup_exact) — so the driver hash-checks the pipeline stages
+    themselves, not a parallel reimplementation. 25 planted exact
+    duplicates make the dedup stage non-vacuous at every scale (the
+    raw data has natural dups only at sf0.1). Only the minhash
+    near-dup stage stays rows-only (hash-family, in
+    `curate_documents`). One projection + one hash shuffle (the md5
+    groupBy) + one broadcast-able keep-set join: scales linearly.
+
+    On this synthetic data every quality>=0.82 doc is also 'en', so
+    the cumulative n_lang_pass alone could not catch a broken lang
+    stage; n_lang_en_total checks the language axis independently."""
+    docs = read_table(spark, sf_dir, "documents")
+    planted = docs.where(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    corpus = docs.select("doc_id", "text").unionByName(planted)
+    src_id = F.when(
+        F.col("doc_id") >= 1000000, F.col("doc_id") - 1000000
+    ).otherwise(F.col("doc_id"))
+    feats = textfn.quality_features(docs, "doc_id", "text").select(
+        F.col("doc_id").alias("_fid"), "quality_score"
+    )
+    keep = dedup.dedup_exact(corpus, ["text"], "doc_id").select(
+        F.col("keep_doc_id").alias("_kid"), F.lit(True).alias("_is_keep")
+    )
+    ann = (
+        corpus.withColumn("_sid", src_id)
+        .join(feats, F.col("_sid") == F.col("_fid"))
+        .withColumn("lang_pred", textfn.lang_id("text"))
+        .join(keep, F.col("doc_id") == F.col("_kid"), "left")
+        .withColumn("_is_keep", F.coalesce("_is_keep", F.lit(False)))
+    )
+    q_pass = F.col("quality_score") >= 0.82
+    l_pass = q_pass & (F.col("lang_pred") == "en")
+    one = F.lit(1)
+    zero = F.lit(0)
+    return ann.agg(
+        F.count("*").alias("n_input"),
+        F.sum(F.when(q_pass, one).otherwise(zero)).alias("n_quality_pass"),
+        F.sum(F.when(F.col("lang_pred") == "en", one).otherwise(zero)).alias(
+            "n_lang_en_total"
+        ),
+        F.sum(F.when(l_pass, one).otherwise(zero)).alias("n_lang_pass"),
+        F.sum(F.when(l_pass & F.col("_is_keep"), one).otherwise(zero)).alias(
+            "n_exact_survivors"
+        ),
+    )
+
+
+@_q(
+    "simhash_planted_recall",
+    """
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text FROM documents
+        WHERE doc_id < 25
+    ),
+    h AS (SELECT doc_id, md5(text) AS hh FROM corpus)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, TRUE AS found
+    FROM h a JOIN h b ON a.hh = b.hh AND a.doc_id < b.doc_id
+    """,
+)
+def simhash_planted_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall bound for the simhash pipeline (NOTES_r2 candidate):
+    every identical-content pair (25 planted + any natural md5 dups)
+    MUST surface from simhash_near_pairs — identical text ⇒ identical
+    fingerprint ⇒ hamming 0, and the pigeonhole blocking ALWAYS emits
+    a hamming-0 pair (all chunks agree). The oracle enumerates the
+    expected pair set relationally; extra near-pairs the hash family
+    finds are out of scope (that direction is data-dependent, pinned
+    by tests/test_dedup_similarity.py). Keeps `doc_simhash_pairs`
+    rows-only for the unbounded variant."""
+    docs = read_table(spark, sf_dir, "documents")
+    planted = docs.where(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    corpus = docs.select("doc_id", "text").unionByName(planted)
+    hashed = corpus.select("doc_id", F.md5("text").alias("_h"))
+    a = hashed.select(F.col("doc_id").alias("doc_a"), F.col("_h"))
+    b = hashed.select(F.col("doc_id").alias("doc_b"), F.col("_h"))
+    expected = a.join(b, "_h").where(F.col("doc_a") < F.col("doc_b")).select(
+        "doc_a", "doc_b"
+    )
+    found = dedup.simhash_near_pairs(
+        corpus, "doc_id", "text", max_hamming=0, blocks=8
+    ).select("doc_a", "doc_b", F.lit(True).alias("_found"))
+    return expected.join(found, ["doc_a", "doc_b"], "left").select(
+        "doc_a", "doc_b", F.coalesce("_found", F.lit(False)).alias("found")
+    )
+
+
+@_q(
+    "audit_current_state",
+    """
+    WITH raw(run_id, phase, started_at, finished_at, status,
+             rows_copied, error_message) AS (
+        VALUES
+        ('r1', 'load',  TIMESTAMP '2024-01-01 10:00:00',
+         CAST(NULL AS TIMESTAMP), 'running',
+         CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)),
+        ('r1', 'load',  TIMESTAMP '2024-01-01 10:00:00',
+         TIMESTAMP '2024-01-01 10:05:00', 'success',
+         CAST(100 AS BIGINT), CAST(NULL AS VARCHAR)),
+        ('r2', 'merge', TIMESTAMP '2024-01-01 11:00:00',
+         CAST(NULL AS TIMESTAMP), 'running',
+         CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)),
+        ('r2', 'merge', TIMESTAMP '2024-01-01 11:00:00',
+         TIMESTAMP '2024-01-01 11:02:00', 'failed',
+         CAST(NULL AS BIGINT), 'boom'),
+        ('r3', 'mart',  TIMESTAMP '2024-01-01 12:00:00',
+         CAST(NULL AS TIMESTAMP), 'running',
+         CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR))
+    )
+    SELECT run_id, phase, started_at, finished_at, status,
+           rows_copied, error_message
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY run_id
+            ORDER BY finished_at DESC NULLS LAST, status DESC) AS rn
+        FROM raw
+    ) t WHERE rn = 1
+    """,
+)
+def audit_current_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audit log's last-writer-wins view (K5) over a deterministic
+    literal fixture: a finished run (success), a failed run, and an
+    in-flight run. Exercises audit.latest_state — the exact window the
+    production view uses — against a relational oracle (NOTES_r2
+    candidate). sf-independent by design: the contract under test is
+    the state-resolution semantics, not table contents."""
+    import datetime as dt
+
+    from .. import audit as auditmod
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    rows = [
+        ("r1", "load", dt.datetime(2024, 1, 1, 10, 0), None, "running",
+         None, None),
+        ("r1", "load", dt.datetime(2024, 1, 1, 10, 0),
+         dt.datetime(2024, 1, 1, 10, 5), "success", 100, None),
+        ("r2", "merge", dt.datetime(2024, 1, 1, 11, 0), None, "running",
+         None, None),
+        ("r2", "merge", dt.datetime(2024, 1, 1, 11, 0),
+         dt.datetime(2024, 1, 1, 11, 2), "failed", None, "boom"),
+        ("r3", "mart", dt.datetime(2024, 1, 1, 12, 0), None, "running",
+         None, None),
+    ]
+    schema = (
+        "run_id string, phase string, started_at timestamp, "
+        "finished_at timestamp, status string, rows_copied long, "
+        "error_message string"
+    )
+    raw = spark.createDataFrame(rows, schema=schema)
+    return auditmod.latest_state(raw)

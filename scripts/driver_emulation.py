@@ -60,6 +60,11 @@ def rowset(cols, rows):
 
 qs = e.queries()
 oracles = e.oracle_sql()
+if len(sys.argv) > 2:  # optional comma-separated subset for iteration
+    only = set(sys.argv[2].split(","))
+    missing = only - set(qs)
+    assert not missing, f"unknown query names: {missing}"
+    qs = {k: v for k, v in qs.items() if k in only}
 print(f"{len(qs)} queries, {len(oracles)} with oracles")
 fails = 0
 for name, fn in sorted(qs.items()):
