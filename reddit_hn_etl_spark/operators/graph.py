@@ -47,6 +47,7 @@ def connected_components(
         "vertex", F.col("vertex").alias("component")
     )
 
+    prev_sum: int | None = None
     for _ in range(max_iter):
         # neighbor-min pass: smallest label among each vertex's
         # neighborhood (including itself)
@@ -58,20 +59,20 @@ def connected_components(
             .agg(F.min("component").alias("component"))
         )
         # Checkpoint FIRST (one materialization, cut lineage), then
-        # run the convergence probe against the materialized frame —
-        # probing the un-checkpointed plan re-ran the whole round's
-        # join a second time.
+        # probe convergence on the materialized frame. Labels are
+        # monotone non-increasing (min over a set that includes the
+        # current label), so Σcomponent is strictly decreasing until
+        # the fixpoint: an unchanged sum IS convergence. That makes
+        # the probe a single scalar aggregate over the checkpointed
+        # frame instead of a labels⋈labels diff join per round.
         new_labels = neigh.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("l"), on="vertex")
-            .where(F.col("n.component") != F.col("l.component"))
-            .limit(1)
-            .count()
-        )
+        new_sum = new_labels.agg(
+            F.sum("component").cast("long").alias("s")
+        ).collect()[0]["s"]
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels
 
 

@@ -3577,3 +3577,232 @@ def audit_current_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     raw = spark.createDataFrame(rows, schema=schema)
     return auditmod.latest_state(raw)
+
+
+# ---------------------------------------------------------------------------
+# Training-data preparation ops, continued: chunking long documents
+# into overlapping context windows, sharding a corpus into
+# ~fixed-token-budget files, deterministic stratified / fixed-k
+# sampling, and PII redaction. All are pure projections or single
+# window/shuffle plans — the shapes a 100 TB pretraining pipeline
+# runs daily.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "doc_chunking",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\s+'),
+                           x -> x <> '') AS w
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST((start - 1) / 40 AS INTEGER) AS chunk_idx,
+           array_to_string(w[start:start + 49], ' ') AS chunk_text,
+           CAST(least(50, len(w) - start + 1) AS INTEGER) AS n_chunk_tokens
+    FROM toks, unnest(generate_series(1, len(w), 40)) AS t(start)
+    """,
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking: split each document into 50-token
+    windows with stride 40 (10-token overlap) — the standard
+    long-document → context-window preprocessing step. Pure
+    projection: tokenize once, explode a generated start-offset
+    sequence, slice. No shuffle at all; scales embarrassingly."""
+    docs = read_table(spark, sf_dir, "documents")
+    w = F.filter(F.split(F.trim("text"), r"\s+"), lambda x: x != "")
+    toks = docs.select("doc_id", w.alias("w"))
+    return (
+        toks.where(F.size("w") > 0)
+        .select(
+            "doc_id",
+            "w",
+            F.explode(
+                F.sequence(F.lit(1), F.size("w"), F.lit(40))
+            ).alias("start"),
+        )
+        .select(
+            "doc_id",
+            ((F.col("start") - 1) / 40).cast("int").alias("chunk_idx"),
+            F.array_join(F.slice("w", F.col("start"), 50), " ").alias(
+                "chunk_text"
+            ),
+            F.least(F.lit(50), F.size("w") - F.col("start") + 1)
+            .cast("int")
+            .alias("n_chunk_tokens"),
+        )
+    )
+
+
+@_q(
+    "pack_token_budget",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))
+                   AS n_tok
+        FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, n_tok,
+               SUM(n_tok) OVER (ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS running
+        FROM toks
+    )
+    SELECT CAST((running - 1) // 2000 AS BIGINT) AS shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS shard_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM cum
+    GROUP BY 1
+    """,
+)
+def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus sharding by token budget: assign docs (in stable doc_id
+    order) to ~2000-BPE-token shards via a running token sum — how a
+    pretraining exporter cuts a corpus into fixed-budget files.
+
+    The unpartitioned running sum is a single-partition window — fine
+    for a per-shard manifest, but at 100 TB the prefix sum would be
+    computed hierarchically (per-partition sums → cumulative offsets
+    broadcast back; same algebra, two small shuffles). Documented
+    trade-off, not an accident."""
+    docs = read_table(spark, sf_dir, "documents")
+    n_tok = textfn.token_count_bpe_ish("text")
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = docs.select(
+        "doc_id", n_tok.alias("n_tok")
+    ).withColumn("running", F.sum("n_tok").over(w))
+    return (
+        cum.groupBy(
+            F.floor((F.col("running") - 1) / 2000).cast("long").alias(
+                "shard_id"
+            )
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("shard_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+@_q(
+    "stratified_sample_counts",
+    """
+    WITH flagged AS (
+        SELECT lang,
+               substring(md5(text), 1, 2) <
+                   CASE WHEN lang = 'en' THEN '80' ELSE '40' END AS sampled
+        FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_sampled
+    FROM flagged
+    GROUP BY lang
+    """,
+)
+def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-language keep rates
+    (50% en, 25% others) decided by a content-hash threshold — the
+    reproducible, cluster-order-independent way to downsample a
+    corpus (same doc always gets the same verdict; no RNG state per
+    task). Lexicographic compare of the md5 hex prefix == numeric
+    compare of the first byte. Pure projection + one small agg."""
+    docs = read_table(spark, sf_dir, "documents")
+    thresh = F.when(F.col("lang") == "en", F.lit("80")).otherwise(F.lit("40"))
+    sampled = F.substring(F.md5("text"), 1, 2) < thresh
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.when(sampled, 1).otherwise(0)).cast("long").alias("n_sampled"),
+    )
+
+
+@_q(
+    "sample_k_per_group",
+    """
+    SELECT doc_id, lang, CAST(rn AS INTEGER) AS rnk
+    FROM (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY md5(text), doc_id) AS rn
+        FROM documents
+    ) t WHERE rn <= 10
+    """,
+)
+def sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size per-stratum sample: exactly k=10 docs per language,
+    chosen by content-hash order — a deterministic stand-in for
+    uniform without-replacement sampling (hash order is
+    pseudo-random but reproducible across runs/engines). One shuffle
+    on the stratum key; rank truncation prunes early via the window
+    TopK optimization."""
+    docs = read_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.md5("text"), F.col("doc_id"))
+    return (
+        docs.select(
+            "doc_id", "lang", F.row_number().over(w).alias("rnk")
+        )
+        .where(F.col("rnk") <= 10)
+        .withColumn("rnk", F.col("rnk").cast("int"))
+    )
+
+
+@_q(
+    "pii_redaction",
+    r"""
+    WITH planted AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0
+                    THEN text || ' contact: user' || CAST(doc_id AS VARCHAR)
+                         || '@example.com or admin@test.org'
+                    ELSE text END AS text2
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(
+               text2, '[A-Za-z0-9_.]+@[A-Za-z0-9.]+')) AS INTEGER)
+               AS n_emails,
+           md5(regexp_replace(text2, '[A-Za-z0-9_.]+@[A-Za-z0-9.]+',
+                              '[EMAIL]', 'g')) AS redacted_md5
+    FROM planted
+    WHERE doc_id % 7 = 0
+    """,
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: find + mask email addresses, the privacy pass
+    every training corpus needs. The synthetic corpus contains no
+    natural emails, so the query plants deterministic ones on every
+    7th doc and verifies detection count AND the redacted output
+    (by md5) — i.e. both the matcher and the replacement are
+    hash-checked. The regex sticks to the Java∩RE2 common subset so
+    both engines match identically. Pure projection."""
+    docs = read_table(spark, sf_dir, "documents")
+    pat = "[A-Za-z0-9_.]+@[A-Za-z0-9.]+"
+    text2 = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact: user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or admin@test.org"),
+        ),
+    ).otherwise(F.col("text"))
+    return (
+        docs.select("doc_id", text2.alias("text2"))
+        .where(F.col("doc_id") % 7 == 0)
+        .select(
+            "doc_id",
+            F.regexp_count("text2", F.lit(pat)).cast("int").alias("n_emails"),
+            F.md5(F.regexp_replace("text2", pat, "[EMAIL]")).alias(
+                "redacted_md5"
+            ),
+        )
+    )

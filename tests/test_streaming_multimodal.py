@@ -258,3 +258,53 @@ def test_stream_swap_recovers_from_crash_artifacts(spark, tmp_path):
     assert got == {1}
     assert not os.path.isdir(staging + "_old")
     assert not os.path.isdir(staging + "_b0")
+
+
+def test_stream_replay_is_exactly_once(spark, tmp_path):
+    """Exactly-once sink contract under induced retry (NOTES_r2): a
+    foreachBatch retry re-delivers an already-merged batch (fresh
+    checkpoint simulates the redelivery; a stale half-written _b0
+    output dir simulates the crash mid-commit). The freshness merge
+    plus the monotone filename-derived stamp must make the replay a
+    no-op: staging content — including extracted_at — is identical,
+    with no duplicated ids and no leftover swap artifacts."""
+    import os
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    _write_jsonl(raw / "hn_raw_20240115_000000.json", [
+        {"id": 1, "type": "story", "by": "a", "time": T_BASE, "title": "t1",
+         "score": 1},
+        {"id": 2, "type": "story", "by": "b", "time": T_BASE + 60,
+         "title": "t2", "score": 2},
+    ])
+    staging = str(tmp_path / "staging")
+
+    q = ingest.stream_merge_to_staging(
+        ingest.read_raw_stream(spark, str(raw)), staging,
+        str(tmp_path / "ckpt1"), available_now=True,
+    )
+    q.awaitTermination(120)
+    first = sorted(
+        tuple(r) for r in spark.read.parquet(staging).collect()
+    )
+
+    # Induced retry: same input files, FRESH checkpoint (so the batch
+    # is re-delivered as batch 0 again), plus a crashed partial output.
+    os.makedirs(staging + "_b0", exist_ok=True)
+    with open(os.path.join(staging + "_b0", "partial.parquet"), "w") as f:
+        f.write("torn write")
+    q = ingest.stream_merge_to_staging(
+        ingest.read_raw_stream(spark, str(raw)), staging,
+        str(tmp_path / "ckpt2"), available_now=True,
+    )
+    q.awaitTermination(120)
+
+    replayed = sorted(
+        tuple(r) for r in spark.read.parquet(staging).collect()
+    )
+    assert replayed == first  # identical rows incl. extracted_at
+    ids = [r.id for r in spark.read.parquet(staging).collect()]
+    assert sorted(ids) == sorted(set(ids)) == [1, 2]
+    assert not os.path.isdir(staging + "_b0")
+    assert not os.path.isdir(staging + "_old")
