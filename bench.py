@@ -70,6 +70,18 @@ BENCH_QUERIES_R2 = [
     "top_revenue_supplier",
     "train_val_split_counts",
     "benchmark_contamination",
+    # r2 continuation: TPC-H family completion + training-data ops
+    "order_priority_check",
+    "volume_shipping",
+    "product_type_profit",
+    "returned_item_revenue",
+    "small_qty_revenue",
+    "disjunctive_part_revenue",
+    "curation_funnel",
+    "doc_chunking",
+    "pack_token_budget",
+    "stratified_sample_counts",
+    "pii_redaction",
 ]
 
 
