@@ -31,6 +31,12 @@ NOTES = {
     "cheapest_order_per_customer": "Correlated MIN subquery as a window min + filter — one shuffle, no self-join.",
     "large_volume_orders": "IN-over-grouped-HAVING as a semi join against the aggregated key set.",
     "orders_above_global_avg": "Global scalar threshold broadcast; decimal-exact on both engines.",
+    "shipping_priority": "r2: `F.broadcast(orders)` removed — orders is fact-sized (~half survives the status filter). The optimizer picks the join from size estimates (broadcast at sf0.1, shuffle at scale); top-k remains TakeOrderedAndProject, never a global sort.",
+    "min_cost_supplier": "TPC-H Q2 shape, decorrelated: the correlated MIN subquery becomes a window MIN over l_partkey — ONE exchange on the correlation key (shared by the window and nothing else), then equality filter and two broadcast dim joins. No self-join re-scan of lineitem.",
+    "sole_late_suppliers": "TPC-H Q21 shape: EXISTS → left-semi, NOT EXISTS → left-anti, both self-joins on l_orderkey so they reuse one hash partitioning of lineitem; the lateness predicate is evaluated inside the join conditions; supplier dim broadcast at the end.",
+    "not_in_null_semantics": "Null-aware NOT IN from the SQL surface: the poisoned variant plans `BroadcastHashJoin ... LeftAnti, BuildRight, true` — the trailing flag is `isNullAwareAntiJoin`, the three-valued-logic-correct anti join a plain DataFrame `left_anti` cannot express; the null-free variant gets the ordinary LeftAnti.",
+    "top_revenue_supplier": "Q15 shape: the revenue aggregate feeds BOTH the MAX scalar (1-row broadcast, cross join on the normalized float key) and the equality filter; under AQE the aggregation exchange is computed once and reused, so the 'view' is not re-scanned.",
+    "benchmark_contamination": "Single-pass decontamination: one Generate (shingle explode) per side with the doc_id predicates PUSHED BELOW the explode into the scans (bench side explodes 10 docs, not the corpus), one broadcast left join with a hit indicator, and overlap+size from the same partial/final hash aggregate.",
     "disjunctive_part_revenue": "Q19 OR-of-ANDs: derivable single-side residuals pushed into BOTH scans (quantity-range union on lineitem, brand/size union on part — see PushedFilters); only the cross-side disjunction stays as the join filter.",
     "order_priority_check": "Q4 EXISTS as LeftSemi BroadcastHashJoin: both date and returnflag filters pushed; only the key column shuffles/broadcasts.",
     "volume_shipping": "Q7 double-role nation dim joined twice (supplier/customer side), both broadcast; the bidirectional pair predicate lands post-join; facts stay shuffle-side for AQE.",
