@@ -48,8 +48,17 @@ def main(argv: list[str] | None = None) -> int:
         help="ingest via Structured Streaming (foreachBatch merge over "
         "JSONL files in --raw-dir; drains available files then stops)",
     )
+    ap.add_argument(
+        "--env-file",
+        default=".env",
+        help="env file loaded before the session builds (reference "
+        "load_dotenv parity; missing file is a no-op; real env wins)",
+    )
     args = ap.parse_args(argv)
 
+    from .config import load_env_file
+
+    load_env_file(args.env_file)
     spark = get_session(app_name="reddit-hn-etl-spark")
     log = get_logger("reddit_hn_etl_spark", "pipeline.log")
     spark.sparkContext.setLogLevel("ERROR")

@@ -153,3 +153,48 @@ def interval_join_count(
         joined.groupBy(*[F.col(c) for c in left.columns])
         .agg(F.count("_r_epoch").alias(count_alias))
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt_buckets: int = 8,
+    salt_by: Column | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi join: spread each hot key of ``left`` over
+    ``salt_buckets`` sub-keys and replicate the (small) ``right`` side
+    once per bucket, so no single task receives a whole hot key.
+
+    The left row's bucket comes from ``salt_by`` (default: xxhash64
+    over the whole row — deterministic, uniform); the right side is
+    exploded ``salt_buckets``× and the join runs on (key, salt). The
+    result is EXACTLY the plain join — salting only changes row
+    placement — which is what makes the operator oracle-checkable
+    against an unsalted SQL join.
+
+    Scale shape: right grows by the salt factor (keep it the dim
+    side); the shuffle hash-partitions on (key, salt), giving
+    ``salt_buckets``× the parallelism on hot keys. This is the manual
+    fallback when AQE's skew-join split cannot apply (e.g. the
+    aggregation-after-join pins the partitioning, or the skew is in
+    a broadcast-ineligible mid-sized dim).
+
+    Only inner/left joins are offered: a right/full join would need
+    per-bucket dedup of the replicated right rows.
+    """
+    assert how in ("inner", "left"), "salted_join supports inner/left"
+    if salt_by is None:
+        salt_by = F.xxhash64(*[F.col(c) for c in left.columns])
+    lsalted = left.withColumn("_salt", F.pmod(salt_by, F.lit(salt_buckets)))
+    rsalted = right.withColumn(
+        "_salt",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"), F.lit(salt_buckets - 1).cast("long")
+            )
+        ),
+    )
+    out = lsalted.join(rsalted, on=[key, "_salt"], how=how)
+    return out.drop("_salt")

@@ -3806,3 +3806,195 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew-resistant join, time-series interpolation, embedding
+# quantization (r2 cont.).
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "salted_event_enrichment",
+    """
+    WITH dim AS (
+        SELECT user_id, MIN(ts) AS first_signup
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id, e.event_type, d.first_signup
+    FROM events e JOIN dim d ON e.user_id = d.user_id
+    """,
+)
+def salted_event_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant enrichment via operators/joins.salted_join: the
+    oracle is the PLAIN join — salting must be invisible in the
+    result (it only respreads rows), and the driver hash-check proves
+    exactly that. The dim side (first-signup per user) is replicated
+    salt_buckets×; each hot user's events spread over 8 sub-keys.
+    (This synthetic events table is only mildly skewed; the operator
+    is the point — the mechanism a 100 TB job reaches for when one
+    key holds 5% of the fact table and AQE's split can't kick in.)"""
+    from ..operators.joins import salted_join
+
+    ev = read_table(spark, sf_dir, "events")
+    dim = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_signup"))
+    )
+    out = salted_join(
+        ev.select("event_id", "user_id", "event_type"),
+        dim,
+        key="user_id",
+        salt_buckets=8,
+    )
+    return out.select("event_id", "user_id", "event_type", "first_signup")
+
+
+@_q(
+    "interpolate_missing_values",
+    """
+    WITH planted AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+        FROM events
+    ),
+    framed AS (
+        SELECT event_id, user_id, ts, v,
+               last_value(v IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_v,
+               last_value(CASE WHEN v IS NOT NULL THEN epoch_us(ts) END
+                          IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_t,
+               first_value(v IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                   AS next_v,
+               first_value(CASE WHEN v IS NOT NULL THEN epoch_us(ts) END
+                           IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                   AS next_t
+        FROM planted
+    )
+    SELECT event_id, user_id, ts,
+           CASE
+             WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+               prev_v + (next_v - prev_v)
+                      * (CAST(epoch_us(ts) - prev_t AS DOUBLE)
+                         / CAST(next_t - prev_t AS DOUBLE))
+             WHEN prev_v IS NOT NULL THEN prev_v
+             ELSE next_v
+           END AS v_interp
+    FROM framed
+    WHERE v IS NULL
+    """,
+)
+def interpolate_missing_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of missing sensor values — the time-series
+    repair op LOCF (forward_fill_values) cannot express: each gap is
+    filled proportionally between its nearest non-null neighbors in
+    event time, falling back to one-sided fill at series edges. NULLs
+    are planted deterministically (every 5th event) since the
+    synthetic table has none.
+
+    Spark shape: one shuffle on user_id; four window functions over
+    the same (user_id, ts) sort — Catalyst shares a single Sort for
+    all frames. Microsecond epochs keep the time fractions exact
+    integers before ONE double division (engine-identical)."""
+    ev = read_table(spark, sf_dir, "events")
+    v = F.when(F.col("event_id") % 5 == 0, F.lit(None)).otherwise(
+        F.col("value")
+    )
+    t_us = F.unix_micros("ts")
+    base = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    back = base.rowsBetween(Window.unboundedPreceding, -1)
+    fwd = base.rowsBetween(1, Window.unboundedFollowing)
+    planted = ev.select("event_id", "user_id", "ts", v.alias("v"))
+    t_known = F.when(F.col("v").isNotNull(), t_us)
+    framed = planted.select(
+        "event_id", "user_id", "ts", "v",
+        F.last("v", ignorenulls=True).over(back).alias("prev_v"),
+        F.last(t_known, ignorenulls=True).over(back).alias("prev_t"),
+        F.first("v", ignorenulls=True).over(fwd).alias("next_v"),
+        F.first(t_known, ignorenulls=True).over(fwd).alias("next_t"),
+    )
+    frac = (t_us - F.col("prev_t")).cast("double") / (
+        F.col("next_t") - F.col("prev_t")
+    ).cast("double")
+    interp = (
+        F.when(
+            F.col("prev_v").isNotNull() & F.col("next_v").isNotNull(),
+            F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * frac,
+        )
+        .when(F.col("prev_v").isNotNull(), F.col("prev_v"))
+        .otherwise(F.col("next_v"))
+    )
+    return framed.where(F.col("v").isNull()).select(
+        "event_id", "user_id", "ts", interp.alias("v_interp")
+    )
+
+
+@_q(
+    "quantize_embeddings_int8",
+    """
+    WITH scaled AS (
+        SELECT vec_id,
+               CAST(list_aggregate(list_transform(embedding, y -> abs(y)),
+                                   'max') AS DOUBLE) AS max_abs,
+               embedding
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id, max_abs,
+               CASE WHEN max_abs > 0 THEN
+                   list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) / max_abs * 127
+                                       + 0.5) AS INTEGER))
+               END AS qvec
+        FROM scaled
+    )
+    SELECT vec_id, max_abs,
+           CAST(list_aggregate(qvec, 'sum') AS BIGINT) AS q_sum,
+           CAST(list_aggregate(qvec, 'min') AS INTEGER) AS q_min,
+           CAST(list_aggregate(qvec, 'max') AS INTEGER) AS q_max
+    FROM q
+    """,
+)
+def quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the
+    compression step before an ANN index ships to serving. Per-vector
+    max-abs scale, halfway-up rounding via floor(x·s + 0.5) (spelled
+    out so both engines agree; built-in round() differs: Spark
+    half-even vs DuckDB half-away). All elementwise double ops in
+    identical order → bit parity without any rounding fudge. Pure
+    projection, zero shuffle; the checksums (sum/min/max of the
+    quantized vector) make the driver hash cover every component."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    max_abs = F.array_max(
+        F.transform("embedding", lambda x: F.abs(x))
+    ).cast("double")
+    scaled = emb.select("vec_id", max_abs.alias("max_abs"), "embedding")
+    qvec = F.when(
+        F.col("max_abs") > 0,
+        F.transform(
+            "embedding",
+            lambda x: F.floor(
+                x.cast("double") / F.col("max_abs") * 127 + F.lit(0.5)
+            ).cast("int"),
+        ),
+    )
+    q = scaled.select("vec_id", "max_abs", qvec.alias("qvec"))
+    return q.select(
+        "vec_id",
+        "max_abs",
+        F.aggregate(
+            "qvec", F.lit(0).cast("long"), lambda acc, v: acc + v
+        ).alias("q_sum"),
+        F.array_min("qvec").alias("q_min"),
+        F.array_max("qvec").alias("q_max"),
+    )

@@ -57,3 +57,31 @@ def test_cli_run_emits_phase_logs(spark, tmp_path, monkeypatch):
     ):
         assert needle in log_text, f"missing log line: {needle}"
     assert "| ERROR |" not in log_text
+
+
+def test_env_file_loading(tmp_path, monkeypatch):
+    """Reference load_dotenv parity (`src/mart/hn_mart.py:33`): file
+    values land in the environment, real env always wins, a missing
+    file is a silent no-op, and quoting/comments parse like dotenv."""
+    from reddit_hn_etl_spark.config import load_env_file
+
+    envf = tmp_path / ".env"
+    envf.write_text(
+        "# engine tunables\n"
+        "export SPARK_GRAFT_SHUFFLE_PARTITIONS=16\n"
+        "SPARK_GRAFT_DRIVER_MEM='4g'\n"
+        "SPARK_GRAFT_CPUS=8\n"
+    )
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "2")  # pre-existing env wins
+    monkeypatch.delenv("SPARK_GRAFT_SHUFFLE_PARTITIONS", raising=False)
+    monkeypatch.delenv("SPARK_GRAFT_DRIVER_MEM", raising=False)
+
+    parsed = load_env_file(str(envf))
+    import os
+
+    assert parsed["SPARK_GRAFT_SHUFFLE_PARTITIONS"] == "16"
+    assert os.environ["SPARK_GRAFT_SHUFFLE_PARTITIONS"] == "16"
+    assert os.environ["SPARK_GRAFT_DRIVER_MEM"] == "4g"  # quotes stripped
+    assert os.environ["SPARK_GRAFT_CPUS"] == "2"
+
+    assert load_env_file(str(tmp_path / "missing.env")) == {}

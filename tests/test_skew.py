@@ -37,3 +37,32 @@ def test_salted_agg_equals_plain_on_skew(spark):
     )
     got = {r.k: r.c for r in salted.collect()}
     assert got == plain
+
+
+def test_salted_join_equals_plain(spark):
+    """operators/joins.salted_join is result-identical to the plain
+    join (inner AND left, unmatched rows preserved), and the physical
+    join really runs on (key, _salt)."""
+    from reddit_hn_etl_spark.operators.joins import salted_join
+
+    n = 20_000
+    left = spark.range(n).select(
+        F.col("id").alias("row_id"),
+        F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id") % 50).alias("k"),
+    )
+    # dim covers only even keys → odd-key rows are unmatched
+    right = spark.range(0, 50, 2).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+
+    for how in ("inner", "left"):
+        plain = left.join(right, on="k", how=how)
+        salted = salted_join(left, right, key="k", salt_buckets=4, how=how)
+        assert sorted(map(tuple, plain.collect())) == sorted(
+            map(tuple, salted.collect())
+        ), how
+
+    plan = salted_join(
+        left, right, key="k", salt_buckets=4
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan
