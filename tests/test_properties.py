@@ -178,3 +178,33 @@ def test_asof_join_matches_model(spark, left, right):
         for r in out
     )
     assert got == _asof_model(left, right)
+
+
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(-50, 50)),
+        min_size=0, max_size=20,
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(-50, 50)),
+        min_size=0, max_size=8,
+    ),
+    buckets=st.integers(1, 5),
+    how=st.sampled_from(["inner", "left"]),
+)
+@SET
+def test_salted_join_matches_plain(spark, left, right, buckets, how):
+    """salted_join must be invisible in the result for ANY bucket
+    count / join type — including empty sides, duplicate keys on both
+    sides (cartesian sub-blocks), and unmatched left rows."""
+    from reddit_hn_etl_spark.operators.joins import salted_join
+
+    ldf = spark.createDataFrame(
+        [(k, v, i) for i, (k, v) in enumerate(left)], "k long, lv long, rid long"
+    )
+    rdf = spark.createDataFrame(right, "k long, rv long")
+    plain = sorted(map(tuple, ldf.join(rdf, "k", how).collect()))
+    salted = sorted(
+        map(tuple, salted_join(ldf, rdf, "k", buckets, how=how).collect())
+    )
+    assert salted == plain

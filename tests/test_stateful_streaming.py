@@ -186,3 +186,45 @@ def test_stream_stream_interval_join(spark, tmp_path):
     batch = {(r.user_id, str(r.l_ts), str(r.r_ts))
              for r in ingest.interval_join_streams(lb, rb).collect()}
     assert batch == got
+
+
+def test_stream_static_enrichment(spark, tmp_path):
+    """Stream-static join: each micro-batch joins against a static
+    dimension frame (broadcast — no stateful shuffle, no watermark
+    needed; the canonical streaming enrichment). Unmatched stream
+    rows survive with NULLs under a left join."""
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    with open(raw / "e1.jsonl", "w", encoding="utf-8") as f:
+        for rec in (
+            {"id": 1, "type": "story", "by": "a", "time": 1705276800},
+            {"id": 2, "type": "comment", "by": "b", "time": 1705276860},
+            {"id": 3, "type": "poll", "by": "c", "time": 1705276920},
+        ):
+            f.write(json.dumps(rec) + "\n")
+    dim = spark.createDataFrame(
+        [("story", "content"), ("comment", "reaction")],
+        "type string, category string",
+    )
+
+    from pyspark.sql import functions as F
+    from reddit_hn_etl_spark.streaming.ingest import read_raw_stream
+
+    enriched = read_raw_stream(spark, str(raw)).join(
+        F.broadcast(dim), on="type", how="left"
+    )
+    out: list = []
+    q = (
+        enriched.writeStream.foreachBatch(
+            lambda df, _bid: out.extend(
+                df.select("id", "type", "category").collect()
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {r.id: r.category for r in out}
+    assert got == {1: "content", 2: "reaction", 3: None}
