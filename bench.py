@@ -82,6 +82,11 @@ BENCH_QUERIES_R2 = [
     "pack_token_budget",
     "stratified_sample_counts",
     "pii_redaction",
+    # r2 continuation: curation depth
+    "doc_repetition",
+    "weighted_doc_sample",
+    "doc_distinctive_token",
+    "near_dup_clusters",
 ]
 
 
@@ -114,13 +119,15 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    # Best-of-2 per query: the first execution of a query also pays
-    # plan compilation + codegen; the repeat measures steady-state
-    # engine throughput (what a warm cluster delivers).
+    # Best-of-3 per query: the first execution of a query also pays
+    # plan compilation + codegen; the repeats measure steady-state
+    # engine throughput (what a warm cluster delivers). Three runs
+    # instead of two because local[32] shares the box with the
+    # harness — one noisy neighbor run otherwise leaks into "best".
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES + BENCH_QUERIES_R2:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"

@@ -109,6 +109,66 @@ def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def repetition_features(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Gopher-style repetition signals per document: the fraction of
+    tokens taken by the single most frequent unigram / bigram, and the
+    distinct-token ratio. High top-n-gram fractions flag boilerplate,
+    keyword stuffing, and degenerate generations; low distinct ratios
+    flag loops — standard pretraining quality filters.
+
+    Unlike the projections above, these need per-(doc, gram) counts:
+    explode → two-level groupBy. Both aggregations partial-aggregate
+    map-side and shuffle on (id, gram) — the per-doc cardinality is
+    bounded by doc length, so partitions stay balanced at corpus
+    scale (no global hot key: the doc id prefixes every grouping key).
+
+    Output: (id_col, n_tokens, top_unigram_frac, top_bigram_frac,
+    distinct_ratio) — fractions rounded to 4, 0.0 when no grams.
+    """
+    toks = df.select(F.col(id_col), tokens(text_col).alias("w"))
+
+    def gram_stats(col: Column, out_prefix: str) -> DataFrame:
+        g = toks.select(F.col(id_col), F.explode(col).alias("g"))
+        per_gram = g.groupBy(id_col, "g").agg(F.count("*").alias("c"))
+        return per_gram.groupBy(id_col).agg(
+            F.sum("c").alias(f"{out_prefix}_total"),
+            F.max("c").alias(f"{out_prefix}_top"),
+            F.count("*").alias(f"{out_prefix}_distinct"),
+        )
+
+    k = F.size("w") - 1
+    bigrams = F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.concat_ws(" ", F.slice("w", i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    uni = gram_stats(F.col("w"), "uni")
+    bi = gram_stats(bigrams, "bi")
+    frac = lambda top, total: F.round(  # noqa: E731
+        F.when(F.col(total) > 0, F.col(top) / F.col(total)).otherwise(
+            F.lit(0.0)
+        ),
+        4,
+    )
+    return (
+        uni.join(bi, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("uni_total").cast("int").alias("n_tokens"),
+            frac("uni_top", "uni_total").alias("top_unigram_frac"),
+            F.coalesce(frac("bi_top", "bi_total"), F.lit(0.0)).alias(
+                "top_bigram_frac"
+            ),
+            frac("uni_distinct", "uni_total").alias("distinct_ratio"),
+        )
+    )
+
+
 def fingerprint_md5(text: str | Column, normalize: bool = True) -> Column:
     """Document fingerprint: md5 over whitespace-normalized lowercase
     text — the exact-dedup / lineage id used across the corpus."""

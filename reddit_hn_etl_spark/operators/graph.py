@@ -18,7 +18,7 @@ scale switch to the alternating small-star/large-star optimization
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -90,4 +90,39 @@ def dedup_clusters(
     cc = connected_components(pairs, src=src, dst=dst)
     return cc.where(F.col("vertex") != F.col("component")).select(
         F.col("vertex").alias("drop_id"), F.col("component")
+    )
+
+
+def keep_best_per_cluster(
+    cc: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "quality_score",
+) -> DataFrame:
+    """Quality-ranked cluster representative: instead of keeping the
+    min-id doc per near-dup cluster (``dedup_clusters``), keep the
+    HIGHEST-``score_col`` doc (ties → lowest id) — what a curation
+    pipeline actually wants when duplicates differ in quality
+    (truncation, boilerplate, OCR noise).
+
+    Inputs: ``cc`` = (vertex, component) from
+    ``connected_components``; ``scores`` = (id_col, score_col).
+    Output: (id_col, component, score_col, is_rep) — one True per
+    component, deterministic.
+
+    Plan: one broadcast-or-shuffle join on the vertex id + one window
+    over ``component`` (single shuffle; cluster sizes are tiny so no
+    skew hazard).
+    """
+    joined = cc.join(scores, cc["vertex"] == scores[id_col]).select(
+        scores[id_col], cc["component"], scores[score_col]
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc(score_col), F.col(id_col)
+    )
+    return joined.select(
+        id_col,
+        "component",
+        score_col,
+        (F.row_number().over(w) == 1).alias("is_rep"),
     )
