@@ -118,25 +118,19 @@ def repetition_features(
     keyword stuffing, and degenerate generations; low distinct ratios
     flag loops — standard pretraining quality filters.
 
-    Unlike the projections above, these need per-(doc, gram) counts:
-    explode → two-level groupBy. Both aggregations partial-aggregate
-    map-side and shuffle on (id, gram) — the per-doc cardinality is
-    bounded by doc length, so partitions stay balanced at corpus
-    scale (no global hot key: the doc id prefixes every grouping key).
+    Unlike the projections above, these need per-(doc, gram) counts.
+    SINGLE corpus scan: unigrams and bigrams explode together as
+    type-tagged grams, so the text is read and tokenized once (at
+    100 TB a second scan is the dominant cost, not the shuffle —
+    same single-pass discipline as benchmark_contamination). Both
+    aggregations partial-aggregate map-side and shuffle on
+    (id, type, gram); the doc id prefixes every grouping key, so
+    there is no global hot key and partitions stay balanced.
 
     Output: (id_col, n_tokens, top_unigram_frac, top_bigram_frac,
     distinct_ratio) — fractions rounded to 4, 0.0 when no grams.
     """
     toks = df.select(F.col(id_col), tokens(text_col).alias("w"))
-
-    def gram_stats(col: Column, out_prefix: str) -> DataFrame:
-        g = toks.select(F.col(id_col), F.explode(col).alias("g"))
-        per_gram = g.groupBy(id_col, "g").agg(F.count("*").alias("c"))
-        return per_gram.groupBy(id_col).agg(
-            F.sum("c").alias(f"{out_prefix}_total"),
-            F.max("c").alias(f"{out_prefix}_top"),
-            F.count("*").alias(f"{out_prefix}_distinct"),
-        )
 
     k = F.size("w") - 1
     bigrams = F.when(
@@ -146,26 +140,37 @@ def repetition_features(
             lambda i: F.concat_ws(" ", F.slice("w", i + 1, 2)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    tag = lambda col, t: F.transform(  # noqa: E731
+        col, lambda g: F.struct(g.alias("g"), F.lit(t).alias("t"))
+    )
+    grams = toks.select(
+        F.col(id_col),
+        F.explode(F.concat(tag(F.col("w"), 0), tag(bigrams, 1))).alias("gt"),
+    ).select(id_col, F.col("gt.g").alias("g"), F.col("gt.t").alias("t"))
 
-    uni = gram_stats(F.col("w"), "uni")
-    bi = gram_stats(bigrams, "bi")
+    per_gram = grams.groupBy(id_col, "t", "g").agg(F.count("*").alias("c"))
+    is_uni, is_bi = F.col("t") == 0, F.col("t") == 1
+    per_doc = per_gram.groupBy(id_col).agg(
+        F.sum(F.when(is_uni, F.col("c"))).alias("uni_total"),
+        F.max(F.when(is_uni, F.col("c"))).alias("uni_top"),
+        F.count(F.when(is_uni, F.lit(1))).alias("uni_distinct"),
+        F.sum(F.when(is_bi, F.col("c"))).alias("bi_total"),
+        F.max(F.when(is_bi, F.col("c"))).alias("bi_top"),
+    )
     frac = lambda top, total: F.round(  # noqa: E731
         F.when(F.col(total) > 0, F.col(top) / F.col(total)).otherwise(
             F.lit(0.0)
         ),
         4,
     )
-    return (
-        uni.join(bi, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.col("uni_total").cast("int").alias("n_tokens"),
-            frac("uni_top", "uni_total").alias("top_unigram_frac"),
-            F.coalesce(frac("bi_top", "bi_total"), F.lit(0.0)).alias(
-                "top_bigram_frac"
-            ),
-            frac("uni_distinct", "uni_total").alias("distinct_ratio"),
-        )
+    return per_doc.select(
+        F.col(id_col),
+        F.col("uni_total").cast("int").alias("n_tokens"),
+        frac("uni_top", "uni_total").alias("top_unigram_frac"),
+        F.coalesce(frac("bi_top", "bi_total"), F.lit(0.0)).alias(
+            "top_bigram_frac"
+        ),
+        frac("uni_distinct", "uni_total").alias("distinct_ratio"),
     )
 
 

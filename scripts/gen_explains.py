@@ -43,8 +43,8 @@ NOTES = {
     "small_qty_revenue": "Q17 correlated per-part AVG decorrelated to a window over l_partkey — ONE shuffle, no self-join of lineitem.",
     "doc_chunking": "Zero-exchange plan: tokenize → Generate(sequence) → Project. Embarrassingly parallel at any scale.",
     "pack_token_budget": "Global running sum = one SinglePartition exchange (documented trade-off; hierarchical prefix-sum is the 100 TB path); agg piggybacks on the existing partitioning — no second exchange.",
-    "doc_repetition": "Two explode→groupBy legs (unigram/bigram), each partial-aggregated map-side before ONE shuffle on (doc_id, gram); doc_id prefixes every grouping key so there is no global hot key; final per-doc agg + left join reuse the doc_id partitioning.",
-    "weighted_doc_sample": "A-ES weighted sample: pure projection (md5→uniform→ln(u)/w key) + window top-k. The single ORDER BY window is rank-limited (WindowGroupLimit) — no full global sort survives in the plan; only 20 rows leave the final filter.",
+    "doc_repetition": "ONE corpus scan: unigrams+bigrams explode together as type-tagged grams (single Generate), partial-agg map-side, one shuffle on (doc_id, t, gram), then conditional aggregates split the types back out — no second read of the text at 100 TB, no join at all.",
+    "weighted_doc_sample": "A-ES weighted sample: pure projection (md5→uniform→ln(u)/w key) + top-k. The rank filter pushes a TakeOrderedAndProject(limit=20) BELOW the window — 20 rows reach the row_number, never a global sort.",
 }
 
 
