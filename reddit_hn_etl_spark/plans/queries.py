@@ -4359,3 +4359,50 @@ def doc_distinctive_token(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("df").cast("int").alias("df"),
         )
     )
+
+
+@_q(
+    "corpus_mix_allocation",
+    """
+    WITH spec(lang, pct) AS (
+        VALUES ('en', 40), ('de', 20), ('fr', 20), ('es', 20)
+    ),
+    avail AS (SELECT lang, COUNT(*) AS n_avail FROM documents
+              GROUP BY lang)
+    SELECT a.lang, a.n_avail,
+           CAST(200 * s.pct // 100 AS BIGINT) AS n_target,
+           CAST(LEAST(a.n_avail, 200 * s.pct // 100) AS BIGINT) AS n_alloc,
+           ROUND(LEAST(a.n_avail, 200 * s.pct // 100) / a.n_avail, 4)
+               AS keep_rate
+    FROM avail a JOIN spec s ON a.lang = s.lang
+    """,
+)
+def corpus_mix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mix rebalancing: given a target language mix (40/20/20/20
+    over a 200-doc budget), compute the per-language allocation and
+    downsampling keep-rate — the planning step before a weighted
+    export of a pretraining mix. All-integer allocation arithmetic
+    (budget·pct//100, never share×budget in doubles — 0.2 isn't
+    binary-exact and floor() would diverge between engines); the
+    keep_rate is the only division.
+
+    Plan: one partial-agg groupBy on lang + a broadcast join against
+    the literal spec dim — the corpus is touched once, everything
+    after the agg is vocabulary-sized."""
+    docs = read_table(spark, sf_dir, "documents")
+    spec = spark.createDataFrame(
+        [("en", 40), ("de", 20), ("fr", 20), ("es", 20)], "lang string, pct int"
+    )
+    budget = 200
+    avail = docs.groupBy("lang").agg(F.count("*").alias("n_avail"))
+    n_target = (F.lit(budget) * F.col("pct") / 100).cast("long")
+    joined = avail.join(F.broadcast(spec), "lang")
+    return joined.select(
+        "lang",
+        "n_avail",
+        n_target.alias("n_target"),
+        F.least("n_avail", n_target).cast("long").alias("n_alloc"),
+        F.round(
+            F.least("n_avail", n_target) / F.col("n_avail"), 4
+        ).alias("keep_rate"),
+    )

@@ -208,3 +208,58 @@ def test_salted_join_matches_plain(spark, left, right, buckets, how):
         map(tuple, salted_join(ldf, rdf, "k", buckets, how=how).collect())
     )
     assert salted == plain
+
+
+# --- repetition features vs a Python model -------------------------------
+
+# Tiny alphabet forces heavy gram collisions; whitespace runs and
+# empty docs hit the tokenizer edge cases.
+doc_text = st.lists(
+    st.sampled_from(["a", "b", "ab", "ba"]), min_size=0, max_size=12
+).map(" ".join)
+docs_strategy = st.lists(doc_text, min_size=1, max_size=8)
+
+
+def _repetition_model(text):
+    toks = [t for t in text.strip().lower().split() if t]
+    if not toks:
+        return None
+    bigrams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+    def top_frac(grams):
+        if not grams:
+            return 0.0
+        top = max(grams.count(g) for g in set(grams))
+        return round(top / len(grams), 4)
+
+    return {
+        "n_tokens": len(toks),
+        "top_unigram_frac": top_frac(toks),
+        "top_bigram_frac": top_frac(bigrams),
+        "distinct_ratio": round(len(set(toks)) / len(toks), 4),
+    }
+
+
+@given(docs=docs_strategy)
+@SET
+def test_repetition_features_match_model(spark, docs):
+    from reddit_hn_etl_spark.functions.text import repetition_features
+
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: {
+            "n_tokens": r.n_tokens,
+            "top_unigram_frac": r.top_unigram_frac,
+            "top_bigram_frac": r.top_bigram_frac,
+            "distinct_ratio": r.distinct_ratio,
+        }
+        for r in repetition_features(df, "doc_id", "text").collect()
+    }
+    want = {
+        i: m
+        for i, m in ((i, _repetition_model(t)) for i, t in enumerate(docs))
+        if m is not None  # token-less docs yield no grams → no row
+    }
+    assert got == want
