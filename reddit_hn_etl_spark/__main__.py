@@ -28,7 +28,9 @@ from .sources import batches, publish
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="reddit_hn_etl_spark")
-    ap.add_argument("--raw-dir", required=True, help="directory of hn_raw_*.json")
+    ap.add_argument(
+        "--raw-dir", help="directory of hn_raw_*.json (HN pipeline modes)"
+    )
     ap.add_argument("--out", required=True, help="warehouse root directory")
     ap.add_argument(
         "--all-batches",
@@ -54,9 +56,27 @@ def main(argv: list[str] | None = None) -> int:
         help="env file loaded before the session builds (reference "
         "load_dotenv parity; missing file is a no-op; real env wins)",
     )
+    ap.add_argument(
+        "--curate-docs",
+        metavar="PARQUET",
+        help="run the corpus-curation pipeline over a documents "
+        "parquet (quality gate → lang filter → exact dedup → "
+        "near-dup clusters) instead of the HN pipeline; writes "
+        "kept/fate/stats tables to --out (atomic publish); "
+        "--raw-dir is ignored",
+    )
+    ap.add_argument(
+        "--keep-policy",
+        choices=("min_id", "best_quality"),
+        default="min_id",
+        help="near-dup cluster representative for --curate-docs",
+    )
     args = ap.parse_args(argv)
 
     from .config import load_env_file
+
+    if not args.curate_docs and not args.raw_dir:
+        ap.error("--raw-dir is required unless --curate-docs is given")
 
     load_env_file(args.env_file)
     spark = get_session(app_name="reddit-hn-etl-spark")
@@ -64,6 +84,39 @@ def main(argv: list[str] | None = None) -> int:
     spark.sparkContext.setLogLevel("ERROR")
     audit = AuditLog(spark, os.path.join(args.out, "audit_runs"))
     staging_root = os.path.join(args.out, "staging")
+
+    if args.curate_docs:
+        from .plans import llm_data_pipeline as ldp
+
+        rec = audit.start_run("curate", source_file=args.curate_docs)
+        try:
+            docs = spark.read.parquet(args.curate_docs)
+            kept, fate = ldp.curate_corpus(
+                docs,
+                config=ldp.CurationConfig(keep_policy=args.keep_policy),
+            )
+            stats = ldp.corpus_stats(kept)
+            version = publish.publish_tables(
+                {"curated_docs": kept, "curation_fate": fate,
+                 "corpus_stats": stats},
+                os.path.join(args.out, "curated"),
+            )
+            n_kept = kept.count()
+            n_total = docs.count()
+            audit.succeed(
+                rec, rows_copied=n_kept, inserted=n_kept,
+                updated=n_total - n_kept,
+            )
+            log.info(
+                f"curate {os.path.basename(args.curate_docs)}: "
+                f"kept={n_kept}/{n_total} policy={args.keep_policy} "
+                f"version={version}"
+            )
+        except Exception as exc:  # noqa: BLE001 - audit then fail
+            audit.fail(rec, exc)
+            log.error(f"curation failed: {exc}")
+            return 1
+        return 0
 
     if args.stream:
         from .streaming.ingest import read_raw_stream, stream_merge_to_staging

@@ -6,11 +6,12 @@ document table, produce a training-ready corpus by chaining
   1. quality gate        — functions/text.quality_features score
   2. language filter     — functions/text.lang_id ∈ allowed set
   3. exact dedup         — operators/dedup.dedup_exact (md5 groups)
-  4. near-dup removal    — operators/dedup.minhash_lsh_pairs; from
-                           each near-dup pair the higher doc_id drops
-                           (greedy; one pass — at 100 TB replace with
-                           connected components over the pair graph
-                           for transitive clusters)
+  4. near-dup removal    — operators/dedup.minhash_lsh_pairs →
+                           operators/graph connected components for
+                           TRANSITIVE clusters; the representative is
+                           the min id or, with keep_policy
+                           "best_quality", the highest-quality member
+                           (graph.keep_best_per_cluster)
   5. token budgeting     — whitespace + BPE-ish token counts and the
                            cumulative corpus budget
 
@@ -43,6 +44,9 @@ class CurationConfig:
     num_hashes: int = 64
     bands: int = 16
     shingle_n: int = 3
+    # near-dup cluster representative: "min_id" (stable default) or
+    # "best_quality" (highest quality_score survives, ties → min id)
+    keep_policy: str = "min_id"
 
 
 def curate_corpus(
@@ -59,8 +63,14 @@ def curate_corpus(
     cfg = config or CurationConfig()
 
     feats = textfn.quality_features(docs, id_col, text_col)
+    # The corpus may already carry columns with the feature names
+    # (e.g. a raw n_chars); the computed features win — drop the
+    # originals so the join stays unambiguous.
+    clashes = [
+        c for c in docs.columns if c != id_col and c in feats.columns
+    ]
     annotated = (
-        docs.join(feats, on=id_col)
+        docs.drop(*clashes).join(feats, on=id_col)
         .withColumn("lang_pred", textfn.lang_id(text_col))
         .withColumn("n_tokens_bpe", textfn.token_count_bpe_ish(text_col))
         .withColumn("fingerprint", textfn.fingerprint_md5(text_col))
@@ -98,11 +108,22 @@ def curate_corpus(
         shingle_n=cfg.shingle_n,
         threshold=cfg.minhash_threshold,
     )
-    from ..operators.graph import dedup_clusters
+    if cfg.keep_policy == "best_quality":
+        from ..operators.graph import connected_components, keep_best_per_cluster
 
-    near_drop = dedup_clusters(near_pairs).select(
-        F.col("drop_id").alias(id_col)
-    )
+        cc = connected_components(near_pairs)
+        reps = keep_best_per_cluster(
+            cc,
+            annotated.select(F.col(id_col), F.col("quality_score")),
+            id_col=id_col,
+        )
+        near_drop = reps.where(~F.col("is_rep")).select(F.col(id_col))
+    else:
+        from ..operators.graph import dedup_clusters
+
+        near_drop = dedup_clusters(near_pairs).select(
+            F.col("drop_id").alias(id_col)
+        )
 
     kept = pool.join(near_drop, on=id_col, how="left_anti").drop("_exact_dup")
 

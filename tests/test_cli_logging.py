@@ -85,3 +85,46 @@ def test_env_file_loading(tmp_path, monkeypatch):
     assert os.environ["SPARK_GRAFT_CPUS"] == "2"
 
     assert load_env_file(str(tmp_path / "missing.env")) == {}
+
+
+def test_cli_curate_docs_publishes_and_logs(spark, tmp_path, monkeypatch):
+    from reddit_hn_etl_spark.__main__ import main
+
+    monkeypatch.setenv("SPARK_ETL_LOG_DIR", str(tmp_path / "logs"))
+    _reset_loggers()
+    out = tmp_path / "wh"
+
+    try:
+        rc = main([
+            "--curate-docs", "/root/testdata/sf0.001/documents.parquet",
+            "--out", str(out), "--keep-policy", "best_quality",
+        ])
+    finally:
+        log_text = (tmp_path / "logs" / "pipeline.log").read_text(
+            encoding="utf-8"
+        )
+        _reset_loggers()
+
+    assert rc == 0
+    assert "phase=curate run_id=" in log_text
+    assert "status=success" in log_text
+    assert "policy=best_quality" in log_text
+    assert "| ERROR |" not in log_text
+
+    # atomic publish: versioned pointer + the three tables readable
+    from reddit_hn_etl_spark.sources.publish import read_published
+
+    root = str(out / "curated")
+    kept = read_published(spark, root, "curated_docs")
+    fate = read_published(spark, root, "curation_fate")
+    stats = read_published(spark, root, "corpus_stats")
+    n_docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).count()
+    assert fate.count() == n_docs  # every original doc has a fate
+    assert 0 < kept.count() <= n_docs
+    row = stats.collect()[0]
+    assert row.n_docs == kept.count() and row.total_tokens_bpe > 0
+    # audit table recorded the run
+    audit = spark.read.parquet(str(out / "audit_runs"))
+    assert audit.where("phase = 'curate' AND status = 'success'").count() == 1

@@ -71,3 +71,24 @@ def test_lang_filter(spark):
     # english docs now rejected on language
     assert fates[1] == "wrong_lang" and fates[2] == "wrong_lang"
     assert kept.count() == 0
+
+
+def test_keep_best_quality_policy(spark):
+    # near-dup pair where the HIGHER id is the higher-quality member:
+    # doc 10 is doc 11 plus punctuation junk (lower alpha_ratio).
+    # min_id keeps 10; best_quality must keep 11 instead.
+    docs = spark.createDataFrame(
+        [(10, GOOD_A + " !!! ??? ***"), (11, GOOD_A), (12, GOOD_B)],
+        "doc_id long, text string",
+    )
+    base_cfg = dict(min_quality=0.3, minhash_threshold=0.5)
+
+    kept_min, _ = curate_corpus(docs, config=CurationConfig(**base_cfg))
+    assert sorted(r.doc_id for r in kept_min.collect()) == [10, 12]
+
+    kept_best, fate = curate_corpus(
+        docs, config=CurationConfig(**base_cfg, keep_policy="best_quality")
+    )
+    assert sorted(r.doc_id for r in kept_best.collect()) == [11, 12]
+    fates = {r.doc_id: r.fate for r in fate.collect()}
+    assert fates == {10: "near_dup", 11: "kept", 12: "kept"}
