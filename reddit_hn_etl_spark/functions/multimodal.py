@@ -6,13 +6,17 @@ extraction / resize / frame sampling run as Arrow-batched Pandas UDFs
 over ``mapInPandas`` — the only place Python touches rows, and it
 touches them in columnar batches.
 
-DECODE IS STUBBED: this container has no image/audio codecs (no PIL/
-ffmpeg). Each ``_decode_*`` below first tries the real library and
-otherwise falls back to a clearly-marked DETERMINISTIC FAKE (features
-derived from a stable hash of the payload bytes). The Spark-side
-plumbing — schema, partitioning, UDF signature, Arrow batch shape —
-is real and tested; swapping in a real decoder touches only the
-``_decode_*`` function bodies.
+IMAGE DECODE IS STUBBED; AUDIO (WAV) DECODE IS REAL. The container
+has no image codecs (no PIL/ffmpeg), so ``_decode_image`` tries the
+real library and otherwise falls back to a clearly-marked
+DETERMINISTIC FAKE (features derived from a stable hash of the
+payload bytes). Audio is different: stdlib ``wave`` + numpy decode
+RIFF/WAV PCM for real — ``_decode_wav`` computes rms / zero-crossing
+rate / spectral centroid / band energies from the actual samples, and
+the ``audio_wav_metrics`` driver query verifies them against
+closed-form sine physics. Compressed audio falls back to the fake.
+The Spark-side plumbing — schema, partitioning, UDF signature, Arrow
+batch shape — is identical on both paths.
 
 Scale notes: media rows are wide (payload) and features are narrow —
 ``extract_*`` projects the payload away immediately so the shuffle
@@ -131,10 +135,144 @@ def sample_frame_offsets(df: DataFrame, n_frames: int = 4,
     )
 
 
+def synth_wav(
+    freq_hz: float,
+    duration_ms: int,
+    sample_rate: int = 8000,
+    amplitude: float = 0.5,
+) -> bytes:
+    """Mono 16-bit PCM WAV of a sine tone (stdlib ``wave`` — no
+    external codec). Deterministic; used to exercise the REAL decode
+    path end to end."""
+    import io
+    import wave
+
+    import numpy as np
+
+    n = int(sample_rate * duration_ms / 1000)
+    t = np.arange(n) / sample_rate
+    pcm = (np.sin(2 * np.pi * freq_hz * t) * amplitude * 32767.0).astype(
+        "<i2"
+    )
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def _decode_wav(payload: bytes) -> dict | None:
+    """REAL audio decode for RIFF/WAV payloads: stdlib ``wave`` parses
+    the container, numpy computes signal metrics — no fake anywhere on
+    this path. Returns None for non-WAV/unsupported payloads (callers
+    fall back to the labeled stub).
+
+    Metrics: sample_rate, n_frames, duration_ms, rms (of the [-1,1]
+    signal), zcr_hz (zero crossings per second), centroid_hz
+    (magnitude-spectrum centroid), band_energy[4] (energy fraction in
+    4 equal bands up to Nyquist).
+    """
+    import io
+    import wave
+
+    import numpy as np
+
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            sr = w.getframerate()
+            n = w.getnframes()
+            ch = w.getnchannels()
+            sw = w.getsampwidth()
+            raw = w.readframes(n)
+    except Exception:
+        return None
+    if sw != 2 or sr <= 0 or n <= 1:
+        return None
+    x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32767.0
+    if ch > 1:
+        x = x.reshape(-1, ch).mean(axis=1)
+    rms = float(np.sqrt(np.mean(x * x)))
+    crossings = int(np.count_nonzero(np.diff(np.signbit(x))))
+    zcr_hz = crossings * sr / (len(x) - 1) / 2.0  # full cycles per s
+    spec = np.abs(np.fft.rfft(x))
+    freqs = np.fft.rfftfreq(len(x), 1.0 / sr)
+    power = spec * spec
+    total = float(power.sum())
+    centroid_hz = float((power * freqs).sum() / total) if total > 0 else 0.0
+    edges = np.linspace(0, sr / 2, 5)
+    bands = [
+        float(power[(freqs >= lo) & (freqs < hi)].sum() / total)
+        if total > 0
+        else 0.0
+        for lo, hi in zip(edges[:-1], edges[1:])
+    ]
+    return {
+        "sample_rate": sr,
+        "n_frames": n,
+        "duration_ms": int(n * 1000 // sr),
+        "rms": rms,
+        "zcr_hz": zcr_hz,
+        "centroid_hz": centroid_hz,
+        "band_energy": bands,
+    }
+
+
 def _decode_audio_features(payload: bytes, n: int = 8) -> list[float]:
-    """Stub MFCC-ish summary vector (deterministic fake; swap for a
-    real audio pipeline — librosa/torchaudio — when available)."""
+    """Audio summary vector: REAL for WAV payloads (rms, zcr,
+    spectral centroid, 4-band energy split, duration — computed from
+    decoded PCM); deterministic fake for payloads this container
+    cannot decode (no ffmpeg/librosa for compressed formats)."""
+    m = _decode_wav(payload)
+    if m is not None:
+        nyq = m["sample_rate"] / 2.0
+        feats = [
+            m["rms"],
+            m["zcr_hz"] / nyq,
+            m["centroid_hz"] / nyq,
+            *m["band_energy"],
+            m["n_frames"] / m["sample_rate"],  # duration seconds
+        ]
+        return feats[:n] + [0.0] * max(0, n - len(feats))
     return _stable_floats(payload, n, salt=b"audio")
+
+
+def extract_wav_metrics(df: DataFrame, id_col: str = "media_id",
+                        payload_col: str = "payload") -> DataFrame:
+    """REAL WAV decode → typed metric columns (no fake path: non-WAV
+    rows are dropped). Output: (id, sample_rate int, n_frames long,
+    duration_ms long, rms double, zcr_hz double, centroid_hz double).
+
+    Same scale shape as the featurizers: the payload dies inside the
+    UDF; only ~50 bytes/row of metrics continue."""
+    out_schema = (
+        f"{id_col} long, sample_rate int, n_frames long, "
+        "duration_ms long, rms double, zcr_hz double, centroid_hz double"
+    )
+
+    def work(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                if p is None:
+                    continue
+                m = _decode_wav(bytes(p))
+                if m is None:
+                    continue
+                rows.append((
+                    mid, m["sample_rate"], m["n_frames"], m["duration_ms"],
+                    m["rms"], m["zcr_hz"], m["centroid_hz"],
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "sample_rate", "n_frames", "duration_ms",
+                         "rms", "zcr_hz", "centroid_hz"],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(work, out_schema)
 
 
 def extract_audio_features(df: DataFrame, id_col: str = "media_id",

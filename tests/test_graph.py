@@ -33,3 +33,21 @@ def test_long_chain_converges(spark):
     edges = _edges(spark, [(i, i + 1) for i in range(n)])
     cc = {r.vertex: r.component for r in connected_components(edges).collect()}
     assert set(cc.values()) == {0} and len(cc) == n + 1
+
+
+def test_empty_edges(spark):
+    # A corpus with zero near-dup pairs must flow through cleanly:
+    # no vertices, no clusters, no drops — not an error.
+    empty = _edges(spark, [])
+    assert connected_components(empty).count() == 0
+    assert dedup_clusters(empty).count() == 0
+
+
+def test_keep_best_empty_cluster_set(spark):
+    from reddit_hn_etl_spark.operators.graph import keep_best_per_cluster
+
+    cc = connected_components(_edges(spark, []))
+    scores = spark.createDataFrame(
+        [(1, 0.5)], "doc_id long, quality_score double"
+    )
+    assert keep_best_per_cluster(cc, scores).count() == 0

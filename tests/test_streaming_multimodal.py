@@ -308,3 +308,46 @@ def test_stream_replay_is_exactly_once(spark, tmp_path):
     assert sorted(ids) == sorted(set(ids)) == [1, 2]
     assert not os.path.isdir(staging + "_b0")
     assert not os.path.isdir(staging + "_old")
+
+
+def test_wav_decode_is_real():
+    """synth → decode round trip recovers the signal physics (no
+    Spark needed: this pins the decoder itself)."""
+    for freq, dur in [(250.0, 200), (997.0, 350)]:
+        m = mm._decode_wav(mm.synth_wav(freq, dur))
+        assert m["sample_rate"] == 8000
+        assert m["duration_ms"] == dur
+        assert abs(m["rms"] - 0.5 / 2 ** 0.5) < 0.01
+        assert abs(m["zcr_hz"] - freq) < max(5.0, freq * 0.02)
+        assert abs(m["centroid_hz"] - freq) < freq * 0.05
+        assert abs(sum(m["band_energy"]) - 1.0) < 1e-9
+        # the tone's band carries essentially all the energy
+        band = int(m["centroid_hz"] // (8000 / 2 / 4))
+        assert m["band_energy"][band] > 0.95
+
+    # non-WAV payloads refuse (callers fall back to the labeled fake)
+    assert mm._decode_wav(b"not a wav at all") is None
+    assert mm._decode_wav(b"") is None
+
+
+def test_audio_features_real_for_wav(spark):
+    """The featurizer takes the REAL path for WAV payloads: features
+    reflect signal physics, not the payload hash."""
+    from pyspark.sql import Row
+
+    wav_hi = mm.synth_wav(1500.0, 300)
+    wav_lo = mm.synth_wav(200.0, 300)
+    df = spark.createDataFrame(
+        [
+            Row(media_id=1, payload=bytearray(wav_lo)),
+            Row(media_id=2, payload=bytearray(wav_hi)),
+            Row(media_id=3, payload=bytearray(b"opaque-compressed-blob")),
+        ],
+        "media_id long, payload binary",
+    )
+    out = {r.media_id: r.features for r in mm.extract_audio_features(df).collect()}
+    # feature[2] is centroid/nyquist: ordered by true frequency
+    assert out[1][2] < out[2][2]
+    assert abs(out[1][0] - 0.5 / 2 ** 0.5) < 0.01  # real RMS
+    # fake fallback still yields a full-width deterministic vector
+    assert len(out[3]) == 8
