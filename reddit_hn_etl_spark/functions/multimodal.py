@@ -6,17 +6,24 @@ extraction / resize / frame sampling run as Arrow-batched Pandas UDFs
 over ``mapInPandas`` — the only place Python touches rows, and it
 touches them in columnar batches.
 
-IMAGE DECODE IS STUBBED; AUDIO (WAV) DECODE IS REAL. The container
-has no image codecs (no PIL/ffmpeg), so ``_decode_image`` tries the
-real library and otherwise falls back to a clearly-marked
-DETERMINISTIC FAKE (features derived from a stable hash of the
-payload bytes). Audio is different: stdlib ``wave`` + numpy decode
-RIFF/WAV PCM for real — ``_decode_wav`` computes rms / zero-crossing
-rate / spectral centroid / band energies from the actual samples, and
-the ``audio_wav_metrics`` driver query verifies them against
-closed-form sine physics. Compressed audio falls back to the fake.
-The Spark-side plumbing — schema, partitioning, UDF signature, Arrow
-batch shape — is identical on both paths.
+DECODE IS REAL FOR UNCOMPRESSED FORMATS, STUBBED FOR CODEC FORMATS.
+The container has no codec libraries (no PIL/ffmpeg), but formats
+that need none are decoded for real with stdlib + numpy:
+
+* WAV audio — ``_decode_wav`` (stdlib ``wave`` container parse, PCM →
+  rms / zero-crossing rate / FFT spectral centroid / band energies);
+  verified against closed-form sine physics by ``audio_wav_metrics``.
+* 24-bit BMP images — ``_decode_bmp`` / ``_encode_bmp`` (struct
+  headers, padded bottom-up BGR rows) with real pixel-statistics
+  features and a REAL nearest-neighbor ``resize_images`` path;
+  verified against closed-form gradient statistics by
+  ``image_bmp_metrics``.
+
+JPEG/PNG/compressed audio fall back to a clearly-marked DETERMINISTIC
+FAKE (features derived from a stable hash of the payload bytes); PIL
+is tried first if it ever lands. The Spark-side plumbing — schema,
+partitioning, UDF signature, Arrow batch shape — is identical on both
+paths.
 
 Scale notes: media rows are wide (payload) and features are narrow —
 ``extract_*`` projects the payload away immediately so the shuffle
@@ -67,9 +74,109 @@ def _stable_floats(payload: bytes, n: int, salt: bytes = b"") -> list[float]:
     return out[:n]
 
 
+def _encode_bmp(px_rgb: "object") -> bytes:
+    """Encode an HxWx3 RGB uint8 array as an uncompressed 24-bit BMP
+    (bottom-up, BGR, 4-byte row padding). Pure struct+numpy."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(px_rgb, dtype=np.uint8)
+    height, width = px.shape[:2]
+    bgr = px[:, :, ::-1]
+    pad = (-(width * 3)) % 4
+    rows = [
+        bgr[r].tobytes() + b"\x00" * pad
+        for r in range(height - 1, -1, -1)  # bottom-up row order
+    ]
+    pixels = b"".join(rows)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixels),
+        2835, 2835, 0, 0,
+    )
+    file_hdr = struct.pack("<2sIHHI", b"BM", 54 + len(pixels), 0, 0, 54)
+    return file_hdr + info + pixels
+
+
+def synth_bmp(width: int, height: int, blue: int,
+              rg_step: int = 16) -> bytes:
+    """Deterministic 24-bit uncompressed BMP: R ramps with x
+    (``x*rg_step``), G ramps with y, B constant — closed-form channel
+    means for the physics-verified decode check. Pure struct+numpy;
+    no codec involved."""
+    import numpy as np
+
+    x = (np.arange(width) * rg_step).clip(0, 255).astype(np.uint8)
+    y = (np.arange(height) * rg_step).clip(0, 255).astype(np.uint8)
+    px = np.zeros((height, width, 3), dtype=np.uint8)  # RGB
+    px[:, :, 0] = x[None, :]
+    px[:, :, 1] = y[:, None]
+    px[:, :, 2] = blue & 0xFF
+    return _encode_bmp(px)
+
+
+def _decode_bmp(payload: bytes) -> tuple[int, int, "object"] | None:
+    """REAL image decode for uncompressed 24-bit BMP: struct parses
+    the headers, numpy reads the padded bottom-up BGR rows. Returns
+    (width, height, HxWx3 RGB uint8 array) or None if the payload is
+    not a BMP this decoder supports."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    try:
+        offset = struct.unpack_from("<I", payload, 10)[0]
+        size, width, height, planes, bpp, comp = struct.unpack_from(
+            "<IiiHHI", payload, 14
+        )
+    except struct.error:
+        return None
+    if size < 40 or bpp != 24 or comp != 0 or width <= 0 or height == 0:
+        return None
+    bottom_up = height > 0
+    height = abs(height)
+    stride = (width * 3 + 3) & ~3
+    if len(payload) < offset + stride * height:
+        return None
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * height, offset=offset
+    ).reshape(height, stride)[:, : width * 3].reshape(height, width, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return width, height, rows[:, :, ::-1]  # BGR → RGB
+
+
 def _decode_image(payload: bytes) -> tuple[int, int, list[float]]:
-    """(width, height, features). Real decode via PIL when available;
-    deterministic fake otherwise."""
+    """(width, height, features). Real decode for formats this
+    container can parse (PIL if present; uncompressed BMP always);
+    deterministic fake otherwise.
+
+    Real-path features (16): per-channel mean/std/min/max in [0,1]
+    (12), mean luminance, luminance std, aspect ratio, pixel count
+    (log-scaled) — actual image statistics, not hashes."""
+    bmp = _decode_bmp(payload)
+    if bmp is not None:
+        import math
+
+        import numpy as np
+
+        w, h, px = bmp
+        f = px.astype(np.float64) / 255.0
+        lum = 0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
+        feats: list[float] = []
+        for c in range(3):
+            ch = f[:, :, c]
+            feats += [float(ch.mean()), float(ch.std()),
+                      float(ch.min()), float(ch.max())]
+        feats += [
+            float(lum.mean()),
+            float(lum.std()),
+            w / h,
+            math.log10(w * h),
+        ]
+        return w, h, feats[:IMAGE_FEATURE_DIM]
     try:  # pragma: no cover - container has no PIL
         from PIL import Image  # type: ignore
         import io
@@ -296,15 +403,16 @@ def extract_audio_features(df: DataFrame, id_col: str = "media_id",
 def resize_images(df: DataFrame, target_w: int, target_h: int,
                   id_col: str = "media_id",
                   payload_col: str = "payload") -> DataFrame:
-    """Resize plumbing: payload → resized payload + updated metadata.
+    """Resize: payload → resized payload + updated metadata.
 
-    STUBBED DECODE: without codecs the "resized" payload is a
-    deterministic re-encoding (sha256 chain over original bytes +
-    target dims — stable, size-proportional to target area) and the
-    metadata records the new dimensions. A real implementation swaps
-    only the ``_resize`` body (PIL ``Image.resize`` + re-encode); the
-    Spark contract — Arrow batches in, binary column out, metadata
-    struct rebuilt — is exercised for real.
+    REAL for uncompressed 24-bit BMP: decode (``_decode_bmp``),
+    nearest-neighbor resample via numpy index maps, re-encode
+    (``_encode_bmp``) — an actual image out, mime ``image/bmp``.
+    STUBBED for formats needing codecs (no PIL/ffmpeg in container):
+    the "resized" payload is a deterministic sha256 chain over the
+    original bytes + target dims, mime ``image/raw``. Both paths
+    exercise the same Spark contract — Arrow batches in, binary
+    column out, metadata struct rebuilt.
     """
     out_schema = (
         f"{id_col} long, payload binary, "
@@ -320,6 +428,17 @@ def resize_images(df: DataFrame, target_w: int, target_h: int,
             counter += 1
         return bytes(out[:n])
 
+    def _resize_real(payload: bytes) -> bytes | None:
+        decoded = _decode_bmp(payload)
+        if decoded is None:
+            return None
+        import numpy as np
+
+        w, h, px = decoded
+        xi = (np.arange(target_w) * w) // target_w
+        yi = (np.arange(target_h) * h) // target_h
+        return _encode_bmp(px[yi][:, xi])
+
     def work(batches: Iterator) -> Iterator:
         import pandas as pd
 
@@ -328,10 +447,20 @@ def resize_images(df: DataFrame, target_w: int, target_h: int,
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 if payload is None:
                     continue
+                real = _resize_real(bytes(payload))
+                if real is not None:
+                    out, mime = real, "image/bmp"
+                else:
+                    out, mime = (
+                        _fake_bytes(
+                            bytes(payload),
+                            max(32, (target_w * target_h) // 64),
+                        ),
+                        "image/raw",
+                    )
                 rows.append((
-                    mid,
-                    _fake_bytes(bytes(payload), max(32, (target_w * target_h) // 64)),
-                    {"mime": "image/raw", "width": target_w,
+                    mid, out,
+                    {"mime": mime, "width": target_w,
                      "height": target_h, "duration_ms": None},
                 ))
             yield pd.DataFrame(rows, columns=[id_col, "payload", "meta"])

@@ -4473,3 +4473,60 @@ def audio_wav_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.greatest(F.lit(10.0), F.col("freq") * 0.10)
         ).alias("centroid_ok"),
     )
+
+
+@_q(
+    "image_bmp_metrics",
+    """
+    SELECT doc_id AS media_id,
+           CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+           CAST(120 AS INTEGER) AS mean_r,
+           CAST(120 AS INTEGER) AS mean_g,
+           CAST(doc_id AS INTEGER) AS mean_b
+    FROM documents WHERE doc_id < 60
+    """,
+)
+def image_bmp_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, exact-value verified: synthesize a 16×16
+    uncompressed BMP per media row (R ramps with x → channel mean
+    exactly 120; G ramps with y → 120; B constant = doc_id), decode
+    it back through the real struct+numpy path
+    (``multimodal._decode_bmp``), and emit the RECOVERED dimensions
+    and per-channel means as integers. No bounds needed — an
+    uncompressed gradient has closed-form pixel statistics, so a
+    padding bug, a BGR/RGB swap (mean_r≠mean_b), or a flipped row
+    order changes the emitted values and fails the hash compare.
+
+    Scale shape: synth + decode share one mapInPandas stage; payloads
+    never leave the UDF."""
+    from ..functions import multimodal as mm
+
+    docs = read_table(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") < 60).select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 256).cast("int").alias("blue"),
+    )
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = [
+                (int(m), mm.synth_bmp(16, 16, int(b)))
+                for m, b in zip(pdf["media_id"], pdf["blue"])
+            ]
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    bmp = base.mapInPandas(synth, "media_id long, payload binary")
+    feats = mm.extract_image_features(bmp)
+    chan = lambda i: F.round(  # noqa: E731
+        F.col("features")[i] * 255, 0
+    ).cast("int")
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        chan(0).alias("mean_r"),
+        chan(4).alias("mean_g"),
+        chan(8).alias("mean_b"),
+    )

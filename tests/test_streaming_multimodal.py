@@ -351,3 +351,50 @@ def test_audio_features_real_for_wav(spark):
     assert abs(out[1][0] - 0.5 / 2 ** 0.5) < 0.01  # real RMS
     # fake fallback still yields a full-width deterministic vector
     assert len(out[3]) == 8
+
+
+def test_bmp_decode_is_real():
+    import numpy as np
+
+    # 16x16 gradient: exact channel means, exact dims
+    w, h, px = mm._decode_bmp(mm.synth_bmp(16, 16, blue=77))
+    assert (w, h) == (16, 16) and px.shape == (16, 16, 3)
+    assert float(px[:, :, 0].mean()) == 120.0  # R ramp mean
+    assert float(px[:, :, 1].mean()) == 120.0  # G ramp mean
+    assert float(px[:, :, 2].mean()) == 77.0   # constant B
+    # gradient orientation survives the bottom-up row order:
+    # R grows with x, G grows with y (row 0 = top)
+    assert px[0, 0, 0] == 0 and px[0, 15, 0] == 240
+    assert px[0, 0, 1] == 0 and px[15, 0, 1] == 240
+    # odd width exercises the 4-byte row padding
+    w2, h2, px2 = mm._decode_bmp(mm.synth_bmp(13, 7, blue=5))
+    assert (w2, h2) == (13, 7) and float(px2[:, :, 2].mean()) == 5.0
+    # round trip through the encoder is lossless
+    again = mm._decode_bmp(mm._encode_bmp(px))[2]
+    assert np.array_equal(px, again)
+    assert mm._decode_bmp(b"BM but not a bmp") is None
+
+
+def test_resize_real_for_bmp(spark):
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [
+            Row(media_id=1, payload=bytearray(mm.synth_bmp(16, 16, blue=9))),
+            Row(media_id=2, payload=bytearray(b"not-an-image")),
+        ],
+        "media_id long, payload binary",
+    )
+    out = {r.media_id: r for r in
+           mm.resize_images(df, 8, 8).collect()}
+    # BMP row: REAL resize — output decodes, has target dims, and
+    # keeps the constant-B channel exactly
+    r = out[1]
+    assert r.meta.mime == "image/bmp"
+    w, h, px = mm._decode_bmp(bytes(r.payload))
+    assert (w, h) == (8, 8)
+    assert float(px[:, :, 2].mean()) == 9.0
+    # nearest-neighbor of the x-ramp keeps even steps: 0,32,...,224
+    assert [int(v) for v in px[0, :, 0]] == [0, 32, 64, 96, 128, 160, 192, 224]
+    # non-image row: labeled fake fallback
+    assert out[2].meta.mime == "image/raw"
