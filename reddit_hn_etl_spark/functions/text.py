@@ -130,7 +130,11 @@ def repetition_features(
     Output: (id_col, n_tokens, top_unigram_frac, top_bigram_frac,
     distinct_ratio) — fractions rounded to 4, 0.0 when no grams.
     """
-    toks = df.select(F.col(id_col), tokens(text_col).alias("w"))
+    from ..operators.dedup import fan_out_narrow_input
+
+    toks = fan_out_narrow_input(df).select(
+        F.col(id_col), tokens(text_col).alias("w")
+    )
 
     k = F.size("w") - 1
     bigrams = F.when(

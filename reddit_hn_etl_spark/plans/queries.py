@@ -2690,7 +2690,9 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlap is a distinct-count per doc, one shuffle on doc_id.
     Int/int division is exact in double for these magnitudes —
     identical in both engines."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = dedup.fan_out_narrow_input(
+        read_table(spark, sf_dir, "documents")
+    )
     sh = dedup.word_shingles(docs, "doc_id", "text", n=3)
     bench = (
         sh.where(F.col("doc_id") < 10)
@@ -4337,7 +4339,9 @@ def doc_distinctive_token(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate. At 100 TB the vocab dim stays broadcastable (natural
     vocabularies are ≪ executor memory) and nothing else is
     corpus-wide."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = dedup.fan_out_narrow_input(
+        read_table(spark, sf_dir, "documents")
+    )
     toks = docs.select(
         "doc_id", F.explode(dedup.tokens("text")).alias("tok")
     )
