@@ -69,6 +69,29 @@ def token_count_bpe_ish(text: str | Column) -> Column:
     return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), F.lit(0)))
 
 
+def quality_score(text: str | Column) -> Column:
+    """Composite quality score in [0,1] as a single Column expression
+    (reward letter-heavy, stopword-bearing, mid-length docs) — usable
+    in batch projections AND streaming plans. Same expression tree as
+    ``quality_features``'s quality_score column."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = tokens(c)
+    n_tokens = F.size(toks)
+    nonspace = F.length(F.regexp_replace(c, r"\s+", ""))
+    alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
+    stop_hits = marker_hits(c, LANG_MARKERS["en"])
+    alpha_ratio = F.when(nonspace > 0, alpha / nonspace).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, stop_hits / n_tokens).otherwise(F.lit(0.0))
+    length_ok = (
+        F.when(n_tokens >= 5, F.lit(1.0)).otherwise(n_tokens / F.lit(5.0))
+    )
+    return F.least(
+        F.lit(1.0),
+        F.lit(0.4) * alpha_ratio + F.lit(0.4) * length_ok + F.lit(0.2)
+        * F.least(F.lit(1.0), stop_ratio * 4),
+    )
+
+
 def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-document quality features (pure projection):
 
@@ -88,15 +111,7 @@ def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     alpha_ratio = F.when(nonspace > 0, alpha / nonspace).otherwise(F.lit(0.0))
     punct_ratio = F.when(nonspace > 0, punct / nonspace).otherwise(F.lit(0.0))
     stop_ratio = F.when(n_tokens > 0, stop_hits / n_tokens).otherwise(F.lit(0.0))
-    # Composite: reward letter-heavy, stopword-bearing, mid-length docs.
-    length_ok = (
-        F.when(n_tokens >= 5, F.lit(1.0)).otherwise(n_tokens / F.lit(5.0))
-    )
-    score = F.least(
-        F.lit(1.0),
-        F.lit(0.4) * alpha_ratio + F.lit(0.4) * length_ok + F.lit(0.2)
-        * F.least(F.lit(1.0), stop_ratio * 4),
-    )
+    score = quality_score(c)
     return df.select(
         F.col(id_col),
         n_chars.alias("n_chars"),

@@ -153,12 +153,15 @@ def jaccard_pairs(
             F.col(id_col),
             F.explode(F.array_distinct(tokens(text_col))).alias("shingle"),
         )
-    # Single evaluation of the (CPU-heavy) shingle explode: the per-doc
-    # set size rides along via a window instead of a separate groupBy
-    # branch, and the self-join's two sides are the identical subplan,
-    # so the planner reuses one shingle exchange for both
-    # (ReusedExchange — no persist needed, no storage-memory leak
-    # across long-lived driver sessions).
+    # The per-doc set size rides along via a window instead of a
+    # separate groupBy branch + two post-joins (that branch forced a
+    # full re-evaluation of the explode and two extra shuffles). The
+    # self-join's sides are the identical subplan: at corpus scale
+    # both sides shuffle on `shingle` and canonicalize to ONE reused
+    # exchange; on small inputs the optimizer broadcasts the build
+    # side instead (second explode evaluation, but tiny by
+    # definition). No persist — caching here leaks storage memory
+    # across long-lived driver sessions.
     sized = sh.withColumn(
         "set_size", F.count("*").over(Window.partitionBy(id_col))
     )

@@ -381,3 +381,32 @@ def dedup_stream_within_watermark(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         keys
     )
+
+
+def curate_doc_stream(
+    docs: DataFrame,
+    ts_col: str = "ts",
+    text_col: str = "text",
+    min_quality: float = 0.5,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming corpus intake: the curation pipeline's first two
+    stages as an incremental plan — quality-gate the arriving docs
+    (stateless projection), then drop content duplicates by
+    normalized md5 fingerprint within a watermark horizon (bounded
+    state, same contract as ``dedup_stream_within_watermark``).
+
+    Near-dup clustering stays a batch job over the accumulated corpus
+    (iterative CC has no incremental formulation); this stream keeps
+    the exact-dup + junk firehose from ever landing in storage.
+    Output adds ``quality_score`` (rounded) and ``fingerprint``.
+    """
+    from ..functions.text import fingerprint_md5, quality_score
+
+    gated = docs.withColumn(
+        "quality_score", F.round(quality_score(text_col), 4)
+    ).where(F.col("quality_score") >= min_quality)
+    fp = gated.withColumn("fingerprint", fingerprint_md5(text_col))
+    return fp.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["fingerprint"]
+    )

@@ -228,3 +228,46 @@ def test_stream_static_enrichment(spark, tmp_path):
 
     got = {r.id: r.category for r in out}
     assert got == {1: "content", 2: "reaction", 3: None}
+
+
+def test_curate_doc_stream_quality_and_dedup(spark, tmp_path):
+    """Streaming corpus intake: junk filtered, exact dups (by
+    normalized content, across different doc_ids) deduped within the
+    watermark, survivors annotated."""
+    import json
+
+    from reddit_hn_etl_spark.streaming import ingest
+
+    good = ("the quick brown fox jumps over the lazy dog and runs to "
+            "the river bank in the morning sun with a happy grin")
+    src = tmp_path / "docs"
+    src.mkdir()
+    rows = [
+        {"doc_id": 1, "ts": "2024-01-01T10:00:00", "text": good},
+        # same content modulo case/whitespace → same fingerprint
+        {"doc_id": 2, "ts": "2024-01-01T10:01:00",
+         "text": "  " + good.upper() + "  "},
+        {"doc_id": 3, "ts": "2024-01-01T10:02:00", "text": "!!! ??? ***"},
+        {"doc_id": 4, "ts": "2024-01-01T10:03:00",
+         "text": "spark dataframes shuffle partitions and the optimizer "
+                 "prunes columns while the executor pipelines operators"},
+    ]
+    (src / "batch.jsonl").write_text(
+        "\n".join(json.dumps(r) for r in rows), encoding="utf-8"
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, ts timestamp, text string")
+        .json(str(src))
+    )
+    curated = ingest.curate_doc_stream(stream)
+    q = (
+        curated.writeStream.format("memory").queryName("curated_docs")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    out = {r.doc_id: r for r in spark.sql(
+        "SELECT * FROM curated_docs"
+    ).collect()}
+    assert sorted(out) == [1, 4]        # 2 = dup of 1, 3 = junk
+    assert out[1].quality_score >= 0.5
+    assert len(out[1].fingerprint) == 32
