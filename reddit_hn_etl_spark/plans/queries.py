@@ -4534,3 +4534,151 @@ def image_bmp_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         chan(4).alias("mean_g"),
         chan(8).alias("mean_b"),
     )
+
+
+@_q(
+    "session_funnel",
+    """
+    WITH g AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR FLOOR(epoch(ts)) - FLOOR(epoch(LAG(ts) OVER w))
+                            > 1800
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT user_id, ts, event_type,
+               SUM(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM g
+    ),
+    fv AS (
+        SELECT user_id, session_no,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view
+        FROM s GROUP BY 1, 2
+    ),
+    flags AS (
+        SELECT f.user_id, f.session_no,
+               f.first_view IS NOT NULL AS has_view,
+               MAX(CASE WHEN s.event_type = 'purchase'
+                             AND f.first_view IS NOT NULL
+                             AND s.ts >= f.first_view
+                        THEN 1 ELSE 0 END) AS converted
+        FROM fv f JOIN s ON s.user_id = f.user_id
+                        AND s.session_no = f.session_no
+        GROUP BY 1, 2, 3
+    )
+    SELECT COUNT(*) AS n_sessions,
+           CAST(SUM(CASE WHEN has_view THEN 1 ELSE 0 END) AS BIGINT)
+               AS view_sessions,
+           CAST(SUM(converted) AS BIGINT) AS converted_sessions,
+           ROUND(SUM(converted)
+                 / SUM(CASE WHEN has_view THEN 1 ELSE 0 END), 4)
+               AS view_to_purchase_rate
+    FROM flags
+    """,
+)
+def session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel over gap-sessionized activity: of all
+    sessions, how many contain a product view, and how many convert
+    (a purchase at-or-after the session's first view). The staple
+    product-analytics query: sessionization (one shuffle + window),
+    per-session conditional min, self-join back for the ordered
+    exists, global conditional aggregate. Counts are integer-exact;
+    the single rate divides two exact ints."""
+    from ..operators.sessions import sessionize as sess_op
+
+    ev = read_table(spark, sf_dir, "events")
+    s = sess_op(
+        ev.select("user_id", "ts", "event_id", "event_type"),
+        key_cols=["user_id"], ts_col="ts", gap_seconds=1800,
+        order_tiebreak=["event_id"],
+    )
+    fv = s.groupBy("user_id", "session_no").agg(
+        F.min(
+            F.when(F.col("event_type") == "view", F.col("ts"))
+        ).alias("first_view")
+    )
+    flags = (
+        fv.join(s, ["user_id", "session_no"])
+        .groupBy(
+            "user_id", "session_no",
+            F.col("first_view").isNotNull().alias("has_view"),
+        )
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & F.col("first_view").isNotNull()
+                    & (F.col("ts") >= F.col("first_view")),
+                    1,
+                ).otherwise(0)
+            ).alias("converted")
+        )
+    )
+    return flags.agg(
+        F.count("*").alias("n_sessions"),
+        F.sum(F.when(F.col("has_view"), 1).otherwise(0))
+        .cast("long")
+        .alias("view_sessions"),
+        F.sum("converted").cast("long").alias("converted_sessions"),
+        F.round(
+            F.sum("converted")
+            / F.sum(F.when(F.col("has_view"), 1).otherwise(0)),
+            4,
+        ).alias("view_to_purchase_rate"),
+    )
+
+
+@_q(
+    "weekly_cohort_retention",
+    """
+    WITH firsts AS (
+        SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    active AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+        FROM events
+    )
+    SELECT CAST(f.cohort_week AS DATE) AS cohort_week,
+           CAST((FLOOR(epoch(a.wk)) - FLOOR(epoch(f.cohort_week)))
+                / 604800 AS INTEGER) AS week_offset,
+           COUNT(*) AS n_users
+    FROM active a JOIN firsts f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity week,
+    counted in each subsequent active week — the other staple
+    warehouse query. Two aggregations over one scan lineage (first
+    week per user, distinct active weeks per user) joined on the
+    user id; the week offset is exact integer arithmetic on
+    week-truncated UTC epochs (both engines truncate to Monday)."""
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("wk")
+    ).distinct()
+    return (
+        active.join(firsts, "user_id")
+        .groupBy(
+            F.col("cohort_week").cast("date").alias("cohort_week"),
+            (
+                (
+                    F.unix_timestamp("wk")
+                    - F.unix_timestamp("cohort_week")
+                )
+                / 604800
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
