@@ -136,3 +136,18 @@ def test_ivf_knn_recall_against_bruteforce(spark, sf_dir):
     a = {(r.query_id, r.vec_id) for r in approx.collect()}
     recall = len(e & a) / len(e)
     assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_fan_out_narrow_input(spark):
+    from reddit_hn_etl_spark.operators.dedup import fan_out_narrow_input
+
+    target = spark.sparkContext.defaultParallelism
+    narrow = spark.range(100).coalesce(1)
+    assert fan_out_narrow_input(narrow).rdd.getNumPartitions() == target
+    wide = spark.range(100).repartition(target + 4)
+    # already wider than the cluster → untouched (no extra shuffle)
+    assert fan_out_narrow_input(wide).rdd.getNumPartitions() == target + 4
+    # results are partition-invariant
+    assert sorted(
+        r.id for r in fan_out_narrow_input(narrow).collect()
+    ) == list(range(100))
