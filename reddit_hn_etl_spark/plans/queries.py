@@ -4682,3 +4682,43 @@ def weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_users"))
     )
+
+
+@_q(
+    "near_dup_edit_distance",
+    rf"""
+    WITH pairs AS ({_TRUE_PAIRS_3G_05})
+    SELECT p.doc_a, p.doc_b,
+           CAST(levenshtein(a.text, b.text) AS INTEGER) AS edit_dist
+    FROM pairs p
+    JOIN documents a ON a.doc_id = p.doc_a
+    JOIN documents b ON b.doc_id = p.doc_b
+    """,
+)
+def near_dup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level verification of the shingle-based near-dup
+    candidates: Levenshtein distance for every true 3-gram-Jaccard
+    ≥ 0.5 pair — the classic fuzzy-match second opinion (cheap here
+    because it runs on the CANDIDATE pairs, never all-pairs; at
+    100 TB this is the standard re-rank stage after blocking). Both
+    engines implement the textbook DP, so the integers agree
+    exactly."""
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5
+    ).select("doc_a", "doc_b")
+    ta = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("text").alias("_ta")
+    )
+    tb = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("text").alias("_tb")
+    )
+    return (
+        pairs.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("_ta", "_tb").cast("int").alias("edit_dist"),
+        )
+    )
