@@ -4722,3 +4722,101 @@ def near_dup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein("_ta", "_tb").cast("int").alias("edit_dist"),
         )
     )
+
+
+@_q(
+    "user_engagement_rank",
+    """
+    WITH e AS (
+        SELECT user_id, COUNT(DISTINCT event_type) AS n_types
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, CAST(n_types AS INTEGER) AS n_types,
+           CAST(RANK() OVER (ORDER BY n_types DESC) AS INTEGER) AS rnk,
+           CAST(DENSE_RANK() OVER (ORDER BY n_types DESC) AS INTEGER)
+               AS drnk
+    FROM e
+    """,
+)
+def user_engagement_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-aware ranking semantics: users ranked by distinct event
+    types (a 1..5-valued key → massive ties), with both RANK (gaps
+    after tie groups) and DENSE_RANK (no gaps). Both functions assign
+    by VALUE, so ties need no tiebreak for determinism — the pair of
+    columns pins the two tie semantics against each other."""
+    ev = read_table(spark, sf_dir, "events")
+    e = ev.groupBy("user_id").agg(
+        F.count_distinct("event_type").alias("n_types")
+    )
+    w = Window.orderBy(F.desc("n_types"))
+    return e.select(
+        "user_id",
+        F.col("n_types").cast("int").alias("n_types"),
+        F.rank().over(w).cast("int").alias("rnk"),
+        F.dense_rank().over(w).cast("int").alias("drnk"),
+    )
+
+
+@_q(
+    "customer_rfm_segments",
+    """
+    WITH base AS (
+        SELECT o_custkey,
+               MAX(o_orderdate) AS last_order,
+               COUNT(*) AS frequency,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS monetary
+        FROM orders GROUP BY o_custkey
+    ),
+    anchor AS (SELECT MAX(o_orderdate) AS max_date FROM orders)
+    SELECT o_custkey AS custkey,
+           CAST(date_diff('day', last_order, max_date) AS INTEGER)
+               AS recency_days,
+           CAST(frequency AS INTEGER) AS frequency, monetary,
+           CAST(NTILE(4) OVER (ORDER BY
+                date_diff('day', last_order, max_date), o_custkey)
+                AS INTEGER) AS r_score,
+           CAST(NTILE(4) OVER (ORDER BY frequency DESC, o_custkey)
+                AS INTEGER) AS f_score,
+           CAST(NTILE(4) OVER (ORDER BY monetary DESC, o_custkey)
+                AS INTEGER) AS m_score
+    FROM base, anchor
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the marketing-analytics staple: per
+    customer, days since last order (vs the corpus max date),
+    order count, and exact-decimal total spend, each quartiled with
+    NTILE(4) under a fully deterministic ordering (customer-id
+    tiebreak; the monetary double is bit-identical cross-engine by
+    the decimal-sum rule, so its ordering is too)."""
+    orders = read_table(spark, sf_dir, "orders")
+    base = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    anchor = orders.agg(F.max("o_orderdate").alias("max_date"))
+    j = base.crossJoin(F.broadcast(anchor)).withColumn(
+        "recency_days", F.datediff("max_date", "last_order").cast("int")
+    )
+    return j.select(
+        "custkey",
+        "recency_days",
+        F.col("frequency").cast("int").alias("frequency"),
+        "monetary",
+        F.ntile(4)
+        .over(Window.orderBy("recency_days", "custkey"))
+        .cast("int")
+        .alias("r_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("frequency"), F.col("custkey")))
+        .cast("int")
+        .alias("f_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("monetary"), F.col("custkey")))
+        .cast("int")
+        .alias("m_score"),
+    )
