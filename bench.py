@@ -89,6 +89,10 @@ BENCH_QUERIES_R2 = [
     "near_dup_clusters",
     "audio_wav_metrics",
     "image_bmp_metrics",
+    # r2 continuation: product analytics
+    "session_funnel",
+    "weekly_cohort_retention",
+    "customer_rfm_segments",
 ]
 
 
