@@ -263,3 +263,101 @@ def test_repetition_features_match_model(spark, docs):
         if m is not None  # token-less docs yield no grams → no row
     }
     assert got == want
+
+
+# --- connected components vs union-find ----------------------------------
+
+edges_strategy = st.lists(
+    st.tuples(st.integers(0, 14), st.integers(0, 14)),
+    min_size=0, max_size=25,
+)
+
+
+def _uf_components(pairs):
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # path-compress to final roots, then map every vertex to the MIN
+    # member of its component (the operator's label contract)
+    roots: dict[int, list[int]] = {}
+    for v in list(parent):
+        roots.setdefault(find(v), []).append(v)
+    out = {}
+    for members in roots.values():
+        lo = min(members)
+        for v in members:
+            out[v] = lo
+    return out
+
+
+@given(pairs=edges_strategy)
+@SET
+def test_connected_components_match_union_find(spark, pairs):
+    from reddit_hn_etl_spark.operators.graph import connected_components
+
+    df = spark.createDataFrame(
+        pairs or [(0, 0)], "doc_a long, doc_b long"
+    )
+    got = {
+        r.vertex: r.component for r in connected_components(df).collect()
+    }
+    want = _uf_components(pairs or [(0, 0)])
+    assert got == want
+
+
+# --- jaccard_pairs vs brute force ----------------------------------------
+
+jdocs_strategy = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=8
+    ).map(" ".join),
+    min_size=2, max_size=6,
+)
+
+
+def _brute_jaccard(docs, n=2, threshold=0.2):
+    def shingles(text):
+        toks = [t for t in text.strip().lower().split() if t]
+        return {
+            " ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)
+        }
+
+    out = {}
+    ss = [shingles(t) for t in docs]
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            if not ss[i] or not ss[j]:
+                continue
+            inter = len(ss[i] & ss[j])
+            if inter == 0:
+                continue
+            jac = inter / len(ss[i] | ss[j])
+            if jac >= threshold:
+                out[(i, j)] = round(jac, 4)
+    return out
+
+
+@given(docs=jdocs_strategy)
+@SET
+def test_jaccard_pairs_match_brute_force(spark, docs):
+    from reddit_hn_etl_spark.operators.dedup import jaccard_pairs
+
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs(df, "doc_id", "text", n=2,
+                               threshold=0.2).collect()
+    }
+    assert got == _brute_jaccard(docs)
