@@ -51,3 +51,27 @@ def test_keep_best_empty_cluster_set(spark):
         [(1, 0.5)], "doc_id long, quality_score double"
     )
     assert keep_best_per_cluster(cc, scores).count() == 0
+
+
+def test_star_components_match_minlabel(spark):
+    from reddit_hn_etl_spark.operators.graph import connected_components_star
+
+    # chain (worst case for min-label), merging cliques, island,
+    # self-loop-only vertex
+    edges = _edges(
+        spark,
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6),
+         (10, 11), (11, 12), (10, 12), (12, 13),
+         (20, 21), (30, 30)],
+    )
+    a = {r.vertex: r.component for r in connected_components(edges).collect()}
+    b = {r.vertex: r.component
+         for r in connected_components_star(edges).collect()}
+    assert a == b
+    assert b[6] == 1 and b[13] == 10 and b[30] == 30
+
+
+def test_star_components_empty(spark):
+    from reddit_hn_etl_spark.operators.graph import connected_components_star
+
+    assert connected_components_star(_edges(spark, [])).count() == 0

@@ -361,3 +361,20 @@ def test_jaccard_pairs_match_brute_force(spark, docs):
                                threshold=0.2).collect()
     }
     assert got == _brute_jaccard(docs)
+
+
+@given(pairs=edges_strategy)
+@SET
+def test_star_components_match_union_find(spark, pairs):
+    from reddit_hn_etl_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    df = spark.createDataFrame(
+        pairs or [(0, 0)], "doc_a long, doc_b long"
+    )
+    got = {
+        r.vertex: r.component
+        for r in connected_components_star(df).collect()
+    }
+    assert got == _uf_components(pairs or [(0, 0)])
