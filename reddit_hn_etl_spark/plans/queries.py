@@ -453,7 +453,7 @@ def segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     price = F.col("o_totalprice").cast("decimal(18,2)")
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("order_count"),
@@ -572,7 +572,7 @@ def top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("o_totalprice"), F.asc("o_orderkey")
     )
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             "c_mktsegment",
             "o_orderkey",
@@ -2090,7 +2090,10 @@ def running_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q7 shape: cross-nation trade volume by year — the same nation
-    dim joined twice under different roles, fact chain broadcast."""
+    dim joined twice under different roles. Only the nation-role dims
+    are broadcast; the fact chain (lineitem-orders-customer) stays
+    shuffle-side so AQE picks the strategy by observed size — a forced
+    fact broadcast would OOM executors at 100 TB."""
     li = read_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
     )
@@ -2110,8 +2113,8 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
     )
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(cn), cust.c_nationkey == cn.cn_key)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(sn), supp.s_nationkey == sn.sn_key)
@@ -3912,7 +3915,9 @@ def interpolate_missing_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = F.when(F.col("event_id") % 5 == 0, F.lit(None)).otherwise(
         F.col("value")
     )
-    t_us = F.unix_micros("ts")
+    # Spark 4.1 rejects unix_micros on TIMESTAMP_NTZ; the session TZ is
+    # pinned UTC, so the cast to TIMESTAMP is value-preserving.
+    t_us = F.unix_micros(F.col("ts").cast("timestamp"))
     base = Window.partitionBy("user_id").orderBy("ts", "event_id")
     back = base.rowsBetween(Window.unboundedPreceding, -1)
     fwd = base.rowsBetween(1, Window.unboundedFollowing)
