@@ -29,10 +29,13 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     value_cols: Sequence[str] | None = None,
+    strict: bool = False,
 ) -> DataFrame:
     """Backward as-of LEFT join: each left row gets the right row with
     the greatest ``right_ts`` <= ``left_ts`` for the same key (ties on
-    the timestamp DO match: ``<=``, not ``<``).
+    the timestamp DO match: ``<=``, not ``<``). With ``strict=True``
+    the match is ``right_ts < left_ts`` — a same-instant right row is
+    NOT visible (the point-in-time contract; see ``pit_join``).
 
     Plan: tag both sides, union, one window pass per key ordered by
     (ts, side) carrying the latest right row forward as a single
@@ -78,10 +81,12 @@ def asof_join(
     ).select(*l_tag.columns)  # align column order for unionByName
 
     # Right rows sort BEFORE left rows at equal ts (side 0 < 1) so a
-    # tie matches — the `<=` contract.
+    # tie matches — the `<=` contract. Strict mode flips the tie so a
+    # same-instant right row sorts AFTER the left row — invisible.
+    side_order = F.col(_SIDE).desc() if strict else F.col(_SIDE).asc()
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col("_asof_ts").asc(), F.col(_SIDE).asc())
+        .orderBy(F.col("_asof_ts").asc(), side_order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = l_tag.unionByName(r_tag).select(
@@ -93,6 +98,45 @@ def asof_join(
         *[F.col(c) for c in left.columns],
         *[F.col(f"_m.{c}").alias(c) for c in value_cols],
         F.col("_m.matched_ts").alias("matched_ts"),
+    )
+
+
+def pit_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str] | None = None,
+    tolerance_sec: int | None = None,
+) -> DataFrame:
+    """Point-in-time join — the feature-store / training-data variant
+    of the as-of join: each left row sees only right rows STRICTLY
+    before its timestamp (no same-instant lookahead — a feature
+    written at the event's own instant is leakage), optionally within
+    a freshness ``tolerance_sec`` (a stale feature is no feature).
+
+    Same single-shuffle union+window plan as ``asof_join``; the
+    tolerance is a post-projection on the matched struct, so rows
+    whose only match is too old keep their left columns with null
+    features — they are NOT dropped (the left surface is the training
+    spine and must stay intact).
+    """
+    out = asof_join(
+        left, right, on=on, left_ts=left_ts, right_ts=right_ts,
+        value_cols=value_cols, strict=True,
+    )
+    if tolerance_sec is None:
+        return out
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in on and c != right_ts]
+    fresh = F.col("matched_ts") >= (
+        F.col(left_ts) - F.expr(f"INTERVAL {int(tolerance_sec)} SECOND")
+    )
+    return out.select(
+        *[F.col(c) for c in left.columns],
+        *[F.when(fresh, F.col(c)).alias(c) for c in value_cols],
+        F.when(fresh, F.col("matched_ts")).alias("matched_ts"),
     )
 
 

@@ -180,6 +180,55 @@ def test_asof_join_matches_model(spark, left, right):
     assert got == _asof_model(left, right)
 
 
+def _pit_model(left, right, tol_min):
+    """Brute force point-in-time: per left row the right row with
+    greatest ts STRICTLY < left ts; nulled if staler than tol_min."""
+    r = {}
+    for k, m, v in right:
+        if (k, m) not in r or v > r[(k, m)]:
+            r[(k, m)] = v
+    out = []
+    for k, m, v in left:
+        cands = [(rm, rv) for (rk, rm), rv in r.items() if rk == k and rm < m]
+        match = max(cands) if cands else None
+        if match is not None and tol_min is not None and m - match[0] > tol_min:
+            match = None
+        out.append((k, m, v, match[1] if match else None,
+                    match[0] if match else None))
+    return sorted(out)
+
+
+@given(left=rows, right=rows, tol=st.sampled_from([None, 0, 2, 5]))
+@SET
+def test_pit_join_matches_model(spark, left, right, tol):
+    """Strict (<) tie semantics and the freshness tolerance: a
+    same-instant right row must NOT match (lookahead leakage), and a
+    match older than the tolerance nulls the features but keeps the
+    left row."""
+    from reddit_hn_etl_spark.operators.joins import pit_join
+
+    l_df = _df(spark, left)
+    r_df = dedup_keep_last(
+        _df(spark, right), keys=["k", "ts"], order_by=["v"]
+    ).select("k", F.col("ts").alias("rts"), F.col("v").alias("rv"))
+    out = pit_join(
+        l_df, r_df, on=["k"], left_ts="ts", right_ts="rts",
+        value_cols=["rv"],
+        tolerance_sec=None if tol is None else tol * 60,
+    ).collect()
+    got = sorted(
+        (
+            r.k,
+            (r.ts - BASE).seconds // 60,
+            r.v,
+            r.rv,
+            None if r.matched_ts is None else (r.matched_ts - BASE).seconds // 60,
+        )
+        for r in out
+    )
+    assert got == _pit_model(left, right, tol)
+
+
 @given(
     left=st.lists(
         st.tuples(st.integers(0, 3), st.integers(-50, 50)),
