@@ -95,6 +95,17 @@ BENCH_QUERIES_R2 = [
     "customer_rfm_segments",
 ]
 
+# Added in round 4: approximation-switch / PIT / runtime-filter /
+# real-decode queries. Same subtotal policy as R2 (excluded from the
+# r01-comparable figure).
+BENCH_QUERIES_R4 = [
+    "doc_token_jaccard_capped",
+    "pit_user_features",
+    "selective_order_lines",
+    "media_features",
+    "media_resize",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -127,19 +138,22 @@ def main() -> None:
 
     # Best-of-3 per query: the first execution of a query also pays
     # plan compilation + codegen; the repeats measure steady-state
-    # engine throughput (what a warm cluster delivers). Three runs
-    # instead of two because local[32] shares the box with the
-    # harness — one noisy neighbor run otherwise leaks into "best".
-    timings: dict[str, float] = {}
-    for name in BENCH_QUERIES + BENCH_QUERIES_R2:
-        best = float("inf")
-        for _ in range(3):
+    # engine throughput (what a warm cluster delivers). The three
+    # runs are INTERLEAVED as full sweeps rather than back-to-back:
+    # local[32] shares the box with the harness, and a noisy-neighbor
+    # window poisons all back-to-back repeats of one query (observed
+    # r2↔r3: ±3× phantom swings on byte-identical code, VERDICT r3
+    # #9) but at most one of three sweep-separated runs.
+    names = BENCH_QUERIES + BENCH_QUERIES_R2 + BENCH_QUERIES_R4
+    timings: dict[str, float] = {n: float("inf") for n in names}
+    for _sweep in range(3):
+        for name in names:
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            timings[name] = min(timings[name], time.perf_counter() - t0)
+    timings = {n: round(t, 3) for n, t in timings.items()}
 
     total = round(sum(timings.values()), 3)
     base_total = round(sum(timings[n] for n in BENCH_QUERIES), 3)
