@@ -4015,19 +4015,22 @@ def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     order) to ~2000-BPE-token shards via a running token sum — how a
     pretraining exporter cuts a corpus into fixed-budget files.
 
-    The unpartitioned running sum is a single-partition window — fine
-    for a per-shard manifest, but at 100 TB the prefix sum would be
-    computed hierarchically (per-partition sums → cumulative offsets
-    broadcast back; same algebra, two small shuffles). Documented
-    trade-off, not an accident."""
+    r4: the running sum is the HIERARCHICAL prefix sum
+    (operators/prefix.py) — range-partition on doc_id, per-partition
+    local cumsums, cumulative offsets broadcast back — replacing the
+    r2 single-partition window that funneled the whole corpus through
+    one task (the trade-off r2 documented; now closed). Same algebra,
+    same oracle, no single-task bottleneck at 100 TB."""
+    from ..operators.prefix import prefix_sum
+
     docs = read_table(spark, sf_dir, "documents")
     n_tok = textfn.token_count_bpe_ish("text")
-    w = Window.orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    cum = prefix_sum(
+        docs.select("doc_id", n_tok.alias("n_tok")),
+        order_col="doc_id",
+        value_col="n_tok",
+        out_col="running",
     )
-    cum = docs.select(
-        "doc_id", n_tok.alias("n_tok")
-    ).withColumn("running", F.sum("n_tok").over(w))
     return (
         cum.groupBy(
             F.floor((F.col("running") - 1) / 2000).cast("long").alias(
@@ -5093,17 +5096,39 @@ def user_engagement_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     types (a 1..5-valued key → massive ties), with both RANK (gaps
     after tie groups) and DENSE_RANK (no gaps). Both functions assign
     by VALUE, so ties need no tiebreak for determinism — the pair of
-    columns pins the two tie semantics against each other."""
+    columns pins the two tie semantics against each other.
+
+    r4 scale fix: a global `RANK() OVER (ORDER BY …)` window funnels
+    every user through ONE task. Because rank/dense_rank assign by
+    value, they equal cumulative counts over the VALUE DIMENSION:
+    rank(v) = 1 + Σ count(v') for v' ranked earlier, dense_rank(v) =
+    the value's position. The window therefore runs over the distinct
+    n_types values (≤ |event types| rows — dimension-sized, not
+    user-sized) and broadcast-joins back. For high-cardinality order
+    keys use operators/prefix.global_row_number instead."""
     ev = read_table(spark, sf_dir, "events")
     e = ev.groupBy("user_id").agg(
         F.count_distinct("event_type").alias("n_types")
     )
-    w = Window.orderBy(F.desc("n_types"))
-    return e.select(
+    counts = e.groupBy("n_types").agg(F.count("*").alias("_c"))
+    w_prev = Window.orderBy(F.desc("n_types")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranks = counts.select(
+        "n_types",
+        (F.coalesce(F.sum("_c").over(w_prev), F.lit(0)) + 1)
+        .cast("int")
+        .alias("rnk"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("n_types")))
+        .cast("int")
+        .alias("drnk"),
+    )
+    return e.join(F.broadcast(ranks), "n_types").select(
         "user_id",
         F.col("n_types").cast("int").alias("n_types"),
-        F.rank().over(w).cast("int").alias("rnk"),
-        F.dense_rank().over(w).cast("int").alias("drnk"),
+        "rnk",
+        "drnk",
     )
 
 
@@ -5139,7 +5164,17 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     order count, and exact-decimal total spend, each quartiled with
     NTILE(4) under a fully deterministic ordering (customer-id
     tiebreak; the monetary double is bit-identical cross-engine by
-    the decimal-sum rule, so its ordering is too)."""
+    the decimal-sum rule, so its ordering is too).
+
+    r4 scale fix: the three `NTILE(4) OVER (ORDER BY …)` windows each
+    funneled every customer through ONE task. Each is now the
+    hierarchical `global_ntile` (operators/prefix.py): range
+    partition, per-partition row counts, closed-form bucket from the
+    broadcast total — chained with carry columns so the three
+    orderings need zero join-backs. Identical results (ntile is
+    positional and the orderings are total)."""
+    from ..operators.prefix import global_ntile
+
     orders = read_table(spark, sf_dir, "orders")
     base = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.max("o_orderdate").alias("last_order"),
@@ -5149,26 +5184,31 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("monetary"),
     )
     anchor = orders.agg(F.max("o_orderdate").alias("max_date"))
-    j = base.crossJoin(F.broadcast(anchor)).withColumn(
-        "recency_days", F.datediff("max_date", "last_order").cast("int")
-    )
-    return j.select(
+    j = base.crossJoin(F.broadcast(anchor)).select(
         "custkey",
-        "recency_days",
+        F.datediff("max_date", "last_order").cast("int").alias(
+            "recency_days"
+        ),
         F.col("frequency").cast("int").alias("frequency"),
         "monetary",
-        F.ntile(4)
-        .over(Window.orderBy("recency_days", "custkey"))
-        .cast("int")
-        .alias("r_score"),
-        F.ntile(4)
-        .over(Window.orderBy(F.desc("frequency"), F.col("custkey")))
-        .cast("int")
-        .alias("f_score"),
-        F.ntile(4)
-        .over(Window.orderBy(F.desc("monetary"), F.col("custkey")))
-        .cast("int")
-        .alias("m_score"),
+    )
+    r = global_ntile(
+        j, 4, ["recency_days", "custkey"], out_col="r_score",
+        carry_cols=["frequency", "monetary"],
+    )
+    f = global_ntile(
+        r, 4, ["frequency", "custkey"], descending=[True, False],
+        out_col="f_score",
+        carry_cols=["recency_days", "monetary", "r_score"],
+    )
+    m = global_ntile(
+        f, 4, ["monetary", "custkey"], descending=[True, False],
+        out_col="m_score",
+        carry_cols=["recency_days", "frequency", "r_score", "f_score"],
+    )
+    return m.select(
+        "custkey", "recency_days", "frequency", "monetary",
+        "r_score", "f_score", "m_score",
     )
 
 

@@ -42,7 +42,7 @@ NOTES = {
     "volume_shipping": "Q7 double-role nation dim joined twice (supplier/customer side), both broadcast; the bidirectional pair predicate lands post-join; facts stay shuffle-side for AQE.",
     "small_qty_revenue": "Q17 correlated per-part AVG decorrelated to a window over l_partkey — ONE shuffle, no self-join of lineitem.",
     "doc_chunking": "Zero-exchange plan: tokenize → Generate(sequence) → Project. Embarrassingly parallel at any scale.",
-    "pack_token_budget": "Global running sum = one SinglePartition exchange (documented trade-off; hierarchical prefix-sum is the 100 TB path); agg piggybacks on the existing partitioning — no second exchange.",
+    "pack_token_budget": "r4: the r2 SinglePartition running sum is now the hierarchical prefix sum (operators/prefix.py) — rangepartitioning exchange + per-partition Arrow cumsum + a broadcast offsets join; the only SinglePartition window left runs over one row PER PARTITION (the totals), never per data row. The checkpoint boundary shows as Scan ExistingRDD.",
     "doc_repetition": "ONE corpus scan: unigrams+bigrams explode together as type-tagged grams (single Generate), partial-agg map-side, one shuffle on (doc_id, t, gram), then conditional aggregates split the types back out — no second read of the text at 100 TB, no join at all.",
     "weighted_doc_sample": "A-ES weighted sample: pure projection (md5→uniform→ln(u)/w key) + top-k. The rank filter pushes a TakeOrderedAndProject(limit=20) BELOW the window — 20 rows reach the row_number, never a global sort.",
     "nation_trade_volume": "r4: forced `F.broadcast(orders)`/`F.broadcast(cust)` removed (the r1-flagged scale-killer class). The plan below still shows BroadcastHashJoin on the fact chain — but now from size ESTIMATES (orders/customer are MBs at sf0.1), so at 100 TB the same query degrades to shuffle joins instead of OOMing; only the two nation-role dims keep explicit broadcast hints.",
@@ -53,6 +53,8 @@ NOTES = {
     "media_features": "Synth and decode are two chained MapInPandas in the SAME stage — payloads cross the Arrow boundary within a task but never a shuffle; the featurizer drops them immediately, so only ~150-byte feature rows exist downstream. Zero exchanges, embarrassingly parallel.",
     "media_resize": "Decode→resample→re-encode→decode chain as same-stage chained MapInPandas; the only exchange is the final metadata join (mime recovery), which moves 7-column stat rows, never payloads.",
     "doc_simhash_pairs": "Three bounded subplans: exact bigram true-pairs (inverted index), 64 per-position partial-agg simhash votes (map-side combine), and the blocks=8 pigeonhole candidate join — all joined on (doc_a, doc_b); no all-pairs anywhere.",
+    "user_engagement_rank": "r4: global RANK/DENSE_RANK re-expressed over the VALUE dimension — cumulative counts per distinct n_types (≤5 rows through the only SinglePartition window) broadcast-joined back to users. The user-sized data path has zero global-order operators.",
+    "customer_rfm_segments": "r4: the three data-sized NTILE windows replaced by hierarchical global_ntile — each ordering is a rangepartitioning exchange + Arrow per-partition row numbering + closed-form bucket from a broadcast 1-row total; carry columns chain the three orderings with no join-backs.",
 }
 
 

@@ -230,6 +230,81 @@ def test_pit_join_matches_model(spark, left, right, tol):
 
 
 @given(
+    vals=st.lists(
+        st.one_of(st.integers(-1000, 1000), st.none()),
+        min_size=0, max_size=40,
+    ),
+    parts=st.integers(1, 7),
+)
+@SET
+def test_prefix_sum_matches_model(spark, vals, parts):
+    """Hierarchical prefix sum == brute-force running sum for any
+    value signs, NULLs (add 0), and partition counts — including more
+    partitions than rows (empty range buckets)."""
+    from reddit_hn_etl_spark.operators.prefix import prefix_sum
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "k long, v long"
+    )
+    out = prefix_sum(
+        df, order_col="k", value_col="v", num_partitions=parts
+    ).collect()
+    acc, model = 0, {}
+    for i, v in enumerate(vals):
+        acc += v or 0
+        model[i] = v, acc
+    assert {r.k: (r.v, r.running) for r in out} == model
+
+
+def test_prefix_sum_plan_has_no_full_data_single_partition(spark):
+    """The full-data exchange must be rangepartitioning; the only
+    SinglePartition window sits above the per-partition totals agg."""
+    from reddit_hn_etl_spark.operators.prefix import prefix_sum
+
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    plan = (
+        prefix_sum(df, "k", "v", num_partitions=4, checkpoint=False)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "rangepartitioning" in plan, plan
+    main, _, offsets_branch = plan.partition("_pfx_total")
+    assert "SinglePartition" not in main, main
+    # The offsets branch MAY single-partition — it holds one row per
+    # range partition, not per data row.
+    assert "hashpartitioning(_pfx_pid" in offsets_branch, offsets_branch
+
+
+@given(
+    vals=st.lists(st.integers(0, 9), min_size=0, max_size=30),
+    n=st.integers(1, 6),
+    parts=st.integers(1, 5),
+    desc=st.booleans(),
+)
+@SET
+def test_global_ntile_matches_spark_window(spark, vals, n, parts, desc):
+    """Hierarchical global_ntile == Spark's NTILE(n) OVER (ORDER BY …)
+    under a total order, for N<n, N%n!=0, duplicates-broken-by-key,
+    and either direction."""
+    from pyspark.sql import Window
+    from reddit_hn_etl_spark.operators.prefix import global_ntile
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "k long, v long"
+    )
+    got = global_ntile(
+        df, n, ["v", "k"], descending=[desc, False],
+        out_col="b", num_partitions=parts,
+    ).collect()
+    order = [F.col("v").desc() if desc else F.col("v").asc(), F.col("k")]
+    want = df.select(
+        "k", F.ntile(n).over(Window.orderBy(*order)).alias("b")
+    ).collect()
+    assert {r.k: r.b for r in got} == {r.k: r.b for r in want}
+
+
+@given(
     left=st.lists(
         st.tuples(st.integers(0, 3), st.integers(-50, 50)),
         min_size=0, max_size=20,
