@@ -104,6 +104,15 @@ def prefix_sum(
     # the offsets branch and the final join — without it each branch
     # would re-run the scan + range shuffle + Python pass.
     # (``checkpoint=False`` keeps full lineage for plan inspection.)
+    # Rejected alternative: aggregate spark_partition_id() over `proj`
+    # directly and rely on ReusedExchange to share the shuffle. That
+    # drops the checkpoint and the totals-branch Python pass, but its
+    # correctness hinges on both branches seeing identical partition
+    # ids — an optimizer behavior (exchange reuse + consistent AQE
+    # coalescing), not a semantic guarantee. If reuse ever fails to
+    # fire, range-bound sampling can differ per shuffle and the
+    # offsets silently attach to the wrong rows. The checkpoint costs
+    # one extra materialization but is correct by construction.
     tagged = proj.mapInPandas(local_cumsum, schema)
     if checkpoint:
         tagged = tagged.localCheckpoint(eager=False)
