@@ -99,6 +99,7 @@ BENCH_QUERIES_R2 = [
 # real-decode queries. Same subtotal policy as R2 (excluded from the
 # r01-comparable figure).
 BENCH_QUERIES_R4 = [
+    "user_engagement_rank",
     "doc_token_jaccard_capped",
     "pit_user_features",
     "selective_order_lines",
