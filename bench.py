@@ -100,6 +100,7 @@ BENCH_QUERIES_R2 = [
 # r01-comparable figure).
 BENCH_QUERIES_R4 = [
     "user_engagement_rank",
+    "bpe_merge_pairs",
     "doc_token_jaccard_capped",
     "pit_user_features",
     "selective_order_lines",

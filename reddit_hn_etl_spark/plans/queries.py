@@ -1735,6 +1735,56 @@ def top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "bpe_merge_pairs",
+    r"""
+    WITH toks AS (
+        SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                           x -> x <> '') AS w
+        FROM documents
+    ),
+    pairs AS (
+        SELECT unnest(list_transform(w[1:len(w) - 1],
+                      (x, i) -> x || ' ' || w[i + 1])) AS pair
+        FROM toks
+        WHERE len(w) > 1
+    )
+    SELECT pair, COUNT(*) AS pair_count
+    FROM pairs GROUP BY pair
+    ORDER BY pair_count DESC, pair
+    LIMIT 20
+    """,
+)
+def bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training primitive: corpus-wide adjacent-pair
+    frequencies — one BPE merge iteration is "count every adjacent
+    symbol pair across the corpus, merge the most frequent". Here the
+    symbols are whitespace tokens (this corpus has no sub-word
+    structure); on character- or byte-level symbols the distributed
+    shape is identical: ONE Generate (pair explode, multiset — unlike
+    `word_shingles`, occurrences are NOT deduped per doc), map-side
+    partial counts, one shuffle on the pair key, TakeOrdered top-k.
+    Complements `doc_repetition` (per-doc n-gram stats) with the
+    corpus-level aggregate; deterministic tiebreak (count desc, pair
+    asc) for cross-engine parity."""
+    docs = dedup.fan_out_narrow_input(read_table(spark, sf_dir, "documents"))
+    w = docs.select(dedup.tokens("text").alias("w"))
+    k = F.size("w") - 1
+    idx = F.when(k > 0, F.sequence(F.lit(0), k - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    pairs = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice("w", i + 1, 2))
+    )
+    return (
+        w.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), F.asc("pair"))
+        .limit(20)
+    )
+
+
+@_q(
     "value_stats",
     """
     SELECT event_type,
