@@ -175,16 +175,33 @@ def global_ntile(
     descending: Sequence[bool] | None = None,
     carry_cols: Sequence[str] = (),
     num_partitions: int | None = None,
+    total_rows: int | None = None,
 ) -> DataFrame:
     """`ntile(n) OVER (ORDER BY …)` from the hierarchical row number
     plus the closed-form bucket assignment Spark/ANSI use: with N rows
     the first N % n buckets get ⌈N/n⌉ rows, the rest ⌊N/n⌋. The row
     count joins in as a broadcast 1-row scalar — no second pass over
-    the ordered data."""
+    the ordered data. Callers chaining several ntiles over the SAME
+    rows should count once and pass ``total_rows``: it replaces the
+    per-call count aggregate + broadcast with a literal (the count is
+    a 1-row driver probe, the sanctioned kind)."""
     rn = global_row_number(
         df, order_cols, out_col="_pfx_rn", descending=descending,
         carry_cols=carry_cols, num_partitions=num_partitions,
     )
+    if total_rows is not None:
+        big = F.floor(F.lit(total_rows) / n) + 1
+        n_big = F.lit(total_rows % n)
+        cut = n_big * big
+        bucket = F.when(
+            F.col("_pfx_rn") <= cut,
+            F.floor((F.col("_pfx_rn") - 1) / big) + 1,
+        ).otherwise(
+            n_big
+            + F.floor((F.col("_pfx_rn") - cut - 1) / F.floor(F.lit(total_rows) / n))
+            + 1
+        )
+        return rn.withColumn(out_col, bucket.cast("int")).drop("_pfx_rn")
     total = rn.agg(F.max("_pfx_rn").alias("_pfx_n"))
     big = F.floor(F.col("_pfx_n") / n) + 1  # rows in the larger buckets
     n_big = F.col("_pfx_n") % n

@@ -5242,19 +5242,26 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("frequency").cast("int").alias("frequency"),
         "monetary",
     )
+    # One driver-side count shared by the three quartile passes: each
+    # ntile's bucket formula needs |rows|, and a literal beats three
+    # count-aggregate + broadcast subtrees (same trick as the
+    # group-count probes that size applyInPandas fan-outs).
+    n_cust = j.count()
     r = global_ntile(
         j, 4, ["recency_days", "custkey"], out_col="r_score",
-        carry_cols=["frequency", "monetary"],
+        carry_cols=["frequency", "monetary"], total_rows=n_cust,
     )
     f = global_ntile(
         r, 4, ["frequency", "custkey"], descending=[True, False],
         out_col="f_score",
         carry_cols=["recency_days", "monetary", "r_score"],
+        total_rows=n_cust,
     )
     m = global_ntile(
         f, 4, ["monetary", "custkey"], descending=[True, False],
         out_col="m_score",
         carry_cols=["recency_days", "frequency", "r_score", "f_score"],
+        total_rows=n_cust,
     )
     return m.select(
         "custkey", "recency_days", "frequency", "monetary",

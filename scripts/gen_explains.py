@@ -57,7 +57,7 @@ NOTES = {
     "salted_event_enrichment": "Skew-resistant enrichment: the fact side is salted by a deterministic row hash and the dim side exploded salt_buckets×, so the shuffle partitions on (user_id, _salt) and a hot user spreads over salt_buckets tasks. The result is provably identical to the plain join (oracle row + hypothesis property); this is the manual fallback where AQE's skew split cannot apply.",
     "quantize_embeddings_int8": "Pure projection: per-vector max-abs scale + transform() quantize/dequantize, all JVM-side higher-order functions over array<float> — zero exchanges, embarrassingly parallel at any scale; round-trip error is bound-checked in-query.",
     "user_engagement_rank": "r4: global RANK/DENSE_RANK re-expressed over the VALUE dimension — cumulative counts per distinct n_types (≤5 rows through the only SinglePartition window) broadcast-joined back to users. The user-sized data path has zero global-order operators.",
-    "customer_rfm_segments": "r4: the three data-sized NTILE windows replaced by hierarchical global_ntile — each ordering is a rangepartitioning exchange + Arrow per-partition row numbering + closed-form bucket from a broadcast 1-row total; carry columns chain the three orderings with no join-backs.",
+    "customer_rfm_segments": "r4: the three data-sized NTILE windows replaced by hierarchical global_ntile — each ordering is a rangepartitioning exchange + Arrow per-partition row numbering + closed-form bucket from a shared literal row count (one driver probe for all three passes); carry columns chain the orderings with no join-backs.",
 }
 
 

@@ -302,6 +302,12 @@ def test_global_ntile_matches_spark_window(spark, vals, n, parts, desc):
         "k", F.ntile(n).over(Window.orderBy(*order)).alias("b")
     ).collect()
     assert {r.k: r.b for r in got} == {r.k: r.b for r in want}
+    # The literal-count fast path must agree with the counted path.
+    lit = global_ntile(
+        df, n, ["v", "k"], descending=[desc, False],
+        out_col="b", num_partitions=parts, total_rows=len(vals),
+    ).collect()
+    assert {r.k: r.b for r in lit} == {r.k: r.b for r in want}
 
 
 @given(
