@@ -101,6 +101,9 @@ BENCH_QUERIES_R2 = [
 BENCH_QUERIES_R4 = [
     "user_engagement_rank",
     "bpe_merge_pairs",
+    # incremental_near_dup is excluded like its sibling
+    # doc_minhash_pairs: the query's cost is its exact-Jaccard
+    # bound-check baseline, not the incremental operator under test.
     "doc_token_jaccard_capped",
     "pit_user_features",
     "selective_order_lines",

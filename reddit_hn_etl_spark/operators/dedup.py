@@ -229,6 +229,112 @@ def minhash_signatures(
     )
 
 
+def _band_rows(
+    sig: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """(id, sig) → exploded LSH band rows (id, sig, band, bucket).
+    bucket = xxhash64 over the band's signature slice, salted by the
+    band index so identical slices in different bands never collide."""
+    assert num_hashes % bands == 0, "num_hashes must be divisible by bands"
+    rows_per_band = num_hashes // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col("sig").getItem(b * rows_per_band + r).cast("string")
+                            for r in range(rows_per_band)
+                        ],
+                    ),
+                    F.lit(b),
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select(
+        F.col(id_col), F.col("sig"), F.explode(band_structs).alias("bb")
+    ).select(id_col, "sig", "bb.band", "bb.bucket")
+
+
+def minhash_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Persistable LSH index over a corpus: (id, sig, band, bucket).
+
+    The operational pattern for a GROWING corpus: build once, write to
+    parquet (partition by ``band`` so the incremental join
+    partition-prunes; within a band, bucket is the join key), then
+    match each incoming batch with ``minhash_pairs_against_index`` —
+    the old corpus text is never re-read and old signatures are never
+    recomputed. Append the batch's own index rows afterwards to keep
+    the index current. Index size: docs × bands rows of
+    (id, 8·num_hashes-byte sig, band, bucket) — ~0.5 KB/doc at the
+    defaults, independent of document length.
+    """
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    return _band_rows(sig, id_col, num_hashes, bands)
+
+
+def minhash_pairs_against_index(
+    new_df: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup candidates of a NEW batch against an existing
+    ``minhash_index`` (same num_hashes/bands/shingle_n as at build
+    time — signatures must come from the same hash family).
+
+    Only the new batch is shingled and hashed; the equality join on
+    (band, bucket) touches matched buckets only. Output:
+    (doc_old, doc_new, est_jaccard), est = fraction of equal
+    signature positions — identical to what the full
+    ``minhash_lsh_pairs`` would estimate for the same pair, so
+    batch-incremental processing loses nothing vs recomputing the
+    corpus (pinned by test_incremental_equals_full_cross_pairs).
+    Callers must keep new ids disjoint from indexed ids; same-id
+    matches are dropped defensively.
+    """
+    new_banded = minhash_index(
+        new_df, id_col, text_col, num_hashes, bands, shingle_n
+    )
+    n, o = new_banded.alias("n"), index.alias("o")
+    cand = (
+        n.join(o, on=["band", "bucket"])
+        .where(F.col(f"n.{id_col}") != F.col(f"o.{id_col}"))
+        .select(
+            F.col(f"o.{id_col}").alias("doc_old"),
+            F.col(f"n.{id_col}").alias("doc_new"),
+            F.col("o.sig").alias("sig_a"),
+            F.col("n.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_old", "doc_new"])
+    )
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cand.withColumn("est_jaccard", F.round(est / F.lit(num_hashes), 4))
+        .where(F.col("est_jaccard") >= threshold)
+        .select("doc_old", "doc_new", "est_jaccard")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -248,30 +354,7 @@ def minhash_lsh_pairs(
     This is the 100 TB-scale near-dup path: candidate cost is
     O(docs × bands) rows into the bucket join instead of all-pairs.
     """
-    assert num_hashes % bands == 0, "num_hashes must be divisible by bands"
-    rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col("sig").getItem(b * rows_per_band + r).cast("string")
-                            for r in range(rows_per_band)
-                        ],
-                    ),
-                    F.lit(b),
-                ).alias("bucket"),
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = sig.select(
-        F.col(id_col), F.col("sig"), F.explode(band_structs).alias("bb")
-    ).select(id_col, "sig", "bb.band", "bb.bucket")
+    banded = minhash_index(df, id_col, text_col, num_hashes, bands, shingle_n)
 
     a, b = banded.alias("a"), banded.alias("b")
     cand = (

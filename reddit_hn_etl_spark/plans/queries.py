@@ -853,6 +853,78 @@ def doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "incremental_near_dup",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                           x -> x <> '') AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(w[1:len(w) - 2],
+                      (x, i) -> x || ' ' || w[i + 1] || ' ' || w[i + 2]))
+                   AS shingle
+        FROM toks
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        WHERE (a.doc_id + b.doc_id) % 2 = 1
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(inter / (sa.set_size + sb.set_size - inter), 4) AS jaccard,
+           TRUE AS est_within
+    FROM inter
+    JOIN sizes sa ON inter.doc_a = sa.doc_id
+    JOIN sizes sb ON inter.doc_b = sb.doc_id
+    WHERE inter / (sa.set_size + sb.set_size - inter) >= 0.5
+    """,
+)
+def incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-incremental near-dup against a PERSISTED LSH index — the
+    operational shape for a growing corpus: even-id docs play the
+    already-indexed corpus (`dedup.minhash_index`), odd-id docs the
+    incoming batch (`dedup.minhash_pairs_against_index`); only the
+    batch is shingled/hashed, the join touches matched (band, bucket)
+    rows. Bound-checked exactly like `doc_minhash_pairs`: output is
+    every TRUE cross-parity 3-gram-Jaccard ≥ 0.5 pair; `est_within`
+    asserts the incremental path surfaced it as a candidate AND its
+    estimate sits within 0.2 of the true Jaccard — a banding miss or
+    estimator drift (e.g. the batch hashed with a different family
+    than the index) turns the flag false and fails the compare."""
+    docs = read_table(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    index = dedup.minhash_index(
+        old, "doc_id", "text", num_hashes=64, bands=16, shingle_n=3
+    )
+    est = dedup.minhash_pairs_against_index(
+        new, index, "doc_id", "text",
+        num_hashes=64, bands=16, shingle_n=3, threshold=0.0,
+    ).select(
+        F.least("doc_old", "doc_new").alias("doc_a"),
+        F.greatest("doc_old", "doc_new").alias("doc_b"),
+        "est_jaccard",
+    )
+    true_pairs = dedup.jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5
+    ).where((F.col("doc_a") + F.col("doc_b")) % 2 == 1)
+    return true_pairs.join(est, ["doc_a", "doc_b"], "left").select(
+        "doc_a",
+        "doc_b",
+        "jaccard",
+        (
+            F.col("est_jaccard").isNotNull()
+            & (F.abs(F.col("est_jaccard") - F.col("jaccard")) <= 0.2)
+        ).alias("est_within"),
+    )
+
+
+@_q(
     "doc_simhash_pairs",
     r"""
     WITH toks AS (

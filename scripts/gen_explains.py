@@ -53,6 +53,7 @@ NOTES = {
     "media_features": "Synth and decode are two chained MapInPandas in the SAME stage — payloads cross the Arrow boundary within a task but never a shuffle; the featurizer drops them immediately, so only ~150-byte feature rows exist downstream. Zero exchanges, embarrassingly parallel.",
     "media_resize": "Decode→resample→re-encode→decode chain as same-stage chained MapInPandas; the only exchange is the final metadata join (mime recovery), which moves 7-column stat rows, never payloads.",
     "doc_simhash_pairs": "Three bounded subplans: exact bigram true-pairs (inverted index), 64 per-position partial-agg simhash votes (map-side combine), and the blocks=8 pigeonhole candidate join — all joined on (doc_a, doc_b); no all-pairs anywhere.",
+    "incremental_near_dup": "Growing-corpus shape: only the odd-id 'incoming batch' is shingled and hashed; the even-id 'corpus' participates as its LSH index (persistable parquet, partitioned by band) and the candidate join reads matched (band, bucket) rows only — corpus text is never re-scanned for a new batch. The true-Jaccard bound-check joins on the pair key.",
     "bpe_merge_pairs": "Tokenizer merge-step statistics: ONE Generate (multiset adjacent-pair explode) at the fanned-out input partitioning, map-side partial counts shrink the shuffle to one row per (task, pair), TakeOrderedAndProject caps the result at k — corpus size never reaches the driver or a global sort.",
     "salted_event_enrichment": "Skew-resistant enrichment: the fact side is salted by a deterministic row hash and the dim side exploded salt_buckets×, so the shuffle partitions on (user_id, _salt) and a hot user spreads over salt_buckets tasks. The result is provably identical to the plain join (oracle row + hypothesis property); this is the manual fallback where AQE's skew split cannot apply.",
     "quantize_embeddings_int8": "Pure projection: per-vector max-abs scale + transform() quantize/dequantize, all JVM-side higher-order functions over array<float> — zero exchanges, embarrassingly parallel at any scale; round-trip error is bound-checked in-query.",

@@ -50,6 +50,63 @@ def test_minhash_estimates_jaccard(spark):
     assert (1, 2) in est and est[(1, 2)] > 0.6  # true jaccard ≈ 0.86
 
 
+def test_incremental_equals_full_cross_pairs(spark):
+    """For any old/new corpus split, matching the new batch against
+    the old batch's persisted index must yield EXACTLY the full run's
+    cross-split pairs, with identical estimates — batch-incremental
+    processing loses nothing vs recomputing the corpus."""
+    df = _docs_df(spark)
+    kw = dict(num_hashes=64, bands=32, shingle_n=1)
+    full = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in dedup.minhash_lsh_pairs(
+            df, "doc_id", "text", threshold=0.3, **kw
+        ).collect()
+    }
+    old = df.where(F.col("doc_id") <= 3)
+    new = df.where(F.col("doc_id") > 3)
+    idx = dedup.minhash_index(old, "doc_id", "text", **kw)
+    inc = {
+        tuple(sorted((r.doc_old, r.doc_new))): r.est_jaccard
+        for r in dedup.minhash_pairs_against_index(
+            new, idx, "doc_id", "text", threshold=0.3, **kw
+        ).collect()
+    }
+    cross = {
+        p: j for p, j in full.items() if (p[0] <= 3) != (p[1] <= 3)
+    }
+    assert inc == cross
+    assert inc  # non-vacuous: the (3, 4) exact dup straddles the split
+
+
+def test_minhash_index_parquet_roundtrip(spark, tmp_path):
+    """The index survives a parquet write/read partitioned by band
+    (the layout the incremental join partition-prunes against)."""
+    df = _docs_df(spark)
+    kw = dict(num_hashes=64, bands=32, shingle_n=1)
+    idx = dedup.minhash_index(
+        df.where(F.col("doc_id") <= 3), "doc_id", "text", **kw
+    )
+    path = str(tmp_path / "minhash_index")
+    idx.write.partitionBy("band").parquet(path)
+    reloaded = spark.read.parquet(path)
+    live = {
+        (r.doc_old, r.doc_new): r.est_jaccard
+        for r in dedup.minhash_pairs_against_index(
+            df.where(F.col("doc_id") > 3), idx, "doc_id", "text",
+            threshold=0.3, **kw
+        ).collect()
+    }
+    persisted = {
+        (r.doc_old, r.doc_new): r.est_jaccard
+        for r in dedup.minhash_pairs_against_index(
+            df.where(F.col("doc_id") > 3), reloaded, "doc_id", "text",
+            threshold=0.3, **kw
+        ).collect()
+    }
+    assert persisted == live and persisted
+
+
 def test_simhash_near_pairs(spark):
     fps = {r.doc_id: r.simhash for r in dedup.simhash(_docs_df(spark), "doc_id", "text").collect()}
     assert fps[3] == fps[4]  # identical docs → identical fingerprints
