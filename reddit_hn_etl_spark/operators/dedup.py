@@ -311,6 +311,19 @@ def minhash_pairs_against_index(
     new_banded = minhash_index(
         new_df, id_col, text_col, num_hashes, bands, shingle_n
     )
+    return index_pairs(new_banded, index, id_col, num_hashes, threshold)
+
+
+def index_pairs(
+    new_banded: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The join half of ``minhash_pairs_against_index`` for callers
+    that already hold the batch's band rows (e.g. a streaming
+    foreachBatch that computes them once to both screen and append)."""
     n, o = new_banded.alias("n"), index.alias("o")
     cand = (
         n.join(o, on=["band", "bucket"])

@@ -23,6 +23,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.utils import AnalysisException
 
 from ..plans.hn_pipeline import transform_raw
 from ..schema import RAW_SCHEMA
@@ -409,4 +410,69 @@ def curate_doc_stream(
     fp = gated.withColumn("fingerprint", fingerprint_md5(text_col))
     return fp.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         ["fingerprint"]
+    )
+
+
+def screen_stream_against_minhash_index(
+    docs: DataFrame,
+    index_dir: str,
+    hits_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> StreamingQuery:
+    """Streaming incremental near-dup screen: each micro-batch is
+    matched against the PERSISTED MinHash index (only the batch is
+    shingled/hashed — `operators/dedup.minhash_index` semantics), its
+    near-dup hits are appended to ``hits_dir``, and its own band rows
+    are appended to ``index_dir`` so later batches screen against it.
+    The batch operator is reused unchanged — the same foreachBatch
+    discipline as `stream_merge_to_staging`.
+
+    Delivery contract: parquet appends inside foreachBatch are
+    at-least-once under retries — a replayed batch can duplicate hit
+    rows and index band rows. Hits carry their (doc_old, doc_new) key
+    and the index join dedups candidate pairs, so BOTH surfaces are
+    safe to consume with a keyed dropDuplicates / the freshness merge
+    downstream; results converge, the reference's replay story.
+
+    State: none in the streaming engine (the index IS the state, on
+    storage, partitioned by band for a partition-pruned join). At
+    scale: batch cost is O(batch × bands) rows into the bucket join;
+    corpus text is never re-read.
+    """
+    from ..operators.dedup import index_pairs, minhash_index
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark_b = batch_df.sparkSession
+        batch_banded = minhash_index(
+            batch_df.select(id_col, text_col), id_col, text_col,
+            num_hashes, bands, shingle_n,
+        ).persist()
+        try:
+            try:
+                existing = spark_b.read.parquet(index_dir)
+            except AnalysisException:  # first batch: no index yet
+                existing = None
+            if existing is not None:
+                index_pairs(
+                    batch_banded, existing, id_col, num_hashes, threshold
+                ).write.mode("append").parquet(hits_dir)
+            batch_banded.write.mode("append").partitionBy("band").parquet(
+                index_dir
+            )
+        finally:
+            batch_banded.unpersist()
+
+    return (
+        docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
     )

@@ -230,6 +230,55 @@ def test_stream_static_enrichment(spark, tmp_path):
     assert got == {1: "content", 2: "reaction", 3: None}
 
 
+def test_stream_screen_against_minhash_index(spark, tmp_path):
+    """Streaming incremental near-dup: batch 1 seeds the persisted
+    index (no hits possible), batch 2's near-dup of a batch-1 doc is
+    flagged against the index without re-reading batch 1's text."""
+    import json
+
+    from reddit_hn_etl_spark.streaming import ingest
+
+    a = ("the quick brown fox jumps over the lazy dog near the river "
+         "bank today in the morning light")
+    b = ("spark dataframes shuffle partitions while the optimizer "
+         "prunes columns and pipelines operators")
+    src = tmp_path / "docs"
+    src.mkdir()
+    # One file per micro-batch (maxFilesPerTrigger=1); lexicographic
+    # file order pins batch order.
+    (src / "b0.jsonl").write_text(
+        "\n".join(json.dumps(r) for r in [
+            {"doc_id": 1, "text": a},
+            {"doc_id": 2, "text": b},
+        ]), encoding="utf-8",
+    )
+    (src / "b1.jsonl").write_text(
+        json.dumps({"doc_id": 3, "text": a + " extra"}), encoding="utf-8"
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = ingest.screen_stream_against_minhash_index(
+        stream,
+        index_dir=str(tmp_path / "index"),
+        hits_dir=str(tmp_path / "hits"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        num_hashes=64, bands=32, shingle_n=1, threshold=0.5,
+    )
+    q.awaitTermination(180)
+    hits = {
+        (r.doc_old, r.doc_new): r.est_jaccard
+        for r in spark.read.parquet(str(tmp_path / "hits")).collect()
+    }
+    assert (1, 3) in hits and hits[(1, 3)] > 0.6
+    assert all(old != 2 for old, _new in hits)  # unrelated doc silent
+    # The index now holds band rows for ALL docs, batch 2 included.
+    idx = spark.read.parquet(str(tmp_path / "index"))
+    assert set(r.doc_id for r in idx.select("doc_id").distinct().collect()) == {1, 2, 3}
+
+
 def test_curate_doc_stream_quality_and_dedup(spark, tmp_path):
     """Streaming corpus intake: junk filtered, exact dups (by
     normalized content, across different doc_ids) deduped within the
