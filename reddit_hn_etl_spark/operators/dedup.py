@@ -145,7 +145,6 @@ def jaccard_pairs(
     it is an approximation switch, off by default.
     """
     df = fan_out_narrow_input(df)
-    df = fan_out_narrow_input(df)
     if n > 1:
         sh = word_shingles(df, id_col, text_col, n=n)
     else:
@@ -192,6 +191,61 @@ def jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All-pairs asymmetric *containment*: |A ∩ B| / |A| ≥ threshold.
+
+    Jaccard under-scores the quote/boilerplate case — a short document
+    wholly embedded in a long one has tiny Jaccard but containment
+    1.0 from the short side. Containment is the standard measure for
+    "A is substantially quoted inside B" (the direction matters, so
+    both (a,b) and (b,a) can appear).
+
+    Same inverted-index shape as :func:`jaccard_pairs` — explode to
+    (doc, shingle), self-join on shingle with one reused exchange,
+    count intersections — but the denominator is the *left* set size
+    only and pairs are kept in both directions (``doc_a != doc_b``
+    instead of ``<``). Output: (doc_a, doc_b, containment) meaning
+    "doc_a is `containment`-contained in doc_b".
+
+    Scale: identical posture to jaccard_pairs — hot shingles are the
+    quadratic risk; cap document frequency upstream or route through
+    the MinHash index for web-scale corpora.
+    """
+    df = fan_out_narrow_input(df)
+    if n > 1:
+        sh = word_shingles(df, id_col, text_col, n=n)
+    else:
+        sh = df.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(tokens(text_col))).alias("shingle"),
+        )
+    sized = sh.withColumn(
+        "set_size", F.count("*").over(Window.partitionBy(id_col))
+    )
+    a = sized.select(
+        F.col(id_col).alias("doc_a"), "shingle",
+        F.col("set_size").alias("size_a"),
+    )
+    b = sized.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, on="shingle")
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "size_a")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.withColumn("containment", F.col("inter") / F.col("size_a"))
+        .where(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", F.round("containment", 4).alias("containment"))
     )
 
 

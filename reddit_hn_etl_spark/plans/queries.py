@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import scalars, text as textfn
-from ..operators import checks, dedup, graph, merge, similarity
+from ..operators import checks, cleaning, dedup, graph, merge, similarity
 from ..sources.tables import read_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -783,6 +783,129 @@ def doc_token_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(
         salted, "doc_id", "text", n=1, threshold=0.005,
         df_cap=max(1, n_docs // 20),
+    )
+
+
+@_q(
+    "doc_containment_pairs",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                           x -> x <> '') AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(w[1:len(w) - 1],
+                                     (x, i) -> x || ' ' || w[i + 1])) AS shingle
+        FROM toks
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(inter / sa.set_size, 4) AS containment
+    FROM inter
+    JOIN sizes sa ON inter.doc_a = sa.doc_id
+    WHERE inter / sa.set_size >= 0.5
+    """,
+)
+def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment |A∩B|/|A| over bigram shingles: the
+    quote/boilerplate-embedding measure Jaccard under-scores (a short
+    doc fully quoted inside a long one has near-zero Jaccard but
+    containment 1.0 from the short side). Directional — both (a,b)
+    and (b,a) can appear. Same single-reused-exchange inverted-index
+    plan as `doc_token_jaccard`; 51 pairs at sf0.01 / 822 at sf0.1
+    with the 0.5 threshold (measured), so the output stays
+    proportional to true embedding-duplication, not quadratic."""
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup.containment_pairs(docs, "doc_id", "text", n=2, threshold=0.5)
+
+
+@_q(
+    "doc_boilerplate_strip",
+    r"""
+    WITH corpus AS (
+        SELECT doc_id, concat_ws(chr(10),
+            'shared header boilerplate',
+            text,
+            'footer ' || source,
+            CASE WHEN doc_id % 37 = 0 THEN 'promo occasional banner' END
+        ) AS text
+        FROM documents
+    ),
+    lines AS (
+        SELECT doc_id, u.pos, u.line
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       string_split(text, chr(10)),
+                       (x, i) -> {'pos': i, 'line': trim(x)})) AS u
+            FROM corpus
+        )
+        WHERE u.line <> ''
+    ),
+    boiler AS (
+        SELECT line FROM lines
+        GROUP BY line
+        HAVING COUNT(DISTINCT doc_id)
+               >= CEIL(0.05 * (SELECT COUNT(*) FROM documents))
+    ),
+    flagged AS (
+        SELECT l.doc_id, l.pos, l.line, b.line IS NOT NULL AS is_boiler
+        FROM lines l LEFT JOIN boiler b ON l.line = b.line
+    )
+    SELECT doc_id,
+           string_agg(CASE WHEN NOT is_boiler THEN line END,
+                      chr(10) ORDER BY pos) AS clean_text,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_removed
+    FROM flagged
+    GROUP BY doc_id
+    """,
+)
+def doc_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate removal (the CCNet/RefinedWeb line-dedup
+    step): lines recurring in ≥5% of documents are chrome, stripped
+    wherever they appear; each document is reassembled in original
+    line order (operators/cleaning.py).
+
+    The synthetic corpus is single-line word soup, so — like
+    `curation_funnel`'s planted dups — the query plants the line
+    structure deterministically in BOTH engines: a header shared by
+    every doc (df=100% → stripped), a per-source footer (df=5% of the
+    corpus at every SF since sources are uniform → stripped, exactly
+    at the threshold boundary), and a rare promo line on doc_id%37
+    (df≈2.7% → kept). Every doc therefore loses exactly its header +
+    footer and keeps its unique body, and the boundary/kept paths are
+    both exercised at every SF.
+
+    Plan: projection explode → one line-hash shuffle with partial agg
+    for the df threshold → broadcast join of the by-construction-small
+    boilerplate set → one doc_id shuffle for reassembly."""
+    docs = read_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    corpus = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("shared header boilerplate"),
+            F.col("text"),
+            F.concat(F.lit("footer "), F.col("source")),
+            F.when(
+                F.col("doc_id") % 37 == 0, F.lit("promo occasional banner")
+            ),
+        ).alias("text"),
+    )
+    min_df = -(-n_docs // 20)  # ceil(0.05 * n_docs)
+    return cleaning.strip_boilerplate_lines(
+        corpus, "doc_id", "text", min_doc_freq=min_df
     )
 
 

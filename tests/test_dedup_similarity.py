@@ -38,6 +38,25 @@ def test_jaccard_pairs_finds_near_dup(spark):
     assert (1, 5) not in pairs
 
 
+def test_containment_is_asymmetric(spark):
+    # Doc 6 is a strict prefix of doc 1: every unigram of 6 appears in
+    # 1 (containment 6→1 = 1.0) but 1 has many tokens 6 lacks, so the
+    # reverse direction stays below 0.5.
+    docs = spark.createDataFrame(
+        DOCS + [(6, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    pairs = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in dedup.containment_pairs(
+            docs, "doc_id", "text", n=1, threshold=0.5
+        ).collect()
+    }
+    assert pairs[(6, 1)] == 1.0
+    assert (1, 6) not in pairs
+    # Exact dups are fully contained in BOTH directions.
+    assert pairs[(3, 4)] == 1.0 and pairs[(4, 3)] == 1.0
+
+
 def test_minhash_estimates_jaccard(spark):
     est = {
         (r.doc_a, r.doc_b): r.est_jaccard
