@@ -522,3 +522,76 @@ def knn_cosine_ivf(
         .where(F.col("rank") <= k)
         .select(query_id_col, id_col, F.round("_cos", 4).alias("cosine_sim"), "rank")
     )
+
+
+def tf_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """All-pairs cosine over sparse term-frequency vectors ≥ threshold.
+
+    The classic bag-of-words similarity — no embedding model needed —
+    with frequency weighting that set-based Jaccard discards: a doc
+    that repeats a phrase 10× and one that mentions it once are
+    near-identical as SETS but far apart as tf VECTORS.
+
+    Cross-engine exact by construction: the dot product and the
+    squared norms are INTEGER sums (order-independent under any
+    partitioning), and only the final sqrt/divide touch doubles —
+    bit-identical IEEE ops on both engines, so the DuckDB oracle
+    hash-matches without tolerance.
+
+    Plan: non-distinct n-gram explode → (doc, gram, tf) partial-agg
+    groupBy → inverted-index self-join on the gram (one reused
+    exchange, same shape as dedup.jaccard_pairs) → integer dot-product
+    agg. Output: (doc_a, doc_b, cosine_tf), doc_a < doc_b. Hot grams
+    are the quadratic risk at 100 TB, exactly as in jaccard_pairs —
+    cap gram document frequency upstream or screen through the
+    MinHash index first.
+    """
+    from .dedup import fan_out_narrow_input, tokens
+
+    df = fan_out_narrow_input(df)
+    toks = tokens(text_col)
+    if n > 1:
+        k = F.size(toks) - (n - 1)
+        idx = F.when(k > 0, F.sequence(F.lit(0), k - 1)).otherwise(
+            F.array().cast("array<int>")
+        )
+        grams = F.transform(
+            idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+        )
+    else:
+        grams = toks
+    tf = (
+        df.select(F.col(id_col), F.explode(grams).alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count("*").alias("tf"))
+    )
+    # Norm rides along via a window over the id (single evaluation of
+    # the tf subplan, same trick as jaccard_pairs' set_size).
+    sized = tf.withColumn(
+        "norm_sq", F.sum(F.col("tf") * F.col("tf")).over(Window.partitionBy(id_col))
+    )
+    a = sized.select(
+        F.col(id_col).alias("doc_a"), "gram",
+        F.col("tf").alias("tf_a"), F.col("norm_sq").alias("nsq_a"),
+    )
+    b = sized.select(
+        F.col(id_col).alias("doc_b"), "gram",
+        F.col("tf").alias("tf_b"), F.col("norm_sq").alias("nsq_b"),
+    )
+    dots = (
+        a.join(b, on="gram")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "nsq_a", "nsq_b")
+        .agg(F.sum(F.col("tf_a") * F.col("tf_b")).alias("dot"))
+    )
+    cos = F.col("dot") / (F.sqrt("nsq_a") * F.sqrt("nsq_b"))
+    return (
+        dots.where(cos >= threshold)
+        .select("doc_a", "doc_b", F.round(cos, 4).alias("cosine_tf"))
+    )

@@ -57,6 +57,34 @@ def test_containment_is_asymmetric(spark):
     assert pairs[(3, 4)] == 1.0 and pairs[(4, 3)] == 1.0
 
 
+def test_tf_cosine_sees_frequency_jaccard_misses(spark):
+    # Identical token SETS (unigram Jaccard would be 1.0) but opposite
+    # frequency profiles: tf vectors (3,1) vs (1,3) → cos = 6/10.
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark shuffle"),
+            (2, "spark shuffle shuffle shuffle"),
+            (3, "spark spark spark shuffle"),  # exact dup of 1
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.doc_a, r.doc_b): r.cosine_tf
+        for r in similarity.tf_cosine_pairs(
+            docs, "doc_id", "text", n=1, threshold=0.5
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 0.6
+    assert pairs[(1, 3)] == 1.0
+    jac = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.jaccard_pairs(
+            docs, "doc_id", "text", n=1, threshold=0.5
+        ).collect()
+    }
+    assert jac[(1, 2)] == 1.0  # the set view cannot tell 1-2 from 1-3
+
+
 def test_minhash_estimates_jaccard(spark):
     est = {
         (r.doc_a, r.doc_b): r.est_jaccard
