@@ -109,6 +109,11 @@ BENCH_QUERIES_R4 = [
     "selective_order_lines",
     "media_features",
     "media_resize",
+    # r4 continuation: corpus-cleaning + sparse-similarity additions.
+    # doc_containment_pairs is excluded like doc_token_jaccard: same
+    # inverted-index cost class, already represented in the sweep.
+    "doc_boilerplate_strip",
+    "doc_tf_cosine_pairs",
 ]
 
 

@@ -59,6 +59,8 @@ NOTES = {
     "quantize_embeddings_int8": "Pure projection: per-vector max-abs scale + transform() quantize/dequantize, all JVM-side higher-order functions over array<float> — zero exchanges, embarrassingly parallel at any scale; round-trip error is bound-checked in-query.",
     "user_engagement_rank": "r4: global RANK/DENSE_RANK re-expressed over the VALUE dimension — cumulative counts per distinct n_types (≤5 rows through the only SinglePartition window) broadcast-joined back to users. The user-sized data path has zero global-order operators.",
     "customer_rfm_segments": "r4: the three data-sized NTILE windows replaced by hierarchical global_ntile — each ordering is a rangepartitioning exchange + Arrow per-partition row numbering + closed-form bucket from a shared literal row count (one driver probe for all three passes); carry columns chain the orderings with no join-backs.",
+    "doc_boilerplate_strip": "Line-level boilerplate removal: posexplode projection → df-threshold partial/final agg (ONE shuffle on the line content) → BroadcastHashJoin of the by-construction-small boilerplate set (≤ total_lines/min_df rows — bounded by the threshold, not by luck) → one doc_id shuffle for the order-preserving reassembly. Two exchanges total; text crosses each exactly once.",
+    "doc_tf_cosine_pairs": "Sparse tf-vector cosine: non-distinct bigram Generate → (doc, gram, tf) partial/final agg, norms ride along via a window over the SAME aggregate (no second text scan), then the inverted-index self-join canonicalizes both sides to one reused exchange on the gram. Integer dot/norm sums are partitioning-invariant — the hash match needs no float tolerance.",
 }
 
 
