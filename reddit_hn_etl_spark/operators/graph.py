@@ -228,3 +228,94 @@ def connected_components_star(
             F.coalesce("component", F.col("x")).alias("component"),
         )
     )
+
+
+def triangle_stats(
+    edges: DataFrame, src: str = "doc_a", dst: str = "doc_b"
+) -> DataFrame:
+    """Per-vertex degree, triangle count, and local clustering
+    coefficient over an undirected edge set.
+
+    Triangle participation is the transitivity signal on a near-dup
+    candidate graph: vertices whose neighbors are ALSO pairwise
+    similar sit in genuine duplicate cliques, while bridge vertices
+    (high degree, few triangles) usually mark boilerplate-induced
+    false candidates worth re-scoring.
+
+    Algorithm (Suri–Vassilvitskii shape, the MapReduce-scale one):
+    orient each undirected edge from the (degree, id)-smaller vertex
+    to the larger; every triangle then has exactly one wedge at its
+    smallest vertex, so the wedge join `E'(u,v) ⋈ E'(v,w) ⋈ E'(u,w)`
+    enumerates each triangle once. Orientation bounds every
+    out-neighborhood by O(√m) regardless of skew — a celebrity vertex
+    of degree d contributes wedges only toward HIGHER-ranked vertices,
+    so the join fan-out never goes quadratic in d.
+
+    Plan: degree agg (one shuffle) → broadcast-degree orientation →
+    two equality self-joins on the oriented edge list → role-union
+    count per vertex. Output: (vertex, degree, triangles, clustering)
+    where clustering = 2·triangles / (degree·(degree−1)) (0.0 for
+    degree 1), rounded to 4 — exact rational before the final divide,
+    so cross-engine hash-stable.
+    """
+    und = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("vertex"))
+        .unionByName(und.select(F.col("v").alias("vertex")))
+        .groupBy("vertex")
+        .agg(F.count("*").alias("degree"))
+    )
+    ranked = (
+        und.join(deg.withColumnRenamed("vertex", "u"), "u")
+        .withColumnRenamed("degree", "deg_u")
+        .join(
+            deg.select(F.col("vertex").alias("v"), F.col("degree").alias("deg_v")),
+            "v",
+        )
+    )
+    lower_first = (F.col("deg_u") < F.col("deg_v")) | (
+        (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ranked.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+    )
+    wedges = oriented.alias("e1").join(
+        oriented.alias("e2"), F.col("e1.b") == F.col("e2.a")
+    ).select(
+        F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z")
+    )
+    tris = wedges.join(
+        oriented.alias("e3"),
+        (F.col("x") == F.col("e3.a")) & (F.col("z") == F.col("e3.b")),
+    ).select("x", "y", "z")
+    tri_per_vertex = (
+        tris.select(F.col("x").alias("vertex"))
+        .unionByName(tris.select(F.col("y").alias("vertex")))
+        .unionByName(tris.select(F.col("z").alias("vertex")))
+        .groupBy("vertex")
+        .agg(F.count("*").alias("triangles"))
+    )
+    possible = F.col("degree") * (F.col("degree") - 1)
+    return (
+        deg.join(tri_per_vertex, "vertex", "left")
+        .withColumn("triangles", F.coalesce("triangles", F.lit(0)))
+        .withColumn(
+            "clustering",
+            F.round(
+                F.when(
+                    F.col("degree") > 1,
+                    2 * F.col("triangles") / possible,
+                ).otherwise(F.lit(0.0)),
+                4,
+            ),
+        )
+        .select("vertex", "degree", "triangles", "clustering")
+    )

@@ -75,3 +75,27 @@ def test_star_components_empty(spark):
     from reddit_hn_etl_spark.operators.graph import connected_components_star
 
     assert connected_components_star(_edges(spark, [])).count() == 0
+
+
+def test_triangle_stats_clique_pendant_star(spark):
+    from reddit_hn_etl_spark.operators.graph import triangle_stats
+
+    # K4 on 1-4 (every vertex: degree 3, 3 triangles, clustering 1.0),
+    # pendant 5 off vertex 4, and a triangle-free star 10-(11,12,13)
+    # (the skew case the degree orientation must not blow up on).
+    # Edges arrive unordered/duplicated/reversed to exercise
+    # canonicalization.
+    edges = _edges(
+        spark,
+        [(1, 2), (2, 1), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+         (4, 5),
+         (10, 11), (10, 12), (13, 10)],
+    )
+    out = {r.vertex: (r.degree, r.triangles, r.clustering)
+           for r in triangle_stats(edges).collect()}
+    for v in (1, 2, 3):
+        assert out[v] == (3, 3, 1.0)
+    assert out[4] == (4, 3, 0.5)
+    assert out[5] == (1, 0, 0.0)
+    assert out[10] == (3, 0, 0.0)
+    assert out[11] == (1, 0, 0.0)
