@@ -1,0 +1,76 @@
+"""Ordered per-key folds: genuinely sequential recurrences over each
+key's event history.
+
+Some feature transforms are irreducibly sequential — exponential
+moving averages, decaying counters, last-k state machines — the value
+at row i depends on the FULL ordered prefix, so no window-function
+rewrite exists (a closed-form prefix expression like
+Σ α(1−α)^(i−j)·v_j needs (1−α)^(−j) scaling that overflows doubles on
+long histories). The Spark-native shape for this is
+``applyInPandas``: one hash shuffle on the key, each key's history
+folded in order inside a single Arrow batch.
+
+Scale posture (100 TB): parallelism is the KEY cardinality, and one
+key's history must fit in a task — the right contract for
+user/session/entity features (bounded per-entity history), the wrong
+one for a single global series. Hot keys are one task each; for
+unbounded histories or streaming arrival, the same recurrence runs
+under ``applyInPandasWithState`` (streaming/ingest.py holds the
+stateful-op patterns) where the carried accumulator IS the state and
+history never materializes.
+
+The fold body evaluates the recurrence with the EXACT float
+expression the DuckDB oracle's ``list_reduce`` lambda uses
+(``α·v + (1−α)·acc``, same operand order), so results are
+bit-identical across engines — the driver hash-compare needs no
+tolerance. Deliberately NOT pandas ``ewm``: its C kernel computes an
+algebraically equal but differently-rounded expression.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import DoubleType, StructField, StructType
+
+
+def ema_per_key(
+    df: DataFrame,
+    key_col: str,
+    order_cols: Sequence[str],
+    value_col: str,
+    alpha: float = 0.5,
+    out_col: str = "ema",
+) -> DataFrame:
+    """Per-key exponential moving average at every row.
+
+    ``ema_0 = v_0``; ``ema_i = α·v_i + (1−α)·ema_{i−1}`` over rows
+    ordered by ``order_cols`` (pass a unique tiebreaker last — order
+    must be total or the fold is nondeterministic). Output: the input
+    schema plus ``out_col`` (double).
+
+    One shuffle on ``key_col``; each group is one Arrow batch folded
+    sequentially (the recurrence is inherently order-dependent).
+    """
+    a = float(alpha)
+    order = list(order_cols)
+    # fresh StructType — StructType.add would mutate the DataFrame's
+    # cached schema object in place
+    schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, DoubleType())]
+    )
+
+    def fold(pdf):
+        pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
+        vals = pdf[value_col].to_numpy(dtype="float64")
+        out = vals.copy()
+        acc = 0.0
+        for i in range(len(vals)):
+            # same operand order as the oracle's list_reduce lambda
+            acc = vals[i] if i == 0 else a * vals[i] + (1.0 - a) * acc
+            out[i] = acc
+        pdf[out_col] = out
+        return pdf
+
+    return df.groupBy(key_col).applyInPandas(fold, schema)

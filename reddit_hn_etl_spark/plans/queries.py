@@ -3484,6 +3484,42 @@ def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "user_value_ema",
+    """
+    WITH ordered AS (
+        SELECT event_id, user_id, ts, value,
+               list(value) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS vals
+        FROM events
+    )
+    SELECT event_id, user_id, ts, value,
+           list_reduce(vals, (acc, x) -> 0.5 * x + 0.5 * acc) AS ema
+    FROM ordered
+    """,
+)
+def user_value_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponential moving average at every event — the
+    irreducibly SEQUENTIAL recurrence no window rewrite expresses
+    (operators/sequential.ema_per_key): one shuffle on user_id, each
+    user's ordered history folded inside one Arrow batch with the
+    EXACT float expression the oracle's list_reduce lambda evaluates,
+    so the hash match is bit-level with no tolerance. The oracle pays
+    a quadratic prefix-list window for the same fold — affordable for
+    DuckDB at sf0.01, which is precisely why the engine side uses
+    applyInPandas instead."""
+    events = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    from ..operators.sequential import ema_per_key
+
+    return ema_per_key(
+        events, "user_id", ("ts", "event_id"), "value", alpha=0.5
+    )
+
+
+@_q(
     "forward_fill_values",
     """
     SELECT event_id, user_id,
