@@ -531,3 +531,114 @@ def simhash_near_pairs(
         .dropDuplicates(["doc_a", "doc_b"])
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def jaccard_pairs_prefix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact all-pairs Jaccard ≥ threshold via PREFIX FILTERING — the
+    ppjoin-family candidate pruner (Chaudhuri et al. SSJoin; Xiao et
+    al. WWW'08), the third scale path next to ``df_cap`` (approximate)
+    and MinHash-LSH (probabilistic). Unlike both, the result is
+    IDENTICAL to :func:`jaccard_pairs`: prefix filtering only shrinks
+    the candidate set, never the answer.
+
+    Order all shingles by (document frequency asc, shingle); a pair
+    with J ≥ t must share a shingle within each side's first
+    ``|X| − ⌊t·|X|⌋ + 1`` shingles of that order (rare-first makes the
+    guaranteed-shared element cheap to join on). So the inverted-index
+    self-join runs over PREFIXES only — the df-heavy head shingles
+    that drive the quadratic candidate blowup never generate
+    candidates from suffix positions — and the exact Jaccard is then
+    verified per candidate against the full shingle sets.
+
+    ⌊t·|X|⌋ is used instead of the tight ⌈t·|X|⌉−1 suffix bound: one
+    extra prefix element costs a few candidates but makes the bound
+    immune to float round-up (0.2·35 → 7.000…01 would otherwise
+    truncate a required prefix position).
+
+    Plan: shingle df agg (one shuffle) joined back, per-doc rank
+    window, prefix self-join (one reused exchange), then the verify
+    join streams each candidate pair's intersection — cost is
+    candidates × avg set size, bounded by the pruned candidate count.
+
+    WHEN IT WINS — and when it doesn't: the candidate cut comes from
+    prefixes landing on RARE shingles, i.e. it assumes a Zipfian df
+    distribution (true of natural-language corpora). The synthetic
+    testdata is adversarial: every natural bigram sits at df 251-500
+    at sf0.1 (uniform template soup), so prefixes are as hot as
+    suffixes and the extra df/rank/verify stages make this SLOWER
+    than the full join there (measured 43.5s vs 10.8s at t=0.8,
+    sf0.1). The operator is registered for exactness parity
+    (`doc_token_jaccard_prefix` — identical answer, hash-checked);
+    pick it over the full join only when the df histogram has a rare
+    tail, and prefer ``df_cap``/MinHash when approximation is
+    acceptable.
+    """
+    df = fan_out_narrow_input(df)
+    if n > 1:
+        sh = word_shingles(df, id_col, text_col, n=n)
+    else:
+        sh = df.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(tokens(text_col))).alias("shingle"),
+        )
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    ranked = (
+        sh.join(freq, "shingle")
+        .withColumn(
+            "set_size", F.count("*").over(Window.partitionBy(id_col))
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy("df", "shingle")
+            ),
+        )
+    )
+    prefix_len = (
+        F.col("set_size")
+        - F.floor(F.lit(threshold) * F.col("set_size")).cast("int")
+        + 1
+    )
+    prefix = ranked.where(F.col("rank") <= prefix_len)
+    cand = (
+        prefix.select(F.col(id_col).alias("doc_a"), "shingle")
+        .join(prefix.select(F.col(id_col).alias("doc_b"), "shingle"), "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    full = ranked.select(F.col(id_col), "shingle", "set_size")
+    inter = (
+        cand.join(
+            full.select(
+                F.col(id_col).alias("doc_a"), "shingle",
+                F.col("set_size").alias("size_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            full.select(
+                F.col(id_col).alias("_bid"),
+                F.col("shingle").alias("shingle_b"),
+                F.col("set_size").alias("size_b"),
+            ),
+            (F.col("doc_b") == F.col("_bid"))
+            & (F.col("shingle") == F.col("shingle_b")),
+        )
+        .groupBy("doc_a", "doc_b", "size_a", "size_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+    )

@@ -38,6 +38,30 @@ def test_jaccard_pairs_finds_near_dup(spark):
     assert (1, 5) not in pairs
 
 
+def test_prefix_filtered_jaccard_equals_full_join(spark):
+    # Exactness contract: prefix filtering prunes candidates, never
+    # the answer — identical pairs AND values at several thresholds.
+    docs = spark.createDataFrame(
+        DOCS + [(6, "the quick brown fox leaps over the lazy dog near the river bend today")],
+        "doc_id long, text string",
+    )
+    for t in (0.2, 0.5, 0.8):
+        full = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in dedup.jaccard_pairs(
+                docs, "doc_id", "text", n=2, threshold=t
+            ).collect()
+        }
+        pref = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in dedup.jaccard_pairs_prefix(
+                docs, "doc_id", "text", n=2, threshold=t
+            ).collect()
+        }
+        assert full == pref
+    assert full  # non-vacuous at the tightest threshold
+
+
 def test_containment_is_asymmetric(spark):
     # Doc 6 is a strict prefix of doc 1: every unigram of 6 appears in
     # 1 (containment 6→1 = 1.0) but 1 has many tokens 6 lacks, so the
