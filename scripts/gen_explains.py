@@ -61,6 +61,8 @@ NOTES = {
     "customer_rfm_segments": "r4: the three data-sized NTILE windows replaced by hierarchical global_ntile — each ordering is a rangepartitioning exchange + Arrow per-partition row numbering + closed-form bucket from a shared literal row count (one driver probe for all three passes); carry columns chain the orderings with no join-backs.",
     "doc_boilerplate_strip": "Line-level boilerplate removal: posexplode projection → df-threshold partial/final agg (ONE shuffle on the line content) → BroadcastHashJoin of the by-construction-small boilerplate set (≤ total_lines/min_df rows — bounded by the threshold, not by luck) → one doc_id shuffle for the order-preserving reassembly. Two exchanges total; text crosses each exactly once.",
     "doc_tf_cosine_pairs": "Sparse tf-vector cosine: non-distinct bigram Generate → (doc, gram, tf) partial/final agg, norms ride along via a window over the SAME aggregate (no second text scan), then the inverted-index self-join canonicalizes both sides to one reused exchange on the gram. Integer dot/norm sums are partitioning-invariant — the hash match needs no float tolerance.",
+    "near_dup_triangles": "Degree-ordered triangle enumeration: degree agg (one shuffle), orientation projection, then two equality self-joins over the ORIENTED edge list — each out-neighborhood is O(√m) by construction, so a hot vertex cannot square the wedge join. Documents never enter the graph stages; only (u,v) id pairs shuffle.",
+    "user_value_ema": "The sequential-recurrence shape: ONE hash exchange on user_id feeding FlatMapGroupsInPandas — each user's history is a single Arrow batch folded in order. No window, no sort exchange (the fold sorts its own batch), nothing driver-side; the partition-parallel rewrite doesn't exist for order-dependent recurrences, so one-task-per-key IS the optimal batch plan.",
 }
 
 
