@@ -4871,6 +4871,52 @@ def near_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "leakage_safe_split",
+    f"""
+    WITH RECURSIVE pairs AS MATERIALIZED ({_TRUE_PAIRS_3G_05}),
+    {_CC_BY_RECURSIVE_CTE},
+    member AS (
+        SELECT d.doc_id, COALESCE(cc.component, d.doc_id) AS component
+        FROM documents d LEFT JOIN cc ON cc.vertex = d.doc_id
+    )
+    SELECT doc_id, component,
+           CASE WHEN substring(md5(CAST(component AS VARCHAR)), 1, 1)
+                     IN ('0','1','2','3','4','5','6','7','8','9','a','b')
+                THEN 'train' ELSE 'val' END AS split
+    FROM member
+    """,
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware train/val split: the whole NEAR-dup cluster lands
+    in one split. Content-hash splitting (`train_val_split_counts`)
+    already pins exact duplicates together, but near-duplicates hash
+    differently — a paraphrased doc in train with its twin in val is
+    eval contamination. Assignment hashes the cluster REPRESENTATIVE
+    id (min reachable doc_id from connected components), so split
+    membership is a cluster property by construction; singleton docs
+    are their own cluster. One CC pass + a broadcast-able join of the
+    (small) paired-vertex set; the split itself is a projection."""
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    cc = graph.connected_components(pairs).select(
+        F.col("vertex").alias("doc_id"), F.col("component").alias("_comp")
+    )
+    member = docs.select("doc_id").join(cc, "doc_id", "left").select(
+        "doc_id", F.coalesce("_comp", "doc_id").alias("component")
+    )
+    nibble = F.substring(
+        F.md5(F.col("component").cast("string").cast("binary")), 1, 1
+    )
+    return member.select(
+        "doc_id",
+        "component",
+        F.when(nibble.isin(*"0123456789ab"), F.lit("train"))
+        .otherwise(F.lit("val"))
+        .alias("split"),
+    )
+
+
+@_q(
     "cluster_keep_best",
     f"""
     WITH RECURSIVE pairs AS MATERIALIZED ({_TRUE_PAIRS_3G_05}),

@@ -104,3 +104,25 @@ def test_weighted_sample_determinism_and_bias(spark, sf_dir):
     )
     sample_avg = sum(r.n_tokens for r in a) / len(a)
     assert sample_avg > corpus_avg  # weighting by n_tokens shows up
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark, sf_dir):
+    from reddit_hn_etl_spark.plans.queries import QUERIES
+
+    rows = QUERIES["leakage_safe_split"](spark, sf_dir).collect()
+    n_docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    )
+    assert len(rows) == n_docs  # every doc assigned exactly once
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r.component, set()).add(r.split)
+    # split is a CLUSTER property: no component spans train and val
+    assert all(len(s) == 1 for s in by_comp.values())
+    # non-vacuous: both splits occur, and at least one real cluster
+    # (size > 1) got assigned
+    assert {r.split for r in rows} == {"train", "val"}
+    sizes = {}
+    for r in rows:
+        sizes[r.component] = sizes.get(r.component, 0) + 1
+    assert max(sizes.values()) > 1
