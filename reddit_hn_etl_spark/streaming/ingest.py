@@ -384,6 +384,59 @@ def dedup_stream_within_watermark(
     )
 
 
+def ema_stream(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    alpha: float = 0.5,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of ``operators/sequential.ema_per_key``: the
+    per-key EMA recurrence carried across micro-batches in the state
+    store — the accumulator IS the state, so a key's unbounded
+    history never materializes (the batch operator's documented
+    limit).
+
+    Order contract: rows are folded by (ts, id) WITHIN each
+    micro-batch, and batches fold in arrival order — with in-order
+    arrival the result is BIT-IDENTICAL to the batch fold (pinned by
+    test_stateful_streaming); out-of-order arrival across batches is
+    the stream's semantic difference, bounded by the watermark.
+
+    Emits per batch: (key, ema, n_seen) — the post-batch accumulator.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    a = float(alpha)
+    out_schema = f"{key_col} long, ema double, n_seen long"
+    state_schema = "acc double, n long"
+
+    def update(key, pdfs, state):
+        acc, n = state.get if state.exists else (0.0, 0)
+        for pdf in pdfs:
+            pdf = pdf.sort_values([ts_col, id_col], kind="mergesort")
+            for v in pdf[value_col].to_numpy(dtype="float64"):
+                # same operand order as the batch fold / DuckDB oracle
+                acc = v if n == 0 else a * v + (1.0 - a) * acc
+                n += 1
+        state.update((acc, n))
+        yield pd.DataFrame({key_col: [key[0]], "ema": [acc], "n_seen": [n]})
+
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def curate_doc_stream(
     docs: DataFrame,
     ts_col: str = "ts",

@@ -320,3 +320,64 @@ def test_curate_doc_stream_quality_and_dedup(spark, tmp_path):
     assert sorted(out) == [1, 4]        # 2 = dup of 1, 3 = junk
     assert out[1].quality_score >= 0.5
     assert len(out[1].fingerprint) == 32
+
+
+def test_ema_stream_matches_batch_fold(spark, tmp_path):
+    # The streaming EMA must be BIT-identical to the batch
+    # ema_per_key when micro-batches arrive in time order: same
+    # recurrence, same float expression, state store carrying acc.
+    from reddit_hn_etl_spark.operators.sequential import ema_per_key
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 7, 1.5),
+        (2, "2024-01-01 10:05:00", 7, 2.75),
+        (3, "2024-01-01 10:06:00", 8, 10.0),
+        (4, "2024-01-01 11:00:00", 7, 6.125),
+        (5, "2024-01-01 11:30:00", 8, 0.25),
+        (6, "2024-01-01 12:00:00", 7, 3.5),
+    ]
+    src = tmp_path / "ema_stream"
+    src.mkdir()
+    out = tmp_path / "ema_out"
+    ckpt = str(tmp_path / "ema_ckpt")
+    # three time-ordered micro-batches (lexicographic file order)
+    _write_events_jsonl(src / "b1.jsonl", rows[:2])
+    _write_events_jsonl(src / "b2.jsonl", rows[2:4])
+    _write_events_jsonl(src / "b3.jsonl", rows[4:])
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        ).option("maxFilesPerTrigger", 1).json(str(src))
+    )
+    ema = ingest.ema_stream(stream, alpha=0.25)
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(str(out))
+
+    q = (ema.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", ckpt)
+         .outputMode("update")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    latest = {}
+    for r in spark.read.parquet(str(out)).collect():
+        if r.user_id not in latest or r.n_seen > latest[r.user_id].n_seen:
+            latest[r.user_id] = r
+
+    batch_df = spark.createDataFrame(
+        [(e, ts, u, v) for e, ts, u, v in rows],
+        "event_id long, ts string, user_id long, value double",
+    ).selectExpr("event_id", "CAST(ts AS TIMESTAMP) ts", "user_id", "value")
+    final = {}
+    for r in ema_per_key(
+        batch_df, "user_id", ("ts", "event_id"), "value", alpha=0.25
+    ).collect():
+        if r.user_id not in final or r.event_id > final[r.user_id][0]:
+            final[r.user_id] = (r.event_id, r.ema)
+
+    assert latest[7].n_seen == 4 and latest[8].n_seen == 2
+    assert latest[7].ema == final[7][1]  # bit-exact
+    assert latest[8].ema == final[8][1]
