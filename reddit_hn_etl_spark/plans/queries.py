@@ -4871,6 +4871,84 @@ def near_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "source_dup_matrix",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                           x -> x <> '') AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(w[1:len(w) - 2],
+                      (x, i) -> x || ' ' || w[i + 1] || ' ' || w[i + 2]))
+                   AS shingle
+        FROM toks
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b,
+               ROUND(inter / (sa.set_size + sb.set_size - inter), 4) AS j
+        FROM inter
+        JOIN sizes sa ON inter.doc_a = sa.doc_id
+        JOIN sizes sb ON inter.doc_b = sb.doc_id
+        WHERE inter / (sa.set_size + sb.set_size - inter) >= 0.5
+    )
+    SELECT least(da.source, db.source)    AS src_a,
+           greatest(da.source, db.source) AS src_b,
+           COUNT(*)                       AS n_pairs,
+           MIN(j)                         AS min_jaccard,
+           MAX(j)                         AS max_jaccard
+    FROM pairs
+    JOIN documents da ON pairs.doc_a = da.doc_id
+    JOIN documents db ON pairs.doc_b = db.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix — provenance analytics over the
+    near-dup pair set: which source pairs share content, how much,
+    and how close (n_pairs + min/max Jaccard; no float SUMS — counts
+    and extrema of bit-identical doubles keep the row hash exact).
+    The mirror-site / scraped-twice signal a crawl curation pipeline
+    acts on before dedup weights sampling. Plan: the (small) pair set
+    joins the doc→source projection twice, then one grouped agg on
+    the unordered source pair."""
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    src = docs.select("doc_id", "source")
+    labeled = (
+        pairs.join(
+            src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("_sa")),
+            "doc_a",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("_sb")),
+            "doc_b",
+        )
+    )
+    return (
+        labeled.select(
+            F.least("_sa", "_sb").alias("src_a"),
+            F.greatest("_sa", "_sb").alias("src_b"),
+            "jaccard",
+        )
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.min("jaccard").alias("min_jaccard"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+    )
+
+
+@_q(
     "leakage_safe_split",
     f"""
     WITH RECURSIVE pairs AS MATERIALIZED ({_TRUE_PAIRS_3G_05}),
