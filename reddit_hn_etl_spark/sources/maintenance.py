@@ -1,0 +1,114 @@
+"""Table maintenance: small-file compaction for partitioned parquet.
+
+Streaming ingest and frequent small batches fragment a partitioned
+table into thousands of KB-sized files (`streaming/ingest.py` appends
+per micro-batch; `write_staging_batch` per run). At 100 TB that is an
+operational failure mode in its own right: scan task count explodes,
+the driver holds file metadata for every fragment, and row-group
+min/max skipping degrades because each fragment's stats span the
+whole key range.
+
+``compact_partitions`` rewrites each hive partition into a bounded
+number of files, restoring the in-file sort so parquet min/max
+skipping works again, and publishes atomically (write to a fresh
+directory, then a filesystem rename swap — the same
+crash-safe-publish discipline as `sources/publish.py`; readers never
+observe a half-compacted table).
+
+Scale shape: one job, one shuffle — rows hash into
+``ceil(partition_rows / rows_per_file)`` buckets WITHIN each hive
+partition (repartition on (partition_cols, bucket)), then
+``sortWithinPartitions`` restores the sort key order per output
+file. Partition row counts come from one metadata-cheap count
+aggregation, not a per-partition driver loop — compacting 10⁵
+partitions issues the same single job as 10.
+
+The reference has no compaction (Postgres autovacuums); this is
+Spark-operational surface the reference's users get from the
+warehouse for free and a parquet-lake user must own.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def plan_compaction(
+    df: DataFrame,
+    partition_cols: Sequence[str],
+    rows_per_file: int,
+) -> DataFrame:
+    """Per-hive-partition file plan: (partition_cols..., n_rows,
+    n_files) where n_files = ceil(n_rows / rows_per_file). One
+    aggregation job; used by ``compact_partitions`` and handy as a
+    dry-run report."""
+    return (
+        df.groupBy(*partition_cols)
+        .agg(F.count("*").alias("n_rows"))
+        .withColumn(
+            "n_files",
+            F.ceil(F.col("n_rows") / F.lit(int(rows_per_file))).cast("int"),
+        )
+    )
+
+
+def compact_partitions(
+    spark: SparkSession,
+    root: str,
+    partition_cols: Sequence[str],
+    sort_col: str,
+    rows_per_file: int,
+) -> int:
+    """Rewrite a hive-partitioned parquet table with bounded file
+    sizes and restored in-file sort; atomic swap. Returns the number
+    of hive partitions rewritten.
+
+    Row-count-based sizing (not bytes): row width is roughly constant
+    within a table, counts are exact pre-write, and the knob maps
+    directly to the scan-task memory budget. The deterministic row →
+    bucket assignment (hash of the sort key mod n_files) makes reruns
+    byte-stable for identical input.
+    """
+    pcols = list(partition_cols)
+    df = spark.read.parquet(root)
+    plan = plan_compaction(df, pcols, rows_per_file).select(
+        *pcols, "n_files"
+    )
+    # n_files is tiny (one row per hive partition) — broadcast join,
+    # then ONE shuffle on (partition, bucket) sizes every output file.
+    bucketed = (
+        df.join(F.broadcast(plan), on=pcols)
+        .withColumn(
+            "_bucket",
+            F.pmod(F.xxhash64(F.col(sort_col)), F.col("n_files")).cast("int"),
+        )
+        .drop("n_files")
+    )
+    tmp = root.rstrip("/") + ".compact.tmp"
+    old = root.rstrip("/") + ".compact.old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        bucketed.repartition(*[F.col(c) for c in pcols], F.col("_bucket"))
+        # sort must LEAD with the partition columns: FileFormatWriter
+        # requires task rows ordered by them and would otherwise
+        # insert its own (non-stable) sort on just the partition
+        # cols, destroying the sort_col order inside each file
+        .sortWithinPartitions(*pcols, sort_col)
+        .drop("_bucket")
+        .write.partitionBy(*pcols)
+        .mode("errorifexists")
+        .parquet(tmp)
+    )
+    n_parts = plan.count()
+    # Commit point: two renames. A crash between them leaves the old
+    # data at `.compact.old` and the new at `root` — never neither.
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(root, old)
+    os.rename(tmp, root)
+    shutil.rmtree(old, ignore_errors=True)
+    return n_parts
