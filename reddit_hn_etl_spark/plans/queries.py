@@ -4871,6 +4871,67 @@ def near_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "customer_revenue_pareto",
+    """
+    WITH per AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+                   AS revenue_cents
+        FROM orders GROUP BY o_custkey
+    ),
+    run AS (
+        SELECT o_custkey, revenue_cents,
+               SUM(revenue_cents)
+                   OVER (ORDER BY revenue_cents DESC, o_custkey)
+                   AS running_cents,
+               SUM(revenue_cents) OVER () AS total_cents
+        FROM per
+    )
+    SELECT o_custkey, revenue_cents, running_cents,
+           running_cents / total_cents          AS cum_share,
+           running_cents / total_cents <= 0.8   AS in_top80
+    FROM run
+    """,
+)
+def customer_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto (cumulative-share) analysis: customers ranked by
+    revenue, running share of total, 80%-tier flag — the classic
+    concentration query whose naive form is a GLOBAL ORDER BY + full-
+    data window. Here the running sum is the hierarchical prefix sum
+    (operators/prefix.py) over exact integer CENTS (decimal sum ×100
+    → int64: cumsum is order-exact, and the final share division is
+    the same int64/int64 → double on both engines — no float-sum
+    drift anywhere). Only the 1-row grand total crosses as a
+    broadcast; no data-sized SinglePartition window."""
+    from ..operators.prefix import prefix_sum
+
+    orders = read_table(spark, sf_dir, "orders")
+    per = orders.groupBy("o_custkey").agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100
+        ).cast("bigint").alias("revenue_cents")
+    ).withColumn("_rev", F.col("revenue_cents"))
+    cum = prefix_sum(
+        per,
+        order_col=["revenue_cents", "o_custkey"],
+        value_col="_rev",
+        out_col="running_cents",
+        descending=[True, False],
+    )
+    total = cum.agg(F.sum("_rev").alias("_total"))
+    return (
+        cum.crossJoin(F.broadcast(total))
+        .select(
+            "o_custkey",
+            "revenue_cents",
+            "running_cents",
+            (F.col("running_cents") / F.col("_total")).alias("cum_share"),
+            (F.col("running_cents") / F.col("_total") <= 0.8).alias("in_top80"),
+        )
+    )
+
+
+@_q(
     "source_dup_matrix",
     r"""
     WITH toks AS (
