@@ -508,3 +508,80 @@ def test_star_components_match_union_find(spark, pairs):
         for r in connected_components_star(df).collect()
     }
     assert got == _uf_components(pairs or [(0, 0)])
+
+
+def _brute_triangles(pairs):
+    und = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+    verts = sorted({v for e in und for v in e})
+    adj = {v: set() for v in verts}
+    for u, v in und:
+        adj[u].add(v)
+        adj[v].add(u)
+    tri = {v: 0 for v in verts}
+    for i, a in enumerate(verts):
+        for b in (x for x in verts[i + 1:] if x in adj[a]):
+            for c in (x for x in verts if x > b and x in adj[a] and x in adj[b]):
+                tri[a] += 1
+                tri[b] += 1
+                tri[c] += 1
+    out = {}
+    for v in verts:
+        d = len(adj[v])
+        clust = round(2 * tri[v] / (d * (d - 1)), 4) if d > 1 else 0.0
+        out[v] = (d, tri[v], clust)
+    return out
+
+
+@given(pairs=edges_strategy)
+@SET
+def test_triangle_stats_match_bruteforce(spark, pairs):
+    from reddit_hn_etl_spark.operators.graph import triangle_stats
+
+    df = spark.createDataFrame(pairs or [(0, 1)], "doc_a long, doc_b long")
+    got = {
+        r.vertex: (r.degree, r.triangles, r.clustering)
+        for r in triangle_stats(df).collect()
+    }
+    assert got == _brute_triangles(pairs or [(0, 1)])
+
+
+def _brute_containment(docs, threshold):
+    grams = {
+        i: set(t.lower().split()) for i, t in docs
+    }
+    out = {}
+    for a, sa in grams.items():
+        for b, sb in grams.items():
+            if a == b or not sa:
+                continue
+            c = len(sa & sb) / len(sa)
+            if c >= threshold:
+                out[(a, b)] = round(c, 4)
+    return out
+
+
+texts_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 9),
+        st.lists(
+            st.sampled_from(["ant", "bee", "cat", "dog", "elk", "fox"]),
+            min_size=1, max_size=8,
+        ).map(" ".join),
+    ),
+    min_size=1, max_size=8, unique_by=lambda t: t[0],
+)
+
+
+@given(docs=texts_strategy, threshold=st.sampled_from([0.3, 0.5, 1.0]))
+@SET
+def test_containment_matches_bruteforce(spark, docs, threshold):
+    from reddit_hn_etl_spark.operators.dedup import containment_pairs
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in containment_pairs(
+            df, "doc_id", "text", n=1, threshold=threshold
+        ).collect()
+    }
+    assert got == _brute_containment(docs, threshold)
