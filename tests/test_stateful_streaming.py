@@ -244,8 +244,12 @@ def test_stream_screen_against_minhash_index(spark, tmp_path):
          "prunes columns and pipelines operators")
     src = tmp_path / "docs"
     src.mkdir()
-    # One file per micro-batch (maxFilesPerTrigger=1); lexicographic
-    # file order pins batch order.
+    # One file per micro-batch (maxFilesPerTrigger=1). FileStreamSource
+    # orders new files by MODIFICATION TIME, not name — pin distinct
+    # mtimes so b0 is guaranteed to seed the index before b1 screens.
+    import os as _os
+    import time as _time
+
     (src / "b0.jsonl").write_text(
         "\n".join(json.dumps(r) for r in [
             {"doc_id": 1, "text": a},
@@ -255,6 +259,9 @@ def test_stream_screen_against_minhash_index(spark, tmp_path):
     (src / "b1.jsonl").write_text(
         json.dumps({"doc_id": 3, "text": a + " extra"}), encoding="utf-8"
     )
+    base_t = _time.time() - 100
+    _os.utime(src / "b0.jsonl", (base_t, base_t))
+    _os.utime(src / "b1.jsonl", (base_t + 10, base_t + 10))
     stream = (
         spark.readStream.schema("doc_id long, text string")
         .option("maxFilesPerTrigger", 1)
@@ -340,10 +347,18 @@ def test_ema_stream_matches_batch_fold(spark, tmp_path):
     src.mkdir()
     out = tmp_path / "ema_out"
     ckpt = str(tmp_path / "ema_ckpt")
-    # three time-ordered micro-batches (lexicographic file order)
-    _write_events_jsonl(src / "b1.jsonl", rows[:2])
-    _write_events_jsonl(src / "b2.jsonl", rows[2:4])
-    _write_events_jsonl(src / "b3.jsonl", rows[4:])
+    # three time-ordered micro-batches. FileStreamSource orders new
+    # files by MODIFICATION TIME, not name — files written in the
+    # same millisecond arrive in arbitrary order, so pin distinct
+    # mtimes explicitly (the flake showed up as b3 before b2).
+    import os as _os
+    import time as _time
+
+    base_t = _time.time() - 100
+    for i, chunk in enumerate((rows[:2], rows[2:4], rows[4:])):
+        p = src / f"b{i + 1}.jsonl"
+        _write_events_jsonl(p, chunk)
+        _os.utime(p, (base_t + 10 * i, base_t + 10 * i))
 
     stream = (
         spark.readStream.schema(
