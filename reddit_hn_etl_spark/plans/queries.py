@@ -4871,6 +4871,89 @@ def near_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "value_drift_weekly",
+    """
+    WITH hist AS (
+        SELECT CAST(date_trunc('week', ts) AS DATE) AS week_start,
+               CAST(LEAST(GREATEST(FLOOR(value / 10), 0), 11) AS INTEGER)
+                   AS bucket,
+               COUNT(*) AS n
+        FROM events
+        GROUP BY 1, 2
+    ),
+    paired AS (
+        SELECT CAST(COALESCE(c.week_start, p.week_start + INTERVAL 7 DAY)
+                    AS DATE) AS week_start,
+               COALESCE(c.n, 0) AS n_curr,
+               COALESCE(p.n, 0) AS n_prev
+        FROM hist c
+        FULL OUTER JOIN hist p
+          ON c.week_start = p.week_start + INTERVAL 7 DAY
+         AND c.bucket = p.bucket
+        WHERE COALESCE(c.week_start, p.week_start + INTERVAL 7 DAY)
+              IN (SELECT week_start FROM hist)
+          AND COALESCE(c.week_start - INTERVAL 7 DAY, p.week_start)
+              IN (SELECT week_start FROM hist)
+    )
+    SELECT week_start,
+           CAST(SUM(ABS(n_curr - n_prev)) AS BIGINT) AS l1_distance,
+           CAST(SUM(n_curr) AS BIGINT) AS n_events
+    FROM paired
+    GROUP BY week_start
+    """,
+)
+def value_drift_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor (data-quality op): fixed-bucket
+    value histograms per week, L1 distance between each week and the
+    previous — the pipeline tripwire for "the upstream changed units/
+    semantics". All-integer (bucket counts and absolute differences),
+    so the hash match is exact. Weeks with no predecessor in the data
+    are excluded on BOTH sides (the full-outer join otherwise invents
+    a comparison against an empty histogram). Plan: one grouped agg
+    (map-side partial), then a self-join of the tiny (week, bucket)
+    histogram table — the drift stage costs O(weeks × buckets),
+    independent of event count."""
+    ev = read_table(spark, sf_dir, "events")
+    hist = ev.groupBy(
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week_start"),
+        F.least(
+            F.greatest(F.floor(F.col("value") / 10), F.lit(0)), F.lit(11)
+        ).cast("int").alias("bucket"),
+    ).agg(F.count("*").alias("n"))
+    weeks = hist.select("week_start").distinct()
+    c = hist.select(
+        F.col("week_start").alias("_wc"), "bucket", F.col("n").alias("n_curr")
+    )
+    p = hist.select(
+        F.date_add("week_start", 7).alias("_wp"),
+        "bucket",
+        F.col("n").alias("n_prev"),
+    )
+    paired = (
+        c.join(
+            p, (F.col("_wc") == F.col("_wp")) & (c.bucket == p.bucket), "full"
+        )
+        .select(
+            F.coalesce("_wc", "_wp").alias("week_start"),
+            F.coalesce("n_curr", F.lit(0)).alias("n_curr"),
+            F.coalesce("n_prev", F.lit(0)).alias("n_prev"),
+        )
+        .join(F.broadcast(weeks), "week_start", "left_semi")
+        .join(
+            F.broadcast(
+                weeks.select(F.date_add("week_start", 7).alias("week_start"))
+            ),
+            "week_start",
+            "left_semi",
+        )
+    )
+    return paired.groupBy("week_start").agg(
+        F.sum(F.abs(F.col("n_curr") - F.col("n_prev"))).alias("l1_distance"),
+        F.sum("n_curr").alias("n_events"),
+    )
+
+
+@_q(
     "customer_revenue_pareto",
     """
     WITH per AS (
