@@ -71,12 +71,37 @@ def main(argv: list[str] | None = None) -> int:
         default="min_id",
         help="near-dup cluster representative for --curate-docs",
     )
+    ap.add_argument(
+        "--compact",
+        metavar="TABLE_DIR",
+        help="compact a hive-partitioned parquet table in place "
+        "(bounded files per partition, in-file sort restored, atomic "
+        "swap) instead of running a pipeline; --raw-dir is ignored",
+    )
+    ap.add_argument(
+        "--compact-partition-cols",
+        default="event_date",
+        help="comma-separated hive partition columns for --compact",
+    )
+    ap.add_argument(
+        "--compact-sort-col",
+        default="id",
+        help="in-file sort column for --compact",
+    )
+    ap.add_argument(
+        "--compact-rows-per-file",
+        type=int,
+        default=1_000_000,
+        help="target rows per output file for --compact",
+    )
     args = ap.parse_args(argv)
 
     from .config import load_env_file
 
-    if not args.curate_docs and not args.raw_dir:
-        ap.error("--raw-dir is required unless --curate-docs is given")
+    if not args.curate_docs and not args.compact and not args.raw_dir:
+        ap.error(
+            "--raw-dir is required unless --curate-docs or --compact is given"
+        )
 
     load_env_file(args.env_file)
     spark = get_session(app_name="reddit-hn-etl-spark")
@@ -84,6 +109,26 @@ def main(argv: list[str] | None = None) -> int:
     spark.sparkContext.setLogLevel("ERROR")
     audit = AuditLog(spark, os.path.join(args.out, "audit_runs"))
     staging_root = os.path.join(args.out, "staging")
+
+    if args.compact:
+        from .sources.maintenance import compact_partitions
+
+        rec = audit.start_run("compact", source_file=args.compact)
+        try:
+            n = compact_partitions(
+                spark,
+                args.compact,
+                [c for c in args.compact_partition_cols.split(",") if c],
+                sort_col=args.compact_sort_col,
+                rows_per_file=args.compact_rows_per_file,
+            )
+            audit.succeed(rec, rows_copied=n, inserted=0, updated=n)
+            log.info(f"compact {args.compact}: {n} partitions rewritten")
+        except Exception as exc:  # noqa: BLE001 - audit then fail
+            audit.fail(rec, exc)
+            log.error(f"compaction failed: {exc}")
+            return 1
+        return 0
 
     if args.curate_docs:
         from .plans import llm_data_pipeline as ldp

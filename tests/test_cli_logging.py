@@ -128,3 +128,51 @@ def test_cli_curate_docs_publishes_and_logs(spark, tmp_path, monkeypatch):
     # audit table recorded the run
     audit = spark.read.parquet(str(out / "audit_runs"))
     assert audit.where("phase = 'curate' AND status = 'success'").count() == 1
+
+
+def test_cli_compact_rewrites_and_logs(spark, tmp_path, monkeypatch):
+    from reddit_hn_etl_spark.__main__ import main
+
+    monkeypatch.setenv("SPARK_ETL_LOG_DIR", str(tmp_path / "logs"))
+    _reset_loggers()
+    table = str(tmp_path / "frag")
+    # 2 dates × 5 tiny appends
+    for i in range(5):
+        rows = [(d * 100 + i * 10 + k, f"2024-02-0{d}", float(i))
+                for d in (1, 2) for k in range(10)]
+        (
+            spark.createDataFrame(rows, "id long, event_date string, v double")
+            .repartition(2)
+            .write.mode("append").partitionBy("event_date").parquet(table)
+        )
+    before = sorted(
+        (r.id, str(r.event_date), r.v)
+        for r in spark.read.parquet(table).collect()
+    )
+
+    try:
+        rc = main([
+            "--compact", table, "--out", str(tmp_path / "wh"),
+            "--compact-rows-per-file", "40",
+        ])
+    finally:
+        log_text = (tmp_path / "logs" / "pipeline.log").read_text(
+            encoding="utf-8"
+        )
+        _reset_loggers()
+
+    assert rc == 0
+    assert "phase=compact run_id=" in log_text
+    assert "status=success" in log_text
+    assert "2 partitions rewritten" in log_text
+
+    import glob
+    import os
+
+    after = sorted(
+        (r.id, str(r.event_date), r.v)
+        for r in spark.read.parquet(table).collect()
+    )
+    assert after == before
+    for p in glob.glob(os.path.join(table, "event_date=*")):
+        assert len(glob.glob(os.path.join(p, "*.parquet"))) <= 2
