@@ -91,6 +91,20 @@ def write_staging_batch(df: DataFrame, root: str, batch_ts: dt.datetime) -> str:
     return path
 
 
-def read_staging(spark: SparkSession, root: str) -> DataFrame:
-    """All staged batches (the accumulating staging table)."""
-    return spark.read.parquet(root)
+def read_staging(
+    spark: SparkSession, root: str, merge_schema: bool = False
+) -> DataFrame:
+    """All staged batches (the accumulating staging table).
+
+    ``merge_schema=True`` unions the per-batch parquet schemas —
+    the additive-evolution read path: when the upstream starts
+    emitting a new column, older batches surface it as NULL instead
+    of the read failing or silently pinning the first batch's schema.
+    Off by default: schema merging lists every file's footer, which
+    is a real metadata cost on a table with thousands of batches —
+    turn it on for the migration window, then backfill.
+    """
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(root)
