@@ -114,6 +114,9 @@ BENCH_QUERIES_R4 = [
     # inverted-index cost class, already represented in the sweep.
     "doc_boilerplate_strip",
     "doc_tf_cosine_pairs",
+    # r4 continuation: hierarchical-prefix Pareto + drift monitor.
+    "customer_revenue_pareto",
+    "value_drift_weekly",
 ]
 
 

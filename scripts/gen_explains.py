@@ -63,6 +63,8 @@ NOTES = {
     "doc_tf_cosine_pairs": "Sparse tf-vector cosine: non-distinct bigram Generate → (doc, gram, tf) partial/final agg, norms ride along via a window over the SAME aggregate (no second text scan), then the inverted-index self-join canonicalizes both sides to one reused exchange on the gram. Integer dot/norm sums are partitioning-invariant — the hash match needs no float tolerance.",
     "near_dup_triangles": "Degree-ordered triangle enumeration: degree agg (one shuffle), orientation projection, then two equality self-joins over the ORIENTED edge list — each out-neighborhood is O(√m) by construction, so a hot vertex cannot square the wedge join. Documents never enter the graph stages; only (u,v) id pairs shuffle.",
     "user_value_ema": "The sequential-recurrence shape: ONE hash exchange on user_id feeding FlatMapGroupsInPandas — each user's history is a single Arrow batch folded in order. No window, no sort exchange (the fold sorts its own batch), nothing driver-side; the partition-parallel rewrite doesn't exist for order-dependent recurrences, so one-task-per-key IS the optimal batch plan.",
+    "customer_revenue_pareto": "Pareto via the hierarchical prefix sum over integer CENTS: rangepartitioning exchange on (revenue desc, custkey) + Arrow per-partition cumsum + broadcast offsets; the naive form's data-sized ORDER BY window never appears. The grand total is a 1-row broadcast off the checkpointed cumsum (no re-scan); shares are int64/int64 → double, bit-stable.",
+    "value_drift_weekly": "Drift monitor: ONE partial/final agg builds the (week, bucket) histogram; everything after — self-join on shifted week, predecessor-existence semi joins, L1 agg — runs on that tiny table (O(weeks × buckets) rows), so monitoring cost is independent of event volume.",
 }
 
 
