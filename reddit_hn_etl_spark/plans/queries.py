@@ -652,6 +652,43 @@ def json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "props_variant_agg",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10
+               AS k_bucket,
+           COUNT(*) AS n_events,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                AS INTEGER) AS min_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                AS INTEGER) AS max_k
+    FROM events
+    GROUP BY 1
+    """,
+)
+def props_variant_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics through Spark 4's VARIANT type: the
+    JSON props column is parsed ONCE into the binary variant encoding
+    (`parse_json`) and fields are read with `variant_get` — the
+    lakehouse-native path that avoids per-access JSON re-parsing
+    (`json_props` shows the classic get_json_object form). The
+    variant value flows through a grouped aggregate, proving the type
+    crosses shuffles. The oracle speaks plain JSON SQL — the point is
+    identical RESULTS from a different storage encoding."""
+    ev = read_table(spark, sf_dir, "events")
+    v = ev.select(F.parse_json("props").alias("pv"))
+    k = F.variant_get(F.col("pv"), "$.k", "int")
+    return (
+        v.select((k % 10).alias("k_bucket"), k.alias("_k"))
+        .groupBy("k_bucket")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("_k").alias("min_k"),
+            F.max("_k").alias("max_k"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # North-star: dedup / similarity / text analysis over documents+embeddings.
 # ---------------------------------------------------------------------------
