@@ -1,0 +1,116 @@
+"""Custom Python DataSource (Spark 4 DataSource API) for HN items.
+
+The reference fetches items with a sequential per-id loop
+(`src/extract/hn_extract.py:57-59`). `sources/http.py` already
+distributes that via ``mapInPandas``; this module re-expresses the
+same source as a REGISTERED Spark data source — the modern extension
+point — so it composes like any built-in format:
+
+    spark.dataSource.register(HNItemsDataSource)
+    df = (spark.read.format("hn_items")
+          .option("ids", "1000-1100").option("mode", "fake").load())
+
+What the API buys over the mapInPandas shim:
+  * PARTITION PLANNING lives in the source: ``partitions()`` splits
+    the id range into chunks, so parallelism is declared once and the
+    scheduler sees a real scan with N input splits, not a repartition
+    of a driver-built id table;
+  * schema is owned by the source (no caller-side schema threading);
+  * downstream pruning/filters compose like any DSv2 scan.
+
+``mode=fake`` (default) yields DETERMINISTIC synthetic items derived
+from the id alone — the offline-testable twin of ``mode=live``
+(which does the real HTTP fetch via sources/http.py and therefore
+needs network + requests). Same schema either way, so pipelines are
+developed against fake and flipped to live by one option.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+SCHEMA = (
+    "id long, type string, by string, time long, text string, "
+    "url string, score long, title string, descendants long"
+)
+
+_TYPES = ("story", "comment", "job", "poll")
+
+
+def _fake_item(item_id: int) -> tuple:
+    """Deterministic synthetic HN item: every field is a pure function
+    of the id (stable across runs, partitionings, and machines)."""
+    h = (item_id * 2654435761) % (1 << 32)  # Knuth multiplicative hash
+    typ = _TYPES[h % 4]
+    return (
+        item_id,
+        typ,
+        f"user{h % 97}",
+        1_700_000_000 + (h % 100_000),
+        f"body of item {item_id}" if typ == "comment" else None,
+        f"https://example.com/{item_id}" if typ == "story" else None,
+        (h >> 8) % 500,
+        f"Item {item_id} headline" if typ != "comment" else None,
+        (h >> 16) % 50,
+    )
+
+
+class _IdRange(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+class HNItemsReader(DataSourceReader):
+    def __init__(self, options):
+        ids = options.get("ids", "1-50")
+        if "-" in ids:
+            lo, hi = ids.split("-", 1)
+            self.ids = list(range(int(lo), int(hi) + 1))
+        else:
+            self.ids = [int(x) for x in ids.split(",") if x.strip()]
+        self.chunk = max(1, int(options.get("chunk_size", "25")))
+        self.mode = options.get("mode", "fake")
+
+    def partitions(self):
+        # one input split per id chunk — the scheduler's parallelism
+        return [
+            _IdRange(i, min(i + self.chunk, len(self.ids)))
+            for i in range(0, len(self.ids), self.chunk)
+        ]
+
+    def read(self, partition: _IdRange):
+        ids = self.ids[partition.start : partition.end]
+        if self.mode == "fake":
+            for i in ids:
+                yield _fake_item(i)
+            return
+        # live mode: real point lookups, executor-side
+        from . import http
+
+        for i in ids:
+            item = http.http_get_json(f"{http.BASE_URL}/item/{i}.json")
+            if item:
+                yield (
+                    item.get("id"),
+                    item.get("type"),
+                    item.get("by"),
+                    item.get("time"),
+                    item.get("text"),
+                    item.get("url"),
+                    item.get("score"),
+                    item.get("title"),
+                    item.get("descendants"),
+                )
+
+
+class HNItemsDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "hn_items"
+
+    def schema(self) -> str:
+        return SCHEMA
+
+    def reader(self, schema) -> HNItemsReader:
+        return HNItemsReader(self.options)
