@@ -1,0 +1,116 @@
+"""Empirical scaling probe: do the headline plans scale LINEARLY?
+
+SCALING.md argues each operator family is linear (modulo the
+documented quadratic-candidate knobs). This script MEASURES it:
+replicate the sf0.1 tables k× into /tmp with offset keys and salted
+text (so near-dup structure grows linearly — copies must not
+cross-match), then time a single-table query set at 1× and k× and
+print the time ratio. A linear plan shows ratio ≈ k (usually less,
+because fixed overheads amortize); a quadratic one shows ≈ k².
+
+    python scripts/scaling_probe.py [k] [sf_dir]
+
+Writes nothing outside /tmp; results go to stdout (paste the table
+into SCALING.md when it changes materially).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from reddit_hn_etl_spark.plans.queries import QUERIES
+
+K = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+BASE = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+OUT = f"/tmp/scaling_probe/x{K}"
+
+# single-table queries only: the replica set offsets each table's own
+# keys but does NOT maintain cross-table referential integrity
+PROBES = [
+    "pricing_summary",        # lineitem: scan + group agg
+    "top_orders",             # orders: global top-k
+    "daily_metrics",          # events: cast + date agg
+    "sessionize",             # events: keyed window
+    "user_value_ema",         # events: per-key Arrow fold
+    "doc_exact_dedup",        # documents: hash dedup
+    "doc_minhash_pairs",      # documents: signatures + LSH + bound check
+    "doc_boilerplate_strip",  # documents: line df + reassembly
+]
+
+
+def build_replicas(spark: SparkSession) -> None:
+    if os.path.isdir(OUT):
+        return
+    os.makedirs(OUT, exist_ok=True)
+    try:
+        for name, idcols, salt_text in (
+            ("lineitem", ["l_orderkey"], False),
+            ("orders", ["o_orderkey", "o_custkey"], False),
+            ("events", ["event_id", "user_id"], False),
+            ("documents", ["doc_id"], True),
+        ):
+            base = spark.read.parquet(f"{BASE}/{name}.parquet")
+            parts = []
+            for i in range(K):
+                df = base
+                for c in idcols:
+                    df = df.withColumn(c, F.col(c) + F.lit(i * 100_000_000))
+                if salt_text and i > 0:
+                    # copies must not near-match each other, or pair
+                    # output grows k² by construction instead of k
+                    df = df.withColumn(
+                        "text", F.concat("text", F.lit(f" copysalt{i}"))
+                    )
+                parts.append(df)
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            out.write.mode("overwrite").parquet(f"{OUT}/{name}.parquet")
+    except BaseException:
+        shutil.rmtree(OUT, ignore_errors=True)
+        raise
+
+
+def time_query(name: str, sf_dir: str, spark: SparkSession) -> float:
+    t0 = time.time()
+    df = QUERIES[name](spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def main() -> None:
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "8g")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    build_replicas(spark)
+    # one warmup pass so JVM/codegen startup doesn't pollute the 1× run
+    time_query("pricing_summary", BASE, spark)
+    print(f"{'query':28s} {'t(1x)':>8s} {'t(' + str(K) + 'x)':>8s} "
+          f"{'ratio':>6s}  verdict (k={K})")
+    for name in PROBES:
+        t1 = time_query(name, BASE, spark)
+        tk = time_query(name, OUT, spark)
+        ratio = tk / max(t1, 1e-9)
+        verdict = (
+            "~linear" if ratio <= K * 1.6 else
+            "SUPERLINEAR" if ratio < K * K * 0.6 else "~quadratic"
+        )
+        print(f"{name:28s} {t1:8.2f} {tk:8.2f} {ratio:6.2f}  {verdict}")
+
+
+if __name__ == "__main__":
+    main()
