@@ -4994,6 +4994,46 @@ def value_drift_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "shipping_lag_stats",
+    """
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_lines,
+           MIN(datediff('day', o.o_orderdate, l.l_shipdate)) AS min_lag_days,
+           MAX(datediff('day', o.o_orderdate, l.l_shipdate)) AS max_lag_days,
+           CAST(SUM(datediff('day', o.o_orderdate, l.l_shipdate)) AS BIGINT)
+               AS total_lag_days
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def shipping_lag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship lag distribution per priority (the ops question
+    behind TPC-H Q4/Q12's lateness predicates, as a statistic instead
+    of a filter): integer day arithmetic only — count/min/max/total of
+    DATEDIFF — so the grouped row hash is exact. Fact-fact join on
+    l_orderkey with both scans pruned to three columns; lag days are
+    computed post-join (they need both sides), then one partial/final
+    agg on the 5-value priority key."""
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.min(lag).alias("min_lag_days"),
+            F.max(lag).alias("max_lag_days"),
+            F.sum(lag).alias("total_lag_days"),
+        )
+    )
+
+
+@_q(
     "customer_revenue_pareto",
     """
     WITH per AS (
