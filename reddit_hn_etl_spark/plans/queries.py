@@ -4994,6 +4994,80 @@ def value_drift_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "orders_version_diff",
+    """
+    WITH oldv AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+    ),
+    newv AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 10
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderstatus
+        FROM orders WHERE o_orderkey % 101 <> 0
+        UNION ALL
+        SELECT o_orderkey + 900000000, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey % 103 = 0
+    ),
+    j AS (
+        SELECT o.o_orderkey AS ok, n.o_orderkey AS nk,
+               o.o_totalprice AS op, n.o_totalprice AS np,
+               o.o_orderstatus AS os, n.o_orderstatus AS ns
+        FROM oldv o FULL OUTER JOIN newv n ON o.o_orderkey = n.o_orderkey
+    )
+    SELECT 'inserted' AS metric, COUNT(*) AS n FROM j WHERE ok IS NULL
+    UNION ALL
+    SELECT 'deleted', COUNT(*) FROM j WHERE nk IS NULL
+    UNION ALL
+    SELECT 'updated', COUNT(*) FROM j
+    WHERE ok IS NOT NULL AND nk IS NOT NULL
+      AND (op IS DISTINCT FROM np OR os IS DISTINCT FROM ns)
+    UNION ALL
+    SELECT 'unchanged', COUNT(*) FROM j
+    WHERE ok IS NOT NULL AND nk IS NOT NULL
+      AND op IS NOT DISTINCT FROM np AND os IS NOT DISTINCT FROM ns
+    UNION ALL
+    SELECT 'col:o_totalprice', COUNT(*) FROM j
+    WHERE ok IS NOT NULL AND nk IS NOT NULL AND op IS DISTINCT FROM np
+    UNION ALL
+    SELECT 'col:o_orderstatus', COUNT(*) FROM j
+    WHERE ok IS NOT NULL AND nk IS NOT NULL AND os IS DISTINCT FROM ns
+    """,
+)
+def orders_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data reconciliation (Datafold-style diff) between two versions
+    of a keyed table — the post-backfill "what actually changed"
+    report (operators/diff.py). The second version is planted
+    deterministically in BOTH engines: ~1% of keys deleted (%101),
+    ~1% price-shifted (%97), ~1% inserted under offset keys (%103).
+    ONE full-outer shuffle join on the key + one aggregation; output
+    is O(columns) metric rows, all integer counts. Complements the
+    MERGE operator: merge APPLIES changes, diff EXPLAINS them."""
+    from ..operators.diff import diff_report
+
+    orders = read_table(spark, sf_dir, "orders")
+    oldv = orders.select("o_orderkey", "o_totalprice", "o_orderstatus")
+    newv = (
+        oldv.where(F.col("o_orderkey") % 101 != 0)
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 97 == 0, F.col("o_totalprice") + 10
+            ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+            "o_orderstatus",
+        )
+        .unionByName(
+            oldv.where(F.col("o_orderkey") % 103 == 0).select(
+                (F.col("o_orderkey") + 900000000).alias("o_orderkey"),
+                "o_totalprice",
+                "o_orderstatus",
+            )
+        )
+    )
+    return diff_report(oldv, newv, keys=["o_orderkey"])
+
+
+@_q(
     "shipping_lag_stats",
     """
     SELECT o.o_orderpriority,
