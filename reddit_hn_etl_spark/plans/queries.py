@@ -1711,6 +1711,48 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "hll_sketch_weekly_users",
+    """
+    SELECT CAST(date_trunc('week', ts) AS DATE) AS week_start,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS merged_within_5pct
+    FROM events
+    GROUP BY 1
+    """,
+)
+def hll_sketch_weekly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch MERGEABILITY — the pattern that makes approximate
+    distincts work at 100 TB: per-DAY DataSketches HLL sketches
+    (`hll_sketch_agg`) are unioned into weekly estimates
+    (`hll_union_agg` → `hll_sketch_estimate`) WITHOUT re-reading raw
+    events — the daily sketch table is what a rollup pipeline
+    persists, and any calendar regrouping is a cheap merge over it.
+    Like `approx_distinct_users`, the engine-specific sketch bytes
+    can't cross engines, so the portable claim is the bound: the
+    MERGED estimate lands within 5% of the exact weekly distinct,
+    emitted as a boolean the oracle asserts TRUE."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week_start"),
+        scalars.to_metric_date("ts").alias("_day"),
+    ).agg(F.hll_sketch_agg("user_id").alias("_sketch"))
+    weekly_est = daily.groupBy("week_start").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("_sketch")).alias("_est")
+    )
+    exact = ev.groupBy(
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week_start")
+    ).agg(F.countDistinct("user_id").alias("exact_users"))
+    return exact.join(weekly_est, "week_start").select(
+        "week_start",
+        "exact_users",
+        (
+            F.abs(F.col("_est") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("merged_within_5pct"),
+    )
+
+
+@_q(
     "value_percentiles",
     """
     SELECT event_type,
