@@ -595,3 +595,40 @@ def tf_cosine_pairs(
         dots.where(cos >= threshold)
         .select("doc_a", "doc_b", F.round(cos, 4).alias("cosine_tf"))
     )
+
+
+def radius_cosine(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+    radius: float = 0.5,
+) -> DataFrame:
+    """Range similarity search: ALL corpus vectors with cosine ≥
+    ``radius`` of each query — the threshold twin of top-k kNN
+    (`knn_cosine_bruteforce`), for callers who need "everything this
+    similar" (dedup radii, recall sweeps) rather than a fixed k.
+
+    Same scale shape as the exact kNN: queries broadcast, corpus
+    scanned ONCE with JVM-side dot products, no shuffle at all — the
+    output is the filter's survivors, so unlike top-k there is no
+    per-query window either. Output: (query_id, id, cosine_sim).
+    """
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
+    )
+    cos = dot(F.col("_qvec"), F.col(vec_col)) / (
+        F.col("_qn") * l2_norm(F.col(vec_col))
+    )
+    return (
+        corpus.crossJoin(F.broadcast(q))
+        .where(cos >= radius)
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.round(cos, 4).alias("cosine_sim"),
+        )
+    )

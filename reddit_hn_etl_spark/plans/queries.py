@@ -1293,6 +1293,37 @@ def knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "radius_cosine_search",
+    """
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+        FROM embeddings WHERE vec_id < 5
+    )
+    SELECT q.query_id, e.vec_id,
+           ROUND(list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])),
+                 4) AS cosine_sim
+    FROM q CROSS JOIN embeddings e
+    WHERE list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) >= 0.25
+    """,
+)
+def radius_cosine_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range similarity search (similarity.radius_cosine): everything
+    within cosine ≥ 0.25 of each query — the threshold twin of top-k
+    kNN for dedup-radius / recall-sweep callers. Queries broadcast,
+    corpus scanned once, NO shuffle and (unlike top-k) no per-query
+    window — the plan is a pure filtered scan. 0.25 sits above the
+    p99 of the non-self cosine distribution (0.29 max-tail measured),
+    so the result is selective but non-vacuous at every SF."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.radius_cosine(
+        emb, queries, id_col="vec_id", vec_col="embedding", radius=0.25
+    )
+
+
+@_q(
     "knn_cosine_lsh",
     """
     SELECT vec_id AS query_id, TRUE AS recall_ok
