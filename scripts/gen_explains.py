@@ -65,6 +65,9 @@ NOTES = {
     "user_value_ema": "The sequential-recurrence shape: ONE hash exchange on user_id feeding FlatMapGroupsInPandas — each user's history is a single Arrow batch folded in order. No window, no sort exchange (the fold sorts its own batch), nothing driver-side; the partition-parallel rewrite doesn't exist for order-dependent recurrences, so one-task-per-key IS the optimal batch plan.",
     "customer_revenue_pareto": "Pareto via the hierarchical prefix sum over integer CENTS: rangepartitioning exchange on (revenue desc, custkey) + Arrow per-partition cumsum + broadcast offsets; the naive form's data-sized ORDER BY window never appears. The grand total is a 1-row broadcast off the checkpointed cumsum (no re-scan); shares are int64/int64 → double, bit-stable.",
     "value_drift_weekly": "Drift monitor: ONE partial/final agg builds the (week, bucket) histogram; everything after — self-join on shifted week, predecessor-existence semi joins, L1 agg — runs on that tiny table (O(weeks × buckets) rows), so monitoring cost is independent of event volume.",
+    "radius_cosine_search": "Range similarity search: queries broadcast (BroadcastNestedLoopJoin over a 5-row build side), corpus scanned ONCE with JVM-side aggregate() dot products inside the filter — zero exchanges, and unlike top-k there is no per-query window either. The plan IS a filtered scan.",
+    "orders_version_diff": "Reconciliation: one null-safe full-outer SortMergeJoin on the key (same cost class as the MERGE it complements), per-column change flags as projections, then a single partial/final agg to O(columns) metric rows via stack().",
+    "hll_sketch_weekly_users": "Sketch mergeability: per-day hll_sketch_agg partials, weekly hll_union_agg merge + estimate — the exact-distinct branch exists only for the in-query 5% bound check; a production rollup persists the daily sketch table and NEVER re-reads raw events to regroup.",
 }
 
 
