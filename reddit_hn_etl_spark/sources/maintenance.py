@@ -112,3 +112,32 @@ def compact_partitions(
     os.rename(tmp, root)
     shutil.rmtree(old, ignore_errors=True)
     return n_parts
+
+
+def write_globally_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: Sequence[str],
+    num_files: int,
+) -> None:
+    """Export with a TOTAL order across output files: range-partition
+    on the sort key (sampled bounds), sort within each partition, one
+    file per partition. Because range partition i holds strictly
+    lower keys than partition i+1 and part-file index equals partition
+    id, the concatenation of files in name order is globally sorted —
+    the layout that makes a corpus binary-searchable / mergeable by
+    key without any reader-side sort.
+
+    One range exchange + per-partition sort; NO single-task global
+    sort (the ORDER-BY-then-write trap collapses to one writer at
+    scale... it doesn't in Spark — `orderBy.write` also range
+    partitions — but this form states the contract explicitly and
+    controls the file count).
+    """
+    cols = [F.col(c) for c in sort_cols]
+    (
+        df.repartitionByRange(int(num_files), *cols)
+        .sortWithinPartitions(*cols)
+        .write.mode("errorifexists")
+        .parquet(path)
+    )

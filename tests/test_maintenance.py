@@ -81,3 +81,29 @@ def test_compact_rewrites_bounded_sorted_identical(spark, tmp_path):
     # no temp/old dirs left behind
     assert not os.path.exists(root + ".compact.tmp")
     assert not os.path.exists(root + ".compact.old")
+
+
+def test_write_globally_sorted_total_order(spark, tmp_path):
+    import glob
+    import os
+
+    from reddit_hn_etl_spark.sources.maintenance import write_globally_sorted
+
+    rows = [(int(x),) for x in [(i * 7919) % 10007 for i in range(5000)]]
+    df = spark.createDataFrame(rows, "k long").repartition(16)
+    out = str(tmp_path / "sorted")
+    write_globally_sorted(df, out, ["k"], num_files=8)
+
+    files = sorted(glob.glob(os.path.join(out, "part-*.parquet")))
+    assert len(files) == 8
+    prev_max = None
+    total = 0
+    for f in files:
+        ks = [r.k for r in spark.read.parquet(f).collect()]
+        assert ks == sorted(ks)  # sorted within file
+        if ks:
+            if prev_max is not None:
+                assert prev_max <= ks[0]  # ordered ACROSS files
+            prev_max = ks[-1]
+        total += len(ks)
+    assert total == 5000
