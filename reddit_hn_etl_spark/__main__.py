@@ -72,6 +72,21 @@ def main(argv: list[str] | None = None) -> int:
         help="near-dup cluster representative for --curate-docs",
     )
     ap.add_argument(
+        "--export-corpus",
+        metavar="PARQUET",
+        help="curate a documents parquet and export TRAINING SHARDS: "
+        "quality/lang/dedup → content-hash train/val split → "
+        "token-budget shard packing; writes shards (partitioned by "
+        "split/shard_id) + manifest + stats to --out (atomic "
+        "publish); --raw-dir is ignored",
+    )
+    ap.add_argument(
+        "--tokens-per-shard",
+        type=int,
+        default=2000,
+        help="token budget per shard for --export-corpus",
+    )
+    ap.add_argument(
         "--compact",
         metavar="TABLE_DIR",
         help="compact a hive-partitioned parquet table in place "
@@ -98,9 +113,15 @@ def main(argv: list[str] | None = None) -> int:
 
     from .config import load_env_file
 
-    if not args.curate_docs and not args.compact and not args.raw_dir:
+    if (
+        not args.curate_docs
+        and not args.compact
+        and not args.export_corpus
+        and not args.raw_dir
+    ):
         ap.error(
-            "--raw-dir is required unless --curate-docs or --compact is given"
+            "--raw-dir is required unless --curate-docs, --compact or "
+            "--export-corpus is given"
         )
 
     load_env_file(args.env_file)
@@ -109,6 +130,41 @@ def main(argv: list[str] | None = None) -> int:
     spark.sparkContext.setLogLevel("ERROR")
     audit = AuditLog(spark, os.path.join(args.out, "audit_runs"))
     staging_root = os.path.join(args.out, "staging")
+
+    if args.export_corpus:
+        from .plans import llm_data_pipeline as ldp
+
+        rec = audit.start_run("export", source_file=args.export_corpus)
+        try:
+            docs = spark.read.parquet(args.export_corpus)
+            shards, manifest = ldp.export_training_shards(
+                docs,
+                config=ldp.CurationConfig(keep_policy=args.keep_policy),
+                tokens_per_shard=args.tokens_per_shard,
+            )
+            stats = ldp.corpus_stats(shards)
+            version = publish.publish_tables(
+                {
+                    "shards": shards.repartition("split", "shard_id")
+                    .sortWithinPartitions("split", "shard_id", "doc_id"),
+                    "shard_manifest": manifest,
+                    "corpus_stats": stats,
+                },
+                os.path.join(args.out, "export"),
+            )
+            n_docs = shards.count()
+            n_shards = manifest.count()
+            audit.succeed(rec, rows_copied=n_docs, inserted=n_shards, updated=0)
+            log.info(
+                f"export {os.path.basename(args.export_corpus)}: "
+                f"docs={n_docs} shards={n_shards} "
+                f"budget={args.tokens_per_shard} version={version}"
+            )
+        except Exception as exc:  # noqa: BLE001 - audit then fail
+            audit.fail(rec, exc)
+            log.error(f"export failed: {exc}")
+            return 1
+        return 0
 
     if args.compact:
         from .sources.maintenance import compact_partitions

@@ -169,3 +169,71 @@ def corpus_stats(kept: DataFrame) -> DataFrame:
         F.sum("n_chars").cast("long").alias("total_chars"),
         F.round(F.avg("quality_score"), 4).alias("avg_quality"),
     )
+
+
+def export_training_shards(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    config: CurationConfig | None = None,
+    tokens_per_shard: int = 2000,
+    train_nibbles: str = "0123456789ab",
+) -> tuple[DataFrame, DataFrame]:
+    """End-to-end training-data export: curate → leakage-safe
+    content-hash split → token-budget shard packing.
+
+    Returns (shards, manifest): ``shards`` is the curated corpus
+    annotated with (split, shard_id) — ready to write partitioned by
+    those two columns; ``manifest`` is one row per (split, shard_id)
+    with doc/token counts, the file-level contract a trainer consumes.
+
+    Composition of already-verified pieces: `curate_corpus` (quality →
+    lang → exact dedup → transitive near-dup clusters), the md5
+    content-hash split (near-dups are GONE by this stage, so content
+    hashing cannot leak a twin across splits — the residual risk
+    `leakage_safe_split` handles pre-dedup), and the hierarchical
+    prefix sum for the running token budget (per split — no
+    SinglePartition window over the corpus).
+
+    Scale: curation's shuffles + one range exchange per split for the
+    packing; the write is partitionBy(split, shard_id) with in-file
+    sort by id.
+    """
+    from ..operators.prefix import prefix_sum
+
+    kept, _fate = curate_corpus(docs, id_col, text_col, config)
+    nibble = F.substring(F.md5(F.col(text_col).cast("binary")), 1, 1)
+    split_col = F.when(
+        nibble.isin(*train_nibbles), F.lit("train")
+    ).otherwise(F.lit("val"))
+    annotated = kept.withColumn("split", split_col)
+
+    packed = []
+    for split_name in ("train", "val"):
+        part = annotated.where(F.col("split") == split_name)
+        cum = prefix_sum(
+            part.select(id_col, F.col("n_tokens_bpe").alias("_tok")),
+            order_col=id_col,
+            value_col="_tok",
+            out_col="_running",
+        )
+        shard = cum.select(
+            F.col(id_col),
+            F.floor((F.col("_running") - 1) / tokens_per_shard)
+            .cast("long")
+            .alias("shard_id"),
+        )
+        packed.append(
+            part.join(shard, on=id_col).select(
+                *[F.col(c) for c in annotated.columns], "shard_id"
+            )
+        )
+    shards = packed[0].unionByName(packed[1])
+    manifest = (
+        shards.groupBy("split", "shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens_bpe").cast("long").alias("n_tokens"),
+        )
+    )
+    return shards, manifest

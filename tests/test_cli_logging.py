@@ -176,3 +176,53 @@ def test_cli_compact_rewrites_and_logs(spark, tmp_path, monkeypatch):
     assert after == before
     for p in glob.glob(os.path.join(table, "event_date=*")):
         assert len(glob.glob(os.path.join(p, "*.parquet"))) <= 2
+
+
+def test_cli_export_corpus_shards_and_manifest(spark, tmp_path, monkeypatch):
+    from reddit_hn_etl_spark.__main__ import main
+
+    monkeypatch.setenv("SPARK_ETL_LOG_DIR", str(tmp_path / "logs"))
+    _reset_loggers()
+    out = tmp_path / "wh"
+
+    try:
+        rc = main([
+            "--export-corpus", "/root/testdata/sf0.001/documents.parquet",
+            "--out", str(out), "--tokens-per-shard", "5000",
+        ])
+    finally:
+        log_text = (tmp_path / "logs" / "pipeline.log").read_text(
+            encoding="utf-8"
+        )
+        _reset_loggers()
+
+    assert rc == 0
+    assert "phase=export run_id=" in log_text
+    assert "status=success" in log_text
+
+    from reddit_hn_etl_spark.sources.publish import read_published
+
+    root = str(out / "export")
+    shards = read_published(spark, root, "shards")
+    manifest = read_published(spark, root, "shard_manifest")
+
+    # every curated doc exactly once, both splits populated
+    ids = [r.doc_id for r in shards.select("doc_id").collect()]
+    assert len(ids) == len(set(ids)) > 0
+    assert {r.split for r in shards.select("split").distinct().collect()} == {
+        "train", "val",
+    }
+    # manifest is the groupBy of shards, and every shard respects the
+    # token budget modulo its last (boundary-straddling) document
+    m = {(r.split, r.shard_id): (r.n_docs, r.n_tokens) for r in manifest.collect()}
+    agg = {}
+    for r in shards.select("split", "shard_id", "n_tokens_bpe").collect():
+        d, t = agg.get((r.split, r.shard_id), (0, 0))
+        agg[(r.split, r.shard_id)] = (d + 1, t + r.n_tokens_bpe)
+    assert m == agg
+    max_doc = max(t for _, t in (
+        (r.doc_id, r.n_tokens_bpe)
+        for r in shards.select("doc_id", "n_tokens_bpe").collect()
+    ))
+    for (_split, _sid), (_d, tok) in m.items():
+        assert tok <= 5000 + max_doc
