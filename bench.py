@@ -117,6 +117,14 @@ BENCH_QUERIES_R4 = [
     # r4 continuation: hierarchical-prefix Pareto + drift monitor.
     "customer_revenue_pareto",
     "value_drift_weekly",
+    # r4 fourth session: span-level dedup, lexical retrieval,
+    # anomaly monitoring, rule-based filtering, and the fully
+    # oracle-checked composed curation pipeline (exact-jaccard mode).
+    "duplicate_token_spans",
+    "bm25_doc_search",
+    "rolling_zscore_anomalies",
+    "doc_gopher_rules",
+    "curate_documents",
 ]
 
 

@@ -642,3 +642,83 @@ def jaccard_pairs_prefix(
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
     )
+
+
+def positional_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """Explode each document into ALL its word n-grams with 0-based
+    token positions (unlike ``word_shingles``, repeats are kept —
+    position identity matters here). Output: (id_col, pos, shingle).
+    """
+    toks = tokens(text_col)
+    k = F.size(toks) - (n - 1)
+    idx = F.when(k > 0, F.sequence(F.lit(0), k - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(
+        idx,
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.concat_ws(" ", F.slice(toks, i + 1, n)).alias("shingle"),
+        ),
+    )
+    return df.select(F.col(id_col), F.explode(grams).alias("g")).select(
+        F.col(id_col), F.col("g.pos").alias("pos"), F.col("g.shingle").alias("shingle")
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Maximal cross-document duplicated token spans (the span-level
+    exact-dedup primitive from Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better" — their suffix-array
+    pass re-expressed as relational algebra at k-token resolution).
+
+    Any substring of >= k tokens shared by >= ``min_docs`` documents
+    is the union of duplicated k-grams, so marking duplicated k-gram
+    start positions and merging runs of consecutive starts
+    (gaps-and-islands) recovers every maximal duplicated span EXACTLY
+    for spans >= k tokens; shorter duplicates are below the detection
+    resolution by design.
+
+    Output: (id_col, span_start, span_end, span_tokens) with 0-based
+    inclusive token offsets, one row per maximal span occurrence.
+
+    Scale shape: one explode (|tokens| rows), one partial-agg shuffle
+    on the gram for the document-frequency filter, one gram-key join
+    to mark hit positions (the duplicated-gram side is the small,
+    information-carrying head — broadcastable when the corpus is
+    mostly unique), and a per-document window for the island merge
+    (partitioned by doc, never global). Hot boilerplate grams skew
+    the gram key; at 100 TB cap them (they become their own spans
+    regardless) the same way ``jaccard_pairs(df_cap=...)`` does.
+    """
+    ps = positional_shingles(fan_out_narrow_input(df), id_col, text_col, k)
+    dup = (
+        ps.groupBy("shingle")
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+        .select("shingle")
+    )
+    hits = ps.join(dup, "shingle").select(F.col(id_col), "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    islands = hits.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    return (
+        islands.groupBy(id_col, "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (k - 1)).alias("span_end"),
+        )
+        .select(
+            F.col(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+    )

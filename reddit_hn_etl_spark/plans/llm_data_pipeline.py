@@ -47,6 +47,16 @@ class CurationConfig:
     # near-dup cluster representative: "min_id" (stable default) or
     # "best_quality" (highest quality_score survives, ties → min id)
     keep_policy: str = "min_id"
+    # Candidate-pair generator for the near-dup stage:
+    #   "minhash"       — banded MinHash-LSH (the 100 TB default;
+    #                     hash-family-specific, so only bound-checkable)
+    #   "exact_jaccard" — the inverted-index exact n-gram Jaccard join
+    #                     (deterministic and SQL-reproducible; right
+    #                     for moderate corpora and for differential
+    #                     testing of the WHOLE composed pipeline).
+    # ``minhash_threshold`` is the similarity cut for whichever
+    # generator is selected.
+    near_dup_method: str = "minhash"
 
 
 def curate_corpus(
@@ -99,15 +109,29 @@ def curate_corpus(
     # with pairs (1,3),(2,3), doc 2 would survive although it is a
     # dup of 1 via 3.)
     pool = survivors.where(~F.col("_exact_dup"))
-    near_pairs = dedup.minhash_lsh_pairs(
-        pool.select(id_col, text_col),
-        id_col,
-        text_col,
-        num_hashes=cfg.num_hashes,
-        bands=cfg.bands,
-        shingle_n=cfg.shingle_n,
-        threshold=cfg.minhash_threshold,
-    )
+    if cfg.near_dup_method == "exact_jaccard":
+        near_pairs = dedup.jaccard_pairs(
+            pool.select(id_col, text_col),
+            id_col,
+            text_col,
+            n=cfg.shingle_n,
+            threshold=cfg.minhash_threshold,
+        )
+    elif cfg.near_dup_method == "minhash":
+        near_pairs = dedup.minhash_lsh_pairs(
+            pool.select(id_col, text_col),
+            id_col,
+            text_col,
+            num_hashes=cfg.num_hashes,
+            bands=cfg.bands,
+            shingle_n=cfg.shingle_n,
+            threshold=cfg.minhash_threshold,
+        )
+    else:
+        raise ValueError(
+            f"unknown near_dup_method: {cfg.near_dup_method!r} "
+            "(expected 'minhash' or 'exact_jaccard')"
+        )
     if cfg.keep_policy == "best_quality":
         from ..operators.graph import connected_components, keep_best_per_cluster
 

@@ -2336,20 +2336,36 @@ def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Composed corpus-curation pipeline (rows-only: the composition is
-# unit-tested with planted dups in tests/test_curation.py; its
-# building blocks are individually oracle-checked above) + try_cast
-# semantics.
+# Composed corpus-curation pipeline. The near-dup stage runs in
+# "exact_jaccard" mode here so the ENTIRE composition (quality gate →
+# exact dedup → transitive near-dup clusters → keep-set) is
+# deterministic and hash-checked against a single composed DuckDB
+# oracle (assigned below, after the shared pair/CC SQL fragments are
+# defined). The production-scale minhash mode of the same pipeline
+# stays covered by `curation_funnel` (stage counts), the bound-checked
+# `doc_minhash_pairs`/`incremental_near_dup`, and
+# tests/test_curation.py's planted-duplicate composition tests.
 # ---------------------------------------------------------------------------
 
 
-@_q("curate_documents")  # rows-only: minhash stage is hash-family specific
+@_q("curate_documents")  # oracle assigned after _CC_BY_RECURSIVE_CTE below
 def curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation via `curate_corpus`: quality >= 0.3 gate,
+    exact md5 dedup (min-id keep), exact 3-gram-Jaccard >= 0.5 near-dup
+    pairs, connected-component clusters, min-id representative kept.
+    Every stage is the pipeline's own operator — the oracle recomputes
+    the same stages in SQL (recursive CTE for the transitive closure),
+    so this row certifies the COMPOSITION, not just the parts."""
     from .llm_data_pipeline import CurationConfig, curate_corpus
 
     docs = read_table(spark, sf_dir, "documents")
     kept, _fate = curate_corpus(
-        docs, config=CurationConfig(min_quality=0.3, minhash_threshold=0.9)
+        docs,
+        config=CurationConfig(
+            min_quality=0.3,
+            minhash_threshold=0.5,
+            near_dup_method="exact_jaccard",
+        ),
     )
     return kept.select(
         "doc_id", "quality_score", "lang_pred", "n_tokens_bpe", "fingerprint"
@@ -4855,12 +4871,17 @@ def quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 # keep the inverted-index join proportional to true near-duplication
 # (bigrams over this testdata's 31-word vocabulary collide broadly:
 # the same clusters cost ~8× more to generate).
-_TRUE_PAIRS_3G_05 = r"""
+def _jaccard_pairs_sql(src: str = "documents", threshold: float = 0.5) -> str:
+    """Exact 3-gram-Jaccard ≥ threshold pair SQL over any (doc_id,
+    text) relation — the DuckDB twin of ``dedup.jaccard_pairs(n=3)``.
+    Parameterized so composed oracles (``curate_documents``) can run
+    the same pair join over an already-filtered pool CTE."""
+    return rf"""
         WITH toks AS (
             SELECT doc_id,
                    list_filter(string_split_regex(lower(trim(text)), '\s+'),
                                x -> x <> '') AS w
-            FROM documents
+            FROM {src}
         ),
         sh AS (
             SELECT DISTINCT doc_id,
@@ -4881,8 +4902,11 @@ _TRUE_PAIRS_3G_05 = r"""
         FROM inter
         JOIN sizes sa ON inter.doc_a = sa.doc_id
         JOIN sizes sb ON inter.doc_b = sb.doc_id
-        WHERE inter / (sa.set_size + sb.set_size - inter) >= 0.5
+        WHERE inter / (sa.set_size + sb.set_size - inter) >= {threshold}
 """
+
+
+_TRUE_PAIRS_3G_05 = _jaccard_pairs_sql("documents", 0.5)
 
 # Recursive-CTE connected components over a CTE named `pairs`
 # (doc_a, doc_b): min reachable id per vertex == the min-label
@@ -4904,6 +4928,44 @@ _CC_BY_RECURSIVE_CTE = """
         SELECT s.u, reach.r FROM sym s JOIN reach ON s.v = reach.vx
     ),
     cc AS (SELECT vx AS vertex, MIN(r) AS component FROM reach GROUP BY vx)
+"""
+
+# Composed oracle for `curate_documents` (declared earlier, before
+# these shared fragments existed): re-runs every pipeline stage in
+# SQL over the same parquet — per-doc quality/lang/token/fingerprint
+# (the already-green stage oracles, reused verbatim), the min-id exact
+# keep-set over the FULL corpus (the pipeline computes exact dups
+# before the quality gate's pool), the exact 3-gram-Jaccard >= 0.5
+# pair join restricted to the post-gate pool, and the recursive-CTE
+# transitive closure with min-id representatives.
+ORACLES["curate_documents"] = f"""
+    WITH RECURSIVE
+    q AS MATERIALIZED ({ORACLES["doc_quality"]}),
+    l AS ({ORACLES["doc_lang_id"]}),
+    tk AS ({ORACLES["doc_tokens"]}),
+    fp AS ({ORACLES["doc_fingerprint"]}),
+    exact_keep AS (
+        SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ),
+    pool AS MATERIALIZED (
+        SELECT d.doc_id, d.text
+        FROM documents d
+        JOIN q ON d.doc_id = q.doc_id
+        JOIN exact_keep k ON d.doc_id = k.doc_id
+        WHERE q.quality_score >= 0.3
+    ),
+    pairs AS MATERIALIZED ({_jaccard_pairs_sql("pool", 0.5)}),
+    {_CC_BY_RECURSIVE_CTE},
+    drops AS (SELECT vertex FROM cc WHERE vertex <> component)
+    SELECT p.doc_id, q.quality_score, l.lang_pred, tk.n_tokens_bpe,
+           fp.fingerprint
+    FROM pool p
+    JOIN q  ON p.doc_id = q.doc_id
+    JOIN l  ON p.doc_id = l.doc_id
+    JOIN tk ON p.doc_id = tk.doc_id
+    JOIN fp ON p.doc_id = fp.doc_id
+    LEFT JOIN drops dr ON p.doc_id = dr.vertex
+    WHERE dr.vertex IS NULL
 """
 
 
@@ -6136,6 +6198,360 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "custkey", "recency_days", "frequency", "monetary",
         "r_score", "f_score", "m_score",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Span-level exact dedup (round 4, fourth session): the Lee et al.
+# 2022 duplicated-substring primitive at k-token resolution. Doc-level
+# dedup (exact/minhash/simhash above) drops whole documents; span
+# detection finds the SHARED PASSAGES — boilerplate, licenses, quoted
+# text — inside otherwise-distinct documents, which is what a
+# training-data pipeline actually excises.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "duplicate_token_spans",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                           x -> x <> '') AS w
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest(list_transform(w[1:len(w) - 4],
+                      (x, i) -> struct_pack(
+                          pos := i - 1,
+                          shingle := x || ' ' || w[i + 1] || ' ' || w[i + 2]
+                                       || ' ' || w[i + 3] || ' ' || w[i + 4]
+                      ))) AS g
+        FROM toks
+    ),
+    pos AS (SELECT doc_id, g.pos AS pos, g.shingle AS shingle FROM grams),
+    dup AS (
+        SELECT shingle FROM pos
+        GROUP BY shingle HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    hits AS (SELECT p.doc_id, p.pos FROM pos p JOIN dup USING (shingle)),
+    isl AS (
+        SELECT doc_id, pos,
+               pos - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                        ORDER BY pos) AS grp
+        FROM hits
+    )
+    SELECT doc_id,
+           CAST(MIN(pos) AS INTEGER) AS span_start,
+           CAST(MAX(pos) + 4 AS INTEGER) AS span_end,
+           CAST(MAX(pos) + 4 - MIN(pos) + 1 AS INTEGER) AS span_tokens
+    FROM isl
+    GROUP BY doc_id, grp
+    """,
+)
+def duplicate_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal cross-document duplicated spans at 5-token resolution
+    (`dedup.duplicate_spans`): positions whose 5-gram occurs in >= 2
+    documents, merged into maximal runs per doc via gaps-and-islands.
+    The oracle rebuilds the identical span algebra in SQL, so the
+    match certifies positional shingling, the document-frequency
+    filter, the hit join, and the island merge together. On this
+    corpus only genuinely duplicated passages collide (31-word vocab
+    but 31^5 gram space vs ~17.5k grams total)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup.duplicate_spans(docs, "doc_id", "text", k=5, min_docs=2)
+
+
+# ---------------------------------------------------------------------------
+# Lexical retrieval: Okapi BM25 over the documents table — the
+# keyword-search complement to the embedding ANN family (kNN / LSH /
+# IVF above). Corpus statistics (N, Σdl, per-term df) come from ONE
+# tiny aggregate broadcast back over the scored scan; nothing global
+# materializes. Float discipline: tf/dl/df/N are exact integers, so
+# every double below is produced by the identical expression tree in
+# both engines; ln() is the one libm call (verified bit-equal on
+# these inputs; final ROUND(.,4) guards the comparison regardless).
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("dup", "spark", "vector")
+
+
+def _bm25_term_sql(t: str) -> str:
+    tf = f"tf_{t}"
+    idf = (
+        f"ln(CAST(1 AS DOUBLE) + (n_docs - df_{t} + CAST(0.5 AS DOUBLE))"
+        f" / (df_{t} + CAST(0.5 AS DOUBLE)))"
+    )
+    return (
+        f"{idf} * ({tf} * CAST(2.2 AS DOUBLE))"
+        f" / ({tf} + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)"
+        f" + CAST(0.75 AS DOUBLE) * dl / avgdl))"
+    )
+
+
+_BM25_TF_SQL = ", ".join(
+    "len(list_filter(string_split_regex(lower(trim(text)), "
+    + r"'\s+'), x -> x = '" + t + f"')) AS tf_{t}"
+    for t in _BM25_TERMS
+)
+_BM25_DF_SQL = ", ".join(
+    f"SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}"
+    for t in _BM25_TERMS
+)
+_BM25_OUT_SQL = ", ".join(
+    f"CAST(tf_{t} AS INTEGER) AS tf_{t}" for t in _BM25_TERMS
+)
+_BM25_SCORE_SQL = " + ".join(_bm25_term_sql(t) for t in _BM25_TERMS)
+
+
+@_q(
+    "bm25_doc_search",
+    rf"""
+    WITH base AS (
+        SELECT doc_id,
+               len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                               x -> x <> '')) AS dl,
+               {_BM25_TF_SQL}
+        FROM documents
+    ),
+    stats AS (
+        SELECT COUNT(*) AS n_docs,
+               CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+               {_BM25_DF_SQL}
+        FROM base
+    )
+    SELECT doc_id,
+           CAST(dl AS INTEGER) AS dl,
+           {_BM25_OUT_SQL},
+           ROUND({_BM25_SCORE_SQL}, 4)
+               AS bm25
+    FROM base, stats
+    """,
+)
+def bm25_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 (k1=1.2, b=0.75) scores for the fixed query
+    {dup, spark, vector} — one rare term (df≈6% of docs) and two
+    common ones, so idf weighting visibly dominates raw tf. Plan: one
+    tokenizing projection, one 1-row stats aggregate broadcast back
+    (AQE picks broadcast for the 1-row side), zero extra shuffles —
+    at 100 TB the stats row is still one row."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = dedup.tokens("text")
+
+    def tf_col(term: str):
+        # NB: the lambda must stay single-arg — a two-arg lambda makes
+        # F.filter pass (element, index) and the term binds the index.
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    base = docs.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        *[tf_col(t).alias(f"tf_{t}") for t in _BM25_TERMS],
+    )
+    stats = base.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("int")).alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+
+    def term_score(t: str):
+        tf = F.col(f"tf_{t}")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"df_{t}") + F.lit(0.5))
+            / (F.col(f"df_{t}") + F.lit(0.5))
+        )
+        return (
+            idf
+            * (tf * F.lit(2.2))
+            / (
+                tf
+                + F.lit(1.2)
+                * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.col("avgdl"))
+            )
+        )
+
+    score = term_score(_BM25_TERMS[0])
+    for t in _BM25_TERMS[1:]:
+        score = score + term_score(t)
+    return base.crossJoin(F.broadcast(stats)).select(
+        "doc_id",
+        "dl",
+        *[F.col(f"tf_{t}") for t in _BM25_TERMS],
+        F.round(score, 4).alias("bm25"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling z-score anomaly detection over the event stream: per user,
+# each value against the trailing-window mean/std — the monitoring
+# primitive behind data-quality alerting. Exactness: values go to
+# integer CENTS, the frame's Σx and Σx² are exact integer window
+# sums, and variance is the single division of exact integers
+# (n·Σx² − (Σx)²) / (n·(n−1)) — no Welford-vs-naive engine drift,
+# and IEEE sqrt is correctly rounded in both engines.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "rolling_zscore_anomalies",
+    """
+    WITH c AS (
+        SELECT event_id, user_id, ts, value,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events
+    ),
+    w AS (
+        SELECT event_id, user_id, ts, value, cents,
+               COUNT(*) OVER fr AS n_prev,
+               SUM(cents) OVER fr AS s1,
+               SUM(cents * cents) OVER fr AS s2
+        FROM c
+        WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, ts, value,
+           CAST(n_prev AS INTEGER) AS window_n,
+           ROUND((cents - CAST(s1 AS DOUBLE) / n_prev)
+                 / sqrt((n_prev * s2 - s1 * s1)
+                        / (CAST(n_prev AS DOUBLE) * (n_prev - 1))), 4)
+               AS zscore
+    FROM w
+    WHERE n_prev >= 12 AND n_prev * s2 - s1 * s1 > 0
+      AND ABS((cents - CAST(s1 AS DOUBLE) / n_prev)
+              / sqrt((n_prev * s2 - s1 * s1)
+                     / (CAST(n_prev AS DOUBLE) * (n_prev - 1)))) > 2.0
+    """,
+)
+def rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events whose value sits > 2 sample standard deviations from
+    the trailing 20-event per-user mean (minimum 12 prior events).
+    The frame excludes the current row, so an anomaly cannot mask
+    itself. Plan: one shuffle on user_id, one pass per partition —
+    the per-key window never sees more than one user's history."""
+    ev = read_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    fr = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    c = ev.select("event_id", "user_id", "ts", "value", cents.alias("cents"))
+    w = c.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        "cents",
+        F.count(F.lit(1)).over(fr).alias("n_prev"),
+        F.sum("cents").over(fr).alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).over(fr).alias("s2"),
+    )
+    var_num = F.col("n_prev") * F.col("s2") - F.col("s1") * F.col("s1")
+    z = (F.col("cents") - F.col("s1").cast("double") / F.col("n_prev")) / F.sqrt(
+        var_num / (F.col("n_prev").cast("double") * (F.col("n_prev") - 1))
+    )
+    return (
+        w.where((F.col("n_prev") >= 12) & (var_num > 0) & (F.abs(z) > 2.0))
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "value",
+            F.col("n_prev").cast("int").alias("window_n"),
+            F.round(z, 4).alias("zscore"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rules (Rae et al. 2021 §A1.1): the rule-based
+# document filter a pretraining pipeline runs BEFORE model-based
+# scoring — word-count bounds, mean-word-length bounds, alphabetic-
+# word fraction, and stopword coverage, each surfaced as its own flag
+# so downstream can audit which rule fired. Complements the
+# continuous `doc_quality` score with hard verdicts.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "doc_gopher_rules",
+    r"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                           x -> x <> '') AS w
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               len(w) AS n_words,
+               len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+                   AS n_alpha_words,
+               len(array_to_string(w, '')) AS n_word_chars,
+               CAST(list_contains(w, 'the') AS INTEGER)
+                   + CAST(list_contains(w, 'a') AS INTEGER) AS n_stop_distinct
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(n_words AS INTEGER) AS n_words,
+           n_word_chars / n_words AS mean_word_len,
+           n_alpha_words / CAST(n_words AS DOUBLE) AS alpha_word_frac,
+           CAST(n_stop_distinct AS INTEGER) AS n_stop_distinct,
+           n_words BETWEEN 30 AND 5000 AS r_word_count,
+           n_word_chars / n_words BETWEEN 3.0 AND 5.0 AS r_mean_word_len,
+           n_alpha_words / CAST(n_words AS DOUBLE) >= 0.9 AS r_alpha_words,
+           n_stop_distinct >= 2 AS r_stopwords,
+           (n_words BETWEEN 30 AND 5000)
+               AND (n_word_chars / n_words BETWEEN 3.0 AND 5.0)
+               AND (n_alpha_words / CAST(n_words AS DOUBLE) >= 0.9)
+               AND (n_stop_distinct >= 2) AS gopher_pass
+    FROM m
+    WHERE n_words > 0
+    """,
+)
+def doc_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Gopher rule flags. All ratios are single
+    divisions of exact integer counts (identical doubles in both
+    engines), so the BETWEEN boundaries compare bit-identical values
+    — no rounding needed before the verdicts. Pure projection: zero
+    shuffles at any scale."""
+    docs = read_table(spark, sf_dir, "documents")
+    w = dedup.tokens("text")
+    n_words = F.size(w)
+    n_alpha = F.size(F.filter(w, lambda x: x.rlike("[a-z]")))
+    n_chars = F.length(F.array_join(w, ""))
+    n_stop = F.array_contains(w, "the").cast("int") + F.array_contains(
+        w, "a"
+    ).cast("int")
+    m = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_alpha.alias("n_alpha_words"),
+        n_chars.alias("n_word_chars"),
+        n_stop.alias("n_stop_distinct"),
+    ).where(F.col("n_words") > 0)
+    mean_len = F.col("n_word_chars") / F.col("n_words")
+    alpha_frac = F.col("n_alpha_words") / F.col("n_words").cast("double")
+    r_wc = F.col("n_words").between(30, 5000)
+    r_mwl = mean_len.between(3.0, 5.0)
+    r_alpha = alpha_frac >= 0.9
+    r_stop = F.col("n_stop_distinct") >= 2
+    return m.select(
+        "doc_id",
+        F.col("n_words").cast("int").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        alpha_frac.alias("alpha_word_frac"),
+        F.col("n_stop_distinct").cast("int").alias("n_stop_distinct"),
+        r_wc.alias("r_word_count"),
+        r_mwl.alias("r_mean_word_len"),
+        r_alpha.alias("r_alpha_words"),
+        r_stop.alias("r_stopwords"),
+        (r_wc & r_mwl & r_alpha & r_stop).alias("gopher_pass"),
     )
 
 

@@ -68,6 +68,11 @@ NOTES = {
     "radius_cosine_search": "Range similarity search: queries broadcast (BroadcastNestedLoopJoin over a 5-row build side), corpus scanned ONCE with JVM-side aggregate() dot products inside the filter — zero exchanges, and unlike top-k there is no per-query window either. The plan IS a filtered scan.",
     "orders_version_diff": "Reconciliation: one null-safe full-outer SortMergeJoin on the key (same cost class as the MERGE it complements), per-column change flags as projections, then a single partial/final agg to O(columns) metric rows via stack().",
     "hll_sketch_weekly_users": "Sketch mergeability: per-day hll_sketch_agg partials, weekly hll_union_agg merge + estimate — the exact-distinct branch exists only for the in-query 5% bound check; a production rollup persists the daily sketch table and NEVER re-reads raw events to regroup.",
+    "duplicate_token_spans": "Span-level exact dedup (Lee et al. 2022 at k-gram resolution): positional-shingle Generate, ONE partial/final agg on the gram for the document-frequency filter, the hit join back on the gram key (the duplicated-gram side is the small head — broadcast at local sizes, shuffle at scale), then a per-document window for the island merge (partitioned by doc_id, never global). Hot boilerplate grams are the skew axis; cap them like jaccard_pairs(df_cap=...) — they form spans regardless.",
+    "bm25_doc_search": "Lexical retrieval: one tokenizing projection computes dl + per-term tfs, a 1-ROW stats aggregate (N, avgdl, per-term df) broadcasts back over the scored scan, and the BM25 arithmetic is pure JVM-side projection — exactly one exchange pair (partial/final agg) regardless of corpus size.",
+    "rolling_zscore_anomalies": "Anomaly monitor: ONE hash exchange on user_id; COUNT/Σx/Σx² share a single window frame sort, variance is one division of exact integer-cents sums (no Welford-vs-naive drift), and the anomaly predicate filters before anything else moves. Per-user partitions, so a hot user is the only skew axis — bounded by per-user history, not corpus size.",
+    "doc_gopher_rules": "Rule-based quality filter: pure projection (tokenize once, four integer counts, flag booleans) — zero exchanges, embarrassingly parallel; the rules audit WHICH gate fired, complementing the continuous doc_quality score.",
+    "curate_documents": "The composed curation pipeline, end-to-end driver-checked in exact-jaccard mode: quality-gate projection, md5 keep-set agg (one shuffle) with broadcast keep join, inverted-index pair join over the POST-GATE pool only, iterative min-label CC (per-round join+agg on id pairs, localCheckpoint), final anti join. Text crosses each boundary once; the CC stages move only id pairs. The minhash mode swaps ONE stage (pairs) and keeps this exact plan shape elsewhere.",
 }
 
 

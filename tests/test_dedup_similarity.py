@@ -279,3 +279,39 @@ def test_fan_out_narrow_input(spark):
     assert sorted(
         r.id for r in fan_out_narrow_input(narrow).collect()
     ) == list(range(100))
+
+
+def test_duplicate_spans_planted(spark):
+    """Two docs share one 7-token passage (k=5 → 3 consecutive gram
+    starts merge into ONE maximal span per doc, exact offsets); a
+    third doc has no 5-gram in common with anyone."""
+    shared = "alpha bravo charlie delta echo foxtrot golf"
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two three {shared} four five"),
+            (2, f"{shared} six seven eight nine ten"),
+            (3, "eleven twelve thirteen fourteen fifteen sixteen"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in dedup.duplicate_spans(docs, "doc_id", "text", k=5).collect()
+    }
+    # doc 1: shared passage starts at token 3 (0-based), 7 tokens.
+    # doc 2: starts at 0. doc 3: absent.
+    assert spans == {(1, 3, 9, 7), (2, 0, 6, 7)}
+
+
+def test_duplicate_spans_within_doc_repeat_not_flagged(spark):
+    """min_docs=2 counts DISTINCT documents: a passage repeated twice
+    inside one doc but appearing nowhere else stays unflagged."""
+    rep = "red orange yellow green blue"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{rep} stop {rep}"),
+            (2, "purple magenta cyan teal olive maroon"),
+        ],
+        "doc_id long, text string",
+    )
+    assert dedup.duplicate_spans(docs, "doc_id", "text", k=5).count() == 0
