@@ -125,6 +125,10 @@ BENCH_QUERIES_R4 = [
     "rolling_zscore_anomalies",
     "doc_gopher_rules",
     "curate_documents",
+    "semantic_dedup_cells",
+    "scd2_user_state",
+    "event_sequence_funnel",
+    "doc_unigram_logprob",
 ]
 
 

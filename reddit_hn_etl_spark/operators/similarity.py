@@ -632,3 +632,85 @@ def radius_cosine(
             F.round(cos, 4).alias("cosine_sim"),
         )
     )
+
+
+def sign_cell(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-of-projection cell id as a PLAIN integer code (Σ 2ʲ over
+    planes with ⟨vec, pⱼ⟩ ≥ 0) — unlike ``lsh_bucket`` no hash is
+    applied, so the assignment is reproducible in any engine that can
+    evaluate the same dot products (the differential-test property
+    ``semantic_dedup`` needs)."""
+    projs = all_plane_projections(vec, planes)
+    bits = F.transform(
+        projs,
+        lambda p, i: F.when(
+            p >= 0, F.pow(F.lit(2.0), i).cast("long")
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda a, b: a + b)
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    planes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.25,
+) -> DataFrame:
+    """SemDeDup-style embedding-space deduplication (Abbas et al.
+    2023): partition the corpus into cheap cells (sign-LSH here; the
+    paper uses k-means — same role), enumerate exact cosine pairs
+    ONLY within a cell, cluster transitively, keep the min-id
+    representative. Cross-cell near-dups are the documented recall
+    trade — the cell count is the cost/recall dial exactly like the
+    paper's k.
+
+    Output: one row per corpus vector — (id, component, is_rep);
+    downstream keeps ``is_rep`` rows. Scale shape: one projection
+    computes norms + cell codes, the pair join shuffles on the CELL
+    key (never all-pairs), connected components moves only id pairs,
+    and the final left join restores singletons without rescanning
+    vectors.
+    """
+    from .dedup import fan_out_narrow_input
+    from .graph import connected_components
+
+    b = fan_out_narrow_input(corpus).select(
+        F.col(id_col),
+        F.col(vec_col),
+        l2_norm(F.col(vec_col)).alias("_n"),
+        sign_cell(F.col(vec_col), planes).alias("_cell"),
+    )
+    a = b.select(
+        F.col(id_col).alias("doc_a"),
+        F.col(vec_col).alias("_va"),
+        F.col("_n").alias("_na"),
+        "_cell",
+    )
+    c = b.select(
+        F.col(id_col).alias("doc_b"),
+        F.col(vec_col).alias("_vb"),
+        F.col("_n").alias("_nb"),
+        "_cell",
+    )
+    pairs = (
+        a.join(c, "_cell")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .where(
+            dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+            >= threshold
+        )
+        .select("doc_a", "doc_b")
+    )
+    cc = connected_components(pairs)
+    return (
+        corpus.select(F.col(id_col))
+        .join(cc, F.col(id_col) == F.col("vertex"), "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
+            (
+                F.coalesce(F.col("component"), F.col(id_col)) == F.col(id_col)
+            ).alias("is_rep"),
+        )
+    )

@@ -73,6 +73,10 @@ NOTES = {
     "rolling_zscore_anomalies": "Anomaly monitor: ONE hash exchange on user_id; COUNT/Σx/Σx² share a single window frame sort, variance is one division of exact integer-cents sums (no Welford-vs-naive drift), and the anomaly predicate filters before anything else moves. Per-user partitions, so a hot user is the only skew axis — bounded by per-user history, not corpus size.",
     "doc_gopher_rules": "Rule-based quality filter: pure projection (tokenize once, four integer counts, flag booleans) — zero exchanges, embarrassingly parallel; the rules audit WHICH gate fired, complementing the continuous doc_quality score.",
     "curate_documents": "The composed curation pipeline, end-to-end driver-checked in exact-jaccard mode: quality-gate projection, md5 keep-set agg (one shuffle) with broadcast keep join, inverted-index pair join over the POST-GATE pool only, iterative min-label CC (per-round join+agg on id pairs, localCheckpoint), final anti join. Text crosses each boundary once; the CC stages move only id pairs. The minhash mode swaps ONE stage (pairs) and keeps this exact plan shape elsewhere.",
+    "semantic_dedup_cells": "SemDeDup shape: one projection computes norms + sign-LSH cell codes (JVM higher-order functions, no UDF), the pair join shuffles on the CELL key — never all-pairs; cell count is the cost/recall dial — then CC moves only id pairs and a left join restores singletons without rescanning vectors. At 100 TB the cells come from the persisted IVF assignment instead; plan shape is identical.",
+    "scd2_user_state": "SCD2 build: ONE hash exchange on user_id; the same-instant last-writer dedup and the lead() interval construction share one (user, ts) sort (two Window operators, one Exchange+Sort pair). History tables at scale append per-partition and re-run this per affected key range only.",
+    "event_sequence_funnel": "Row-pattern matching via two frame-bounded IGNORE-NULLS last_value passes sharing ONE (user, ts, id) sort — no self-joins, no per-step shuffle; the chain state rides in a carried struct. Exactly the plan a MATCH_RECOGNIZE engine would compile to for strict A<B<C.",
+    "doc_unigram_logprob": "LM-score filter: token explode → partial/final count agg (one shuffle of (term, count) partials), stats collapsed to a 1-ROW map broadcast, then the per-doc score folds each doc's own token array in order — deterministic floats with zero per-token joins on the scoring side.",
 }
 
 

@@ -315,3 +315,35 @@ def test_duplicate_spans_within_doc_repeat_not_flagged(spark):
         "doc_id long, text string",
     )
     assert dedup.duplicate_spans(docs, "doc_id", "text", k=5).count() == 0
+
+
+def test_semantic_dedup_planted_clusters(spark):
+    """Three planted groups: two near-identical pairs (same cell,
+    cosine ≈ 1) and one isolated vector — reps are the min ids, the
+    singleton is its own rep."""
+    from reddit_hn_etl_spark.operators.similarity import (
+        random_hyperplanes,
+        semantic_dedup,
+    )
+
+    base_a = [1.0, 0.0, 0.5, 0.2]
+    base_b = [-1.0, 0.3, -0.7, 0.1]
+    lone = [0.0, -1.0, 0.9, -0.8]
+    eps = [x + 0.001 for x in base_a]
+    eps_b = [x - 0.001 for x in base_b]
+    vecs = [(1, base_a), (2, eps), (3, base_b), (4, eps_b), (5, lone)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    planes = random_hyperplanes(dim=4, n_planes=3, seed=11)
+    out = {
+        r.vec_id: (r.component, r.is_rep)
+        for r in semantic_dedup(
+            df, planes, threshold=0.99
+        ).collect()
+    }
+    assert out == {
+        1: (1, True),
+        2: (1, False),
+        3: (3, True),
+        4: (3, False),
+        5: (5, True),
+    }
