@@ -129,6 +129,7 @@ BENCH_QUERIES_R4 = [
     "scd2_user_state",
     "event_sequence_funnel",
     "doc_unigram_logprob",
+    "heavy_hitters_sketch",
 ]
 
 

@@ -1,0 +1,62 @@
+"""Mergeable frequent-items (heavy-hitters) summaries.
+
+The exact top-k family (`top_words`, `bpe_merge_pairs`) shuffles one
+row per distinct item; at 100 TB with a long-tailed key that partial
+aggregate is still fine, but when the DISTINCT count itself is the
+problem (urls, shingles, session ids) the standard answer is a
+bounded-size mergeable summary per partition. This module implements
+the per-partition top-k truncation variant (the SpaceSaving/
+Misra–Gries guarantee with a vectorized inner loop):
+
+  * each partition keeps its k most frequent items with EXACT local
+    counts (pandas value_counts — no per-row Python);
+  * dropped items each have local count ≤ n_p/(k+1) (k+1 items would
+    otherwise all exceed the (k+1)-th count), so the global
+    undercount of any item is ≤ Σ_p n_p/(k+1) = N/(k+1);
+  * summaries merge by plain per-item summation (one tiny shuffle of
+    ≤ k rows per partition), giving est ≤ exact ≤ est + N/(k+1), and
+    every item with exact > N/(k+1) is PRESENT in the merged summary.
+
+Both guarantees hold under ANY partitioning, which is what the
+differential oracle checks (the estimates themselves are
+partitioning-dependent and are never emitted raw by oracle queries —
+same policy as the LSH recall bounds).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def partial_topk_counts(df: DataFrame, col: str, k: int) -> DataFrame:
+    """Per-partition bounded summaries: ≤ k (item, partial_count)
+    rows per partition, exact within the partition."""
+
+    def summarize(batches):
+        import pandas as pd
+
+        acc: dict = {}
+        for pdf in batches:
+            vc = pdf[col].value_counts()
+            for item, cnt in vc.items():
+                acc[item] = acc.get(item, 0) + int(cnt)
+        top = sorted(acc.items(), key=lambda kv: (-kv[1], str(kv[0])))[:k]
+        yield pd.DataFrame(
+            {col: [t[0] for t in top], "partial_count": [t[1] for t in top]}
+        )
+
+    field = df.schema[col]
+    return df.select(col).mapInPandas(
+        summarize, f"{col} {field.dataType.simpleString()}, partial_count long"
+    )
+
+
+def heavy_hitters(df: DataFrame, col: str, k: int = 32) -> DataFrame:
+    """Merged heavy-hitter estimates: (item, est) with
+    est ≤ true_count ≤ est + N/(k+1); every item whose true count
+    exceeds N/(k+1) is guaranteed present. One bounded-size shuffle."""
+    partials = partial_topk_counts(df, col, k)
+    return partials.groupBy(col).agg(
+        F.sum("partial_count").alias("est")
+    )

@@ -6795,6 +6795,74 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Mergeable frequent-items summary (operators/sketch.py) — the
+# heavy-hitters counterpart of the HLL row: per-partition bounded
+# top-k summaries with the Misra–Gries N/(k+1) undercount guarantee,
+# merged by plain summation. The oracle checks the GUARANTEES
+# (partitioning-invariant theorems), not the partitioning-dependent
+# raw estimates — same policy as the LSH recall bounds.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "heavy_hitters_sketch",
+    """
+    WITH s AS (
+        SELECT user_id FROM events
+        UNION ALL
+        SELECT -1 AS user_id FROM events WHERE event_id % 3 = 0
+    ),
+    e AS (SELECT user_id, COUNT(*) AS exact_count FROM s GROUP BY user_id)
+    SELECT user_id, exact_count,
+           TRUE AS present_ok, TRUE AS estimate_ok
+    FROM e ORDER BY exact_count DESC, user_id LIMIT 5
+    """,
+)
+def heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters over a planted-skew stream (every third event
+    re-attributed to synthetic user −1, so one key owns ~25% of a
+    4N/3-row stream at every SF — comfortably above the N_total/(k+1)
+    detection threshold at k=16). The query computes the sketch AND
+    the exact counts, then emits, for the true top-5 keys, the two
+    Misra–Gries theorems as booleans: the key is present in the
+    merged summary (or is below the guarantee threshold), and the
+    estimate is within [exact − N/(k+1), exact]. Both hold under ANY
+    partitioning — which is exactly what makes them oracle-safe while
+    the raw estimates are not."""
+    from ..operators import sketch
+
+    k = 16
+    ev = read_table(spark, sf_dir, "events")
+    hot = ev.where(F.col("event_id") % 3 == 0).select(
+        F.lit(-1).cast("long").alias("user_id")
+    )
+    stream = ev.select("user_id").unionByName(hot)
+    hh = sketch.heavy_hitters(stream, "user_id", k=k)
+    exact = stream.groupBy("user_id").agg(F.count("*").alias("exact_count"))
+    total = stream.agg(F.count("*").alias("_n"))
+    top5 = exact.orderBy(F.desc("exact_count"), F.asc("user_id")).limit(5)
+    bound = F.col("_n") / F.lit(k + 1)
+    return (
+        top5.crossJoin(F.broadcast(total))
+        .join(hh, "user_id", "left")
+        .select(
+            "user_id",
+            "exact_count",
+            (
+                F.col("est").isNotNull() | (F.col("exact_count") <= bound)
+            ).alias("present_ok"),
+            (
+                F.col("est").isNull()
+                | (
+                    (F.col("est") <= F.col("exact_count"))
+                    & (F.col("est") >= F.col("exact_count") - bound)
+                )
+            ).alias("estimate_ok"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window.
 #
 # The driver hard-verifies (rows + schema + value hash vs the DuckDB

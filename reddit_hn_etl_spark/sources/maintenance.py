@@ -34,7 +34,7 @@ import os
 import shutil
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -138,6 +138,54 @@ def write_globally_sorted(
     (
         df.repartitionByRange(int(num_files), *cols)
         .sortWithinPartitions(*cols)
+        .write.mode("errorifexists")
+        .parquet(path)
+    )
+
+
+def zvalue(x: Column | str, y: Column | str, bits: int = 16) -> Column:
+    """Morton (Z-order) interleave of two non-negative ints, LOW
+    ``bits`` bits each → one long. Built from shift/mask expressions
+    only, so it stays inside whole-stage codegen — no UDF."""
+    xc = (F.col(x) if isinstance(x, str) else x).cast("long")
+    yc = (F.col(y) if isinstance(y, str) else y).cast("long")
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(xc, i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(yc, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_cols: Sequence[str],
+    num_files: int,
+    bits: int = 16,
+) -> None:
+    """Z-order-clustered export (the Delta/Iceberg OPTIMIZE ZORDER
+    layout, expressed with stock Spark): rows are range-partitioned
+    and sorted by the Morton interleave of the two cluster columns,
+    so EVERY output file covers a small rectangle in (x, y) space and
+    parquet footer min/max stats prune scans on EITHER column — a
+    linear sort gives tight stats on the first column only, leaving
+    every file's range on the second column spanning the full domain.
+
+    Same execution shape as ``write_globally_sorted`` (one range
+    exchange, per-partition sort, no global single-task sort); only
+    the ordering key changes. Columns must be non-negative ints that
+    fit ``bits`` bits (cap/offset upstream otherwise)."""
+    if len(zorder_cols) != 2:
+        raise ValueError("write_zordered clusters exactly two columns")
+    z = zvalue(zorder_cols[0], zorder_cols[1], bits=bits).alias("_z")
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(int(num_files), F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
         .write.mode("errorifexists")
         .parquet(path)
     )

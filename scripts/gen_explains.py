@@ -77,6 +77,7 @@ NOTES = {
     "scd2_user_state": "SCD2 build: ONE hash exchange on user_id; the same-instant last-writer dedup and the lead() interval construction share one (user, ts) sort (two Window operators, one Exchange+Sort pair). History tables at scale append per-partition and re-run this per affected key range only.",
     "event_sequence_funnel": "Row-pattern matching via two frame-bounded IGNORE-NULLS last_value passes sharing ONE (user, ts, id) sort — no self-joins, no per-step shuffle; the chain state rides in a carried struct. Exactly the plan a MATCH_RECOGNIZE engine would compile to for strict A<B<C.",
     "doc_unigram_logprob": "LM-score filter: token explode → partial/final count agg (one shuffle of (term, count) partials), stats collapsed to a 1-ROW map broadcast, then the per-doc score folds each doc's own token array in order — deterministic floats with zero per-token joins on the scoring side.",
+    "heavy_hitters_sketch": "Mergeable frequent-items summary: mapInPandas emits ≤ k (item, count) rows PER PARTITION — the only thing that ever shuffles — merged by one tiny hash agg. The exact-count branch exists solely for the in-query Misra–Gries bound check; at 100 TB only the summaries move, and the distinct-item cardinality never materializes anywhere.",
 }
 
 

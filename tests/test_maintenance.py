@@ -107,3 +107,75 @@ def test_write_globally_sorted_total_order(spark, tmp_path):
             prev_max = ks[-1]
         total += len(ks)
     assert total == 5000
+
+
+def test_zvalue_interleaves_bits(spark):
+    from reddit_hn_etl_spark.sources.maintenance import zvalue
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (3, 5), (65535, 65535)], "x long, y long"
+    )
+    out = {(r.x, r.y): r.z for r in df.select("x", "y", zvalue("x", "y").alias("z")).collect()}
+
+    def morton(x, y):
+        z = 0
+        for i in range(16):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    assert out == {(x, y): morton(x, y) for (x, y) in out}
+
+
+def test_write_zordered_prunes_both_columns(spark, tmp_path):
+    """Every z-ordered file covers a small (x, y) rectangle, so footer
+    min/max stats prune on EITHER column; a linearly sorted layout
+    leaves every file spanning the full y domain."""
+    import glob
+    import os
+
+    from reddit_hn_etl_spark.sources.maintenance import (
+        write_globally_sorted,
+        write_zordered,
+    )
+
+    n = 64  # 64x64 grid, every cell once
+    rows = [(x, y) for x in range(n) for y in range(n)]
+    df = spark.createDataFrame(rows, "x long, y long").repartition(16)
+
+    zdir, ldir = str(tmp_path / "zord"), str(tmp_path / "lin")
+    write_zordered(df, zdir, ["x", "y"], num_files=16)
+    write_globally_sorted(df, ldir, ["x", "y"], num_files=16)
+
+    import pyarrow.parquet as pq
+
+    def boxes(d):
+        out = []
+        for f in sorted(glob.glob(os.path.join(d, "part-*.parquet"))):
+            md = pq.ParquetFile(f).metadata
+            xs, ys = [], []
+            for rg in range(md.num_row_groups):
+                row_group = md.row_group(rg)
+                for ci in range(row_group.num_columns):
+                    col = row_group.column(ci)
+                    name = col.path_in_schema
+                    st = col.statistics
+                    if name == "x":
+                        xs += [st.min, st.max]
+                    elif name == "y":
+                        ys += [st.min, st.max]
+            out.append(((min(xs), max(xs)), (min(ys), max(ys))))
+        return out
+
+    zb, lb = boxes(zdir), boxes(ldir)
+    assert len(zb) == len(lb) == 16
+    # Z-order: every file's span is a fraction of the domain on BOTH
+    # axes (16 files over a 64x64 grid → rectangles ~16x64 or 32x32;
+    # assert < half the domain area).
+    for (x0, x1), (y0, y1) in zb:
+        area = (x1 - x0 + 1) * (y1 - y0 + 1)
+        assert area <= (n * n) // 2, zb
+    # Linear sort: y spans the (almost) full domain in every
+    # non-boundary file — the pruning failure z-order fixes.
+    full_y = sum(1 for (_, (y0, y1)) in lb if (y1 - y0 + 1) >= n)
+    assert full_y >= len(lb) - 2, lb
