@@ -130,6 +130,8 @@ BENCH_QUERIES_R4 = [
     "event_sequence_funnel",
     "doc_unigram_logprob",
     "heavy_hitters_sketch",
+    "orders_column_stats",
+    "orders_group_checksum",
 ]
 
 

@@ -6863,6 +6863,121 @@ def heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Warehouse operations breadth: ANALYZE-style per-column statistics
+# (what a CBO ingests) and an order-insensitive table checksum (the
+# cross-system migration-verification primitive; diff EXPLAINS
+# per-row changes, the checksum certifies per-group equality cheaply).
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "orders_column_stats",
+    """
+    WITH s AS (
+        SELECT 'o_custkey' AS column_name,
+               COUNT(*) AS n_rows,
+               COUNT(*) - COUNT(o_custkey) AS n_nulls,
+               COUNT(DISTINCT o_custkey) AS ndv,
+               CAST(MIN(o_custkey) AS VARCHAR) AS min_value,
+               CAST(MAX(o_custkey) AS VARCHAR) AS max_value
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+               COUNT(DISTINCT o_orderstatus),
+               MIN(o_orderstatus), MAX(o_orderstatus)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+               COUNT(DISTINCT o_orderpriority),
+               MIN(o_orderpriority), MAX(o_orderpriority)
+        FROM orders
+    )
+    SELECT * FROM s
+    """,
+)
+def orders_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style per-column statistics (row count, null count,
+    exact NDV, min/max) in ONE scan: a single multi-aggregate pass
+    unpivoted with stack() — the stats a cost-based optimizer ingests
+    for join ordering and broadcast decisions. String-cast extrema
+    restricted to int/text columns (double→string formatting is not
+    portable across engines and has no place in a differential row).
+    At 100 TB: exact NDV becomes approx_count_distinct (HLL) — the
+    swap is one expression; the scan count stays one."""
+    orders = read_table(spark, sf_dir, "orders")
+    agg = orders.agg(
+        F.count("*").alias("n"),
+        (F.count("*") - F.count("o_custkey")).alias("nn_ck"),
+        F.count_distinct(F.col("o_custkey")).alias("ndv_ck"),
+        F.min("o_custkey").cast("string").alias("min_ck"),
+        F.max("o_custkey").cast("string").alias("max_ck"),
+        (F.count("*") - F.count("o_orderstatus")).alias("nn_st"),
+        F.count_distinct(F.col("o_orderstatus")).alias("ndv_st"),
+        F.min("o_orderstatus").alias("min_st"),
+        F.max("o_orderstatus").alias("max_st"),
+        (F.count("*") - F.count("o_orderpriority")).alias("nn_pr"),
+        F.count_distinct(F.col("o_orderpriority")).alias("ndv_pr"),
+        F.min("o_orderpriority").alias("min_pr"),
+        F.max("o_orderpriority").alias("max_pr"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(3, "
+            "'o_custkey', n, nn_ck, ndv_ck, min_ck, max_ck, "
+            "'o_orderstatus', n, nn_st, ndv_st, min_st, max_st, "
+            "'o_orderpriority', n, nn_pr, ndv_pr, min_pr, max_pr) "
+            "AS (column_name, n_rows, n_nulls, ndv, min_value, max_value)"
+        )
+    )
+
+
+@_q(
+    "orders_group_checksum",
+    """
+    SELECT o_orderstatus,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST('0x' || substring(
+                    md5(CAST(o_orderkey AS VARCHAR) || '|'
+                        || CAST(o_custkey AS VARCHAR) || '|'
+                        || o_orderpriority), 1, 15) AS BIGINT))
+                AS DECIMAL(38,0)) AS checksum
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def orders_group_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive per-group table checksum: per-row md5 over a
+    canonical '|'-joined int/text projection, first 60 bits as an
+    integer, summed exactly in DECIMAL(38,0). Summation commutes, so
+    the checksum is independent of partitioning and row order — equal
+    checksums certify group equality across engines/migrations
+    without moving rows (`orders_version_diff` then EXPLAINS any
+    group that disagrees). One partial-agg shuffle of (status, sum)
+    pairs; row hashes never leave their partition."""
+    orders = read_table(spark, sf_dir, "orders")
+    row_hash = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("o_orderkey").cast("string"),
+                    F.col("o_custkey").cast("string"),
+                    F.col("o_orderpriority"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("decimal(38,0)")
+    return orders.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(row_hash).cast("decimal(38,0)").alias("checksum"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window.
 #
 # The driver hard-verifies (rows + schema + value hash vs the DuckDB

@@ -78,6 +78,8 @@ NOTES = {
     "event_sequence_funnel": "Row-pattern matching via two frame-bounded IGNORE-NULLS last_value passes sharing ONE (user, ts, id) sort — no self-joins, no per-step shuffle; the chain state rides in a carried struct. Exactly the plan a MATCH_RECOGNIZE engine would compile to for strict A<B<C.",
     "doc_unigram_logprob": "LM-score filter: token explode → partial/final count agg (one shuffle of (term, count) partials), stats collapsed to a 1-ROW map broadcast, then the per-doc score folds each doc's own token array in order — deterministic floats with zero per-token joins on the scoring side.",
     "heavy_hitters_sketch": "Mergeable frequent-items summary: mapInPandas emits ≤ k (item, count) rows PER PARTITION — the only thing that ever shuffles — merged by one tiny hash agg. The exact-count branch exists solely for the in-query Misra–Gries bound check; at 100 TB only the summaries move, and the distinct-item cardinality never materializes anywhere.",
+    "orders_column_stats": "ANALYZE in one scan: a single multi-aggregate pass (count/nulls/NDV/extrema for every profiled column together) unpivoted by stack() — never one scan per column. The NDV expands to per-column distinct partials under one shuffle; at 100 TB swap exact NDV for approx_count_distinct and the plan shape is unchanged.",
+    "orders_group_checksum": "Migration checksum: per-row md5→60-bit int is a pure projection; the commutative DECIMAL(38,0) sum partial-aggregates map-side, so one (status, partial) pair per task crosses the wire. Order/partitioning invariant by construction — the property that makes it a cross-system equality certificate.",
 }
 
 

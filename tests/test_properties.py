@@ -585,3 +585,124 @@ def test_containment_matches_bruteforce(spark, docs, threshold):
         ).collect()
     }
     assert got == _brute_containment(docs, threshold)
+
+
+# --- duplicate_spans vs brute force --------------------------------
+
+# Tiny vocab + short docs force overlapping/adjacent/cross-doc span
+# shapes random real text never produces.
+_span_doc = st.lists(
+    st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=12
+).map(" ".join)
+_span_corpus = st.lists(_span_doc, min_size=1, max_size=5)
+
+
+def _spans_model(texts, k=3):
+    grams = {}  # gram -> set(doc)
+    pos = []  # (doc, p, gram)
+    for d, t in enumerate(texts):
+        w = t.split()
+        for p in range(len(w) - k + 1):
+            g = " ".join(w[p : p + k])
+            grams.setdefault(g, set()).add(d)
+            pos.append((d, p, g))
+    dup = {g for g, docs in grams.items() if len(docs) >= 2}
+    hits = sorted({(d, p) for d, p, g in pos if g in dup})
+    out = set()
+    cur = None
+    for d, p in hits:
+        if cur and cur[0] == d and p == cur[2] + 1:
+            cur = (d, cur[1], p)
+        else:
+            if cur:
+                out.add((cur[0], cur[1], cur[2] + k - 1, cur[2] + k - cur[1]))
+            cur = (d, p, p)
+    if cur:
+        out.add((cur[0], cur[1], cur[2] + k - 1, cur[2] + k - cur[1]))
+    return out
+
+
+@given(texts=_span_corpus)
+@SET
+def test_duplicate_spans_matches_bruteforce(spark, texts):
+    from reddit_hn_etl_spark.operators.dedup import duplicate_spans
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in duplicate_spans(df, "doc_id", "text", k=3).collect()
+    }
+    assert got == _spans_model(texts, k=3)
+
+
+# --- sequence_pattern_matches vs brute force -----------------------
+
+_seq_events = st.lists(
+    st.tuples(
+        st.integers(0, 2),  # user
+        st.integers(0, 8),  # minute
+        st.sampled_from(["A", "B", "C", "x"]),
+    ),
+    min_size=0,
+    max_size=16,
+)
+
+
+def _seq_model(events, max_span_min):
+    out = set()
+    by_user: dict = {}
+    for i, (u, m, t) in enumerate(events):
+        by_user.setdefault(u, []).append((m, i, t))
+    for u, evs in by_user.items():
+        evs.sort()
+        for ci, (cm, cid, ct) in enumerate(evs):
+            if ct != "C":
+                continue
+            bs = [e for e in evs[:ci] if e[2] == "B"]
+            if not bs:
+                continue
+            bm, bid, _ = bs[-1]
+            b_idx = evs.index((bm, bid, "B"))
+            as_ = [e for e in evs[:b_idx] if e[2] == "A"]
+            if not as_:
+                continue
+            am, aid, _ = as_[-1]
+            if (cm - am) * 60_000_000 <= max_span_min * 60_000_000:
+                out.add((u, am, bm, cm))
+    return out
+
+
+@given(events=_seq_events)
+@SET
+def test_sequence_pattern_matches_bruteforce(spark, events):
+    from reddit_hn_etl_spark.operators.scd import sequence_pattern_matches
+
+    rows = [
+        (i, u, BASE + dt.timedelta(minutes=m), t)
+        for i, (u, m, t) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got = {
+        (
+            r.user_id,
+            (r.first_ts - BASE).total_seconds() / 60,
+            (r.second_ts - BASE).total_seconds() / 60,
+            (r.third_ts - BASE).total_seconds() / 60,
+        )
+        for r in sequence_pattern_matches(
+            df,
+            key_col="user_id",
+            ts_col="ts",
+            type_col="event_type",
+            first="A",
+            second="B",
+            third="C",
+            max_span_micros=5 * 60_000_000,
+            tiebreak_col="event_id",
+        ).collect()
+    }
+    assert got == _seq_model(events, 5)
