@@ -132,6 +132,8 @@ BENCH_QUERIES_R4 = [
     "heavy_hitters_sketch",
     "orders_column_stats",
     "orders_group_checksum",
+    "customer_chain_rollup",
+    "lateral_recent_orders",
 ]
 
 

@@ -6978,6 +6978,115 @@ def orders_group_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Spark 4 SQL-surface breadth: recursive CTE (hierarchical chain
+# rollup — the BOM/org-chart recursion pattern; Spark 4 supports
+# UNION ALL recursion, so the hierarchy must be acyclic: connected
+# components stay on the iterative operator, see graph.py) and
+# LATERAL correlated subqueries (per-row top-N, the shape plain SQL
+# needs a window or lateral for).
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "customer_chain_rollup",
+    """
+    WITH RECURSIVE chain(custkey, cur, depth, bal_sum) AS (
+        SELECT c_custkey, c_custkey, 1,
+               CAST(c_acctbal AS DECIMAL(18,2))
+        FROM customer
+        UNION ALL
+        SELECT ch.custkey, c.c_custkey, ch.depth + 1,
+               CAST(ch.bal_sum + CAST(c.c_acctbal AS DECIMAL(18,2))
+                    AS DECIMAL(18,2))
+        FROM chain ch JOIN customer c ON c.c_custkey = ch.cur // 2
+        WHERE ch.cur > 1
+    )
+    SELECT custkey, CAST(depth AS INTEGER) AS depth,
+           CAST(bal_sum AS DOUBLE) AS chain_balance
+    FROM chain WHERE cur = 1
+    """,
+)
+def customer_chain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical chain rollup via Spark 4's native WITH RECURSIVE
+    (UNION ALL recursion): every customer walks a deterministic
+    heap-shaped referral tree (parent = custkey div 2) to the root,
+    accumulating chain length and the exact-decimal balance along the
+    path — the BOM explosion / org-chart rollup pattern. Depth is
+    O(log n), so the recursion runs ~log2(n) joined iterations; each
+    iteration is an ordinary broadcast/shuffle join round, which is
+    exactly how the engine executes it at scale. Spark and DuckDB run
+    the IDENTICAL recursion (modulo `div`/`//` spelling)."""
+    read_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "_chain_customer"
+    )
+    return spark.sql(
+        """
+        WITH RECURSIVE chain(custkey, cur, depth, bal_sum) AS (
+            SELECT c_custkey, c_custkey, 1,
+                   CAST(c_acctbal AS DECIMAL(18,2))
+            FROM _chain_customer
+            UNION ALL
+            SELECT ch.custkey, c.c_custkey, ch.depth + 1,
+                   CAST(ch.bal_sum + CAST(c.c_acctbal AS DECIMAL(18,2))
+                        AS DECIMAL(18,2))
+            FROM chain ch JOIN _chain_customer c
+              ON c.c_custkey = ch.cur div 2
+            WHERE ch.cur > 1
+        )
+        SELECT custkey, CAST(depth AS INT) AS depth,
+               CAST(bal_sum AS DOUBLE) AS chain_balance
+        FROM chain WHERE cur = 1
+        """
+    )
+
+
+@_q(
+    "lateral_recent_orders",
+    """
+    SELECT c.c_custkey, c.c_mktsegment,
+           top.o_orderkey, top.o_totalprice, top.o_orderdate
+    FROM customer c,
+    LATERAL (
+        SELECT o_orderkey, o_totalprice, o_orderdate
+        FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o_orderdate DESC, o_orderkey DESC
+        LIMIT 2
+    ) top
+    """,
+)
+def lateral_recent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated per-row top-N through the SQL LATERAL surface: each
+    customer's two most recent orders. Catalyst decorrelates the
+    lateral subquery into a ranked window over one join — the same
+    physical plan the DataFrame formulation gets — so the feature
+    costs nothing over `top_orders_per_segment`-style windows; it
+    exists for SQL users porting PostgreSQL/DuckDB lateral queries
+    (reference mart README documents psql usage throughout)."""
+    spark_ = spark
+    read_table(spark_, sf_dir, "customer").createOrReplaceTempView(
+        "_lat_customer"
+    )
+    read_table(spark_, sf_dir, "orders").createOrReplaceTempView(
+        "_lat_orders"
+    )
+    return spark_.sql(
+        """
+        SELECT c.c_custkey, c.c_mktsegment,
+               top.o_orderkey, top.o_totalprice, top.o_orderdate
+        FROM _lat_customer c,
+        LATERAL (
+            SELECT o_orderkey, o_totalprice, o_orderdate
+            FROM _lat_orders o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_orderdate DESC, o_orderkey DESC
+            LIMIT 2
+        ) top
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window.
 #
 # The driver hard-verifies (rows + schema + value hash vs the DuckDB

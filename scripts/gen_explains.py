@@ -80,6 +80,8 @@ NOTES = {
     "heavy_hitters_sketch": "Mergeable frequent-items summary: mapInPandas emits ≤ k (item, count) rows PER PARTITION — the only thing that ever shuffles — merged by one tiny hash agg. The exact-count branch exists solely for the in-query Misra–Gries bound check; at 100 TB only the summaries move, and the distinct-item cardinality never materializes anywhere.",
     "orders_column_stats": "ANALYZE in one scan: a single multi-aggregate pass (count/nulls/NDV/extrema for every profiled column together) unpivoted by stack() — never one scan per column. The NDV expands to per-column distinct partials under one shuffle; at 100 TB swap exact NDV for approx_count_distinct and the plan shape is unchanged.",
     "orders_group_checksum": "Migration checksum: per-row md5→60-bit int is a pure projection; the commutative DECIMAL(38,0) sum partial-aggregates map-side, so one (status, partial) pair per task crosses the wire. Order/partitioning invariant by construction — the property that makes it a cross-system equality certificate.",
+    "customer_chain_rollup": "Spark 4 native WITH RECURSIVE (UnionLoop in the plan): each of the ~log2(n) iterations is an ordinary join round against the dimension — the BOM/org-chart rollup executes as bounded repeated joins, never a driver loop. Cyclic closures stay on the iterative operator (graph.py): recursive CTEs here are UNION ALL only, so they require acyclic recursion.",
+    "lateral_recent_orders": "LATERAL correlated top-N: Catalyst decorrelates the subquery into a ranked window over ONE join — with WindowGroupLimit pushing the per-key truncation below the exchange, the same physical plan the DataFrame window formulation gets. SQL-surface parity for PostgreSQL/DuckDB lateral users at zero plan cost.",
 }
 
 

@@ -1,0 +1,26 @@
+#!/usr/bin/env bash
+# Full test suite in three sequential chunks, each comfortably under a
+# 10-minute harness/CI timeout (the one-shot `pytest tests/` run now
+# takes ~13 min: 153 oracle differentials + property tests + the
+# iterative-CC compositions). Chunks partition tests/ exactly — no
+# file runs twice, none is skipped; a file added later lands in chunk
+# C via the ignore-list construction.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+CHUNK_A="tests/test_oracle.py"
+CHUNK_B="tests/test_bloom_filter.py tests/test_bucketed_join.py \
+tests/test_cleaning.py tests/test_cli_logging.py tests/test_curation.py \
+tests/test_curation_depth.py tests/test_dedup_similarity.py \
+tests/test_diff.py tests/test_external_io.py tests/test_graph.py \
+tests/test_hn_pipeline.py tests/test_incremental_marts.py \
+tests/test_kafka_seam.py tests/test_maintenance.py"
+
+echo "== chunk A: oracle differentials =="
+python -m pytest $CHUNK_A -q
+echo "== chunk B: operator/unit tests (bloom..maintenance) =="
+python -m pytest $CHUNK_B -q
+echo "== chunk C: remainder =="
+python -m pytest tests/ -q --ignore=tests/test_oracle.py \
+  $(for f in $CHUNK_B; do printf -- "--ignore=%s " "$f"; done)
+echo "== suite green =="
