@@ -529,3 +529,81 @@ def screen_stream_against_minhash_index(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def zscore_stream(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    window: int = 20,
+    min_n: int = 12,
+    threshold: float = 2.0,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of the batch `rolling_zscore_anomalies` query:
+    per-key trailing-window anomaly detection with the window carried
+    across micro-batches in the state store. State is BOUNDED by
+    construction — the last ``window`` integer-cents values per key,
+    never the key's history.
+
+    Exactness contract (same as the batch plan): values go to integer
+    cents, Σx/Σx² are exact Python ints, and the z computation
+    evaluates the literal same float expression in the same order as
+    the batch query — with in-order arrival the flagged set is
+    identical (pinned by test_stateful_streaming). The frame holds
+    only PRIOR events, so an anomaly cannot mask itself.
+
+    Emits one row per anomaly: (key, id, cents, window_n, zscore).
+    """
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        f"{key_col} long, {id_col} long, cents long, "
+        "window_n int, zscore double"
+    )
+    state_schema = "win array<long>"
+
+    def update(key, pdfs, state):
+        win = list(state.get[0]) if state.exists else []
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values([ts_col, id_col], kind="mergesort")
+            for eid, v in zip(pdf[id_col], pdf[value_col]):
+                c = int(round(float(v) * 100))
+                n = len(win)
+                if n >= min_n:
+                    s1 = sum(win)
+                    s2 = sum(x * x for x in win)
+                    var_num = n * s2 - s1 * s1
+                    if var_num > 0:
+                        # operand order mirrors the batch expression
+                        z = (c - s1 / n) / math.sqrt(
+                            var_num / (float(n) * (n - 1))
+                        )
+                        if abs(z) > threshold:
+                            rows.append((key[0], int(eid), c, n, z))
+                win.append(c)
+                if len(win) > window:
+                    win.pop(0)
+        state.update((win,))
+        if rows:
+            yield pd.DataFrame(
+                rows,
+                columns=[key_col, id_col, "cents", "window_n", "zscore"],
+            )
+
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -396,3 +396,75 @@ def test_ema_stream_matches_batch_fold(spark, tmp_path):
     assert latest[7].n_seen == 4 and latest[8].n_seen == 2
     assert latest[7].ema == final[7][1]  # bit-exact
     assert latest[8].ema == final[8][1]
+
+
+def test_zscore_stream_matches_batch_query(spark, tmp_path, sf_dir):
+    """Streaming rolling z-score == the batch `rolling_zscore_anomalies`
+    query on the REAL events table when micro-batches arrive in time
+    order: same integer-cents window, same float expression order."""
+    import os as _os
+    import time as _time
+
+    from reddit_hn_etl_spark.plans.queries import QUERIES
+    from reddit_hn_etl_spark.sources.tables import read_table
+
+    rows = sorted(
+        (
+            (r.event_id, r.ts, r.user_id, r.value)
+            for r in read_table(spark, sf_dir, "events").collect()
+        ),
+        key=lambda t: (t[1], t[0]),
+    )
+    src = tmp_path / "z_stream"
+    src.mkdir()
+    out = tmp_path / "z_out"
+    ckpt = str(tmp_path / "z_ckpt")
+    third = (len(rows) + 2) // 3
+    base_t = _time.time() - 100
+    for i in range(3):
+        chunk = rows[i * third : (i + 1) * third]
+        p = src / f"b{i + 1}.jsonl"
+        _write_events_jsonl(
+            p,
+            [
+                (e, ts.isoformat(sep=" "), u, v)
+                for e, ts, u, v in chunk
+            ],
+        )
+        _os.utime(p, (base_t + 10 * i, base_t + 10 * i))
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        ).option("maxFilesPerTrigger", 1).json(str(src))
+    )
+    anomalies = ingest.zscore_stream(stream)
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(str(out))
+
+    q = (
+        anomalies.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r.user_id, r.event_id): (r.window_n, r.zscore)
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    want = {
+        (r.user_id, r.event_id): (r.window_n, r.zscore)
+        for r in QUERIES["rolling_zscore_anomalies"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    assert len(got) > 0  # non-vacuous on the real table
+    for k, (n_s, z_s) in got.items():
+        n_b, z_b = want[k]
+        assert n_s == n_b, k
+        # batch emits ROUND(z, 4); the streaming z is unrounded
+        assert abs(z_s - z_b) <= 5.001e-5, (k, z_s, z_b)
