@@ -607,3 +607,88 @@ def zscore_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def sequence_pattern_stream(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    first: str = "signup",
+    second: str = "purchase",
+    third: str = "error",
+    max_span_micros: int = 604_800_000_000,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of `operators/scd.sequence_pattern_matches`:
+    strict A<B<C chain detection with the chain state carried across
+    micro-batches. State per key is THREE long timestamps (last A,
+    last B, and the A that was current when that B happened) — the
+    same information the batch plan's two carried last_value passes
+    hold, so the state is O(1) regardless of history length.
+
+    Detection runs BEFORE the current event updates the state
+    (mirroring the batch frames' `1 PRECEDING` exclusion), so an
+    event never completes a chain with itself. With in-order arrival
+    the emitted chain set is identical to the batch operator (pinned
+    by test_stateful_streaming on the real events table).
+
+    Emits one row per completed chain:
+    (key, first_ts, second_ts, third_ts, span_micros).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        f"{key_col} long, first_ts timestamp, second_ts timestamp, "
+        "third_ts timestamp, span_micros long"
+    )
+    state_schema = "a_ts long, b_ts long, ba_ts long"
+    NONE = -1
+
+    def update(key, pdfs, state):
+        a_ts, b_ts, ba_ts = state.get if state.exists else (NONE, NONE, NONE)
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values([ts_col, id_col], kind="mergesort")
+            ts_us = pdf[ts_col].astype("int64") // 1000
+            for tsu, typ in zip(ts_us, pdf[type_col]):
+                tsu = int(tsu)
+                if typ == third and b_ts != NONE:
+                    span = tsu - ba_ts
+                    if span <= max_span_micros:
+                        rows.append((key[0], ba_ts, b_ts, tsu, span))
+                if typ == first:
+                    a_ts = tsu
+                elif typ == second and a_ts != NONE:
+                    b_ts = tsu
+                    ba_ts = a_ts
+        state.update((a_ts, b_ts, ba_ts))
+        if rows:
+            yield pd.DataFrame(
+                {
+                    key_col: [r[0] for r in rows],
+                    "first_ts": pd.to_datetime(
+                        [r[1] for r in rows], unit="us"
+                    ),
+                    "second_ts": pd.to_datetime(
+                        [r[2] for r in rows], unit="us"
+                    ),
+                    "third_ts": pd.to_datetime(
+                        [r[3] for r in rows], unit="us"
+                    ),
+                    "span_micros": [r[4] for r in rows],
+                }
+            )
+
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -468,3 +468,70 @@ def test_zscore_stream_matches_batch_query(spark, tmp_path, sf_dir):
         assert n_s == n_b, k
         # batch emits ROUND(z, 4); the streaming z is unrounded
         assert abs(z_s - z_b) <= 5.001e-5, (k, z_s, z_b)
+
+
+def test_sequence_pattern_stream_matches_batch(spark, tmp_path, sf_dir):
+    """Streaming A<B<C chain detection == the batch
+    event_sequence_funnel query on the REAL events table when
+    micro-batches arrive in time order (O(1) chain state per key)."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from reddit_hn_etl_spark.plans.queries import QUERIES
+    from reddit_hn_etl_spark.sources.tables import read_table
+
+    rows = sorted(
+        (
+            (r.event_id, r.ts, r.user_id, r.event_type, r.value)
+            for r in read_table(spark, sf_dir, "events").collect()
+        ),
+        key=lambda t: (t[1], t[0]),
+    )
+    src = tmp_path / "seq_stream"
+    src.mkdir()
+    out = tmp_path / "seq_out"
+    ckpt = str(tmp_path / "seq_ckpt")
+    third = (len(rows) + 2) // 3
+    base_t = _time.time() - 100
+    for i in range(3):
+        p = src / f"b{i + 1}.jsonl"
+        with open(p, "w", encoding="utf-8") as f:
+            for e, ts, u, et, v in rows[i * third : (i + 1) * third]:
+                f.write(_json.dumps({
+                    "event_id": e, "ts": ts.isoformat(sep=" "),
+                    "user_id": u, "event_type": et, "value": v,
+                    "props": "{}",
+                }) + "\n")
+        _os.utime(p, (base_t + 10 * i, base_t + 10 * i))
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        ).option("maxFilesPerTrigger", 1).json(str(src))
+    )
+    chains = ingest.sequence_pattern_stream(stream)
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(str(out))
+
+    q = (
+        chains.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r.user_id, r.first_ts, r.second_ts, r.third_ts, r.span_micros)
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    want = {
+        (r.user_id, r.first_ts, r.second_ts, r.third_ts, r.span_micros)
+        for r in QUERIES["event_sequence_funnel"](spark, sf_dir).collect()
+    }
+    assert len(want) > 0
+    assert got == want
