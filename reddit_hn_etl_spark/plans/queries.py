@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import scalars, text as textfn
-from ..operators import checks, cleaning, dedup, graph, merge, similarity
+from ..operators import checks, cleaning, dedup, graph, kmeans, merge, similarity
 from ..sources.tables import read_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -7083,6 +7083,141 @@ def lateral_recent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             LIMIT 2
         ) top
         """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distributed k-means (operators/kmeans.py) — the real SemDeDup /
+# cluster-curation cell structure (`semantic_dedup_cells` uses
+# sign-LSH as the cheap stand-in). The centroid matrix is a literal
+# constant on BOTH engines (repr round-trip, the `_SEMDEDUP_PLANES`
+# pattern), so the assignment argmin, the quantized update step, and
+# the per-cluster prototype rule are all hash-compared end to end.
+# The full Lloyd LOOP is invariant-tested in tests/test_kmeans.py
+# (floats drift across iterations by construction — same policy as
+# connected components vs its convergence probe).
+# ---------------------------------------------------------------------------
+
+_KMEANS_CENTROIDS = kmeans.seeded_centroids(dim=64, k=8, seed=11)
+
+_KMEANS_CENTROID_VALUES = ", ".join(
+    f"({j}, [" + ", ".join(repr(x) for x in c) + "])"
+    for j, c in enumerate(_KMEANS_CENTROIDS)
+)
+
+# Shared oracle prefix: per-(vector, centroid) squared L2 folded in
+# array order from the first term (list_reduce seeds with element 1;
+# Spark folds 0.0+t₁ ≡ t₁ — identical IEEE sequence).
+_KMEANS_DIST_CTES = f"""
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    c AS (SELECT * FROM (VALUES {_KMEANS_CENTROID_VALUES}) AS t(cid, cv)),
+    d AS (
+        SELECT vec_id, e, cid,
+               list_reduce(
+                   list_transform(e, (x, i) -> (x - cv[i]) * (x - cv[i])),
+                   (a, b) -> a + b) AS dist_sq
+        FROM v CROSS JOIN c
+    ),
+    best AS (
+        SELECT vec_id, e, cid AS cluster_id, dist_sq
+        FROM d
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY dist_sq, cid) = 1
+    )
+"""
+
+
+@_q(
+    "kmeans_assign",
+    f"""
+    WITH {_KMEANS_DIST_CTES}
+    SELECT vec_id, CAST(cluster_id AS INTEGER) AS cluster_id,
+           ROUND(dist_sq, 6) AS dist_sq
+    FROM best
+    """,
+)
+def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid (Voronoi) assignment of every embedding to the
+    literal k=8 seed centroids — `kmeans.assign`, the shuffle-free
+    half of Lloyd's algorithm and the final pass of any clustered
+    curation pipeline. Distances round to 6 decimals: DuckDB's
+    codegen CONTRACTS the (x−c)·(x−c) lambda into FMA (measured: ~10
+    of 64 terms off by 1 ulp per vector, and materializing the diff
+    list in a nested list_transform does not stop the fusion), so
+    term-level bit-equality — which `doc_unigram_logprob` gets from
+    its ln() terms — does not hold for fused arithmetic; ±1-ulp on a
+    O(1) distance is 9 orders below the rounding grid. The argmin
+    tie-break is the lowest centroid index on both sides."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return kmeans.assign(emb, _KMEANS_CENTROIDS).select(
+        "vec_id", "cluster_id", F.round("dist_sq", 6).alias("dist_sq")
+    )
+
+
+@_q(
+    "kmeans_update_step",
+    f"""
+    WITH {_KMEANS_DIST_CTES},
+    x AS (
+        SELECT cluster_id,
+               CAST(u.pos AS INTEGER) AS pos,
+               CAST(FLOOR(u.x * 1000000.0) AS BIGINT) AS q
+        FROM best,
+             LATERAL (SELECT unnest(e) AS x,
+                             unnest(range(0, len(e))) AS pos) u
+    )
+    SELECT CAST(cluster_id AS INTEGER) AS cluster_id, pos,
+           COUNT(*) AS n_members,
+           CAST(CAST(SUM(q) AS BIGINT) AS DOUBLE) / 1000000.0 / COUNT(*)
+               AS mean_q
+    FROM x GROUP BY cluster_id, pos
+    """,
+)
+def kmeans_update_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd centroid-update round in exact integer arithmetic
+    (`kmeans.cluster_means_quantized`): coordinates floored onto a
+    1e-6 grid, per-(cluster, position) int64 sums — order-free under
+    any partitioning — and the mean re-derived by one fixed double
+    expression. The map-side partial aggregation bounds the shuffle
+    at k·dim rows per task regardless of N (the 100 TB shape; see the
+    module docstring)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    assigned = kmeans.assign(emb, _KMEANS_CENTROIDS)
+    return kmeans.cluster_means_quantized(assigned).select(
+        F.col("cluster_id").cast("int").alias("cluster_id"),
+        F.col("pos").cast("int").alias("pos"),
+        "n_members",
+        "mean_q",
+    )
+
+
+@_q(
+    "kmeans_prototypes",
+    f"""
+    WITH {_KMEANS_DIST_CTES}
+    SELECT CAST(cluster_id AS INTEGER) AS cluster_id, vec_id,
+           ROUND(dist_sq, 6) AS dist_sq
+    FROM best
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY cluster_id
+                               ORDER BY dist_sq, vec_id) = 1
+    """,
+)
+def kmeans_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster prototype — the member nearest its centroid
+    (`kmeans.prototypes`, SemDeDup's keep-the-prototype rule and the
+    cluster-labeling primitive). One window over per-cluster
+    candidates with (dist, id) tie-break; upstream assignment is the
+    same shuffle-free literal-centroid scan as `kmeans_assign`, and
+    the emitted distance rounds to 6 decimals for the same
+    FMA-contraction reason documented there (the WINDOW orders by
+    each engine's raw distance — a 1-ulp tie flip would need two
+    members at identical distance to 1e-15, unobserved at any SF)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    assigned = kmeans.assign(emb, _KMEANS_CENTROIDS)
+    return kmeans.prototypes(assigned).select(
+        F.col("cluster_id").cast("int").alias("cluster_id"),
+        "vec_id",
+        F.round("dist_sq", 6).alias("dist_sq"),
     )
 
 
