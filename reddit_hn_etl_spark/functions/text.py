@@ -219,3 +219,90 @@ def rolling_hash_fingerprint(
         idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, window)))
     )
     return F.slice(F.array_sort(hashes), 1, keep)
+
+
+def hashed_bucket(term: Column, n_buckets: int) -> Column:
+    """Engine-portable hashed feature bucket: first 8 md5 hex chars as
+    an integer, mod ``n_buckets`` (the same md5→int trick
+    `orders_group_checksum` uses — Spark's murmur/xxhash built-ins
+    have no DuckDB twin, md5 does)."""
+    return (
+        F.conv(F.substring(F.md5(term), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    )
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every raw
+    document by log p_target(x)/p_raw(x) under bag-of-hashed-unigram
+    models fitted on the corpus itself — ``target`` marks the rows
+    that define the target distribution (e.g. a trusted domain).
+    Downstream, resampling by these weights is exactly the
+    `weighted_doc_sample` A-ES operator (weight = exp(log_weight)).
+
+    Scale shape: bucket counts are two tiny aggregations (≤ n_buckets
+    rows) broadcast back as ONE map row; scoring is then a pure
+    per-row projection over each doc's token array — no shuffle, no
+    UDF, O(corpus) total work.
+
+    Determinism: Laplace-smoothed probabilities are fixed double
+    expressions of exact integer counts; each token's contribution
+    ln p_t − ln p_r is computed identically in both engines, and the
+    per-doc sum folds the doc's OWN token array in array order (the
+    `doc_unigram_logprob` pattern — additions only, so no FMA
+    contraction risk).
+    """
+    toks = tokens(text_col)
+    t = df.select(
+        F.col(id_col),
+        F.transform(toks, lambda w: hashed_bucket(w, n_buckets)).alias("b"),
+        target.alias("is_target"),
+    ).where(F.size("b") > 0)
+    stats = (
+        t.select(F.explode("b").alias("bucket"), "is_target")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("r_cnt"),
+            F.sum(F.col("is_target").cast("long")).alias("t_cnt"),
+        )
+    )
+    maps = stats.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("bucket", "r_cnt"))
+        ).alias("rm"),
+        F.map_from_entries(
+            F.collect_list(F.struct("bucket", "t_cnt"))
+        ).alias("tm"),
+        F.sum("r_cnt").alias("r_tot"),
+        F.sum("t_cnt").alias("t_tot"),
+    )
+    contrib = lambda x: F.log(  # noqa: E731
+        (F.element_at(F.col("tm"), x) + F.lit(1.0))
+        / (F.col("t_tot") + F.lit(float(n_buckets)))
+    ) - F.log(
+        (F.element_at(F.col("rm"), x) + F.lit(1.0))
+        / (F.col("r_tot") + F.lit(float(n_buckets)))
+    )
+    return t.crossJoin(F.broadcast(maps)).select(
+        F.col(id_col),
+        F.size("b").cast("int").alias("n_tokens"),
+        F.col("is_target"),
+        # + 0.0 canonicalizes IEEE negative zero (a near-neutral doc
+        # can round to -0.0 on one engine and 0.0 on the other)
+        (
+            F.round(
+                F.aggregate(
+                    F.col("b"), F.lit(0.0), lambda acc, x: acc + contrib(x)
+                ),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("log_weight"),
+    )

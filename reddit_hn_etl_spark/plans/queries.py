@@ -7222,6 +7222,70 @@ def kmeans_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# DSIR importance weighting (Xie et al. 2023) — the data-selection
+# scorer between raw crawl and target domain. Hashed-unigram bucket
+# models on both engines via the portable md5 bucket; per-doc sums
+# fold the doc's own token array in order (the doc_unigram_logprob
+# determinism pattern).
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "doc_dsir_weights",
+    r"""
+    WITH t AS (
+        SELECT doc_id, lang = 'en' AS is_target,
+               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                           x -> x <> '') AS w
+        FROM documents
+    ),
+    tok AS (
+        SELECT doc_id, is_target,
+               CAST('0x' || substring(md5(unnest(w)), 1, 8) AS BIGINT)
+                   % 256 AS b,
+               unnest(range(1, len(w) + 1)) AS pos
+        FROM t
+    ),
+    stats AS (
+        SELECT b, COUNT(*) AS r_cnt,
+               count_if(is_target) AS t_cnt
+        FROM tok GROUP BY b
+    ),
+    tot AS (SELECT SUM(r_cnt) AS r_tot, SUM(t_cnt) AS t_tot FROM stats),
+    lp AS (
+        SELECT tok.doc_id, tok.pos,
+               ln((s.t_cnt + 1.0) / (tot.t_tot + 256.0))
+             - ln((s.r_cnt + 1.0) / (tot.r_tot + 256.0)) AS c
+        FROM tok JOIN stats s USING (b), tot
+    ),
+    agg AS (
+        SELECT doc_id,
+               list_reduce(list(c ORDER BY pos), (a, b) -> a + b) AS s,
+               COUNT(*) AS n
+        FROM lp GROUP BY doc_id
+    )
+    SELECT t.doc_id, CAST(agg.n AS INTEGER) AS n_tokens, t.is_target,
+           ROUND(agg.s, 4) + 0.0 AS log_weight
+    FROM t JOIN agg USING (doc_id)
+    """,
+)
+def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights over the documents table with the
+    English subset as the target distribution
+    (`functions/text.dsir_log_weights`): log p_target/p_raw under
+    256-bucket hashed-unigram models, Laplace-smoothed. Bucket counts
+    are two ≤256-row aggs broadcast back as one map row; scoring is a
+    shuffle-free per-row fold. Resampling by exp(log_weight) is the
+    already-green `weighted_doc_sample` A-ES operator — together they
+    form the full DSIR select-then-sample pipeline."""
+    docs = read_table(spark, sf_dir, "documents")
+    return textfn.dsir_log_weights(
+        docs, F.col("lang") == "en", id_col="doc_id", text_col="text",
+        n_buckets=256,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window.
 #
 # The driver hard-verifies (rows + schema + value hash vs the DuckDB

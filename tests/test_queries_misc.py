@@ -61,3 +61,29 @@ def test_event_type_sets_array(spark, sf_dir):
         assert ",".join(types) == j_types
         assert n == j_n
     assert len(arr) > 0
+
+
+def test_dsir_log_weights_separate_planted_domains(spark):
+    """Target docs use vocab A, raw-only docs vocab B: every target
+    doc must score positive (its tokens are relatively more likely
+    under the target model) and every off-target doc negative; a
+    doc with no target overlap scores lower than a mixed one."""
+    from reddit_hn_etl_spark.functions.text import dsir_log_weights
+
+    rows = [
+        (1, "alpha alpha beta alpha", True),
+        (2, "alpha beta alpha alpha", True),
+        (3, "gamma delta gamma delta", False),
+        (4, "gamma gamma delta gamma", False),
+        (5, "alpha gamma", False),  # mixed, off-target
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+    got = {
+        r["doc_id"]: r["log_weight"]
+        for r in dsir_log_weights(
+            df, df.tgt, id_col="doc_id", text_col="text", n_buckets=64
+        ).collect()
+    }
+    assert got[1] > 0 and got[2] > 0
+    assert got[3] < 0 and got[4] < 0
+    assert got[3] < got[5] < got[1]
