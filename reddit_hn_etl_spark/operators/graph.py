@@ -319,3 +319,66 @@ def triangle_stats(
         )
         .select("vertex", "degree", "triangles", "clustering")
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 3,
+    damping: float = 0.875,
+    src: str = "src",
+    dst: str = "dst",
+    undirected: bool = True,
+) -> DataFrame:
+    """PageRank by unrolled power iteration: (vertex, pagerank).
+
+    Each round is ONE join (edge ⋈ current ranks on the source) and
+    ONE aggregation (sum of rank/degree contributions per target) —
+    two shuffles, the same per-round shape as `connected_components`,
+    with the edge+degree side materialized once via localCheckpoint
+    so no iteration re-runs the upstream edge pipeline. The vertex
+    count rides along as a broadcast 1-row aggregate; the driver
+    never holds ranks.
+
+    With ``undirected=True`` (the near-dup-graph case) edges are
+    symmetrized, so every vertex has out-degree ≥ 1 and the dangling
+    -mass correction vanishes; rank mass is conserved at exactly 1.
+    The default damping 0.875 = 7/8 is binary-exact, which keeps the
+    (1−d)/N + d·s update bit-stable enough that ranks rounded to 12
+    decimals are engine-portable (differential-testing discipline —
+    the float error of plain SUM aggregation is ~1e-19 absolute on
+    O(1/N) ranks, nine orders below the rounding grid, and the
+    damping contraction shrinks it every round).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if undirected:
+        e = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    e = e.distinct()
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    # one materialization reused by every round
+    ed = e.join(deg, "src").localCheckpoint(eager=True)
+    verts = deg.select(F.col("src").alias("vertex"))
+    n = verts.agg(F.count("*").alias("n"))
+    ranks = verts.crossJoin(F.broadcast(n)).select(
+        "vertex", (F.lit(1.0) / F.col("n")).alias("pagerank")
+    )
+    for _ in range(n_iter):
+        contrib = ed.join(
+            ranks, ed.src == ranks.vertex
+        ).select(
+            F.col("dst"), (F.col("pagerank") / F.col("deg")).alias("c")
+        )
+        s = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        ranks = (
+            verts.join(s, verts.vertex == s.dst, "left")
+            .crossJoin(F.broadcast(n))
+            .select(
+                "vertex",
+                (
+                    (F.lit(1.0) - F.lit(damping)) / F.col("n")
+                    + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("pagerank"),
+            )
+        )
+    return ranks

@@ -7286,6 +7286,65 @@ def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# PageRank (operators/graph.pagerank) — link-analysis centrality for
+# provenance/citation graphs, run here over the deterministic
+# heap-shaped customer referral tree (the `customer_chain_rollup`
+# graph) taken undirected. Both engines run the IDENTICAL 3 unrolled
+# power-iteration rounds; damping 7/8 is binary-exact and ranks
+# round to 12 decimals (float-noise analysis in the operator
+# docstring).
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "customer_graph_pagerank",
+    """
+    WITH e0 AS (
+        SELECT c_custkey AS src, c_custkey // 2 AS dst
+        FROM customer WHERE c_custkey > 1
+    ),
+    e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+    deg AS (SELECT src AS v, COUNT(*) AS d FROM e GROUP BY src),
+    nt AS (SELECT COUNT(*) AS n FROM deg),
+    r0 AS (SELECT v, 1.0 / nt.n AS r FROM deg, nt),
+    i1 AS (SELECT e.dst AS v, SUM(r.r / d.d) AS s
+           FROM e JOIN r0 r ON r.v = e.src JOIN deg d ON d.v = e.src
+           GROUP BY e.dst),
+    r1 AS (SELECT deg.v, 0.125 / nt.n + 0.875 * COALESCE(i1.s, 0.0) AS r
+           FROM deg LEFT JOIN i1 ON deg.v = i1.v, nt),
+    i2 AS (SELECT e.dst AS v, SUM(r.r / d.d) AS s
+           FROM e JOIN r1 r ON r.v = e.src JOIN deg d ON d.v = e.src
+           GROUP BY e.dst),
+    r2 AS (SELECT deg.v, 0.125 / nt.n + 0.875 * COALESCE(i2.s, 0.0) AS r
+           FROM deg LEFT JOIN i2 ON deg.v = i2.v, nt),
+    i3 AS (SELECT e.dst AS v, SUM(r.r / d.d) AS s
+           FROM e JOIN r2 r ON r.v = e.src JOIN deg d ON d.v = e.src
+           GROUP BY e.dst),
+    r3 AS (SELECT deg.v, 0.125 / nt.n + 0.875 * COALESCE(i3.s, 0.0) AS r
+           FROM deg LEFT JOIN i3 ON deg.v = i3.v, nt)
+    SELECT v AS vertex, ROUND(r, 12) AS pagerank FROM r3
+    """,
+)
+def customer_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the undirected customer referral tree (parent =
+    custkey div 2): 3 power-iteration rounds, damping 7/8, uniform
+    init. Each round is one join + one partial/final agg — the
+    100 TB per-round shape shared with connected components; the
+    edge+degree side is checkpointed once. Rank mass is conserved at
+    exactly 1 (undirected ⇒ no dangling correction), asserted by the
+    property tests; the root (custkey 1) is the hub."""
+    cust = read_table(spark, sf_dir, "customer")
+    edges = cust.where(F.col("c_custkey") > 1).select(
+        F.col("c_custkey").alias("src"),
+        (F.col("c_custkey") / 2).cast("long").alias("dst"),
+    )
+    pr = graph.pagerank(edges, n_iter=3, damping=0.875, undirected=True)
+    return pr.select(
+        F.col("vertex"), F.round("pagerank", 12).alias("pagerank")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window.
 #
 # The driver hard-verifies (rows + schema + value hash vs the DuckDB

@@ -99,3 +99,54 @@ def test_triangle_stats_clique_pendant_star(spark):
     assert out[5] == (1, 0, 0.0)
     assert out[10] == (3, 0, 0.0)
     assert out[11] == (1, 0, 0.0)
+
+
+def test_pagerank_mass_hub_and_numpy_reference(spark):
+    """Undirected path-plus-hub graph: rank mass sums to exactly 1,
+    the hub outranks everyone, and three unrolled rounds match an
+    independent numpy power iteration to float tolerance."""
+    import numpy as np
+
+    from reddit_hn_etl_spark.operators.graph import pagerank
+
+    # star 0-{1,2,3,4} plus tail 4-5-6
+    pairs = [(0, 1), (0, 2), (0, 3), (0, 4), (4, 5), (5, 6)]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    got = {
+        r["vertex"]: r["pagerank"]
+        for r in pagerank(edges, n_iter=3, damping=0.875).collect()
+    }
+    assert abs(sum(got.values()) - 1.0) < 1e-12
+    assert max(got, key=got.get) == 0
+
+    sym = pairs + [(b, a) for a, b in pairs]
+    n = 7
+    deg = np.zeros(n)
+    for a, _ in sym:
+        deg[a] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(3):
+        s = np.zeros(n)
+        for a, b in sym:
+            s[b] += r[a] / deg[a]
+        r = 0.125 / n + 0.875 * s
+    for v in range(n):
+        assert abs(got[v] - r[v]) <= 1e-12 * abs(r[v])
+
+
+def test_pagerank_directed_mass_leaks_to_sinks(spark):
+    """Directed mode keeps the raw semantics: a sink keeps absorbing
+    mass (no dangling redistribution), so total mass < 1 — documented
+    behavior callers opt into with undirected=False."""
+    from reddit_hn_etl_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (3, 2)], "src long, dst long"
+    )
+    got = {
+        r["vertex"]: r["pagerank"]
+        for r in pagerank(edges, n_iter=2, damping=0.875, undirected=False).collect()
+    }
+    # vertices = those with out-edges only (1, 3); sink 2 absorbs
+    assert set(got) == {1, 3}
+    assert sum(got.values()) < 1.0
