@@ -94,3 +94,75 @@ def assert_cast_lossless(
     ).limit(1).collect()
     if bad:
         raise CheckFailure(f"cast {src_col} -> {cast_col} introduced NULLs")
+
+
+def constraint_report(
+    df: DataFrame, rules: dict[str, "F.Column"]
+) -> DataFrame:
+    """Declarative verification suite in ONE scan (the deequ/dbt-test
+    shape; extends the reference's hand-written post-load checks,
+    `sql/load/04_checks.sql`, `sql/mart/03_checks.sql`, into a
+    reusable operator): every rule is a boolean Column evaluated with
+    SQL CHECK-constraint semantics — NULL passes, only FALSE violates
+    (PostgreSQL CHECK behavior, matching the reference's declared
+    constraints in `sql/load/02_tmp.sql`).
+
+    All rules aggregate in a single partial-aggregatable pass — one
+    scan, one 1-row shuffle, regardless of how many rules — then the
+    1-row summary explodes into (constraint, n_rows, n_violations,
+    passed). Add referential rules via `referential_violations`.
+    """
+    aggs = [F.count("*").alias("_n_rows")] + [
+        F.sum(
+            (~F.coalesce(rule, F.lit(True))).cast("long")
+        ).alias(f"_v_{i}")
+        for i, rule in enumerate(rules.values())
+    ]
+    one = df.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("constraint"),
+                F.col(f"_v_{i}").alias("n_violations"),
+            )
+            for i, name in enumerate(rules.keys())
+        ]
+    )
+    return (
+        one.select(F.col("_n_rows"), F.explode(entries).alias("e"))
+        .select(
+            F.col("e.constraint").alias("constraint"),
+            F.col("_n_rows").alias("n_rows"),
+            F.coalesce(F.col("e.n_violations"), F.lit(0)).alias(
+                "n_violations"
+            ),
+        )
+        .withColumn("passed", F.col("n_violations") == 0)
+    )
+
+
+def referential_violations(
+    child: DataFrame,
+    parent: DataFrame,
+    fk: str,
+    pk: str,
+    constraint: str,
+) -> DataFrame:
+    """Foreign-key orphan count as one constraint_report-shaped row:
+    children whose non-NULL fk has no parent pk (NULL fk passes, SQL
+    FK semantics). Left-anti join on the key — broadcast when the
+    parent is dim-sized, shuffle-hash otherwise; AQE decides. Fully
+    lazy (two 1-row aggregates cross-joined), so it unions with
+    `constraint_report` into one DAG and one job."""
+    n = child.agg(F.count("*").alias("n_rows"))
+    o = (
+        child.where(F.col(fk).isNotNull())
+        .join(parent, F.col(fk) == parent[pk], "left_anti")
+        .agg(F.count("*").alias("n_violations"))
+    )
+    return n.crossJoin(o).select(
+        F.lit(constraint).alias("constraint"),
+        "n_rows",
+        "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
+    )

@@ -7345,6 +7345,88 @@ def customer_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Declarative data-quality suite (operators/checks.constraint_report)
+# — the deequ/dbt-test surface generalizing the reference's
+# hand-written post-load checks (`sql/load/04_checks.sql`,
+# `sql/mart/03_checks.sql`): N rules verified in ONE scan with SQL
+# CHECK semantics (NULL passes), plus a referential rule via anti
+# join, unioned into one report.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "orders_constraint_report",
+    """
+    WITH base AS (
+        SELECT COUNT(*) AS n_rows,
+               count_if(NOT COALESCE(o_totalprice > 0, TRUE))
+                   AS v_totalprice_positive,
+               count_if(NOT COALESCE(o_orderstatus IN ('O','F','P'), TRUE))
+                   AS v_status_known,
+               count_if(NOT COALESCE(o_orderstatus IN ('O','F'), TRUE))
+                   AS v_status_closed_only,
+               count_if(NOT COALESCE(
+                   regexp_matches(o_orderpriority, '^[1-5]-'), TRUE))
+                   AS v_priority_format,
+               count_if(NOT COALESCE(
+                   o_orderdate < TIMESTAMP '2000-01-01', TRUE))
+                   AS v_orderdate_before_y2k,
+               count_if(NOT COALESCE(o_custkey IS NOT NULL, TRUE))
+                   AS v_custkey_present
+        FROM orders
+    ),
+    stacked AS (
+        SELECT 'totalprice_positive' AS "constraint", n_rows,
+               v_totalprice_positive AS n_violations FROM base
+        UNION ALL SELECT 'status_known', n_rows, v_status_known FROM base
+        UNION ALL SELECT 'status_closed_only', n_rows,
+                         v_status_closed_only FROM base
+        UNION ALL SELECT 'priority_format', n_rows,
+                         v_priority_format FROM base
+        UNION ALL SELECT 'orderdate_before_y2k', n_rows,
+                         v_orderdate_before_y2k FROM base
+        UNION ALL SELECT 'custkey_present', n_rows,
+                         v_custkey_present FROM base
+        UNION ALL SELECT 'custkey_fk', n_rows,
+                         (SELECT COUNT(*) FROM orders o
+                          WHERE o.o_custkey IS NOT NULL
+                            AND NOT EXISTS (SELECT 1 FROM customer c
+                                            WHERE c.c_custkey = o.o_custkey))
+                   FROM base
+    )
+    SELECT "constraint", n_rows, n_violations, n_violations = 0 AS passed
+    FROM stacked
+    """,
+)
+def orders_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six-constraint verification suite over orders in one scan plus
+    one anti-join row: domain, format, range, NOT NULL, and FK rules,
+    with `status_closed_only` and `orderdate_before_y2k` deliberately
+    violated by the data so the report discriminates (the all-green
+    report is vacuous). All boolean rules share a single
+    partial-aggregatable pass regardless of rule count — adding a
+    rule costs one aggregate expression, not a scan."""
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    report = checks.constraint_report(
+        orders,
+        {
+            "totalprice_positive": F.col("o_totalprice") > 0,
+            "status_known": F.col("o_orderstatus").isin("O", "F", "P"),
+            "status_closed_only": F.col("o_orderstatus").isin("O", "F"),
+            "priority_format": F.col("o_orderpriority").rlike(r"^[1-5]-"),
+            "orderdate_before_y2k": F.col("o_orderdate")
+            < F.to_timestamp(F.lit("2000-01-01")),
+            "custkey_present": F.col("o_custkey").isNotNull(),
+        },
+    )
+    fk = checks.referential_violations(
+        orders, cust, fk="o_custkey", pk="c_custkey", constraint="custkey_fk"
+    )
+    return report.unionByName(fk)
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window.
 #
 # The driver hard-verifies (rows + schema + value hash vs the DuckDB

@@ -87,3 +87,29 @@ def test_dsir_log_weights_separate_planted_domains(spark):
     assert got[1] > 0 and got[2] > 0
     assert got[3] < 0 and got[4] < 0
     assert got[3] < got[5] < got[1]
+
+
+def test_constraint_report_null_passes_and_one_scan(spark):
+    """SQL CHECK semantics: NULL rule results pass, only FALSE
+    violates; all rules share one aggregation pass (no per-rule
+    scans in the plan)."""
+    from reddit_hn_etl_spark.operators.checks import constraint_report
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (3, None)], "id long, amount double"
+    )
+    from pyspark.sql import functions as F
+
+    rep = constraint_report(
+        df,
+        {
+            "amount_positive": F.col("amount") > 0,  # NULL row passes
+            "id_small": F.col("id") < 100,
+        },
+    )
+    got = {r["constraint"]: (r["n_violations"], r["passed"]) for r in rep.collect()}
+    assert got["amount_positive"] == (1, False)  # only the -5 row
+    assert got["id_small"] == (0, True)
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]  # AQE prints both
+    assert final.count("Scan ExistingRDD") == 1
