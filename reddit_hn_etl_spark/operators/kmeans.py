@@ -226,3 +226,72 @@ def prototypes(
         .where(F.col("_rn") == 1)
         .select(cluster_col, id_col, "dist_sq")
     )
+
+
+def semantic_dedup_kmeans(
+    corpus: DataFrame,
+    centroids: Centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.25,
+) -> DataFrame:
+    """SemDeDup with TRUE k-means cells — the paper's actual
+    construction (Abbas et al. 2023 cluster with k-means; the
+    sign-LSH sibling `similarity.semantic_dedup` is the hash-cell
+    stand-in): assign every vector to its nearest centroid, emit
+    exact cosine pairs ONLY within a cell, cluster transitively, keep
+    the min-id representative; singletons are their own reps.
+
+    Output contract and scale shape are identical to the sibling:
+    (id, component, is_rep); one projection computes norms + cell
+    ids (shuffle-free literal-centroid argmin), the pair join
+    shuffles on the CELL key — never all-pairs — connected components
+    moves only id pairs, and the final left join restores singletons
+    without rescanning vectors. The cell count k is the cost/recall
+    dial; cross-cell near-dups are the documented recall trade.
+    """
+    from .dedup import fan_out_narrow_input
+    from .graph import connected_components
+    from .similarity import dot, l2_norm
+
+    b = assign(
+        fan_out_narrow_input(corpus), centroids, id_col=id_col, vec_col=vec_col
+    ).select(
+        F.col(id_col),
+        F.col(vec_col),
+        l2_norm(F.col(vec_col)).alias("_n"),
+        F.col("cluster_id").alias("_cell"),
+    )
+    a = b.select(
+        F.col(id_col).alias("doc_a"),
+        F.col(vec_col).alias("_va"),
+        F.col("_n").alias("_na"),
+        "_cell",
+    )
+    c = b.select(
+        F.col(id_col).alias("doc_b"),
+        F.col(vec_col).alias("_vb"),
+        F.col("_n").alias("_nb"),
+        "_cell",
+    )
+    pairs = (
+        a.join(c, "_cell")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .where(
+            dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+            >= threshold
+        )
+        .select("doc_a", "doc_b")
+    )
+    cc = connected_components(pairs)
+    return (
+        corpus.select(F.col(id_col))
+        .join(cc, F.col(id_col) == F.col("vertex"), "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
+            (
+                F.coalesce(F.col("component"), F.col(id_col)) == F.col(id_col)
+            ).alias("is_rep"),
+        )
+    )

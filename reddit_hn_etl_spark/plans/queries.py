@@ -7221,6 +7221,41 @@ def kmeans_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "semantic_dedup_kmeans",
+    f"""
+    WITH RECURSIVE
+    {_KMEANS_DIST_CTES},
+    pairs AS MATERIALIZED (
+        SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+        FROM best a JOIN best b ON a.cluster_id = b.cluster_id
+                                AND a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.e, b.e) >= 0.25
+    ),
+    {_CC_BY_RECURSIVE_CTE}
+    SELECT v.vec_id,
+           COALESCE(cc.component, v.vec_id) AS component,
+           COALESCE(cc.component, v.vec_id) = v.vec_id AS is_rep
+    FROM v LEFT JOIN cc ON v.vec_id = cc.vertex
+    """,
+)
+def semantic_dedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with TRUE k-means cells — the paper's actual
+    construction (`kmeans.semantic_dedup_kmeans`): nearest-centroid
+    assignment to the literal k=8 seeds, exact cosine ≥ 0.25 pairs
+    within a cell only, transitive clusters, min-id representative.
+    The END-TO-END composition — argmin cell assignment, pair join,
+    recursive closure, keep-set — is hash-compared; the sign-LSH
+    sibling `semantic_dedup_cells` stays as the hash-cell variant.
+    Same 100 TB shape: the pair join shuffles on the cell key, never
+    all-pairs."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return kmeans.semantic_dedup_kmeans(
+        emb, _KMEANS_CENTROIDS, id_col="vec_id", vec_col="embedding",
+        threshold=0.25,
+    )
+
+
 # ---------------------------------------------------------------------------
 # DSIR importance weighting (Xie et al. 2023) — the data-selection
 # scorer between raw crawl and target domain. Hashed-unigram bucket

@@ -692,3 +692,22 @@ def sequence_pattern_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def kmeans_assign_stream(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Streaming nearest-centroid assignment: route arriving
+    embeddings to k-means cells (cluster-tagged intake for SemDeDup /
+    cluster-balanced sampling downstream). `kmeans.assign` is a pure
+    stateless projection — literal-centroid argmin, no shuffle, no
+    state store — so the SAME operator runs unchanged on a streaming
+    plan; the equivalence test pins batch/stream parity row-for-row.
+    Centroids come from a batch `kmeans.lloyd` fit (train batch,
+    serve streaming — the standard split)."""
+    from ..operators.kmeans import assign
+
+    return assign(vectors, centroids, id_col=id_col, vec_col=vec_col)

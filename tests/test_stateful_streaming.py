@@ -535,3 +535,43 @@ def test_sequence_pattern_stream_matches_batch(spark, tmp_path, sf_dir):
     }
     assert len(want) > 0
     assert got == want
+
+
+def test_kmeans_assign_stream_matches_batch(spark, tmp_path, sf_dir):
+    """Stateless cluster routing: the streaming plan must produce the
+    exact batch assignment for every vector (same operator, no state,
+    no watermark)."""
+    from reddit_hn_etl_spark.operators import kmeans
+    from reddit_hn_etl_spark.sources.tables import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings").limit(200)
+    cents = kmeans.seeded_centroids(64, 8, seed=11)
+    expected = {
+        r["vec_id"]: (r["cluster_id"], r["dist_sq"])
+        for r in kmeans.assign(emb, cents).collect()
+    }
+
+    src = tmp_path / "vecs"
+    src.mkdir()
+    emb.coalesce(1).write.parquet(str(src / "b1"))
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "b1"))
+    )
+    out: dict[int, tuple] = {}
+
+    def sink(batch_df, batch_id):
+        for r in batch_df.collect():
+            out[r["vec_id"]] = (r["cluster_id"], r["dist_sq"])
+
+    q = (
+        ingest.kmeans_assign_stream(stream, cents)
+        .select("vec_id", "cluster_id", "dist_sq")
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt_km"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert out == expected
