@@ -134,6 +134,13 @@ BENCH_QUERIES_R4 = [
     "orders_group_checksum",
     "customer_chain_rollup",
     "lateral_recent_orders",
+    # r4 fifth session: clustering / selection / centrality / QA
+    "kmeans_assign",
+    "kmeans_update_step",
+    "semantic_dedup_kmeans",
+    "doc_dsir_weights",
+    "customer_graph_pagerank",
+    "orders_constraint_report",
 ]
 
 

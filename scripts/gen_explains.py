@@ -82,6 +82,13 @@ NOTES = {
     "orders_group_checksum": "Migration checksum: per-row md5→60-bit int is a pure projection; the commutative DECIMAL(38,0) sum partial-aggregates map-side, so one (status, partial) pair per task crosses the wire. Order/partitioning invariant by construction — the property that makes it a cross-system equality certificate.",
     "customer_chain_rollup": "Spark 4 native WITH RECURSIVE (UnionLoop in the plan): each of the ~log2(n) iterations is an ordinary join round against the dimension — the BOM/org-chart rollup executes as bounded repeated joins, never a driver loop. Cyclic closures stay on the iterative operator (graph.py): recursive CTEs here are UNION ALL only, so they require acyclic recursion.",
     "lateral_recent_orders": "LATERAL correlated top-N: Catalyst decorrelates the subquery into a ranked window over ONE join — with WindowGroupLimit pushing the per-key truncation below the exchange, the same physical plan the DataFrame window formulation gets. SQL-surface parity for PostgreSQL/DuckDB lateral users at zero plan cost.",
+    "kmeans_assign": "Lloyd assignment: the k×dim centroid matrix rides as a LITERAL constant, the argmin is JVM-side higher-order array math — the plan is a bare Project over the scan, zero exchanges. This is the half of k-means that touches every row; at 100 TB it's a pure map over the corpus.",
+    "kmeans_update_step": "Lloyd update: posexplode fans vectors to (cluster, pos, value) but the partial hash agg BEFORE the exchange shrinks each task to ≤ k·dim rows — shuffle volume is O(k·dim·tasks), independent of N. Exact int64 grid sums make the step partitioning-invariant (the oracle property).",
+    "kmeans_prototypes": "Per-cluster argmin: the shuffle-free assignment feeds one window partitioned by cluster_id — k partitions, WindowGroupLimit-style top-1 per cell; only (cluster, id, dist) triples cross the single exchange.",
+    "semantic_dedup_kmeans": "SemDeDup with true k-means cells: norms + cell ids in one shuffle-free projection, the pair join shuffles on the CELL key (never all-pairs — k is the cost/recall dial), CC moves only id pairs, and the final left join restores singletons without rescanning vectors. Identical shape to the sign-LSH sibling; at 100 TB the cells come from a sampled Lloyd fit + this exact assignment pass.",
+    "doc_dsir_weights": "DSIR selection scoring: token→bucket explode feeds ONE partial/final agg to ≤256 bucket rows, collapsed to a 1-ROW map broadcast; the log-ratio score then folds each doc's own bucket array in order — scoring is shuffle-free and the corpus text is scanned once.",
+    "customer_graph_pagerank": "PageRank, 3 unrolled rounds: per round ONE join (edges⋈ranks on src) + ONE partial/final agg on dst — the connected-components cost shape; the edge+degree side is checkpointed once (Scan ExistingRDD), the vertex count is a broadcast 1-row aggregate, and ranks never visit the driver. Hub skew → the dst agg is partial-aggregatable, so a celebrity vertex combines map-side.",
+    "orders_constraint_report": "Verification suite: ALL boolean rules share one partial-aggregatable scan (adding a rule adds an aggregate expression, not a pass); the FK rule is a lazy anti-join pair of 1-row aggregates unioned into the same result — two scans total for 7 constraints, O(1) output rows.",
 }
 
 
@@ -103,7 +110,12 @@ def main() -> None:
         buf = io.StringIO()
         with redirect_stdout(buf):
             df.explain()
-        out.write(f"## {name}\n\n{note}\n\n```\n{buf.getvalue().strip()}\n```\n\n")
+        plan = "\n".join(
+            ln if len(ln) <= 600
+            else ln[:600] + " … [inline literal truncated]"
+            for ln in buf.getvalue().strip().splitlines()
+        )
+        out.write(f"## {name}\n\n{note}\n\n```\n{plan}\n```\n\n")
 
     # selective_order_lines again, under at-scale thresholds: emulate a
     # 100 TB application-side scan (threshold 0) and a shuffle join
