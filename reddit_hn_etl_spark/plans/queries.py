@@ -7256,6 +7256,48 @@ def semantic_dedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "cluster_balanced_sample",
+    f"""
+    WITH {_KMEANS_DIST_CTES}
+    SELECT CAST(cluster_id AS INTEGER) AS cluster_id, vec_id,
+           CAST(rk AS INTEGER) AS rk
+    FROM (
+        SELECT cluster_id, vec_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY cluster_id
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+        FROM best
+    )
+    WHERE rk <= 40
+    """,
+)
+def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced selection (the diversity-preserving sampling
+    step cluster-based curation pipelines run after SemDeDup): cap
+    every k-means cell at 40 members, chosen by deterministic content
+    hash (md5 of the id — partitioning-invariant, reproducible, no
+    RNG), so dominant clusters stop drowning out rare ones. Composes
+    the shuffle-free `kmeans.assign` with the per-group windowed cap;
+    WindowGroupLimit keeps only 40 rows per cell past the sort. The
+    cap is the mix dial — exactly `sample_k_per_group` applied to
+    learned cells instead of given categories."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    assigned = kmeans.assign(emb, _KMEANS_CENTROIDS)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.asc("vec_id")
+    )
+    return (
+        assigned.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 40)
+        .select(
+            F.col("cluster_id").cast("int").alias("cluster_id"),
+            "vec_id",
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # DSIR importance weighting (Xie et al. 2023) — the data-selection
 # scorer between raw crawl and target domain. Hashed-unigram bucket

@@ -711,3 +711,54 @@ def kmeans_assign_stream(
     from ..operators.kmeans import assign
 
     return assign(vectors, centroids, id_col=id_col, vec_col=vec_col)
+
+
+def heavy_hitters_stream(
+    rows: DataFrame,
+    col: str,
+    summary_dir: str,
+    checkpoint_dir: str,
+    k: int = 16,
+) -> StreamingQuery:
+    """Streaming frequent-items maintenance: each micro-batch reduces
+    to its own bounded Misra–Gries summary (`sketch.heavy_hitters`,
+    ≤ k rows per input partition, undercount ≤ n_batch/(k+1)) which
+    is APPENDED to the persisted summary table — the same
+    "the index IS the state" discipline as the MinHash screen: no
+    engine state store, and the distinct-item cardinality never
+    materializes anywhere.
+
+    Read side: `merged_heavy_hitters` sums the stored partials —
+    undercounts add to ≤ N_total/(k+1) across any number of batches,
+    so the batch operator's presence/estimate theorems carry over to
+    the stream unchanged. Replay safety: appends carry batch_id, and
+    the reader dedups (batch_id, item) first, so at-least-once
+    retries cannot double-count (the reference's replay story)."""
+    from ..operators.sketch import heavy_hitters
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        heavy_hitters(batch_df, col, k=k).withColumn(
+            "batch_id", F.lit(batch_id)
+        ).write.mode("append").parquet(summary_dir)
+
+    return (
+        rows.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def merged_heavy_hitters(
+    spark: SparkSession, summary_dir: str, col: str
+) -> DataFrame:
+    """(item, est) over every stored batch summary; replay-safe via
+    (batch_id, item) dedup before the sum."""
+    return (
+        spark.read.parquet(summary_dir)
+        .dropDuplicates(["batch_id", col])
+        .groupBy(col)
+        .agg(F.sum("est").alias("est"))
+    )

@@ -575,3 +575,67 @@ def test_kmeans_assign_stream_matches_batch(spark, tmp_path, sf_dir):
     )
     q.awaitTermination(120)
     assert out == expected
+
+
+def test_heavy_hitters_stream_bounds_and_replay(spark, tmp_path):
+    """Per-batch MG summaries appended to storage: merged estimates
+    obey est <= exact <= est + N/(k+1) for every stored item, the
+    planted hot key is present, and re-running the stream on the same
+    checkpoint (no new data) changes nothing."""
+    import json as _json
+
+    from reddit_hn_etl_spark.streaming.ingest import (
+        heavy_hitters_stream,
+        merged_heavy_hitters,
+    )
+
+    src = tmp_path / "hh_src"
+    src.mkdir()
+    rows, rid = [], 0
+    exact: dict[int, int] = {}
+    for b in range(3):
+        batch = []
+        for i in range(300):
+            uid = -1 if i % 3 == 0 else (b * 40 + i % 40)
+            batch.append(uid)
+            exact[uid] = exact.get(uid, 0) + 1
+        with open(src / f"b{b}.jsonl", "w") as f:
+            for uid in batch:
+                f.write(_json.dumps({"rid": rid, "user_id": uid}) + "\n")
+                rid += 1
+
+    stream = (
+        spark.readStream.schema("rid long, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    sdir, ckpt = str(tmp_path / "hh_summary"), str(tmp_path / "hh_ckpt")
+    q = heavy_hitters_stream(stream, "user_id", sdir, ckpt, k=16)
+    q.awaitTermination(120)
+
+    n_total = sum(exact.values())
+    bound = n_total / (16 + 1)
+    merged = {
+        r["user_id"]: r["est"]
+        for r in merged_heavy_hitters(spark, sdir, "user_id").collect()
+    }
+    assert -1 in merged  # hot key (1/3 of the stream) must be present
+    for uid, est in merged.items():
+        assert est <= exact[uid] <= est + bound
+    # every key with exact > bound is present
+    for uid, c in exact.items():
+        if c > bound:
+            assert uid in merged
+
+    # replay: same checkpoint, no new files -> summary unchanged
+    q2 = heavy_hitters_stream(
+        (spark.readStream.schema("rid long, user_id long")
+         .option("maxFilesPerTrigger", 1).json(str(src))),
+        "user_id", sdir, ckpt, k=16,
+    )
+    q2.awaitTermination(120)
+    merged2 = {
+        r["user_id"]: r["est"]
+        for r in merged_heavy_hitters(spark, sdir, "user_id").collect()
+    }
+    assert merged2 == merged
