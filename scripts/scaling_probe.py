@@ -43,6 +43,13 @@ PROBES = [
     "doc_exact_dedup",        # documents: hash dedup
     "doc_minhash_pairs",      # documents: signatures + LSH + bound check
     "doc_boilerplate_strip",  # documents: line df + reassembly
+    "doc_dsir_weights",       # documents: bucket models + ordered fold
+    "kmeans_assign",          # embeddings: literal-centroid map
+    "kmeans_update_step",     # embeddings: posexplode + combinable agg
+    "customer_graph_pagerank",  # customer: per-round join+agg x3
+    # semantic_dedup_kmeans / cluster pair queries are EXCLUDED like
+    # doc_token_jaccard: replicated vectors are exact cosine twins, so
+    # pair output grows k^2 by construction, not by plan defect
 ]
 
 
@@ -56,6 +63,8 @@ def build_replicas(spark: SparkSession) -> None:
             ("orders", ["o_orderkey", "o_custkey"], False),
             ("events", ["event_id", "user_id"], False),
             ("documents", ["doc_id"], True),
+            ("embeddings", ["vec_id"], False),
+            ("customer", ["c_custkey"], False),
         ):
             base = spark.read.parquet(f"{BASE}/{name}.parquet")
             parts = []
