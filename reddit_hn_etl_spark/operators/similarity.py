@@ -714,3 +714,111 @@ def semantic_dedup(
             ).alias("is_rep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011) — the FAISS-style
+# compressed ANN serving path: split each vector into m subvectors,
+# quantize each against its own small codebook, store m small codes
+# per vector. Search scores candidates with an Asymmetric Distance
+# Computation (ADC) lookup table instead of touching raw floats.
+# ---------------------------------------------------------------------------
+
+
+def pq_codebooks(
+    dim: int, n_sub: int, k: int, seed: int = 101, scale: float = 0.15
+) -> list[list[list[float]]]:
+    """Per-subspace codebooks (driver-side constants; in production
+    these come from a per-subspace `kmeans.lloyd` fit over a sample —
+    same train-batch/serve-everywhere split as the centroid family)."""
+    from .kmeans import seeded_centroids
+
+    assert dim % n_sub == 0
+    sub = dim // n_sub
+    return [
+        seeded_centroids(sub, k, seed=seed + s, scale=scale)
+        for s in range(n_sub)
+    ]
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>, recon_err double): nearest-codeword id
+    per subspace plus the total squared reconstruction error.
+
+    Shuffle-free, exactly like `kmeans.assign`: the m×k×(dim/m)
+    codebook tensor rides as plan literals, each subspace argmin is
+    JVM-side array math over a slice, and a vector compresses from
+    dim floats to m small ints — the 32×+ storage cut that makes
+    billion-vector candidate scans memory-resident."""
+    from .kmeans import squared_distances
+
+    sub = len(codebooks[0][0])
+    dists = [
+        squared_distances(F.slice(F.col(vec_col), s * sub + 1, sub), cb)
+        for s, cb in enumerate(codebooks)
+    ]
+    codes = F.array(
+        *[
+            (F.array_position(d, F.array_min(d)).cast("int") - F.lit(1))
+            for d in dists
+        ]
+    )
+    err = sum(
+        (F.array_min(d) for d in dists[1:]), start=F.array_min(dists[0])
+    )
+    return df.select(
+        F.col(id_col),
+        codes.alias("codes"),
+        err.alias("recon_err"),
+    )
+
+
+def pq_adc_scores(
+    encoded: DataFrame,
+    codebooks: list[list[list[float]]],
+    query: list[float],
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC scoring: dist_est(x) = Σ_s ‖q_s − codebook_s[code_s(x)]‖².
+
+    The per-(subspace, codeword) distances form an m×k lookup table
+    computed ONCE driver-side from the literal query and inlined as a
+    constant — scoring a candidate is m integer-indexed lookups and
+    adds, no float vector math per row, no shuffle. This is the scan
+    shape that makes PQ search bandwidth-bound instead of
+    compute-bound at billion-vector scale."""
+    sub = len(codebooks[0][0])
+    lut = [
+        [
+            _fold_sq_dist(query[s * sub : (s + 1) * sub], c)
+            for c in cb
+        ]
+        for s, cb in enumerate(codebooks)
+    ]
+    lut_lit = F.array(
+        *[F.array(*[F.lit(v) for v in row]) for row in lut]
+    )
+    est = F.aggregate(
+        F.zip_with(
+            lut_lit,
+            F.col("codes"),
+            lambda row, c: F.element_at(row, c + F.lit(1)),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return encoded.select(F.col(id_col), "codes", est.alias("est_dist"))
+
+
+def _fold_sq_dist(a: list[float], b: list[float]) -> float:
+    """Driver-side ordered fold matching the engine's (and the
+    oracle's) term order: ((0 + t₁) + t₂) + …"""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += (x - y) * (x - y)
+    return acc

@@ -7299,6 +7299,155 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011) — the FAISS-style
+# compressed ANN path: per-subspace codebooks inlined as literals on
+# both engines (the centroid pattern), so encoding, reconstruction
+# error, and the ADC search are all hash-compared. The ADC lookup
+# table is computed ONCE driver-side and inlined into BOTH the Spark
+# plan and the oracle, and every fold is ordered — est_dist is
+# bit-equal across engines, so the top-k ranking cannot flip.
+# ---------------------------------------------------------------------------
+
+_PQ_CODEBOOKS = similarity.pq_codebooks(dim=64, n_sub=8, k=16, seed=101)
+_PQ_QUERY = kmeans.seeded_centroids(dim=64, k=1, seed=999)[0]
+_PQ_SUB = 8
+
+_PQ_CB_VALUES = ", ".join(
+    f"({s}, {cid}, [" + ", ".join(repr(x) for x in cv) + "])"
+    for s, cb in enumerate(_PQ_CODEBOOKS)
+    for cid, cv in enumerate(cb)
+)
+
+_PQ_LUT_VALUES = ", ".join(
+    f"({s}, {cid}, {similarity._fold_sq_dist(_PQ_QUERY[s * _PQ_SUB:(s + 1) * _PQ_SUB], cv)!r})"
+    for s, cb in enumerate(_PQ_CODEBOOKS)
+    for cid, cv in enumerate(cb)
+)
+
+_PQ_QUERY_SQL = "[" + ", ".join(repr(x) for x in _PQ_QUERY) + "]"
+
+_PQ_ENCODE_CTES = f"""
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    cb AS (SELECT * FROM (VALUES {_PQ_CB_VALUES}) AS t(s, cid, cv)),
+    d AS (
+        SELECT vec_id, e, s, cid,
+               list_reduce(
+                   list_transform(e[s * {_PQ_SUB} + 1 : (s + 1) * {_PQ_SUB}],
+                                  (x, i) -> (x - cv[i]) * (x - cv[i])),
+                   (a, b) -> a + b) AS ds
+        FROM v CROSS JOIN cb
+    ),
+    best AS (
+        SELECT vec_id, e, s, cid, ds
+        FROM d
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                   ORDER BY ds, cid) = 1
+    )
+"""
+
+
+@_q(
+    "pq_codes",
+    f"""
+    WITH {_PQ_ENCODE_CTES}
+    SELECT vec_id,
+           list(cid ORDER BY s) AS codes,
+           ROUND(list_reduce(list(ds ORDER BY s), (a, b) -> a + b), 6)
+               AS recon_err
+    FROM best GROUP BY vec_id
+    """,
+)
+def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantize every embedding against the literal 8×16
+    codebooks (`similarity.pq_encode`): 64 floats compress to 8 small
+    codes — the 32× storage cut that keeps billion-vector candidate
+    sets memory-resident. Shuffle-free literal-codebook argmin per
+    subspace; reconstruction error folds the per-subspace minima in
+    subspace order on both engines and rounds to 6 (the
+    FMA-contraction policy from `kmeans_assign`)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    enc = similarity.pq_encode(emb, _PQ_CODEBOOKS)
+    return enc.select(
+        "vec_id", "codes", F.round("recon_err", 6).alias("recon_err")
+    )
+
+
+@_q(
+    "pq_adc_topk",
+    f"""
+    WITH {_PQ_ENCODE_CTES},
+    lut AS (SELECT s, cid, CAST(lv AS DOUBLE) AS lv
+            FROM (VALUES {_PQ_LUT_VALUES}) AS t(s, cid, lv)),
+    est AS (
+        SELECT b.vec_id,
+               list_reduce(list(l.lv ORDER BY b.s), (a, b) -> a + b)
+                   AS est_raw
+        FROM best b JOIN lut l ON l.s = b.s AND l.cid = b.cid
+        GROUP BY b.vec_id
+    ),
+    td AS (
+        SELECT vec_id,
+               list_reduce(
+                   list_transform(e, (x, i) -> (x - ({_PQ_QUERY_SQL})[i])
+                                             * (x - ({_PQ_QUERY_SQL})[i])),
+                   (a, b) -> a + b) AS tdist
+        FROM v
+    )
+    SELECT est.vec_id, ROUND(est.est_raw, 6) AS est_dist,
+           ROUND(td.tdist, 6) AS true_dist,
+           CAST(rk AS INTEGER) AS rk
+    FROM (
+        SELECT vec_id, est_raw,
+               ROW_NUMBER() OVER (ORDER BY est_raw, vec_id) AS rk
+        FROM est
+    ) est JOIN td USING (vec_id)
+    WHERE rk <= 20
+    """,
+)
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance top-20 for a literal query vector
+    (`similarity.pq_adc_scores`): the m×k lookup table of
+    query-to-codeword distances is computed once driver-side and
+    inlined as a constant in BOTH engines, so scoring a candidate is
+    8 integer-indexed lookups + ordered adds — bit-equal est_dist,
+    deterministic ranking. Emits the exact distance alongside so the
+    quantization gap is visible in the checked output. At scale this
+    runs inside IVF cells over PQ codes only — raw vectors are never
+    touched during scan."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    enc = similarity.pq_encode(emb, _PQ_CODEBOOKS)
+    adc = similarity.pq_adc_scores(enc, _PQ_CODEBOOKS, _PQ_QUERY)
+    # exact distance via the same ordered fold as the engines' other
+    # distance expressions
+    q_lit = F.array(*[F.lit(float(x)) for x in _PQ_QUERY])
+    tdist = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            q_lit,
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    td = emb.select("vec_id", tdist.alias("tdist"))
+    # global top-k as TakeOrderedAndProject (never a full sort /
+    # SinglePartition window over the corpus); the rank window then
+    # runs over 20 rows
+    top = adc.orderBy(F.asc("est_dist"), F.asc("vec_id")).limit(20)
+    w = Window.orderBy(F.asc("est_dist"), F.asc("vec_id"))
+    return (
+        top.withColumn("rk", F.row_number().over(w))
+        .join(td, "vec_id")
+        .select(
+            "vec_id",
+            F.round("est_dist", 6).alias("est_dist"),
+            F.round("tdist", 6).alias("true_dist"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # DSIR importance weighting (Xie et al. 2023) — the data-selection
 # scorer between raw crawl and target domain. Hashed-unigram bucket
 # models on both engines via the portable md5 bucket; per-doc sums
