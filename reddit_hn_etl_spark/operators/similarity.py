@@ -746,6 +746,7 @@ def pq_encode(
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """(id, codes array<int>, recon_err double): nearest-codeword id
     per subspace plus the total squared reconstruction error.
@@ -775,6 +776,7 @@ def pq_encode(
         F.col(id_col),
         codes.alias("codes"),
         err.alias("recon_err"),
+        *[F.col(c) for c in (keep_cols or [])],
     )
 
 
@@ -783,6 +785,7 @@ def pq_adc_scores(
     codebooks: list[list[list[float]]],
     query: list[float],
     id_col: str = "vec_id",
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """ADC scoring: dist_est(x) = Σ_s ‖q_s − codebook_s[code_s(x)]‖².
 
@@ -812,7 +815,12 @@ def pq_adc_scores(
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    return encoded.select(F.col(id_col), "codes", est.alias("est_dist"))
+    return encoded.select(
+        F.col(id_col),
+        "codes",
+        est.alias("est_dist"),
+        *[F.col(c) for c in (keep_cols or [])],
+    )
 
 
 def _fold_sq_dist(a: list[float], b: list[float]) -> float:
@@ -822,3 +830,63 @@ def _fold_sq_dist(a: list[float], b: list[float]) -> float:
     for x, y in zip(a, b):
         acc += (x - y) * (x - y)
     return acc
+
+
+def ivf_pq_search(
+    corpus: DataFrame,
+    coarse_centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    query: list[float],
+    nprobe: int = 3,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ search (the FAISS billion-scale architecture): coarse
+    k-means cells prune the candidate set, PQ codes + an ADC lookup
+    table score what survives — the corpus' raw floats are touched
+    only at encode time, never at search time.
+
+    Everything the query needs is a compile-time constant: the probed
+    cell set is computed DRIVER-SIDE from the literal query and
+    coarse centroids (nprobe nearest, deterministic index tie-break)
+    and lands in the plan as a literal IN-filter, so Catalyst prunes
+    candidates before any scoring; the ADC table is the same inlined
+    constant as `pq_adc_scores`. One scan → filter → per-row lookup
+    adds → TakeOrderedAndProject(k). At scale the encode pass is a
+    one-time batch job (cells + codes persisted, partitioned by
+    cell) and THIS plan reads only the probed partitions.
+
+    Simplification vs production FAISS: codes quantize raw vectors,
+    not per-cell residuals — the residual refinement changes the
+    encode pass only; the search shape here is identical.
+    """
+    from .kmeans import assign
+
+    cd = [
+        _fold_sq_dist(query, c) for c in coarse_centroids
+    ]
+    probed = sorted(range(len(cd)), key=lambda i: (cd[i], i))[:nprobe]
+
+    # single pass: cells, probe filter, codes, and ADC score are all
+    # projections/filters over ONE scan — no self-joins
+    cells = assign(corpus, coarse_centroids, id_col=id_col, vec_col=vec_col)
+    enc = pq_encode(
+        cells.where(F.col("cluster_id").isin(probed)),
+        codebooks,
+        id_col=id_col,
+        vec_col=vec_col,
+        keep_cols=["cluster_id"],
+    )
+    scored = pq_adc_scores(
+        enc, codebooks, query, id_col=id_col, keep_cols=["cluster_id"]
+    )
+    return (
+        scored.orderBy(F.asc("est_dist"), F.asc(id_col))
+        .limit(k)
+        .select(
+            id_col,
+            F.col("cluster_id").cast("int").alias("cell"),
+            "est_dist",
+        )
+    )

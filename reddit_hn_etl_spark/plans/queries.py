@@ -7447,6 +7447,72 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_PROBED = sorted(
+    range(len(_KMEANS_CENTROIDS)),
+    key=lambda i: (
+        similarity._fold_sq_dist(_PQ_QUERY, _KMEANS_CENTROIDS[i]),
+        i,
+    ),
+)[:3]
+
+
+@_q(
+    "ivf_pq_knn",
+    f"""
+    WITH {_KMEANS_DIST_CTES},
+    cand AS (
+        SELECT vec_id, e, cluster_id FROM best
+        WHERE cluster_id IN ({", ".join(str(i) for i in _IVF_PROBED)})
+    ),
+    pcb AS (SELECT * FROM (VALUES {_PQ_CB_VALUES}) AS t(s, cid, cv)),
+    pd AS (
+        SELECT vec_id, cluster_id, s, cid,
+               list_reduce(
+                   list_transform(e[s * {_PQ_SUB} + 1 : (s + 1) * {_PQ_SUB}],
+                                  (x, i) -> (x - cv[i]) * (x - cv[i])),
+                   (a, b) -> a + b) AS ds
+        FROM cand CROSS JOIN pcb
+    ),
+    pbest AS (
+        SELECT vec_id, cluster_id, s, cid FROM pd
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                   ORDER BY ds, cid) = 1
+    ),
+    lut AS (SELECT s, cid, CAST(lv AS DOUBLE) AS lv
+            FROM (VALUES {_PQ_LUT_VALUES}) AS t(s, cid, lv)),
+    est AS (
+        SELECT b.vec_id, b.cluster_id,
+               list_reduce(list(l.lv ORDER BY b.s), (a, b) -> a + b)
+                   AS est_raw
+        FROM pbest b JOIN lut l ON l.s = b.s AND l.cid = b.cid
+        GROUP BY b.vec_id, b.cluster_id
+    )
+    SELECT vec_id, CAST(cluster_id AS INTEGER) AS cell,
+           ROUND(est_raw, 6) AS est_dist
+    FROM est
+    QUALIFY ROW_NUMBER() OVER (ORDER BY est_raw, vec_id) <= 10
+    """,
+)
+def ivf_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-10 for the literal query
+    (`similarity.ivf_pq_search`) — the billion-scale ANN capstone
+    composing the coarse k-means cells with the PQ/ADC path: the
+    probed-cell set (3 nearest of 8, from the literal query and
+    centroids) is a compile-time constant pruning candidates BEFORE
+    any scoring, the ADC table is the same inlined constant as
+    `pq_adc_topk`, and the whole search is one scan → filter →
+    lookup-adds → TakeOrderedAndProject. est_dist is bit-equal on
+    both engines (ordered folds of identical literals), so the
+    top-10 membership cannot flip."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = similarity.ivf_pq_search(
+        emb, _KMEANS_CENTROIDS, _PQ_CODEBOOKS, _PQ_QUERY, nprobe=3, k=10
+    )
+    return out.select(
+        "vec_id", "cell", F.round("est_dist", 6).alias("est_dist")
+    )
+
+
 # ---------------------------------------------------------------------------
 # DSIR importance weighting (Xie et al. 2023) — the data-selection
 # scorer between raw crawl and target domain. Hashed-unigram bucket
