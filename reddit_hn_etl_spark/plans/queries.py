@@ -7513,6 +7513,113 @@ def ivf_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "hopping_window_counts",
+    """
+    WITH w AS (
+        SELECT time_bucket(INTERVAL 10 MINUTE, ts)
+                   - k.k * INTERVAL 10 MINUTE AS window_start,
+               value
+        FROM events, (SELECT unnest(range(3)) AS k) k
+    )
+    SELECT window_start,
+           window_start + INTERVAL 30 MINUTE AS window_end,
+           COUNT(*) AS events_count,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM w
+    GROUP BY 1
+    """,
+)
+def hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping (hopping) time windows — 30-minute windows sliding
+    every 10: the batch face of the streaming sliding-window mart
+    (`ingest.windowed_event_counts(slide=...)`), oracle-checked: each
+    event lands in exactly window/slide = 3 windows, which the oracle
+    builds by explicit replication (time_bucket − k·slide) while
+    Spark's `window(ts, 30m, 10m)` generates the same assignment
+    internally. One Generate + one partial/final agg — replication
+    factor is the constant window/slide ratio, so cost scales
+    linearly with events at any corpus size."""
+    ev = read_table(spark, sf_dir, "events")
+    val = F.col("value").cast("decimal(18,2)")
+    return (
+        ev.groupBy(F.window("ts", "30 minutes", "10 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("events_count"),
+            F.sum(val).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "events_count",
+            "total_value",
+        )
+    )
+
+
+@_q(
+    "array_map_kitchen_sink",
+    """
+    WITH u AS (
+        SELECT user_id,
+               list_sort(list(DISTINCT event_type)) AS types,
+               list_sort(list(DISTINCT CAST(value AS DECIMAL(18,2)))) AS vals
+        FROM events
+        WHERE event_type IS NOT NULL
+        GROUP BY user_id
+    )
+    SELECT user_id,
+           len(types) AS n_types,
+           list_contains(types, 'purchase') AS has_purchase,
+           array_to_string(list_sort(list_intersect(
+               types, ['purchase', 'error', 'signup'])), ',') AS funnel_types,
+           array_to_string(list_filter(types, t -> t <> 'view'), ',')
+               AS non_view_types,
+           CAST(list_reduce(list_transform(vals, v -> CAST(v AS DOUBLE)),
+                            (a, b) -> a + b) AS DOUBLE) AS distinct_value_sum,
+           CAST(vals[1] AS DOUBLE) AS min_distinct_value,
+           CAST(vals[-1] AS DOUBLE) AS max_distinct_value
+    FROM u
+    """,
+)
+def array_map_kitchen_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function SQL-surface breadth (the collection analogue of
+    `string_kitchen_sink`): collect_set → sorted arrays, membership,
+    intersection against a literal, lambda filter, ordered
+    higher-order fold over distinct decimals (exact, so the sum is
+    order-safe on both engines via the sorted array), and negative
+    indexing via element_at(-1). One shuffle (the per-user agg);
+    everything after is projection."""
+    ev = read_table(spark, sf_dir, "events").where(
+        F.col("event_type").isNotNull()
+    )
+    u = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("types"),
+        F.array_sort(
+            F.collect_set(F.col("value").cast("decimal(18,2)"))
+        ).alias("vals"),
+    )
+    funnel = F.array(F.lit("purchase"), F.lit("error"), F.lit("signup"))
+    return u.select(
+        "user_id",
+        F.size("types").alias("n_types"),
+        F.array_contains("types", "purchase").alias("has_purchase"),
+        F.array_join(
+            F.array_sort(F.array_intersect("types", funnel)), ","
+        ).alias("funnel_types"),
+        F.array_join(
+            F.filter("types", lambda t: t != "view"), ","
+        ).alias("non_view_types"),
+        F.aggregate(
+            F.transform("vals", lambda v: v.cast("double")),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ).alias("distinct_value_sum"),
+        F.element_at("vals", 1).cast("double").alias("min_distinct_value"),
+        F.element_at("vals", -1).cast("double").alias("max_distinct_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # DSIR importance weighting (Xie et al. 2023) — the data-selection
 # scorer between raw crawl and target domain. Hashed-unigram bucket
