@@ -141,6 +141,12 @@ BENCH_QUERIES_R4 = [
     "doc_dsir_weights",
     "customer_graph_pagerank",
     "orders_constraint_report",
+    "cluster_balanced_sample",
+    "pq_codes",
+    "pq_adc_topk",
+    "ivf_pq_knn",
+    "hopping_window_counts",
+    "array_map_kitchen_sink",
 ]
 
 

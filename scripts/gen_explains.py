@@ -89,6 +89,12 @@ NOTES = {
     "doc_dsir_weights": "DSIR selection scoring: token→bucket explode feeds ONE partial/final agg to ≤256 bucket rows, collapsed to a 1-ROW map broadcast; the log-ratio score then folds each doc's own bucket array in order — scoring is shuffle-free and the corpus text is scanned once.",
     "customer_graph_pagerank": "PageRank, 3 unrolled rounds: per round ONE join (edges⋈ranks on src) + ONE partial/final agg on dst — the connected-components cost shape; the edge+degree side is checkpointed once (Scan ExistingRDD), the vertex count is a broadcast 1-row aggregate, and ranks never visit the driver. Hub skew → the dst agg is partial-aggregatable, so a celebrity vertex combines map-side.",
     "orders_constraint_report": "Verification suite: ALL boolean rules share one partial-aggregatable scan (adding a rule adds an aggregate expression, not a pass); the FK rule is a lazy anti-join pair of 1-row aggregates unioned into the same result — two scans total for 7 constraints, O(1) output rows.",
+    "cluster_balanced_sample": "Diversity-preserving selection: shuffle-free cell assignment feeds ONE window partitioned by cluster_id; WindowGroupLimit truncates each cell to the cap below the sort, and the hash order key makes the kept set partitioning-invariant. k cells ⇒ k bounded partitions regardless of corpus size.",
+    "pq_codes": "PQ encoding: the 8×16×8 codebook tensor is a plan literal; all 8 subspace argmins are projections in ONE stage over the scan — zero exchanges, 64 floats → 8 ints per row. This is the one-time batch encode that makes billion-vector search memory-resident.",
+    "pq_adc_topk": "ADC search: the m×k query-to-codeword table is a driver-computed literal; scoring is 8 indexed lookups + ordered adds per row, and the global top-20 is TakeOrderedAndProject — never a full sort. Raw vectors appear ONLY in the true-dist annotation column; a production scan reads codes alone.",
+    "ivf_pq_knn": "IVF-PQ: the probed-cell set is a compile-time literal IN-filter (3 of 8 cells), so candidates prune BEFORE scoring; then PQ codes + the ADC literal table score survivors and TakeOrderedAndProject caps at k. At scale the encode output is persisted partitioned by cell and this plan reads only the probed partitions — partition pruning does what the IN-filter does here.",
+    "hopping_window_counts": "Overlapping windows: Generate expands each event to window/slide=3 (window, value) rows, then ONE partial/final agg — replication factor is a plan constant, so the cost is 3× a tumbling-window agg at any scale; no self-join against a window dimension.",
+    "array_map_kitchen_sink": "Collection SQL surface: one per-user agg shuffle builds the sorted distinct arrays; every downstream function (membership, intersect, lambda filter, ordered fold, negative index) is projection — whole-stage-codegen'd, no second exchange.",
 }
 
 
