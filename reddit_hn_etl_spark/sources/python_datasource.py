@@ -27,7 +27,12 @@ developed against fake and flipped to live by one option.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 SCHEMA = (
     "id long, type string, by string, time long, text string, "
@@ -114,3 +119,52 @@ class HNItemsDataSource(DataSource):
 
     def reader(self, schema) -> HNItemsReader:
         return HNItemsReader(self.options)
+
+    def simpleStreamReader(self, schema) -> "HNItemsStreamReader":
+        return HNItemsStreamReader(self.options)
+
+
+class HNItemsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming face of the source (Spark 4
+    `SimpleDataSourceStreamReader`): the reference's polling loop —
+    "ask for maxitem, fetch what's new since last poll"
+    (`src/extract/hn_extract.py` runs it batch-by-batch from cron) —
+    becomes a real streaming source with engine-managed offsets.
+
+    Offsets are `{"next_id": N}`: each micro-batch reads at most
+    ``items_per_poll`` new ids up to ``max_id`` and returns the next
+    offset; `readBetweenOffsets` replays any committed range
+    DETERMINISTICALLY (fake items are pure functions of the id), so
+    checkpoint recovery re-produces byte-identical batches — the
+    exactly-once replay contract the foreachBatch sinks build on.
+
+    The simplified (driver-side) reader is the right fit: discovery
+    polling is low-rate by nature; the heavy per-id fan-out stays in
+    the batch reader's partition-planned path.
+    """
+
+    def __init__(self, options):
+        self.start_id = int(options.get("start_id", "1"))
+        self.max_id = int(options.get("max_id", "200"))
+        self.per_poll = max(1, int(options.get("items_per_poll", "50")))
+        self.mode = options.get("mode", "fake")
+
+    def initialOffset(self) -> dict:
+        return {"next_id": self.start_id}
+
+    def _ids(self, lo: int, hi: int):
+        return range(lo, min(hi, self.max_id + 1))
+
+    def read(self, start: dict):
+        lo = int(start["next_id"])
+        hi = min(lo + self.per_poll, self.max_id + 1)
+        return iter([_fake_item(i) for i in self._ids(lo, hi)]), {
+            "next_id": hi
+        }
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(
+            [_fake_item(i) for i in self._ids(int(start["next_id"]), int(end["next_id"]))]
+        )
+
+

@@ -51,3 +51,71 @@ def test_schema_and_type_semantics(spark):
             assert r.text is not None and r.title is None
         elif r.type == "story":
             assert r.url is not None and r.text is None
+
+
+def test_streaming_reader_batches_and_replay(spark, tmp_path):
+    """readStream over the registered format: engine-managed offsets
+    advance items_per_poll per micro-batch, all ids arrive exactly
+    once, rows equal the batch reader's for the same ids, and a
+    restart from the same checkpoint emits nothing new (offsets are
+    durable)."""
+    from reddit_hn_etl_spark.sources.python_datasource import (
+        HNItemsDataSource,
+    )
+
+    try:
+        spark.dataSource.register(HNItemsDataSource)
+    except Exception:
+        pass  # already registered by another test in this session
+
+    seen: dict[int, tuple] = {}
+    batches: list[int] = []
+
+    def sink(batch_df, batch_id):
+        rows = batch_df.collect()
+        batches.append(len(rows))
+        for r in rows:
+            assert r["id"] not in seen  # exactly-once across batches
+            seen[r["id"]] = tuple(r)
+
+    def start_query():
+        stream = (
+            spark.readStream.format("hn_items")
+            .option("start_id", "1")
+            .option("max_id", "120")
+            .option("items_per_poll", "50")
+            .load()
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "pyds_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # availableNow snapshots the latest offset at query start, which
+    # for the simple reader is ONE poll ahead — run until drained,
+    # like repeated cron invocations of the reference's poller
+    for _ in range(6):
+        before = len(seen)
+        start_query()
+        if len(seen) == before:
+            break
+    assert sorted(seen) == list(range(1, 121))
+    assert max(batches) <= 50
+    assert len([b for b in batches if b]) >= 3  # multiple real polls
+
+    batch_rows = {
+        r["id"]: tuple(r)
+        for r in spark.read.format("hn_items")
+        .option("ids", "1-120")
+        .load()
+        .collect()
+    }
+    assert seen == batch_rows
+
+    # restart on the same checkpoint: offsets are exhausted
+    n_before = len(seen)
+    start_query()
+    assert len(seen) == n_before
