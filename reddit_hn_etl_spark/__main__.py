@@ -109,6 +109,19 @@ def main(argv: list[str] | None = None) -> int:
         default=1_000_000,
         help="target rows per output file for --compact",
     )
+    ap.add_argument(
+        "--cluster-embeddings",
+        help="standalone mode: k-means-cluster an embeddings parquet "
+        "(vec_id, embedding) and publish assignments + prototypes + "
+        "centroids under <out>/clusters",
+    )
+    ap.add_argument(
+        "--kmeans-k", type=int, default=8, help="clusters for --cluster-embeddings"
+    )
+    ap.add_argument(
+        "--kmeans-iters", type=int, default=5,
+        help="Lloyd rounds for --cluster-embeddings",
+    )
     args = ap.parse_args(argv)
 
     from .config import load_env_file
@@ -117,11 +130,12 @@ def main(argv: list[str] | None = None) -> int:
         not args.curate_docs
         and not args.compact
         and not args.export_corpus
+        and not args.cluster_embeddings
         and not args.raw_dir
     ):
         ap.error(
-            "--raw-dir is required unless --curate-docs, --compact or "
-            "--export-corpus is given"
+            "--raw-dir is required unless --curate-docs, --compact, "
+            "--export-corpus or --cluster-embeddings is given"
         )
 
     load_env_file(args.env_file)
@@ -163,6 +177,47 @@ def main(argv: list[str] | None = None) -> int:
         except Exception as exc:  # noqa: BLE001 - audit then fail
             audit.fail(rec, exc)
             log.error(f"export failed: {exc}")
+            return 1
+        return 0
+
+    if args.cluster_embeddings:
+        from .operators import kmeans
+
+        rec = audit.start_run("cluster", source_file=args.cluster_embeddings)
+        try:
+            emb = spark.read.parquet(args.cluster_embeddings).select(
+                "vec_id", "embedding"
+            )
+            emb.cache().count()  # every Lloyd round re-reads this
+            assigned, cents, inertia = kmeans.lloyd(
+                emb, k=args.kmeans_k, n_iter=args.kmeans_iters
+            )
+            protos = kmeans.prototypes(assigned)
+            cent_rows = [
+                (i, [float(x) for x in c]) for i, c in enumerate(cents)
+            ]
+            centroids = spark.createDataFrame(
+                cent_rows, "cluster_id int, centroid array<double>"
+            )
+            version = publish.publish_tables(
+                {
+                    "cluster_assignments": assigned,
+                    "cluster_prototypes": protos,
+                    "cluster_centroids": centroids,
+                },
+                os.path.join(args.out, "clusters"),
+            )
+            n = assigned.count()
+            emb.unpersist()
+            audit.succeed(rec, rows_copied=n, inserted=args.kmeans_k, updated=0)
+            log.info(
+                f"cluster {os.path.basename(args.cluster_embeddings)}: "
+                f"n={n} k={args.kmeans_k} iters={args.kmeans_iters} "
+                f"inertia={inertia:.4f} version={version}"
+            )
+        except Exception as exc:  # noqa: BLE001 - audit then fail
+            audit.fail(rec, exc)
+            log.error(f"clustering failed: {exc}")
             return 1
         return 0
 

@@ -226,3 +226,47 @@ def test_cli_export_corpus_shards_and_manifest(spark, tmp_path, monkeypatch):
     ))
     for (_split, _sid), (_d, tok) in m.items():
         assert tok <= 5000 + max_doc
+
+
+def test_cli_cluster_embeddings_publishes_and_logs(spark, tmp_path, monkeypatch):
+    from reddit_hn_etl_spark.__main__ import main
+
+    monkeypatch.setenv("SPARK_ETL_LOG_DIR", str(tmp_path / "logs"))
+    _reset_loggers()
+    out = tmp_path / "wh"
+
+    try:
+        rc = main([
+            "--cluster-embeddings", "/root/testdata/sf0.001/embeddings.parquet",
+            "--out", str(out), "--kmeans-k", "6", "--kmeans-iters", "2",
+        ])
+    finally:
+        log_text = (tmp_path / "logs" / "pipeline.log").read_text(
+            encoding="utf-8"
+        )
+        _reset_loggers()
+
+    assert rc == 0
+    assert "phase=cluster run_id=" in log_text
+    assert "status=success" in log_text
+    assert "k=6 iters=2 inertia=" in log_text
+    assert "| ERROR |" not in log_text
+
+    from reddit_hn_etl_spark.sources.publish import read_published
+
+    root = str(out / "clusters")
+    assigned = read_published(spark, root, "cluster_assignments")
+    protos = read_published(spark, root, "cluster_prototypes")
+    cents = read_published(spark, root, "cluster_centroids")
+    n = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).count()
+    assert assigned.count() == n  # every vector assigned
+    assert cents.count() == 6
+    # prototypes: one per non-empty cluster, each a real member
+    pc = protos.count()
+    assert 0 < pc <= 6
+    joined = protos.join(assigned, ["cluster_id", "vec_id", "dist_sq"])
+    assert joined.count() == pc
+    audit = spark.read.parquet(str(out / "audit_runs"))
+    assert audit.where("phase = 'cluster' AND status = 'success'").count() == 1
