@@ -706,3 +706,78 @@ def test_sequence_pattern_matches_bruteforce(spark, events):
         ).collect()
     }
     assert got == _seq_model(events, 5)
+
+
+edge = st.tuples(st.integers(0, 9), st.integers(0, 9))
+
+
+@given(pairs=st.lists(edge, min_size=1, max_size=15))
+@SET
+def test_pagerank_matches_power_iteration(spark, pairs):
+    """Undirected PageRank vs a brute-force power iteration with the
+    identical update rule; total mass exactly 1 on every random
+    graph (self-loops excluded like the operator's callers do)."""
+    from reddit_hn_etl_spark.operators.graph import pagerank
+
+    pairs = [(a, b) for a, b in pairs if a != b]
+    if not pairs:
+        return
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    got = {
+        r["vertex"]: r["pagerank"]
+        for r in pagerank(edges, n_iter=3, damping=0.875).collect()
+    }
+    sym = set()
+    for a, b in pairs:
+        sym.add((a, b))
+        sym.add((b, a))
+    verts = sorted({a for a, _ in sym})
+    deg = {v: sum(1 for a, _ in sym if a == v) for v in verts}
+    n = len(verts)
+    r = {v: 1.0 / n for v in verts}
+    for _ in range(3):
+        s = {v: 0.0 for v in verts}
+        for a, b in sorted(sym):
+            s[b] += r[a] / deg[a]
+        r = {v: 0.125 / n + 0.875 * s[v] for v in verts}
+    assert set(got) == set(verts)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    for v in verts:
+        assert abs(got[v] - r[v]) < 1e-9
+
+
+@given(
+    data=st.lists(
+        st.tuples(st.integers(0, 5), st.one_of(st.none(), st.integers(-5, 5))),
+        min_size=0,
+        max_size=15,
+    )
+)
+@SET
+def test_constraint_report_matches_hand_count(spark, data):
+    """CHECK semantics on random frames with NULLs: a NULL rule
+    result never counts as a violation; counts match a Python model
+    exactly."""
+    from reddit_hn_etl_spark.operators.checks import constraint_report
+
+    df = spark.createDataFrame(data, "k long, v long") if data else (
+        spark.createDataFrame([], "k long, v long")
+    )
+    rep = {
+        r["constraint"]: (r["n_rows"], r["n_violations"], r["passed"])
+        for r in constraint_report(
+            df,
+            {
+                "v_nonneg": F.col("v") >= 0,       # NULL v -> passes
+                "k_small": F.col("k") < 4,
+                "v_not_null": F.col("v").isNotNull(),
+            },
+        ).collect()
+    }
+    n = len(data)
+    v_nonneg = sum(1 for _, v in data if v is not None and v < 0)
+    k_small = sum(1 for k, _ in data if k >= 4)
+    v_null = sum(1 for _, v in data if v is None)
+    assert rep["v_nonneg"] == (n, v_nonneg, v_nonneg == 0)
+    assert rep["k_small"] == (n, k_small, k_small == 0)
+    assert rep["v_not_null"] == (n, v_null, v_null == 0)
