@@ -339,18 +339,28 @@ def interval_join_streams(
     right_ts: str = "r_ts",
     max_gap: str = "15 minutes",
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join within a time interval: right events
-    within ``[left_ts, left_ts + max_gap]`` per key — the streaming
-    form of the batch interval join (operators/joins.py), e.g.
-    "purchase followed by an error within 15 minutes".
+    """Stream-stream join within a time interval: right events within
+    ``[left_ts, left_ts + max_gap]`` per key — the streaming form of
+    the batch interval join (operators/joins.py), e.g. "purchase
+    followed by an error within 15 minutes".
 
     Both sides carry watermarks and the join condition bounds the
     event-time skew, which is what lets the engine EVICT buffered
     state for rows past `watermark + max_gap` — without the time
     bound a stream-stream join's state grows forever. Works on batch
     frames too (same condition, no state).
+
+    ``how="left_outer"`` emits the no-match row (NULL right side)
+    only once the watermark passes the row's join horizon — i.e. the
+    engine proves no future right event can still match before
+    declaring the absence. That makes the outer result EVENTUALLY
+    complete: unmatched rows from the stream's tail stay buffered
+    until later data (or a no-data batch) advances the watermark —
+    the streaming-correct behavior, asserted by the eviction test.
     """
+    assert how in ("inner", "left_outer")
     lw = left.withWatermark(left_ts, watermark) if left.isStreaming else left
     rw = right.withWatermark(right_ts, watermark) if right.isStreaming else right
     gap = F.expr(f"INTERVAL {max_gap}")
@@ -359,6 +369,7 @@ def interval_join_streams(
         (F.col(f"l.{key_col}") == F.col(f"r.{key_col}"))
         & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
         & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + gap),
+        how,
     ).select(
         F.col(f"l.{key_col}").alias(key_col),
         F.col(f"l.{left_ts}").alias(left_ts),

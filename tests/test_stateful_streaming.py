@@ -639,3 +639,72 @@ def test_heavy_hitters_stream_bounds_and_replay(spark, tmp_path):
         for r in merged_heavy_hitters(spark, sdir, "user_id").collect()
     }
     assert merged2 == merged
+
+
+def test_stream_stream_outer_join_emits_after_eviction(spark, tmp_path):
+    """left_outer: a purchase with no error inside its interval emits
+    (user, l_ts, NULL) only after the watermark passes its horizon
+    — proven absence, not premature absence. Later files on BOTH
+    streams advance the watermark far enough; mtimes are pinned
+    (FileStreamSource orders by mtime)."""
+    import json
+    import os as _os
+
+    lsrc = tmp_path / "po"; rsrc = tmp_path / "eo"
+    lsrc.mkdir(); rsrc.mkdir()
+    out = tmp_path / "joined_outer"
+    ckpt = str(tmp_path / "ckpt_sso")
+
+    def write(path, rows, col, mtime):
+        with open(path, "w", encoding="utf-8") as f:
+            for uid, ts in rows:
+                f.write(json.dumps({"user_id": uid, col: ts}) + "\n")
+        _os.utime(path, (mtime, mtime))
+
+    # batch 1: two purchases; one matching error for user 1 only
+    write(lsrc / "l1.jsonl",
+          [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 10:00:00")],
+          "l_ts", 1_000)
+    write(rsrc / "r1.jsonl", [(1, "2024-01-01 10:10:00")], "r_ts", 1_000)
+    # batch 2: far-future rows push the min-watermark past
+    # 10:15 + 1h on both sides (these also pair with each other)
+    write(lsrc / "l2.jsonl", [(9, "2024-01-01 14:00:00")], "l_ts", 2_000)
+    write(rsrc / "r2.jsonl", [(9, "2024-01-01 14:01:00")], "r_ts", 2_000)
+    # batch 3: push further so batch-2's left row also ages out
+    write(lsrc / "l3.jsonl", [(8, "2024-01-01 20:00:00")], "l_ts", 3_000)
+    write(rsrc / "r3.jsonl", [(8, "2024-01-01 23:00:00")], "r_ts", 3_000)
+
+    def run():
+        lstream = (spark.readStream.schema("user_id long, l_ts timestamp")
+                   .option("maxFilesPerTrigger", 1).json(str(lsrc)))
+        rstream = (spark.readStream.schema("user_id long, r_ts timestamp")
+                   .option("maxFilesPerTrigger", 1).json(str(rsrc)))
+        joined = ingest.interval_join_streams(
+            lstream, rstream, how="left_outer")
+        q = (joined.writeStream.format("parquet")
+             .option("path", str(out)).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+    run()
+    got = {(r.user_id, str(r.l_ts), r.r_ts and str(r.r_ts))
+           for r in spark.read.parquet(str(out)).collect()}
+    # matched rows always present
+    assert (1, "2024-01-01 10:00:00", "2024-01-01 10:10:00") in got
+    assert (9, "2024-01-01 14:00:00", "2024-01-01 14:01:00") in got
+    # user 2: no error in [10:00, 10:15]; watermark passed its
+    # horizon -> NULL-right row emitted
+    assert (2, "2024-01-01 10:00:00", None) in got
+    # user 8's 23:00 error is outside [20:00, 20:15] but its row is
+    # at the stream tail: the watermark cannot pass its horizon yet,
+    # so its absence is NOT yet declared
+    assert not any(u == 8 for u, _, _ in got)
+
+    # batch-mode equivalence of the SAME operator (no watermark
+    # gating in batch: user 8's NULL row appears immediately)
+    lb = spark.read.schema("user_id long, l_ts timestamp").json(str(lsrc))
+    rb = spark.read.schema("user_id long, r_ts timestamp").json(str(rsrc))
+    batch = {(r.user_id, str(r.l_ts), r.r_ts and str(r.r_ts))
+             for r in ingest.interval_join_streams(
+                 lb, rb, how="left_outer").collect()}
+    assert batch == got | {(8, "2024-01-01 20:00:00", None)}
