@@ -398,3 +398,52 @@ def test_resize_real_for_bmp(spark):
     assert [int(v) for v in px[0, :, 0]] == [0, 32, 64, 96, 128, 160, 192, 224]
     # non-image row: labeled fake fallback
     assert out[2].meta.mime == "image/raw"
+
+
+def test_wav_spectrogram_resolves_tone_switch_in_time(spark):
+    """Physics check the whole-signal FFT cannot express: a file
+    whose first half is a 750 Hz tone and second half 3250 Hz must
+    show the band switch at the right WINDOW index. sr=8000,
+    n_bands=8 -> 750 Hz sits mid-band-1 (500..1000), 3250 mid-band-6
+    (3000..3500) — mid-band so Hann sidelobes stay in-band (an
+    edge-frequency tone splits across two bands by design)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from reddit_hn_etl_spark.functions.multimodal import (
+        extract_wav_spectrograms,
+    )
+
+    sr, half_ms = 8000, 250
+    n = sr * half_ms // 1000
+    t = np.arange(n) / sr
+    pcm = np.concatenate([
+        np.sin(2 * np.pi * 750 * t), np.sin(2 * np.pi * 3250 * t)
+    ])
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes((pcm * 0.5 * 32767.0).astype("<i2").tobytes())
+    df = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue())), (2, bytearray(b"not a wav"))],
+        "media_id long, payload binary",
+    )
+    out = extract_wav_spectrograms(df, n_fft=256, hop=128).collect()
+    assert len(out) == 1  # non-WAV row dropped
+    row = out[0]
+    assert row["sample_rate"] == sr
+    mat = [list(r) for r in row["spectrogram"]]
+    assert row["n_windows"] == len(mat) == (2 * n - 256) // 128 + 1
+    # every window's fractions sum to ~1
+    for r in mat:
+        assert abs(sum(r) - 1.0) < 1e-9
+    switch = n // 128  # first window whose frame crosses the boundary
+    for i, r in enumerate(mat):
+        if i < switch - 1:
+            assert r[1] > 0.9, (i, r)  # pure 750 Hz -> band 1
+        elif i > switch + 1:
+            assert r[6] > 0.9, (i, r)  # pure 3250 Hz -> band 6
