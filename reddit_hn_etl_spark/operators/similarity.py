@@ -890,3 +890,50 @@ def ivf_pq_search(
             "est_dist",
         )
     )
+
+
+def pq_encode_residual(
+    df: DataFrame,
+    coarse_centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Residual PQ encode — the production FAISS IVF-PQ detail the
+    plain `pq_encode` documents as its simplification: quantize
+    x − coarse_centroid[cell(x)] instead of x, so all cells share one
+    codebook family over CENTERED residuals (smaller dynamic range →
+    better codes for the same bits once codebooks are trained on
+    residuals). Output: (id, cluster_id, codes, recon_err).
+
+    Still one shuffle-free projection: the coarse argmin, the
+    centroid lookup (element_at into the literal matrix), the
+    subtraction, and the per-subspace argmins all fuse into a single
+    stage over the scan. Search-side, the ADC table becomes per-cell
+    (‖(q − cc) − codeword‖² for each probed cell) — same inlined-
+    constant discipline, nprobe×m×k doubles.
+    """
+    from .kmeans import _centroid_literal, squared_distances
+
+    coarse_lit = _centroid_literal(coarse_centroids)
+    cd = squared_distances(F.col(vec_col), coarse_centroids)
+    with_cell = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        (F.array_position(cd, F.array_min(cd)).cast("int") - F.lit(1)).alias(
+            "cluster_id"
+        ),
+    ).select(
+        id_col,
+        "cluster_id",
+        F.zip_with(
+            F.col(vec_col),
+            F.element_at(coarse_lit, F.col("cluster_id") + F.lit(1)),
+            lambda x, y: x.cast("double") - y,
+        ).alias("_resid"),
+    )
+    enc = pq_encode(
+        with_cell, codebooks, id_col=id_col, vec_col="_resid",
+        keep_cols=["cluster_id"],
+    )
+    return enc.select(id_col, "cluster_id", "codes", "recon_err")

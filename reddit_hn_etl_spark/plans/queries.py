@@ -7620,6 +7620,69 @@ def array_map_kitchen_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "pq_residual_codes",
+    f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings),
+    cc AS (SELECT * FROM (VALUES {_KMEANS_CENTROID_VALUES}) AS t(ccid, ccv)),
+    cd AS (
+        SELECT vec_id, e, ccid, ccv,
+               list_reduce(
+                   list_transform(e, (x, i) -> (x - ccv[i]) * (x - ccv[i])),
+                   (a, b) -> a + b) AS ds
+        FROM v CROSS JOIN cc
+    ),
+    bestc AS (
+        SELECT vec_id, e, ccid AS cluster_id, ccv FROM cd
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY ds, ccid) = 1
+    ),
+    rv AS (
+        SELECT vec_id, cluster_id,
+               list_transform(e, (x, i) -> x - ccv[i]) AS re
+        FROM bestc
+    ),
+    pcb AS (SELECT * FROM (VALUES {_PQ_CB_VALUES}) AS t(s, cid, cv)),
+    pd AS (
+        SELECT vec_id, cluster_id, s, cid,
+               list_reduce(
+                   list_transform(re[s * {_PQ_SUB} + 1 : (s + 1) * {_PQ_SUB}],
+                                  (x, i) -> (x - cv[i]) * (x - cv[i])),
+                   (a, b) -> a + b) AS ds
+        FROM rv CROSS JOIN pcb
+    ),
+    pbest AS (
+        SELECT vec_id, cluster_id, s, cid, ds FROM pd
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                   ORDER BY ds, cid) = 1
+    )
+    SELECT vec_id, CAST(cluster_id AS INTEGER) AS cluster_id,
+           list(cid ORDER BY s) AS codes,
+           ROUND(list_reduce(list(ds ORDER BY s), (a, b) -> a + b), 6)
+               AS recon_err
+    FROM pbest GROUP BY vec_id, cluster_id
+    """,
+)
+def pq_residual_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual PQ encode (`similarity.pq_encode_residual`) — the
+    production IVF-PQ detail: quantize x − coarse_centroid[cell]
+    against the shared codebooks. The coarse argmin, literal-matrix
+    centroid lookup, subtraction, and 8 subspace argmins fuse into
+    ONE shuffle-free stage; the whole composition (cell + codes +
+    residual reconstruction error) is hash-compared."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    enc = similarity.pq_encode_residual(
+        emb, _KMEANS_CENTROIDS, _PQ_CODEBOOKS
+    )
+    return enc.select(
+        "vec_id",
+        F.col("cluster_id").cast("int").alias("cluster_id"),
+        "codes",
+        F.round("recon_err", 6).alias("recon_err"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # DSIR importance weighting (Xie et al. 2023) — the data-selection
 # scorer between raw crawl and target domain. Hashed-unigram bucket

@@ -107,3 +107,26 @@ def test_ivf_pq_recall_vs_exact(spark, sf_dir):
     n = len(ids)
     assert sum(1 for r in ranks if r < n * 0.25) >= 8, ranks
     assert ranks[len(ranks) // 2] < n * 0.2, ranks
+
+
+def test_pq_residual_encode_matches_numpy(spark, sf_dir):
+    from reddit_hn_etl_spark.operators import kmeans
+
+    cc = kmeans.seeded_centroids(64, 8, seed=11)
+    emb = read_table(spark, sf_dir, "embeddings").limit(100)
+    got = {
+        r["vec_id"]: (r["cluster_id"], list(r["codes"]), r["recon_err"])
+        for r in similarity.pq_encode_residual(emb, cc, CB).collect()
+    }
+    rows = emb.orderBy("vec_id").collect()
+    x = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ccn = np.array(cc)
+    dc = ((x[:, None, :] - ccn[None, :, :]) ** 2).sum(axis=2)
+    cells = dc.argmin(axis=1)
+    resid = x - ccn[cells]
+    codes, err = _np_encode(resid)
+    for i, r in enumerate(rows):
+        gcell, gcodes, gerr = got[r["vec_id"]]
+        assert gcell == cells[i]
+        assert gcodes == list(codes[i])
+        assert abs(gerr - err[i]) <= 1e-9
