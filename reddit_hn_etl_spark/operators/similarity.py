@@ -898,6 +898,7 @@ def pq_encode_residual(
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cells: list[int] | None = None,
 ) -> DataFrame:
     """Residual PQ encode — the production FAISS IVF-PQ detail the
     plain `pq_encode` documents as its simplification: quantize
@@ -932,8 +933,79 @@ def pq_encode_residual(
             lambda x, y: x.cast("double") - y,
         ).alias("_resid"),
     )
+    if cells is not None:
+        with_cell = with_cell.where(F.col("cluster_id").isin(list(cells)))
     enc = pq_encode(
         with_cell, codebooks, id_col=id_col, vec_col="_resid",
         keep_cols=["cluster_id"],
     )
     return enc.select(id_col, "cluster_id", "codes", "recon_err")
+
+
+def ivf_pq_search_residual(
+    corpus: DataFrame,
+    coarse_centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    query: list[float],
+    nprobe: int = 3,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Residual-mode IVF-PQ search: codes quantize x − cc[cell], so
+    the ADC table becomes PER-CELL — for each probed cell c,
+    lut[c][s][j] = ‖(q − cc_c)_s − codebook_s[j]‖², nprobe×m×k
+    doubles computed driver-side and inlined (zero rows for unprobed
+    cells, which the probe filter removes before scoring). Per
+    candidate: one literal-matrix lookup by cell + m indexed adds.
+    Same one-scan → filter → project → TakeOrderedAndProject shape as
+    the raw-vector variant; at scale the encode output is persisted
+    partitioned by cell and only probed partitions are read."""
+    sub = len(codebooks[0][0])
+    cd = [_fold_sq_dist(query, c) for c in coarse_centroids]
+    probed = sorted(range(len(cd)), key=lambda i: (cd[i], i))[:nprobe]
+    probed_set = set(probed)
+
+    lut3 = []
+    for ci, cc in enumerate(coarse_centroids):
+        if ci in probed_set:
+            qr = [q - c for q, c in zip(query, cc)]
+            lut3.append(
+                [
+                    [
+                        _fold_sq_dist(qr[s * sub : (s + 1) * sub], cw)
+                        for cw in cb
+                    ]
+                    for s, cb in enumerate(codebooks)
+                ]
+            )
+        else:  # never indexed: the cell filter runs first
+            lut3.append([[0.0] * len(cb) for cb in codebooks])
+    lut3_lit = F.array(
+        *[
+            F.array(*[F.array(*[F.lit(v) for v in row]) for row in cell_lut])
+            for cell_lut in lut3
+        ]
+    )
+    enc = pq_encode_residual(
+        corpus, coarse_centroids, codebooks, id_col=id_col,
+        vec_col=vec_col, cells=probed,
+    )
+    est = F.aggregate(
+        F.zip_with(
+            F.element_at(lut3_lit, F.col("cluster_id") + F.lit(1)),
+            F.col("codes"),
+            lambda row, c: F.element_at(row, c + F.lit(1)),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        enc.select(
+            F.col(id_col),
+            F.col("cluster_id").cast("int").alias("cell"),
+            est.alias("est_dist"),
+        )
+        .orderBy(F.asc("est_dist"), F.asc(id_col))
+        .limit(k)
+    )

@@ -7683,6 +7683,98 @@ def pq_residual_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_RES_LUT_VALUES = ", ".join(
+    f"({c}, {s}, {cid}, "
+    + repr(
+        similarity._fold_sq_dist(
+            [
+                q - cc
+                for q, cc in zip(
+                    _PQ_QUERY[s * _PQ_SUB : (s + 1) * _PQ_SUB],
+                    _KMEANS_CENTROIDS[c][s * _PQ_SUB : (s + 1) * _PQ_SUB],
+                )
+            ],
+            cw,
+        )
+    )
+    + ")"
+    for c in _IVF_PROBED
+    for s, cb in enumerate(_PQ_CODEBOOKS)
+    for cid, cw in enumerate(cb)
+)
+
+
+@_q(
+    "ivf_pq_residual_knn",
+    f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings),
+    cc AS (SELECT * FROM (VALUES {_KMEANS_CENTROID_VALUES}) AS t(ccid, ccv)),
+    cd AS (
+        SELECT vec_id, e, ccid, ccv,
+               list_reduce(
+                   list_transform(e, (x, i) -> (x - ccv[i]) * (x - ccv[i])),
+                   (a, b) -> a + b) AS ds
+        FROM v CROSS JOIN cc
+    ),
+    bestc AS (
+        SELECT vec_id, e, ccid AS cluster_id, ccv FROM cd
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY ds, ccid) = 1
+    ),
+    rv AS (
+        SELECT vec_id, cluster_id,
+               list_transform(e, (x, i) -> x - ccv[i]) AS re
+        FROM bestc
+        WHERE cluster_id IN ({", ".join(str(i) for i in _IVF_PROBED)})
+    ),
+    pcb AS (SELECT * FROM (VALUES {_PQ_CB_VALUES}) AS t(s, cid, cv)),
+    pd AS (
+        SELECT vec_id, cluster_id, s, cid,
+               list_reduce(
+                   list_transform(re[s * {_PQ_SUB} + 1 : (s + 1) * {_PQ_SUB}],
+                                  (x, i) -> (x - cv[i]) * (x - cv[i])),
+                   (a, b) -> a + b) AS ds
+        FROM rv CROSS JOIN pcb
+    ),
+    pbest AS (
+        SELECT vec_id, cluster_id, s, cid FROM pd
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                   ORDER BY ds, cid) = 1
+    ),
+    lut AS (SELECT cell, s, cid, CAST(lv AS DOUBLE) AS lv
+            FROM (VALUES {_IVF_RES_LUT_VALUES}) AS t(cell, s, cid, lv)),
+    est AS (
+        SELECT b.vec_id, b.cluster_id,
+               list_reduce(list(l.lv ORDER BY b.s), (a, b) -> a + b)
+                   AS est_raw
+        FROM pbest b
+        JOIN lut l ON l.cell = b.cluster_id AND l.s = b.s AND l.cid = b.cid
+        GROUP BY b.vec_id, b.cluster_id
+    )
+    SELECT vec_id, CAST(cluster_id AS INTEGER) AS cell,
+           ROUND(est_raw, 6) AS est_dist
+    FROM est
+    QUALIFY ROW_NUMBER() OVER (ORDER BY est_raw, vec_id) <= 10
+    """,
+)
+def ivf_pq_residual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual-mode IVF-PQ top-10
+    (`similarity.ivf_pq_search_residual`): per-cell ADC tables over
+    centered residuals — the full production FAISS search path. The
+    probe filter runs before any scoring, the nprobe×m×k table is a
+    plan literal, and est_dist is bit-equal across engines (ordered
+    folds of identical literal doubles), so the top-10 is
+    hash-checked like its raw-vector sibling `ivf_pq_knn`."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = similarity.ivf_pq_search_residual(
+        emb, _KMEANS_CENTROIDS, _PQ_CODEBOOKS, _PQ_QUERY, nprobe=3, k=10
+    )
+    return out.select(
+        "vec_id", "cell", F.round("est_dist", 6).alias("est_dist")
+    )
+
+
 # ---------------------------------------------------------------------------
 # DSIR importance weighting (Xie et al. 2023) — the data-selection
 # scorer between raw crawl and target domain. Hashed-unigram bucket

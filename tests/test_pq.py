@@ -130,3 +130,37 @@ def test_pq_residual_encode_matches_numpy(spark, sf_dir):
         assert gcell == cells[i]
         assert gcodes == list(codes[i])
         assert abs(gerr - err[i]) <= 1e-9
+
+
+def test_ivf_pq_residual_search_matches_numpy(spark, sf_dir):
+    """Residual ADC estimates equal the numpy per-cell LUT sums for
+    every returned candidate, and candidates only come from probed
+    cells."""
+    from reddit_hn_etl_spark.operators import kmeans
+
+    cc = kmeans.seeded_centroids(64, 8, seed=11)
+    q = kmeans.seeded_centroids(64, 1, seed=999)[0]
+    emb = read_table(spark, sf_dir, "embeddings")
+    got = similarity.ivf_pq_search_residual(
+        emb, cc, CB, q, nprobe=3, k=10
+    ).collect()
+    cd = [similarity._fold_sq_dist(q, c) for c in cc]
+    probed = sorted(range(8), key=lambda i: (cd[i], i))[:3]
+    assert {r["cell"] for r in got} <= set(probed)
+
+    rows = emb.collect()
+    by_id = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    ccn = np.array(cc)
+    qv = np.array(q)
+    for r in got:
+        x = by_id[r["vec_id"]]
+        cell = int(((x[None, :] - ccn) ** 2).sum(axis=1).argmin())
+        assert cell == r["cell"]
+        resid = x - ccn[cell]
+        codes, _ = _np_encode(resid[None, :])
+        qr = qv - ccn[cell]
+        est = sum(
+            ((qr[s * SUB:(s + 1) * SUB] - np.array(CB[s][codes[0, s]])) ** 2).sum()
+            for s in range(8)
+        )
+        assert abs(r["est_dist"] - est) <= 1e-9
