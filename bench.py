@@ -147,6 +147,8 @@ BENCH_QUERIES_R4 = [
     "ivf_pq_knn",
     "hopping_window_counts",
     "array_map_kitchen_sink",
+    "pq_residual_codes",
+    "ivf_pq_residual_knn",
 ]
 
 

@@ -95,6 +95,8 @@ NOTES = {
     "ivf_pq_knn": "IVF-PQ: the probed-cell set is a compile-time literal IN-filter (3 of 8 cells), so candidates prune BEFORE scoring; then PQ codes + the ADC literal table score survivors and TakeOrderedAndProject caps at k. At scale the encode output is persisted partitioned by cell and this plan reads only the probed partitions — partition pruning does what the IN-filter does here.",
     "hopping_window_counts": "Overlapping windows: Generate expands each event to window/slide=3 (window, value) rows, then ONE partial/final agg — replication factor is a plan constant, so the cost is 3× a tumbling-window agg at any scale; no self-join against a window dimension.",
     "array_map_kitchen_sink": "Collection SQL surface: one per-user agg shuffle builds the sorted distinct arrays; every downstream function (membership, intersect, lambda filter, ordered fold, negative index) is projection — whole-stage-codegen'd, no second exchange.",
+    "pq_residual_codes": "Residual PQ: coarse argmin, element_at centroid lookup, subtraction, and all 8 subspace argmins fuse into ONE shuffle-free stage over the scan — the production IVF-PQ encode at the cost of the raw one.",
+    "ivf_pq_residual_knn": "Residual IVF-PQ search: probe filter first (literal IN on the computed cell), then per-cell ADC literals score centered residuals; TakeOrderedAndProject caps at k. With cell-partitioned persisted codes this becomes partition pruning + m lookups per row.",
 }
 
 
