@@ -149,6 +149,7 @@ BENCH_QUERIES_R4 = [
     "array_map_kitchen_sink",
     "pq_residual_codes",
     "ivf_pq_residual_knn",
+    "purchases_asof_state",
 ]
 
 

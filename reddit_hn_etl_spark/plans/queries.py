@@ -7776,6 +7776,86 @@ def ivf_pq_residual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Temporal (validity-interval) join against the SCD2 history — the
+# warehouse AS-OF pattern: each fact row joins the dimension state
+# whose [effective_from, effective_to) interval contains its event
+# time. Registered after scd2_user_state so its oracle text can be
+# embedded as a CTE.
+# ---------------------------------------------------------------------------
+
+
+def _register_purchases_asof_state() -> None:
+    scd2_sql = ORACLES["scd2_user_state"]
+
+    @_q(
+        "purchases_asof_state",
+        f"""
+        WITH s AS ({scd2_sql}),
+        p AS (
+            SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'purchase'
+        )
+        SELECT p.event_id, p.user_id, p.ts,
+               s.version_n, s.event_type AS state_type,
+               s.value AS state_value
+        FROM p JOIN s
+          ON p.user_id = s.user_id
+         AND p.ts >= s.effective_from
+         AND (s.effective_to IS NULL OR p.ts < s.effective_to)
+        """,
+    )
+    def purchases_asof_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Validity-interval (AS OF) join: every purchase picks the
+        SCD2 state row whose [effective_from, effective_to) interval
+        contains its timestamp — exactly one match per fact because
+        the intervals tile each user's timeline (the purchase itself
+        is an event, so a containing interval always exists). Plan:
+        ONE hash shuffle on user_id with the interval predicate as a
+        residual join filter — per-user history is the bounded
+        dimension side, so there is no range-join blowup; this is the
+        read pattern `scd2_user_state` exists to serve, and the
+        inclusive-start convention is the one `pit_user_features`'s
+        strict-< leakage rule deliberately excludes (state AT the
+        instant is visible; FUTURE features are not — different
+        semantics for different consumers, both tested)."""
+        from ..operators.scd import scd2_history
+
+        ev = read_table(spark, sf_dir, "events")
+        purchases = ev.where(F.col("event_type") == "purchase").select(
+            "event_id", F.col("user_id").alias("p_user"), "ts"
+        )
+        states = scd2_history(
+            ev,
+            key_cols=["user_id"],
+            ts_col="ts",
+            attr_cols=["event_type", "value"],
+            tiebreak_col="event_id",
+        )
+        return (
+            purchases.join(
+                states,
+                (F.col("p_user") == F.col("user_id"))
+                & (F.col("ts") >= F.col("effective_from"))
+                & (
+                    F.col("effective_to").isNull()
+                    | (F.col("ts") < F.col("effective_to"))
+                ),
+            )
+            .select(
+                "event_id",
+                "user_id",
+                "ts",
+                "version_n",
+                F.col("event_type").alias("state_type"),
+                F.col("value").alias("state_value"),
+            )
+        )
+
+
+_register_purchases_asof_state()
+
+
+# ---------------------------------------------------------------------------
 # DSIR importance weighting (Xie et al. 2023) — the data-selection
 # scorer between raw crawl and target domain. Hashed-unigram bucket
 # models on both engines via the portable md5 bucket; per-doc sums

@@ -97,6 +97,7 @@ NOTES = {
     "array_map_kitchen_sink": "Collection SQL surface: one per-user agg shuffle builds the sorted distinct arrays; every downstream function (membership, intersect, lambda filter, ordered fold, negative index) is projection — whole-stage-codegen'd, no second exchange.",
     "pq_residual_codes": "Residual PQ: coarse argmin, element_at centroid lookup, subtraction, and all 8 subspace argmins fuse into ONE shuffle-free stage over the scan — the production IVF-PQ encode at the cost of the raw one.",
     "ivf_pq_residual_knn": "Residual IVF-PQ search: probe filter first (literal IN on the computed cell), then per-cell ADC literals score centered residuals; TakeOrderedAndProject caps at k. With cell-partitioned persisted codes this becomes partition pruning + m lookups per row.",
+    "purchases_asof_state": "Validity-interval AS-OF join: equality on user_id drives the ONE hash shuffle; the [from, to) containment predicate rides as a residual join filter, and non-overlapping intervals guarantee exactly one match per fact — no range-join explosion, no per-row subquery.",
 }
 
 
