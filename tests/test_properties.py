@@ -781,3 +781,52 @@ def test_constraint_report_matches_hand_count(spark, data):
     assert rep["v_nonneg"] == (n, v_nonneg, v_nonneg == 0)
     assert rep["k_small"] == (n, k_small, k_small == 0)
     assert rep["v_not_null"] == (n, v_null, v_null == 0)
+
+
+@given(
+    vecs=st.lists(
+        st.tuples(
+            st.integers(0, 3),
+            st.lists(
+                st.floats(
+                    min_value=-4.0, max_value=4.0,
+                    allow_nan=False, allow_infinity=False, width=32,
+                ),
+                min_size=2, max_size=2,
+            ),
+        ),
+        min_size=1, max_size=12,
+    ),
+    parts=st.integers(1, 5),
+)
+@SET
+def test_cluster_means_quantized_partitioning_invariant(spark, vecs, parts):
+    """The oracle property that makes the Lloyd update differential-
+    testable: floored-grid int sums equal a Python model EXACTLY,
+    under any repartitioning (order-free integer arithmetic)."""
+    import math
+
+    from reddit_hn_etl_spark.operators.kmeans import cluster_means_quantized
+
+    df = spark.createDataFrame(
+        vecs, "cluster_id int, embedding array<float>"
+    ).repartition(parts)
+    got = {
+        (r["cluster_id"], r["pos"]): (r["n_members"], r["mean_q"])
+        for r in cluster_means_quantized(df, scale=1_000_000).collect()
+    }
+    model: dict = {}
+    for cid, v in vecs:
+        # float32 storage: quantize the STORED value, like the engine
+        import struct
+
+        for pos, x in enumerate(v):
+            x32 = struct.unpack("f", struct.pack("f", x))[0]
+            q = math.floor(x32 * 1_000_000.0)
+            n, ssum = model.get((cid, pos), (0, 0))
+            model[(cid, pos)] = (n + 1, ssum + q)
+    assert set(got) == set(model)
+    for key, (n, ssum) in model.items():
+        gn, gmean = got[key]
+        assert gn == n
+        assert gmean == (float(ssum) / 1_000_000.0) / n
