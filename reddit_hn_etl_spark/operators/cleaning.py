@@ -121,3 +121,19 @@ def strip_boilerplate_lines(
         )
         .select(id_col, "clean_text", "n_lines", "n_removed")
     )
+
+
+def normalize_unicode(col: str | Column, form: str = "NFC") -> Column:
+    """Unicode normalization as an Arrow-batched pandas UDF (Spark has
+    no built-in normalizer; the per-batch vectorized str.normalize
+    keeps it off the row-at-a-time path). NFC is the cross-engine
+    differential-testable form (DuckDB ships nfc_normalize); NFKC/NFD
+    etc. are the same one-argument call for pipeline use."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _norm(s):  # type: ignore[no-untyped-def]
+        return s.str.normalize(form)
+
+    c = F.col(col) if isinstance(col, str) else col
+    return _norm(c)

@@ -7855,6 +7855,51 @@ def _register_purchases_asof_state() -> None:
 _register_purchases_asof_state()
 
 
+@_q(
+    "doc_unicode_normalize",
+    """
+    WITH d AS (
+        SELECT doc_id,
+               substring(text, 1, 40) || ' cafe' || chr(769)
+                   || ' nai' || chr(776) || 've' AS decorated
+        FROM documents
+    )
+    SELECT doc_id,
+           length(decorated) AS len_decorated,
+           length(nfc_normalize(decorated)) AS len_normalized,
+           nfc_normalize(decorated) AS normalized
+    FROM d
+    """,
+)
+def doc_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (`cleaning.normalize_unicode`) — the
+    text-canonicalization step upstream of every hash-based dedup
+    (decomposed 'é' and composed 'é' must fingerprint identically).
+    The synthetic corpus is pure ASCII, so the query appends
+    DECOMPOSED combining sequences (e + U+0301, i + U+0308) to each
+    doc; normalization must fuse them — lengths shrink by exactly the
+    combining-mark count and the normalized strings hash-match
+    DuckDB's nfc_normalize. The UDF is an Arrow-batched vectorized
+    str.normalize — the one Python-touching text op in the cleaning
+    family, batched like the multimodal decoders."""
+    docs = read_table(spark, sf_dir, "documents")
+    # DECOMPOSED escapes (e + combining acute, i + combining
+    # diaeresis) matching the oracle chr(769)/chr(776) - a
+    # composed source literal would make this a no-op
+    decorated = F.concat(
+        F.substring("text", 1, 40),
+        F.lit(" cafe\u0301 nai\u0308ve"),
+    )
+    d = docs.select("doc_id", decorated.alias("decorated"))
+    norm = cleaning.normalize_unicode(F.col("decorated"), form="NFC")
+    return d.select(
+        "doc_id",
+        F.length("decorated").cast("int").alias("len_decorated"),
+        F.length(norm).cast("int").alias("len_normalized"),
+        norm.alias("normalized"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # DSIR importance weighting (Xie et al. 2023) — the data-selection
 # scorer between raw crawl and target domain. Hashed-unigram bucket

@@ -61,3 +61,32 @@ def test_strip_reassembles_in_order(spark):
     # Blank lines don't count as lines; body is trimmed.
     assert out[5].clean_text == "delta body five"
     assert out[5].n_lines == 2 and out[5].n_removed == 1
+
+
+def test_normalize_unicode_forms(spark):
+    """NFC fuses combining sequences; NFKC additionally folds
+    compatibility characters (ligature, fullwidth digits) — the form
+    hash-dedup pipelines want."""
+    from pyspark.sql import functions as F
+
+    from reddit_hn_etl_spark.operators.cleaning import normalize_unicode
+
+    rows = [
+        (1, "café"),          # decomposed é
+        (2, "ﬁle"),            # ﬁ ligature
+        (3, "１２three"),   # fullwidth 12
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = {
+        r["id"]: (r["nfc"], r["nfkc"])
+        for r in df.select(
+            "id",
+            normalize_unicode("t", "NFC").alias("nfc"),
+            normalize_unicode("t", "NFKC").alias("nfkc"),
+        ).collect()
+    }
+    assert got[1] == ("café", "café")
+    assert got[2] == ("ﬁle", "file")      # NFC keeps the ligature
+    assert got[3] == ("１２three", "12three")
+    assert got[4] == (None, None)

@@ -66,3 +66,51 @@ def test_salted_join_equals_plain(spark):
         left, right, key="k", salt_buckets=4
     )._jdf.queryExecution().executedPlan().toString()
     assert "_salt" in plan
+
+
+def test_aqe_skew_join_splits_partitions(spark):
+    """SCALING.md's skew posture leans on AQE's skew-join for the
+    automatic path (salting is the manual fallback): with a planted
+    hot key and the skew thresholds lowered to laptop sizes, the
+    final adaptive plan must mark the sort-merge join as skew=true
+    (OptimizeSkewedJoin split the hot partition) and the join result
+    must equal the no-AQE run."""
+    import pyspark.sql.functions as F
+
+    hot = spark.range(0, 60_000).select(
+        F.when(F.col("id") % 100 < 99, F.lit(7)).otherwise(F.col("id"))
+        .alias("k"),
+        F.col("id").alias("v"),
+    )
+    dim = spark.range(0, 2_000).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("w")
+    )
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        joined = hot.join(dim, "k")
+        # collect() executes THIS DataFrame's queryExecution, so the
+        # inspected plan is the finalized adaptive one (count() would
+        # finalize a different wrapped plan)
+        n = len(joined.collect())
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        assert joined.count() == n
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
