@@ -7900,6 +7900,48 @@ def doc_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "kfold_split_counts",
+    """
+    WITH f AS (
+        SELECT doc_id, n_chars,
+               CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                                           1, 8) AS BIGINT) % 5 AS INTEGER)
+                   AS fold
+        FROM documents
+    )
+    SELECT fold, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+    FROM f GROUP BY fold
+    """,
+)
+def kfold_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold cross-validation assignment by content hash (portable
+    md5 bucket of the id, k=5) — the k-way generalization of the
+    green `train_val_split_counts`: deterministic, partitioning-
+    invariant, reproducible on any engine, no RNG state. Every doc
+    lands in exactly one fold by construction; the per-fold counts /
+    char totals are what a CV harness consumes. One partial/final
+    agg; the fold column itself is a pure projection usable as a
+    filter (fold != i → training shard i)."""
+    docs = read_table(spark, sf_dir, "documents")
+    fold = (
+        textfn.hashed_bucket(F.col("doc_id").cast("string"), 5)
+        .cast("int")
+        .alias("fold")
+    )
+    return (
+        docs.select(fold, "doc_id", "n_chars")
+        .groupBy("fold")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("doc_id").cast("long").alias("min_doc_id"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # DSIR importance weighting (Xie et al. 2023) — the data-selection
 # scorer between raw crawl and target domain. Hashed-unigram bucket

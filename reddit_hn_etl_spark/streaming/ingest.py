@@ -773,3 +773,57 @@ def merged_heavy_hitters(
         .groupBy(col)
         .agg(F.sum("est").alias("est"))
     )
+
+
+def distinct_users_sketch_stream(
+    events: DataFrame,
+    summary_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    lg_k: int = 12,
+) -> StreamingQuery:
+    """Streaming distinct-count maintenance via mergeable HLL
+    sketches: each micro-batch reduces to one (day, sketch) row
+    (`hll_sketch_agg` — KBs regardless of batch size) appended to the
+    summary table; `merged_distinct_users` unions the stored partials
+    per day with `hll_union_agg`. Same the-index-is-the-state /
+    replay-safe (batch_id dedup) discipline as `heavy_hitters_stream`
+    — and the batch twin `hll_sketch_weekly_users` proves the merge
+    algebra against exact counts."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            batch_df.select(
+                F.to_date(ts_col).alias("day"), F.col(key_col)
+            )
+            .groupBy("day")
+            .agg(F.hll_sketch_agg(key_col, F.lit(lg_k)).alias("sketch"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(summary_dir)
+        )
+
+    return (
+        events.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def merged_distinct_users(spark: SparkSession, summary_dir: str) -> DataFrame:
+    """(day, distinct_users) from the stored sketch partials —
+    replay-safe via (batch_id, day) dedup before the union-merge."""
+    return (
+        spark.read.parquet(summary_dir)
+        .dropDuplicates(["batch_id", "day"])
+        .groupBy("day")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_union_agg("sketch", F.lit(True))
+            ).alias("distinct_users")
+        )
+    )

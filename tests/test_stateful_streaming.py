@@ -708,3 +708,63 @@ def test_stream_stream_outer_join_emits_after_eviction(spark, tmp_path):
              for r in ingest.interval_join_streams(
                  lb, rb, how="left_outer").collect()}
     assert batch == got | {(8, "2024-01-01 20:00:00", None)}
+
+
+def test_distinct_users_sketch_stream_accuracy_and_replay(spark, tmp_path, sf_dir):
+    """Per-batch HLL partials over the REAL events table split into 3
+    micro-batch files: merged estimates within 5% of exact per-day
+    distincts, and a checkpointed re-run changes nothing."""
+    from pyspark.sql import functions as F
+
+    from reddit_hn_etl_spark.sources.tables import read_table
+    from reddit_hn_etl_spark.streaming.ingest import (
+        distinct_users_sketch_stream,
+        merged_distinct_users,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    src = tmp_path / "ev_parts"
+    for i in range(3):
+        ev.where(F.col("event_id") % 3 == i).coalesce(1).write.parquet(
+            str(src / f"p{i}")
+        )
+        # FileStreamSource orders by mtime — pin it
+        import os as _os
+        for root, _, files in _os.walk(src / f"p{i}"):
+            for f in files:
+                _os.utime(_os.path.join(root, f), (1000 + i, 1000 + i))
+
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "p*"))
+    )
+    sdir, ckpt = str(tmp_path / "hll_sum"), str(tmp_path / "hll_ckpt")
+    q = distinct_users_sketch_stream(stream, sdir, ckpt)
+    q.awaitTermination(180)
+
+    exact = {
+        r["day"]: r["n"]
+        for r in ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    got = {
+        r["day"]: r["distinct_users"]
+        for r in merged_distinct_users(spark, sdir).collect()
+    }
+    assert set(got) == set(exact)
+    for day, n in exact.items():
+        assert abs(got[day] - n) <= max(2, 0.05 * n), (day, got[day], n)
+
+    q2 = distinct_users_sketch_stream(
+        (spark.readStream.schema("event_id long, user_id long, ts timestamp")
+         .option("maxFilesPerTrigger", 1).parquet(str(src / "p*"))),
+        sdir, ckpt,
+    )
+    q2.awaitTermination(180)
+    got2 = {
+        r["day"]: r["distinct_users"]
+        for r in merged_distinct_users(spark, sdir).collect()
+    }
+    assert got2 == got
