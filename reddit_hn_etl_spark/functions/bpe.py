@@ -178,3 +178,73 @@ def bpe_tokenize(
             )
 
     return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)
+
+
+def vocab_from_merges(merges: list[tuple[str, str]]) -> dict[str, int]:
+    """Deterministic token→id table: byte-ish base symbols (sorted
+    printable ASCII + the end marker) first, then merged symbols in
+    merge order — the GPT-2 vocabulary layout, a pure function of the
+    merge list so every engine/run agrees."""
+    base = [chr(c) for c in range(32, 127)] + [END]
+    vocab: dict[str, int] = {}
+    for s in base:
+        vocab[s] = len(vocab)
+    for a, b in merges:
+        m = a + b
+        if m not in vocab:
+            vocab[m] = len(vocab)
+    return vocab
+
+
+def bpe_encode_ids(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    unk_id: int = -1,
+) -> DataFrame:
+    """(id, token_ids array<int>, n_tokens, n_unk): the
+    tokenize-to-ids step models actually consume — segmentation via
+    the learned merge ranks, then vocabulary lookup (symbols outside
+    the deterministic vocab map to ``unk_id``). Same Arrow-batched
+    shape and per-batch word cache as `bpe_tokenize`; pairs with
+    `pack_token_budget` for shard assembly."""
+    ranks = {p: i for i, p in enumerate(merges)}
+    vocab = vocab_from_merges(merges)
+    out_schema = (
+        f"{id_col} long, token_ids array<int>, n_tokens int, n_unk int"
+    )
+
+    def run(batches: Iterator["object"]) -> Iterator["object"]:
+        import pandas as pd
+
+        cache: dict[str, list[int]] = {}
+
+        def ids(word: str) -> list[int]:
+            got = cache.get(word)
+            if got is None:
+                got = cache[word] = [
+                    vocab.get(s, unk_id)
+                    for s in segment_word(word, ranks)
+                ]
+            return got
+
+        for pdf in batches:
+            col, nt, nu = [], [], []
+            for text in pdf[text_col]:
+                doc: list[int] = []
+                for w in (text or "").lower().split():
+                    doc.extend(ids(w))
+                col.append(doc)
+                nt.append(len(doc))
+                nu.append(sum(1 for t in doc if t == unk_id))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "token_ids": col,
+                    "n_tokens": nt,
+                    "n_unk": nu,
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)

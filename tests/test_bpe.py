@@ -84,3 +84,43 @@ def test_bpe_tokenize_matches_driver_and_is_monotone(spark, sf_dir):
         assert toks == expect
         assert n == len(expect)
         assert n <= few[r["doc_id"]]  # more merges never add tokens
+
+
+def test_vocab_and_encode_ids_round_trip(spark, sf_dir):
+    """Vocabulary layout is deterministic (base symbols then merges);
+    decoding ids through the reverse vocab reconstructs the
+    segmentation; unk accounting is exact for out-of-vocab symbols."""
+    docs = read_table(spark, sf_dir, "documents").limit(40)
+    merges = bpe.train_bpe_distributed(docs, n_merges=10)
+    vocab = bpe.vocab_from_merges(merges)
+    # base ASCII block is stable and merges extend it in order
+    assert vocab["a"] == ord("a") - 32
+    assert vocab[bpe.END] == 95
+    assert len(vocab) <= 96 + 10
+    rev = {i: s for s, i in vocab.items()}
+    ranks = {p: i for i, p in enumerate(merges)}
+    out = {
+        r["doc_id"]: (list(r["token_ids"]), r["n_tokens"], r["n_unk"])
+        for r in bpe.bpe_encode_ids(docs, merges).collect()
+    }
+    for r in docs.select("doc_id", "text").collect():
+        ids, n, nu = out[r["doc_id"]]
+        assert n == len(ids)
+        assert nu == sum(1 for t in ids if t == -1)
+        expect: list[str] = []
+        for w in (r["text"] or "").lower().split():
+            expect.extend(bpe.segment_word(w, ranks))
+        got_syms = [rev.get(t, "<unk>") for t in ids]
+        # ascii corpus: nothing is unk, and symbols round-trip
+        assert nu == 0
+        assert got_syms == expect
+
+
+def test_encode_ids_marks_unknown_symbols(spark):
+    df = spark.createDataFrame(
+        [(1, "abc $unicodeé$")], "doc_id long, text string"
+    )
+    out = bpe.bpe_encode_ids(df, merges=[]).first()
+    # é is outside the base ASCII vocab -> exactly one unk
+    assert out["n_unk"] == 1
+    assert out["token_ids"].count(-1) == 1
