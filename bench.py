@@ -150,6 +150,8 @@ BENCH_QUERIES_R4 = [
     "pq_residual_codes",
     "ivf_pq_residual_knn",
     "purchases_asof_state",
+    "kfold_split_counts",
+    "doc_unicode_normalize",
 ]
 
 

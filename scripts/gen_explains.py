@@ -98,6 +98,8 @@ NOTES = {
     "pq_residual_codes": "Residual PQ: coarse argmin, element_at centroid lookup, subtraction, and all 8 subspace argmins fuse into ONE shuffle-free stage over the scan — the production IVF-PQ encode at the cost of the raw one.",
     "ivf_pq_residual_knn": "Residual IVF-PQ search: probe filter first (literal IN on the computed cell), then per-cell ADC literals score centered residuals; TakeOrderedAndProject caps at k. With cell-partitioned persisted codes this becomes partition pruning + m lookups per row.",
     "purchases_asof_state": "Validity-interval AS-OF join: equality on user_id drives the ONE hash shuffle; the [from, to) containment predicate rides as a residual join filter, and non-overlapping intervals guarantee exactly one match per fact — no range-join explosion, no per-row subquery.",
+    "kfold_split_counts": "Deterministic k-fold assignment: the fold is a pure md5-bucket projection (no RNG state to coordinate across executors), one partial/final agg for the per-fold summary — fold membership is reproducible on any engine, partitioning, or day.",
+    "doc_unicode_normalize": "Text canonicalization: the one Python-touching op in the cleaning family — an Arrow-batched vectorized str.normalize (ArrowEvalPython in the plan), zero shuffles; everything around it stays codegen'd projection.",
 }
 
 
