@@ -7900,6 +7900,71 @@ def doc_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _register_dsir_gumbel_sample() -> None:
+    dsir_sql = ORACLES["doc_dsir_weights"]
+
+    @_q(
+        "dsir_gumbel_sample",
+        f"""
+        WITH w AS ({dsir_sql}),
+        keyed AS (
+            SELECT w.doc_id, w.is_target, w.log_weight,
+                   w.log_weight
+                   - ln(-ln((CAST(('0x' || substring(md5(d.text), 1, 8))
+                              AS BIGINT) + 1) / 4294967296.0)) AS k
+            FROM w JOIN documents d ON w.doc_id = d.doc_id
+        )
+        SELECT doc_id, is_target, log_weight,
+               CAST(ROW_NUMBER() OVER (ORDER BY k DESC, doc_id) AS INTEGER)
+                   AS rnk
+        FROM keyed
+        ORDER BY rnk
+        LIMIT 20
+        """,
+    )
+    def dsir_gumbel_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The DSIR resampling step via the paper's own Gumbel
+        top-k: draw ∝ exp(log_weight) by ranking
+        log_weight + Gumbel(u), Gumbel = −ln(−ln u) with u the
+        content-hash uniform — composing the green importance
+        weights with the A-ES machinery WITHOUT any exp() call
+        (ln is the empirically bit-equal transcendental across
+        these engines; exp is unproven, so the key stays in log
+        space). Deterministic and partitioning-invariant; on this
+        synthetic corpus the langs share one vocabulary, so the
+        weights are small vs the Gumbel noise and the skew is mild —
+        the planted-domain unit test is where the selection pressure
+        is visible (test_queries_misc).
+        Plan: the dsir scoring subtree + one broadcast-joined hash
+        projection + TakeOrderedAndProject(20)."""
+        docs = read_table(spark, sf_dir, "documents")
+        w = textfn.dsir_log_weights(
+            docs, F.col("lang") == "en", id_col="doc_id",
+            text_col="text", n_buckets=256,
+        )
+        u = (
+            F.conv(
+                F.substring(F.md5(F.col("text").cast("binary")), 1, 8),
+                16, 10,
+            ).cast("long")
+            + 1
+        ) / F.lit(4294967296.0)
+        keyed = w.join(
+            docs.select("doc_id", u.alias("_u")), "doc_id"
+        ).select(
+            "doc_id",
+            "is_target",
+            "log_weight",
+            (F.col("log_weight") - F.log(-F.log(F.col("_u")))).alias("_k"),
+        )
+        top = keyed.orderBy(F.desc("_k"), F.asc("doc_id")).limit(20)
+        rw = Window.orderBy(F.desc("_k"), F.asc("doc_id"))
+        return (
+            top.withColumn("rnk", F.row_number().over(rw).cast("int"))
+            .select("doc_id", "is_target", "log_weight", "rnk")
+        )
+
+
 @_q(
     "kfold_split_counts",
     """
@@ -8004,6 +8069,9 @@ def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, F.col("lang") == "en", id_col="doc_id", text_col="text",
         n_buckets=256,
     )
+
+
+_register_dsir_gumbel_sample()
 
 
 # ---------------------------------------------------------------------------
