@@ -152,6 +152,7 @@ BENCH_QUERIES_R4 = [
     "purchases_asof_state",
     "kfold_split_counts",
     "doc_unicode_normalize",
+    "dsir_gumbel_sample",
 ]
 
 
