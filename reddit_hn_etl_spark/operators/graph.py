@@ -328,6 +328,7 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     undirected: bool = True,
+    personalization: list | None = None,
 ) -> DataFrame:
     """PageRank by unrolled power iteration: (vertex, pagerank).
 
@@ -348,6 +349,12 @@ def pagerank(
     the float error of plain SUM aggregation is ~1e-19 absolute on
     O(1/N) ranks, nine orders below the rounding grid, and the
     damping contraction shrinks it every round).
+
+    ``personalization`` (a vertex list) switches to personalized
+    PageRank: teleport mass lands uniformly on that source set
+    instead of all vertices (p_v = 1/|S| on S, else 0; init = p) —
+    similarity-to-seed ranking for recommendation / related-item
+    queries. Vertices unreachable from S converge toward 0.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if undirected:
@@ -360,9 +367,21 @@ def pagerank(
     ed = e.join(deg, "src").localCheckpoint(eager=True)
     verts = deg.select(F.col("src").alias("vertex"))
     n = verts.agg(F.count("*").alias("n"))
-    ranks = verts.crossJoin(F.broadcast(n)).select(
-        "vertex", (F.lit(1.0) / F.col("n")).alias("pagerank")
-    )
+    if personalization is None:
+        base = verts.crossJoin(F.broadcast(n)).select(
+            "vertex", (F.lit(1.0) / F.col("n")).alias("p")
+        )
+    else:
+        seeds = sorted(set(personalization))
+        seed_df = edges.sparkSession.createDataFrame(
+            [(v,) for v in seeds], ["vertex"]
+        ).withColumn("p", F.lit(1.0 / len(seeds)))
+        base = verts.join(F.broadcast(seed_df), "vertex", "left").select(
+            "vertex", F.coalesce(F.col("p"), F.lit(0.0)).alias("p")
+        )
+    # the teleport vector is re-read every round — pin it once
+    base = base.localCheckpoint(eager=True)
+    ranks = base.select("vertex", F.col("p").alias("pagerank"))
     for _ in range(n_iter):
         contrib = ed.join(
             ranks, ed.src == ranks.vertex
@@ -371,12 +390,11 @@ def pagerank(
         )
         s = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
         ranks = (
-            verts.join(s, verts.vertex == s.dst, "left")
-            .crossJoin(F.broadcast(n))
+            base.join(s, base.vertex == s.dst, "left")
             .select(
                 "vertex",
                 (
-                    (F.lit(1.0) - F.lit(damping)) / F.col("n")
+                    (F.lit(1.0) - F.lit(damping)) * F.col("p")
                     + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
                 ).alias("pagerank"),
             )

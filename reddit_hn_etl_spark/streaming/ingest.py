@@ -827,3 +827,44 @@ def merged_distinct_users(spark: SparkSession, summary_dir: str) -> DataFrame:
             ).alias("distinct_users")
         )
     )
+
+
+def constraint_report_stream(
+    rows: DataFrame,
+    rules: dict,
+    report_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Streaming data-quality monitoring: every micro-batch runs the
+    one-scan `checks.constraint_report` suite and appends its
+    O(rules) summary rows stamped with the batch id — the
+    metrics-repository-over-time pattern (deequ's), on the same
+    the-index-is-the-state discipline as the sketch streams. Alerting
+    is a filter on the stored table (`passed = false`); replay-safe
+    via (batch_id, constraint) dedup at read."""
+    from ..operators.checks import constraint_report
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            constraint_report(batch_df, rules)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(report_dir)
+        )
+
+    return (
+        rows.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def constraint_history(spark: SparkSession, report_dir: str) -> DataFrame:
+    """(batch_id, constraint, n_rows, n_violations, passed) — the
+    stored quality time series, deduped for at-least-once appends."""
+    return spark.read.parquet(report_dir).dropDuplicates(
+        ["batch_id", "constraint"]
+    )

@@ -150,3 +150,41 @@ def test_pagerank_directed_mass_leaks_to_sinks(spark):
     # vertices = those with out-edges only (1, 3); sink 2 absorbs
     assert set(got) == {1, 3}
     assert sum(got.values()) < 1.0
+
+
+def test_personalized_pagerank_concentrates_on_seed_side(spark):
+    """Barbell graph 0-1-2 — 3 — 4-5-6 with seeds {0}: mass
+    concentrates on the seed side, matches a numpy reference with
+    the identical update, and total mass stays exactly 1 (undirected
+    ⇒ no leak)."""
+    import numpy as np
+
+    from reddit_hn_etl_spark.operators.graph import pagerank
+
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 6)]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    got = {
+        r["vertex"]: r["pagerank"]
+        for r in pagerank(
+            edges, n_iter=4, damping=0.875, personalization=[0]
+        ).collect()
+    }
+    assert abs(sum(got.values()) - 1.0) < 1e-12
+    assert got[0] > got[6]          # seed side dominates
+    assert got[1] > got[5]
+
+    sym = pairs + [(b, a) for a, b in pairs]
+    n = 7
+    deg = np.zeros(n)
+    for a, _ in sym:
+        deg[a] += 1
+    p = np.zeros(n)
+    p[0] = 1.0
+    r = p.copy()
+    for _ in range(4):
+        s = np.zeros(n)
+        for a, b in sym:
+            s[b] += r[a] / deg[a]
+        r = 0.125 * p + 0.875 * s
+    for v in range(n):
+        assert abs(got[v] - r[v]) < 1e-12

@@ -768,3 +768,61 @@ def test_distinct_users_sketch_stream_accuracy_and_replay(spark, tmp_path, sf_di
         for r in merged_distinct_users(spark, sdir).collect()
     }
     assert got2 == got
+
+
+def test_constraint_report_stream_tracks_violations_per_batch(spark, tmp_path):
+    """Three micro-batches, the middle one carrying planted
+    violations: the stored history pins rule results to the batch
+    that produced them, and a checkpointed re-run appends nothing."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from reddit_hn_etl_spark.streaming.ingest import (
+        constraint_history,
+        constraint_report_stream,
+    )
+
+    src = tmp_path / "cq_src"
+    src.mkdir()
+    batches = [
+        [(1, 10.0), (2, 20.0)],
+        [(3, -5.0), (4, 30.0), (5, None)],   # one negative, one NULL
+        [(6, 40.0)],
+    ]
+    import os as _os
+    for i, rows in enumerate(batches):
+        path = src / f"b{i}.jsonl"
+        with open(path, "w") as f:
+            for rid, amt in rows:
+                f.write(_json.dumps({"rid": rid, "amount": amt}) + "\n")
+        _os.utime(path, (1000 + i, 1000 + i))
+
+    rules = {"amount_positive": F.col("amount") > 0}
+
+    def run():
+        stream = (
+            spark.readStream.schema("rid long, amount double")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        q = constraint_report_stream(
+            stream, rules, str(tmp_path / "cq_rep"), str(tmp_path / "cq_ckpt")
+        )
+        q.awaitTermination(120)
+
+    run()
+    hist = {
+        r["batch_id"]: (r["n_rows"], r["n_violations"], r["passed"])
+        for r in constraint_history(spark, str(tmp_path / "cq_rep")).collect()
+    }
+    assert hist[0] == (2, 0, True)
+    assert hist[1] == (3, 1, False)  # NULL passes, only -5 violates
+    assert hist[2] == (1, 0, True)
+
+    run()  # replay: no new batches, history unchanged
+    hist2 = {
+        r["batch_id"]: (r["n_rows"], r["n_violations"], r["passed"])
+        for r in constraint_history(spark, str(tmp_path / "cq_rep")).collect()
+    }
+    assert hist2 == hist
