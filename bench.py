@@ -153,6 +153,7 @@ BENCH_QUERIES_R4 = [
     "kfold_split_counts",
     "doc_unicode_normalize",
     "dsir_gumbel_sample",
+    "related_customers_ppr",
 ]
 
 

@@ -7966,6 +7966,62 @@ def _register_dsir_gumbel_sample() -> None:
 
 
 @_q(
+    "related_customers_ppr",
+    """
+    WITH e0 AS (
+        SELECT c_custkey AS src, c_custkey // 2 AS dst
+        FROM customer WHERE c_custkey > 1
+    ),
+    e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+    deg AS (SELECT src AS v, COUNT(*) AS d FROM e GROUP BY src),
+    p AS (SELECT v, CASE WHEN v IN (1, 2, 3)
+                         THEN 1.0 / 3.0 ELSE 0.0 END AS pv FROM deg),
+    r0 AS (SELECT v, pv AS r FROM p),
+    i1 AS (SELECT e.dst AS v, SUM(r.r / d.d) AS s
+           FROM e JOIN r0 r ON r.v = e.src JOIN deg d ON d.v = e.src
+           GROUP BY e.dst),
+    r1 AS (SELECT p.v, 0.125 * p.pv + 0.875 * COALESCE(i1.s, 0.0) AS r
+           FROM p LEFT JOIN i1 ON p.v = i1.v),
+    i2 AS (SELECT e.dst AS v, SUM(r.r / d.d) AS s
+           FROM e JOIN r1 r ON r.v = e.src JOIN deg d ON d.v = e.src
+           GROUP BY e.dst),
+    r2 AS (SELECT p.v, 0.125 * p.pv + 0.875 * COALESCE(i2.s, 0.0) AS r
+           FROM p LEFT JOIN i2 ON p.v = i2.v),
+    i3 AS (SELECT e.dst AS v, SUM(r.r / d.d) AS s
+           FROM e JOIN r2 r ON r.v = e.src JOIN deg d ON d.v = e.src
+           GROUP BY e.dst),
+    r3 AS (SELECT p.v, 0.125 * p.pv + 0.875 * COALESCE(i3.s, 0.0) AS r
+           FROM p LEFT JOIN i3 ON p.v = i3.v)
+    SELECT v AS vertex, ROUND(r, 12) + 0.0 AS pagerank
+    FROM r3 WHERE r > 0
+    """,
+)
+def related_customers_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from seeds {1,2,3} over the undirected
+    referral tree (`graph.pagerank(personalization=...)`) — the
+    related-item / recommendation ranking: teleport mass stays on
+    the seed set, so rank measures proximity to the seeds rather
+    than global centrality. Same per-round join+agg shape and
+    ROUND(,12) float policy as the uniform sibling; vertices the
+    mass hasn't reached (rank exactly 0 after 3 rounds) are filtered
+    on BOTH sides, keeping the output the reachable neighborhood.
+    + 0.0 canonicalizes negative zero, like `doc_dsir_weights`."""
+    cust = read_table(spark, sf_dir, "customer")
+    edges = cust.where(F.col("c_custkey") > 1).select(
+        F.col("c_custkey").alias("src"),
+        (F.col("c_custkey") / 2).cast("long").alias("dst"),
+    )
+    pr = graph.pagerank(
+        edges, n_iter=3, damping=0.875, undirected=True,
+        personalization=[1, 2, 3],
+    )
+    return pr.where(F.col("pagerank") > 0).select(
+        "vertex",
+        (F.round("pagerank", 12) + F.lit(0.0)).alias("pagerank"),
+    )
+
+
+@_q(
     "kfold_split_counts",
     """
     WITH f AS (
