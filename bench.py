@@ -154,6 +154,14 @@ BENCH_QUERIES_R4 = [
     "doc_unicode_normalize",
     "dsir_gumbel_sample",
     "related_customers_ppr",
+    # r4 sixth session: order-based relational analytics + BFS +
+    # exact-moment statistics + privacy audit.
+    "parts_price_size_skyline",
+    "brand_copurchase_lift",
+    "referral_reach_bfs",
+    "order_value_percentiles",
+    "brand_price_regression",
+    "customer_kanonymity_risk",
 ]
 
 

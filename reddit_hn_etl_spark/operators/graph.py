@@ -400,3 +400,55 @@ def pagerank(
             )
         )
     return ranks
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "v",
+    undirected: bool = True,
+) -> DataFrame:
+    """Multi-source BFS: (vertex, dist) = min #hops from any seed,
+    for dist <= max_hops; unreached vertices are absent.
+
+    Frontier expansion, not relaxation: round i joins ONLY the
+    vertices first reached at distance i−1 against the edge list,
+    anti-joins out everything already settled, and unions the
+    remainder in at distance i. Each round is one equi-join + one
+    left-anti + one distinct — all shuffles on the vertex key, and
+    the frontier SHRINKS as the reachable set saturates (the
+    classic Pregel/GraphX BFS shape). The settled set and frontier
+    are localCheckpoint-ed per round so round i never re-executes
+    rounds 0..i−1 — lineage growth is what kills iterative
+    DataFrame jobs at scale, not the per-round cost.
+
+    Distances are exact small integers, so the query layer needs no
+    float policy at all; the DuckDB oracle is the textbook bounded
+    recursive CTE with MIN(d) GROUP BY v.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if undirected:
+        e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    e = e.distinct().localCheckpoint(eager=True)
+    settled = (
+        seeds.select(F.col(seed_col).alias("vertex"))
+        .distinct()
+        .withColumn("dist", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = settled
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["vertex"] == e["src"])
+            .select(F.col("dst").alias("vertex"))
+            .distinct()
+            .join(settled.select("vertex"), "vertex", "left_anti")
+            .withColumn("dist", F.lit(hop))
+            .localCheckpoint(eager=True)
+        )
+        settled = settled.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return settled

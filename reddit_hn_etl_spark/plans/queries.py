@@ -30,7 +30,16 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import scalars, text as textfn
-from ..operators import checks, cleaning, dedup, graph, kmeans, merge, similarity
+from ..operators import (
+    checks,
+    cleaning,
+    dedup,
+    graph,
+    kmeans,
+    merge,
+    relational,
+    similarity,
+)
 from ..sources.tables import read_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -8269,6 +8278,359 @@ def orders_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders, cust, fk="o_custkey", pk="c_custkey", constraint="custkey_fk"
     )
     return report.unionByName(fk)
+
+
+# ---------------------------------------------------------------------------
+# Skyline / Pareto-front operator (operators/relational.skyline_2d):
+# the sort-based O(n log n) plan vs the oracle's textbook O(n²)
+# NOT EXISTS dominance definition — two independently-derived
+# formulations cross-checking each other. Dominance here: within a
+# brand, a part is dominated if another part is no more expensive
+# AND no smaller, strictly better on at least one.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "parts_price_size_skyline",
+    """
+    SELECT p_brand, p_partkey, p_retailprice, p_size
+    FROM part a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part b
+        WHERE b.p_brand = a.p_brand
+          AND b.p_retailprice <= a.p_retailprice
+          AND b.p_size >= a.p_size
+          AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size)
+    )
+    """,
+)
+def parts_price_size_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand skyline of (retail price ↓, size ↑). The operator's
+    plan is two key-bounded shuffles (group-by + window) regardless
+    of row count — the NOT EXISTS pair formulation the oracle runs
+    would be a quadratic theta-join at scale. Raw double price is
+    compared, never arithmetic'd, so no float policy is needed."""
+    part = read_table(spark, sf_dir, "part")
+    return relational.skyline_2d(
+        part,
+        group_cols=["p_brand"],
+        min_col="p_retailprice",
+        max_col="p_size",
+    ).select("p_brand", "p_partkey", "p_retailprice", "p_size")
+
+
+# ---------------------------------------------------------------------------
+# Market-basket co-occurrence (operators/relational.cooccurrence_
+# pairs): support + lift over brands bought in the same order — the
+# frequent-pair step of association-rule mining (Agrawal &
+# Srikant, VLDB 1994), grouped to the brand dimension so the
+# within-basket pair fan-out stays bounded at any scale.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "brand_copurchase_lift",
+    """
+    WITH inc AS (
+        SELECT DISTINCT l.l_orderkey AS b, p.p_brand AS item
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    pairs AS (
+        SELECT a.item AS item_a, b.item AS item_b,
+               COUNT(*) AS pair_baskets
+        FROM inc a JOIN inc b ON a.b = b.b AND a.item < b.item
+        GROUP BY a.item, b.item
+    ),
+    ic AS (SELECT item, COUNT(*) AS icnt FROM inc GROUP BY item),
+    nb AS (SELECT COUNT(DISTINCT b) AS n FROM inc)
+    SELECT p.item_a, p.item_b, p.pair_baskets,
+           ca.icnt AS baskets_a, cb.icnt AS baskets_b,
+           CAST(nb.n AS INTEGER) AS n_baskets,
+           (CAST(p.pair_baskets AS DOUBLE) * CAST(nb.n AS DOUBLE))
+               / (CAST(ca.icnt AS DOUBLE) * CAST(cb.icnt AS DOUBLE))
+               AS lift
+    FROM pairs p
+    JOIN ic ca ON ca.item = p.item_a
+    JOIN ic cb ON cb.item = p.item_b
+    CROSS JOIN nb
+    WHERE p.pair_baskets >= 5
+    """,
+)
+def brand_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand pairs co-purchased in the same order, with lift. The
+    pair join shuffles on the ORDER key (bounded ~6 brand pairs per
+    4-line order); brand totals are broadcast back. lift is one
+    double product/quotient of four exact integer counts — the same
+    expression tree on both engines is bit-identical, no rounding
+    needed."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    inc = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"]).select(
+        F.col("l_orderkey").alias("basket"), F.col("p_brand").alias("item")
+    )
+    out = relational.cooccurrence_pairs(inc, basket_col="basket", item_col="item")
+    return out.where(F.col("pair_baskets") >= 5).select(
+        "item_a",
+        "item_b",
+        "pair_baskets",
+        "baskets_a",
+        "baskets_b",
+        F.col("n_baskets").cast("int").alias("n_baskets"),
+        "lift",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-source BFS (operators/graph.bfs_distances) over the customer
+# referral tree: min-hop distance from a scattered seed set, capped.
+# The frontier-expansion rounds are the Pregel shape; the oracle is
+# the textbook bounded recursive CTE with MIN(d).
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "referral_reach_bfs",
+    """
+    WITH RECURSIVE
+    e0 AS (
+        SELECT c_custkey AS src, CAST(c_custkey // 2 AS BIGINT) AS dst
+        FROM customer WHERE c_custkey > 1
+    ),
+    e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+    reach(v, d) AS (
+        SELECT c_custkey, 0 FROM customer WHERE c_custkey % 29 = 0
+        UNION
+        SELECT e.dst, r.d + 1
+        FROM reach r JOIN e ON e.src = r.v
+        WHERE r.d < 3
+    )
+    SELECT v AS vertex, CAST(MIN(d) AS INTEGER) AS dist
+    FROM reach GROUP BY v
+    """,
+)
+def referral_reach_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop distance (≤3) from seed customers (custkey % 29 == 0)
+    over the undirected referral tree (parent = custkey div 2).
+    Frontier BFS: each round joins ONLY the newly-settled frontier
+    against the edges and anti-joins the settled set — the frontier
+    shrinks as coverage saturates, unlike re-relaxing all vertices
+    every round. Output is exact integers; no float policy."""
+    cust = read_table(spark, sf_dir, "customer")
+    edges = cust.where(F.col("c_custkey") > 1).select(
+        F.col("c_custkey").alias("src"),
+        (F.col("c_custkey") / 2).cast("long").alias("dst"),
+    )
+    seeds = cust.where(F.col("c_custkey") % 29 == 0).select(
+        F.col("c_custkey").alias("v")
+    )
+    out = graph.bfs_distances(edges, seeds, max_hops=3)
+    return out.select("vertex", F.col("dist").cast("int").alias("dist"))
+
+
+# ---------------------------------------------------------------------------
+# Exact interpolated percentiles on integer cents, at binary-exact
+# quantiles only. q ∈ {0.25, 0.5, 0.75} are exact binary fractions,
+# and the interpolation endpoints are integers, so lo + (hi−lo)·f and
+# (1−f)·lo + f·hi are the SAME exact rational — Spark's percentile()
+# and DuckDB's quantile_cont() agree to the bit even though their
+# interpolation formulas differ in association. (q = 0.9 would NOT
+# be safe: 0.9 has no finite binary expansion.)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "order_value_percentiles",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS INTEGER) AS n_orders,
+           quantile_cont(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                              AS BIGINT), 0.25) AS p25_cents,
+           quantile_cont(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                              AS BIGINT), 0.50) AS p50_cents,
+           quantile_cont(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                              AS BIGINT), 0.75) AS p75_cents
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartiles of order value per priority, on exact cents. Exact
+    percentile is a sort-within-group — fine per group key at any
+    scale since groups partition the data (for a single global
+    percentile at 100 TB the approx_percentile sketch is the scale
+    path; this query is the per-group exact form)."""
+    orders = read_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    return (
+        orders.select("o_orderpriority", cents.alias("_cents"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_orders"),
+            F.percentile("_cents", F.lit(0.25)).alias("p25_cents"),
+            F.percentile("_cents", F.lit(0.50)).alias("p50_cents"),
+            F.percentile("_cents", F.lit(0.75)).alias("p75_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# OLS regression per group from exact integer moment sums: slope /
+# intercept / r² of retail price (cents) on size, per brand. All five
+# moments are exact int64 SUMs (order-independent), and the closed
+# forms are evaluated from those identical integers on both engines;
+# ROUND(,6) absorbs any FMA-contraction ulps in the long double
+# expressions (the kmeans lesson). Spark's regr_slope/regr_r2
+# built-ins are cross-checked against these closed forms in pytest.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "brand_price_regression",
+    """
+    WITH m AS (
+        SELECT p_brand,
+               COUNT(*) AS n,
+               SUM(CAST(p_size AS BIGINT)) AS sx,
+               SUM(CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT)) AS sy,
+               SUM(CAST(p_size AS BIGINT)
+                   * CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT)) AS sxy,
+               SUM(CAST(p_size AS BIGINT) * CAST(p_size AS BIGINT)) AS sxx,
+               SUM(CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   * CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT)) AS syy
+        FROM part GROUP BY p_brand
+    )
+    SELECT p_brand, CAST(n AS INTEGER) AS n_parts,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+               AS slope_cents_per_size,
+           ROUND((CAST(sy AS DOUBLE)
+                  - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6)
+               AS intercept_cents,
+           ROUND(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+                 / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+               AS r2
+    FROM m
+    """,
+)
+def brand_price_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand OLS of price-cents on size via the five-moment
+    closed form. One partial/final integer aggregation per brand —
+    the classic single-pass distributed regression; the driver never
+    sees row data. n·Σy² (~6e19 at sf0.1) exceeds int64, so every
+    closed form converts the EXACT integer moments to double first —
+    both engines see identical inputs."""
+    part = read_table(spark, sf_dir, "part")
+    ycents = (F.col("p_retailprice").cast("decimal(18,2)") * 100).cast("bigint")
+    x = F.col("p_size").cast("bigint")
+    m = part.select("p_brand", x.alias("_x"), ycents.alias("_y")).groupBy(
+        "p_brand"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_x").alias("sx"),
+        F.sum("_y").alias("sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    r2 = ((n * sxy - sx * sy) * (n * sxy - sx * sy)) / (
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    return m.select(
+        "p_brand",
+        F.col("n").cast("int").alias("n_parts"),
+        F.round(slope, 6).alias("slope_cents_per_size"),
+        F.round(intercept, 6).alias("intercept_cents"),
+        F.round(r2, 6).alias("r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit (Sweeney 2002): group sizes over a quasi-
+# identifier tuple — the privacy-risk check a training-data release
+# pipeline runs next to PII redaction. Rows whose QI group has
+# fewer than k members are re-identifiable; report the risk mass
+# per market segment.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "customer_kanonymity_risk",
+    """
+    WITH g AS (
+        SELECT c_mktsegment, c_nationkey,
+               CAST(FLOOR(CAST(c_acctbal AS DECIMAL(18,2)) / 1000)
+                    AS BIGINT) AS bal_bucket,
+               COUNT(*) AS gsize
+        FROM customer
+        GROUP BY c_mktsegment, c_nationkey, bal_bucket
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS INTEGER) AS n_groups,
+           CAST(SUM(gsize) AS INTEGER) AS n_rows,
+           CAST(count_if(gsize < 5) AS INTEGER) AS n_small_groups,
+           CAST(COALESCE(SUM(gsize) FILTER (WHERE gsize < 5), 0)
+                AS INTEGER) AS n_rows_at_risk,
+           CAST(COALESCE(SUM(gsize) FILTER (WHERE gsize < 5), 0)
+                AS DOUBLE) / SUM(gsize) AS risk_frac,
+           CAST(MIN(gsize) AS INTEGER) AS min_group_size
+    FROM g GROUP BY c_mktsegment
+    """,
+)
+def customer_kanonymity_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity (k=5) over QI = (segment, nation, $1000 balance
+    bucket). Two-level aggregation: group sizes shuffle once on the
+    QI tuple, the per-segment risk rollup is a second key-bounded
+    agg — both partial/final at scale. The bucket edge uses exact
+    DECIMAL division so boundary balances land identically on both
+    engines; risk_frac is one int/int double division."""
+    cust = read_table(spark, sf_dir, "customer")
+    bucket = F.floor(
+        F.col("c_acctbal").cast("decimal(18,2)") / 1000
+    ).cast("bigint")
+    g = cust.select(
+        "c_mktsegment", "c_nationkey", bucket.alias("bal_bucket")
+    ).groupBy("c_mktsegment", "c_nationkey", "bal_bucket").agg(
+        F.count(F.lit(1)).alias("gsize")
+    )
+    small = F.col("gsize") < 5
+    return g.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("int").alias("n_groups"),
+        F.sum("gsize").cast("int").alias("n_rows"),
+        F.sum(small.cast("int")).cast("int").alias("n_small_groups"),
+        F.coalesce(
+            F.sum(F.when(small, F.col("gsize"))), F.lit(0)
+        ).cast("int").alias("n_rows_at_risk"),
+        (
+            F.coalesce(F.sum(F.when(small, F.col("gsize"))), F.lit(0)).cast(
+                "double"
+            )
+            / F.sum("gsize")
+        ).alias("risk_frac"),
+        F.min("gsize").cast("int").alias("min_group_size"),
+    )
 
 
 # ---------------------------------------------------------------------------

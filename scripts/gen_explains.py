@@ -100,6 +100,12 @@ NOTES = {
     "purchases_asof_state": "Validity-interval AS-OF join: equality on user_id drives the ONE hash shuffle; the [from, to) containment predicate rides as a residual join filter, and non-overlapping intervals guarantee exactly one match per fact — no range-join explosion, no per-row subquery.",
     "kfold_split_counts": "Deterministic k-fold assignment: the fold is a pure md5-bucket projection (no RNG state to coordinate across executors), one partial/final agg for the per-fold summary — fold membership is reproducible on any engine, partitioning, or day.",
     "doc_unicode_normalize": "Text canonicalization: the one Python-touching op in the cleaning family — an Arrow-batched vectorized str.normalize (ArrowEvalPython in the plan), zero shuffles; everything around it stays codegen'd projection.",
+    "parts_price_size_skyline": "Skyline via sort, not pairs: one group-by on (brand, price) + one window over brand ordered by price replaces the O(n²) NOT EXISTS dominance join the oracle runs — the only skyline formulation whose shuffle volume is O(n) at 100 TB. The join back to the base rows is on the same (brand, price) keys, so AQE can reuse the partitioning.",
+    "brand_copurchase_lift": "Market-basket pairs: the self-join shuffles on the ORDER key where each side is the distinct (order, brand) incidence — pair fan-out is Σc(b)² with c(b)≈4, never n². Brand totals and the basket count are broadcast 25-row/1-row aggregates; lift is a pure projection of four integer counts.",
+    "referral_reach_bfs": "Frontier BFS, 3 unrolled rounds: each round joins ONLY the newly-settled frontier (shrinking) against the checkpointed edge list, anti-joins the settled set, and unions the survivors — never re-relaxes settled vertices. Scan ExistingRDD shows the per-round checkpoint that caps lineage; all shuffles key on the vertex id.",
+    "order_value_percentiles": "Exact per-group quartiles: percentile() sorts within each of 5 priority groups after one partial-free shuffle — correct and bounded because the groups PARTITION the table; a single global exact percentile at 100 TB would instead use the approx_percentile sketch (documented switch, same shape as heavy_hitters).",
+    "brand_price_regression": "Single-pass OLS: five integer moment sums per brand in ONE partial/final agg — the map-side combine does almost all the work, 25 rows reach the final stage, and the closed forms are projections. The textbook two-pass (mean-centered) formulation would double the scans for no exactness gain on int64 moments.",
+    "customer_kanonymity_risk": "Privacy audit: QI group sizes shuffle once on the (segment, nation, bucket) tuple with map-side combine, then a 5-row rollup — adding QI columns widens the key, never adds a pass. The risk fraction is one int/int division at the end.",
 }
 
 

@@ -830,3 +830,176 @@ def test_cluster_means_quantized_partitioning_invariant(spark, vecs, parts):
         gn, gmean = got[key]
         assert gn == n
         assert gmean == (float(ssum) / 1_000_000.0) / n
+
+
+# --- skyline_2d vs brute-force dominance ---------------------------------
+
+sky_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["g1", "g2"]),
+        st.integers(min_value=0, max_value=6),   # min_col (cost)
+        st.integers(min_value=0, max_value=6),   # max_col (benefit)
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+
+def _brute_skyline(rows):
+    keep = []
+    for i, (g, c, b) in enumerate(rows):
+        dominated = any(
+            g2 == g and c2 <= c and b2 >= b and (c2 < c or b2 > b)
+            for j, (g2, c2, b2) in enumerate(rows)
+            if j != i
+        )
+        if not dominated:
+            keep.append((g, c, b))
+    return sorted(keep)
+
+
+@given(rows=sky_strategy)
+@SET
+def test_skyline_matches_bruteforce(spark, rows):
+    from reddit_hn_etl_spark.operators.relational import skyline_2d
+
+    df = spark.createDataFrame(rows, "g string, cost long, benefit long")
+    got = sorted(
+        (r.g, r.cost, r.benefit)
+        for r in skyline_2d(
+            df, group_cols=["g"], min_col="cost", max_col="benefit"
+        ).collect()
+    )
+    assert got == _brute_skyline(rows)
+
+
+# --- cooccurrence_pairs vs brute-force counting --------------------------
+
+basket_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),       # basket
+        st.sampled_from(["w", "x", "y", "z"]),       # item
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+
+@given(rows=basket_strategy)
+@SET
+def test_cooccurrence_matches_bruteforce(spark, rows):
+    from reddit_hn_etl_spark.operators.relational import cooccurrence_pairs
+
+    df = spark.createDataFrame(
+        rows or [(0, "w")], "basket long, item string"
+    )
+    out = {
+        (r.item_a, r.item_b): (
+            r.pair_baskets, r.baskets_a, r.baskets_b, r.n_baskets
+        )
+        for r in cooccurrence_pairs(
+            df, basket_col="basket", item_col="item"
+        ).collect()
+    }
+
+    inc = set(rows or [(0, "w")])
+    baskets = {}
+    for b, i in inc:
+        baskets.setdefault(b, set()).add(i)
+    item_cnt = {}
+    for b, items in baskets.items():
+        for i in items:
+            item_cnt[i] = item_cnt.get(i, 0) + 1
+    want = {}
+    for b, items in baskets.items():
+        s = sorted(items)
+        for i in range(len(s)):
+            for j in range(i + 1, len(s)):
+                k = (s[i], s[j])
+                want[k] = want.get(k, 0) + 1
+    expected = {
+        k: (v, item_cnt[k[0]], item_cnt[k[1]], len(baskets))
+        for k, v in want.items()
+    }
+    assert out == expected
+
+
+# --- bfs_distances vs brute-force BFS ------------------------------------
+
+bfs_strategy = st.tuples(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=0, max_value=9),
+        ),
+        min_size=0,
+        max_size=20,
+    ),
+    st.sets(st.integers(min_value=0, max_value=9), min_size=1, max_size=3),
+    st.integers(min_value=0, max_value=3),
+)
+
+
+def _brute_bfs(edges, seeds, max_hops):
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    dist = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for h in range(1, max_hops + 1):
+        nxt = set()
+        for v in frontier:
+            for u in adj.get(v, ()):
+                if u not in dist:
+                    nxt.add(u)
+        for u in nxt:
+            dist[u] = h
+        frontier = nxt
+    return dist
+
+
+@given(data=bfs_strategy)
+@SET
+def test_bfs_distances_match_bruteforce(spark, data):
+    from reddit_hn_etl_spark.operators.graph import bfs_distances
+
+    edges, seeds, max_hops = data
+    edf = spark.createDataFrame(
+        edges or [(0, 0)], "src long, dst long"
+    )
+    sdf = spark.createDataFrame([(s,) for s in seeds], "v long")
+    got = {
+        r.vertex: r.dist
+        for r in bfs_distances(edf, sdf, max_hops=max_hops).collect()
+    }
+    assert got == _brute_bfs(edges or [(0, 0)], seeds, max_hops)
+
+
+def test_builtin_regr_matches_moment_closed_form(spark):
+    """Spark's regr_slope/regr_intercept/regr_r2 vs the five-moment
+    closed form used by the brand_price_regression oracle — the
+    built-ins are demonstrated here, the query layer keeps the
+    exact-integer-moment formulation for cross-engine bit stability.
+    """
+    rows = [(1.0, 2.0), (2.0, 2.5), (3.0, 5.0), (4.0, 4.5), (5.0, 7.0)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    got = df.select(
+        F.regr_slope("y", "x").alias("slope"),
+        F.regr_intercept("y", "x").alias("intercept"),
+        F.regr_r2("y", "x").alias("r2"),
+    ).collect()[0]
+    n = len(rows)
+    sx = sum(x for x, _ in rows)
+    sy = sum(y for _, y in rows)
+    sxy = sum(x * y for x, y in rows)
+    sxx = sum(x * x for x, _ in rows)
+    syy = sum(y * y for _, y in rows)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    r2 = ((n * sxy - sx * sy) ** 2) / (
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    assert abs(got.slope - slope) < 1e-9
+    assert abs(got.intercept - intercept) < 1e-9
+    assert abs(got.r2 - r2) < 1e-9
