@@ -162,6 +162,10 @@ BENCH_QUERIES_R4 = [
     "order_value_percentiles",
     "brand_price_regression",
     "customer_kanonymity_risk",
+    "doc_c4_rules",
+    "hard_negative_mining",
+    "source_mixture_weights",
+    "doc_chunks_udtf",
 ]
 
 

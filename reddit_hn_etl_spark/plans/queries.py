@@ -8634,6 +8634,307 @@ def customer_kanonymity_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# C4 cleaning rules (Raffel et al. 2020 §2.2): the line-level and
+# document-level heuristics the C4 corpus applied — short-line
+# removal, "lorem ipsum" and brace (code) document drops. Like
+# doc_boilerplate_strip, the single-line synthetic corpus gets its
+# line structure planted deterministically in BOTH engines so every
+# rule fires on a known subset at every SF.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "doc_c4_rules",
+    r"""
+    WITH built AS (
+        SELECT doc_id,
+               concat(
+                   text,
+                   CASE WHEN doc_id % 7 = 0
+                        THEN concat(chr(10), 'too short line') END,
+                   CASE WHEN doc_id % 11 = 0
+                        THEN concat(chr(10),
+                                    'lorem ipsum dolor sit amet filler')
+                        END,
+                   CASE WHEN doc_id % 13 = 0
+                        THEN concat(chr(10), 'function() { return code }')
+                        END
+               ) AS text
+        FROM documents
+    ),
+    lined AS (
+        SELECT doc_id, string_split(text, chr(10)) AS lines FROM built
+    ),
+    m AS (
+        SELECT doc_id,
+               len(lines) AS n_lines,
+               len(list_filter(lines,
+                   x -> len(list_filter(string_split_regex(x, '\s+'),
+                                        w -> w <> '')) >= 5))
+                   AS n_kept_lines,
+               contains(lower(array_to_string(lines, chr(10))),
+                        'lorem ipsum') AS has_lorem,
+               contains(array_to_string(lines, chr(10)), '{') AS has_brace
+        FROM lined
+    )
+    SELECT doc_id,
+           CAST(n_lines AS INTEGER) AS n_lines,
+           CAST(n_kept_lines AS INTEGER) AS n_kept_lines,
+           has_lorem, has_brace,
+           CAST(n_kept_lines AS DOUBLE) / n_lines AS kept_line_frac,
+           (NOT has_lorem) AND (NOT has_brace) AND n_kept_lines >= 1
+               AS c4_keep
+    FROM m
+    """,
+)
+def doc_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 document heuristics over a deterministically planted line
+    structure: doc_id%7 gains a 3-word line (dropped by the ≥5-word
+    line rule), %11 a lorem-ipsum line (document dropped), %13 a
+    brace line (document dropped). Pure projection with higher-order
+    list functions — zero shuffles at any scale; the ratio is one
+    int/int division."""
+    docs = read_table(spark, sf_dir, "documents")
+    nl = F.lit("\n")
+    built = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0, F.concat(nl, F.lit("too short line"))
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(nl, F.lit("lorem ipsum dolor sit amet filler")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.concat(nl, F.lit("function() { return code }")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    lines = F.split(F.col("text"), "\n")
+    words = lambda x: F.filter(F.split(F.trim(x), r"\s+"), lambda w: w != "")
+    n_lines = F.size(lines)
+    n_kept = F.size(F.filter(lines, lambda x: F.size(words(x)) >= 5))
+    has_lorem = F.lower(F.col("text")).contains("lorem ipsum")
+    has_brace = F.col("text").contains("{")
+    return built.select(
+        "doc_id",
+        n_lines.cast("int").alias("n_lines"),
+        n_kept.cast("int").alias("n_kept_lines"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        (n_kept.cast("double") / n_lines).alias("kept_line_frac"),
+        (~has_lorem & ~has_brace & (n_kept >= 1)).alias("c4_keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining for contrastive training (e.g. DPR, Karpukhin
+# et al. 2020): for each query vector, the nearest neighbors whose
+# LABEL differs — the "looks similar, is different" examples a
+# contrastive objective needs. Same broadcast-scored shape as
+# knn_cosine with a label-inequality predicate before the top-k.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "hard_negative_mining",
+    """
+    WITH q AS (
+        SELECT vec_id AS query_id, label AS query_label,
+               CAST(embedding AS DOUBLE[]) AS qe
+        FROM embeddings WHERE vec_id < 5
+    ),
+    scored AS (
+        SELECT q.query_id, q.query_label, e.vec_id, e.label AS neg_label,
+               list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[]))
+                   AS cos
+        FROM q JOIN embeddings e ON e.label <> q.query_label
+    )
+    SELECT query_id, CAST(query_label AS INTEGER) AS query_label,
+           vec_id, CAST(neg_label AS INTEGER) AS neg_label,
+           ROUND(cos, 4) AS cosine_sim, CAST(rn AS INTEGER) AS rnk
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
+        FROM scored
+    ) t
+    WHERE rn <= 5
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 cross-label neighbors per query. The label filter rides
+    the broadcast cross join as a cheap predicate BEFORE scoring, so
+    mining negatives costs the same one corpus scan as plain kNN;
+    top-k is a windowed rank over the small query dimension."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("embedding").alias("_qvec"),
+        similarity.l2_norm(F.col("embedding")).alias("_qn"),
+    )
+    c = emb.select(
+        "vec_id",
+        F.col("label").alias("neg_label"),
+        "embedding",
+        similarity.l2_norm(F.col("embedding")).alias("_cn"),
+    )
+    scored = (
+        c.join(
+            F.broadcast(q), F.col("neg_label") != F.col("query_label")
+        ).select(
+            "query_id",
+            "query_label",
+            "vec_id",
+            "neg_label",
+            (
+                similarity.dot(F.col("_qvec"), F.col("embedding"))
+                / (F.col("_qn") * F.col("_cn"))
+            ).alias("_cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select(
+            "query_id",
+            F.col("query_label").cast("int").alias("query_label"),
+            "vec_id",
+            F.col("neg_label").cast("int").alias("neg_label"),
+            F.round("_cos", 4).alias("cosine_sim"),
+            F.col("rnk").cast("int"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-mixture reweighting: per-source token mass → the sampling
+# weight that achieves a target mixture (uniform here), with an
+# epoch cap — the bookkeeping step between corpus stats and a
+# sampler (the weights feed the existing A-ES weighted sampler).
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "source_mixture_weights",
+    r"""
+    WITH s AS (
+        SELECT source,
+               COUNT(*) AS n_docs,
+               SUM(len(list_filter(string_split_regex(text, '\s+'),
+                                   w -> w <> ''))) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    t AS (SELECT SUM(n_tokens) AS total, COUNT(*) AS n_sources FROM s)
+    SELECT s.source,
+           CAST(s.n_docs AS INTEGER) AS n_docs,
+           s.n_tokens,
+           CAST(s.n_tokens AS DOUBLE) / t.total AS natural_share,
+           (CAST(t.total AS DOUBLE) / t.n_sources) / s.n_tokens
+               AS mixture_weight,
+           LEAST((CAST(t.total AS DOUBLE) / t.n_sources) / s.n_tokens,
+                 2.5) AS capped_weight
+    FROM s CROSS JOIN t
+    """,
+)
+def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform-target mixture weights per source: weight =
+    target_share / natural_share, capped at 2.5 epochs (the "don't
+    repeat a small source forever" guard). One token-count agg per
+    source plus a broadcast 1-row total; every share/weight is a
+    single double expression over exact integer counts — bit-equal
+    cross-engine with no rounding."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
+    s = docs.select("source", F.size(toks).alias("_nt")).groupBy("source").agg(
+        F.count(F.lit(1)).cast("int").alias("n_docs"),
+        F.sum("_nt").alias("n_tokens"),
+    )
+    t = s.agg(
+        F.sum("n_tokens").alias("_total"),
+        F.count(F.lit(1)).alias("_n_sources"),
+    )
+    joined = s.crossJoin(F.broadcast(t))
+    weight = (F.col("_total").cast("double") / F.col("_n_sources")) / F.col(
+        "n_tokens"
+    )
+    return joined.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / F.col("_total")).alias(
+            "natural_share"
+        ),
+        weight.alias("mixture_weight"),
+        F.least(weight, F.lit(2.5)).alias("capped_weight"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF chunker (Spark 4 UDTF API, functions/udtfs.py): the
+# row-multiplying Python extension point, called via SQL LATERAL
+# correlation. The DuckDB oracle derives the identical chunk set
+# from the closed form K = ceil((n−size)/stride); the
+# DataFrame-native `doc_chunking` query remains the scale path.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "doc_chunks_udtf",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), w -> w <> '')
+                   AS w
+        FROM documents WHERE doc_id % 10 = 0
+    ),
+    sized AS (
+        SELECT doc_id, w, len(w) AS n,
+               CASE WHEN len(w) <= 16 THEN 0
+                    ELSE CAST(CEIL((len(w) - 16) / 12.0) AS BIGINT) END
+                   AS max_k
+        FROM toks WHERE len(w) > 0
+    ),
+    chunks AS (
+        SELECT doc_id, k AS chunk_idx,
+               list_slice(w, k * 12 + 1, k * 12 + 16) AS c
+        FROM sized, LATERAL (
+            SELECT unnest(generate_series(0, max_k)) AS k
+        ) g
+    )
+    SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+           CAST(len(c) AS INTEGER) AS n_chunk_tokens,
+           array_to_string(c, ' ') AS chunk_text
+    FROM chunks
+    """,
+)
+def doc_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token chunks (window 16, stride 12, tail kept) emitted by the
+    ChunkTokens Python UDTF through SQL LATERAL — one Arrow-batched
+    Python stage, no shuffle (the expansion happens in-task). The
+    docs subset keeps the Python path small; scale chunking uses the
+    builtin-only doc_chunking plan."""
+    from ..functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    docs.where(F.col("doc_id") % 10 == 0).createOrReplaceTempView(
+        "_udtf_chunk_docs"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.n_chunk_tokens, c.chunk_text
+        FROM _udtf_chunk_docs d,
+             LATERAL chunk_tokens(d.text, 16, 12) c
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window.
 #
 # The driver hard-verifies (rows + schema + value hash vs the DuckDB

@@ -106,6 +106,10 @@ NOTES = {
     "order_value_percentiles": "Exact per-group quartiles: percentile() sorts within each of 5 priority groups after one partial-free shuffle — correct and bounded because the groups PARTITION the table; a single global exact percentile at 100 TB would instead use the approx_percentile sketch (documented switch, same shape as heavy_hitters).",
     "brand_price_regression": "Single-pass OLS: five integer moment sums per brand in ONE partial/final agg — the map-side combine does almost all the work, 25 rows reach the final stage, and the closed forms are projections. The textbook two-pass (mean-centered) formulation would double the scans for no exactness gain on int64 moments.",
     "customer_kanonymity_risk": "Privacy audit: QI group sizes shuffle once on the (segment, nation, bucket) tuple with map-side combine, then a 5-row rollup — adding QI columns widens the key, never adds a pass. The risk fraction is one int/int division at the end.",
+    "doc_c4_rules": "C4 heuristics: every rule (short-line, lorem-ipsum, brace) is a higher-order list expression over the planted line structure — one codegen'd projection stage, zero shuffles, embarrassingly parallel at any corpus size.",
+    "hard_negative_mining": "Contrastive negatives: the label-inequality predicate rides the broadcast join BEFORE scoring, so cross-label mining costs exactly one corpus scan like plain kNN; norms are computed once per side pre-join and the per-query top-5 is a windowed rank over the tiny query dimension.",
+    "source_mixture_weights": "Mixture bookkeeping: one token-count agg per source (partial-aggregatable), the corpus total as a broadcast 1-row aggregate, every weight a pure projection — the output is O(#sources) rows feeding the A-ES weighted sampler.",
+    "doc_chunks_udtf": "Python UDTF path: ArrowEvalPythonUDTF in-task row expansion via SQL LATERAL — no shuffle, batch Arrow transfer; the plan shows the one Python stage this API costs, which is why the builtin-only doc_chunking plan stays the scale path.",
 }
 
 
