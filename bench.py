@@ -166,6 +166,11 @@ BENCH_QUERIES_R4 = [
     "hard_negative_mining",
     "source_mixture_weights",
     "doc_chunks_udtf",
+    "daily_value_cusum",
+    "robust_value_outliers",
+    "incremental_daily_metrics",
+    "order_value_equidepth_hist",
+    "customer_name_jw_pairs",
 ]
 
 

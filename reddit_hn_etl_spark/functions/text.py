@@ -306,3 +306,92 @@ def dsir_log_weights(
             + F.lit(0.0)
         ).alias("log_weight"),
     )
+
+
+def jaro_winkler_py(a, b):
+    """Scalar Jaro-Winkler (DuckDB 1.x convention) — the pure-
+    Python kernel behind jaro_winkler_pandas_udf, exposed for
+    direct differential testing against DuckDB's C++ one."""
+    if a is None or b is None:
+        return None
+    la, lb = len(a), len(b)
+    # DuckDB convention: ANY empty operand (including both) scores 0
+    if la == 0 or lb == 0:
+        return 0.0
+    window = max(la, lb) // 2 - 1
+    if window < 0:
+        window = 0
+    amatch = [False] * la
+    bmatch = [False] * lb
+    m = 0
+    for i in range(la):
+        lo = i - window if i - window > 0 else 0
+        hi = i + window + 1 if i + window + 1 < lb else lb
+        for j in range(lo, hi):
+            if not bmatch[j] and a[i] == b[j]:
+                amatch[i] = True
+                bmatch[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    t = 0
+    j = 0
+    for i in range(la):
+        if amatch[i]:
+            while not bmatch[j]:
+                j += 1
+            if a[i] != b[j]:
+                t += 1
+            j += 1
+    t //= 2
+    jaro = (m / la + m / lb + (m - t) / m) / 3.0
+    if jaro > 0.7:
+        prefix = 0
+        for i in range(min(4, la, lb)):
+            if a[i] == b[i]:
+                prefix += 1
+            else:
+                break
+        jaro = jaro + prefix * 0.1 * (1.0 - jaro)
+    return jaro
+
+
+def jaro_winkler_pandas_udf():
+    """Arrow-batched Jaro-Winkler similarity (Winkler 1990), the
+    fuzzy-matching primitive for entity resolution. Spark has no
+    builtin (DuckDB does), so this is the engine's one deliberate
+    scalar Pandas UDF: the differential gate checks a from-scratch
+    Python implementation against DuckDB's independent C++ one —
+    much stronger evidence than two calls into the same library.
+
+    Convention (matches DuckDB 1.x): match window
+    ``max(|a|,|b|)//2 − 1``, transpositions = half the mismatched
+    aligned matches, and the Winkler prefix boost (≤4 chars, weight
+    0.1) applied only when the Jaro score exceeds 0.7. Query layers
+    must compare ROUND(sim, 6): sum association inside the Jaro
+    average can differ from C++ by an ulp.
+
+    Cost note (SURVEY §2.10): the per-pair loop is Python — fine on
+    blocked candidate pairs (entity resolution always blocks first),
+    never on a cross join.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    jw_one = jaro_winkler_py
+
+    def jw(a, b):
+        return pd.Series(
+            [jw_one(x, y) for x, y in zip(a, b)], dtype="float64"
+        )
+
+    # set REAL annotation objects: the module-wide `from __future__
+    # import annotations` would stringify inline hints and pyspark's
+    # hint parser cannot resolve the function-local `pd` alias
+    jw.__annotations__ = {
+        "a": pd.Series,
+        "b": pd.Series,
+        "return": pd.Series,
+    }
+    return pandas_udf(jw, "double")

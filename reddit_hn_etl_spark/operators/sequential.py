@@ -74,3 +74,45 @@ def ema_per_key(
         return pdf
 
     return df.groupBy(key_col).applyInPandas(fold, schema)
+
+
+def cusum_per_key(
+    df: DataFrame,
+    key_col: str,
+    order_cols: Sequence[str],
+    value_col: str,
+    target_col: str,
+    out_col: str = "cusum",
+) -> DataFrame:
+    """One-sided CUSUM (Page 1954) per key: ``s_0 = 0``;
+    ``s_i = max(0, s_{i−1} + (v_i − target))`` over rows ordered by
+    ``order_cols``. The classic sequential change-point statistic —
+    the running evidence that the series drifted ABOVE its reference
+    level, reset whenever the evidence goes negative.
+
+    ``target_col`` is a per-key constant column (join the reference
+    level in before calling). Same contract and scale posture as
+    ``ema_per_key``: one shuffle on the key, one ordered Arrow fold
+    per key, bit-identical to a ``list_reduce`` with the same lambda
+    (``greatest(0.0, acc + (v − target))``) seeded by a prepended 0.
+    """
+    order = list(order_cols)
+    schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, DoubleType())]
+    )
+
+    def fold(pdf):
+        pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
+        vals = pdf[value_col].to_numpy(dtype="float64")
+        tgt = pdf[target_col].to_numpy(dtype="float64")
+        out = vals.copy()
+        acc = 0.0
+        for i in range(len(vals)):
+            # same operand order as the oracle's list_reduce lambda
+            nxt = acc + (vals[i] - tgt[i])
+            acc = nxt if nxt > 0.0 else 0.0
+            out[i] = acc
+        pdf[out_col] = out
+        return pdf
+
+    return df.groupBy(key_col).applyInPandas(fold, schema)

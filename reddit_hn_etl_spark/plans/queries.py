@@ -8935,6 +8935,306 @@ def doc_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# CUSUM change-point statistic (Page 1954) over the daily value
+# series per event type — the sequential drift monitor complementing
+# the distribution-level value_drift_weekly. Irreducibly ordered →
+# operators/sequential.cusum_per_key (same applyInPandas fold
+# contract as ema_per_key); the oracle seeds list_reduce with a
+# prepended 0 so both engines evaluate the identical recurrence.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "daily_value_cusum",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                   AS cents
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    ref AS (
+        SELECT event_type,
+               CAST(SUM(cents) AS DOUBLE) / COUNT(*) AS mu
+        FROM daily GROUP BY event_type
+    ),
+    ordered AS (
+        SELECT d.event_type, d.day, d.cents, r.mu,
+               list(CAST(d.cents AS DOUBLE)) OVER (
+                   PARTITION BY d.event_type ORDER BY d.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS vals
+        FROM daily d JOIN ref r ON r.event_type = d.event_type
+    )
+    SELECT event_type, day, cents,
+           list_reduce(
+               list_prepend(0.0, vals),
+               (acc, x) -> greatest(0.0, acc + (x - mu))
+           ) AS cusum
+    FROM ordered
+    """,
+)
+def daily_value_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type CUSUM of daily value totals against the type's own
+    mean level. Daily totals are exact integer cents; the reference
+    level is one exact-int division; the fold is bit-identical to
+    the oracle's list_reduce (same lambda, 0-seeded) so the hash
+    match needs no tolerance. One shuffle to daily grain, a
+    broadcast 25-row reference join, one ordered fold per type."""
+    from ..operators.sequential import cusum_per_key
+
+    ev = read_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    daily = (
+        ev.select("event_type", F.col("ts").cast("date").alias("day"),
+                  cents.alias("_c"))
+        .groupBy("event_type", "day")
+        .agg(F.sum("_c").alias("cents"))
+    )
+    ref = daily.groupBy("event_type").agg(
+        (F.sum("cents").cast("double") / F.count(F.lit(1))).alias("mu")
+    )
+    joined = daily.join(F.broadcast(ref), "event_type").withColumn(
+        "_v", F.col("cents").cast("double")
+    )
+    out = cusum_per_key(
+        joined, "event_type", ("day",), "_v", "mu", out_col="cusum"
+    )
+    return out.select("event_type", "day", "cents", "cusum")
+
+
+# ---------------------------------------------------------------------------
+# Robust outliers via median/MAD (Iglewicz & Hoaglin 1993 modified
+# z-score) — the monitoring twin of rolling_zscore that a single
+# extreme value cannot poison (mean/stddev break down at one bad
+# point; median/MAD have a 50% breakdown). Exact on integer cents:
+# both quantile interpolations land on exact binary fractions.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "robust_value_outliers",
+    """
+    WITH base AS (
+        SELECT event_id, event_type, value,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events
+    ),
+    med AS (
+        SELECT event_type, quantile_cont(cents, 0.5) AS med
+        FROM base GROUP BY event_type
+    ),
+    dev AS (
+        SELECT b.*, m.med, ABS(b.cents - m.med) AS adev
+        FROM base b JOIN med m ON m.event_type = b.event_type
+    ),
+    mad AS (
+        SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_id, d.event_type, d.value,
+           ROUND(0.6745 * (d.cents - d.med) / m.mad, 6) AS robust_z
+    FROM dev d JOIN mad m ON m.event_type = d.event_type
+    WHERE m.mad > 0
+      AND ABS(ROUND(0.6745 * (d.cents - d.med) / m.mad, 6)) > 3.5
+    """,
+)
+def robust_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modified z-score outliers per event type. med and MAD are
+    exact percentiles of integers / exact halves (binary-exact
+    q=0.5 interpolation), so both engines derive identical doubles;
+    the flag threshold compares the ROUNDed score on both sides to
+    kill any boundary-ulp disagreement. Two grouped aggs + two
+    broadcast joins back — no window over the full table."""
+    ev = read_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    base = ev.select("event_id", "event_type", "value", cents.alias("cents"))
+    med = base.groupBy("event_type").agg(
+        F.percentile("cents", F.lit(0.5)).alias("med")
+    )
+    dev = base.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("cents") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    z = F.round(
+        F.lit(0.6745) * (F.col("cents") - F.col("med")) / F.col("mad"), 6
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .where((F.col("mad") > 0) & (F.abs(z) > 3.5))
+        .select("event_id", "event_type", "value", z.alias("robust_z"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable aggregate state (the Delta/materialized-view maintenance
+# pattern): daily metrics computed as TWO independent partial
+# aggregations (split by event-id parity — every day present in both
+# halves) whose states are merged, proving sum/count states compose
+# and averages must be re-derived from merged sums, never averaged.
+# The oracle is the direct single-pass aggregation.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "incremental_daily_metrics",
+    """
+    SELECT CAST(ts AS DATE) AS metric_date,
+           CAST(COUNT(*) AS INTEGER) AS events_count,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+               AS avg_value
+    FROM events
+    GROUP BY CAST(ts AS DATE)
+    """,
+)
+def incremental_daily_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-maintenance semantics: base partition (even ids)
+    and delta partition (odd ids) are aggregated independently to
+    (count, decimal-sum) states, unioned, and state-merged per day —
+    byte-identical to the direct full aggregation because decimal
+    sums and counts are associative-exact. The pattern a 100 TB
+    nightly pipeline uses to avoid reprocessing history: the base
+    states persist, only the delta is scanned."""
+    ev = read_table(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,2)")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return (
+            df.select(F.col("ts").cast("date").alias("metric_date"),
+                      dec.alias("_v"))
+            .groupBy("metric_date")
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.sum("_v").alias("_s"),
+            )
+        )
+
+    base = partial(ev.where(F.col("event_id") % 2 == 0))
+    delta = partial(ev.where(F.col("event_id") % 2 == 1))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("metric_date")
+        .agg(F.sum("_n").alias("_n"), F.sum("_s").alias("_s"))
+    )
+    return merged.select(
+        "metric_date",
+        F.col("_n").cast("int").alias("events_count"),
+        F.col("_s").cast("double").alias("total_value"),
+        (F.col("_s").cast("double") / F.col("_n")).alias("avg_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth histogram via the hierarchical global ntile
+# (operators/prefix.global_ntile): decile boundaries of order value
+# without a SinglePartition window — the optimizer-statistics /
+# monitoring primitive at fact-table scale.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "order_value_equidepth_hist",
+    """
+    WITH t AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS cents,
+               o_orderkey,
+               NTILE(10) OVER (ORDER BY
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT),
+                   o_orderkey) AS bucket
+        FROM orders
+    )
+    SELECT CAST(bucket AS INTEGER) AS bucket,
+           CAST(COUNT(*) AS INTEGER) AS n_orders,
+           MIN(cents) AS lo_cents,
+           MAX(cents) AS hi_cents
+    FROM t GROUP BY bucket
+    """,
+)
+def order_value_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile histogram of order value. Spark's own NTILE over a
+    global ORDER BY funnels 100 TB through ONE task; global_ntile
+    replaces it with range-partitioned per-partition ranks plus
+    broadcast cumulative offsets (hierarchical prefix sum), then the
+    bucket stats are an ordinary partial/final agg. Bit-exact: the
+    ANSI ntile closed form is evaluated on exact integer row
+    numbers."""
+    from ..operators.prefix import global_ntile
+
+    orders = read_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    t = orders.select(cents.alias("cents"), "o_orderkey")
+    bucketed = global_ntile(
+        t, 10, order_cols=("cents", "o_orderkey"), out_col="bucket"
+    )
+    return bucketed.groupBy(F.col("bucket").cast("int").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("int").alias("n_orders"),
+        F.min("cents").alias("lo_cents"),
+        F.max("cents").alias("hi_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Entity-resolution scoring: Jaro-Winkler over blocked candidate
+# pairs. The engine's one scalar Pandas UDF (functions/text.
+# jaro_winkler_pandas_udf) — a from-scratch Python implementation
+# differentially tested against DuckDB's independent C++
+# jaro_winkler_similarity, far stronger evidence than two calls into
+# one library. Blocking first (segment equality + id subsample) is
+# what makes the Python path affordable; it is never a cross join.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "customer_name_jw_pairs",
+    """
+    WITH c AS (
+        SELECT c_custkey, c_mktsegment, c_name FROM customer
+        WHERE c_custkey % 10 = 0
+    )
+    SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+           a.c_mktsegment AS segment,
+           ROUND(jaro_winkler_similarity(a.c_name, b.c_name), 6) AS jw_sim
+    FROM c a JOIN c b
+      ON a.c_mktsegment = b.c_mktsegment AND a.c_custkey < b.c_custkey
+    WHERE ROUND(jaro_winkler_similarity(a.c_name, b.c_name), 6) >= 0.95
+    """,
+)
+def customer_name_jw_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy name matching: candidate pairs from segment
+    blocking over a 10% id subsample, scored by the Jaro-Winkler
+    Pandas UDF, thresholded on the ROUNDed score (both engines
+    compare the post-round value, so an ulp at the boundary cannot
+    flip membership). Shuffle on the block key only; Arrow-batched
+    scoring on the bounded pair set."""
+    jw = textfn.jaro_winkler_pandas_udf()
+    cust = read_table(spark, sf_dir, "customer").where(
+        F.col("c_custkey") % 10 == 0
+    )
+    a = cust.select(
+        F.col("c_custkey").alias("key_a"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_name").alias("_na"),
+    )
+    b = cust.select(
+        F.col("c_custkey").alias("key_b"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_name").alias("_nb"),
+    )
+    sim = F.round(jw(F.col("_na"), F.col("_nb")), 6)
+    return (
+        a.join(b, "segment")
+        .where(F.col("key_a") < F.col("key_b"))
+        .withColumn("jw_sim", sim)
+        .where(F.col("jw_sim") >= 0.95)
+        .select("key_a", "key_b", "segment", "jw_sim")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window.
 #
 # The driver hard-verifies (rows + schema + value hash vs the DuckDB

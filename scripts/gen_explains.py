@@ -110,6 +110,11 @@ NOTES = {
     "hard_negative_mining": "Contrastive negatives: the label-inequality predicate rides the broadcast join BEFORE scoring, so cross-label mining costs exactly one corpus scan like plain kNN; norms are computed once per side pre-join and the per-query top-5 is a windowed rank over the tiny query dimension.",
     "source_mixture_weights": "Mixture bookkeeping: one token-count agg per source (partial-aggregatable), the corpus total as a broadcast 1-row aggregate, every weight a pure projection — the output is O(#sources) rows feeding the A-ES weighted sampler.",
     "doc_chunks_udtf": "Python UDTF path: ArrowEvalPythonUDTF in-task row expansion via SQL LATERAL — no shuffle, batch Arrow transfer; the plan shows the one Python stage this API costs, which is why the builtin-only doc_chunking plan stays the scale path.",
+    "daily_value_cusum": "Sequential change-point monitor: exact-int daily rollup (one shuffle), 25-row reference broadcast, then ONE ordered Arrow fold per event type — parallelism is the key cardinality, the honest contract for per-entity recurrences; the streaming twin carries the accumulator as state instead.",
+    "robust_value_outliers": "Median/MAD outliers: two grouped exact-percentile aggs with broadcast joins back — never a window over the full table; per-group sort cost is bounded because groups partition the data. The flag compares the ROUNDed score so a boundary ulp cannot flip membership.",
+    "incremental_daily_metrics": "Aggregate-state merge: base and delta halves aggregate independently to (count, decimal-sum) states, union, re-agg — associative-exact, byte-identical to the direct aggregation. At scale the base states persist and only the delta scans: the materialized-view maintenance shape.",
+    "order_value_equidepth_hist": "Equi-depth deciles WITHOUT the SinglePartition ntile funnel: range shuffle → per-partition ranks → broadcast cumulative offsets (hierarchical prefix sum), then an ordinary partial/final bucket agg. Spark's own NTILE over a global ORDER BY would single-task 100 TB.",
+    "customer_name_jw_pairs": "Entity-resolution scoring: segment blocking bounds the candidate pairs BEFORE the one deliberate scalar Pandas UDF runs (ArrowEvalPython on the pair set, never a cross join); the shuffle keys on the block only.",
 }
 
 

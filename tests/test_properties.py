@@ -1003,3 +1003,60 @@ def test_builtin_regr_matches_moment_closed_form(spark):
     assert abs(got.slope - slope) < 1e-9
     assert abs(got.intercept - intercept) < 1e-9
     assert abs(got.r2 - r2) < 1e-9
+
+
+# --- jaro_winkler_py vs DuckDB's C++ implementation ----------------------
+
+jw_text = st.text(
+    alphabet=st.sampled_from("abcXY#01 "), min_size=0, max_size=12
+)
+
+
+@given(a=jw_text, b=jw_text)
+@settings(max_examples=200, deadline=None)
+def test_jaro_winkler_matches_duckdb(a, b):
+    import duckdb
+
+    from reddit_hn_etl_spark.functions.text import jaro_winkler_py
+
+    want = duckdb.execute(
+        "SELECT jaro_winkler_similarity(?, ?)", [a, b]
+    ).fetchone()[0]
+    assert abs(jaro_winkler_py(a, b) - want) < 1e-9
+
+
+# --- cusum_per_key vs brute-force fold -----------------------------------
+
+cusum_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["k1", "k2"]),
+        st.integers(min_value=0, max_value=50),     # order
+        st.integers(min_value=-40, max_value=40),   # value
+    ),
+    min_size=1,
+    max_size=20,
+    unique_by=lambda r: (r[0], r[1]),
+)
+
+
+@given(rows=cusum_strategy, target=st.integers(min_value=-5, max_value=5))
+@SET
+def test_cusum_matches_bruteforce(spark, rows, target):
+    from reddit_hn_etl_spark.operators.sequential import cusum_per_key
+
+    df = spark.createDataFrame(
+        [(k, o, float(v), float(target)) for k, o, v in rows],
+        "k string, o long, v double, tgt double",
+    )
+    out = cusum_per_key(df, "k", ("o",), "v", "tgt")
+    got = {(r.k, r.o): r.cusum for r in out.collect()}
+
+    want = {}
+    for key in {k for k, _, _ in rows}:
+        acc = 0.0
+        for _, o, v in sorted(
+            (r for r in rows if r[0] == key), key=lambda r: r[1]
+        ):
+            acc = max(0.0, acc + (float(v) - float(target)))
+            want[(key, o)] = acc
+    assert got == want
