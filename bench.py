@@ -171,6 +171,9 @@ BENCH_QUERIES_R4 = [
     "incremental_daily_metrics",
     "order_value_equidepth_hist",
     "customer_name_jw_pairs",
+    "event_value_auc",
+    "referral_lpa_communities",
+    "daily_value_ohlc",
 ]
 
 

@@ -452,3 +452,55 @@ def bfs_distances(
         settled = settled.union(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return settled
+
+
+def label_propagation(
+    edges: DataFrame,
+    n_iter: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    undirected: bool = True,
+) -> DataFrame:
+    """Deterministic synchronous label propagation (Raghavan et al.
+    2007) for community detection: every vertex starts labeled with
+    itself; each round it adopts the most frequent label among its
+    neighbors, ties broken toward the SMALLEST label — the
+    deterministic tie rule that makes the fixed round count
+    reproducible across engines and partitionings (classic LPA's
+    random tie-break is not differential-testable).
+
+    Per round: one join (edges ⋈ labels on the source), one
+    (dst, label) count aggregation, one per-dst windowed argmax —
+    all shuffles keyed on vertices, the same per-round budget as
+    connected components / PageRank, checkpointed per round.
+    Returns (vertex, community) after exactly ``n_iter`` rounds.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if undirected:
+        e = e.union(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    e = e.distinct().localCheckpoint(eager=True)
+    labels = (
+        e.select(F.col("src").alias("vertex"))
+        .distinct()
+        .withColumn("community", F.col("vertex"))
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("vertex").orderBy(
+        F.desc("n"), F.asc("community")
+    )
+    for _ in range(n_iter):
+        counts = (
+            e.join(labels, e["src"] == labels["vertex"])
+            .select(F.col("dst").alias("vertex"), "community")
+            .groupBy("vertex", "community")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        labels = (
+            counts.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("vertex", "community")
+            .localCheckpoint(eager=True)
+        )
+    return labels

@@ -9235,6 +9235,216 @@ def customer_name_jw_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Exact ROC-AUC (Mann-Whitney with tie correction) of the value
+# column as a one-vs-rest classifier per event type — the model-eval
+# primitive a quality-scoring pipeline needs. Formulated over the
+# DISTINCT-SCORE dimension so the running sum is bounded by the value
+# DOMAIN (~50k distinct cents), not the row count; numerator doubled
+# into an exact integer so ties (the 0.5 credits) never touch floats
+# until the final division.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "event_value_auc",
+    """
+    WITH t AS (SELECT DISTINCT event_type FROM events),
+    g AS (
+        SELECT t.event_type AS label_type,
+               CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS BIGINT) AS s,
+               count_if(e.event_type = t.event_type) AS pos,
+               count_if(e.event_type <> t.event_type) AS neg
+        FROM events e CROSS JOIN t
+        GROUP BY t.event_type, s
+    ),
+    r AS (
+        SELECT label_type, s, pos, neg,
+               COALESCE(SUM(neg) OVER (
+                   PARTITION BY label_type ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS neg_below
+        FROM g
+    )
+    SELECT label_type,
+           CAST(SUM(pos) AS INTEGER) AS p_count,
+           CAST(SUM(neg) AS INTEGER) AS n_count,
+           SUM(pos * (2 * neg_below + neg)) AS auc_num_x2,
+           CAST(SUM(pos * (2 * neg_below + neg)) AS DOUBLE)
+               / (2.0 * SUM(pos) * SUM(neg)) AS auc
+    FROM r GROUP BY label_type
+    """,
+)
+def event_value_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-vs-rest AUC of value for each of the 5 event types.
+    P(score_pos > score_neg) + 0.5·P(tie), computed from per-score
+    pos/neg counts and a running negative count over the score
+    dimension. The windowed pass runs over (type × distinct cents) —
+    bounded by the DOMAIN at any data scale (the same distinct-value
+    -dimension trick as user_engagement_rank); everything else is
+    partial/final aggregation. auc_num_x2 is an exact integer; the
+    one double division is the same expression both sides."""
+    ev = read_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    types = ev.select(
+        F.col("event_type").alias("label_type")
+    ).distinct()
+    g = (
+        ev.select("event_type", cents.alias("s"))
+        .crossJoin(F.broadcast(types))
+        .groupBy("label_type", "s")
+        .agg(
+            F.sum(
+                (F.col("event_type") == F.col("label_type")).cast("long")
+            ).alias("pos"),
+            F.sum(
+                (F.col("event_type") != F.col("label_type")).cast("long")
+            ).alias("neg"),
+        )
+    )
+    w = (
+        Window.partitionBy("label_type")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = g.withColumn(
+        "neg_below", F.coalesce(F.sum("neg").over(w), F.lit(0))
+    )
+    num = F.sum(
+        F.col("pos") * (F.lit(2) * F.col("neg_below") + F.col("neg"))
+    )
+    return r.groupBy("label_type").agg(
+        F.sum("pos").cast("int").alias("p_count"),
+        F.sum("neg").cast("int").alias("n_count"),
+        num.alias("auc_num_x2"),
+        (
+            num.cast("double")
+            / (F.lit(2.0) * F.sum("pos") * F.sum("neg"))
+        ).alias("auc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Community detection: deterministic synchronous label propagation
+# (graph.label_propagation, Raghavan et al. 2007 with a smallest-
+# label tie rule) over the referral tree — the cheap community
+# algorithm between connected components (too coarse: one tree = one
+# component) and modularity methods (not DataFrame-shaped). The
+# oracle unrolls the same two rounds as SQL CTEs.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "referral_lpa_communities",
+    """
+    WITH e0 AS (
+        SELECT c_custkey AS src, CAST(c_custkey // 2 AS BIGINT) AS dst
+        FROM customer WHERE c_custkey > 1
+    ),
+    e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+    l0 AS (SELECT DISTINCT src AS vertex, src AS community FROM e),
+    c1 AS (
+        SELECT e.dst AS vertex, l.community, COUNT(*) AS n
+        FROM e JOIN l0 l ON l.vertex = e.src
+        GROUP BY e.dst, l.community
+    ),
+    l1 AS (
+        SELECT vertex, community FROM (
+            SELECT vertex, community,
+                   ROW_NUMBER() OVER (PARTITION BY vertex
+                                      ORDER BY n DESC, community) AS rn
+            FROM c1
+        ) WHERE rn = 1
+    ),
+    c2 AS (
+        SELECT e.dst AS vertex, l.community, COUNT(*) AS n
+        FROM e JOIN l1 l ON l.vertex = e.src
+        GROUP BY e.dst, l.community
+    )
+    SELECT vertex, community FROM (
+        SELECT vertex, community,
+               ROW_NUMBER() OVER (PARTITION BY vertex
+                                  ORDER BY n DESC, community) AS rn
+        FROM c2
+    ) WHERE rn = 1
+    """,
+)
+def referral_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two LPA rounds over the undirected referral tree. Each round
+    is one vertex-keyed join + count agg + per-vertex windowed
+    argmax (bounded partitions: a vertex's distinct neighbor labels)
+    — the CC/PageRank per-round budget; rounds are checkpointed so
+    lineage stays flat. Deterministic by the smallest-label tie
+    rule; output is exact integers."""
+    cust = read_table(spark, sf_dir, "customer")
+    edges = cust.where(F.col("c_custkey") > 1).select(
+        F.col("c_custkey").alias("src"),
+        (F.col("c_custkey") / 2).cast("long").alias("dst"),
+    )
+    return graph.label_propagation(edges, n_iter=2)
+
+
+# ---------------------------------------------------------------------------
+# OHLC downsampling (finance-style bars) per (event_type, day):
+# open/close via min_by/max_by on a lexicographic (ts, event_id)
+# key — the deterministic-argmin surface — plus high/low/volume.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "daily_value_ohlc",
+    """
+    WITH b AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+               lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || '-' ||
+                   lpad(CAST(event_id AS VARCHAR), 12, '0') AS k
+        FROM events
+    )
+    SELECT event_type, day,
+           arg_min(cents, k) AS open_cents,
+           MAX(cents) AS high_cents,
+           MIN(cents) AS low_cents,
+           arg_max(cents, k) AS close_cents,
+           SUM(cents) AS volume_cents,
+           CAST(COUNT(*) AS INTEGER) AS n_events
+    FROM b GROUP BY event_type, day
+    """,
+)
+def daily_value_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC bars per event type. min_by/max_by pick the first/
+    last value by a zero-padded (epoch-micros, event_id) string key —
+    total order, so the argmin is deterministic on both engines (a
+    bare ts key would tie). One partial-aggregatable shuffle on
+    (type, day); min_by/max_by states combine map-side like any
+    other agg — the downsampling shape that survives any scale."""
+    ev = read_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    k = F.concat(
+        F.lpad(
+            F.unix_micros(F.col("ts").cast("timestamp")).cast("string"),
+            20,
+            "0",
+        ),
+        F.lit("-"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    b = ev.select(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        cents.alias("cents"),
+        k.alias("_k"),
+    )
+    return b.groupBy("event_type", "day").agg(
+        F.min_by("cents", "_k").alias("open_cents"),
+        F.max("cents").alias("high_cents"),
+        F.min("cents").alias("low_cents"),
+        F.max_by("cents", "_k").alias("close_cents"),
+        F.sum("cents").alias("volume_cents"),
+        F.count(F.lit(1)).cast("int").alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window.
 #
 # The driver hard-verifies (rows + schema + value hash vs the DuckDB

@@ -868,3 +868,92 @@ def constraint_history(spark: SparkSession, report_dir: str) -> DataFrame:
     return spark.read.parquet(report_dir).dropDuplicates(
         ["batch_id", "constraint"]
     )
+
+
+def running_user_totals_tws(events: DataFrame, key_col: str = "user_id",
+                            ts_col: str = "ts", value_col: str = "value",
+                            watermark: str = "30 minutes") -> DataFrame:
+    """`running_user_totals` re-expressed on the Spark 4
+    ``transformWithStateInPandas`` API (StatefulProcessor + typed
+    state handles) — the successor to ``applyInPandasWithState``:
+    state is a named ValueState the engine stores per key (RocksDB
+    provider required; the caller's session must set
+    ``spark.sql.streaming.stateStore.providerClass``, see
+    ``enable_tws``), and the processor is a class with an explicit
+    lifecycle instead of a closure over a state tuple.
+
+    Emits the same (key, n_events, total_value, last_ts) cumulative
+    rows per micro-batch as the legacy twin; the equivalence test
+    pins the two APIs to identical output on the same stream.
+
+    Environment gate: the transformWithState state protocol needs
+    the ``protobuf`` package at runtime (the engine imports nothing
+    extra itself) — on hosts without it the query fails at start
+    with STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE and the
+    equivalence test skips; ``running_user_totals`` is the
+    dependency-free path with identical semantics.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", "n long, total double, last_us long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._state.exists():
+                n, total, last_us = self._state.get()
+            else:
+                n, total, last_us = 0, 0.0, None
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf[value_col].sum())
+                batch_max = pdf[ts_col].max()
+                if batch_max is not None:
+                    us = int(batch_max.value // 1_000)
+                    if last_us is None or us > last_us:
+                        last_us = us
+            self._state.update((n, total, last_us))
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 6)],
+                    "last_ts": [pd.Timestamp(last_us * 1_000)
+                                if last_us is not None else None],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    out_schema = (
+        f"{key_col} long, n_events long, total_value double, "
+        "last_ts timestamp"
+    )
+    return df.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def enable_tws(spark: SparkSession) -> None:
+    """Switch the session's state store to the RocksDB provider —
+    transformWithState requires it (the default HDFS-backed provider
+    rejects the operator). Safe to call repeatedly; affects only
+    streaming state storage."""
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )

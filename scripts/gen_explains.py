@@ -115,6 +115,9 @@ NOTES = {
     "incremental_daily_metrics": "Aggregate-state merge: base and delta halves aggregate independently to (count, decimal-sum) states, union, re-agg — associative-exact, byte-identical to the direct aggregation. At scale the base states persist and only the delta scans: the materialized-view maintenance shape.",
     "order_value_equidepth_hist": "Equi-depth deciles WITHOUT the SinglePartition ntile funnel: range shuffle → per-partition ranks → broadcast cumulative offsets (hierarchical prefix sum), then an ordinary partial/final bucket agg. Spark's own NTILE over a global ORDER BY would single-task 100 TB.",
     "customer_name_jw_pairs": "Entity-resolution scoring: segment blocking bounds the candidate pairs BEFORE the one deliberate scalar Pandas UDF runs (ArrowEvalPython on the pair set, never a cross join); the shuffle keys on the block only.",
+    "event_value_auc": "Exact AUC without a global rank: per-(label, score) counts partial-aggregate first, the running negative count windows over the DISTINCT-SCORE dimension (bounded by the value DOMAIN, not the row count), and the doubled numerator stays an exact integer until one final division.",
+    "referral_lpa_communities": "LPA rounds: vertex-keyed join + count agg + per-vertex windowed argmax — window partitions are a vertex's distinct neighbor labels (degree-bounded), never global; per-round localCheckpoint keeps lineage flat like CC/PageRank.",
+    "daily_value_ohlc": "OHLC bars: ONE partial/final agg on (type, day); min_by/max_by argmin states combine map-side like sum/count, and the zero-padded (micros, id) key makes first/last deterministic — no window, no self-join, no second pass.",
 }
 
 

@@ -1060,3 +1060,47 @@ def test_cusum_matches_bruteforce(spark, rows, target):
             acc = max(0.0, acc + (float(v) - float(target)))
             want[(key, o)] = acc
     assert got == want
+
+
+# --- label_propagation vs brute-force synchronous LPA --------------------
+
+lpa_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=8),
+        st.integers(min_value=0, max_value=8),
+    ),
+    min_size=1,
+    max_size=16,
+)
+
+
+def _brute_lpa(edges, n_iter):
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    labels = {v: v for v in adj}
+    for _ in range(n_iter):
+        nxt = {}
+        for v in adj:
+            counts = {}
+            for u in adj[v]:
+                counts[labels[u]] = counts.get(labels[u], 0) + 1
+            nxt[v] = min(
+                counts, key=lambda l: (-counts[l], l)
+            )
+        labels = nxt
+    return labels
+
+
+@given(edges=lpa_strategy, n_iter=st.integers(min_value=1, max_value=3))
+@SET
+def test_label_propagation_matches_bruteforce(spark, edges, n_iter):
+    from reddit_hn_etl_spark.operators.graph import label_propagation
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.vertex: r.community
+        for r in label_propagation(df, n_iter=n_iter).collect()
+    }
+    assert got == _brute_lpa(edges, n_iter)
