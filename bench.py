@@ -174,6 +174,10 @@ BENCH_QUERIES_R4 = [
     "event_value_auc",
     "referral_lpa_communities",
     "daily_value_ohlc",
+    "customer_revenue_gini",
+    "event_transition_matrix",
+    "source_diversity_entropy",
+    "monthly_value_growth",
 ]
 
 

@@ -9445,6 +9445,256 @@ def daily_value_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Gini coefficient of customer revenue — the inequality/concentration
+# metric next to the Pareto curve. Needs a GLOBAL revenue rank, so it
+# reuses the hierarchical prefix machinery (operators/prefix.
+# global_row_number) instead of a SinglePartition window; every term
+# of the closed form stays an exact int64 until one final division.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "customer_revenue_gini",
+    """
+    WITH rev AS (
+        SELECT o_custkey AS custkey,
+               SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT)) AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT cents,
+               ROW_NUMBER() OVER (ORDER BY cents, custkey) AS i
+        FROM rev
+    )
+    SELECT CAST(COUNT(*) AS INTEGER) AS n_customers,
+           SUM(cents) AS total_cents,
+           SUM(i * cents) AS weighted_cents,
+           CAST(2 * SUM(i * cents) - (COUNT(*) + 1) * SUM(cents)
+                AS DOUBLE)
+               / (COUNT(*) * SUM(cents)) AS gini
+    FROM ranked
+    """,
+)
+def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini = (2·Σi·x_(i) − (n+1)·Σx) / (n·Σx) over revenue ranked
+    ascending (custkey tiebreak → total order). The rank comes from
+    the hierarchical prefix sum — range shuffle + per-partition ranks
+    + broadcast offsets — never one task holding the fact table. The
+    int64 Σi·x products hold to ~1e18; at larger scale the same plan
+    switches the accumulator to DECIMAL(38,0) (the group-checksum
+    precedent)."""
+    from ..operators.prefix import global_row_number
+
+    orders = read_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    rev = (
+        orders.select(F.col("o_custkey").alias("custkey"), cents.alias("_c"))
+        .groupBy("custkey")
+        .agg(F.sum("_c").alias("cents"))
+    )
+    ranked = global_row_number(
+        rev, order_cols=("cents", "custkey"), out_col="i"
+    )
+    n = F.count(F.lit(1))
+    tot = F.sum("cents")
+    wsum = F.sum(F.col("i") * F.col("cents"))
+    return ranked.agg(
+        n.cast("int").alias("n_customers"),
+        tot.alias("total_cents"),
+        wsum.alias("weighted_cents"),
+        (
+            (F.lit(2) * wsum - (n + F.lit(1)) * tot).cast("double")
+            / (n * tot)
+        ).alias("gini"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# First-order Markov transition matrix over each user's event
+# sequence — the product-analytics path model (and the bigram step
+# of sequence modeling). Counts are exact; probabilities are one
+# int/int division per cell.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "event_transition_matrix",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_type
+        FROM events
+    ),
+    c AS (
+        SELECT event_type AS from_type, next_type AS to_type,
+               COUNT(*) AS n
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY event_type, next_type
+    ),
+    t AS (
+        SELECT from_type, SUM(n) AS row_total FROM c GROUP BY from_type
+    )
+    SELECT c.from_type, c.to_type, c.n,
+           t.row_total,
+           CAST(c.n AS DOUBLE) / t.row_total AS p
+    FROM c JOIN t USING (from_type)
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P(next event type | current) per observed transition. The
+    LEAD window partitions by user (bounded per-entity history — the
+    sequential.py contract), transition counts partial-aggregate on
+    the 25-cell key space, and row totals broadcast back. Exact
+    integers everywhere; one double division per cell."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    c = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("from_type").agg(F.sum("n").alias("row_total"))
+    return (
+        c.join(F.broadcast(t), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            "row_total",
+            (F.col("n").cast("double") / F.col("row_total")).alias("p"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shannon diversity of each source's language mix — the corpus-
+# composition metric a multilingual data pipeline monitors. Entropy
+# is an order-sensitive float sum, so both engines fold the SAME
+# sorted per-language list (the doc_unigram_logprob discipline for
+# any float reduction that must hash-match).
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "source_diversity_entropy",
+    """
+    WITH c AS (
+        SELECT source, lang, COUNT(*) AS n
+        FROM documents GROUP BY source, lang
+    ),
+    t AS (SELECT source, SUM(n) AS tot, COUNT(*) AS n_langs
+          FROM c GROUP BY source),
+    l AS (
+        SELECT c.source,
+               list((CAST(c.n AS DOUBLE) / t.tot) *
+                    ln(CAST(t.tot AS DOUBLE) / c.n)
+                    ORDER BY c.lang) AS terms
+        FROM c JOIN t USING (source)
+        GROUP BY c.source
+    )
+    SELECT l.source,
+           CAST(t.n_langs AS INTEGER) AS n_langs,
+           CAST(t.tot AS INTEGER) AS n_docs,
+           ROUND(list_reduce(list_prepend(0.0, terms), (a, b) -> a + b),
+                 12) AS entropy_nats
+    FROM l JOIN t USING (source)
+    """,
+)
+def source_diversity_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H = Σ (n/N)·ln(N/n) per source over its language counts,
+    folded in sorted-language order on both engines so the sum order
+    is identical; the composed (n/N)·ln(N/n) term itself can differ
+    by 1 ulp between engines (unlike bm25's bare ln), so the result
+    rounds to 12 decimals — nine orders above the ulp noise. Two
+    tiny aggs; the fold runs over ≤ #languages terms per source —
+    domain-bounded at any corpus size."""
+    docs = read_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("source").agg(
+        F.sum("n").alias("tot"), F.count(F.lit(1)).alias("n_langs")
+    )
+    term = (F.col("n").cast("double") / F.col("tot")) * F.log(
+        F.col("tot").cast("double") / F.col("n")
+    )
+    l = (
+        c.join(t, "source")
+        .select("source", F.struct("lang", term.alias("v")).alias("_sv"))
+        .groupBy("source")
+        .agg(F.array_sort(F.collect_list("_sv")).alias("_terms"))
+        .select(
+            "source",
+            F.transform(F.col("_terms"), lambda s: s["v"]).alias("terms"),
+        )
+    )
+    return l.join(F.broadcast(t), "source").select(
+        "source",
+        F.col("n_langs").cast("int").alias("n_langs"),
+        F.col("tot").cast("int").alias("n_docs"),
+        F.round(
+            F.aggregate(F.col("terms"), F.lit(0.0), lambda a, b: a + b),
+            12,
+        ).alias("entropy_nats"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Month-over-month growth per event type: calendar bucketing +
+# LAG over the (type, month) dimension — the reporting staple.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "monthly_value_growth",
+    """
+    WITH m AS (
+        SELECT event_type, CAST(date_trunc('month', ts) AS DATE) AS month,
+               SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                   AS cents
+        FROM events GROUP BY event_type, month
+    )
+    SELECT event_type, month, cents,
+           LAG(cents) OVER (PARTITION BY event_type ORDER BY month)
+               AS prev_cents,
+           CAST(cents - LAG(cents) OVER (
+                   PARTITION BY event_type ORDER BY month) AS DOUBLE)
+               / LAG(cents) OVER (PARTITION BY event_type ORDER BY month)
+               AS growth
+    FROM m
+    """,
+)
+def monthly_value_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MoM growth of value per event type. The LAG window runs over
+    the (type, month) DIMENSION — a handful of rows per type after
+    the exact-int rollup, never over raw events; growth is one
+    int-difference/int division."""
+    ev = read_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    m = (
+        ev.select(
+            "event_type",
+            F.date_trunc("month", F.col("ts")).cast("date").alias("month"),
+            cents.alias("_c"),
+        )
+        .groupBy("event_type", "month")
+        .agg(F.sum("_c").alias("cents"))
+    )
+    w = Window.partitionBy("event_type").orderBy("month")
+    prev = F.lag("cents").over(w)
+    return m.select(
+        "event_type",
+        "month",
+        "cents",
+        prev.alias("prev_cents"),
+        ((F.col("cents") - prev).cast("double") / prev).alias("growth"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window.
 #
 # The driver hard-verifies (rows + schema + value hash vs the DuckDB

@@ -118,6 +118,10 @@ NOTES = {
     "event_value_auc": "Exact AUC without a global rank: per-(label, score) counts partial-aggregate first, the running negative count windows over the DISTINCT-SCORE dimension (bounded by the value DOMAIN, not the row count), and the doubled numerator stays an exact integer until one final division.",
     "referral_lpa_communities": "LPA rounds: vertex-keyed join + count agg + per-vertex windowed argmax — window partitions are a vertex's distinct neighbor labels (degree-bounded), never global; per-round localCheckpoint keeps lineage flat like CC/PageRank.",
     "daily_value_ohlc": "OHLC bars: ONE partial/final agg on (type, day); min_by/max_by argmin states combine map-side like sum/count, and the zero-padded (micros, id) key makes first/last deterministic — no window, no self-join, no second pass.",
+    "customer_revenue_gini": "Gini without a SinglePartition rank: per-customer revenue rolls up once, the global ascending rank is the hierarchical prefix sum (range shuffle + broadcast offsets), and the closed form is two exact-int sums and one division. Spark's own ROW_NUMBER over a global ORDER BY would funnel every customer through one task.",
+    "event_transition_matrix": "Markov transitions: the LEAD window partitions per user (bounded entity history), counts partial-aggregate onto the 25-cell type×type key space, row totals broadcast back — output is domain-sized, input-sized work is one window pass.",
+    "source_diversity_entropy": "Entropy with a deterministic float sum: per-(source, lang) counts aggregate first, each source's ≤#langs terms sort and fold in fixed order (array_sort + F.aggregate) — the order-sensitive reduction never runs at data size, only at domain size.",
+    "monthly_value_growth": "Calendar rollup THEN the window: LAG runs over the (type, month) dimension after the exact-int monthly agg — a few hundred rows — never over raw events; the growth ratio is one int-difference division.",
 }
 
 
