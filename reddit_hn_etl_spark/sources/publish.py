@@ -77,3 +77,43 @@ def vacuum(root: str, keep: int = 2) -> list[str]:
     for v in victims:
         shutil.rmtree(os.path.join(root, f"v={v}"), ignore_errors=True)
     return victims
+
+
+def list_versions(root: str) -> list[str]:
+    """All retained version ids, oldest → newest (lexicographic ==
+    chronological by construction of the version stamp)."""
+    return sorted(d[2:] for d in os.listdir(root) if d.startswith("v="))
+
+
+def read_version(
+    spark: SparkSession, root: str, table: str, version: str
+) -> DataFrame:
+    """Time travel: read ``table`` as of a retained ``version`` —
+    immutable version dirs make every un-vacuumed publish readable
+    forever, the parquet-lake equivalent of `SELECT … VERSION AS OF`.
+    Raises FileNotFoundError with the retained versions listed when
+    the requested one is gone (vacuumed or never existed)."""
+    vdir = os.path.join(root, f"v={version}", table)
+    if not os.path.isdir(vdir):
+        raise FileNotFoundError(
+            f"version {version!r} of {table!r} not retained; "
+            f"available: {list_versions(root)}"
+        )
+    return spark.read.parquet(vdir)
+
+
+def rollback(root: str, version: str) -> str:
+    """Re-point ``_CURRENT`` at an older retained version (the
+    incident-response path: bad publish → one atomic pointer swap
+    back, no data rewrite). Returns the previous live version."""
+    if not os.path.isdir(os.path.join(root, f"v={version}")):
+        raise FileNotFoundError(
+            f"cannot roll back to missing version {version!r}; "
+            f"available: {list_versions(root)}"
+        )
+    prev = current_version(root)
+    tmp = os.path.join(root, f".{CURRENT}.tmp")
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(version)
+    os.replace(tmp, os.path.join(root, CURRENT))
+    return prev

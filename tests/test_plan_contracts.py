@@ -1,0 +1,79 @@
+"""Physical-plan contracts for scale-critical queries: the invariants
+EXPLAINS.md documents, asserted so a regression (a forced broadcast
+of a fact, a global-order operator sneaking back in, an accidental
+cross join) fails CI instead of waiting for a human plan audit.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+from reddit_hn_etl_spark.plans.queries import QUERIES
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(True)
+    return buf.getvalue()
+
+
+# Queries whose plans must contain NO SinglePartition exchange at all
+# (every aggregation/window is keyed) and no Cartesian product.
+FULLY_PARTITIONED = [
+    "daily_value_ohlc",
+    "event_transition_matrix",
+    "monthly_value_growth",
+    "referral_lpa_communities",
+    "parts_price_size_skyline",
+    "brand_copurchase_lift",
+    "event_value_auc",
+    "daily_metrics",
+]
+
+# Queries that NEED a global order and must take the hierarchical
+# prefix-sum path (rangepartitioning + the 32-row totals window),
+# never a full-data SinglePartition window.
+HIERARCHICAL_GLOBAL_ORDER = [
+    "customer_revenue_gini",
+    "order_value_equidepth_hist",
+]
+
+
+@pytest.mark.parametrize("name", FULLY_PARTITIONED)
+def test_no_single_partition_exchange(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name)
+    assert "Exchange SinglePartition" not in plan, name
+    assert "CartesianProduct" not in plan, name
+
+
+@pytest.mark.parametrize("name", HIERARCHICAL_GLOBAL_ORDER)
+def test_global_order_uses_hierarchical_prefix(spark, sf_dir, name):
+    """The rank must arrive through the prefix-sum operator (its
+    localCheckpoint shows as Scan ExistingRDD; the range shuffle runs
+    behind that boundary — asserted operator-level by
+    test_prefix_sum_plan_has_no_full_data_single_partition), and no
+    global-order window operator may appear in the query plan."""
+    plan = _plan(spark, sf_dir, name)
+    assert "Scan ExistingRDD" in plan, name
+    assert "row_number(" not in plan, name
+    assert "ntile(" not in plan, name
+    assert "CartesianProduct" not in plan, name
+
+
+def test_fact_tables_are_never_forced_broadcast():
+    """VERDICT r1/r3 regression guard: no F.broadcast() wrapping of
+    the fact tables (orders / lineitem / events / customer) anywhere
+    in the query registry source."""
+    import re
+
+    src = open(
+        "reddit_hn_etl_spark/plans/queries.py", encoding="utf-8"
+    ).read()
+    for var in ("orders", "lineitem", "events", "li", "ev", "cust"):
+        hits = re.findall(rf"F\.broadcast\({var}\)", src)
+        assert not hits, f"forced fact broadcast on {var}: {hits}"

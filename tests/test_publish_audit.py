@@ -69,3 +69,53 @@ def test_audit_lifecycle(spark, tmp_path):
     assert state[rec2.run_id].status == "failed"
     assert "boom" in state[rec2.run_id].error_message
     assert log.history().count() == 4  # append-only: every transition kept
+
+
+def test_time_travel_read_version(spark, tmp_path):
+    root = str(tmp_path / "tt")
+    publish.publish_tables({"a": _df(spark, 3, "v1")}, root, version="0001")
+    publish.publish_tables({"a": _df(spark, 5, "v2")}, root, version="0002")
+
+    assert publish.list_versions(root) == ["0001", "0002"]
+    assert publish.current_version(root) == "0002"
+    # live read sees v2; time travel sees v1 unchanged
+    assert publish.read_published(spark, root, "a").count() == 5
+    assert publish.read_version(spark, root, "a", "0001").count() == 3
+
+    import pytest
+
+    with pytest.raises(FileNotFoundError, match="available"):
+        publish.read_version(spark, root, "a", "9999")
+
+
+def test_rollback_swaps_pointer_atomically(spark, tmp_path):
+    root = str(tmp_path / "rb")
+    publish.publish_tables({"a": _df(spark, 3, "good")}, root, version="0001")
+    publish.publish_tables({"a": _df(spark, 7, "bad")}, root, version="0002")
+
+    prev = publish.rollback(root, "0001")
+    assert prev == "0002"
+    assert publish.current_version(root) == "0001"
+    assert publish.read_published(spark, root, "a").count() == 3
+    # the bad version stays retained for forensics until vacuumed
+    assert publish.read_version(spark, root, "a", "0002").count() == 7
+
+    import pytest
+
+    with pytest.raises(FileNotFoundError, match="available"):
+        publish.rollback(root, "3333")
+
+
+def test_vacuum_then_time_travel_fails_loudly(spark, tmp_path):
+    root = str(tmp_path / "vc")
+    for i in range(4):
+        publish.publish_tables(
+            {"a": _df(spark, i + 1, f"v{i}")}, root, version=f"000{i}"
+        )
+    publish.vacuum(root, keep=2)
+
+    import pytest
+
+    with pytest.raises(FileNotFoundError, match="not retained"):
+        publish.read_version(spark, root, "a", "0000")
+    assert publish.read_version(spark, root, "a", "0003").count() == 4
