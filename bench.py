@@ -178,6 +178,11 @@ BENCH_QUERIES_R4 = [
     "event_transition_matrix",
     "source_diversity_entropy",
     "monthly_value_growth",
+    "rolling_median_value",
+    "value_distribution_moments",
+    "order_priority_multiset_ops",
+    "props_key_histogram",
+    "sorted_neighborhood_pairs",
 ]
 
 

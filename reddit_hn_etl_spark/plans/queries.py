@@ -9695,6 +9695,304 @@ def monthly_value_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Rolling median (windowed order statistic): Spark has no percentile
+# window function, so the frame's values collect into an array and
+# the median is an exact array expression — affordable because the
+# frame is BOUNDED (7 rows); the composition every "rolling p50
+# latency" dashboard needs. Exact on integer cents (middle-pair
+# average is an exact half).
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "rolling_median_value",
+    """
+    WITH b AS (
+        SELECT event_id, user_id, ts,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events
+    ),
+    w AS (
+        SELECT event_id, user_id, ts, cents,
+               quantile_cont(cents, 0.5) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+               ) AS roll_med,
+               COUNT(*) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+               ) AS n_in_frame
+        FROM b
+    )
+    SELECT event_id, user_id, cents,
+           CAST(n_in_frame AS INTEGER) AS n_in_frame,
+           roll_med
+    FROM w WHERE n_in_frame = 7
+    """,
+)
+def rolling_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling median over the last 7 events. Spark side:
+    collect_list over the bounded frame → array_sort → exact middle
+    (odd frame ⇒ element 4 of 7; emitted once the frame is full so
+    both engines compute the same order statistic). The array path
+    costs O(frame log frame) per row with frame=7 — constant — and
+    the window partitions per user; DuckDB's windowed quantile_cont
+    is the independent formulation."""
+    ev = read_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, 0)
+    )
+    b = ev.select("event_id", "user_id", "ts", cents.alias("cents"))
+    frame = F.array_sort(F.collect_list("cents").over(w))
+    out = b.select(
+        "event_id",
+        "user_id",
+        "cents",
+        F.size(frame).cast("int").alias("n_in_frame"),
+        F.element_at(frame, 4).cast("double").alias("roll_med"),
+    )
+    return out.where(F.col("n_in_frame") == 7)
+
+
+# ---------------------------------------------------------------------------
+# Higher-moment distribution statistics (skewness/kurtosis) from
+# exact DECIMAL(38,0) power sums — int64 overflows at the 3rd/4th
+# moment (cents³ ~ 1e18 per row), so the accumulators take the
+# wide-decimal route the group-checksum query established. The
+# closed forms then evaluate in double from identical exact inputs;
+# Spark's skewness/kurtosis builtins are cross-checked in pytest.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "value_distribution_moments",
+    """
+    WITH m AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               SUM(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                        AS DECIMAL(38,0))) AS s1,
+               SUM(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                        AS DECIMAL(38,0))
+                   * CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                          AS DECIMAL(38,0))) AS s2,
+               SUM(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                        AS DECIMAL(38,0))
+                   * CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                          AS DECIMAL(38,0))
+                   * CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                          AS DECIMAL(38,0))) AS s3
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS INTEGER) AS n_events,
+           CAST(s1 AS VARCHAR) AS s1_exact,
+           CAST(s2 AS VARCHAR) AS s2_exact,
+           CAST(s3 AS VARCHAR) AS s3_exact,
+           ROUND(
+               (CAST(s3 AS DOUBLE) / n
+                - 3.0 * (CAST(s1 AS DOUBLE) / n)
+                      * (CAST(s2 AS DOUBLE) / n)
+                + 2.0 * (CAST(s1 AS DOUBLE) / n)
+                      * (CAST(s1 AS DOUBLE) / n)
+                      * (CAST(s1 AS DOUBLE) / n))
+               / POW(CAST(s2 AS DOUBLE) / n
+                     - (CAST(s1 AS DOUBLE) / n)
+                           * (CAST(s1 AS DOUBLE) / n), 1.5),
+               6) AS skewness
+    FROM m
+    """,
+)
+def value_distribution_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness per event type from three exact decimal
+    power sums in ONE partial/final scan. The exact sums are emitted
+    as strings (DECIMAL(38) → VARCHAR is portable; double formatting
+    is not — the column-stats precedent) so the oracle checks the
+    accumulators themselves, not just the rounded statistic."""
+    ev = read_table(spark, sf_dir, "events")
+    c = (
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .cast("decimal(38,0)")
+    )
+    m = ev.select("event_type", c.alias("_c")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_c").alias("s1"),
+        F.sum(F.col("_c") * F.col("_c")).alias("s2"),
+        F.sum(F.col("_c") * F.col("_c") * F.col("_c")).alias("s3"),
+    )
+    n = F.col("n").cast("double")
+    m1 = F.col("s1").cast("double") / n
+    m2 = F.col("s2").cast("double") / n
+    m3 = F.col("s3").cast("double") / n
+    skew = (m3 - F.lit(3.0) * m1 * m2 + F.lit(2.0) * m1 * m1 * m1) / F.pow(
+        m2 - m1 * m1, F.lit(1.5)
+    )
+    return m.select(
+        "event_type",
+        F.col("n").cast("int").alias("n_events"),
+        F.col("s1").cast("string").alias("s1_exact"),
+        F.col("s2").cast("string").alias("s2_exact"),
+        F.col("s3").cast("string").alias("s3_exact"),
+        F.round(skew, 6).alias("skewness"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multiset semantics: INTERSECT ALL / EXCEPT ALL (bag intersection
+# and difference WITH multiplicity — each priority survives
+# min(nA, nB) / nA−nB times), the set-operator surface the plain
+# EXCEPT query (part_type_norm family) doesn't cover.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "order_priority_multiset_ops",
+    """
+    WITH a AS (SELECT o_orderpriority AS p FROM orders
+               WHERE o_orderstatus = 'O'),
+    b AS (SELECT o_orderpriority AS p FROM orders
+          WHERE o_orderstatus = 'F'),
+    i AS (SELECT 'intersect_all' AS op, p FROM
+          (SELECT p FROM a INTERSECT ALL SELECT p FROM b)),
+    e AS (SELECT 'except_all' AS op, p FROM
+          (SELECT p FROM a EXCEPT ALL SELECT p FROM b))
+    SELECT op, p AS priority, CAST(COUNT(*) AS INTEGER) AS n
+    FROM (SELECT * FROM i UNION ALL SELECT * FROM e)
+    GROUP BY op, p
+    """,
+)
+def order_priority_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag intersection/difference of the open-vs-finished priority
+    multisets. Spark plans intersectAll/exceptAll as a count-compare
+    generate over one hash shuffle per side — multiplicity semantics
+    without materializing row copies; the final histogram collapses
+    to the 5-value domain."""
+    orders = read_table(spark, sf_dir, "orders")
+    a = orders.where(F.col("o_orderstatus") == "O").select(
+        F.col("o_orderpriority").alias("priority")
+    )
+    b = orders.where(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderpriority").alias("priority")
+    )
+    i = a.intersectAll(b).withColumn("op", F.lit("intersect_all"))
+    e = a.exceptAll(b).withColumn("op", F.lit("except_all"))
+    return (
+        i.unionByName(e)
+        .groupBy("op", "priority")
+        .agg(F.count(F.lit(1)).cast("int").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured key census: which JSON keys appear in the event
+# props and how often — the schema-inference / drift-monitoring
+# primitive over a free-form payload column (json_object_keys
+# surface; the VARIANT query covers typed extraction).
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "props_key_histogram",
+    """
+    SELECT k AS key,
+           CAST(COUNT(*) AS INTEGER) AS n_events,
+           CAST(COUNT(DISTINCT event_type) AS INTEGER) AS n_types
+    FROM (
+        SELECT event_type, unnest(json_keys(props)) AS k
+        FROM events WHERE props IS NOT NULL
+    )
+    GROUP BY k
+    """,
+)
+def props_key_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key frequency across the props payloads: json_object_keys →
+    explode → one partial/final agg on the (small) key domain. At
+    100 TB this is the cheap first pass that decides which keys
+    deserve VARIANT extraction or schema promotion."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.where(F.col("props").isNotNull())
+        .select(
+            "event_type",
+            F.explode(F.json_object_keys("props")).alias("key"),
+        )
+        .groupBy("key")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_events"),
+            F.countDistinct("event_type").cast("int").alias("n_types"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood blocking (Hernández & Stolfo 1995) — the second
+# classic entity-resolution blocking scheme next to key blocking
+# (customer_name_jw_pairs): order records by the match key, pair each
+# with its w nearest neighbors in that order. The global order comes
+# from the hierarchical prefix rank; the "±w neighbors" theta join
+# decomposes into w equi-joins on shifted ranks.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "sorted_neighborhood_pairs",
+    """
+    WITH c AS (
+        SELECT c_custkey, c_name,
+               ROW_NUMBER() OVER (ORDER BY c_name, c_custkey) AS rn
+        FROM customer WHERE c_custkey % 10 = 0
+    )
+    SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+           CAST(b.rn - a.rn AS INTEGER) AS rank_gap,
+           ROUND(jaro_winkler_similarity(a.c_name, b.c_name), 6) AS jw_sim
+    FROM c a JOIN c b ON b.rn - a.rn IN (1, 2)
+    """,
+)
+def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-2 sorted-neighborhood candidate pairs over the name
+    order, scored with the Jaro-Winkler UDF. The rank is the
+    hierarchical prefix row number (range shuffle, never one task);
+    the neighbor join is two shuffle equi-joins on rn+1 / rn+2 —
+    output is exactly 2n−3 pairs, the linear candidate budget that
+    makes sorted-neighborhood the scale-friendly blocking scheme."""
+    from ..operators.prefix import global_row_number
+
+    jw = textfn.jaro_winkler_pandas_udf()
+    cust = read_table(spark, sf_dir, "customer").where(
+        F.col("c_custkey") % 10 == 0
+    )
+    ranked = global_row_number(
+        cust.select("c_custkey", "c_name"),
+        order_cols=("c_name", "c_custkey"),
+        out_col="rn",
+    )
+    a = ranked.select(
+        F.col("c_custkey").alias("key_a"),
+        F.col("c_name").alias("_na"),
+        F.col("rn").alias("_ra"),
+    )
+    pairs = None
+    for d in (1, 2):
+        b = ranked.select(
+            F.col("c_custkey").alias("key_b"),
+            F.col("c_name").alias("_nb"),
+            (F.col("rn") - d).alias("_ra"),
+            F.lit(d).cast("int").alias("rank_gap"),
+        )
+        p = a.join(b, "_ra")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs.select(
+        "key_a",
+        "key_b",
+        "rank_gap",
+        F.round(jw(F.col("_na"), F.col("_nb")), 6).alias("jw_sim"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window.
 #
 # The driver hard-verifies (rows + schema + value hash vs the DuckDB

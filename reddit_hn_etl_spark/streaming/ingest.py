@@ -359,8 +359,12 @@ def interval_join_streams(
     complete: unmatched rows from the stream's tail stay buffered
     until later data (or a no-data batch) advances the watermark —
     the streaming-correct behavior, asserted by the eviction test.
+    ``how="full_outer"`` extends the same watermark-proved absence to
+    BOTH sides (unmatched right events surface with a NULL left ts);
+    the output key coalesces across sides since either may be the
+    absent one.
     """
-    assert how in ("inner", "left_outer")
+    assert how in ("inner", "left_outer", "full_outer")
     lw = left.withWatermark(left_ts, watermark) if left.isStreaming else left
     rw = right.withWatermark(right_ts, watermark) if right.isStreaming else right
     gap = F.expr(f"INTERVAL {max_gap}")
@@ -371,7 +375,9 @@ def interval_join_streams(
         & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + gap),
         how,
     ).select(
-        F.col(f"l.{key_col}").alias(key_col),
+        F.coalesce(
+            F.col(f"l.{key_col}"), F.col(f"r.{key_col}")
+        ).alias(key_col),
         F.col(f"l.{left_ts}").alias(left_ts),
         F.col(f"r.{right_ts}").alias(right_ts),
     )

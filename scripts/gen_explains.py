@@ -122,6 +122,8 @@ NOTES = {
     "event_transition_matrix": "Markov transitions: the LEAD window partitions per user (bounded entity history), counts partial-aggregate onto the 25-cell type×type key space, row totals broadcast back — output is domain-sized, input-sized work is one window pass.",
     "source_diversity_entropy": "Entropy with a deterministic float sum: per-(source, lang) counts aggregate first, each source's ≤#langs terms sort and fold in fixed order (array_sort + F.aggregate) — the order-sensitive reduction never runs at data size, only at domain size.",
     "monthly_value_growth": "Calendar rollup THEN the window: LAG runs over the (type, month) dimension after the exact-int monthly agg — a few hundred rows — never over raw events; the growth ratio is one int-difference division.",
+    "rolling_median_value": "Rolling order statistic: the 7-row frame collects into an array per row (O(frame log frame) — a CONSTANT), sorted and indexed in the same projection; the window partitions per user. No percentile window function exists in Spark and none is needed at bounded frames.",
+    "value_distribution_moments": "Skewness in one scan: three wide-decimal power sums partial-aggregate (DECIMAL(38,0) — int64 overflows at cents³), 5 rows reach the final stage, closed forms are projections. The two-pass mean-centered formulation would double the scans.",
 }
 
 

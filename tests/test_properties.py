@@ -1104,3 +1104,17 @@ def test_label_propagation_matches_bruteforce(spark, edges, n_iter):
         for r in label_propagation(df, n_iter=n_iter).collect()
     }
     assert got == _brute_lpa(edges, n_iter)
+
+
+def test_builtin_skewness_matches_moment_closed_form(spark):
+    """Spark's skewness() vs the three-power-sum closed form used by
+    the value_distribution_moments oracle (population convention)."""
+    vals = [1.0, 2.0, 2.0, 3.0, 7.0, 9.0, 4.0]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = df.select(F.skewness("x").alias("s")).collect()[0].s
+    n = len(vals)
+    m1 = sum(vals) / n
+    m2 = sum(v * v for v in vals) / n
+    m3 = sum(v ** 3 for v in vals) / n
+    want = (m3 - 3 * m1 * m2 + 2 * m1 ** 3) / (m2 - m1 * m1) ** 1.5
+    assert abs(got - want) < 1e-9

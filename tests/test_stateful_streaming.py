@@ -906,3 +906,58 @@ def test_transform_with_state_matches_legacy_api(spark, tmp_path):
             spark.conf.unset(
                 "spark.sql.streaming.stateStore.providerClass"
             )
+
+
+def test_stream_stream_full_outer_interval_join(spark, tmp_path):
+    """full_outer: BOTH sides' unmatched rows surface with NULLs —
+    but only after the watermark proves no future partner can match
+    (a late second batch advances event time past the horizon and
+    flushes the absences)."""
+    import json
+
+    lsrc = tmp_path / "fo_purchases"
+    rsrc = tmp_path / "fo_errors"
+    lsrc.mkdir(); rsrc.mkdir()
+    out = tmp_path / "fo_joined"
+    ckpt = str(tmp_path / "ckpt_fo")
+
+    with open(lsrc / "l1.jsonl", "w", encoding="utf-8") as f:
+        for uid, ts in [(1, "2024-01-01 10:00:00"),
+                        (2, "2024-01-01 10:00:00")]:   # 2: never matched
+            f.write(json.dumps({"user_id": uid, "l_ts": ts}) + "\n")
+    with open(rsrc / "r1.jsonl", "w", encoding="utf-8") as f:
+        for uid, ts in [
+            (1, "2024-01-01 10:10:00"),   # matches user 1
+            (3, "2024-01-01 10:05:00"),   # right-only → NULL left
+        ]:
+            f.write(json.dumps({"user_id": uid, "r_ts": ts}) + "\n")
+
+    def run_once():
+        lstream = spark.readStream.schema(
+            "user_id long, l_ts timestamp").json(str(lsrc))
+        rstream = spark.readStream.schema(
+            "user_id long, r_ts timestamp").json(str(rsrc))
+        joined = ingest.interval_join_streams(
+            lstream, rstream, watermark="30 minutes", how="full_outer"
+        )
+        q = (joined.writeStream.format("parquet")
+             .option("path", str(out)).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run_once()
+    # advance event time far past every horizon on both sides
+    with open(lsrc / "l2.jsonl", "w", encoding="utf-8") as f:
+        f.write(json.dumps(
+            {"user_id": 9, "l_ts": "2024-01-01 23:00:00"}) + "\n")
+    with open(rsrc / "r2.jsonl", "w", encoding="utf-8") as f:
+        f.write(json.dumps(
+            {"user_id": 9, "r_ts": "2024-01-01 23:00:01"}) + "\n")
+    run_once()
+
+    got = {(r.user_id, str(r.l_ts), str(r.r_ts))
+           for r in spark.read.parquet(str(out)).collect()}
+    assert (1, "2024-01-01 10:00:00", "2024-01-01 10:10:00") in got
+    assert (2, "2024-01-01 10:00:00", "None") in got      # left absence
+    assert (3, "None", "2024-01-01 10:05:00") in got      # right absence
+    assert (9, "2024-01-01 23:00:00", "2024-01-01 23:00:01") in got
