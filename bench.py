@@ -183,6 +183,8 @@ BENCH_QUERIES_R4 = [
     "order_priority_multiset_ops",
     "props_key_histogram",
     "sorted_neighborhood_pairs",
+    "binary_hamming_knn",
+    "matryoshka_two_stage_knn",
 ]
 
 

@@ -9993,6 +9993,227 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Binary (sign) quantization ANN: 64-dim vectors compress to two
+# 32-bit sign codes; Hamming distance (bit_count of XOR) prefilters
+# candidates 32× cheaper than float cosine, exact rerank recovers
+# the true top-k — the modern memory-tight retrieval stack next to
+# PQ/IVF (same two-stage shape, different code family).
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "binary_hamming_knn",
+    """
+    WITH coded AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(range(0, 32),
+                       i -> CASE WHEN embedding[i + 1] > 0
+                                 THEN CAST(1 AS BIGINT) << i
+                                 ELSE CAST(0 AS BIGINT) END)),
+                   (a, b) -> a + b) AS lo,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(range(32, 64),
+                       i -> CASE WHEN embedding[i + 1] > 0
+                                 THEN CAST(1 AS BIGINT) << (i - 32)
+                                 ELSE CAST(0 AS BIGINT) END)),
+                   (a, b) -> a + b) AS hi
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, e AS qe, lo AS qlo, hi AS qhi
+          FROM coded WHERE vec_id < 5),
+    ham AS (
+        SELECT q.query_id, c.vec_id,
+               bit_count(xor(q.qlo, c.lo)) + bit_count(xor(q.qhi, c.hi))
+                   AS hamming,
+               list_cosine_similarity(q.qe, c.e) AS cos
+        FROM q CROSS JOIN coded c
+    ),
+    cand AS (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY hamming, vec_id) AS hr
+        FROM ham
+    )
+    SELECT query_id, vec_id, CAST(hamming AS INTEGER) AS hamming,
+           ROUND(cos, 4) AS cosine_sim, CAST(rr AS INTEGER) AS rnk
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rr
+        FROM cand WHERE hr <= 50
+    ) t
+    WHERE rr <= 5
+    """,
+)
+def binary_hamming_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-code Hamming prefilter (top-50) → exact cosine rerank
+    (top-5). Codes are TWO int32-range words per vector, so the
+    shifts never touch the sign bit on either engine; the XOR +
+    bit_count candidate scan reads 8 bytes/vector instead of 256 —
+    the production scan at billion scale stores ONLY codes and
+    fetches raw vectors for the 50 survivors. Hamming ties at the
+    candidate boundary break on vec_id, so the candidate set (and
+    everything downstream) is deterministic cross-engine."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+
+    def word(lo_bit: int) -> F.Column:
+        # 2^(i−lo_bit) via pow: exact in double for exponents ≤ 31
+        # (F.shiftleft takes only a literal shift amount)
+        return F.aggregate(
+            F.sequence(F.lit(lo_bit), F.lit(lo_bit + 31)),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc
+            + F.when(
+                F.element_at(v, i + 1) > 0,
+                F.pow(F.lit(2.0), (i - F.lit(lo_bit)).cast("double")).cast(
+                    "long"
+                ),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+
+    coded = emb.select(
+        "vec_id",
+        v.alias("e"),
+        similarity.l2_norm(v).alias("_n"),
+        word(0).alias("lo"),
+        word(32).alias("hi"),
+    )
+    q = coded.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("_qe"),
+        F.col("_n").alias("_qn"),
+        F.col("lo").alias("qlo"),
+        F.col("hi").alias("qhi"),
+    )
+    ham = coded.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        (
+            F.bit_count(F.col("qlo").bitwiseXOR(F.col("lo")))
+            + F.bit_count(F.col("qhi").bitwiseXOR(F.col("hi")))
+        ).alias("hamming"),
+        (
+            similarity.dot(F.col("_qe"), F.col("e"))
+            / (F.col("_qn") * F.col("_n"))
+        ).alias("_cos"),
+    )
+    wh = Window.partitionBy("query_id").orderBy("hamming", "vec_id")
+    wc = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("vec_id"))
+    return (
+        ham.withColumn("hr", F.row_number().over(wh))
+        .where(F.col("hr") <= 50)
+        .withColumn("rnk", F.row_number().over(wc))
+        .where(F.col("rnk") <= 5)
+        .select(
+            "query_id",
+            "vec_id",
+            F.col("hamming").cast("int"),
+            F.round("_cos", 4).alias("cosine_sim"),
+            F.col("rnk").cast("int"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka two-stage retrieval (Kusupati et al. 2022): MRL-style
+# embeddings rank usefully on a PREFIX of dimensions, so stage 1
+# scores only the first 16 dims (4× less math and memory traffic),
+# stage 2 reranks the survivors with the full 64 — the staged-
+# retrieval pattern underlying every "fast filter, exact finish"
+# vector stack.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "matryoshka_two_stage_knn",
+    """
+    WITH base AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+               CAST(embedding[1:16] AS DOUBLE[]) AS p
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, e AS qe, p AS qp
+          FROM base WHERE vec_id < 5),
+    coarse AS (
+        SELECT q.query_id, b.vec_id,
+               list_cosine_similarity(q.qp, b.p) AS ccos,
+               list_cosine_similarity(q.qe, b.e) AS fcos
+        FROM q CROSS JOIN base b
+    ),
+    cand AS (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY ccos DESC, vec_id) AS cr
+        FROM coarse
+    )
+    SELECT query_id, vec_id,
+           ROUND(ccos, 4) AS coarse_sim,
+           ROUND(fcos, 4) AS cosine_sim,
+           CAST(rr AS INTEGER) AS rnk
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY query_id ORDER BY fcos DESC, vec_id) AS rr
+        FROM cand WHERE cr <= 40
+    ) t
+    WHERE rr <= 5
+    """,
+)
+def matryoshka_two_stage_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-16 coarse scoring → top-40 candidates → full-64 exact
+    rerank → top-5. Both stages are the one broadcast-scored corpus
+    scan shape; at scale stage 1 reads a 16-float column (or the
+    prefix from the same column — column pruning does not help inside
+    arrays, so production persists the prefix separately) and only
+    the 40 survivors touch full vectors."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    base = emb.select(
+        "vec_id",
+        v.alias("e"),
+        F.slice(v, 1, 16).alias("p"),
+        similarity.l2_norm(v).alias("_ne"),
+        similarity.l2_norm(F.slice(v, 1, 16)).alias("_np"),
+    )
+    q = base.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("_qe"),
+        F.col("p").alias("_qp"),
+        F.col("_ne").alias("_qne"),
+        F.col("_np").alias("_qnp"),
+    )
+    scored = base.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        (
+            similarity.dot(F.col("_qp"), F.col("p"))
+            / (F.col("_qnp") * F.col("_np"))
+        ).alias("_ccos"),
+        (
+            similarity.dot(F.col("_qe"), F.col("e"))
+            / (F.col("_qne") * F.col("_ne"))
+        ).alias("_fcos"),
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.desc("_ccos"), F.asc("vec_id")
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("_fcos"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("cr", F.row_number().over(wc))
+        .where(F.col("cr") <= 40)
+        .withColumn("rnk", F.row_number().over(wf))
+        .where(F.col("rnk") <= 5)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round("_ccos", 4).alias("coarse_sim"),
+            F.round("_fcos", 4).alias("cosine_sim"),
+            F.col("rnk").cast("int"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window.
 #
 # The driver hard-verifies (rows + schema + value hash vs the DuckDB

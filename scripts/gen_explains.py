@@ -124,6 +124,8 @@ NOTES = {
     "monthly_value_growth": "Calendar rollup THEN the window: LAG runs over the (type, month) dimension after the exact-int monthly agg — a few hundred rows — never over raw events; the growth ratio is one int-difference division.",
     "rolling_median_value": "Rolling order statistic: the 7-row frame collects into an array per row (O(frame log frame) — a CONSTANT), sorted and indexed in the same projection; the window partitions per user. No percentile window function exists in Spark and none is needed at bounded frames.",
     "value_distribution_moments": "Skewness in one scan: three wide-decimal power sums partial-aggregate (DECIMAL(38,0) — int64 overflows at cents³), 5 rows reach the final stage, closed forms are projections. The two-pass mean-centered formulation would double the scans.",
+    "binary_hamming_knn": "Sign-code ANN: encode is a shuffle-free projection; the candidate scan reads two 8-byte words per vector (XOR + bit_count) instead of 256 bytes of floats, and only the 50 Hamming survivors pay exact cosine. At billion scale the codes table is the ONLY full scan.",
+    "matryoshka_two_stage_knn": "Staged retrieval: coarse prefix-16 scoring and full-64 rerank share one broadcast-scored scan here; at scale the prefix persists as its own column (arrays do not column-prune) so stage 1 reads 64 bytes/vector and stage 2 fetches 40 rows per query.",
 }
 
 
