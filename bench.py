@@ -185,6 +185,9 @@ BENCH_QUERIES_R4 = [
     "sorted_neighborhood_pairs",
     "binary_hamming_knn",
     "matryoshka_two_stage_knn",
+    "hybrid_search_rrf",
+    "type_dow_chisquare",
+    "null_semantics_battery",
 ]
 
 

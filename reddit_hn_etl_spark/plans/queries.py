@@ -10214,6 +10214,275 @@ def matryoshka_two_stage_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al. 2009):
+# fuse the BM25 lexical ranking (fixed query terms) with the vector
+# ranking (query = embedding of vec 0) as Σ 1/(60+rank) over the
+# union of both top-100 lists — the standard fusion behind every
+# "hybrid search" stack. Ranks are exact integers, so the fused
+# score is the same two-fraction sum on both engines.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "hybrid_search_rrf",
+    rf"""
+    WITH base AS (
+        SELECT doc_id,
+               len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                               x -> x <> '')) AS dl,
+               {_BM25_TF_SQL}
+        FROM documents
+    ),
+    stats AS (
+        SELECT COUNT(*) AS n_docs,
+               CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+               {_BM25_DF_SQL}
+        FROM base
+    ),
+    lex AS (
+        SELECT doc_id, ROW_NUMBER() OVER (
+                   ORDER BY {_BM25_SCORE_SQL} DESC, doc_id) AS r_lex
+        FROM base, stats
+        WHERE {_BM25_SCORE_SQL} > 0
+        QUALIFY r_lex <= 100
+    ),
+    qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+           WHERE vec_id = 0),
+    vec AS (
+        SELECT e.vec_id AS doc_id, ROW_NUMBER() OVER (
+                   ORDER BY list_cosine_similarity(qv.qe,
+                       CAST(e.embedding AS DOUBLE[])) DESC, e.vec_id)
+                   AS r_vec
+        FROM embeddings e CROSS JOIN qv
+        JOIN base b ON b.doc_id = e.vec_id
+        QUALIFY r_vec <= 100
+    )
+    SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+           CAST(l.r_lex AS INTEGER) AS r_lex,
+           CAST(v.r_vec AS INTEGER) AS r_vec,
+           ROUND(COALESCE(1.0 / (60 + l.r_lex), 0.0)
+                 + COALESCE(1.0 / (60 + v.r_vec), 0.0), 6) AS rrf
+    FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+    ORDER BY rrf DESC, doc_id
+    LIMIT 10
+    """,
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 hybrid results: BM25 top-100 ∪ cosine top-100, fused
+    by RRF (k=60). Each ranking is the established one-scan shape
+    (stats/query rows broadcast); the fusion is a full-outer join of
+    two ≤100-row lists — driver-trivial at any corpus size. The
+    final LIMIT is TakeOrderedAndProject, not a global sort."""
+    docs = read_table(spark, sf_dir, "documents")
+    emb = read_table(spark, sf_dir, "embeddings")
+    toks = dedup.tokens("text")
+
+    def tf_col(term: str):
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    base = docs.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        *[tf_col(t).alias(f"tf_{t}") for t in _BM25_TERMS],
+    )
+    stats = base.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("int")).alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+
+    def term_score(t: str):
+        tf = F.col(f"tf_{t}")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"df_{t}") + F.lit(0.5))
+            / (F.col(f"df_{t}") + F.lit(0.5))
+        )
+        return (
+            idf
+            * (tf * F.lit(2.2))
+            / (
+                tf
+                + F.lit(1.2)
+                * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.col("avgdl"))
+            )
+        )
+
+    score = term_score(_BM25_TERMS[0])
+    for t in _BM25_TERMS[1:]:
+        score = score + term_score(t)
+    wl = Window.orderBy(F.desc("_bm25"), F.asc("doc_id"))
+    lex = (
+        base.crossJoin(F.broadcast(stats))
+        .select("doc_id", score.alias("_bm25"))
+        .where(F.col("_bm25") > 0)
+        .withColumn("r_lex", F.row_number().over(wl))
+        .where(F.col("r_lex") <= 100)
+        .select("doc_id", "r_lex")
+    )
+    qv = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("_qe"),
+        similarity.l2_norm(F.col("embedding")).alias("_qn"),
+    )
+    wv = Window.orderBy(F.desc("_cos"), F.asc("doc_id"))
+    vec = (
+        emb.join(base.select("doc_id"), emb["vec_id"] == base["doc_id"])
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "doc_id",
+            (
+                similarity.dot(F.col("_qe"), F.col("embedding"))
+                / (F.col("_qn") * similarity.l2_norm(F.col("embedding")))
+            ).alias("_cos"),
+        )
+        .withColumn("r_vec", F.row_number().over(wv))
+        .where(F.col("r_vec") <= 100)
+        .select(F.col("doc_id").alias("v_doc_id"), "r_vec")
+    )
+    fused = lex.join(
+        vec, lex["doc_id"] == vec["v_doc_id"], "full_outer"
+    ).select(
+        F.coalesce(F.col("doc_id"), F.col("v_doc_id")).alias("doc_id"),
+        F.col("r_lex").cast("int").alias("r_lex"),
+        F.col("r_vec").cast("int").alias("r_vec"),
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_lex")), F.lit(0.0))
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(60) + F.col("r_vec")), F.lit(0.0)
+            ),
+            6,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(10)
+
+
+# ---------------------------------------------------------------------------
+# Chi-square contingency (event type × day-of-week): the
+# independence test a product-analytics pipeline runs on categorical
+# pairs. Observed counts are exact; expected counts and cell
+# contributions are the same rational expressions of those integers
+# on both engines.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "type_dow_chisquare",
+    """
+    WITH o AS (
+        SELECT event_type, dayofweek(ts) AS dow, COUNT(*) AS obs
+        FROM events GROUP BY event_type, dayofweek(ts)
+    ),
+    rt AS (SELECT event_type, SUM(obs) AS row_tot FROM o GROUP BY event_type),
+    ct AS (SELECT dow, SUM(obs) AS col_tot FROM o GROUP BY dow),
+    n AS (SELECT SUM(obs) AS total FROM o)
+    SELECT o.event_type, CAST(o.dow AS INTEGER) AS dow,
+           CAST(o.obs AS INTEGER) AS observed,
+           ROUND(CAST(rt.row_tot AS DOUBLE) * ct.col_tot / n.total, 6)
+               AS expected,
+           ROUND(POW(o.obs - CAST(rt.row_tot AS DOUBLE) * ct.col_tot
+                             / n.total, 2)
+                 / (CAST(rt.row_tot AS DOUBLE) * ct.col_tot / n.total), 6)
+               AS chi2_contrib
+    FROM o
+    JOIN rt USING (event_type)
+    JOIN ct USING (dow)
+    CROSS JOIN n
+    """,
+)
+def type_dow_chisquare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell chi-square contributions over the 5×7 contingency
+    table. One exact-count agg on the domain-sized key, marginals
+    broadcast back, contributions are pure projections — the test
+    statistic is the sum of 35 rows the reader (or a 1-row follow-up
+    agg) takes. DuckDB dayofweek is 0-6 (Sun=0), Spark 1-7 (Sun=1):
+    the Spark side subtracts 1."""
+    ev = read_table(spark, sf_dir, "events")
+    o = ev.groupBy(
+        "event_type", (F.dayofweek("ts") - 1).cast("int").alias("dow")
+    ).agg(F.count(F.lit(1)).alias("obs"))
+    rt = o.groupBy("event_type").agg(F.sum("obs").alias("row_tot"))
+    ct = o.groupBy("dow").agg(F.sum("obs").alias("col_tot"))
+    n = o.agg(F.sum("obs").alias("total"))
+    exp = F.col("row_tot").cast("double") * F.col("col_tot") / F.col("total")
+    return (
+        o.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "dow")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "event_type",
+            F.col("dow").cast("int"),
+            F.col("obs").cast("int").alias("observed"),
+            F.round(exp, 6).alias("expected"),
+            F.round(
+                F.pow(F.col("obs") - exp, F.lit(2.0)) / exp, 6
+            ).alias("chi2_contrib"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# NULL-semantics battery: the aggregate/comparison NULL rules
+# (COUNT(*) vs COUNT(col), DISTINCT with NULLs, null-safe equality,
+# NULL-ignoring extrema, exact-decimal AVG over the non-null subset)
+# asserted cross-engine on planted NULLs — the correctness surface
+# every migration audit checks first.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "null_semantics_battery",
+    """
+    WITH b AS (
+        SELECT event_type, user_id,
+               CASE WHEN event_type = 'error' THEN NULL
+                    ELSE CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+               END AS cents
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS INTEGER) AS n_rows,
+           CAST(COUNT(cents) AS INTEGER) AS n_nonnull,
+           CAST(count_if(cents IS NOT DISTINCT FROM NULL) AS INTEGER)
+               AS n_nullsafe_eq_null,
+           CAST(COUNT(DISTINCT cents) AS INTEGER) AS n_distinct_nonnull,
+           MIN(cents) AS min_cents,
+           MAX(cents) AS max_cents,
+           CAST(SUM(cents) AS DOUBLE) / COUNT(cents) AS avg_nonnull
+    FROM b GROUP BY event_type
+    """,
+)
+def null_semantics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL rules on planted NULLs (every 'error' row): COUNT(col)
+    skips them, COUNT(DISTINCT) ignores them, <=> NULL finds exactly
+    them, MIN/MAX/AVG ignore them, and the error group's aggregate
+    columns are themselves NULL. One partial/final agg; the
+    null-safe predicate is eqNullSafe — the operator a naive `=`
+    rewrite gets wrong three-valued-logically."""
+    ev = read_table(spark, sf_dir, "events")
+    cents = F.when(
+        F.col("event_type") != "error",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint"),
+    )
+    b = ev.select("event_type", cents.alias("cents"))
+    return b.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("int").alias("n_rows"),
+        F.count("cents").cast("int").alias("n_nonnull"),
+        F.sum(
+            F.col("cents").eqNullSafe(F.lit(None).cast("bigint")).cast("int")
+        ).cast("int").alias("n_nullsafe_eq_null"),
+        F.countDistinct("cents").cast("int").alias("n_distinct_nonnull"),
+        F.min("cents").alias("min_cents"),
+        F.max("cents").alias("max_cents"),
+        (F.sum("cents").cast("double") / F.count("cents")).alias(
+            "avg_nonnull"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window.
 #
 # The driver hard-verifies (rows + schema + value hash vs the DuckDB

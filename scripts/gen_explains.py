@@ -126,6 +126,9 @@ NOTES = {
     "value_distribution_moments": "Skewness in one scan: three wide-decimal power sums partial-aggregate (DECIMAL(38,0) — int64 overflows at cents³), 5 rows reach the final stage, closed forms are projections. The two-pass mean-centered formulation would double the scans.",
     "binary_hamming_knn": "Sign-code ANN: encode is a shuffle-free projection; the candidate scan reads two 8-byte words per vector (XOR + bit_count) instead of 256 bytes of floats, and only the 50 Hamming survivors pay exact cosine. At billion scale the codes table is the ONLY full scan.",
     "matryoshka_two_stage_knn": "Staged retrieval: coarse prefix-16 scoring and full-64 rerank share one broadcast-scored scan here; at scale the prefix persists as its own column (arrays do not column-prune) so stage 1 reads 64 bytes/vector and stage 2 fetches 40 rows per query.",
+    "hybrid_search_rrf": "Fusion after truncation: each ranking is its established one-scan shape, both truncate to 100 rows BEFORE the full-outer fusion join, and the global top-10 is TakeOrderedAndProject. The expensive parts never see each other; the fusion moves ≤200 rows at any corpus size.",
+    "type_dow_chisquare": "Independence test: exact counts partial-aggregate onto the 5×7 domain; marginals and the total are broadcast 1-row/5-row/7-row sides; every statistic is a projection. Input-sized work is one scan.",
+    "null_semantics_battery": "One partial/final agg carrying seven NULL-rule aggregates; eqNullSafe plans as a null-safe equality, not a three-valued `=`. Nothing here shuffles more than the 5-type key.",
 }
 
 
