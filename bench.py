@@ -188,6 +188,9 @@ BENCH_QUERIES_R4 = [
     "hybrid_search_rrf",
     "type_dow_chisquare",
     "null_semantics_battery",
+    "knn_ndcg_eval",
+    "value_psi_weekly",
+    "ab_test_ztest",
 ]
 
 

@@ -10483,6 +10483,321 @@ def null_semantics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# nDCG@10 of the cosine ranking against label relevance — the
+# retrieval-evaluation metric next to AUC: does nearest-neighbor
+# search surface same-label items early? rel(hit) = 1 iff the hit
+# shares the query's label (self excluded); DCG folds rel/ln(1+r)
+# in rank order (fixed ≤10 terms, deterministic order on both
+# engines), IDCG is the closed form for n_rel relevant items.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "knn_ndcg_eval",
+    """
+    WITH q AS (
+        SELECT vec_id AS query_id, label AS qlabel,
+               CAST(embedding AS DOUBLE[]) AS qe
+        FROM embeddings WHERE vec_id < 5
+    ),
+    scored AS (
+        SELECT q.query_id, q.qlabel, e.vec_id, e.label,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY list_cosine_similarity(q.qe,
+                       CAST(e.embedding AS DOUBLE[])) DESC, e.vec_id
+               ) AS r
+        FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+    ),
+    top AS (SELECT * FROM scored WHERE r <= 10),
+    agg AS (
+        SELECT query_id,
+               CAST(count_if(label = qlabel) AS BIGINT) AS n_rel,
+               list(CASE WHEN label = qlabel
+                         THEN 1.0 / ln(CAST(1 + r AS DOUBLE))
+                         ELSE 0.0 END ORDER BY r) AS gains
+        FROM top GROUP BY query_id
+    )
+    SELECT query_id,
+           CAST(n_rel AS INTEGER) AS n_rel_at_10,
+           ROUND(list_reduce(list_prepend(0.0, gains), (a, b) -> a + b),
+                 6) AS dcg,
+           ROUND(CASE WHEN n_rel = 0 THEN 0.0 ELSE
+               list_reduce(list_prepend(0.0,
+                   list_transform(range(1, CAST(n_rel AS INTEGER) + 1),
+                       i -> 1.0 / ln(CAST(1 + i AS DOUBLE)))),
+                   (a, b) -> a + b) END, 6) AS idcg
+    FROM agg
+    """,
+)
+def knn_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DCG@10 and ideal DCG per query over label relevance. The
+    ranking is the broadcast-scored corpus scan; the fold runs over
+    exactly 10 terms in rank order on both engines (1/ln(1+r) gains
+    — natural log keeps the term a single bit-stable call), so the
+    sums agree to the rounding grid. n_rel makes the reader's
+    nDCG = dcg/idcg well-defined."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("_qe"),
+        similarity.l2_norm(F.col("embedding")).alias("_qn"),
+    )
+    scored = (
+        emb.select(
+            "vec_id",
+            "label",
+            "embedding",
+            similarity.l2_norm(F.col("embedding")).alias("_cn"),
+        )
+        .crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "qlabel",
+            "vec_id",
+            "label",
+            (
+                similarity.dot(F.col("_qe"), F.col("embedding"))
+                / (F.col("_qn") * F.col("_cn"))
+            ).alias("_cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("vec_id"))
+    top = scored.withColumn("r", F.row_number().over(w)).where(F.col("r") <= 10)
+    gain = F.when(
+        F.col("label") == F.col("qlabel"),
+        F.lit(1.0) / F.log((F.lit(1) + F.col("r")).cast("double")),
+    ).otherwise(F.lit(0.0))
+    agg = (
+        top.select(
+            "query_id",
+            (F.col("label") == F.col("qlabel")).cast("long").alias("_rel"),
+            F.struct(F.col("r"), gain.alias("g")).alias("_rg"),
+        )
+        .groupBy("query_id")
+        .agg(
+            F.sum("_rel").alias("n_rel"),
+            F.array_sort(F.collect_list("_rg")).alias("_rgs"),
+        )
+    )
+    dcg = F.aggregate(
+        F.transform(F.col("_rgs"), lambda s: s["g"]),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    idcg = F.when(F.col("n_rel") == 0, F.lit(0.0)).otherwise(
+        F.aggregate(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n_rel").cast("int")),
+                lambda i: F.lit(1.0)
+                / F.log((F.lit(1) + i).cast("double")),
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        )
+    )
+    return agg.select(
+        "query_id",
+        F.col("n_rel").cast("int").alias("n_rel_at_10"),
+        F.round(dcg, 6).alias("dcg"),
+        F.round(idcg, 6).alias("idcg"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Population Stability Index (the industry drift metric next to the
+# L1 histogram drift of value_drift_weekly): PSI = Σ (p−q)·ln(p/q)
+# over fixed value bins, week 1 as reference. Counts are exact; the
+# fold runs over the ≤12 bins in fixed bin order.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "value_psi_weekly",
+    """
+    WITH b AS (
+        SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+               LEAST(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                          // 10000 AS BIGINT), 9) AS bin
+        FROM events
+    ),
+    weeks AS (SELECT DISTINCT week FROM b),
+    ref AS (SELECT MIN(week) AS ref_week FROM b),
+    c AS (
+        SELECT week, bin, COUNT(*) AS n FROM b GROUP BY week, bin
+    ),
+    t AS (SELECT week, SUM(n) AS tot FROM c GROUP BY week),
+    -- densify: every (week, bin) cell with Laplace +1 smoothing so
+    -- empty cells stay defined
+    grid AS (
+        SELECT w.week, g.bin,
+               COALESCE(c.n, 0) + 1 AS n_s
+        FROM weeks w
+        CROSS JOIN (SELECT unnest(range(0, 10)) AS bin) g
+        LEFT JOIN c ON c.week = w.week AND c.bin = g.bin
+    ),
+    gt AS (SELECT week, SUM(n_s) AS tot_s FROM grid GROUP BY week),
+    dist AS (
+        SELECT g.week, g.bin,
+               CAST(g.n_s AS DOUBLE) / gt.tot_s AS p
+        FROM grid g JOIN gt ON gt.week = g.week
+    ),
+    terms AS (
+        SELECT cur.week,
+               list((cur.p - refd.p) * ln(cur.p / refd.p)
+                    ORDER BY cur.bin) AS term_list
+        FROM dist cur
+        JOIN ref ON TRUE
+        JOIN dist refd ON refd.week = ref.ref_week AND refd.bin = cur.bin
+        WHERE cur.week <> ref.ref_week
+        GROUP BY cur.week
+    )
+    SELECT week,
+           ROUND(list_reduce(list_prepend(0.0, term_list), (a, b) -> a + b),
+                 6) AS psi
+    FROM terms
+    """,
+)
+def value_psi_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly PSI of the value distribution vs the first week, over
+    ten fixed $100 bins with Laplace smoothing (so empty cells never
+    divide by zero and the metric stays defined at every SF). The
+    per-week fold is ≤10 terms in fixed bin order; everything else
+    is exact-count aggregation with the reference week broadcast.
+    PSI > 0.2 is the standard retrain/alert threshold."""
+    ev = read_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    b = ev.select(
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+        F.least(F.floor(cents / 10000), F.lit(9)).cast("bigint").alias("bin"),
+    )
+    weeks = b.select("week").distinct()
+    bins = spark.range(0, 10).select(F.col("id").cast("bigint").alias("bin"))
+    c = b.groupBy("week", "bin").agg(F.count(F.lit(1)).alias("n"))
+    grid = (
+        weeks.crossJoin(F.broadcast(bins))
+        .join(c, ["week", "bin"], "left")
+        .select(
+            "week", "bin", (F.coalesce(F.col("n"), F.lit(0)) + 1).alias("n_s")
+        )
+    )
+    gt = grid.groupBy("week").agg(F.sum("n_s").alias("tot_s"))
+    dist = grid.join(F.broadcast(gt), "week").select(
+        "week", "bin", (F.col("n_s").cast("double") / F.col("tot_s")).alias("p")
+    )
+    ref_week = b.agg(F.min("week").alias("ref_week"))
+    refd = (
+        dist.crossJoin(F.broadcast(ref_week))
+        .where(F.col("week") == F.col("ref_week"))
+        .select(F.col("bin"), F.col("p").alias("q"))
+    )
+    terms = (
+        dist.crossJoin(F.broadcast(ref_week))
+        .where(F.col("week") != F.col("ref_week"))
+        .join(F.broadcast(refd), "bin")
+        .select(
+            "week",
+            F.struct(
+                "bin",
+                ((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))).alias(
+                    "t"
+                ),
+            ).alias("_bt"),
+        )
+        .groupBy("week")
+        .agg(F.array_sort(F.collect_list("_bt")).alias("_bts"))
+    )
+    psi = F.aggregate(
+        F.transform(F.col("_bts"), lambda s: s["t"]),
+        F.lit(0.0),
+        lambda a, b2: a + b2,
+    )
+    return terms.select("week", F.round(psi, 6).alias("psi"))
+
+
+# ---------------------------------------------------------------------------
+# Two-proportion z-test (A/B experiment readout): arms by user-id
+# parity, conversion = user made a purchase. The z statistic's
+# closed form evaluates from four exact integers; the p-value stays
+# with the reader (erf isn't cross-engine-stable) — the z value and
+# the standard |z| > 1.96 verdict are.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "ab_test_ztest",
+    """
+    WITH a AS (
+        SELECT CAST(event_id % 2 AS INTEGER) AS arm,
+               COUNT(*) AS n,
+               SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                   AS conv
+        FROM events GROUP BY arm
+    ),
+    wide AS (
+        SELECT MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+               MAX(CASE WHEN arm = 0 THEN conv END) AS c0,
+               MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+               MAX(CASE WHEN arm = 1 THEN conv END) AS c1
+        FROM a
+    )
+    SELECT CAST(n0 AS INTEGER) AS n_control,
+           CAST(c0 AS INTEGER) AS conv_control,
+           CAST(n1 AS INTEGER) AS n_treatment,
+           CAST(c1 AS INTEGER) AS conv_treatment,
+           ROUND((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+                 / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                        * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                        * (1.0 / n0 + 1.0 / n1)), 6) AS z,
+           ABS((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+               / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                      * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                      * (1.0 / n0 + 1.0 / n1))) > 1.96 AS significant_95
+    FROM wide
+    """,
+)
+def ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pooled two-proportion z over event-id parity arms, testing
+    the error rate (a per-user conversion metric degenerates at the
+    smallest SF: every user converts, the pooled variance hits 0).
+    Arm totals are one partial/final agg, the statistic a projection
+    of four exact integers — identical closed form both sides, and
+    the significance verdict compares the same double. Nothing here
+    scales with events beyond the one scan."""
+    ev = read_table(spark, sf_dir, "events")
+    a = ev.select(
+        (F.col("event_id") % 2).cast("int").alias("arm"),
+        (F.col("event_type") == "error").cast("long").alias("converted"),
+    ).groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("conv")
+    )
+    wide = a.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 0, F.col("conv"))).alias("c0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 1, F.col("conv"))).alias("c1"),
+    )
+    p0 = F.col("c0").cast("double") / F.col("n0")
+    p1 = F.col("c1").cast("double") / F.col("n1")
+    pp = (F.col("c0") + F.col("c1")).cast("double") / (
+        F.col("n0") + F.col("n1")
+    )
+    z = (p1 - p0) / F.sqrt(
+        pp * (F.lit(1) - pp) * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1"))
+    )
+    return wide.select(
+        F.col("n0").cast("int").alias("n_control"),
+        F.col("c0").cast("int").alias("conv_control"),
+        F.col("n1").cast("int").alias("n_treatment"),
+        F.col("c1").cast("int").alias("conv_treatment"),
+        F.round(z, 6).alias("z"),
+        (F.abs(z) > 1.96).alias("significant_95"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window.
 #
 # The driver hard-verifies (rows + schema + value hash vs the DuckDB

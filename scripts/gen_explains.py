@@ -129,6 +129,9 @@ NOTES = {
     "hybrid_search_rrf": "Fusion after truncation: each ranking is its established one-scan shape, both truncate to 100 rows BEFORE the full-outer fusion join, and the global top-10 is TakeOrderedAndProject. The expensive parts never see each other; the fusion moves ≤200 rows at any corpus size.",
     "type_dow_chisquare": "Independence test: exact counts partial-aggregate onto the 5×7 domain; marginals and the total are broadcast 1-row/5-row/7-row sides; every statistic is a projection. Input-sized work is one scan.",
     "null_semantics_battery": "One partial/final agg carrying seven NULL-rule aggregates; eqNullSafe plans as a null-safe equality, not a three-valued `=`. Nothing here shuffles more than the 5-type key.",
+    "knn_ndcg_eval": "Retrieval eval: the one broadcast-scored scan from kNN plus a per-query 10-row fold — the metric computation is free next to the ranking; at scale the ranking side swaps to IVF/PQ and this plan is unchanged above it.",
+    "value_psi_weekly": "Drift monitor: exact counts densify onto the fixed (week × 10-bin) grid via a broadcast bin dimension, the reference week broadcasts back, and each week folds ≤10 terms in bin order — all domain-sized after the one scan.",
+    "ab_test_ztest": "Experiment readout: ONE scan → 2-row arm agg → 1-row wide pivot → closed-form projection. The statistic's cost is independent of data size by construction.",
 }
 
 
