@@ -191,6 +191,7 @@ BENCH_QUERIES_R4 = [
     "knn_ndcg_eval",
     "value_psi_weekly",
     "ab_test_ztest",
+    "embeddings_constraint_report",
 ]
 
 

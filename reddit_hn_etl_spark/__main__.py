@@ -31,7 +31,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument(
         "--raw-dir", help="directory of hn_raw_*.json (HN pipeline modes)"
     )
-    ap.add_argument("--out", required=True, help="warehouse root directory")
+    ap.add_argument(
+        "--out",
+        help="warehouse root directory (required for pipeline modes; "
+        "unused by --list-versions/--rollback)",
+    )
     ap.add_argument(
         "--all-batches",
         action="store_true",
@@ -122,10 +126,39 @@ def main(argv: list[str] | None = None) -> int:
         "--kmeans-iters", type=int, default=5,
         help="Lloyd rounds for --cluster-embeddings",
     )
+    ap.add_argument(
+        "--list-versions",
+        metavar="ROOT",
+        help="ops mode: print retained publish versions (live one "
+        "marked) of a versioned warehouse root and exit; no Spark "
+        "session is started",
+    )
+    ap.add_argument(
+        "--rollback",
+        nargs=2,
+        metavar=("ROOT", "VERSION"),
+        help="ops mode: atomically re-point a versioned warehouse "
+        "root at an older retained version and exit (incident "
+        "response; no data rewrite, no Spark session)",
+    )
     args = ap.parse_args(argv)
+
+    if args.list_versions:
+        live = publish.current_version(args.list_versions)
+        for v in publish.list_versions(args.list_versions):
+            mark = "  <- live" if v == live else ""
+            print(f"v={v}{mark}")
+        return 0
+    if args.rollback:
+        root, version = args.rollback
+        prev = publish.rollback(root, version)
+        print(f"rolled back {root}: {prev} -> {version}")
+        return 0
 
     from .config import load_env_file
 
+    if not args.out:
+        ap.error("--out is required for pipeline modes")
     if (
         not args.curate_docs
         and not args.compact

@@ -10798,6 +10798,71 @@ def ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Constraint suite over ARRAY data: the declarative checks operator
+# (checks.constraint_report) applied to the embeddings table —
+# dimensionality, NaN/zero-vector screens, label domain — the QA
+# gate an embedding pipeline runs before indexing. Demonstrates that
+# rules are arbitrary boolean Columns (higher-order functions
+# included), still one scan for N rules.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "embeddings_constraint_report",
+    """
+    WITH base AS (
+        SELECT *,
+               len(embedding) AS dim,
+               len(list_filter(embedding, x -> isnan(x))) AS n_nan,
+               len(list_filter(embedding, x -> x <> 0)) AS n_nonzero
+        FROM embeddings
+    ),
+    b AS (
+        SELECT COUNT(*) AS n_rows,
+               count_if(NOT COALESCE(dim = 64, TRUE)) AS v_dim_64,
+               count_if(NOT COALESCE(embedding IS NOT NULL, TRUE))
+                   AS v_vector_present,
+               count_if(NOT COALESCE(n_nan = 0, TRUE)) AS v_no_nans,
+               count_if(NOT COALESCE(n_nonzero > 0, TRUE))
+                   AS v_not_zero_vector,
+               count_if(NOT COALESCE(label BETWEEN 0 AND 9, TRUE))
+                   AS v_label_domain
+        FROM base
+    )
+    SELECT "constraint", n_rows, n_violations,
+           n_violations = 0 AS passed
+    FROM (
+        SELECT 'dim_64' AS "constraint", n_rows,
+               v_dim_64 AS n_violations FROM b
+        UNION ALL SELECT 'vector_present', n_rows, v_vector_present FROM b
+        UNION ALL SELECT 'no_nans', n_rows, v_no_nans FROM b
+        UNION ALL SELECT 'not_zero_vector', n_rows, v_not_zero_vector FROM b
+        UNION ALL SELECT 'label_domain', n_rows, v_label_domain FROM b
+    )
+    """,
+)
+def embeddings_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five array-aware rules in ONE scan via checks.constraint_report
+    — the rule set is a dict of boolean Columns, so higher-order
+    array expressions (NaN screen, zero-vector screen) cost nothing
+    extra; adding a rule adds an aggregate expression, never a
+    pass."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    report = checks.constraint_report(
+        emb,
+        {
+            "dim_64": F.size(v) == 64,
+            "vector_present": v.isNotNull(),
+            "no_nans": F.size(F.filter(v, lambda x: F.isnan(x))) == 0,
+            "not_zero_vector": F.size(F.filter(v, lambda x: x != 0)) > 0,
+            "label_domain": F.col("label").between(0, 9),
+        },
+    )
+    return report
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window.
 #
 # The driver hard-verifies (rows + schema + value hash vs the DuckDB

@@ -168,3 +168,94 @@ class HNItemsStreamReader(SimpleDataSourceStreamReader):
         )
 
 
+
+
+# ---------------------------------------------------------------------------
+# Writer side of the Python DataSource API: a JSONL sink with the
+# two-phase commit protocol (executor tasks write temp files and
+# return commit messages; the driver's commit() atomically promotes
+# them and records a manifest; abort() removes the orphans). The
+# reference writes raw JSON batches driver-side (src/extract/
+# hn_extract.py); this is the distributed, crash-safe form.
+# ---------------------------------------------------------------------------
+
+import json as _json
+import os as _os
+import uuid as _uuid
+
+from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+
+class _JsonlCommit(WriterCommitMessage):
+    def __init__(self, tmp_name: str, n_rows: int):
+        self.tmp_name = tmp_name
+        self.n_rows = n_rows
+
+
+class JsonlAuditWriter(DataSourceWriter):
+    """Task-side: each partition streams to ``_tmp.<uuid>.jsonl``
+    under the target dir (on a cluster this is shared storage);
+    driver-side commit() renames every temp file to its final
+    ``part-<i>.jsonl`` name and writes a ``_MANIFEST`` with row
+    counts — readers treat the manifest as the commit point, so a
+    crashed write leaves only invisible temp files."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_audit writer requires option 'path'")
+
+    def write(self, iterator):
+        _os.makedirs(self.path, exist_ok=True)
+        tmp = f"_tmp.{_uuid.uuid4().hex}.jsonl"
+        n = 0
+        with open(_os.path.join(self.path, tmp), "w", encoding="utf-8") as f:
+            for row in iterator:
+                f.write(_json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return _JsonlCommit(tmp, n)
+
+    def commit(self, messages):
+        total = 0
+        for i, m in enumerate(messages):
+            if m is None:
+                continue
+            final = _os.path.join(self.path, f"part-{i:05d}.jsonl")
+            _os.replace(_os.path.join(self.path, m.tmp_name), final)
+            total += m.n_rows
+        manifest = {
+            "n_files": sum(1 for m in messages if m is not None),
+            "n_rows": total,
+        }
+        tmp = _os.path.join(self.path, "._MANIFEST.tmp")
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(_json.dumps(manifest))
+        _os.replace(tmp, _os.path.join(self.path, "_MANIFEST"))
+
+    def abort(self, messages):
+        for m in messages:
+            if m is None:
+                continue
+            try:
+                _os.remove(_os.path.join(self.path, m.tmp_name))
+            except FileNotFoundError:
+                pass
+
+
+class JsonlAuditDataSource(DataSource):
+    """``df.write.format("jsonl_audit").option("path", dir)
+    .mode("append").save()`` — Python data sources accept only
+    Append/Overwrite save modes (the default ErrorIfExists is
+    rejected at the JVM boundary), and this one is append-only."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_audit"
+
+    def writer(self, schema, overwrite: bool):
+        if overwrite:
+            raise ValueError(
+                "jsonl_audit is append-only (atomic manifest commit); "
+                "write to a fresh directory per batch"
+            )
+        return JsonlAuditWriter(self.options)

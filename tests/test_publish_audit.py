@@ -119,3 +119,20 @@ def test_vacuum_then_time_travel_fails_loudly(spark, tmp_path):
     with pytest.raises(FileNotFoundError, match="not retained"):
         publish.read_version(spark, root, "a", "0000")
     assert publish.read_version(spark, root, "a", "0003").count() == 4
+
+
+def test_cli_list_versions_and_rollback(spark, tmp_path, capsys):
+    from reddit_hn_etl_spark.__main__ import main
+
+    root = str(tmp_path / "cli_tt")
+    publish.publish_tables({"a": _df(spark, 3, "v1")}, root, version="0001")
+    publish.publish_tables({"a": _df(spark, 5, "v2")}, root, version="0002")
+
+    assert main(["--list-versions", root]) == 0
+    out = capsys.readouterr().out
+    assert "v=0001" in out and "v=0002  <- live" in out
+
+    assert main(["--rollback", root, "0001"]) == 0
+    assert publish.current_version(root) == "0001"
+    out = capsys.readouterr().out
+    assert "0002 -> 0001" in out

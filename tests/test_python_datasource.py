@@ -119,3 +119,55 @@ def test_streaming_reader_batches_and_replay(spark, tmp_path):
     n_before = len(seen)
     start_query()
     assert len(seen) == n_before
+
+
+def test_jsonl_writer_two_phase_commit(spark, tmp_path):
+    """Writer side of the Python DataSource API: temp files promote
+    to part-*.jsonl only at commit, the _MANIFEST records totals,
+    and the data round-trips."""
+    import json
+    import os
+
+    from reddit_hn_etl_spark.sources.python_datasource import (
+        JsonlAuditDataSource,
+    )
+
+    spark.dataSource.register(JsonlAuditDataSource)
+    out = str(tmp_path / "jsonl_sink")
+    df = spark.range(100).selectExpr(
+        "id", "concat('u', id % 7) AS user", "id * 2 AS score"
+    ).repartition(4)
+    df.write.format("jsonl_audit").option("path", out).mode(
+        "append"
+    ).save()
+
+    names = sorted(os.listdir(out))
+    assert "_MANIFEST" in names
+    parts = [n for n in names if n.startswith("part-")]
+    assert parts and not [n for n in names if n.startswith("_tmp.")]
+
+    manifest = json.load(open(os.path.join(out, "_MANIFEST")))
+    assert manifest["n_rows"] == 100
+    assert manifest["n_files"] == len(parts)
+
+    rows = []
+    for p in parts:
+        with open(os.path.join(out, p), encoding="utf-8") as f:
+            rows += [json.loads(ln) for ln in f]
+    assert len(rows) == 100
+    assert {r["user"] for r in rows} == {f"u{i}" for i in range(7)}
+
+
+def test_jsonl_writer_rejects_overwrite(spark, tmp_path):
+    import pytest
+
+    from reddit_hn_etl_spark.sources.python_datasource import (
+        JsonlAuditDataSource,
+    )
+
+    spark.dataSource.register(JsonlAuditDataSource)
+    out = str(tmp_path / "jsonl_sink_ow")
+    with pytest.raises(Exception, match="append-only"):
+        spark.range(3).write.format("jsonl_audit").option(
+            "path", out
+        ).mode("overwrite").save()
