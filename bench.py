@@ -192,6 +192,7 @@ BENCH_QUERIES_R4 = [
     "value_psi_weekly",
     "ab_test_ztest",
     "embeddings_constraint_report",
+    "trimmed_mean_value",
 ]
 
 

@@ -10863,6 +10863,67 @@ def embeddings_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Rank-trimmed mean: the robust location estimate between the plain
+# mean (0% breakdown) and the median — drop the k lowest and k
+# highest values per group by RANK (exact integers, deterministic
+# ties) rather than by quantile (whose cut fraction would not be
+# binary-exact), then take the exact decimal mean of the rest.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "trimmed_mean_value",
+    """
+    WITH r AS (
+        SELECT event_type,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY CAST(CAST(value AS DECIMAL(18,2))
+                                               * 100 AS BIGINT), event_id)
+                   AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS INTEGER) AS n_kept,
+           CAST(SUM(cents) AS DOUBLE) / COUNT(*) AS trimmed_mean_cents,
+           MIN(cents) AS lo_kept,
+           MAX(cents) AS hi_kept
+    FROM r
+    WHERE rn > 10 AND rn <= n - 10
+    GROUP BY event_type
+    """,
+)
+def trimmed_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean of each type's values with the 10 lowest and 10 highest
+    dropped by deterministic rank (event_id tiebreak). One keyed
+    window per type partition (groups partition the data — the
+    per-entity contract), one exact-int agg; the mean is the same
+    int/int double division both sides."""
+    ev = read_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    wn = Window.partitionBy("event_type")
+    r = (
+        ev.select("event_type", "event_id", cents.alias("cents"))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+    )
+    return (
+        r.where((F.col("rn") > 10) & (F.col("rn") <= F.col("n") - 10))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_kept"),
+            (F.sum("cents").cast("double") / F.count(F.lit(1))).alias(
+                "trimmed_mean_cents"
+            ),
+            F.min("cents").alias("lo_kept"),
+            F.max("cents").alias("hi_kept"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window.
 #
 # The driver hard-verifies (rows + schema + value hash vs the DuckDB

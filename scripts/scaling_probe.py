@@ -47,6 +47,13 @@ PROBES = [
     "kmeans_assign",          # embeddings: literal-centroid map
     "kmeans_update_step",     # embeddings: posexplode + combinable agg
     "customer_graph_pagerank",  # customer: per-round join+agg x3
+    # r4 sixth session additions
+    "customer_revenue_gini",    # orders: hierarchical global rank
+    "event_value_auc",          # events: distinct-score window
+    "daily_value_cusum",        # events: daily agg + ordered fold
+    "order_value_equidepth_hist",  # orders: global_ntile + bucket agg
+    "referral_reach_bfs",       # customer: frontier rounds
+    "parts_price_size_skyline",  # part: group+window skyline
     # semantic_dedup_kmeans / cluster pair queries are EXCLUDED like
     # doc_token_jaccard: replicated vectors are exact cosine twins, so
     # pair output grows k^2 by construction, not by plan defect
@@ -65,6 +72,7 @@ def build_replicas(spark: SparkSession) -> None:
             ("documents", ["doc_id"], True),
             ("embeddings", ["vec_id"], False),
             ("customer", ["c_custkey"], False),
+            ("part", ["p_partkey"], False),
         ):
             base = spark.read.parquet(f"{BASE}/{name}.parquet")
             parts = []
