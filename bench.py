@@ -193,6 +193,8 @@ BENCH_QUERIES_R4 = [
     "ab_test_ztest",
     "embeddings_constraint_report",
     "trimmed_mean_value",
+    "value_benford_audit",
+    "brand_item_item_cf",
 ]
 
 

@@ -10924,6 +10924,152 @@ def trimmed_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Benford's-law digit audit: the distribution of first significant
+# digits of the value column vs log10(1+1/d) — the classic fraud /
+# fabricated-data screen. Observed counts are exact; expected shares
+# are the same ln-ratio expression on both engines.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "value_benford_audit",
+    """
+    WITH d AS (
+        SELECT CAST(substr(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                                  AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER)
+                   AS digit
+        FROM events
+        WHERE CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) > 0
+    ),
+    c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+    t AS (SELECT SUM(n) AS total FROM c)
+    SELECT c.digit,
+           CAST(c.n AS INTEGER) AS observed,
+           CAST(c.n AS DOUBLE) / t.total AS observed_share,
+           ROUND(ln(1.0 + 1.0 / c.digit) / ln(10.0), 6) AS benford_share,
+           ROUND(ABS(CAST(c.n AS DOUBLE) / t.total
+                     - ln(1.0 + 1.0 / c.digit) / ln(10.0)), 6)
+               AS abs_deviation
+    FROM c CROSS JOIN t
+    """,
+)
+def value_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-digit histogram vs Benford expectation. The digit is
+    integer string surgery on exact cents (no float log for the
+    OBSERVED side), counts partial-aggregate onto a 9-value domain,
+    expectations are ln-ratio constants. One scan; the audit verdict
+    is the reader's threshold on abs_deviation."""
+    ev = read_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    d = ev.select(cents.alias("_c")).where(F.col("_c") > 0).select(
+        F.substring(F.col("_c").cast("string"), 1, 1).cast("int").alias(
+            "digit"
+        )
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").alias("total"))
+    benford = F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit")) / F.log(
+        F.lit(10.0)
+    )
+    share = F.col("n").cast("double") / F.col("total")
+    return c.crossJoin(F.broadcast(t)).select(
+        "digit",
+        F.col("n").cast("int").alias("observed"),
+        share.alias("observed_share"),
+        F.round(benford, 6).alias("benford_share"),
+        F.round(F.abs(share - benford), 6).alias("abs_deviation"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Item-item collaborative filtering (Sarwar et al. 2001) on top of
+# the market-basket co-occurrence operator: cosine-normalize the
+# co-occurrence counts into an item-item similarity and keep each
+# item's top-3 neighbors — the "customers also bought" primitive.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "brand_item_item_cf",
+    """
+    WITH inc AS (
+        SELECT DISTINCT l.l_orderkey AS b, p.p_brand AS item
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    pairs AS (
+        SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS pair_n
+        FROM inc a JOIN inc b ON a.b = b.b AND a.item < b.item
+        GROUP BY a.item, b.item
+    ),
+    ic AS (SELECT item, COUNT(*) AS n FROM inc GROUP BY item),
+    sym AS (
+        SELECT item_a AS item, item_b AS neighbor, pair_n FROM pairs
+        UNION ALL
+        SELECT item_b, item_a, pair_n FROM pairs
+    ),
+    scored AS (
+        SELECT s.item, s.neighbor,
+               ROUND(s.pair_n / (sqrt(CAST(ia.n AS DOUBLE))
+                                 * sqrt(CAST(ib.n AS DOUBLE))), 6) AS sim
+        FROM sym s
+        JOIN ic ia ON ia.item = s.item
+        JOIN ic ib ON ib.item = s.neighbor
+    )
+    SELECT item, neighbor, sim, CAST(rn AS INTEGER) AS rnk
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY item ORDER BY sim DESC, neighbor) AS rn
+        FROM scored
+    ) t
+    WHERE rn <= 3
+    """,
+)
+def brand_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 cosine neighbors per brand from basket co-occurrence.
+    Reuses relational.cooccurrence_pairs (one basket-keyed self-join),
+    symmetrizes the pair list, normalizes by the exact incidence
+    counts, and ranks within the 25-brand domain — everything after
+    the pair join is domain-sized. sim rounds BEFORE the rank so the
+    top-3 boundary compares identical doubles on both engines."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    inc = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"]).select(
+        F.col("l_orderkey").alias("basket"), F.col("p_brand").alias("item")
+    )
+    co = relational.cooccurrence_pairs(inc, basket_col="basket", item_col="item")
+    sym = co.select(
+        F.col("item_a").alias("item"),
+        F.col("item_b").alias("neighbor"),
+        "pair_baskets",
+        F.col("baskets_a").alias("n_self"),
+        F.col("baskets_b").alias("n_other"),
+    ).unionByName(
+        co.select(
+            F.col("item_b").alias("item"),
+            F.col("item_a").alias("neighbor"),
+            "pair_baskets",
+            F.col("baskets_b").alias("n_self"),
+            F.col("baskets_a").alias("n_other"),
+        )
+    )
+    sim = F.round(
+        F.col("pair_baskets")
+        / (
+            F.sqrt(F.col("n_self").cast("double"))
+            * F.sqrt(F.col("n_other").cast("double"))
+        ),
+        6,
+    )
+    w = Window.partitionBy("item").orderBy(F.desc("sim"), F.asc("neighbor"))
+    return (
+        sym.withColumn("sim", sim)
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("item", "neighbor", "sim", F.col("rnk").cast("int"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window.
 #
 # The driver hard-verifies (rows + schema + value hash vs the DuckDB

@@ -189,3 +189,43 @@ def write_zordered(
         .write.mode("errorifexists")
         .parquet(path)
     )
+
+
+def erase_keys(
+    spark: SparkSession,
+    table_dir: str,
+    key_col: str,
+    values: Sequence,
+) -> dict:
+    """Right-to-erasure (GDPR Art. 17) rewrite: remove every row
+    whose ``key_col`` is in ``values`` from a parquet table,
+    publishing atomically (fresh directory + two-rename swap — the
+    compaction discipline, so readers never observe a half-erased
+    table) and returning an audit dict
+    ``{"rows_before", "rows_erased", "rows_after"}``.
+
+    Scale shape: one scan with the NOT-IN filter pushed to parquet
+    (a literal key list; for large erasure sets broadcast an
+    anti-join frame instead), one rewrite. Parquet is immutable —
+    erasure IS a rewrite; what this operator adds is atomicity and
+    the audit trail. Old versions/backups must be vacuumed separately
+    for the erasure to be complete (publish.vacuum).
+    """
+    df = spark.read.parquet(table_dir)
+    before = df.count()
+    vals = list(values)
+    kept = df.where(~F.col(key_col).isin(vals) | F.col(key_col).isNull())
+    tmp = table_dir.rstrip("/") + ".__erasing__"
+    old = table_dir.rstrip("/") + ".__erased_old__"
+    shutil.rmtree(tmp, ignore_errors=True)
+    kept.write.mode("errorifexists").parquet(tmp)
+    after = spark.read.parquet(tmp).count()
+    shutil.rmtree(old, ignore_errors=True)
+    os.replace(table_dir.rstrip("/"), old)
+    os.replace(tmp, table_dir.rstrip("/"))
+    shutil.rmtree(old, ignore_errors=True)
+    return {
+        "rows_before": before,
+        "rows_erased": before - after,
+        "rows_after": after,
+    }

@@ -132,6 +132,9 @@ NOTES = {
     "knn_ndcg_eval": "Retrieval eval: the one broadcast-scored scan from kNN plus a per-query 10-row fold — the metric computation is free next to the ranking; at scale the ranking side swaps to IVF/PQ and this plan is unchanged above it.",
     "value_psi_weekly": "Drift monitor: exact counts densify onto the fixed (week × 10-bin) grid via a broadcast bin dimension, the reference week broadcasts back, and each week folds ≤10 terms in bin order — all domain-sized after the one scan.",
     "ab_test_ztest": "Experiment readout: ONE scan → 2-row arm agg → 1-row wide pivot → closed-form projection. The statistic's cost is independent of data size by construction.",
+    "value_benford_audit": "Fraud screen: digit extraction is integer string surgery on the scan, counts partial-aggregate onto 9 values, the Benford expectation is constant-folded — one pass, domain-sized output.",
+    "brand_item_item_cf": "Recommendations: the basket self-join is the only input-sized stage; symmetrize/normalize/rank all run on the 300-pair domain. Rounding sim before the rank keeps the top-3 boundary engine-stable.",
+    "trimmed_mean_value": "Robust mean: one keyed window (groups partition the data) + one exact-int agg; trimming by rank instead of quantile keeps the cut deterministic and binary-exact.",
 }
 
 

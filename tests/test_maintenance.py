@@ -179,3 +179,30 @@ def test_write_zordered_prunes_both_columns(spark, tmp_path):
     # non-boundary file — the pruning failure z-order fixes.
     full_y = sum(1 for (_, (y0, y1)) in lb if (y1 - y0 + 1) >= n)
     assert full_y >= len(lb) - 2, lb
+
+
+def test_erase_keys_rewrites_atomically(spark, tmp_path):
+    """GDPR erasure: targeted rows gone, everything else intact,
+    audit counts correct, table readable throughout (swap, not
+    in-place edit)."""
+    from pyspark.sql import functions as F
+
+    from reddit_hn_etl_spark.sources.maintenance import erase_keys
+
+    t = str(tmp_path / "users_tbl")
+    spark.range(100).select(
+        F.col("id").alias("user_id"), (F.col("id") * 2).alias("v")
+    ).write.parquet(t)
+
+    audit = erase_keys(spark, t, "user_id", [3, 7, 99, 12345])
+    assert audit == {"rows_before": 100, "rows_erased": 3, "rows_after": 97}
+
+    left = spark.read.parquet(t)
+    assert left.count() == 97
+    assert left.where(F.col("user_id").isin([3, 7, 99])).count() == 0
+    assert left.where(F.col("user_id") == 4).count() == 1
+    # no leftover temp/old dirs
+    import os
+
+    names = os.listdir(tmp_path)
+    assert not [n for n in names if "__eras" in n]
