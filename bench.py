@@ -195,6 +195,7 @@ BENCH_QUERIES_R4 = [
     "trimmed_mean_value",
     "value_benford_audit",
     "brand_item_item_cf",
+    "signup_purchase_km",
 ]
 
 

@@ -11070,6 +11070,153 @@ def brand_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Kaplan-Meier survival estimator (product-limit) over
+# signup → first-purchase durations with right-censoring at the
+# corpus horizon — the time-to-event analysis marketing/retention
+# teams run. The survival curve is a RUNNING PRODUCT, the
+# multiplicative sibling of the EMA/CUSUM ordered folds: both
+# engines fold the identical (1 − d/n) terms in day order, so the
+# probabilities agree to the rounding grid.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "signup_purchase_km",
+    """
+    WITH s AS (
+        SELECT user_id, MIN(ts) AS t0 FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    p AS (
+        SELECT s.user_id, MIN(e.ts) AS tp
+        FROM s JOIN events e
+          ON e.user_id = s.user_id
+         AND e.event_type = 'purchase' AND e.ts >= s.t0
+        GROUP BY s.user_id
+    ),
+    h AS (SELECT MAX(ts) AS horizon FROM events),
+    dur AS (
+        SELECT s.user_id,
+               CASE WHEN p.tp IS NOT NULL
+                    THEN date_diff('day', CAST(s.t0 AS DATE),
+                                   CAST(p.tp AS DATE))
+                    ELSE date_diff('day', CAST(s.t0 AS DATE),
+                                   CAST(h.horizon AS DATE)) END AS d_days,
+               p.tp IS NOT NULL AS observed
+        FROM s LEFT JOIN p USING (user_id) CROSS JOIN h
+    ),
+    cnt AS (
+        SELECT d_days, COUNT(*) AS n_all,
+               count_if(observed) AS n_obs
+        FROM dur GROUP BY d_days
+    ),
+    tot AS (SELECT SUM(n_all) AS n_total FROM cnt),
+    risk AS (
+        SELECT c.d_days, c.n_obs,
+               t.n_total - COALESCE(SUM(c2.n_all), 0) AS n_risk
+        FROM cnt c CROSS JOIN tot t
+        LEFT JOIN cnt c2 ON c2.d_days < c.d_days
+        GROUP BY c.d_days, c.n_obs, t.n_total
+    ),
+    ev AS (
+        SELECT d_days, CAST(n_risk AS BIGINT) AS n_risk,
+               CAST(n_obs AS BIGINT) AS d_events,
+               1.0 - CAST(n_obs AS DOUBLE) / n_risk AS term
+        FROM risk WHERE n_obs > 0
+    ),
+    curve AS (
+        SELECT d_days, n_risk, d_events,
+               list(term) OVER (ORDER BY d_days
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS terms
+        FROM ev
+    )
+    SELECT CAST(d_days AS INTEGER) AS day,
+           CAST(n_risk AS INTEGER) AS n_at_risk,
+           CAST(d_events AS INTEGER) AS d_events,
+           ROUND(list_reduce(terms, (a, b) -> a * b), 6) AS survival
+    FROM curve
+    """,
+)
+def signup_purchase_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KM curve at day granularity: for each day with ≥1 observed
+    conversion, the at-risk count, conversions, and the running
+    product Π(1 − d/n). Durations and risk sets are exact-integer
+    aggregations on the ≤O(days) domain; the product folds ≤#days
+    terms in day order (the ema/list_reduce discipline, multiplied).
+    The heavy lifting is two keyed aggs over events; everything
+    after is domain-sized."""
+    ev = read_table(spark, sf_dir, "events")
+    s = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .where(F.col("ts") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    h = ev.agg(F.max("ts").alias("horizon"))
+    dur = (
+        s.join(p, "user_id", "left")
+        .crossJoin(F.broadcast(h))
+        .select(
+            F.when(
+                F.col("tp").isNotNull(),
+                F.datediff(F.col("tp").cast("date"), F.col("t0").cast("date")),
+            )
+            .otherwise(
+                F.datediff(
+                    F.col("horizon").cast("date"), F.col("t0").cast("date")
+                )
+            )
+            .alias("d_days"),
+            F.col("tp").isNotNull().alias("observed"),
+        )
+    )
+    cnt = dur.groupBy("d_days").agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum(F.col("observed").cast("long")).alias("n_obs"),
+    )
+    tot = cnt.agg(F.sum("n_all").alias("n_total"))
+    wcum = (
+        Window.orderBy("d_days").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    risk = (
+        cnt.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "n_risk",
+            F.col("n_total") - F.coalesce(F.sum("n_all").over(wcum), F.lit(0)),
+        )
+        .where(F.col("n_obs") > 0)
+        .select(
+            "d_days",
+            F.col("n_risk").cast("long").alias("n_risk"),
+            F.col("n_obs").cast("long").alias("d_events"),
+            (
+                F.lit(1.0) - F.col("n_obs").cast("double") / F.col("n_risk")
+            ).alias("term"),
+        )
+    )
+    wprod = Window.orderBy("d_days").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    curve = risk.withColumn("terms", F.collect_list("term").over(wprod))
+    surv = F.aggregate(
+        F.col("terms"), F.lit(1.0), lambda a, b: a * b
+    )
+    return curve.select(
+        F.col("d_days").cast("int").alias("day"),
+        F.col("n_risk").cast("int").alias("n_at_risk"),
+        F.col("d_events").cast("int").alias("d_events"),
+        F.round(surv, 6).alias("survival"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window.
 #
 # The driver hard-verifies (rows + schema + value hash vs the DuckDB

@@ -135,6 +135,7 @@ NOTES = {
     "value_benford_audit": "Fraud screen: digit extraction is integer string surgery on the scan, counts partial-aggregate onto 9 values, the Benford expectation is constant-folded — one pass, domain-sized output.",
     "brand_item_item_cf": "Recommendations: the basket self-join is the only input-sized stage; symmetrize/normalize/rank all run on the 300-pair domain. Rounding sim before the rank keeps the top-3 boundary engine-stable.",
     "trimmed_mean_value": "Robust mean: one keyed window (groups partition the data) + one exact-int agg; trimming by rank instead of quantile keeps the cut deterministic and binary-exact.",
+    "signup_purchase_km": "Survival analysis: two keyed aggs over events produce O(days) duration counts; risk sets, terms, and the running product all run on that day domain — the unpartitioned windows hold ≤#days rows by construction, the sanctioned domain-bounded kind.",
 }
 
 
