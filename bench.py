@@ -196,6 +196,8 @@ BENCH_QUERIES_R4 = [
     "value_benford_audit",
     "brand_item_item_cf",
     "signup_purchase_km",
+    "purchase_attribution_counts",
+    "quality_calibration_bins",
 ]
 
 

@@ -11217,6 +11217,223 @@ def signup_purchase_km(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Multi-touch attribution (first-touch / last-touch / touch counts):
+# every purchase credits the click/view events of the same user in
+# the preceding 24h. Counts only — the exact-integer core of every
+# attribution model (linear/position credit is a projection over
+# these counts the reader applies; float credit sums would need the
+# ordered-fold discipline for no analytical gain).
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "purchase_attribution_counts",
+    """
+    WITH purch AS (
+        SELECT event_id AS p_id, user_id, ts AS p_ts FROM events
+        WHERE event_type = 'purchase'
+    ),
+    touch AS (
+        SELECT event_id AS t_id, user_id, ts AS t_ts, event_type
+        FROM events WHERE event_type IN ('click', 'view')
+    ),
+    cand AS (
+        SELECT p.p_id, t.event_type, t.t_ts, t.t_id,
+               lpad(CAST(epoch_us(t.t_ts) AS VARCHAR), 20, '0') || '-' ||
+                   lpad(CAST(t.t_id AS VARCHAR), 12, '0') AS k
+        FROM purch p JOIN touch t
+          ON t.user_id = p.user_id
+         AND t.t_ts < p.p_ts
+         AND t.t_ts >= p.p_ts - INTERVAL 24 HOURS
+    ),
+    per_p AS (
+        SELECT p_id,
+               COUNT(*) AS n_touches,
+               arg_min(event_type, k) AS first_touch,
+               arg_max(event_type, k) AS last_touch
+        FROM cand GROUP BY p_id
+    )
+    SELECT 'click' AS channel,
+           CAST(count_if(first_touch = 'click') AS INTEGER)
+               AS first_touch_purchases,
+           CAST(count_if(last_touch = 'click') AS INTEGER)
+               AS last_touch_purchases,
+           CAST((SELECT COUNT(*) FROM cand WHERE event_type = 'click')
+                AS INTEGER) AS total_touches
+    FROM per_p
+    UNION ALL
+    SELECT 'view',
+           CAST(count_if(first_touch = 'view') AS INTEGER),
+           CAST(count_if(last_touch = 'view') AS INTEGER),
+           CAST((SELECT COUNT(*) FROM cand WHERE event_type = 'view')
+                AS INTEGER)
+    FROM per_p
+    """,
+)
+def purchase_attribution_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last-touch purchase counts and raw touch volume per
+    channel. The candidate join shuffles on user_id with the 24h
+    bound as a residual predicate (bounded per-user history — the
+    interval-join contract); per-purchase argmin/argmax use the
+    zero-padded composite key (the OHLC determinism trick); the
+    channel rollup is domain-sized."""
+    ev = read_table(spark, sf_dir, "events")
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    touch = ev.where(F.col("event_type").isin("click", "view")).select(
+        F.col("event_id").alias("t_id"),
+        "user_id",
+        F.col("ts").alias("t_ts"),
+        "event_type",
+    )
+    k = F.concat(
+        F.lpad(
+            F.unix_micros(F.col("t_ts").cast("timestamp")).cast("string"),
+            20,
+            "0",
+        ),
+        F.lit("-"),
+        F.lpad(F.col("t_id").cast("string"), 12, "0"),
+    )
+    cand = (
+        purch.join(touch, "user_id")
+        .where(
+            (F.col("t_ts") < F.col("p_ts"))
+            & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 24 HOURS"))
+        )
+        .select("p_id", "event_type", k.alias("_k"))
+    )
+    per_p = cand.groupBy("p_id").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.min_by("event_type", "_k").alias("first_touch"),
+        F.max_by("event_type", "_k").alias("last_touch"),
+    )
+    totals = cand.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("total_touches")
+    )
+    out = None
+    for ch in ("click", "view"):
+        row = per_p.agg(
+            F.lit(ch).alias("channel"),
+            F.sum((F.col("first_touch") == ch).cast("int"))
+            .cast("int")
+            .alias("first_touch_purchases"),
+            F.sum((F.col("last_touch") == ch).cast("int"))
+            .cast("int")
+            .alias("last_touch_purchases"),
+        ).crossJoin(
+            F.broadcast(
+                totals.where(F.col("event_type") == ch).select(
+                    F.col("total_touches").cast("int").alias("total_touches")
+                )
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Calibration curve (reliability diagram) of the continuous quality
+# score against the Gopher hard verdict: decile bins of the score,
+# per-bin pass rate — the "is the score meaningful" check a curation
+# pipeline runs before thresholding on it.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "quality_calibration_bins",
+    r"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                           x -> x <> '') AS w,
+               text
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               len(w) AS n_words,
+               len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+                   AS n_alpha_words,
+               len(array_to_string(w, '')) AS n_word_chars,
+               CAST(list_contains(w, 'the') AS INTEGER)
+                   + CAST(list_contains(w, 'a') AS INTEGER)
+                   AS n_stop_distinct,
+               length(regexp_replace(text, '\s+', '', 'g')) AS nonspace,
+               length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+               len(list_filter(w, x -> list_contains(
+                   ['the','and','of','to','in','is','that','with'], x)))
+                   AS stop_hits
+        FROM t
+    ),
+    scored AS (
+        SELECT doc_id,
+               (n_words BETWEEN 30 AND 5000)
+                   AND (n_word_chars / n_words BETWEEN 3.0 AND 5.0)
+                   AND (n_alpha_words / CAST(n_words AS DOUBLE) >= 0.9)
+                   AND (n_stop_distinct >= 2) AS gopher_pass,
+               ROUND(LEAST(1.0,
+                   0.4 * (CASE WHEN nonspace > 0
+                               THEN alpha / CAST(nonspace AS DOUBLE)
+                               ELSE 0.0 END)
+                   + 0.4 * (CASE WHEN n_words >= 5 THEN 1.0
+                                 ELSE n_words / 5.0 END)
+                   + 0.2 * LEAST(1.0,
+                       (CASE WHEN n_words > 0
+                             THEN stop_hits / CAST(n_words AS DOUBLE)
+                             ELSE 0.0 END) * 4)), 4) AS q
+        FROM m WHERE n_words > 0
+    )
+    SELECT CAST(LEAST(CAST(floor(q * 10) AS BIGINT), 9) AS INTEGER) AS bin,
+           CAST(COUNT(*) AS INTEGER) AS n_docs,
+           CAST(count_if(gopher_pass) AS INTEGER) AS n_pass,
+           CAST(count_if(gopher_pass) AS DOUBLE) / COUNT(*) AS pass_rate
+    FROM scored GROUP BY bin
+    """,
+)
+def quality_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram: the composite quality score (the same
+    expression tree as text.quality_score, rounded to its published
+    4 decimals BEFORE binning so the bin edge compares identical
+    doubles) against the Gopher hard verdict, per decile bin. One
+    projection + one domain-sized agg."""
+    docs = read_table(spark, sf_dir, "documents")
+    w = dedup.tokens("text")
+    n_words = F.size(w)
+    n_alpha = F.size(F.filter(w, lambda x: x.rlike("[a-z]")))
+    n_chars = F.length(F.array_join(w, ""))
+    n_stop = F.array_contains(w, "the").cast("int") + F.array_contains(
+        w, "a"
+    ).cast("int")
+    mean_len = n_chars / n_words
+    alpha_frac = n_alpha / n_words.cast("double")
+    gopher = (
+        n_words.between(30, 5000)
+        & mean_len.between(3.0, 5.0)
+        & (alpha_frac >= 0.9)
+        & (n_stop >= 2)
+    )
+    q = F.round(textfn.quality_score(F.col("text")), 4)
+    scored = docs.where(n_words > 0).select(
+        gopher.alias("gopher_pass"), q.alias("q")
+    )
+    b = F.least(F.floor(F.col("q") * 10).cast("bigint"), F.lit(9)).cast(
+        "int"
+    )
+    return scored.groupBy(b.alias("bin")).agg(
+        F.count(F.lit(1)).cast("int").alias("n_docs"),
+        F.sum(F.col("gopher_pass").cast("int")).cast("int").alias("n_pass"),
+        (
+            F.sum(F.col("gopher_pass").cast("int")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("pass_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window.
 #
 # The driver hard-verifies (rows + schema + value hash vs the DuckDB

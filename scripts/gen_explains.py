@@ -136,6 +136,8 @@ NOTES = {
     "brand_item_item_cf": "Recommendations: the basket self-join is the only input-sized stage; symmetrize/normalize/rank all run on the 300-pair domain. Rounding sim before the rank keeps the top-3 boundary engine-stable.",
     "trimmed_mean_value": "Robust mean: one keyed window (groups partition the data) + one exact-int agg; trimming by rank instead of quantile keeps the cut deterministic and binary-exact.",
     "signup_purchase_km": "Survival analysis: two keyed aggs over events produce O(days) duration counts; risk sets, terms, and the running product all run on that day domain — the unpartitioned windows hold ≤#days rows by construction, the sanctioned domain-bounded kind.",
+    "purchase_attribution_counts": "Attribution: the only input-sized stage is the user-keyed purchase×touch join with the 24h residual bound; per-purchase argmin/argmax combine map-side, channel rollups are 2 rows. No window over raw events.",
+    "quality_calibration_bins": "Calibration: one projection computes score + verdict together (shared tokenization subtree), one agg onto 10 bins. Rounding the score to its published precision before binning keeps bin membership engine-stable.",
 }
 
 
