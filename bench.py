@@ -198,6 +198,7 @@ BENCH_QUERIES_R4 = [
     "signup_purchase_km",
     "purchase_attribution_counts",
     "quality_calibration_bins",
+    "fuzzy_decontamination",
 ]
 
 

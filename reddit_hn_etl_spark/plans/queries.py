@@ -11434,6 +11434,100 @@ def quality_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# FUZZY benchmark decontamination: the MinHash/LSH complement of the
+# exact n-gram `benchmark_contamination` — near-duplicates of
+# benchmark documents (not just verbatim overlaps) flagged in the
+# corpus via the persisted-index machinery, the way production
+# pipelines decontaminate against eval suites (GPT-3 appendix C
+# style). Bound-checked like incremental_near_dup: output is the
+# TRUE cross-side Jaccard≥0.5 pairs, with an in-query assertion that
+# the LSH path surfaced each as a candidate with a close estimate.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "fuzzy_decontamination",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                           x -> x <> '') AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(w[1:len(w) - 2],
+                      (x, i) -> x || ' ' || w[i + 1] || ' ' || w[i + 2]))
+                   AS shingle
+        FROM toks
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT b.doc_id AS bench_id, c.doc_id AS corpus_id,
+               COUNT(*) AS inter
+        FROM sh b JOIN sh c ON b.shingle = c.shingle
+        WHERE b.doc_id % 31 = 0 AND c.doc_id % 31 <> 0
+        GROUP BY 1, 2
+    )
+    SELECT bench_id, corpus_id,
+           ROUND(inter / (sb.set_size + sc.set_size - inter), 4)
+               AS jaccard,
+           TRUE AS est_within
+    FROM inter
+    JOIN sizes sb ON inter.bench_id = sb.doc_id
+    JOIN sizes sc ON inter.corpus_id = sc.doc_id
+    WHERE inter / (sb.set_size + sc.set_size - inter) >= 0.5
+    """,
+)
+def fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus docs near-duplicating a benchmark doc (3-gram Jaccard
+    ≥ 0.5). The benchmark side (doc_id % 31 == 0) builds the LSH
+    index ONCE; the corpus streams against it — only matched
+    (band, bucket) rows join, corpus text is hashed but never
+    self-joined. est_within asserts the candidate surfaced with
+    |est − true| ≤ 0.2; a banding miss or estimator bias fails the
+    driver hash."""
+    docs = read_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 31 == 0)
+    corpus = docs.where(F.col("doc_id") % 31 != 0)
+    index = dedup.minhash_index(bench, "doc_id", "text")
+    cand = dedup.minhash_pairs_against_index(
+        corpus, index, "doc_id", "text", threshold=0.0
+    ).select(
+        F.col("doc_old").alias("bench_id"),
+        F.col("doc_new").alias("corpus_id"),
+        F.col("est_jaccard"),
+    )
+    is_bench_a = F.col("doc_a") % 31 == 0
+    is_bench_b = F.col("doc_b") % 31 == 0
+    true_pairs = (
+        dedup.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+        .where(is_bench_a != is_bench_b)  # exactly one side is bench
+        .select(
+            F.when(is_bench_a, F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("bench_id"),
+            F.when(is_bench_a, F.col("doc_b"))
+            .otherwise(F.col("doc_a"))
+            .alias("corpus_id"),
+            "jaccard",
+        )
+    )
+    return (
+        true_pairs.join(cand, ["bench_id", "corpus_id"], "left")
+        .select(
+            "bench_id",
+            "corpus_id",
+            F.col("jaccard"),
+            (
+                F.col("est_jaccard").isNotNull()
+                & (F.abs(F.col("est_jaccard") - F.col("jaccard")) <= 0.2)
+            ).alias("est_within"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window.
 #
 # The driver hard-verifies (rows + schema + value hash vs the DuckDB
