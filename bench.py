@@ -199,6 +199,9 @@ BENCH_QUERIES_R4 = [
     "purchase_attribution_counts",
     "quality_calibration_bins",
     "fuzzy_decontamination",
+    "lang_id_confusion",
+    "cohort_ltv_curve",
+    "dow_adjusted_anomalies",
 ]
 
 

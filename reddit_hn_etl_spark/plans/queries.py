@@ -11528,6 +11528,212 @@ def fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Language-ID confusion matrix: the declared `lang` column vs the
+# engine's marker-based heuristic (functions/text.lang_id) — the
+# eval every classifier-replacing-metadata decision needs. Counts
+# are exact; the heuristic is a deterministic projection, so the
+# matrix is stable.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "lang_id_confusion",
+    r"""
+    WITH scored AS (
+        SELECT lang AS declared,
+               (WITH hits AS (
+                    SELECT
+                      len(regexp_extract_all(lower(text),
+                          '\b(der|die|das|und|nicht|ist|ein|mit)\b')) AS de,
+                      len(regexp_extract_all(lower(text),
+                          '\b(the|and|of|to|in|is|that|with)\b')) AS en,
+                      len(regexp_extract_all(lower(text),
+                          '\b(el|la|los|que|es|una|con|para)\b')) AS es,
+                      len(regexp_extract_all(lower(text),
+                          '\b(le|la|les|et|est|une|que|dans)\b')) AS fr
+                )
+                SELECT CASE
+                    WHEN fr > greatest(de, en, es, 0) THEN 'fr'
+                    WHEN es > greatest(de, en, 0) THEN 'es'
+                    WHEN en > greatest(de, 0) THEN 'en'
+                    WHEN de > 0 THEN 'de'
+                    ELSE 'unknown' END
+                FROM hits) AS predicted
+        FROM documents
+    )
+    SELECT declared, predicted, CAST(COUNT(*) AS INTEGER) AS n
+    FROM scored GROUP BY declared, predicted
+    """,
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-vs-predicted language counts. The Spark side is the
+    production lang_id() Column (alphabetical argmax with strict-
+    greater wins — the oracle reproduces that exact tie rule as a
+    reversed CASE cascade); one projection + one agg onto the ≤5×5
+    domain."""
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("lang").alias("declared"),
+            textfn.lang_id("text").alias("predicted"),
+        )
+        .groupBy("declared", "predicted")
+        .agg(F.count(F.lit(1)).cast("int").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV curve: cumulative value per signup cohort by weeks-
+# since-signup — the lifetime-value readout on top of the retention
+# matrix. Exact cents cumulated over the (cohort, age) DIMENSION.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "cohort_ltv_curve",
+    """
+    WITH first_seen AS (
+        SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort
+        FROM events GROUP BY user_id
+    ),
+    rev AS (
+        SELECT f.cohort,
+               date_diff('week', f.cohort,
+                         CAST(date_trunc('week', e.ts) AS DATE)) AS age_weeks,
+               SUM(CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                   AS cents
+        FROM events e JOIN first_seen f USING (user_id)
+        GROUP BY 1, 2
+    ),
+    sizes AS (SELECT cohort, COUNT(*) AS cohort_users
+              FROM first_seen GROUP BY cohort)
+    SELECT r.cohort, CAST(r.age_weeks AS INTEGER) AS age_weeks,
+           CAST(s.cohort_users AS INTEGER) AS cohort_users,
+           SUM(r.cents) OVER (PARTITION BY r.cohort ORDER BY r.age_weeks)
+               AS cum_cents,
+           CAST(SUM(r.cents) OVER (PARTITION BY r.cohort
+                                   ORDER BY r.age_weeks) AS DOUBLE)
+               / s.cohort_users AS ltv_cents_per_user
+    FROM rev r JOIN sizes s USING (cohort)
+    """,
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative LTV per weekly signup cohort. The events scan
+    aggregates to exact cents on the (cohort, age) dimension FIRST;
+    the running sum then windows over a handful of rows per cohort —
+    never raw events. Per-user LTV is one int/int division."""
+    ev = read_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort")
+    )
+    rev = (
+        ev.join(first_seen, "user_id")
+        .select(
+            "cohort",
+            (
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")).cast("date"),
+                    F.col("cohort"),
+                )
+                / 7
+            )
+            .cast("long")
+            .alias("age_weeks"),
+            cents.alias("_c"),
+        )
+        .groupBy("cohort", "age_weeks")
+        .agg(F.sum("_c").alias("cents"))
+    )
+    sizes = first_seen.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    w = Window.partitionBy("cohort").orderBy("age_weeks")
+    return (
+        rev.join(F.broadcast(sizes), "cohort")
+        .select(
+            "cohort",
+            F.col("age_weeks").cast("int").alias("age_weeks"),
+            F.col("cohort_users").cast("int").alias("cohort_users"),
+            F.sum("cents").over(w).alias("cum_cents"),
+            (
+                F.sum("cents").over(w).cast("double")
+                / F.col("cohort_users")
+            ).alias("ltv_cents_per_user"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonally-adjusted anomalies: each day's total vs ITS OWN
+# day-of-week baseline — the deseasonalized twin of the CUSUM/z
+# monitors (a Monday spike is only a spike relative to Mondays).
+# All exact-integer means; flag thresholds compare identical doubles.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "dow_adjusted_anomalies",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, dayofweek(ts) AS dow,
+               SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                   AS cents
+        FROM events GROUP BY 1, 2
+    ),
+    base AS (
+        SELECT dow,
+               CAST(SUM(cents) AS DOUBLE) / COUNT(*) AS dow_mean,
+               COUNT(*) AS n_days
+        FROM daily GROUP BY dow
+    )
+    SELECT d.day, CAST(d.dow AS INTEGER) AS dow, d.cents,
+           ROUND(b.dow_mean, 6) AS dow_mean_cents,
+           ROUND(CAST(d.cents AS DOUBLE) / b.dow_mean, 6) AS ratio
+    FROM daily d JOIN base b USING (dow)
+    WHERE b.n_days >= 3
+      AND (CAST(d.cents AS DOUBLE) / b.dow_mean > 1.2
+           OR CAST(d.cents AS DOUBLE) / b.dow_mean < 0.8)
+    """,
+)
+def dow_adjusted_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days whose total deviates ≥20% from their own day-of-week
+    mean. Daily rollup → 7-row baseline broadcast → projection; the
+    DOW convention is aligned Spark→DuckDB by subtracting 1 (the
+    chisquare precedent). Flag compares the same raw double ratio on
+    both sides; emitted values round."""
+    ev = read_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    daily = (
+        ev.select(
+            F.col("ts").cast("date").alias("day"),
+            (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+            cents.alias("_c"),
+        )
+        .groupBy("day", "dow")
+        .agg(F.sum("_c").alias("cents"))
+    )
+    base = daily.groupBy("dow").agg(
+        (F.sum("cents").cast("double") / F.count(F.lit(1))).alias("dow_mean"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    ratio = F.col("cents").cast("double") / F.col("dow_mean")
+    return (
+        daily.join(F.broadcast(base), "dow")
+        .where(
+            (F.col("n_days") >= 3) & ((ratio > 1.2) | (ratio < 0.8))
+        )
+        .select(
+            "day",
+            F.col("dow").cast("int"),
+            "cents",
+            F.round("dow_mean", 6).alias("dow_mean_cents"),
+            F.round(ratio, 6).alias("ratio"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window.
 #
 # The driver hard-verifies (rows + schema + value hash vs the DuckDB

@@ -138,6 +138,10 @@ NOTES = {
     "signup_purchase_km": "Survival analysis: two keyed aggs over events produce O(days) duration counts; risk sets, terms, and the running product all run on that day domain — the unpartitioned windows hold ≤#days rows by construction, the sanctioned domain-bounded kind.",
     "purchase_attribution_counts": "Attribution: the only input-sized stage is the user-keyed purchase×touch join with the 24h residual bound; per-purchase argmin/argmax combine map-side, channel rollups are 2 rows. No window over raw events.",
     "quality_calibration_bins": "Calibration: one projection computes score + verdict together (shared tokenization subtree), one agg onto 10 bins. Rounding the score to its published precision before binning keeps bin membership engine-stable.",
+    "fuzzy_decontamination": "Fuzzy decontamination: the benchmark side is a persisted LSH index (build once, partition by band); only the corpus batch is hashed and only matched (band, bucket) rows join — the decontamination pass costs one corpus scan regardless of benchmark count. The true-Jaccard side of the bound check is the test harness, not the production path.",
+    "lang_id_confusion": "Classifier eval: the heuristic is a pure projection (regex marker counts + argmax), the matrix an agg onto a ≤25-cell domain — one scan.",
+    "cohort_ltv_curve": "LTV: events aggregate to exact cents on the (cohort, age) dimension FIRST; the cumulative window runs over a handful of rows per cohort. The user→cohort join shuffles on user_id once.",
+    "dow_adjusted_anomalies": "Deseasonalized monitor: daily rollup (one shuffle), 7-row baseline broadcast, flag projection. Same cost class as daily_metrics.",
 }
 
 
