@@ -202,6 +202,7 @@ BENCH_QUERIES_R4 = [
     "lang_id_confusion",
     "cohort_ltv_curve",
     "dow_adjusted_anomalies",
+    "cms_user_counts",
 ]
 
 

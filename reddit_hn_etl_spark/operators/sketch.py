@@ -60,3 +60,69 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 32) -> DataFrame:
     return partials.groupBy(col).agg(
         F.sum("partial_count").alias("est")
     )
+
+
+def cms_table(
+    df: DataFrame, col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) as a
+    DataFrame: (r, bucket, cnt) for depth hash rows × width buckets.
+
+    Unlike the Misra–Gries summaries above, CMS counts are PLAIN
+    SUMS over deterministic md5 buckets — partitioning-invariant and
+    engine-reproducible, so a differential oracle can check the
+    sketch table and the estimates EXACTLY, not just their bounds.
+    Update cost: depth rows per input row into a (depth×width)-key
+    partial aggregate; merge cost: the same aggregation (CMS tables
+    add cell-wise). est(x) = min_r cnt[r, h_r(x)] ≥ true(x), with
+    overestimate ≤ εN at width = ⌈e/ε⌉ w.h.p. over hash choice.
+    """
+    rows = F.sequence(F.lit(0), F.lit(depth - 1))
+    bucket = lambda r: F.conv(  # noqa: E731
+        F.substring(
+            F.md5(F.concat(r.cast("string"), F.lit("|"), F.col(col).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long") % width
+    pairs = df.select(
+        F.explode(
+            F.transform(
+                rows, lambda r: F.struct(r.alias("r"), bucket(r).alias("bucket"))
+            )
+        ).alias("rb")
+    ).select(F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket"))
+    return pairs.groupBy("r", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_estimates(
+    table: DataFrame, probes: DataFrame, col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Point estimates for probe items against a cms_table: join each
+    probe's depth buckets to the table, take the min — (col, est).
+    Absent cells count 0 (an item hashing to an untouched bucket)."""
+    rows = F.sequence(F.lit(0), F.lit(depth - 1))
+    bucket = lambda r: F.conv(  # noqa: E731
+        F.substring(
+            F.md5(F.concat(r.cast("string"), F.lit("|"), F.col(col).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long") % width
+    pb = probes.select(
+        col,
+        F.explode(
+            F.transform(
+                rows, lambda r: F.struct(r.alias("r"), bucket(r).alias("bucket"))
+            )
+        ).alias("rb"),
+    ).select(col, F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket"))
+    return (
+        pb.join(F.broadcast(table), ["r", "bucket"], "left")
+        .groupBy(col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )

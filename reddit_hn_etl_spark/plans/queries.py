@@ -11734,6 +11734,73 @@ def dow_adjusted_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005): unlike the
+# Misra–Gries summaries (whose estimates are partitioning-dependent
+# and only bound-checkable), CMS cells are plain sums over
+# deterministic md5 buckets — the sketch AND its estimates are
+# exactly engine-reproducible, so this oracle checks the estimator
+# itself: est = min over rows, est ≥ true, overestimate exactly
+# equal on both engines.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "cms_user_counts",
+    """
+    WITH b AS (
+        SELECT user_id, r.r AS r,
+               CAST(('0x' || substring(md5(CAST(r.r AS VARCHAR) || '|' ||
+                                           CAST(user_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) % 256 AS bucket
+        FROM events CROSS JOIN (SELECT unnest(range(0, 4)) AS r) r
+    ),
+    cms AS (
+        SELECT r, bucket, COUNT(*) AS cnt FROM b GROUP BY r, bucket
+    ),
+    truth AS (
+        SELECT user_id, COUNT(*) AS true_n FROM events GROUP BY user_id
+    ),
+    probes AS (
+        SELECT t.user_id, t.true_n, pb.r,
+               CAST(('0x' || substring(md5(CAST(pb.r AS VARCHAR) || '|' ||
+                                           CAST(t.user_id AS VARCHAR)), 1,
+                                       15)) AS BIGINT) % 256 AS bucket
+        FROM truth t CROSS JOIN (SELECT unnest(range(0, 4)) AS r) pb
+    )
+    SELECT p.user_id, CAST(p.true_n AS INTEGER) AS true_n,
+           CAST(MIN(COALESCE(c.cnt, 0)) AS INTEGER) AS cms_est,
+           CAST(MIN(COALESCE(c.cnt, 0)) - p.true_n AS INTEGER)
+               AS overestimate,
+           MIN(COALESCE(c.cnt, 0)) >= p.true_n AS never_undercounts
+    FROM probes p
+    LEFT JOIN cms c ON c.r = p.r AND c.bucket = p.bucket
+    GROUP BY p.user_id, p.true_n
+    """,
+)
+def cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-count estimates from a 4×256 CMS vs the exact
+    counts. Every column — including the estimate and its exact
+    overestimate — hash-matches across engines because CMS cells are
+    deterministic-bucket sums; never_undercounts is the CMS theorem
+    as a checked boolean. Update/merge is one (depth×width)-key
+    partial aggregate: the sketch the streaming side appends
+    per-batch where exact per-key counts would be unbounded state."""
+    from ..operators import sketch
+
+    ev = read_table(spark, sf_dir, "events")
+    table = sketch.cms_table(ev, "user_id", depth=4, width=256)
+    truth = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_n"))
+    est = sketch.cms_estimates(table, truth.select("user_id"), "user_id")
+    return truth.join(est, "user_id").select(
+        "user_id",
+        F.col("true_n").cast("int").alias("true_n"),
+        F.col("est").cast("int").alias("cms_est"),
+        (F.col("est") - F.col("true_n")).cast("int").alias("overestimate"),
+        (F.col("est") >= F.col("true_n")).alias("never_undercounts"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window.
 #
 # The driver hard-verifies (rows + schema + value hash vs the DuckDB

@@ -142,6 +142,7 @@ NOTES = {
     "lang_id_confusion": "Classifier eval: the heuristic is a pure projection (regex marker counts + argmax), the matrix an agg onto a ≤25-cell domain — one scan.",
     "cohort_ltv_curve": "LTV: events aggregate to exact cents on the (cohort, age) dimension FIRST; the cumulative window runs over a handful of rows per cohort. The user→cohort join shuffles on user_id once.",
     "dow_adjusted_anomalies": "Deseasonalized monitor: daily rollup (one shuffle), 7-row baseline broadcast, flag projection. Same cost class as daily_metrics.",
+    "cms_user_counts": "CMS: the update is a Generate (depth rows per input) into ONE (depth×width)-key partial aggregate — 1024 cells regardless of key cardinality, the bounded-state answer when even the distinct count is the problem; estimates join probes against the broadcast cell table.",
 }
 
 

@@ -1118,3 +1118,56 @@ def test_builtin_skewness_matches_moment_closed_form(spark):
     m3 = sum(v ** 3 for v in vals) / n
     want = (m3 - 3 * m1 * m2 + 2 * m1 ** 3) / (m2 - m1 * m1) ** 1.5
     assert abs(got - want) < 1e-9
+
+
+# --- Count-Min sketch vs brute-force model --------------------------------
+
+cms_strategy = st.lists(
+    st.sampled_from(["a", "b", "c", "d", "e"]), min_size=1, max_size=40
+)
+
+
+@given(items=cms_strategy)
+@SET
+def test_cms_never_undercounts_and_is_partitioning_invariant(spark, items):
+    import hashlib
+
+    from reddit_hn_etl_spark.operators.sketch import (
+        cms_estimates,
+        cms_table,
+    )
+
+    depth, width = 4, 8  # tiny width forces collisions
+    df = spark.createDataFrame([(i,) for i in items], "k string")
+    table = cms_table(df, "k", depth=depth, width=width)
+    probes = df.distinct()
+    got = {
+        r.k: r.est
+        for r in cms_estimates(
+            table, probes, "k", depth=depth, width=width
+        ).collect()
+    }
+
+    # brute-force model with the same md5 bucket function
+    def bucket(r, item):
+        h = hashlib.md5(f"{r}|{item}".encode()).hexdigest()[:15]
+        return int(h, 16) % width
+
+    cells: dict = {}
+    for it in items:
+        for r in range(depth):
+            key = (r, bucket(r, it))
+            cells[key] = cells.get(key, 0) + 1
+    truth: dict = {}
+    for it in items:
+        truth[it] = truth.get(it, 0) + 1
+    for it, n in truth.items():
+        est = min(cells.get((r, bucket(r, it)), 0) for r in range(depth))
+        assert got[it] == est
+        assert est >= n
+
+    # partitioning invariance: different partition count, same table
+    t2 = cms_table(df.repartition(7), "k", depth=depth, width=width)
+    a = {(r.r, r.bucket): r.cnt for r in table.collect()}
+    b = {(r.r, r.bucket): r.cnt for r in t2.collect()}
+    assert a == b
