@@ -963,3 +963,46 @@ def enable_tws(spark: SparkSession) -> None:
         "org.apache.spark.sql.execution.streaming.state."
         "RocksDBStateStoreProvider",
     )
+
+
+def cms_stream(
+    rows: DataFrame,
+    col: str,
+    sketch_dir: str,
+    checkpoint_dir: str,
+    depth: int = 4,
+    width: int = 256,
+) -> StreamingQuery:
+    """Streaming Count-Min maintenance: each micro-batch reduces to
+    its own (depth×width)-bounded cell table (sketch.cms_table),
+    appended with its batch_id — the index-is-the-state discipline.
+    Because CMS cells are DETERMINISTIC-bucket plain sums, the
+    merged stream sketch is cell-for-cell IDENTICAL to the batch
+    sketch over the same rows (not merely bound-equivalent like the
+    Misra–Gries stream) — asserted exactly by the parity test."""
+    from ..operators.sketch import cms_table
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        cms_table(batch_df, col, depth=depth, width=width).withColumn(
+            "batch_id", F.lit(batch_id)
+        ).write.mode("append").parquet(sketch_dir)
+
+    return (
+        rows.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def merged_cms(spark: SparkSession, sketch_dir: str) -> DataFrame:
+    """(r, bucket, cnt) summed over every stored batch sketch;
+    replay-safe via (batch_id, r, bucket) dedup before the sum."""
+    return (
+        spark.read.parquet(sketch_dir)
+        .dropDuplicates(["batch_id", "r", "bucket"])
+        .groupBy("r", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )

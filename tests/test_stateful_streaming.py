@@ -961,3 +961,66 @@ def test_stream_stream_full_outer_interval_join(spark, tmp_path):
     assert (2, "2024-01-01 10:00:00", "None") in got      # left absence
     assert (3, "None", "2024-01-01 10:05:00") in got      # right absence
     assert (9, "2024-01-01 23:00:00", "2024-01-01 23:00:01") in got
+
+
+def test_cms_stream_exactly_matches_batch_sketch(spark, tmp_path):
+    """CMS cells are deterministic sums, so the streamed+merged
+    sketch equals the one-shot batch sketch cell-for-cell — exact
+    parity, not just shared bounds. Replay of a batch must not
+    change a single cell."""
+    import os
+
+    from reddit_hn_etl_spark.operators.sketch import cms_table
+
+    src = tmp_path / "cms_stream_src"
+    src.mkdir()
+    sketch_dir = str(tmp_path / "cms_sketches")
+    ckpt = str(tmp_path / "cms_ckpt")
+
+    _write_events_jsonl(src / "b1.jsonl", [
+        (i, "2024-01-01 10:00:00", i % 5, 1.0) for i in range(40)
+    ])
+    _write_events_jsonl(src / "b2.jsonl", [
+        (100 + i, "2024-01-01 11:00:00", i % 3, 1.0) for i in range(25)
+    ])
+    os.utime(src / "b1.jsonl", (1, 1))       # pin source order (mtime!)
+    os.utime(src / "b2.jsonl", (2, 2))
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).json(str(src))
+        )
+        q = ingest.cms_stream(stream, "user_id", sketch_dir, ckpt)
+        q.awaitTermination(120)
+
+    run_once()
+    run_once()  # no new data: must be a no-op
+
+    merged = {
+        (r.r, r.bucket): r.cnt
+        for r in ingest.merged_cms(spark, sketch_dir).collect()
+    }
+    batch_df = spark.read.schema(schema).json(str(src))
+    expect = {
+        (r.r, r.bucket): r.cnt
+        for r in cms_table(batch_df, "user_id").collect()
+    }
+    assert merged == expect
+
+    # replay: duplicate one stored batch's rows (simulated retry) —
+    # the (batch_id, r, bucket) dedup keeps cells unchanged
+    stored = spark.read.parquet(sketch_dir)
+    stored.limit(0).unionByName(
+        stored.where("batch_id = 0")
+    ).write.mode("append").parquet(sketch_dir)
+    replayed = {
+        (r.r, r.bucket): r.cnt
+        for r in ingest.merged_cms(spark, sketch_dir).collect()
+    }
+    assert replayed == expect
