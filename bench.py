@@ -203,6 +203,12 @@ BENCH_QUERIES_R4 = [
     "cohort_ltv_curve",
     "dow_adjusted_anomalies",
     "cms_user_counts",
+    # r4 seventh session: distributed PCA (exact-int moments pass +
+    # rounded power iteration + corpus projection). The covariance
+    # row prices the one corpus-sized pass; project re-runs the
+    # chain end to end including the driver collect of loadings.
+    "embedding_covariance",
+    "pca_project_top1",
 ]
 
 

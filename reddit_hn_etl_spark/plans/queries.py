@@ -11801,6 +11801,156 @@ def cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Distributed PCA (operators/pca.py): exact-int second moments in one
+# mapInPandas pass, closed-form covariance, grid-rounded power
+# iteration, and corpus projection. The whitening front half of
+# SemDeDup/D4-style embedding curation, differential-tested end to
+# end. (No reference-repo counterpart; SURVEY §2.12 extension.)
+# ---------------------------------------------------------------------------
+
+# Shared oracle prefix: exact-int Gram/first moments on the 1e-6
+# quantization grid (mirrors pca.second_moments_quantized), then the
+# one fixed covariance expression. `g` stays exact (HUGEINT in
+# DuckDB, DECIMAL(38,0) in Spark); the double conversion happens in
+# the same operation order on both engines.
+_PCA_COV_CTES = """
+    qx AS (
+        SELECT vec_id,
+               CAST(u.pos AS INTEGER) AS pos,
+               CAST(FLOOR(CAST(u.x AS DOUBLE) * 1000000.0) AS BIGINT) AS q
+        FROM embeddings,
+             LATERAL (SELECT unnest(embedding) AS x,
+                             unnest(range(0, len(embedding))) AS pos) u
+    ),
+    m AS (
+        SELECT a.pos AS i, b.pos AS j, COUNT(*) AS n,
+               SUM(a.q) AS si, SUM(b.q) AS sj, SUM(a.q * b.q) AS g
+        FROM qx a JOIN qx b
+          ON a.vec_id = b.vec_id AND a.pos <= b.pos
+        GROUP BY a.pos, b.pos
+    ),
+    cov AS (
+        SELECT i, j, n, g,
+               ROUND((CAST(g AS DOUBLE)
+                      - CAST(si AS DOUBLE) * CAST(sj AS DOUBLE)
+                        / CAST(n AS DOUBLE))
+                     / CAST(n AS DOUBLE) / 1000000000000.0, 12) AS c
+        FROM m
+    )
+"""
+
+# Power-iteration rounds over the covariance, every round quantity on
+# the 1e-9 grid (see pca.top_component for why the grid makes the
+# recurrence engine-identical).
+_PCA_POWER_CTES = (
+    _PCA_COV_CTES
+    + """,
+    sym AS (SELECT i, j, c FROM cov
+            UNION ALL
+            SELECT j AS i, i AS j, c FROM cov WHERE i < j),
+    v0 AS (SELECT CAST(unnest(range(0, 64)) AS INTEGER) AS pos,
+                  1.0 / SQRT(64.0) AS vv),
+    w1 AS (SELECT s.i AS pos, ROUND(SUM(s.c * v.vv), 9) AS w
+           FROM sym s JOIN v0 v ON v.pos = s.j GROUP BY s.i),
+    n1 AS (SELECT ROUND(SQRT(SUM(w * w)), 9) AS nm FROM w1),
+    v1 AS (SELECT pos, ROUND(w / nm, 9) AS vv FROM w1, n1),
+    w2 AS (SELECT s.i AS pos, ROUND(SUM(s.c * v.vv), 9) AS w
+           FROM sym s JOIN v1 v ON v.pos = s.j GROUP BY s.i),
+    n2 AS (SELECT ROUND(SQRT(SUM(w * w)), 9) AS nm FROM w2),
+    v2 AS (SELECT pos, ROUND(w / nm, 9) AS vv FROM w2, n2),
+    w3 AS (SELECT s.i AS pos, ROUND(SUM(s.c * v.vv), 9) AS w
+           FROM sym s JOIN v2 v ON v.pos = s.j GROUP BY s.i),
+    n3 AS (SELECT ROUND(SQRT(SUM(w * w)), 9) AS nm FROM w3),
+    v3 AS (SELECT pos, ROUND(w / nm, 9) AS vv FROM w3, n3)
+"""
+)
+
+
+@_q(
+    "embedding_covariance",
+    f"""
+    WITH {_PCA_COV_CTES}
+    SELECT i, j, CAST(n AS BIGINT) AS n,
+           CAST(g AS VARCHAR) AS gram, c AS cov
+    FROM cov
+    """,
+)
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle covariance of the 64-dim embedding corpus —
+    `pca.covariance`: ONE mapInPandas pass emits per-batch exact-int
+    partial Gram triangles (2 080 rows per batch, never N·dim), one
+    2 080-key shuffle finishes the sums as DECIMAL(38,0), and the
+    covariance doubles come from one fixed expression over those
+    exact integers. `gram` is compared as the exact integer string —
+    a quantization or partial-aggregation bug cannot hide behind
+    float tolerance."""
+    from ..operators import pca
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return pca.covariance(emb, dim=64)
+
+
+@_q(
+    "pca_power_component",
+    f"""
+    WITH {_PCA_POWER_CTES},
+    ray AS (SELECT ROUND(SUM(s.c * a.vv * b.vv), 9) AS eigenvalue
+            FROM sym s JOIN v3 a ON a.pos = s.i JOIN v3 b ON b.pos = s.j)
+    SELECT v3.pos, v3.vv AS loading, ray.eigenvalue
+    FROM v3, ray
+    """,
+)
+def pca_power_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus —
+    `pca.top_component`: three unrolled power-iteration rounds on the
+    dim×dim covariance (kilobytes; every join broadcasts), each
+    round's matvec/norm/vector ROUNDed to the shared 1e-9 grid so the
+    recurrence is engine-identical, plus the Rayleigh-quotient
+    eigenvalue. The corpus-sized work all happened in the covariance
+    pass; this stage is O(dim²) regardless of N."""
+    from ..operators import pca
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    comp = pca.top_component(pca.covariance(emb, dim=64), dim=64)
+    return comp.select("pos", "loading", "eigenvalue")
+
+
+@_q(
+    "pca_project_top1",
+    f"""
+    WITH {_PCA_POWER_CTES},
+    vlist AS (SELECT list(vv ORDER BY pos) AS v FROM v3),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed
+          FROM embeddings)
+    SELECT vec_id,
+           ROUND(list_reduce(
+               list_transform(ed, (x, i) -> ROUND(x * v[i], 9)),
+               (a, b) -> a + b), 9) AS pc1_score
+    FROM e, vlist
+    """,
+)
+def pca_project_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project every embedding onto the data-derived top component —
+    `pca.project`: the driver collects the 64 rounded loadings
+    (kilobytes, the k-means-centroid discipline) and the projection
+    itself is a zero-shuffle scan folding per-position products in
+    array order, each product ROUNDed before the fold so DuckDB's
+    list fusion cannot FMA-drift (see pca.py). This is the scalar
+    the D4-style curation loop sorts/clusters on."""
+    from ..operators import pca
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    comp = pca.top_component(pca.covariance(emb, dim=64), dim=64)
+    loadings = [
+        r["loading"] for r in sorted(comp.collect(), key=lambda r: r["pos"])
+    ]
+    proj = pca.project(emb, loadings, out_col="pc1_score")
+    return proj.select(
+        "vec_id", F.round("pc1_score", 9).alias("pc1_score")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window.
 #
 # The driver hard-verifies (rows + schema + value hash vs the DuckDB

@@ -143,6 +143,8 @@ NOTES = {
     "cohort_ltv_curve": "LTV: events aggregate to exact cents on the (cohort, age) dimension FIRST; the cumulative window runs over a handful of rows per cohort. The user→cohort join shuffles on user_id once.",
     "dow_adjusted_anomalies": "Deseasonalized monitor: daily rollup (one shuffle), 7-row baseline broadcast, flag projection. Same cost class as daily_metrics.",
     "cms_user_counts": "CMS: the update is a Generate (depth rows per input) into ONE (depth×width)-key partial aggregate — 1024 cells regardless of key cardinality, the bounded-state answer when even the distinct count is the problem; estimates join probes against the broadcast cell table.",
+    "embedding_covariance": "Distributed PCA moments: ONE ArrowEvalPython/mapInPandas scan emits 2080-row partial Gram triangles per batch (numpy int64 matmul map-side), then a single 2080-key exchange finishes DECIMAL(38,0) sums — shuffle is O(partitions·dim²), never N·dim. The covariance double is a fixed expression over exact ints.",
+    "pca_project_top1": "PCA projection: the power iteration ran on dim² rows (all joins broadcast), the driver holds only 64 loadings, and the projection itself is a zero-exchange scan — zip-product fold per row, whole-stage codegen, no Python.",
 }
 
 

@@ -1,0 +1,121 @@
+"""Property tests for operators/pca.py: exact-int moments, the
+rounded power-iteration recurrence, and projection — each checked
+against an independent numpy implementation, plus the partitioning
+invariance that makes the exact-int design matter."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from reddit_hn_etl_spark.operators import pca
+from reddit_hn_etl_spark.sources.tables import read_table
+
+SF = "/root/testdata/sf0.001"
+SCALE = 1_000_000
+DIM = 64
+
+
+@pytest.fixture(scope="module")
+def emb_np(spark):
+    rows = (
+        read_table(spark, SF, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    rows.sort(key=lambda r: r["vec_id"])
+    mat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    return [r["vec_id"] for r in rows], mat
+
+
+def _np_cov(mat):
+    q = np.floor(mat * float(SCALE)).astype(np.int64)
+    n = q.shape[0]
+    g = (q.T @ q).astype(np.float64)
+    s = q.sum(axis=0).astype(np.float64)
+    return (g - np.outer(s, s) / n) / n / float(SCALE) ** 2
+
+
+def test_covariance_matches_numpy_exactly(spark, emb_np):
+    _, mat = emb_np
+    expect = _np_cov(mat)
+    got = pca.covariance(
+        read_table(spark, SF, "embeddings"), dim=DIM
+    ).collect()
+    assert len(got) == DIM * (DIM + 1) // 2
+    for r in got:
+        assert r["cov"] == round(expect[r["i"], r["j"]], 12), (r["i"], r["j"])
+
+
+def test_covariance_partitioning_invariant(spark):
+    emb = read_table(spark, SF, "embeddings")
+    one = {
+        (r["i"], r["j"]): (r["gram"], r["cov"])
+        for r in pca.covariance(emb.repartition(1), dim=DIM).collect()
+    }
+    many = {
+        (r["i"], r["j"]): (r["gram"], r["cov"])
+        for r in pca.covariance(emb.repartition(7), dim=DIM).collect()
+    }
+    assert one == many
+
+
+def _np_power(cov, n_iter=3, digits=9):
+    """The SAME rounded recurrence as pca.top_component, in numpy."""
+    c = np.round(cov, 12)
+    v = np.full(DIM, 1.0 / np.sqrt(float(DIM)))
+    for _ in range(n_iter):
+        w = np.round(c @ v, digits)
+        nm = round(float(np.sqrt((w * w).sum())), digits)
+        v = np.round(w / nm, digits)
+    lam = round(float(v @ c @ v), digits)
+    return v, lam
+
+
+def test_top_component_matches_rounded_recurrence(spark, emb_np):
+    _, mat = emb_np
+    v_np, lam_np = _np_power(_np_cov(mat))
+    emb = read_table(spark, SF, "embeddings")
+    got = pca.top_component(pca.covariance(emb, dim=DIM), dim=DIM).collect()
+    assert len(got) == DIM
+    v = np.empty(DIM)
+    for r in got:
+        v[r["pos"]] = r["loading"]
+        # association order differs between numpy matvec and the
+        # Spark agg, so allow one grid step on each rounded value
+        assert abs(r["eigenvalue"] - lam_np) <= 2e-9
+    assert np.all(np.abs(v - v_np) <= 2e-9)
+    # the recurrence normalizes: unit length on the rounded grid
+    assert abs(float(v @ v) - 1.0) < 1e-6
+
+
+def test_top_component_is_a_plausible_eigenvector(spark, emb_np):
+    """After 3 rounds the Rayleigh quotient must sit inside the true
+    spectrum and near its top (power iteration increases it
+    monotonically from the uniform start)."""
+    _, mat = emb_np
+    cov = _np_cov(mat)
+    eigs = np.linalg.eigvalsh(cov)
+    emb = read_table(spark, SF, "embeddings")
+    got = pca.top_component(pca.covariance(emb, dim=DIM), dim=DIM).collect()
+    lam = got[0]["eigenvalue"]
+    assert eigs[0] - 1e-9 <= lam <= eigs[-1] + 1e-9
+    v0 = np.full(DIM, 1.0 / np.sqrt(float(DIM)))
+    assert lam >= float(v0 @ cov @ v0) - 1e-9
+
+
+def test_project_matches_numpy_fold(spark, emb_np):
+    ids, mat = emb_np
+    comp = [round(float(x), 9) for x in np.linspace(-0.2, 0.2, DIM)]
+    got = {
+        r["vec_id"]: r["score"]
+        for r in pca.project(
+            read_table(spark, SF, "embeddings"), comp
+        ).collect()
+    }
+    for vid, row in zip(ids, mat):
+        acc = 0.0
+        for x, y in zip(row, comp):
+            acc += round(x * y, 9)
+        assert got[vid] == acc, vid
