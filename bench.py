@@ -209,6 +209,14 @@ BENCH_QUERIES_R4 = [
     # chain end to end including the driver collect of loadings.
     "embedding_covariance",
     "pca_project_top1",
+    # r4 seventh session: delta-join view maintenance (cost of the
+    # three delta terms + state merge vs the direct recompute the
+    # oracle performs).
+    "ivm_nation_revenue",
+    # r4 seventh session: positional phrase retrieval + perceptual
+    # image near-dup over real BMP decode.
+    "phrase_search_positional",
+    "image_ahash_pairs",
 ]
 
 

@@ -221,6 +221,62 @@ def extract_image_features(df: DataFrame, id_col: str = "media_id",
     return df.select(id_col, payload_col).mapInPandas(featurize, out_schema)
 
 
+def synth_bmp_vstripes(width: int, height: int, bright_cols: int,
+                       base: int, bright: int, shift: int = 0) -> bytes:
+    """Deterministic grayscale (r=g=b) vertical-stripe BMP: the first
+    ``bright_cols`` pixel columns at ``bright+shift``, the rest at
+    ``base+shift``. Equal channels + constant 2×2 blocks make every
+    perceptual-hash intermediate (gray, pooled mean) an exact
+    integer, so the aHash has a closed form the oracle can state."""
+    import numpy as np
+
+    px = np.full((height, width, 3), min(base + shift, 255), dtype=np.uint8)
+    px[:, :bright_cols, :] = min(bright + shift, 255)
+    return _encode_bmp(px)
+
+
+def average_hash(df: DataFrame, id_col: str = "media_id",
+                 payload_col: str = "payload", grid: int = 8) -> DataFrame:
+    """REAL perceptual average-hash over decoded image payloads:
+    grayscale (channel mean), area-mean-pool to ``grid×grid``,
+    threshold strictly above the global pooled mean, pack row-major
+    bits (bit ``r·grid+c``) into an int64. Brightness-shift
+    invariant by construction — the near-dup property the pair
+    queries exploit. Payload-sized data never leaves the UDF; the
+    output is 16 bytes/row."""
+    out_schema = f"{id_col} long, ahash long"
+
+    def work(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        weights = (np.uint64(1) << np.arange(grid * grid, dtype=np.uint64))
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                decoded = _decode_bmp(bytes(payload))
+                if decoded is None:
+                    continue
+                w, h, px = decoded
+                if w % grid or h % grid:
+                    continue
+                gray = px.astype(np.float64).mean(axis=2)
+                pooled = gray.reshape(
+                    grid, h // grid, grid, w // grid
+                ).mean(axis=(1, 3))
+                bits = (pooled > pooled.mean()).astype(np.uint64).ravel()
+                code = int((bits * weights).sum())
+                if code >= 1 << 63:  # two's-complement into int64
+                    code -= 1 << 64
+                rows.append((int(mid), code))
+            yield pd.DataFrame(rows, columns=[id_col, "ahash"])
+
+    return df.select(id_col, payload_col).mapInPandas(work, out_schema)
+
+
 def sample_frame_offsets(df: DataFrame, n_frames: int = 4,
                          duration_col: str = "meta.duration_ms") -> DataFrame:
     """Video frame-sampling PLAN: evenly spaced frame timestamps from

@@ -11951,6 +11951,292 @@ def pca_project_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Incremental view maintenance (operators/ivm.py): maintain an
+# aggregated JOIN view by the delta-join expansion instead of
+# recomputing the base join. The oracle computes the view DIRECTLY —
+# a hash match IS the IVM correctness theorem (any double-counted or
+# dropped delta term breaks it).
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "ivm_nation_revenue",
+    """
+    SELECT c_nationkey AS nation_key,
+           COUNT(*) AS n_orders,
+           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+           COUNT(*) FILTER (WHERE o_orderkey % 7 = 0 OR c_custkey % 9 = 0)
+               AS n_from_delta
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_nationkey
+    """,
+)
+def ivm_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-by-nation over orders⋈customer, maintained
+    INCREMENTALLY: ~1/7 of orders and ~1/9 of customers are held out
+    as insert deltas, the base view is materialized (localCheckpoint
+    = the persisted-state boundary), and the refresh computes only
+    γ(ΔO⋈C) ⊕ γ(O⋈ΔC) ⊕ γ(ΔO⋈ΔC) before one state merge. The
+    oracle is the DIRECT join-aggregate over the full tables, so the
+    hash compare proves maintained ≡ recomputed; `n_from_delta`
+    (rows that arrived via any delta term) proves the delta path is
+    non-vacuous. At scale each delta term is a small-side join the
+    optimizer broadcasts from size estimates."""
+    from ..operators import ivm
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    o_delta = orders.where(F.col("o_orderkey") % 7 == 0)
+    o_old = orders.where(F.col("o_orderkey") % 7 != 0)
+    c_delta = cust.where(F.col("c_custkey") % 9 == 0)
+    c_old = cust.where(F.col("c_custkey") % 9 != 0)
+    on = F.col("o_custkey") == F.col("c_custkey")
+    states = {
+        "n_orders": F.lit(1),
+        "revenue": F.col("o_totalprice").cast("decimal(18,2)"),
+    }
+    keys, names = ["c_nationkey"], list(states)
+    base = ivm.join_agg_states(o_old, c_old, on, keys, states)
+    base = base.localCheckpoint(eager=True)
+    d = ivm.delta_states(
+        o_old, o_delta, c_old, c_delta, on, keys, states
+    ).localCheckpoint(eager=True)
+    view = ivm.apply_delta(base, d, keys, names)
+    dn = d.select("c_nationkey", F.col("n_orders").alias("n_from_delta"))
+    return view.join(dn, "c_nationkey", "left").select(
+        F.col("c_nationkey").alias("nation_key"),
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.col("revenue").alias("revenue"),
+        F.coalesce(F.col("n_from_delta"), F.lit(0))
+        .cast("long")
+        .alias("n_from_delta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Positional phrase search (operators/search.py): exact phrase
+# occurrence counts from a positional inverted index — the retrieval
+# primitive bag-of-words BM25 cannot express. Oracle = per-document
+# token-list scan.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "phrase_search_positional",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                           x -> x <> '') AS w
+        FROM documents
+    ),
+    hits AS (
+        SELECT 'batch batch' AS phrase, doc_id,
+               len(list_filter(range(1, len(w)),
+                   i -> w[i] = 'batch' AND w[i+1] = 'batch')) AS n_matches
+        FROM toks
+        UNION ALL
+        SELECT 'hash join', doc_id,
+               len(list_filter(range(1, len(w)),
+                   i -> w[i] = 'hash' AND w[i+1] = 'join'))
+        FROM toks
+        UNION ALL
+        SELECT 'merge slow join', doc_id,
+               len(list_filter(range(1, len(w) - 1),
+                   i -> w[i] = 'merge' AND w[i+1] = 'slow'
+                        AND w[i+2] = 'join'))
+        FROM toks
+    )
+    SELECT phrase, doc_id, n_matches FROM hits WHERE n_matches > 0
+    """,
+)
+def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch phrase search — `search.phrase_match_counts` over three
+    phrases including a repeated-token phrase ("batch batch", the
+    case that breaks naive position intersection) and a 3-gram. ONE
+    broadcast join of vocabulary-filtered positional postings
+    against the literal (phrase, offset, token) table, then the
+    COUNT(offsets)=phrase_len check per candidate start. The oracle
+    re-counts by scanning each document's token list — overlapping
+    occurrences count on both sides."""
+    from ..operators import search
+
+    docs = read_table(spark, sf_dir, "documents")
+    return search.phrase_match_counts(
+        docs, ["batch batch", "hash join", "merge slow join"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image near-dup (functions/multimodal.average_hash): the
+# visual-curation sibling of text MinHash — brightness-invariant
+# aHash pairs over REAL BMP decode. The oracle states each hash in
+# closed form from the synthesis parameters, so a decode, pooling,
+# thresholding, or bit-packing bug changes emitted values.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "image_ahash_pairs",
+    """
+    WITH m AS (
+        SELECT doc_id AS media_id, doc_id % 5 AS g
+        FROM documents WHERE doc_id < 60
+    ),
+    h AS (
+        SELECT media_id,
+               (CAST(POW(2, 2 + g) AS BIGINT) - 1) * 72340172838076673
+                   AS ahash
+        FROM m
+    )
+    SELECT a.media_id AS media_a, b.media_id AS media_b,
+           CAST(bit_count(xor(a.ahash, b.ahash)) AS INTEGER) AS hamming,
+           bit_count(xor(a.ahash, b.ahash)) = 0 AS same_pattern
+    FROM h a JOIN h b ON a.media_id < b.media_id
+    """,
+)
+def image_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup pairs over REAL image decode: each media
+    row synthesizes a 16×16 grayscale vertical-stripe BMP whose
+    stripe width is its pattern group (doc_id%5) and whose
+    brightness is shifted by doc_id%7 — aHash is invariant to the
+    shift (the threshold adapts), so within-group pairs land at
+    hamming 0 and cross-group pairs at exactly 8·|Δgroup|. The hash
+    runs the full real path (struct+numpy BMP decode → gray → area
+    pool → adaptive threshold → bit pack in
+    `multimodal.average_hash`); the oracle recomputes every 64-bit
+    hash in CLOSED FORM from the synthesis parameters — decode or
+    hash bugs shift emitted hammings. Payloads never shuffle; the
+    pair join runs on 16-byte hash rows."""
+    from ..functions import multimodal as mm
+
+    docs = read_table(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") < 60).select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 5).cast("int").alias("g"),
+        (F.col("doc_id") % 7).cast("int").alias("shift"),
+    )
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = [
+                (
+                    int(m),
+                    mm.synth_bmp_vstripes(
+                        16, 16, (2 + int(g)) * 2, 40, 200, int(s)
+                    ),
+                )
+                for m, g, s in zip(pdf["media_id"], pdf["g"], pdf["shift"])
+            ]
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    bmp = base.mapInPandas(synth, "media_id long, payload binary")
+    hashes = mm.average_hash(bmp)
+    a = hashes.select(
+        F.col("media_id").alias("media_a"), F.col("ahash").alias("ha")
+    )
+    b = hashes.select(
+        F.col("media_id").alias("media_b"), F.col("ahash").alias("hb")
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        a.join(b, F.col("media_a") < F.col("media_b"))
+        .select(
+            "media_a",
+            "media_b",
+            ham.cast("int").alias("hamming"),
+            (ham == 0).alias("same_pattern"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Holt double exponential smoothing (sequential.holt_winters_per_key):
+# level+trend forecasting over daily exact-cent totals. The 2-state
+# recurrence doesn't fit a scalar list_reduce, so the oracle is a
+# RECURSIVE CTE evaluating the literal same float expressions —
+# bit-equal, no tolerance.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "daily_value_holt_winters",
+    """
+    WITH RECURSIVE daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                   AS cents
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    seq AS (
+        SELECT event_type, day, cents,
+               CAST(cents AS DOUBLE) AS x,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY day) AS stp
+        FROM daily
+    ),
+    hw AS (
+        SELECT event_type, day, cents, x, stp,
+               x AS level, CAST(0.0 AS DOUBLE) AS trend
+        FROM seq WHERE stp = 1
+        UNION ALL
+        SELECT n.event_type, n.day, n.cents, n.x, n.stp,
+               0.25 * n.x + 0.75 * (h.level + h.trend) AS level,
+               0.125 * ((0.25 * n.x + 0.75 * (h.level + h.trend))
+                        - h.level)
+                   + 0.875 * h.trend AS trend
+        FROM hw h JOIN seq n
+          ON n.event_type = h.event_type AND n.stp = h.stp + 1
+    )
+    SELECT event_type, day, cents, level, trend,
+           level + trend AS forecast_next
+    FROM hw
+    """,
+)
+def daily_value_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt level+trend smoothing of per-type daily value totals with
+    the one-step-ahead forecast — the trend-aware upgrade of
+    `user_value_ema` (`revenue_forecast` fits one global line; this
+    tracks a drifting level per series). Daily totals are exact
+    integer cents; α=1/4, β=1/8 are binary-exact; the applyInPandas
+    fold evaluates the LITERAL same expressions as the oracle's
+    recursive CTE, so every level/trend/forecast double matches
+    bit-for-bit. One shuffle to daily grain + one ordered fold per
+    type."""
+    from ..operators.sequential import holt_winters_per_key
+
+    ev = read_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    daily = (
+        ev.select(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            cents.alias("_c"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("_c").alias("cents"))
+        .withColumn("x", F.col("cents").cast("double"))
+    )
+    out = holt_winters_per_key(
+        daily, "event_type", ("day",), "x", alpha=0.25, beta=0.125
+    )
+    return out.select(
+        "event_type",
+        "day",
+        "cents",
+        "level",
+        "trend",
+        (F.col("level") + F.col("trend")).alias("forecast_next"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window.
 #
 # The driver hard-verifies (rows + schema + value hash vs the DuckDB

@@ -145,6 +145,9 @@ NOTES = {
     "cms_user_counts": "CMS: the update is a Generate (depth rows per input) into ONE (depth×width)-key partial aggregate — 1024 cells regardless of key cardinality, the bounded-state answer when even the distinct count is the problem; estimates join probes against the broadcast cell table.",
     "embedding_covariance": "Distributed PCA moments: ONE ArrowEvalPython/mapInPandas scan emits 2080-row partial Gram triangles per batch (numpy int64 matmul map-side), then a single 2080-key exchange finishes DECIMAL(38,0) sums — shuffle is O(partitions·dim²), never N·dim. The covariance double is a fixed expression over exact ints.",
     "pca_project_top1": "PCA projection: the power iteration ran on dim² rows (all joins broadcast), the driver holds only 64 loadings, and the projection itself is a zero-exchange scan — zip-product fold per row, whole-stage codegen, no Python.",
+    "ivm_nation_revenue": "Delta-join IVM: the base view sits behind a checkpoint boundary (Scan ExistingRDD — the persisted-state stand-in); the refresh plans only the three delta-sided joins (size-driven broadcast of the small delta sides) plus ONE state-merge hash aggregate on the group keys. No recompute of the base join anywhere in the plan.",
+    "phrase_search_positional": "Phrase search: postings explode is vocabulary-FILTERED before anything shuffles (the isin filter sits directly above the Generate), the phrase table is an explicit broadcast (kilobytes), and the all-offsets-matched check is one hash aggregate on (phrase, doc, start) — query-side data ships to the index side, never the reverse.",
+    "image_ahash_pairs": "Perceptual near-dup: synth+decode+hash share ONE mapInPandas stage (payloads never shuffle); the pair join runs on 16-byte (id, hash) rows with hamming as JVM-side bit_count(xor). At corpus scale the documented switch is hamming-block bucketing (the simhash pigeonhole plan) instead of the all-pairs join.",
 }
 
 

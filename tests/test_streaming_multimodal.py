@@ -447,3 +447,29 @@ def test_wav_spectrogram_resolves_tone_switch_in_time(spark):
             assert r[1] > 0.9, (i, r)  # pure 750 Hz -> band 1
         elif i > switch + 1:
             assert r[6] > 0.9, (i, r)  # pure 3250 Hz -> band 6
+
+
+def test_average_hash_brightness_invariant_and_sensitive(spark):
+    from reddit_hn_etl_spark.functions.multimodal import (
+        average_hash,
+        synth_bmp_vstripes,
+    )
+
+    rows = [
+        (1, synth_bmp_vstripes(16, 16, 6, 40, 200, 0)),
+        (2, synth_bmp_vstripes(16, 16, 6, 40, 200, 5)),  # brighter twin
+        (3, synth_bmp_vstripes(16, 16, 8, 40, 200, 0)),  # wider stripe
+        (4, bytearray(b"not a bmp")),
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in rows], "media_id long, payload binary"
+    )
+    got = {r["media_id"]: r["ahash"] for r in average_hash(df).collect()}
+    assert set(got) == {1, 2, 3}  # non-BMP dropped
+    assert got[1] == got[2]  # aHash ignores global brightness shift
+    assert got[1] != got[3]
+    # closed form: stripe of 3 grid cols -> row byte 0b111 = 7
+    assert got[1] == 7 * 72340172838076673
+    assert got[3] == 15 * 72340172838076673
+    # hamming between 3-col and 4-col stripes: one bit per row
+    assert bin(got[1] ^ got[3]).count("1") == 8
