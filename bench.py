@@ -217,6 +217,11 @@ BENCH_QUERIES_R4 = [
     # image near-dup over real BMP decode.
     "phrase_search_positional",
     "image_ahash_pairs",
+    # r4 seventh session: level+trend forecasting fold + the
+    # Fellegi-Sunter linkage decision layer.
+    "daily_value_holt_winters",
+    "customer_fellegi_sunter",
+    "daily_value_changepoint",
 ]
 
 

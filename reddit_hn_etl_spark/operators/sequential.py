@@ -116,3 +116,60 @@ def cusum_per_key(
         return pdf
 
     return df.groupBy(key_col).applyInPandas(fold, schema)
+
+
+def holt_winters_per_key(
+    df: DataFrame,
+    key_col: str,
+    order_cols: Sequence[str],
+    value_col: str,
+    alpha: float = 0.25,
+    beta: float = 0.125,
+    level_col: str = "level",
+    trend_col: str = "trend",
+) -> DataFrame:
+    """Holt's double exponential smoothing per key (level + trend —
+    the forecasting recurrence one state can't carry; `ema_per_key`
+    is the one-state special case):
+
+    ``level_0 = v_0``, ``trend_0 = 0``;
+    ``level_i = α·v_i + (1−α)·(level_{i−1} + trend_{i−1})``;
+    ``trend_i = β·(level_i − level_{i−1}) + (1−β)·trend_{i−1}``.
+
+    The one-step-ahead forecast is ``level + trend`` (project it
+    downstream). Defaults α=1/4, β=1/8 are binary-exact, so with
+    exact-integer inputs every smoothed value is the same IEEE
+    double an oracle evaluating the LITERAL expressions produces
+    (a recursive CTE — a 2-state recurrence doesn't fit a scalar
+    list_reduce). Same contract and scale posture as `ema_per_key`:
+    one shuffle on the key, one ordered Arrow fold per key.
+    """
+    a, b = float(alpha), float(beta)
+    order = list(order_cols)
+    schema = StructType(
+        list(df.schema.fields)
+        + [StructField(level_col, DoubleType()),
+           StructField(trend_col, DoubleType())]
+    )
+
+    def fold(pdf):
+        pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
+        vals = pdf[value_col].to_numpy(dtype="float64")
+        lvl_out = vals.copy()
+        tr_out = vals.copy()
+        lvl, tr = 0.0, 0.0
+        for i in range(len(vals)):
+            if i == 0:
+                lvl, tr = vals[0], 0.0
+            else:
+                # same operand order as the oracle's recursive CTE
+                lvl_new = a * vals[i] + (1.0 - a) * (lvl + tr)
+                tr = b * (lvl_new - lvl) + (1.0 - b) * tr
+                lvl = lvl_new
+            lvl_out[i] = lvl
+            tr_out[i] = tr
+        pdf[level_col] = lvl_out
+        pdf[trend_col] = tr_out
+        return pdf
+
+    return df.groupBy(key_col).applyInPandas(fold, schema)

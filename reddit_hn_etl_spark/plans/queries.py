@@ -12237,6 +12237,242 @@ def daily_value_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Fellegi-Sunter probabilistic record linkage (operators/er.py): the
+# decision layer over the engine's blocking + fuzzy scoring. Weights
+# are Python-computed literals inlined into BOTH plans (CAST(x AS
+# DOUBLE) in the oracle — a bare decimal literal would parse as
+# DECIMAL and break bit-equality), so the score sum is bit-equal.
+# ---------------------------------------------------------------------------
+
+from ..operators.er import fs_weights as _fs_weights
+
+_FS_PARAMS = [
+    ("agree_name", 0.95, 0.01),
+    ("agree_nation", 0.90, 0.04),
+    ("agree_bal", 0.80, 0.02),
+]
+# String-quoted casts: DuckDB parses a bare 17-digit literal as
+# DECIMAL and the decimal→double conversion double-rounds (measured:
+# -2.2617630984737906 → -2.26176309847379); CAST('…' AS DOUBLE) goes
+# through strtod and round-trips exactly.
+_FS_CASES = " + ".join(
+    f"CASE WHEN {col} THEN CAST('{_fs_weights(m, u)[0]!r}' AS DOUBLE) "
+    f"ELSE CAST('{_fs_weights(m, u)[1]!r}' AS DOUBLE) END"
+    for col, m, u in _FS_PARAMS
+)
+
+
+@_q(
+    "customer_fellegi_sunter",
+    f"""
+    WITH c AS (
+        SELECT c_custkey, c_mktsegment, c_name, c_nationkey,
+               CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS cents
+        FROM customer WHERE c_custkey % 10 = 0
+    ),
+    p AS (
+        SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+               ROUND(jaro_winkler_similarity(a.c_name, b.c_name), 6) >= 0.95
+                   AS agree_name,
+               a.c_nationkey = b.c_nationkey AS agree_nation,
+               ABS(a.cents - b.cents) <= 10000 AS agree_bal
+        FROM c a JOIN c b
+          ON a.c_mktsegment = b.c_mktsegment AND a.c_custkey < b.c_custkey
+    ),
+    s AS (SELECT *, {_FS_CASES} AS fs_score FROM p)
+    SELECT key_a, key_b, agree_name, agree_nation, agree_bal, fs_score,
+           CASE WHEN fs_score >= 5.0 THEN 'link'
+                WHEN fs_score >= 0.0 THEN 'possible'
+                ELSE 'non_link' END AS decision
+    FROM s
+    """,
+)
+def customer_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter linkage over segment-blocked candidate pairs:
+    three field comparisons (Jaro-Winkler name agreement on the
+    ROUNDed score, nation equality, account balance within 100.00 on
+    exact cents) fold into the log-likelihood-ratio score with
+    literal m/u weights, then threshold into link / possible /
+    non_link. The score is a fixed-order sum of identical double
+    literals on both engines — bit-equal, no tolerance; threshold
+    compares cannot flip. Pure projection over the blocked pairs:
+    blocking bounds the cost, scoring adds zero shuffle."""
+    from ..operators import er
+
+    jw = textfn.jaro_winkler_pandas_udf()
+    cust = read_table(spark, sf_dir, "customer").where(
+        F.col("c_custkey") % 10 == 0
+    )
+    cents = (F.col("c_acctbal").cast("decimal(18,2)") * 100).cast("bigint")
+    a = cust.select(
+        F.col("c_custkey").alias("key_a"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_name").alias("_na"),
+        F.col("c_nationkey").alias("_ga"),
+        cents.alias("_ca"),
+    )
+    b = cust.select(
+        F.col("c_custkey").alias("key_b"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_name").alias("_nb"),
+        F.col("c_nationkey").alias("_gb"),
+        cents.alias("_cb"),
+    )
+    pairs = (
+        a.join(b, "segment")
+        .where(F.col("key_a") < F.col("key_b"))
+        .select(
+            "key_a",
+            "key_b",
+            (F.round(jw(F.col("_na"), F.col("_nb")), 6) >= 0.95).alias(
+                "agree_name"
+            ),
+            (F.col("_ga") == F.col("_gb")).alias("agree_nation"),
+            (F.abs(F.col("_ca") - F.col("_cb")) <= 10000).alias("agree_bal"),
+        )
+    )
+    scored = er.fellegi_sunter(
+        pairs, _FS_PARAMS, link_threshold=5.0, possible_threshold=0.0
+    )
+    return scored.select(
+        "key_a",
+        "key_b",
+        "agree_name",
+        "agree_nation",
+        "agree_bal",
+        "fs_score",
+        "decision",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Change-point detection (binary segmentation, one split): the
+# offline complement of the sequential monitors (cusum/zscore) —
+# find WHERE the level shifted, not just that it did. SSE from
+# exact-integer prefix moments; the argmin compares bit-equal
+# doubles with an explicit index tie-break.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "daily_value_changepoint",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                   AS cents
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    seq AS (
+        SELECT event_type, day, cents,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+                   AS i,
+               SUM(cents) OVER (PARTITION BY event_type ORDER BY day
+                                ROWS UNBOUNDED PRECEDING) AS ps,
+               SUM(CAST(cents * cents AS DECIMAL(38,0)))
+                   OVER (PARTITION BY event_type ORDER BY day
+                         ROWS UNBOUNDED PRECEDING) AS ps2,
+               COUNT(*) OVER (PARTITION BY event_type) AS n,
+               SUM(cents) OVER (PARTITION BY event_type) AS ts_all,
+               SUM(CAST(cents * cents AS DECIMAL(38,0)))
+                   OVER (PARTITION BY event_type) AS t2
+        FROM daily
+    ),
+    scored AS (
+        SELECT event_type, day, i, n,
+               CAST(t2 AS DOUBLE)
+                   - CAST(ts_all AS DOUBLE) * CAST(ts_all AS DOUBLE)
+                     / CAST(n AS DOUBLE) AS sse_nosplit,
+               (CAST(ps2 AS DOUBLE)
+                    - CAST(ps AS DOUBLE) * CAST(ps AS DOUBLE)
+                      / CAST(i AS DOUBLE))
+               + (CAST(t2 - ps2 AS DOUBLE)
+                    - CAST(ts_all - ps AS DOUBLE)
+                      * CAST(ts_all - ps AS DOUBLE)
+                      / CAST(n - i AS DOUBLE)) AS sse_split
+        FROM seq WHERE i < n
+    )
+    SELECT event_type, day AS split_day, CAST(i AS BIGINT) AS split_i,
+           CAST(n AS BIGINT) AS n_days, sse_nosplit, sse_split,
+           sse_nosplit - sse_split AS sse_reduction
+    FROM scored
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY sse_split, i) = 1
+    """,
+)
+def daily_value_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best single change-point per event-type daily series (binary
+    segmentation): SSE(left)+SSE(right) for every split from
+    exact-integer prefix moments (cents as BIGINT, squared sums as
+    DECIMAL(38,0) — cents³-class overflow is why), evaluated as one
+    fixed double expression per side. Both engines compare
+    bit-equal doubles, so the argmin (tie → earliest day) picks the
+    same split. Windows partition by event_type — per-series days
+    are calendar-bounded, so no SinglePartition risk; the heavy
+    grain reduction (events → days) is one partial/final agg."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    daily = (
+        ev.select(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            cents.alias("_c"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("_c").alias("cents"))
+    )
+    wo = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wa = Window.partitionBy("event_type")
+    sq = (F.col("cents") * F.col("cents")).cast("decimal(38,0)")
+    seq = daily.select(
+        "event_type",
+        "day",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("day"))
+        .alias("i"),
+        F.sum("cents").over(wo).alias("ps"),
+        F.sum(sq).over(wo).alias("ps2"),
+        F.count(F.lit(1)).over(wa).alias("n"),
+        F.sum("cents").over(wa).alias("ts_all"),
+        F.sum(sq).over(wa).alias("t2"),
+    )
+    d = lambda c: c.cast("double")  # noqa: E731
+    sse_nosplit = d(F.col("t2")) - d(F.col("ts_all")) * d(
+        F.col("ts_all")
+    ) / d(F.col("n"))
+    sse_split = (
+        d(F.col("ps2")) - d(F.col("ps")) * d(F.col("ps")) / d(F.col("i"))
+    ) + (
+        d(F.col("t2") - F.col("ps2"))
+        - d(F.col("ts_all") - F.col("ps"))
+        * d(F.col("ts_all") - F.col("ps"))
+        / d(F.col("n") - F.col("i"))
+    )
+    scored = seq.where(F.col("i") < F.col("n")).select(
+        "event_type",
+        F.col("day").alias("split_day"),
+        F.col("i").cast("long").alias("split_i"),
+        F.col("n").cast("long").alias("n_days"),
+        sse_nosplit.alias("sse_nosplit"),
+        sse_split.alias("sse_split"),
+        (sse_nosplit - sse_split).alias("sse_reduction"),
+    )
+    pick = Window.partitionBy("event_type").orderBy("sse_split", "split_i")
+    return (
+        scored.withColumn("_rn", F.row_number().over(pick))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window.
 #
 # The driver hard-verifies (rows + schema + value hash vs the DuckDB

@@ -148,6 +148,9 @@ NOTES = {
     "ivm_nation_revenue": "Delta-join IVM: the base view sits behind a checkpoint boundary (Scan ExistingRDD — the persisted-state stand-in); the refresh plans only the three delta-sided joins (size-driven broadcast of the small delta sides) plus ONE state-merge hash aggregate on the group keys. No recompute of the base join anywhere in the plan.",
     "phrase_search_positional": "Phrase search: postings explode is vocabulary-FILTERED before anything shuffles (the isin filter sits directly above the Generate), the phrase table is an explicit broadcast (kilobytes), and the all-offsets-matched check is one hash aggregate on (phrase, doc, start) — query-side data ships to the index side, never the reverse.",
     "image_ahash_pairs": "Perceptual near-dup: synth+decode+hash share ONE mapInPandas stage (payloads never shuffle); the pair join runs on 16-byte (id, hash) rows with hamming as JVM-side bit_count(xor). At corpus scale the documented switch is hamming-block bucketing (the simhash pigeonhole plan) instead of the all-pairs join.",
+    "daily_value_holt_winters": "Holt smoothing: one shuffle to daily grain (partial/final agg on exact cents), then FlatMapGroupsInPandas folds each series in order — parallelism is series cardinality, the right contract for per-entity forecasting; a single global series would route to the streaming stateful twin instead.",
+    "customer_fellegi_sunter": "FS linkage: blocking's equi-join on the segment key is the only corpus-sized exchange; the JW Pandas UDF runs Arrow-batched over the bounded pair set, and the weight sum + decision are pure literals in whole-stage codegen — the decision layer adds ZERO shuffle over blocking.",
+    "daily_value_changepoint": "Change-point: the events→days grain reduction is the only corpus-sized agg; every window partitions by event_type over calendar-bounded series (never SinglePartition over data rows), and the candidate scoring + argmin run on O(types × days) rows.",
 }
 
 

@@ -144,3 +144,4 @@ def test_delta_only_group_appears(spark):
         for r in ivm.apply_delta(base, d, ["g"], ["n", "s"]).collect()
     }
     assert merged == {"x": (1, 10.0), "y": (1, 5.0)}
+

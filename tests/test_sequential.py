@@ -53,3 +53,73 @@ def test_ema_is_partitioning_invariant(spark):
         ).collect()
     }
     assert one == many
+
+
+def test_holt_winters_per_key_recurrence(spark):
+    from reddit_hn_etl_spark.operators.sequential import holt_winters_per_key
+
+    rows = [
+        ("a", 1, 10.0), ("a", 2, 12.0), ("a", 3, 11.0), ("a", 4, 15.0),
+        ("b", 1, 100.0), ("b", 2, 80.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, t int, v double")
+    out = holt_winters_per_key(df, "k", ("t",), "v", alpha=0.25, beta=0.125)
+    got = {
+        (r["k"], r["t"]): (r["level"], r["trend"]) for r in out.collect()
+    }
+
+    def brute(vals):
+        lvl, tr, res = vals[0], 0.0, []
+        res.append((lvl, tr))
+        for v in vals[1:]:
+            lvl_new = 0.25 * v + 0.75 * (lvl + tr)
+            tr = 0.125 * (lvl_new - lvl) + 0.875 * tr
+            lvl = lvl_new
+            res.append((lvl, tr))
+        return res
+
+    for key, vals in (("a", [10.0, 12.0, 11.0, 15.0]), ("b", [100.0, 80.0])):
+        for i, (lvl, tr) in enumerate(brute(vals)):
+            assert got[(key, i + 1)] == (lvl, tr)  # bit-equal, no tolerance
+
+
+def test_changepoint_matches_brute_force(spark):
+    """The chosen split must minimize SSE over ALL splits (verified
+    by an independent float recomputation from the daily series)."""
+    from reddit_hn_etl_spark.plans.queries import QUERIES
+    from reddit_hn_etl_spark.sources.tables import read_table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["event_type"]: r
+        for r in QUERIES["daily_value_changepoint"](spark, sf).collect()
+    }
+
+    ev = read_table(spark, sf, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    daily = (
+        ev.select("event_type", F.col("ts").cast("date").alias("day"),
+                  cents.alias("c"))
+        .groupBy("event_type", "day")
+        .agg(F.sum("c").alias("cents"))
+        .collect()
+    )
+    series: dict[str, list] = {}
+    for r in daily:
+        series.setdefault(r["event_type"], []).append((r["day"], r["cents"]))
+
+    def sse(xs):
+        n = len(xs)
+        return float(sum(v * v for v in xs)) - float(sum(xs)) ** 2 / n
+
+    for etype, pts in series.items():
+        pts.sort()
+        xs = [v for _, v in pts]
+        best = min(
+            (sse(xs[:k]) + sse(xs[k:]), k) for k in range(1, len(xs))
+        )
+        row = got[etype]
+        assert row["split_i"] == best[1]
+        assert abs(row["sse_split"] - best[0]) < 1e-6 * max(1.0, abs(best[0]))
+        assert row["sse_reduction"] >= -1e-9
