@@ -222,6 +222,7 @@ BENCH_QUERIES_R4 = [
     "daily_value_holt_winters",
     "customer_fellegi_sunter",
     "daily_value_changepoint",
+    "event_value_bootstrap_se",
 ]
 
 

@@ -24,6 +24,7 @@ Operator coverage map: SURVEY.md §2.12.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -12473,6 +12474,339 @@ def daily_value_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Deterministic Poisson bootstrap (Chamandy et al. 2012, the
+# production way to bootstrap a dataset you cannot hold): per-row
+# replicate weights ~ Poisson(1) from a CONTENT-HASH uniform, so the
+# resample is reproducible across engines, runs, and partitionings —
+# rand() is none of those. Replicate means are exact-int ratios; the
+# cross-replicate variance lands on a rounding grid.
+# ---------------------------------------------------------------------------
+
+_POIS_C = [math.exp(-1.0), 2.0 * math.exp(-1.0), 2.5 * math.exp(-1.0)]
+
+
+@_q(
+    "event_value_bootstrap_se",
+    f"""
+    WITH e AS (
+        SELECT event_id, event_type,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events
+    ),
+    rep AS (
+        SELECT event_type, b, cents,
+               (CAST(('0x' || substring(
+                        md5(CAST(event_id AS VARCHAR) || ':'
+                            || CAST(b AS VARCHAR)), 1, 8)) AS BIGINT) + 1)
+                   / 4294967296.0 AS u
+        FROM e, (SELECT unnest(range(0, 32)) AS b)
+    ),
+    w AS (
+        SELECT event_type, b, cents,
+               CASE WHEN u <= CAST('{_POIS_C[0]!r}' AS DOUBLE) THEN 0
+                    WHEN u <= CAST('{_POIS_C[1]!r}' AS DOUBLE) THEN 1
+                    WHEN u <= CAST('{_POIS_C[2]!r}' AS DOUBLE) THEN 2
+                    ELSE 3 END AS wt
+        FROM rep
+    ),
+    m AS (
+        SELECT event_type, b,
+               CAST(SUM(wt * cents) AS DOUBLE) / CAST(SUM(wt) AS DOUBLE)
+                   AS m
+        FROM w GROUP BY event_type, b
+    ),
+    s1 AS (SELECT event_type, ROUND(SUM(m) / 32.0, 6) AS boot_mean
+           FROM m GROUP BY event_type),
+    s2 AS (SELECT m.event_type,
+                  ROUND(SUM((m.m - s1.boot_mean) * (m.m - s1.boot_mean))
+                        / 31.0, 6) AS v
+           FROM m JOIN s1 ON m.event_type = s1.event_type
+           GROUP BY m.event_type),
+    base AS (SELECT event_type, COUNT(*) AS n_events,
+                    CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                        AS mean_cents
+             FROM e GROUP BY event_type)
+    SELECT base.event_type, n_events, mean_cents, s1.boot_mean,
+           SQRT(s2.v) AS boot_se,
+           s1.boot_mean - 2.0 * SQRT(s2.v) AS ci_lo,
+           s1.boot_mean + 2.0 * SQRT(s2.v) AS ci_hi
+    FROM base
+    JOIN s1 ON base.event_type = s1.event_type
+    JOIN s2 ON base.event_type = s2.event_type
+    """,
+)
+def event_value_bootstrap_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap standard error of the per-type mean value over 32
+    deterministic Poisson(1) resamples: the replicate weight is an
+    inverse-CDF lookup on an md5-derived uniform (exact power-of-two
+    division; threshold literals string-cast on the oracle side so
+    they round-trip), replicate means are exact-int ratios, and the
+    cross-replicate moments ROUND at 1e-6 — far above plain-SUM
+    association noise across 32 doubles. One fan-out×32 with
+    map-side partial aggregation (tasks emit 32·types partials, the
+    shuffle never sees the fan-out), then O(types·32) finishing
+    work. rand() cannot do any of this reproducibly across retries
+    or engines."""
+    ev = read_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    base_rows = ev.select(
+        "event_id", "event_type", cents.alias("cents")
+    )
+    rep = base_rows.select(
+        "event_type",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"),
+        F.col("event_id"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("event_id").cast("string"),
+                        F.lit(":"),
+                        F.col("b").cast("string"),
+                    ).cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    ) / F.lit(4294967296.0)
+    wt = (
+        F.when(u <= _POIS_C[0], 0)
+        .when(u <= _POIS_C[1], 1)
+        .when(u <= _POIS_C[2], 2)
+        .otherwise(3)
+    )
+    m = (
+        rep.withColumn("wt", wt)
+        .groupBy("event_type", "b")
+        .agg(
+            (
+                F.sum(F.col("wt") * F.col("cents")).cast("double")
+                / F.sum("wt").cast("double")
+            ).alias("m")
+        )
+    )
+    s1 = m.groupBy("event_type").agg(
+        F.round(F.sum("m") / 32.0, 6).alias("boot_mean")
+    )
+    s2 = (
+        m.join(s1, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("m") - F.col("boot_mean"))
+                    * (F.col("m") - F.col("boot_mean"))
+                )
+                / 31.0,
+                6,
+            ).alias("v")
+        )
+    )
+    base = base_rows.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum("cents").cast("double") / F.count(F.lit(1)).cast("double"))
+        .alias("mean_cents"),
+    )
+    se = F.sqrt(F.col("v"))
+    return (
+        base.join(s1, "event_type")
+        .join(s2, "event_type")
+        .select(
+            "event_type",
+            "n_events",
+            "mean_cents",
+            "boot_mean",
+            se.alias("boot_se"),
+            (F.col("boot_mean") - 2.0 * se).alias("ci_lo"),
+            (F.col("boot_mean") + 2.0 * se).alias("ci_hi"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Collocation mining (PMI) + mutual-information feature ranking: the
+# info-theoretic pair for tokenizer/vocab curation and feature
+# selection. Everything reduces to exact integer counts; ln of an
+# exact-int ratio is bit-equal across engines (the
+# doc_unigram_logprob precedent), so scores need no tolerance.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "bigram_pmi_collocations",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                           x -> x <> '') AS w
+        FROM documents
+    ),
+    uni AS (
+        SELECT unnest(w) AS tok FROM toks
+    ),
+    uc AS (SELECT tok, COUNT(*) AS c FROM uni GROUP BY tok),
+    nt AS (SELECT COUNT(*) AS n FROM uni),
+    bi AS (
+        SELECT unnest(list_transform(w[1:len(w) - 1],
+                                     (x, i) -> x || ' ' || w[i + 1]))
+                   AS bigram
+        FROM toks
+    ),
+    bc AS (SELECT bigram, COUNT(*) AS cb FROM bi GROUP BY bigram),
+    nb AS (SELECT COUNT(*) AS m FROM bi),
+    scored AS (
+        SELECT b.bigram, b.cb,
+               ln((CAST(b.cb AS DOUBLE) / CAST(nb.m AS DOUBLE))
+                  / ((CAST(u1.c AS DOUBLE) / CAST(nt.n AS DOUBLE))
+                     * (CAST(u2.c AS DOUBLE) / CAST(nt.n AS DOUBLE))))
+                   AS pmi
+        FROM bc b
+        JOIN uc u1 ON u1.tok = string_split(b.bigram, ' ')[1]
+        JOIN uc u2 ON u2.tok = string_split(b.bigram, ' ')[2]
+        CROSS JOIN nt CROSS JOIN nb
+        WHERE b.cb >= 5
+    )
+    SELECT bigram, cb AS pair_count, pmi,
+           CAST(ROW_NUMBER() OVER (ORDER BY pmi DESC, bigram) AS INTEGER)
+               AS rnk
+    FROM scored
+    QUALIFY rnk <= 25
+    """,
+)
+def bigram_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 bigram collocations by pointwise mutual information —
+    the phrase-mining step a tokenizer/vocab pipeline runs before
+    merging multiword units. Unigram and bigram counts come from one
+    tokenize each (exact ints); PMI = ln of an exact-int ratio
+    expression evaluated identically on both engines, so even the
+    rank tie-break never sees differing doubles. Two partial/final
+    count aggregates + a broadcast-joined scoring projection;
+    top-25 via TakeOrderedAndProject, never a global sort."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = dedup.tokens("text")
+    uni = docs.select(F.explode(toks).alias("tok"))
+    uc = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    nt = uni.agg(F.count(F.lit(1)).alias("n"))
+    bi_arr = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
+    bi = docs.select(F.explode(bi_arr).alias("bigram"))
+    bc = (
+        bi.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cb"))
+        .where(F.col("cb") >= 5)
+    )
+    nb = bi.agg(F.count(F.lit(1)).alias("m"))
+    first = F.split(F.col("bigram"), " ").getItem(0)
+    second = F.split(F.col("bigram"), " ").getItem(1)
+    u1 = uc.select(F.col("tok").alias("_t1"), F.col("c").alias("c1"))
+    u2 = uc.select(F.col("tok").alias("_t2"), F.col("c").alias("c2"))
+    pmi = F.log(
+        (F.col("cb").cast("double") / F.col("m").cast("double"))
+        / (
+            (F.col("c1").cast("double") / F.col("n").cast("double"))
+            * (F.col("c2").cast("double") / F.col("n").cast("double"))
+        )
+    )
+    scored = (
+        bc.join(u1, first == F.col("_t1"))
+        .join(u2, second == F.col("_t2"))
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nb))
+        .select("bigram", F.col("cb").alias("pair_count"), pmi.alias("pmi"))
+    )
+    return (
+        scored.withColumn(
+            "rnk",
+            F.row_number()
+            .over(Window.orderBy(F.desc("pmi"), F.col("bigram")))
+            .cast("int"),
+        )
+        .where(F.col("rnk") <= 25)
+    )
+
+
+@_q(
+    "type_value_mutual_info",
+    """
+    WITH base AS (
+        SELECT event_type,
+               CASE WHEN value < 25 THEN 0
+                    WHEN value < 50 THEN 1
+                    WHEN value < 100 THEN 2
+                    ELSE 3 END AS vb
+        FROM events
+    ),
+    joint AS (SELECT event_type, vb, COUNT(*) AS cxy
+              FROM base GROUP BY event_type, vb),
+    mx AS (SELECT event_type, COUNT(*) AS cx FROM base GROUP BY event_type),
+    my AS (SELECT vb, COUNT(*) AS cy FROM base GROUP BY vb),
+    nt AS (SELECT COUNT(*) AS n FROM base),
+    terms AS (
+        SELECT j.event_type, j.vb, j.cxy,
+               (CAST(j.cxy AS DOUBLE) / CAST(nt.n AS DOUBLE))
+               * ln((CAST(j.cxy AS DOUBLE) * CAST(nt.n AS DOUBLE))
+                    / (CAST(mx.cx AS DOUBLE) * CAST(my.cy AS DOUBLE)))
+                   AS term
+        FROM joint j
+        JOIN mx ON mx.event_type = j.event_type
+        JOIN my ON my.vb = j.vb
+        CROSS JOIN nt
+    )
+    SELECT event_type, vb, cxy, ROUND(term, 12) AS mi_term
+    FROM terms
+    """,
+)
+def type_value_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell mutual-information terms between event type and a
+    fixed value bucketing — the feature-selection complement of
+    `type_dow_chisquare`. Each term is (p_xy)·ln(c_xy·N/(c_x·c_y))
+    over exact integer counts; the composed product rounds at 1e-12
+    (the source_diversity_entropy lesson: composed ln TERMS can
+    differ by 1 ulp even when bare ln doesn't). Emitting per-cell
+    terms rather than the summed MI keeps the check
+    order-insensitive and strictly finer-grained."""
+    ev = read_table(spark, sf_dir, "events")
+    vb = (
+        F.when(F.col("value") < 25, 0)
+        .when(F.col("value") < 50, 1)
+        .when(F.col("value") < 100, 2)
+        .otherwise(3)
+    )
+    base = ev.select("event_type", vb.alias("vb"))
+    joint = base.groupBy("event_type", "vb").agg(
+        F.count(F.lit(1)).alias("cxy")
+    )
+    mx = base.groupBy("event_type").agg(F.count(F.lit(1)).alias("cx"))
+    my = base.groupBy("vb").agg(F.count(F.lit(1)).alias("cy"))
+    nt = base.agg(F.count(F.lit(1)).alias("n"))
+    term = (F.col("cxy").cast("double") / F.col("n").cast("double")) * F.log(
+        (F.col("cxy").cast("double") * F.col("n").cast("double"))
+        / (F.col("cx").cast("double") * F.col("cy").cast("double"))
+    )
+    return (
+        joint.join(mx, "event_type")
+        .join(F.broadcast(my), "vb")
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "event_type",
+            "vb",
+            "cxy",
+            F.round(term, 12).alias("mi_term"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window.
 #
 # The driver hard-verifies (rows + schema + value hash vs the DuckDB
@@ -12511,6 +12845,24 @@ _DRIVER_WINDOW = [
     "pit_user_features",
     "selective_order_lines",
     "nation_trade_volume",
+    # seventh-session additions (each the first row for a NEW operator
+    # family: PCA, delta-join IVM, phrase retrieval, perceptual image
+    # hashing, Holt forecasting, FS linkage, changepoint, bootstrap).
+    # Funded by evicting doc_chunking / sample_k_per_group /
+    # user_missing_days / media_frames / promo_revenue_share /
+    # top_revenue_supplier / product_type_profit / volume_shipping /
+    # quantize_embeddings_int8 / revenue_forecast — all family-
+    # redundant in-window and still enforced by tests/test_oracle.py.
+    "embedding_covariance",
+    "pca_power_component",
+    "pca_project_top1",
+    "ivm_nation_revenue",
+    "phrase_search_positional",
+    "image_ahash_pairs",
+    "daily_value_holt_winters",
+    "customer_fellegi_sunter",
+    "daily_value_changepoint",
+    "event_value_bootstrap_se",
     # TPC-H correlated family (never driver-checked before r4)
     "min_cost_supplier",
     "sole_late_suppliers",
@@ -12525,36 +12877,26 @@ _DRIVER_WINDOW = [
     "train_val_split_counts",
     "stratified_sample_counts",
     "pack_token_budget",
-    "doc_chunking",
     "pii_redaction",
-    "sample_k_per_group",
     # multimodal
     "audio_wav_metrics",
     "image_bmp_metrics",
-    "media_frames",
     # window-frame / time-series breadth
     "running_user_value",
     "forward_fill_values",
     "interpolate_missing_values",
     "value_range_frame_sums",
-    "user_missing_days",
-    "revenue_forecast",
     # product analytics
     "session_funnel",
     "weekly_cohort_retention",
     "customer_rfm_segments",
     # TPC-H analytics breadth
     "nation_share_by_year",
-    "volume_shipping",
-    "top_revenue_supplier",
-    "product_type_profit",
-    "promo_revenue_share",
     "status_priority_grouping_sets",
     "not_in_null_semantics",
     "benchmark_contamination",
     # embeddings / similarity breadth
     "knn_cosine_ivf",
-    "quantize_embeddings_int8",
 ]
 
 

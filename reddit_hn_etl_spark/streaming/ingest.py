@@ -454,6 +454,73 @@ def ema_stream(
     )
 
 
+def holt_winters_stream(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    alpha: float = 0.25,
+    beta: float = 0.125,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of ``sequential.holt_winters_per_key``: the
+    (level, trend) pair carried across micro-batches in the state
+    store — 24 bytes of state per key however long the history. Same
+    order contract as `ema_stream`: rows fold by (ts, id) within a
+    batch, batches fold in arrival order; with in-order arrival the
+    carried state is BIT-identical to the batch fold (pinned by the
+    equivalence test), and the emitted ``forecast_next`` is the live
+    one-step-ahead prediction per key.
+
+    Emits per batch: (key, level, trend, forecast_next, n_seen).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    a, b = float(alpha), float(beta)
+    out_schema = (
+        f"{key_col} long, level double, trend double, "
+        "forecast_next double, n_seen long"
+    )
+    state_schema = "lvl double, tr double, n long"
+
+    def update(key, pdfs, state):
+        lvl, tr, n = state.get if state.exists else (0.0, 0.0, 0)
+        for pdf in pdfs:
+            pdf = pdf.sort_values([ts_col, id_col], kind="mergesort")
+            for v in pdf[value_col].to_numpy(dtype="float64"):
+                if n == 0:
+                    lvl, tr = v, 0.0
+                else:
+                    # same operand order as the batch fold's recurrence
+                    lvl_new = a * v + (1.0 - a) * (lvl + tr)
+                    tr = b * (lvl_new - lvl) + (1.0 - b) * tr
+                    lvl = lvl_new
+                n += 1
+        state.update((lvl, tr, n))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "level": [lvl],
+                "trend": [tr],
+                "forecast_next": [lvl + tr],
+                "n_seen": [n],
+            }
+        )
+
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def curate_doc_stream(
     docs: DataFrame,
     ts_col: str = "ts",

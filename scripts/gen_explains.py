@@ -151,6 +151,7 @@ NOTES = {
     "daily_value_holt_winters": "Holt smoothing: one shuffle to daily grain (partial/final agg on exact cents), then FlatMapGroupsInPandas folds each series in order — parallelism is series cardinality, the right contract for per-entity forecasting; a single global series would route to the streaming stateful twin instead.",
     "customer_fellegi_sunter": "FS linkage: blocking's equi-join on the segment key is the only corpus-sized exchange; the JW Pandas UDF runs Arrow-batched over the bounded pair set, and the weight sum + decision are pure literals in whole-stage codegen — the decision layer adds ZERO shuffle over blocking.",
     "daily_value_changepoint": "Change-point: the events→days grain reduction is the only corpus-sized agg; every window partitions by event_type over calendar-bounded series (never SinglePartition over data rows), and the candidate scoring + argmin run on O(types × days) rows.",
+    "event_value_bootstrap_se": "Poisson bootstrap: the ×32 replicate fan-out (Generate) feeds a map-side partial aggregate, so the shuffle carries 32·types partials per task, never 32·N rows; all finishing statistics run on O(types·32) rows. Content-hash weights make the resample retry- and partitioning-invariant — rand() is neither.",
 }
 
 

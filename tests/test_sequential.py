@@ -123,3 +123,39 @@ def test_changepoint_matches_brute_force(spark):
         assert row["split_i"] == best[1]
         assert abs(row["sse_split"] - best[0]) < 1e-6 * max(1.0, abs(best[0]))
         assert row["sse_reduction"] >= -1e-9
+
+
+def test_bootstrap_se_tracks_analytic_se(spark):
+    """Poisson-bootstrap SE should approximate the analytic σ/√n of
+    the mean within a loose factor — the check that the resampling
+    actually measures sampling variability, not just determinism."""
+    import math
+
+    from reddit_hn_etl_spark.plans.queries import QUERIES
+    from reddit_hn_etl_spark.sources.tables import read_table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.01"
+    got = {
+        r["event_type"]: r
+        for r in QUERIES["event_value_bootstrap_se"](spark, sf).collect()
+    }
+    ev = read_table(spark, sf, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    stats = ev.select("event_type", cents.alias("c")).groupBy(
+        "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.col("c").cast("double")).alias("mu"),
+        F.stddev(F.col("c").cast("double")).alias("sd"),
+    ).collect()
+    for r in stats:
+        analytic = r["sd"] / math.sqrt(r["n"])
+        boot = got[r["event_type"]]["boot_se"]
+        assert 0.4 * analytic <= boot <= 2.5 * analytic, (
+            r["event_type"], analytic, boot,
+        )
+        # CI covers the exact mean for every type on this data
+        assert got[r["event_type"]]["ci_lo"] <= r["mu"] <= (
+            got[r["event_type"]]["ci_hi"]
+        )

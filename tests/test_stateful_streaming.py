@@ -1024,3 +1024,70 @@ def test_cms_stream_exactly_matches_batch_sketch(spark, tmp_path):
         for r in ingest.merged_cms(spark, sketch_dir).collect()
     }
     assert replayed == expect
+
+
+def test_holt_winters_stream_matches_batch_fold(spark, tmp_path):
+    # The streaming (level, trend) carry must be BIT-identical to the
+    # batch holt_winters_per_key under in-order micro-batches.
+    from reddit_hn_etl_spark.operators.sequential import holt_winters_per_key
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 7, 1.5),
+        (2, "2024-01-01 10:05:00", 7, 2.75),
+        (3, "2024-01-01 10:06:00", 8, 10.0),
+        (4, "2024-01-01 11:00:00", 7, 6.125),
+        (5, "2024-01-01 11:30:00", 8, 0.25),
+        (6, "2024-01-01 12:00:00", 7, 3.5),
+    ]
+    src = tmp_path / "hw_stream"
+    src.mkdir()
+    out = tmp_path / "hw_out"
+    ckpt = str(tmp_path / "hw_ckpt")
+    import os as _os
+    import time as _time
+
+    base_t = _time.time() - 100
+    for i, chunk in enumerate((rows[:2], rows[2:4], rows[4:])):
+        p = src / f"b{i + 1}.jsonl"
+        _write_events_jsonl(p, chunk)
+        _os.utime(p, (base_t + 10 * i, base_t + 10 * i))
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        ).option("maxFilesPerTrigger", 1).json(str(src))
+    )
+    hw = ingest.holt_winters_stream(stream, alpha=0.25, beta=0.125)
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(str(out))
+
+    q = (hw.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", ckpt)
+         .outputMode("update")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    latest = {}
+    for r in spark.read.parquet(str(out)).collect():
+        if r.user_id not in latest or r.n_seen > latest[r.user_id].n_seen:
+            latest[r.user_id] = r
+
+    batch_df = spark.createDataFrame(
+        [(e, ts, u, v) for e, ts, u, v in rows],
+        "event_id long, ts string, user_id long, value double",
+    ).selectExpr("event_id", "CAST(ts AS TIMESTAMP) ts", "user_id", "value")
+    final = {}
+    for r in holt_winters_per_key(
+        batch_df, "user_id", ("ts", "event_id"), "value",
+        alpha=0.25, beta=0.125,
+    ).collect():
+        if r.user_id not in final or r.event_id > final[r.user_id][0]:
+            final[r.user_id] = (r.event_id, r.level, r.trend)
+
+    assert latest[7].n_seen == 4 and latest[8].n_seen == 2
+    for k in (7, 8):
+        assert latest[k].level == final[k][1]  # bit-exact
+        assert latest[k].trend == final[k][2]
+        assert latest[k].forecast_next == final[k][1] + final[k][2]
