@@ -223,6 +223,8 @@ BENCH_QUERIES_R4 = [
     "customer_fellegi_sunter",
     "daily_value_changepoint",
     "event_value_bootstrap_se",
+    "bigram_pmi_collocations",
+    "pca_second_component",
 ]
 
 

@@ -127,6 +127,13 @@ def main(argv: list[str] | None = None) -> int:
         help="Lloyd rounds for --cluster-embeddings",
     )
     ap.add_argument(
+        "--pca-embeddings",
+        help="standalone mode: PCA over an embeddings parquet "
+        "(vec_id, embedding) — exact-int covariance, top-2 "
+        "components by rounded power iteration, per-vector "
+        "projections — published under <out>/pca",
+    )
+    ap.add_argument(
         "--list-versions",
         metavar="ROOT",
         help="ops mode: print retained publish versions (live one "
@@ -164,11 +171,13 @@ def main(argv: list[str] | None = None) -> int:
         and not args.compact
         and not args.export_corpus
         and not args.cluster_embeddings
+        and not args.pca_embeddings
         and not args.raw_dir
     ):
         ap.error(
             "--raw-dir is required unless --curate-docs, --compact, "
-            "--export-corpus or --cluster-embeddings is given"
+            "--export-corpus, --cluster-embeddings or "
+            "--pca-embeddings is given"
         )
 
     load_env_file(args.env_file)
@@ -251,6 +260,50 @@ def main(argv: list[str] | None = None) -> int:
         except Exception as exc:  # noqa: BLE001 - audit then fail
             audit.fail(rec, exc)
             log.error(f"clustering failed: {exc}")
+            return 1
+        return 0
+
+    if args.pca_embeddings:
+        from .operators import pca
+
+        rec = audit.start_run("pca", source_file=args.pca_embeddings)
+        try:
+            emb = spark.read.parquet(args.pca_embeddings).select(
+                "vec_id", "embedding"
+            )
+            dim = len(emb.select("embedding").first()["embedding"])
+            cov = pca.covariance(emb, dim=dim).localCheckpoint(eager=True)
+            comp1 = pca.top_component(cov, dim=dim)
+            comp2 = pca.deflated_component(cov, dim=dim)
+            l1 = [
+                r["loading"]
+                for r in sorted(comp1.collect(), key=lambda r: r["pos"])
+            ]
+            l2 = [
+                r["loading2"]
+                for r in sorted(comp2.collect(), key=lambda r: r["pos"])
+            ]
+            proj = pca.project(
+                pca.project(emb, l1, out_col="pc1"), l2, out_col="pc2"
+            ).select("vec_id", "pc1", "pc2")
+            version = publish.publish_tables(
+                {
+                    "pca_projections": proj,
+                    "pca_component1": comp1,
+                    "pca_component2": comp2,
+                    "pca_covariance": cov,
+                },
+                os.path.join(args.out, "pca"),
+            )
+            n = proj.count()
+            audit.succeed(rec, rows_copied=n, inserted=2, updated=0)
+            log.info(
+                f"pca {os.path.basename(args.pca_embeddings)}: "
+                f"n={n} dim={dim} version={version}"
+            )
+        except Exception as exc:  # noqa: BLE001 - audit then fail
+            audit.fail(rec, exc)
+            log.error(f"pca failed: {exc}")
             return 1
         return 0
 

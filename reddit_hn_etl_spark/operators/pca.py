@@ -203,6 +203,10 @@ def top_component(
         v = w.crossJoin(nm).select(
             "pos", F.round(F.col("w") / F.col("nm"), round_digits).alias("vv")
         )
+    # materialize once: `v` feeds the Rayleigh join twice plus the
+    # output crossJoin — re-planning the iteration chain per
+    # reference costs minutes of scheduling on kilobyte data
+    v = v.localCheckpoint(eager=True)
 
     a = v.select(F.col("pos").alias("ai"), F.col("vv").alias("av"))
     b = v.select(F.col("pos").alias("bi"), F.col("vv").alias("bv"))
@@ -217,6 +221,110 @@ def top_component(
     )
     return v.crossJoin(ray).select(
         "pos", F.col("vv").alias("loading"), "eigenvalue"
+    )
+
+
+def deflated_component(
+    cov_df: DataFrame,
+    dim: int = 64,
+    n_iter: int = 3,
+    round_digits: int = 9,
+) -> DataFrame:
+    """Second principal component by Hotelling deflation: run
+    :func:`top_component`'s rounded recurrence to get (v₁, λ₁), form
+    ``C₂ = C − λ₁·v₁v₁ᵀ`` (each entry ROUNDed to 1e-12 — the
+    subtraction is an a·b−c shape a compiler may FMA-contract, so
+    the grid pins it), then power-iterate C₂ with the same 1e-9
+    grid. Returns one row per dimension:
+    ``(pos, loading2, eigenvalue2, v1_dot)`` where ``v1_dot`` is the
+    v₁·v₂ residual overlap — small but NOT zero at 3 unconverged
+    rounds; bit-equal, emitted so the oracle pins it as a value.
+    Still O(dim²) rows end to end.
+    """
+    spark = cov_df.sparkSession
+    # eager checkpoints: `first` and the iterated `v` are referenced
+    # several times below; without a materialization boundary each
+    # reference re-executes the whole nested iteration chain (dozens
+    # of tiny jobs — minutes of pure scheduling on kilobytes).
+    first = top_component(cov_df, dim, n_iter, round_digits).localCheckpoint(
+        eager=True
+    )
+    sym = cov_df.select("i", "j", "cov").unionAll(
+        cov_df.where(F.col("i") < F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "cov"
+        )
+    )
+    a = first.select(
+        F.col("pos").alias("ai"),
+        F.col("loading").alias("av"),
+        F.col("eigenvalue").alias("lam"),
+    )
+    b = first.select(F.col("pos").alias("bi"), F.col("loading").alias("bv"))
+    c2 = (
+        sym.join(a, sym.i == F.col("ai"))
+        .join(b, sym.j == F.col("bi"))
+        .select(
+            "i",
+            "j",
+            F.round(
+                F.col("cov") - F.col("lam") * F.col("av") * F.col("bv"), 12
+            ).alias("cov"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    v = spark.range(dim).select(
+        F.col("id").cast("int").alias("pos"),
+        (F.lit(1.0) / F.sqrt(F.lit(float(dim)))).alias("vv"),
+    )
+    for _ in range(n_iter):
+        w = (
+            c2.join(v, c2.j == v.pos)
+            .groupBy(c2.i.alias("pos"))
+            .agg(F.round(F.sum(c2["cov"] * v.vv), round_digits).alias("w"))
+        )
+        nm = w.agg(
+            F.round(F.sqrt(F.sum(F.col("w") * F.col("w"))), round_digits)
+            .alias("nm")
+        )
+        v = w.crossJoin(nm).select(
+            "pos", F.round(F.col("w") / F.col("nm"), round_digits).alias("vv")
+        )
+    v = v.localCheckpoint(eager=True)
+
+    ray2 = (
+        c2.join(
+            v.select(F.col("pos").alias("ai"), F.col("vv").alias("av")),
+            c2.i == F.col("ai"),
+        )
+        .join(
+            v.select(F.col("pos").alias("bi"), F.col("vv").alias("bv")),
+            c2.j == F.col("bi"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("cov") * F.col("av") * F.col("bv")), round_digits
+            ).alias("eigenvalue2")
+        )
+    )
+    dot = (
+        v.join(
+            first.select(F.col("pos"), F.col("loading").alias("v1")), "pos"
+        )
+        .agg(
+            F.round(F.sum(F.col("vv") * F.col("v1")), round_digits)
+            .alias("v1_dot")
+        )
+    )
+    return (
+        v.crossJoin(ray2)
+        .crossJoin(dot)
+        .select(
+            "pos",
+            F.col("vv").alias("loading2"),
+            "eigenvalue2",
+            "v1_dot",
+        )
     )
 
 

@@ -11815,7 +11815,7 @@ def cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DuckDB, DECIMAL(38,0) in Spark); the double conversion happens in
 # the same operation order on both engines.
 _PCA_COV_CTES = """
-    qx AS (
+    qx AS MATERIALIZED (
         SELECT vec_id,
                CAST(u.pos AS INTEGER) AS pos,
                CAST(FLOOR(CAST(u.x AS DOUBLE) * 1000000.0) AS BIGINT) AS q
@@ -11823,14 +11823,14 @@ _PCA_COV_CTES = """
              LATERAL (SELECT unnest(embedding) AS x,
                              unnest(range(0, len(embedding))) AS pos) u
     ),
-    m AS (
+    m AS MATERIALIZED (
         SELECT a.pos AS i, b.pos AS j, COUNT(*) AS n,
                SUM(a.q) AS si, SUM(b.q) AS sj, SUM(a.q * b.q) AS g
         FROM qx a JOIN qx b
           ON a.vec_id = b.vec_id AND a.pos <= b.pos
         GROUP BY a.pos, b.pos
     ),
-    cov AS (
+    cov AS MATERIALIZED (
         SELECT i, j, n, g,
                ROUND((CAST(g AS DOUBLE)
                       - CAST(si AS DOUBLE) * CAST(sj AS DOUBLE)
@@ -11846,23 +11846,23 @@ _PCA_COV_CTES = """
 _PCA_POWER_CTES = (
     _PCA_COV_CTES
     + """,
-    sym AS (SELECT i, j, c FROM cov
+    sym AS MATERIALIZED (SELECT i, j, c FROM cov
             UNION ALL
             SELECT j AS i, i AS j, c FROM cov WHERE i < j),
     v0 AS (SELECT CAST(unnest(range(0, 64)) AS INTEGER) AS pos,
                   1.0 / SQRT(64.0) AS vv),
-    w1 AS (SELECT s.i AS pos, ROUND(SUM(s.c * v.vv), 9) AS w
+    w1 AS MATERIALIZED (SELECT s.i AS pos, ROUND(SUM(s.c * v.vv), 9) AS w
            FROM sym s JOIN v0 v ON v.pos = s.j GROUP BY s.i),
     n1 AS (SELECT ROUND(SQRT(SUM(w * w)), 9) AS nm FROM w1),
-    v1 AS (SELECT pos, ROUND(w / nm, 9) AS vv FROM w1, n1),
-    w2 AS (SELECT s.i AS pos, ROUND(SUM(s.c * v.vv), 9) AS w
+    v1 AS MATERIALIZED (SELECT pos, ROUND(w / nm, 9) AS vv FROM w1, n1),
+    w2 AS MATERIALIZED (SELECT s.i AS pos, ROUND(SUM(s.c * v.vv), 9) AS w
            FROM sym s JOIN v1 v ON v.pos = s.j GROUP BY s.i),
     n2 AS (SELECT ROUND(SQRT(SUM(w * w)), 9) AS nm FROM w2),
-    v2 AS (SELECT pos, ROUND(w / nm, 9) AS vv FROM w2, n2),
-    w3 AS (SELECT s.i AS pos, ROUND(SUM(s.c * v.vv), 9) AS w
+    v2 AS MATERIALIZED (SELECT pos, ROUND(w / nm, 9) AS vv FROM w2, n2),
+    w3 AS MATERIALIZED (SELECT s.i AS pos, ROUND(SUM(s.c * v.vv), 9) AS w
            FROM sym s JOIN v2 v ON v.pos = s.j GROUP BY s.i),
     n3 AS (SELECT ROUND(SQRT(SUM(w * w)), 9) AS nm FROM w3),
-    v3 AS (SELECT pos, ROUND(w / nm, 9) AS vv FROM w3, n3)
+    v3 AS MATERIALIZED (SELECT pos, ROUND(w / nm, 9) AS vv FROM w3, n3)
 """
 )
 
@@ -12666,16 +12666,16 @@ def event_value_bootstrap_se(spark: SparkSession, sf_dir: str) -> DataFrame:
                ln((CAST(b.cb AS DOUBLE) / CAST(nb.m AS DOUBLE))
                   / ((CAST(u1.c AS DOUBLE) / CAST(nt.n AS DOUBLE))
                      * (CAST(u2.c AS DOUBLE) / CAST(nt.n AS DOUBLE))))
-                   AS pmi
+                   AS pmi_raw
         FROM bc b
         JOIN uc u1 ON u1.tok = string_split(b.bigram, ' ')[1]
         JOIN uc u2 ON u2.tok = string_split(b.bigram, ' ')[2]
         CROSS JOIN nt CROSS JOIN nb
         WHERE b.cb >= 5
     )
-    SELECT bigram, cb AS pair_count, pmi,
-           CAST(ROW_NUMBER() OVER (ORDER BY pmi DESC, bigram) AS INTEGER)
-               AS rnk
+    SELECT bigram, cb AS pair_count, ROUND(pmi_raw, 12) AS pmi,
+           CAST(ROW_NUMBER() OVER (ORDER BY ROUND(pmi_raw, 12) DESC, bigram)
+                AS INTEGER) AS rnk
     FROM scored
     QUALIFY rnk <= 25
     """,
@@ -12685,8 +12685,10 @@ def bigram_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     the phrase-mining step a tokenizer/vocab pipeline runs before
     merging multiword units. Unigram and bigram counts come from one
     tokenize each (exact ints); PMI = ln of an exact-int ratio
-    expression evaluated identically on both engines, so even the
-    rank tie-break never sees differing doubles. Two partial/final
+    expression, ROUNDed at 1e-12 on both engines BEFORE ranking
+    (measured: this ln composition drifts 1 ulp cross-engine where
+    the bare-ln folds of doc_unigram_logprob don't), so the rank
+    tie-break compares identical doubles. Two partial/final
     count aggregates + a broadcast-joined scoring projection;
     top-25 via TakeOrderedAndProject, never a global sort."""
     docs = read_table(spark, sf_dir, "documents")
@@ -12722,7 +12724,11 @@ def bigram_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(u2, second == F.col("_t2"))
         .crossJoin(F.broadcast(nt))
         .crossJoin(F.broadcast(nb))
-        .select("bigram", F.col("cb").alias("pair_count"), pmi.alias("pmi"))
+        .select(
+            "bigram",
+            F.col("cb").alias("pair_count"),
+            F.round(pmi, 12).alias("pmi"),
+        )
     )
     return (
         scored.withColumn(
@@ -12804,6 +12810,54 @@ def type_value_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(term, 12).alias("mi_term"),
         )
     )
+
+
+@_q(
+    "pca_second_component",
+    f"""
+    WITH {_PCA_POWER_CTES},
+    ray AS MATERIALIZED (SELECT ROUND(SUM(s.c * a.vv * b.vv), 9) AS lam
+            FROM sym s JOIN v3 a ON a.pos = s.i JOIN v3 b ON b.pos = s.j),
+    c2 AS MATERIALIZED (SELECT s.i, s.j,
+                  ROUND(s.c - ray.lam * a.vv * b.vv, 12) AS c
+           FROM sym s
+           JOIN v3 a ON a.pos = s.i
+           JOIN v3 b ON b.pos = s.j
+           CROSS JOIN ray),
+    u0 AS (SELECT CAST(unnest(range(0, 64)) AS INTEGER) AS pos,
+                  1.0 / SQRT(64.0) AS vv),
+    x1 AS MATERIALIZED (SELECT s.i AS pos, ROUND(SUM(s.c * v.vv), 9) AS w
+           FROM c2 s JOIN u0 v ON v.pos = s.j GROUP BY s.i),
+    m1 AS (SELECT ROUND(SQRT(SUM(w * w)), 9) AS nm FROM x1),
+    u1 AS MATERIALIZED (SELECT pos, ROUND(w / nm, 9) AS vv FROM x1, m1),
+    x2 AS MATERIALIZED (SELECT s.i AS pos, ROUND(SUM(s.c * v.vv), 9) AS w
+           FROM c2 s JOIN u1 v ON v.pos = s.j GROUP BY s.i),
+    m2 AS (SELECT ROUND(SQRT(SUM(w * w)), 9) AS nm FROM x2),
+    u2 AS MATERIALIZED (SELECT pos, ROUND(w / nm, 9) AS vv FROM x2, m2),
+    x3 AS MATERIALIZED (SELECT s.i AS pos, ROUND(SUM(s.c * v.vv), 9) AS w
+           FROM c2 s JOIN u2 v ON v.pos = s.j GROUP BY s.i),
+    m3 AS (SELECT ROUND(SQRT(SUM(w * w)), 9) AS nm FROM x3),
+    u3 AS MATERIALIZED (SELECT pos, ROUND(w / nm, 9) AS vv FROM x3, m3),
+    ray2 AS (SELECT ROUND(SUM(s.c * a.vv * b.vv), 9) AS eigenvalue2
+             FROM c2 s JOIN u3 a ON a.pos = s.i JOIN u3 b ON b.pos = s.j),
+    dt AS (SELECT ROUND(SUM(u3.vv * v3.vv), 9) AS v1_dot
+           FROM u3 JOIN v3 ON u3.pos = v3.pos)
+    SELECT u3.pos, u3.vv AS loading2, ray2.eigenvalue2, dt.v1_dot
+    FROM u3, ray2, dt
+    """,
+)
+def pca_second_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second principal component by Hotelling deflation
+    (`pca.deflated_component`): C₂ = C − λ₁v₁v₁ᵀ with every deflated
+    entry on the 1e-12 grid (the a·b−c shape may FMA-contract), then
+    the same grid-rounded power recurrence. `v1_dot` emits the
+    v₁·v₂ residual so the oracle checks near-orthogonality as a
+    VALUE, not an assumption. All post-covariance work remains
+    O(dim²) rows."""
+    from ..operators import pca
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return pca.deflated_component(pca.covariance(emb, dim=64), dim=64)
 
 
 # ---------------------------------------------------------------------------

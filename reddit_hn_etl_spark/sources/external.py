@@ -49,6 +49,27 @@ def read_csv(spark: SparkSession, path: str, schema: T.StructType,
     )
 
 
+def write_orc(df: DataFrame, path: str) -> None:
+    """Columnar interchange beyond parquet: ORC write (zstd). ORC is
+    built into Spark (no extra package) and is the interchange format
+    Hive/Trino deployments expect next to parquet — the engine's
+    staging/publish layers stay parquet (SURVEY.md §1.3), this is the
+    export seam."""
+    df.write.mode("overwrite").option("compression", "zstd").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str,
+             schema: T.StructType | None = None) -> DataFrame:
+    """ORC scan; pass ``schema`` to pin types (same no-infer policy
+    as CSV — ORC carries its own schema, so this is a projection/
+    compatibility contract, not inference). Predicate pushdown and
+    column pruning work like parquet (PushedFilters in the plan)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
 def write_jdbc_reconciled(
     merged: DataFrame,
     url: str,

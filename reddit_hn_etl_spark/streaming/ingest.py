@@ -835,6 +835,58 @@ def heavy_hitters_stream(
     )
 
 
+def ivm_join_view_stream(
+    stream_df: DataFrame,
+    dim_df: DataFrame,
+    on,
+    group_by,
+    state_cols,
+    states_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Streaming twin of `operators/ivm.py` for the stream⋈static
+    case: each insert-only micro-batch Δ appends its own view delta
+    γ(Δ⋈dim) as SUM-mergeable state partials tagged with batch_id —
+    the state table IS the maintained view ("the index is the
+    state"), no engine state store, base join never recomputed.
+    Replay safety: at-least-once retries re-append identical
+    (batch_id, keys) rows; `merged_join_view` dedups them before the
+    merge, so retries cannot double-count. For stream⋈stream views
+    the batch operator's three-term expansion applies per pair of
+    batch ledgers — out of scope here (interval joins cover the
+    engine's stream-stream surface)."""
+    from ..operators import ivm
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ivm.join_agg_states(
+            batch_df, dim_df, on, group_by, state_cols
+        ).withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(states_dir)
+
+    return (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def merged_join_view(
+    spark: SparkSession, states_dir: str, group_by, state_names
+) -> DataFrame:
+    """Current view state: SUM-merge the stored per-batch deltas
+    after (batch_id, keys) replay dedup."""
+    return (
+        spark.read.parquet(states_dir)
+        .dropDuplicates(["batch_id", *group_by])
+        .groupBy(*group_by)
+        .agg(*[F.sum(n).alias(n) for n in state_names])
+    )
+
+
 def merged_heavy_hitters(
     spark: SparkSession, summary_dir: str, col: str
 ) -> DataFrame:

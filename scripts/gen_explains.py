@@ -152,6 +152,8 @@ NOTES = {
     "customer_fellegi_sunter": "FS linkage: blocking's equi-join on the segment key is the only corpus-sized exchange; the JW Pandas UDF runs Arrow-batched over the bounded pair set, and the weight sum + decision are pure literals in whole-stage codegen — the decision layer adds ZERO shuffle over blocking.",
     "daily_value_changepoint": "Change-point: the events→days grain reduction is the only corpus-sized agg; every window partitions by event_type over calendar-bounded series (never SinglePartition over data rows), and the candidate scoring + argmin run on O(types × days) rows.",
     "event_value_bootstrap_se": "Poisson bootstrap: the ×32 replicate fan-out (Generate) feeds a map-side partial aggregate, so the shuffle carries 32·types partials per task, never 32·N rows; all finishing statistics run on O(types·32) rows. Content-hash weights make the resample retry- and partitioning-invariant — rand() is neither.",
+    "bigram_pmi_collocations": "PMI collocations: two tokenize+count aggregates over the corpus (partial/final), then scoring joins against the VOCAB-sized count tables; the rank window's input is the cb≥5 bigram set (vocabulary-bounded, not corpus-bounded) and the rnk≤25 filter plans WindowGroupLimit.",
+    "pca_second_component": "Deflation: C₂ = C − λ₁v₁v₁ᵀ on dim² rows behind eager checkpoints (Scan ExistingRDD boundaries — without them every reuse of the iterated vector re-plans the whole chain, minutes of scheduling on kilobytes), then the same broadcast-join power rounds. Corpus is touched only by the covariance pass.",
 }
 
 

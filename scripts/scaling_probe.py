@@ -57,6 +57,14 @@ PROBES = [
     # semantic_dedup_kmeans / cluster pair queries are EXCLUDED like
     # doc_token_jaccard: replicated vectors are exact cosine twins, so
     # pair output grows k^2 by construction, not by plan defect
+    # r4 seventh session additions
+    "embedding_covariance",     # embeddings: mapInPandas partial Gram
+    "pca_project_top1",         # embeddings: full PCA chain + scan
+    "phrase_search_positional",  # documents: filtered postings join
+    "daily_value_holt_winters",  # events: daily agg + 2-state fold
+    "event_value_bootstrap_se",  # events: x32 fan-out partial agg
+    "daily_value_changepoint",  # events: prefix moments + argmin
+    "bigram_pmi_collocations",  # documents: two count aggs + scoring
 ]
 
 

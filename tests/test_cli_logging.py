@@ -270,3 +270,51 @@ def test_cli_cluster_embeddings_publishes_and_logs(spark, tmp_path, monkeypatch)
     assert joined.count() == pc
     audit = spark.read.parquet(str(out / "audit_runs"))
     assert audit.where("phase = 'cluster' AND status = 'success'").count() == 1
+
+
+def test_cli_pca_embeddings_publishes_and_logs(spark, tmp_path, monkeypatch):
+    import numpy as np
+
+    from reddit_hn_etl_spark.__main__ import main
+
+    monkeypatch.setenv("SPARK_ETL_LOG_DIR", str(tmp_path / "logs"))
+    _reset_loggers()
+    out = tmp_path / "wh"
+
+    try:
+        rc = main([
+            "--pca-embeddings", "/root/testdata/sf0.001/embeddings.parquet",
+            "--out", str(out),
+        ])
+    finally:
+        log_text = (tmp_path / "logs" / "pipeline.log").read_text(
+            encoding="utf-8"
+        )
+        _reset_loggers()
+
+    assert rc == 0
+    assert "phase=pca run_id=" in log_text
+    assert "status=success" in log_text
+    assert "dim=64" in log_text
+    assert "| ERROR |" not in log_text
+
+    from reddit_hn_etl_spark.sources.publish import read_published
+
+    root = str(out / "pca")
+    proj = read_published(spark, root, "pca_projections")
+    c1 = read_published(spark, root, "pca_component1")
+    c2 = read_published(spark, root, "pca_component2")
+    cov = read_published(spark, root, "pca_covariance")
+    n = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).count()
+    assert proj.count() == n
+    assert c1.count() == 64 and c2.count() == 64
+    assert cov.count() == 64 * 65 // 2
+    # components are unit vectors; projections have nonzero spread
+    l1 = np.array([r["loading"] for r in c1.collect()])
+    assert abs(float(l1 @ l1) - 1.0) < 1e-6
+    scores = [r["pc1"] for r in proj.collect()]
+    assert max(scores) > min(scores)
+    audit = spark.read.parquet(str(out / "audit_runs"))
+    assert audit.where("phase = 'pca' AND status = 'success'").count() == 1

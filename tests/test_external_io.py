@@ -54,3 +54,31 @@ def test_staging_schema_evolution_merge(spark, tmp_path):
     # default read remains usable for the common columns
     plain = batches.read_staging(spark, root)
     assert {r.id for r in plain.select("id").collect()} == {1, 2}
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from reddit_hn_etl_spark.sources import external
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, None, 2.5), (3, "c", None)],
+        "id long, name string, score double",
+    )
+    path = str(tmp_path / "orc_out")
+    external.write_orc(df, path)
+
+    back = external.read_orc(spark, path)
+    rows = {r.id: (r.name, r.score) for r in back.collect()}
+    assert rows == {1: ("a", 1.5), 2: (None, 2.5), 3: ("c", None)}
+
+    # filter + projection reach the ORC scan (same contract as parquet)
+    plan = (
+        back.where(F.col("id") > 1)
+        .select("id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(id), GreaterThan(id,1)]" in plan
+    assert "struct<id:bigint>" in plan

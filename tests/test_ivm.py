@@ -145,3 +145,74 @@ def test_delta_only_group_appears(spark):
     }
     assert merged == {"x": (1, 10.0), "y": (1, 5.0)}
 
+
+def test_ivm_join_view_stream_matches_direct(spark, tmp_path):
+    """Streaming maintenance (stream orders ⋈ static customer dim)
+    must equal the direct batch join-aggregate, and a replayed batch
+    append must be a no-op (batch_id dedup)."""
+    import json
+    import os as _os
+    import time as _time
+
+    from reddit_hn_etl_spark.streaming import ingest
+
+    orders = [
+        (1, 10, 100.25), (2, 11, 50.50), (3, 10, 20.00),
+        (4, 12, 75.75), (5, 11, 30.25), (6, 10, 10.00),
+    ]
+    cust = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 1)], "c_custkey long, c_nationkey int"
+    )
+    src = tmp_path / "ivm_src"
+    src.mkdir()
+    states = str(tmp_path / "ivm_states")
+    ckpt = str(tmp_path / "ivm_ckpt")
+    base_t = _time.time() - 100
+    for i, chunk in enumerate((orders[:2], orders[2:4], orders[4:])):
+        p = src / f"b{i + 1}.jsonl"
+        p.write_text(
+            "\n".join(
+                json.dumps(
+                    {"o_orderkey": o, "o_custkey": c, "o_totalprice": v}
+                )
+                for o, c, v in chunk
+            )
+        )
+        _os.utime(p, (base_t + 10 * i, base_t + 10 * i))
+
+    stream = (
+        spark.readStream.schema(
+            "o_orderkey long, o_custkey long, o_totalprice double"
+        ).option("maxFilesPerTrigger", 1).json(str(src))
+    )
+    q = ingest.ivm_join_view_stream(
+        stream,
+        cust,
+        _on(),
+        KEYS,
+        _states(),
+        states_dir=states,
+        checkpoint_dir=ckpt,
+    )
+    q.awaitTermination(120)
+
+    got = _view_map(ingest.merged_join_view(spark, states, KEYS, NAMES))
+    batch = spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long, o_totalprice double"
+    )
+    want = _view_map(
+        ivm.join_agg_states(batch, cust, _on(), KEYS, _states())
+    )
+    assert got == want
+
+    # replay: re-append batch 0's delta verbatim -> merge unchanged
+    b0 = spark.createDataFrame(
+        orders[:2], "o_orderkey long, o_custkey long, o_totalprice double"
+    )
+    from pyspark.sql import functions as F2
+
+    ivm.join_agg_states(b0, cust, _on(), KEYS, _states()).withColumn(
+        "batch_id", F2.lit(0)
+    ).write.mode("append").parquet(states)
+    again = _view_map(ingest.merged_join_view(spark, states, KEYS, NAMES))
+    assert again == want
