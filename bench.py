@@ -225,6 +225,8 @@ BENCH_QUERIES_R4 = [
     "event_value_bootstrap_se",
     "bigram_pmi_collocations",
     "pca_second_component",
+    "neyman_allocation",
+    "attribution_credit_models",
 ]
 
 

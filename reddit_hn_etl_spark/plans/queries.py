@@ -12861,6 +12861,245 @@ def pca_second_component(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Neyman-optimal stratified allocation: the survey-methodology step a
+# stratified eval/labeling budget should use instead of proportional
+# allocation (variance-weighted: n_h ∝ N_h·S_h minimizes the
+# estimator variance at fixed total n). Exact-int stratum moments,
+# largest-remainder integerization — allocations sum EXACTLY to the
+# budget.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "neyman_allocation",
+    """
+    WITH e AS (
+        SELECT event_type,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events
+    ),
+    s AS (
+        SELECT event_type, COUNT(*) AS n, SUM(cents) AS sx,
+               SUM(CAST(cents * cents AS DECIMAL(38,0))) AS sx2
+        FROM e GROUP BY event_type
+    ),
+    d AS (
+        SELECT event_type, n,
+               SQRT((CAST(sx2 AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                       / CAST(n AS DOUBLE))
+                    / CAST(n AS DOUBLE)) AS sd
+        FROM s
+    ),
+    wgt AS (SELECT event_type, n, sd, CAST(n AS DOUBLE) * sd AS w FROM d),
+    tot AS (SELECT SUM(w) AS tw FROM wgt),
+    fr AS (SELECT event_type, n, sd, ROUND(w / tw, 9) AS frac
+           FROM wgt, tot),
+    fl AS (SELECT event_type, n, sd, frac,
+                  CAST(FLOOR(200.0 * frac) AS BIGINT) AS base,
+                  200.0 * frac - FLOOR(200.0 * frac) AS rem
+           FROM fr),
+    rk AS (SELECT *,
+                  ROW_NUMBER() OVER (ORDER BY rem DESC, event_type) AS r,
+                  (SELECT 200 - SUM(base) FROM fl) AS short
+           FROM fl)
+    SELECT event_type, n AS n_rows, ROUND(sd, 9) AS sd,
+           frac AS alloc_frac,
+           CAST(base + CASE WHEN r <= short THEN 1 ELSE 0 END AS INTEGER)
+               AS n_alloc
+    FROM rk
+    """,
+)
+def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman allocation of a 200-row eval budget across event-type
+    strata: population SD per stratum from exact-int moments (one
+    fixed double expression — bit-equal), weights N_h·S_h, fractions
+    ROUNDed at 1e-9 BEFORE integerization so FLOOR can never
+    straddle an ulp, then largest-remainder apportionment
+    (deterministic tie → type name) so Σn_h = 200 exactly. One
+    corpus-sized aggregate; everything after runs on O(strata)
+    rows."""
+    ev = read_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    e = ev.select("event_type", cents.alias("cents"))
+    s = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("sx"),
+        F.sum((F.col("cents") * F.col("cents")).cast("decimal(38,0)"))
+        .alias("sx2"),
+    )
+    n_d = F.col("n").cast("double")
+    sd = F.sqrt(
+        (
+            F.col("sx2").cast("double")
+            - F.col("sx").cast("double") * F.col("sx").cast("double") / n_d
+        )
+        / n_d
+    )
+    d = s.select("event_type", "n", sd.alias("sd"))
+    wgt = d.withColumn("w", F.col("n").cast("double") * F.col("sd"))
+    tot = wgt.agg(F.sum("w").alias("tw"))
+    fr = wgt.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n",
+        "sd",
+        F.round(F.col("w") / F.col("tw"), 9).alias("frac"),
+    )
+    fl = fr.select(
+        "event_type",
+        "n",
+        "sd",
+        "frac",
+        F.floor(200.0 * F.col("frac")).cast("bigint").alias("base"),
+        (200.0 * F.col("frac") - F.floor(200.0 * F.col("frac"))).alias(
+            "rem"
+        ),
+    )
+    short = fl.agg((200 - F.sum("base")).alias("short"))
+    rk = fl.crossJoin(F.broadcast(short)).withColumn(
+        "r",
+        F.row_number().over(
+            Window.orderBy(F.desc("rem"), F.col("event_type"))
+        ),
+    )
+    return rk.select(
+        "event_type",
+        F.col("n").alias("n_rows"),
+        F.round("sd", 9).alias("sd"),
+        F.col("frac").alias("alloc_frac"),
+        (
+            F.col("base")
+            + F.when(F.col("r") <= F.col("short"), 1).otherwise(0)
+        )
+        .cast("int")
+        .alias("n_alloc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fractional multi-touch attribution (linear + U-shaped): the credit
+# models `purchase_attribution_counts` deliberately left as counts.
+# Per-purchase credits are exact small-int divisions (identical
+# doubles on both engines); only the corpus-wide channel SUM needs
+# the 1e-9 grid.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "attribution_credit_models",
+    """
+    WITH purch AS (
+        SELECT event_id AS p_id, user_id, ts AS p_ts FROM events
+        WHERE event_type = 'purchase'
+    ),
+    touch AS (
+        SELECT event_id AS t_id, user_id, ts AS t_ts, event_type
+        FROM events WHERE event_type IN ('click', 'view')
+    ),
+    cand AS (
+        SELECT p.p_id, t.event_type,
+               lpad(CAST(epoch_us(t.t_ts) AS VARCHAR), 20, '0') || '-' ||
+                   lpad(CAST(t.t_id AS VARCHAR), 12, '0') AS k
+        FROM purch p JOIN touch t
+          ON t.user_id = p.user_id
+         AND t.t_ts < p.p_ts
+         AND t.t_ts >= p.p_ts - INTERVAL 24 HOURS
+    ),
+    ranked AS (
+        SELECT p_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY p_id ORDER BY k) AS rnk,
+               COUNT(*) OVER (PARTITION BY p_id) AS n
+        FROM cand
+    ),
+    credit AS (
+        SELECT event_type AS channel,
+               1.0 / CAST(n AS DOUBLE) AS lin,
+               CASE WHEN n = 1 THEN 1.0
+                    WHEN n = 2 THEN 0.5
+                    WHEN rnk = 1 OR rnk = n THEN 0.4
+                    ELSE 0.2 / CAST(n - 2 AS DOUBLE) END AS u,
+               CASE WHEN rnk = 1 THEN 1 ELSE 0 END AS is_first,
+               CASE WHEN rnk = n THEN 1 ELSE 0 END AS is_last
+        FROM ranked
+    )
+    SELECT channel,
+           ROUND(SUM(lin), 9) AS linear_credit,
+           ROUND(SUM(u), 9) AS u_shaped_credit,
+           CAST(SUM(is_first) AS INTEGER) AS first_touches,
+           CAST(SUM(is_last) AS INTEGER) AS last_touches
+    FROM credit GROUP BY channel
+    """,
+)
+def attribution_credit_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear and U-shaped (40/20/40) attribution credit per channel
+    over the same 24h candidate join as the counts query. Per-touch
+    credit is an exact small-int division — identical doubles on
+    both engines; the channel totals ROUND at 1e-9 (plain-SUM
+    association noise over thousands of identical addends is
+    ~1e-13). Credits conserve mass: Σ over a purchase's touches is
+    exactly 1 per model, so channel totals sum to the attributed
+    purchase count (asserted in tests). One user-keyed shuffle, one
+    per-purchase window, one domain-sized rollup."""
+    ev = read_table(spark, sf_dir, "events")
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    touch = ev.where(F.col("event_type").isin("click", "view")).select(
+        F.col("event_id").alias("t_id"),
+        "user_id",
+        F.col("ts").alias("t_ts"),
+        "event_type",
+    )
+    k = F.concat(
+        F.lpad(
+            F.unix_micros(F.col("t_ts").cast("timestamp")).cast("string"),
+            20,
+            "0",
+        ),
+        F.lit("-"),
+        F.lpad(F.col("t_id").cast("string"), 12, "0"),
+    )
+    cand = (
+        purch.join(touch, "user_id")
+        .where(
+            (F.col("t_ts") < F.col("p_ts"))
+            & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 24 HOURS"))
+        )
+        .select("p_id", "event_type", k.alias("_k"))
+    )
+    wp = Window.partitionBy("p_id")
+    ranked = cand.select(
+        "p_id",
+        "event_type",
+        F.row_number().over(wp.orderBy("_k")).alias("rnk"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    n_d = F.col("n").cast("double")
+    lin = F.lit(1.0) / n_d
+    u = (
+        F.when(F.col("n") == 1, 1.0)
+        .when(F.col("n") == 2, 0.5)
+        .when((F.col("rnk") == 1) | (F.col("rnk") == F.col("n")), 0.4)
+        .otherwise(F.lit(0.2) / (F.col("n") - 2).cast("double"))
+    )
+    credit = ranked.select(
+        F.col("event_type").alias("channel"),
+        lin.alias("lin"),
+        u.alias("u"),
+        F.when(F.col("rnk") == 1, 1).otherwise(0).alias("is_first"),
+        F.when(F.col("rnk") == F.col("n"), 1).otherwise(0).alias("is_last"),
+    )
+    return credit.groupBy("channel").agg(
+        F.round(F.sum("lin"), 9).alias("linear_credit"),
+        F.round(F.sum("u"), 9).alias("u_shaped_credit"),
+        F.sum("is_first").cast("int").alias("first_touches"),
+        F.sum("is_last").cast("int").alias("last_touches"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window.
 #
 # The driver hard-verifies (rows + schema + value hash vs the DuckDB

@@ -154,6 +154,8 @@ NOTES = {
     "event_value_bootstrap_se": "Poisson bootstrap: the ×32 replicate fan-out (Generate) feeds a map-side partial aggregate, so the shuffle carries 32·types partials per task, never 32·N rows; all finishing statistics run on O(types·32) rows. Content-hash weights make the resample retry- and partitioning-invariant — rand() is neither.",
     "bigram_pmi_collocations": "PMI collocations: two tokenize+count aggregates over the corpus (partial/final), then scoring joins against the VOCAB-sized count tables; the rank window's input is the cb≥5 bigram set (vocabulary-bounded, not corpus-bounded) and the rnk≤25 filter plans WindowGroupLimit.",
     "pca_second_component": "Deflation: C₂ = C − λ₁v₁v₁ᵀ on dim² rows behind eager checkpoints (Scan ExistingRDD boundaries — without them every reuse of the iterated vector re-plans the whole chain, minutes of scheduling on kilobytes), then the same broadcast-join power rounds. Corpus is touched only by the covariance pass.",
+    "neyman_allocation": "Neyman allocation: ONE partial/final aggregate computes every stratum moment; the weight/fraction/apportionment pipeline runs on O(strata) rows with broadcast scalars — the 5-row rank window is stratum-bounded, not data-bounded.",
+    "attribution_credit_models": "Fractional attribution: the same user-keyed interval join as the counts query, ONE per-purchase window (rank + count share the sort), then a domain-sized channel rollup — the credit models add zero exchanges over the counts plan.",
 }
 
 

@@ -77,3 +77,49 @@ def test_fact_tables_are_never_forced_broadcast():
     for var in ("orders", "lineitem", "events", "li", "ev", "cust"):
         hits = re.findall(rf"F\.broadcast\({var}\)", src)
         assert not hits, f"forced fact broadcast on {var}: {hits}"
+
+
+# r4 seventh session: the new families' scale contracts.
+R7_FULLY_PARTITIONED = [
+    # covariance: mapInPandas partials + one keyed exchange
+    "embedding_covariance",
+    # phrase search: broadcast phrase table + keyed aggregates
+    "phrase_search_positional",
+    # changepoint / holt / bootstrap: everything keyed by event_type
+    "daily_value_changepoint",
+    "daily_value_holt_winters",
+    "event_value_bootstrap_se",
+    # type_value_mutual_info excluded: its global COUNT(*) is a
+    # 1-row scalar aggregate (a legitimate SinglePartition — one row
+    # passes through), not a data-sized window
+    "attribution_credit_models",
+    # IVM: three delta joins + state merges, all keyed
+    "ivm_nation_revenue",
+]
+
+
+@pytest.mark.parametrize("name", R7_FULLY_PARTITIONED)
+def test_r7_no_single_partition_exchange(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name)
+    assert "Exchange SinglePartition" not in plan, name
+    assert "CartesianProduct" not in plan, name
+
+
+def test_bootstrap_fanout_is_combined_map_side(spark, sf_dir):
+    """The x32 replicate Generate must feed a partial aggregate BELOW
+    the exchange — the shuffle carries 32·types partials, never the
+    fanned-out rows."""
+    plan = _plan(spark, sf_dir, "event_value_bootstrap_se")
+    phys = plan[plan.index("== Physical Plan =="):]
+    gen = phys.index("Generate explode")
+    # physical plans print top-down: the partial-agg line comes
+    # BEFORE the Generate it consumes
+    assert "partial_sum" in phys[:gen], "no map-side combine below fan-out"
+
+
+def test_covariance_shuffles_partials_not_vectors(spark, sf_dir):
+    """The only exchange in the moments pass hashes the (i, j) pair
+    keys — dim²-bounded — and sits above the Python stage."""
+    plan = _plan(spark, sf_dir, "embedding_covariance")
+    assert "hashpartitioning(i#" in plan
+    assert plan.count("Exchange") <= 2  # one shuffle (+AQE read)

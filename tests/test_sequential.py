@@ -159,3 +159,42 @@ def test_bootstrap_se_tracks_analytic_se(spark):
         assert got[r["event_type"]]["ci_lo"] <= r["mu"] <= (
             got[r["event_type"]]["ci_hi"]
         )
+
+
+def test_neyman_allocation_properties(spark):
+    """Allocations sum exactly to the budget and tilt toward
+    high-variance strata relative to proportional allocation."""
+    from reddit_hn_etl_spark.plans.queries import QUERIES
+
+    rows = QUERIES["neyman_allocation"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    total = sum(r["n_alloc"] for r in rows)
+    assert total == 200
+    n_all = sum(r["n_rows"] for r in rows)
+    # at least one stratum must differ from proportional allocation
+    # (otherwise the variance weighting is vacuous on this data)
+    prop = {r["event_type"]: 200 * r["n_rows"] / n_all for r in rows}
+    assert any(abs(r["n_alloc"] - prop[r["event_type"]]) > 1 for r in rows)
+    # the allocation ordering follows N_h * S_h
+    w = {r["event_type"]: r["n_rows"] * r["sd"] for r in rows}
+    got_order = [r["event_type"] for r in sorted(rows, key=lambda r: -r["n_alloc"])]
+    want_order = sorted(w, key=lambda t: -w[t])
+    assert got_order[0] == want_order[0]
+
+
+def test_attribution_credit_mass_conservation(spark):
+    """Per model, channel credits must sum to the number of purchases
+    with >=1 candidate touch (each purchase distributes exactly 1)."""
+    from reddit_hn_etl_spark.plans.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["attribution_credit_models"](spark, sf).collect()
+    lin_total = sum(r["linear_credit"] for r in rows)
+    u_total = sum(r["u_shaped_credit"] for r in rows)
+    n_first = sum(r["first_touches"] for r in rows)
+    n_last = sum(r["last_touches"] for r in rows)
+    # every attributed purchase has exactly one first and one last
+    assert n_first == n_last
+    assert abs(lin_total - n_first) < 1e-6
+    assert abs(u_total - n_first) < 1e-6
