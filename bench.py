@@ -227,6 +227,8 @@ BENCH_QUERIES_R4 = [
     "pca_second_component",
     "neyman_allocation",
     "attribution_credit_models",
+    "source_temperature_mix",
+    "image_ahash_clusters",
 ]
 
 
@@ -267,15 +269,27 @@ def main() -> None:
     # window poisons all back-to-back repeats of one query (observed
     # r2↔r3: ±3× phantom swings on byte-identical code, VERDICT r3
     # #9) but at most one of three sweep-separated runs.
+    # Wall-clock budget: the sweep list has grown past the point
+    # where three full sweeps fit a 10-minute harness window. The
+    # first sweep ALWAYS completes (every query gets a number);
+    # repeat sweeps run only while the budget holds, so noise
+    # suppression degrades gracefully instead of the whole bench
+    # timing out.
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "400"))
     names = BENCH_QUERIES + BENCH_QUERIES_R2 + BENCH_QUERIES_R4
     timings: dict[str, float] = {n: float("inf") for n in names}
+    t_start = time.perf_counter()
+    sweeps_done = 0
     for _sweep in range(3):
+        if sweeps_done >= 1 and time.perf_counter() - t_start > budget_s:
+            break
         for name in names:
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
             timings[name] = min(timings[name], time.perf_counter() - t0)
+        sweeps_done += 1
     timings = {n: round(t, 3) for n, t in timings.items()}
 
     total = round(sum(timings.values()), 3)
@@ -291,6 +305,7 @@ def main() -> None:
                 # Apples-to-apples vs BENCH_r01: the original 30-query
                 # subtotal (r2 added 7 queries; totals aren't comparable).
                 "r01_comparable_subtotal": base_total,
+                "sweeps": sweeps_done,
             }
         )
     )

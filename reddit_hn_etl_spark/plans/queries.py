@@ -13100,6 +13100,256 @@ def attribution_credit_models(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Temperature-scaled source mixing (the multilingual-LM sampling rule
+# — upweight small sources by p^τ, τ=1/2 here so the scaling is a
+# bit-equal SQRT) + image near-dup CLUSTERS (the aHash pair graph
+# closed under connected components — multimodal dedup end-to-end).
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "source_temperature_mix",
+    """
+    WITH s AS (SELECT source, COUNT(*) AS n FROM documents
+               GROUP BY source),
+    nt AS (SELECT SUM(n) AS total FROM s),
+    w AS (SELECT source, n,
+                 SQRT(CAST(n AS DOUBLE) / CAST(nt.total AS DOUBLE)) AS wr,
+                 CAST(n AS DOUBLE) / CAST(nt.total AS DOUBLE) AS nat
+          FROM s, nt),
+    tw AS (SELECT SUM(wr) AS sw FROM w)
+    SELECT source, n AS n_docs,
+           ROUND(nat, 9) AS natural_weight,
+           ROUND(wr / tw.sw, 9) AS temp_weight,
+           ROUND(wr / tw.sw, 9) > ROUND(nat, 9) AS upweighted
+    FROM w, tw
+    """,
+)
+def source_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled sampling weights per source (τ=1/2 — the
+    multilingual-LM rule that keeps small sources from vanishing):
+    w_s ∝ (n_s/N)^τ, renormalized. SQRT of an exact-int ratio is
+    bit-equal; only the O(sources) normalizing sum needs the 1e-9
+    grid. `upweighted` pins the rule's point: below-average sources
+    gain, dominant ones shed. One corpus aggregate; the rest is
+    source-cardinality work."""
+    docs = read_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    nt = s.agg(F.sum("n").alias("total"))
+    nat = F.col("n").cast("double") / F.col("total").cast("double")
+    w = s.crossJoin(F.broadcast(nt)).select(
+        "source", "n", F.sqrt(nat).alias("wr"), nat.alias("nat")
+    )
+    tw = w.agg(F.sum("wr").alias("sw"))
+    temp = F.round(F.col("wr") / F.col("sw"), 9)
+    return w.crossJoin(F.broadcast(tw)).select(
+        "source",
+        F.col("n").alias("n_docs"),
+        F.round("nat", 9).alias("natural_weight"),
+        temp.alias("temp_weight"),
+        (temp > F.round(F.col("nat"), 9)).alias("upweighted"),
+    )
+
+
+@_q(
+    "image_ahash_clusters",
+    """
+    SELECT doc_id AS media_id,
+           doc_id % 5 AS component,
+           doc_id < 5 AS is_rep
+    FROM documents WHERE doc_id < 60
+    """,
+)
+def image_ahash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup CLUSTERS through the full real path: synthesize
+    → decode → aHash (`multimodal.average_hash`) → hamming-0 pair
+    edges → `graph.connected_components` → min-id representative.
+    The oracle states the answer in closed form from the synthesis
+    parameters (pattern group = doc_id%5; brightness shifts hash to
+    identical codes), so any break in decode, hashing, pairing, or
+    the CC iteration moves real emitted values. The multimodal twin
+    of `near_dup_clusters`."""
+    from ..functions import multimodal as mm
+
+    docs = read_table(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") < 60).select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 5).cast("int").alias("g"),
+        (F.col("doc_id") % 7).cast("int").alias("shift"),
+    )
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = [
+                (
+                    int(m),
+                    mm.synth_bmp_vstripes(
+                        16, 16, (2 + int(g)) * 2, 40, 200, int(s)
+                    ),
+                )
+                for m, g, s in zip(pdf["media_id"], pdf["g"], pdf["shift"])
+            ]
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    bmp = base.mapInPandas(synth, "media_id long, payload binary")
+    hashes = mm.average_hash(bmp).localCheckpoint(eager=True)
+    a = hashes.select(
+        F.col("media_id").alias("src"), F.col("ahash").alias("ha")
+    )
+    b = hashes.select(
+        F.col("media_id").alias("dst"), F.col("ahash").alias("hb")
+    )
+    edges = (
+        a.join(b, F.col("src") < F.col("dst"))
+        .where(
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) == 0
+        )
+        .select("src", "dst")
+    )
+    comp = graph.connected_components(edges, src="src", dst="dst")
+    allv = hashes.select(F.col("media_id").alias("vertex"))
+    full = allv.join(comp, "vertex", "left").select(
+        "vertex",
+        # a hash with no partner is its own singleton cluster
+        F.coalesce("component", F.col("vertex")).alias("component"),
+    )
+    return full.select(
+        F.col("vertex").alias("media_id"),
+        F.col("component").cast("long").alias("component"),
+        (F.col("vertex") == F.col("component")).alias("is_rep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Markov absorption: P(purchase within k steps | current state) by
+# unrolled first-step analysis over the user-event transition chain —
+# the predictive extension of `event_transition_matrix` (which stops
+# at one-step probabilities). Same grid discipline as PageRank: each
+# round's values ROUND at 1e-12, so the recurrence is
+# engine-identical.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "purchase_absorption_3step",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_type
+        FROM events
+    ),
+    c AS (
+        SELECT event_type AS from_type, next_type AS to_type,
+               COUNT(*) AS n
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY event_type, next_type
+    ),
+    t AS (SELECT from_type, SUM(n) AS row_total FROM c GROUP BY from_type),
+    p AS (SELECT from_type, to_type,
+                 CAST(n AS DOUBLE) / CAST(row_total AS DOUBLE) AS pr
+          FROM c JOIN t USING (from_type)),
+    q1 AS (SELECT from_type AS s,
+                  ROUND(COALESCE(SUM(CASE WHEN to_type = 'purchase'
+                                          THEN pr END), 0.0), 12) AS q
+           FROM p GROUP BY from_type),
+    q2 AS (SELECT p.from_type AS s,
+                  ROUND(a.q + COALESCE(SUM(p.pr * b.q), 0.0), 12) AS q
+           FROM p
+           JOIN q1 a ON a.s = p.from_type
+           LEFT JOIN q1 b ON b.s = p.to_type AND p.to_type <> 'purchase'
+           GROUP BY p.from_type, a.q),
+    q3 AS (SELECT p.from_type AS s,
+                  ROUND(a.q + COALESCE(SUM(p.pr * b.q), 0.0), 12) AS q
+           FROM p
+           JOIN q1 a ON a.s = p.from_type
+           LEFT JOIN q2 b ON b.s = p.to_type AND p.to_type <> 'purchase'
+           GROUP BY p.from_type, a.q)
+    SELECT q1.s AS state, q1.q AS p_1step, q2.q AS p_2step,
+           q3.q AS p_3step
+    FROM q1 JOIN q2 ON q2.s = q1.s JOIN q3 ON q3.s = q1.s
+    """,
+)
+def purchase_absorption_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P(reach 'purchase' within 1/2/3 transitions | current event
+    type), by first-step analysis unrolled three rounds:
+    q_{k+1}(s) = q₁(s) + Σ_{t≠purchase} P(s,t)·q_k(t). Transition
+    probabilities are exact-int ratios; every round ROUNDs at 1e-12
+    so both engines iterate identical doubles (the PageRank grid).
+    All post-count work runs on the ≤25-cell transition matrix. The
+    monotonicity q₁ ≤ q₂ ≤ q₃ is asserted in tests — absorption
+    probabilities only grow with horizon."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    c = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("from_type").agg(F.sum("n").alias("row_total"))
+    p = c.join(F.broadcast(t), "from_type").select(
+        "from_type",
+        "to_type",
+        (F.col("n").cast("double") / F.col("row_total").cast("double"))
+        .alias("pr"),
+    ).localCheckpoint(eager=True)
+
+    q1 = p.groupBy(F.col("from_type").alias("s")).agg(
+        F.round(
+            F.coalesce(
+                F.sum(F.when(F.col("to_type") == "purchase", F.col("pr"))),
+                F.lit(0.0),
+            ),
+            12,
+        ).alias("q")
+    ).localCheckpoint(eager=True)
+
+    def step(prev):
+        a = q1.select(F.col("s").alias("_sa"), F.col("q").alias("_qa"))
+        b = prev.select(F.col("s").alias("_sb"), F.col("q").alias("_qb"))
+        return (
+            p.join(a, F.col("from_type") == F.col("_sa"))
+            .join(
+                b,
+                (F.col("to_type") == F.col("_sb"))
+                & (F.col("to_type") != "purchase"),
+                "left",
+            )
+            .groupBy(F.col("from_type").alias("s"), F.col("_qa"))
+            .agg(
+                F.round(
+                    F.col("_qa")
+                    + F.coalesce(
+                        F.sum(F.col("pr") * F.col("_qb")), F.lit(0.0)
+                    ),
+                    12,
+                ).alias("q")
+            )
+            .select("s", "q")
+            .localCheckpoint(eager=True)
+        )
+
+    q2 = step(q1)
+    q3 = step(q2)
+    return (
+        q1.select(F.col("s").alias("state"), F.col("q").alias("p_1step"))
+        .join(
+            q2.select(F.col("s").alias("state"), F.col("q").alias("p_2step")),
+            "state",
+        )
+        .join(
+            q3.select(F.col("s").alias("state"), F.col("q").alias("p_3step")),
+            "state",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window.
 #
 # The driver hard-verifies (rows + schema + value hash vs the DuckDB
