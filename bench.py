@@ -229,6 +229,7 @@ BENCH_QUERIES_R4 = [
     "attribution_credit_models",
     "source_temperature_mix",
     "image_ahash_clusters",
+    "purchase_absorption_3step",
 ]
 
 

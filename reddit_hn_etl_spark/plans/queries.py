@@ -13406,19 +13406,24 @@ _DRIVER_WINDOW = [
     "customer_fellegi_sunter",
     "daily_value_changepoint",
     "event_value_bootstrap_se",
+    # late-session family firsts (funded by evicting bulk_suppliers /
+    # part_supplier_counts / weighted_doc_sample /
+    # stratified_sample_counts / value_range_frame_sums — families
+    # keep other in-window representatives)
+    "bigram_pmi_collocations",
+    "neyman_allocation",
+    "attribution_credit_models",
+    "image_ahash_clusters",
+    "purchase_absorption_3step",
     # TPC-H correlated family (never driver-checked before r4)
     "min_cost_supplier",
     "sole_late_suppliers",
-    "bulk_suppliers",
-    "part_supplier_counts",
     "rich_idle_customers",
     # curation / sampling / splits
     "curation_funnel",
     "doc_repetition",
-    "weighted_doc_sample",
     "cluster_keep_best",
     "train_val_split_counts",
-    "stratified_sample_counts",
     "pack_token_budget",
     "pii_redaction",
     # multimodal
@@ -13428,7 +13433,6 @@ _DRIVER_WINDOW = [
     "running_user_value",
     "forward_fill_values",
     "interpolate_missing_values",
-    "value_range_frame_sums",
     # product analytics
     "session_funnel",
     "weekly_cohort_retention",

@@ -157,6 +157,7 @@ NOTES = {
     "neyman_allocation": "Neyman allocation: ONE partial/final aggregate computes every stratum moment; the weight/fraction/apportionment pipeline runs on O(strata) rows with broadcast scalars — the 5-row rank window is stratum-bounded, not data-bounded.",
     "attribution_credit_models": "Fractional attribution: the same user-keyed interval join as the counts query, ONE per-purchase window (rank + count share the sort), then a domain-sized channel rollup — the credit models add zero exchanges over the counts plan.",
     "image_ahash_clusters": "Multimodal dedup end-to-end: ONE mapInPandas stage for synth+decode+hash (payloads never shuffle), the hamming-0 pair join on 16-byte rows, then the CC iteration on a pattern-bounded graph behind the checkpoint boundary; singletons rejoin via one broadcast left join.",
+    "purchase_absorption_3step": "Markov absorption: the LEAD window partitions by user (bounded history), transition counts partial-aggregate onto the ≤25-cell matrix, and all three unrolled rounds run on matrix-sized rows behind checkpoints — corpus cost is ONE windowed scan.",
 }
 
 

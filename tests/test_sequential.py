@@ -198,3 +198,16 @@ def test_attribution_credit_mass_conservation(spark):
     assert n_first == n_last
     assert abs(lin_total - n_first) < 1e-6
     assert abs(u_total - n_first) < 1e-6
+
+
+def test_absorption_monotone_in_horizon(spark):
+    """q1 <= q2 <= q3 per state, all within [0,1] — absorption
+    probability can only grow with horizon."""
+    from reddit_hn_etl_spark.plans.queries import QUERIES
+
+    rows = QUERIES["purchase_absorption_3step"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["p_1step"] <= r["p_2step"] <= r["p_3step"] <= 1.0, r
