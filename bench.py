@@ -230,6 +230,7 @@ BENCH_QUERIES_R4 = [
     "source_temperature_mix",
     "image_ahash_clusters",
     "purchase_absorption_3step",
+    "brand_copurchase_pagerank",
 ]
 
 

@@ -329,6 +329,7 @@ def pagerank(
     dst: str = "dst",
     undirected: bool = True,
     personalization: list | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """PageRank by unrolled power iteration: (vertex, pagerank).
 
@@ -356,13 +357,35 @@ def pagerank(
     similarity-to-seed ranking for recommendation / related-item
     queries. Vertices unreachable from S converge toward 0.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    if undirected:
-        e = e.unionByName(
-            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    if weight_col is not None:
+        # weighted: contributions are rank·w/out-strength. Integer
+        # count weights keep out-strengths exact; the per-edge double
+        # is then identical cross-engine and the plain-SUM noise sits
+        # as far below the caller's rounding grid as the unweighted
+        # case (see the damping-contraction argument above).
+        e = edges.select(
+            F.col(src).alias("src"),
+            F.col(dst).alias("dst"),
+            F.col(weight_col).alias("w"),
         )
-    e = e.distinct()
-    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+        if undirected:
+            e = e.unionByName(
+                e.select(
+                    F.col("dst").alias("src"),
+                    F.col("src").alias("dst"),
+                    F.col("w"),
+                )
+            )
+        e = e.groupBy("src", "dst").agg(F.sum("w").alias("w"))
+        deg = e.groupBy("src").agg(F.sum("w").alias("deg"))
+    else:
+        e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        if undirected:
+            e = e.unionByName(
+                e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+        e = e.distinct().withColumn("w", F.lit(1))
+        deg = e.groupBy("src").agg(F.count("*").alias("deg"))
     # one materialization reused by every round
     ed = e.join(deg, "src").localCheckpoint(eager=True)
     verts = deg.select(F.col("src").alias("vertex"))
@@ -386,7 +409,8 @@ def pagerank(
         contrib = ed.join(
             ranks, ed.src == ranks.vertex
         ).select(
-            F.col("dst"), (F.col("pagerank") / F.col("deg")).alias("c")
+            F.col("dst"),
+            (F.col("pagerank") * F.col("w") / F.col("deg")).alias("c"),
         )
         s = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
         ranks = (

@@ -13350,6 +13350,83 @@ def purchase_absorption_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Weighted PageRank over the brand co-purchase graph: edge weights =
+# co-basket counts (exact ints), contributions rank·w/strength. The
+# importance ranking a merchandising/recsys surface wants from the
+# co-occurrence graph `brand_copurchase_lift` builds.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "brand_copurchase_pagerank",
+    """
+    WITH inc AS (
+        SELECT DISTINCT l.l_orderkey AS b, p.p_brand AS item
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    pairs AS (
+        SELECT a.item AS s, b.item AS t, COUNT(*) AS w
+        FROM inc a JOIN inc b ON a.b = b.b AND a.item < b.item
+        GROUP BY a.item, b.item
+    ),
+    e0 AS (SELECT s, t, w FROM pairs
+           UNION ALL SELECT t AS s, s AS t, w FROM pairs),
+    e AS (SELECT s, t, SUM(w) AS w FROM e0 GROUP BY s, t),
+    deg AS (SELECT s AS v, SUM(w) AS d FROM e GROUP BY s),
+    nt AS (SELECT COUNT(*) AS n FROM deg),
+    r0 AS (SELECT v, 1.0 / nt.n AS r FROM deg, nt),
+    i1 AS (SELECT e.t AS v, SUM(r.r * e.w / d.d) AS sc
+           FROM e JOIN r0 r ON r.v = e.s JOIN deg d ON d.v = e.s
+           GROUP BY e.t),
+    r1 AS (SELECT deg.v, 0.125 / nt.n + 0.875 * COALESCE(i1.sc, 0.0) AS r
+           FROM deg LEFT JOIN i1 ON deg.v = i1.v, nt),
+    i2 AS (SELECT e.t AS v, SUM(r.r * e.w / d.d) AS sc
+           FROM e JOIN r1 r ON r.v = e.s JOIN deg d ON d.v = e.s
+           GROUP BY e.t),
+    r2 AS (SELECT deg.v, 0.125 / nt.n + 0.875 * COALESCE(i2.sc, 0.0) AS r
+           FROM deg LEFT JOIN i2 ON deg.v = i2.v, nt),
+    i3 AS (SELECT e.t AS v, SUM(r.r * e.w / d.d) AS sc
+           FROM e JOIN r2 r ON r.v = e.s JOIN deg d ON d.v = e.s
+           GROUP BY e.t),
+    r3 AS (SELECT deg.v, 0.125 / nt.n + 0.875 * COALESCE(i3.sc, 0.0) AS r
+           FROM deg LEFT JOIN i3 ON deg.v = i3.v, nt)
+    SELECT v AS brand, ROUND(r, 12) AS pagerank FROM r3
+    """,
+)
+def brand_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (3 rounds, damping 7/8) over brand
+    co-purchase edges weighted by co-basket counts —
+    `graph.pagerank(weight_col=...)`: per-round contribution is
+    rank·w/out-strength with exact-integer weights/strengths, so the
+    per-edge double matches cross-engine and the final ROUND(,12)
+    absorbs plain-SUM noise exactly as in the unweighted query. The
+    corpus-sized work is the co-occurrence pipeline; the iteration
+    runs on the brand-cardinality graph."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    inc = li.join(
+        F.broadcast(part), li["l_partkey"] == part["p_partkey"]
+    ).select(
+        F.col("l_orderkey").alias("basket"), F.col("p_brand").alias("item")
+    )
+    pairs = relational.cooccurrence_pairs(
+        inc, basket_col="basket", item_col="item"
+    ).select("item_a", "item_b", "pair_baskets")
+    pr = graph.pagerank(
+        pairs,
+        src="item_a",
+        dst="item_b",
+        weight_col="pair_baskets",
+        n_iter=3,
+        damping=0.875,
+    )
+    return pr.select(
+        F.col("vertex").alias("brand"),
+        F.round("pagerank", 12).alias("pagerank"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window.
 #
 # The driver hard-verifies (rows + schema + value hash vs the DuckDB

@@ -158,6 +158,7 @@ NOTES = {
     "attribution_credit_models": "Fractional attribution: the same user-keyed interval join as the counts query, ONE per-purchase window (rank + count share the sort), then a domain-sized channel rollup — the credit models add zero exchanges over the counts plan.",
     "image_ahash_clusters": "Multimodal dedup end-to-end: ONE mapInPandas stage for synth+decode+hash (payloads never shuffle), the hamming-0 pair join on 16-byte rows, then the CC iteration on a pattern-bounded graph behind the checkpoint boundary; singletons rejoin via one broadcast left join.",
     "purchase_absorption_3step": "Markov absorption: the LEAD window partitions by user (bounded history), transition counts partial-aggregate onto the ≤25-cell matrix, and all three unrolled rounds run on matrix-sized rows behind checkpoints — corpus cost is ONE windowed scan.",
+    "brand_copurchase_pagerank": "Weighted PageRank: the co-occurrence pipeline (order-keyed pair join, bounded fan-out per basket) is the only corpus-sized stage; the weighted iteration runs on the brand-cardinality graph with the edge+strength side checkpointed once.",
 }
 
 

@@ -14,8 +14,7 @@ tests/test_cleaning.py tests/test_cli_logging.py tests/test_curation.py \
 tests/test_curation_depth.py tests/test_dedup_similarity.py \
 tests/test_diff.py tests/test_external_io.py tests/test_graph.py \
 tests/test_hn_pipeline.py tests/test_incremental_marts.py \
-tests/test_kafka_seam.py tests/test_maintenance.py \
-tests/test_properties.py tests/test_kmeans.py"
+tests/test_kafka_seam.py tests/test_maintenance.py"
 
 echo "== chunk A: oracle differentials =="
 python -m pytest $CHUNK_A -q

@@ -188,3 +188,40 @@ def test_personalized_pagerank_concentrates_on_seed_side(spark):
         r = 0.125 * p + 0.875 * s
     for v in range(n):
         assert abs(got[v] - r[v]) < 1e-12
+
+
+def test_weighted_pagerank_reduces_to_unweighted_on_unit_weights(spark):
+    from pyspark.sql import functions as F
+
+    from reddit_hn_etl_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)], "src long, dst long"
+    )
+    base = {
+        r["vertex"]: r["pagerank"]
+        for r in graph.pagerank(edges, n_iter=3).collect()
+    }
+    weighted = {
+        r["vertex"]: r["pagerank"]
+        for r in graph.pagerank(
+            edges.withColumn("w", F.lit(1)), weight_col="w", n_iter=3
+        ).collect()
+    }
+    assert base == weighted  # x·1/deg ≡ x/deg bit-for-bit
+
+
+def test_weighted_pagerank_mass_conserved_and_weight_sensitive(spark):
+    from reddit_hn_etl_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(1, 2, 10), (2, 3, 1), (3, 1, 1)], "src long, dst long, w long"
+    )
+    pr = {
+        r["vertex"]: r["pagerank"]
+        for r in graph.pagerank(edges, weight_col="w", n_iter=5).collect()
+    }
+    assert abs(sum(pr.values()) - 1.0) < 1e-9  # undirected: mass conserved
+    # vertex 3 hangs off the heavy 1-2 edge only weakly; the heavy
+    # pair should outrank it
+    assert pr[1] > pr[3] and pr[2] > pr[3]
