@@ -231,6 +231,7 @@ BENCH_QUERIES_R4 = [
     "image_ahash_clusters",
     "purchase_absorption_3step",
     "brand_copurchase_pagerank",
+    "cluster_top_terms",
 ]
 
 

@@ -13427,6 +13427,89 @@ def brand_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Cluster labeling by c-TF-IDF (BERTopic's representation step): the
+# top distinctive tokens of each embedding cluster — what makes a
+# k-means cell INTERPRETABLE. Embeddings pair with documents by id;
+# cluster assignment is the literal-centroid kmeans.assign.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "cluster_top_terms",
+    rf"""
+    WITH {_KMEANS_DIST_CTES},
+    toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(trim(text)),
+                                                     '\s+'),
+                                  x -> x <> '')) AS tok
+        FROM documents
+    ),
+    j AS (SELECT b.cluster_id, t.tok
+          FROM toks t JOIN best b ON b.vec_id = t.doc_id),
+    tf AS (SELECT cluster_id, tok, COUNT(*) AS tf
+           FROM j GROUP BY cluster_id, tok),
+    dfc AS (SELECT tok, COUNT(*) AS dfc FROM tf GROUP BY tok),
+    sc AS (SELECT tf.cluster_id, tf.tok, tf.tf, dfc.dfc,
+                  ROUND(CAST(tf.tf AS DOUBLE)
+                        * ln(9.0 / CAST(1 + dfc.dfc AS DOUBLE)), 12)
+                      AS score
+           FROM tf JOIN dfc USING (tok))
+    SELECT CAST(cluster_id AS INTEGER) AS cluster_id, tok AS token,
+           tf, CAST(dfc AS INTEGER) AS df_clusters, score,
+           CAST(ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                   ORDER BY score DESC, tok) AS INTEGER)
+               AS rnk
+    FROM sc QUALIFY rnk <= 5
+    """,
+)
+def cluster_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 c-TF-IDF tokens per embedding cluster: assignment via
+    the literal k=8 centroids (`kmeans.assign`), token counts per
+    cluster, cross-cluster df, score = tf·ln((k+1)/(1+df)) ROUNDed
+    at 1e-12 BEFORE ranking (the PMI lesson — composed ln terms
+    drift 1 ulp cross-engine). One tokenize + two count aggregates;
+    the rank window partitions by cluster over vocabulary-bounded
+    rows."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    assigned = kmeans.assign(emb, _KMEANS_CENTROIDS).select(
+        F.col("vec_id"), F.col("cluster_id")
+    )
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(dedup.tokens("text")).alias("tok")
+    )
+    j = toks.join(
+        assigned, toks["doc_id"] == assigned["vec_id"]
+    ).select("cluster_id", "tok")
+    tf = j.groupBy("cluster_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfc = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("dfc"))
+    score = F.round(
+        F.col("tf").cast("double")
+        * F.log(F.lit(9.0) / (F.lit(1) + F.col("dfc")).cast("double")),
+        12,
+    )
+    sc = tf.join(F.broadcast(dfc), "tok").select(
+        "cluster_id", "tok", "tf", "dfc", score.alias("score")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("score"), F.col("tok")
+    )
+    return (
+        sc.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= 5)
+        .select(
+            F.col("cluster_id").cast("int").alias("cluster_id"),
+            F.col("tok").alias("token"),
+            "tf",
+            F.col("dfc").cast("int").alias("df_clusters"),
+            "score",
+            "rnk",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window.
 #
 # The driver hard-verifies (rows + schema + value hash vs the DuckDB

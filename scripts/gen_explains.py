@@ -159,6 +159,7 @@ NOTES = {
     "image_ahash_clusters": "Multimodal dedup end-to-end: ONE mapInPandas stage for synth+decode+hash (payloads never shuffle), the hamming-0 pair join on 16-byte rows, then the CC iteration on a pattern-bounded graph behind the checkpoint boundary; singletons rejoin via one broadcast left join.",
     "purchase_absorption_3step": "Markov absorption: the LEAD window partitions by user (bounded history), transition counts partial-aggregate onto the ≤25-cell matrix, and all three unrolled rounds run on matrix-sized rows behind checkpoints — corpus cost is ONE windowed scan.",
     "brand_copurchase_pagerank": "Weighted PageRank: the co-occurrence pipeline (order-keyed pair join, bounded fan-out per basket) is the only corpus-sized stage; the weighted iteration runs on the brand-cardinality graph with the edge+strength side checkpointed once.",
+    "cluster_top_terms": "c-TF-IDF labeling: the shuffle-free literal-centroid assignment joins token explodes on the id key; tf and cross-cluster df are two partial/final aggregates on (cluster, token) / (token) keys; the top-5 window partitions by cluster over vocabulary-bounded rows (WindowGroupLimit).",
 }
 
 
