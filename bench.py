@@ -232,6 +232,7 @@ BENCH_QUERIES_R4 = [
     "purchase_absorption_3step",
     "brand_copurchase_pagerank",
     "cluster_top_terms",
+    "quality_brier_decomposition",
 ]
 
 

@@ -11344,10 +11344,8 @@ def purchase_attribution_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@_q(
-    "quality_calibration_bins",
-    r"""
-    WITH t AS (
+_QUALITY_SCORED_CTES = r"""
+    t AS (
         SELECT doc_id,
                list_filter(string_split_regex(lower(trim(text)), '\s+'),
                            x -> x <> '') AS w,
@@ -11388,6 +11386,13 @@ def purchase_attribution_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                              ELSE 0.0 END) * 4)), 4) AS q
         FROM m WHERE n_words > 0
     )
+"""
+
+
+@_q(
+    "quality_calibration_bins",
+    f"""
+    WITH {_QUALITY_SCORED_CTES}
     SELECT CAST(LEAST(CAST(floor(q * 10) AS BIGINT), 9) AS INTEGER) AS bin,
            CAST(COUNT(*) AS INTEGER) AS n_docs,
            CAST(count_if(gopher_pass) AS INTEGER) AS n_pass,
@@ -13506,6 +13511,235 @@ def cluster_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "score",
             "rnk",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Murphy decomposition of the Brier score over the quality-score
+# reliability bins: reliability (miscalibration) and resolution
+# (discrimination) per bin plus the base-rate uncertainty — the
+# numbers a calibration DIAGRAM summarizes, as one query. Builds on
+# the same scored CTE as quality_calibration_bins.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "quality_brier_decomposition",
+    """
+    WITH {_Q},
+    b AS (
+        SELECT LEAST(CAST(floor(q * 10) AS BIGINT), 9) AS bin,
+               COUNT(*) AS n,
+               count_if(gopher_pass) AS pos,
+               ROUND(SUM(q) / COUNT(*), 9) AS mean_pred
+        FROM scored GROUP BY bin
+    ),
+    tot AS (SELECT SUM(n) AS nn, SUM(pos) AS pp FROM b),
+    base AS (SELECT CAST(pp AS DOUBLE) / CAST(nn AS DOUBLE) AS obar,
+                    nn FROM tot)
+    SELECT CAST(b.bin AS INTEGER) AS bin,
+           CAST(b.n AS INTEGER) AS n_docs,
+           CAST(b.pos AS INTEGER) AS n_pass,
+           b.mean_pred,
+           CAST(b.pos AS DOUBLE) / CAST(b.n AS DOUBLE) AS obs_rate,
+           ROUND(CAST(b.n AS DOUBLE)
+                 * (b.mean_pred - CAST(b.pos AS DOUBLE)
+                                  / CAST(b.n AS DOUBLE))
+                 * (b.mean_pred - CAST(b.pos AS DOUBLE)
+                                  / CAST(b.n AS DOUBLE))
+                 / CAST(base.nn AS DOUBLE), 12) AS rel_term,
+           ROUND(CAST(b.n AS DOUBLE)
+                 * (CAST(b.pos AS DOUBLE) / CAST(b.n AS DOUBLE)
+                    - base.obar)
+                 * (CAST(b.pos AS DOUBLE) / CAST(b.n AS DOUBLE)
+                    - base.obar)
+                 / CAST(base.nn AS DOUBLE), 12) AS res_term,
+           ROUND(base.obar * (1.0 - base.obar), 12) AS uncertainty
+    FROM b CROSS JOIN base
+    """.format(_Q=_QUALITY_SCORED_CTES),
+)
+def quality_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bin Murphy decomposition terms of the quality-score vs
+    Gopher-verdict Brier score: reliability n_b(p̄_b−o_b)²/N and
+    resolution n_b(o_b−ō)²/N, with p̄_b the within-bin mean of the
+    4-decimal scores (summed doubles → ROUND 1e-9; every other
+    operand is an exact-int ratio, so the squared terms are built
+    from identical doubles and the 1e-12 grid is belt-and-braces).
+    Σrel − Σres + uncertainty reconstructs the binned Brier score —
+    asserted in tests. Same single corpus scan as the calibration
+    diagram; everything after runs on 10 bin rows."""
+    docs = read_table(spark, sf_dir, "documents")
+    w = dedup.tokens("text")
+    n_words = F.size(w)
+    n_alpha = F.size(F.filter(w, lambda x: x.rlike("[a-z]")))
+    n_chars = F.length(F.array_join(w, ""))
+    n_stop = F.array_contains(w, "the").cast("int") + F.array_contains(
+        w, "a"
+    ).cast("int")
+    gopher = (
+        n_words.between(30, 5000)
+        & (n_chars / n_words).between(3.0, 5.0)
+        & ((n_alpha / n_words.cast("double")) >= 0.9)
+        & (n_stop >= 2)
+    )
+    q = F.round(textfn.quality_score(F.col("text")), 4)
+    scored = docs.where(n_words > 0).select(
+        gopher.alias("gopher_pass"), q.alias("q")
+    )
+    bcol = F.least(F.floor(F.col("q") * 10).cast("bigint"), F.lit(9))
+    b = scored.groupBy(bcol.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("gopher_pass").cast("int")).alias("pos"),
+        F.round(F.sum("q") / F.count(F.lit(1)), 9).alias("mean_pred"),
+    )
+    tot = b.agg(F.sum("n").alias("nn"), F.sum("pos").alias("pp"))
+    base = tot.select(
+        (F.col("pp").cast("double") / F.col("nn").cast("double")).alias(
+            "obar"
+        ),
+        "nn",
+    )
+    j = b.crossJoin(F.broadcast(base))
+    n_d = F.col("n").cast("double")
+    nn_d = F.col("nn").cast("double")
+    obs = F.col("pos").cast("double") / n_d
+    rel = F.round(
+        n_d
+        * (F.col("mean_pred") - obs)
+        * (F.col("mean_pred") - obs)
+        / nn_d,
+        12,
+    )
+    res = F.round(
+        n_d * (obs - F.col("obar")) * (obs - F.col("obar")) / nn_d, 12
+    )
+    return j.select(
+        F.col("bin").cast("int").alias("bin"),
+        F.col("n").cast("int").alias("n_docs"),
+        F.col("pos").cast("int").alias("n_pass"),
+        "mean_pred",
+        obs.alias("obs_rate"),
+        rel.alias("rel_term"),
+        res.alias("res_term"),
+        F.round(F.col("obar") * (F.lit(1.0) - F.col("obar")), 12).alias(
+            "uncertainty"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend per daily series: the median of pairwise
+# slopes — a 29% breakdown point where OLS (brand_price_regression's
+# machinery) breaks at one outlier. Slopes are exact-int ratios
+# (identical doubles), the median is an order statistic (even-count
+# midpoint is ONE addition + halving — exact), so only the intercept
+# residuals need a grid.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "daily_trend_theil_sen",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                   AS cents
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    seq AS (
+        SELECT event_type, cents,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+                   AS i
+        FROM daily
+    ),
+    slopes AS (
+        SELECT a.event_type,
+               (CAST(b.cents AS DOUBLE) - CAST(a.cents AS DOUBLE))
+                   / CAST(b.i - a.i AS DOUBLE) AS m
+        FROM seq a JOIN seq b
+          ON a.event_type = b.event_type AND a.i < b.i
+    ),
+    med AS (
+        SELECT event_type, COUNT(*) AS n_pairs,
+               median(m) AS slope
+        FROM slopes GROUP BY event_type
+    ),
+    resid AS (
+        SELECT s.event_type,
+               ROUND(CAST(s.cents AS DOUBLE)
+                     - med.slope * CAST(s.i AS DOUBLE), 9) AS r0
+        FROM seq s JOIN med ON med.event_type = s.event_type
+    )
+    SELECT r.event_type, med.n_pairs, med.slope,
+           median(r.r0) AS intercept
+    FROM resid r JOIN med ON med.event_type = r.event_type
+    GROUP BY r.event_type, med.n_pairs, med.slope
+    """,
+)
+def daily_trend_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen estimator of each event type's daily-total trend:
+    slope = median over all C(n,2) pairwise slopes (exact-int
+    ratios — identical doubles, and the even-count median midpoint
+    is one addition + a power-of-two division, still exact);
+    intercept = median residual with the y−m·x base ROUNDed at 1e-9
+    (the subtract-of-product is the FMA-contractible shape). The
+    pair join is per-series O(days²) — calendar-bounded, the
+    documented sample-based switch applies beyond ~10⁴ points per
+    series. One corpus-sized grain reduction; everything after is
+    days²-per-series work."""
+    ev = read_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    daily = (
+        ev.select(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            cents.alias("_c"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("_c").alias("cents"))
+    )
+    seq = daily.select(
+        "event_type",
+        "cents",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("day"))
+        .alias("i"),
+    ).localCheckpoint(eager=True)
+    a = seq.select(
+        F.col("event_type"), F.col("cents").alias("ca"), F.col("i").alias("ia")
+    )
+    b = seq.select(
+        F.col("event_type").alias("et2"),
+        F.col("cents").alias("cb"),
+        F.col("i").alias("ib"),
+    )
+    slopes = (
+        a.join(b, (F.col("event_type") == F.col("et2")) & (F.col("ia") < F.col("ib")))
+        .select(
+            "event_type",
+            (
+                (F.col("cb").cast("double") - F.col("ca").cast("double"))
+                / (F.col("ib") - F.col("ia")).cast("double")
+            ).alias("m"),
+        )
+    )
+    med = slopes.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.expr("median(m)").alias("slope"),
+    )
+    resid = seq.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        F.round(
+            F.col("cents").cast("double")
+            - F.col("slope") * F.col("i").cast("double"),
+            9,
+        ).alias("r0"),
+    )
+    return (
+        resid.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "n_pairs", "slope")
+        .agg(F.expr("median(r0)").alias("intercept"))
+        .select("event_type", "n_pairs", "slope", "intercept")
     )
 
 

@@ -211,3 +211,28 @@ def test_absorption_monotone_in_horizon(spark):
     assert rows
     for r in rows:
         assert 0.0 <= r["p_1step"] <= r["p_2step"] <= r["p_3step"] <= 1.0, r
+
+
+def test_brier_decomposition_identity(spark):
+    """Σrel − Σres + uncertainty must equal the binned Brier score
+    computed directly from (mean_pred_b, obs_rate_b)."""
+    from reddit_hn_etl_spark.plans.queries import QUERIES
+
+    rows = QUERIES["quality_brier_decomposition"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    N = sum(r["n_docs"] for r in rows)
+    rel = sum(r["rel_term"] for r in rows)
+    res = sum(r["res_term"] for r in rows)
+    unc = rows[0]["uncertainty"]
+    direct = sum(
+        r["n_docs"]
+        * (
+            (r["mean_pred"] - 1) ** 2 * (r["n_pass"] / r["n_docs"])
+            + r["mean_pred"] ** 2 * (1 - r["n_pass"] / r["n_docs"])
+        )
+        for r in rows
+    ) / N
+    assert rel >= 0 and res >= 0
+    assert abs((rel - res + unc) - direct) < 1e-6
