@@ -233,6 +233,7 @@ BENCH_QUERIES_R4 = [
     "brand_copurchase_pagerank",
     "cluster_top_terms",
     "quality_brier_decomposition",
+    "daily_trend_theil_sen",
 ]
 
 

@@ -161,6 +161,7 @@ NOTES = {
     "brand_copurchase_pagerank": "Weighted PageRank: the co-occurrence pipeline (order-keyed pair join, bounded fan-out per basket) is the only corpus-sized stage; the weighted iteration runs on the brand-cardinality graph with the edge+strength side checkpointed once.",
     "cluster_top_terms": "c-TF-IDF labeling: the shuffle-free literal-centroid assignment joins token explodes on the id key; tf and cross-cluster df are two partial/final aggregates on (cluster, token) / (token) keys; the top-5 window partitions by cluster over vocabulary-bounded rows (WindowGroupLimit).",
     "quality_brier_decomposition": "Brier decomposition: the SAME single scored scan as the calibration diagram (shared CTE), one 10-key aggregate, then all decomposition arithmetic on bin rows with the base rate broadcast — adds zero corpus passes over the diagram.",
+    "daily_trend_theil_sen": "Theil-Sen: one corpus grain-reduction, then the pair join runs per SERIES over calendar-bounded days (the checkpoint pins the ranked series so both median passes reuse it); medians are keyed aggregates, never a global sort.",
 }
 
 

@@ -236,3 +236,30 @@ def test_brier_decomposition_identity(spark):
     ) / N
     assert rel >= 0 and res >= 0
     assert abs((rel - res + unc) - direct) < 1e-6
+
+
+def test_theil_sen_robust_to_outlier(spark):
+    """Planted check: on a clean line the estimator recovers slope
+    and intercept exactly; one gross outlier must not move the slope
+    (the breakdown property OLS lacks)."""
+    from reddit_hn_etl_spark.operators import sequential  # noqa: F401
+    from pyspark.sql import functions as F
+
+    # replicate the query's core on a toy frame via SQL against a view
+    rows = [(i, 100 + 7 * i) for i in range(1, 12)]
+    dirty = rows[:5] + [(6, 100000)] + rows[6:]
+
+    def ts(data):
+        df = spark.createDataFrame(data, "i long, cents long")
+        a = df.select(F.col("cents").alias("ca"), F.col("i").alias("ia"))
+        b = df.select(F.col("cents").alias("cb"), F.col("i").alias("ib"))
+        slopes = a.join(b, F.col("ia") < F.col("ib")).select(
+            (
+                (F.col("cb").cast("double") - F.col("ca").cast("double"))
+                / (F.col("ib") - F.col("ia")).cast("double")
+            ).alias("m")
+        )
+        return slopes.agg(F.expr("median(m)")).first()[0]
+
+    assert ts(rows) == 7.0
+    assert abs(ts(dirty) - 7.0) < 0.5  # outlier barely moves the median
