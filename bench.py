@@ -234,6 +234,9 @@ BENCH_QUERIES_R4 = [
     "cluster_top_terms",
     "quality_brier_decomposition",
     "daily_trend_theil_sen",
+    "daily_value_stl_lite",
+    "video_scene_cuts",
+    "holt_backtest_skill",
 ]
 
 

@@ -13744,6 +13744,400 @@ def daily_trend_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# STL-lite decomposition: trend = centered 7-day moving average
+# (complete windows only), seasonal = day-of-week mean of the
+# detrended series, residual = remainder. The classical additive
+# decomposition behind every seasonal-anomaly monitor
+# (dow_adjusted_anomalies adjusts; this EXPLAINS the adjustment).
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "daily_value_stl_lite",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                   AS cents
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    tr AS (
+        SELECT event_type, day, cents,
+               CAST(SUM(cents) OVER w AS DOUBLE) / 7.0 AS trend,
+               COUNT(*) OVER w AS wn,
+               dayofweek(day) AS dow
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    det AS (
+        SELECT event_type, day, cents, trend, dow,
+               CAST(cents AS DOUBLE) - trend AS d
+        FROM tr WHERE wn = 7
+    ),
+    seas AS (
+        SELECT event_type, dow, ROUND(SUM(d) / COUNT(*), 9) AS seasonal
+        FROM det GROUP BY event_type, dow
+    )
+    SELECT det.event_type, det.day, det.cents, det.trend,
+           seas.seasonal,
+           ROUND(det.d - seas.seasonal, 9) AS residual
+    FROM det JOIN seas
+      ON seas.event_type = det.event_type AND seas.dow = det.dow
+    """,
+)
+def daily_value_stl_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive trend/seasonal/residual decomposition of per-type
+    daily totals: the trend is an exact-int 7-day centered sum
+    divided once (bit-equal; incomplete edge windows dropped via the
+    window count), the day-of-week seasonal means ROUND at 1e-9
+    (plain-SUM association over ~weeks of identical doubles), and
+    the residual is one subtraction of identical values. Windows
+    partition per series (calendar-bounded); the DOW means are a
+    35-key aggregate."""
+    ev = read_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    daily = (
+        ev.select(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            cents.alias("_c"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("_c").alias("cents"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    tr = daily.select(
+        "event_type",
+        "day",
+        "cents",
+        (F.sum("cents").over(w).cast("double") / 7.0).alias("trend"),
+        F.count(F.lit(1)).over(w).alias("wn"),
+        F.dayofweek("day").alias("dow"),
+    )
+    det = tr.where(F.col("wn") == 7).select(
+        "event_type",
+        "day",
+        "cents",
+        "trend",
+        "dow",
+        (F.col("cents").cast("double") - F.col("trend")).alias("d"),
+    )
+    seas = det.groupBy("event_type", "dow").agg(
+        F.round(F.sum("d") / F.count(F.lit(1)), 9).alias("seasonal")
+    )
+    return det.join(F.broadcast(seas), ["event_type", "dow"]).select(
+        "event_type",
+        "day",
+        "cents",
+        "trend",
+        "seasonal",
+        F.round(F.col("d") - F.col("seasonal"), 9).alias("residual"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Video shot-boundary detection: per-frame perceptual hashes, cuts
+# where consecutive frames' hamming jumps. Frames are synthesized
+# BMPs whose stripe pattern SHIFTS at planted cut indices (and whose
+# brightness drifts every frame — aHash must see through that), so
+# the oracle knows every cut in closed form while the engine runs
+# the real decode→hash→lag pipeline.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "video_scene_cuts",
+    """
+    WITH m AS (
+        SELECT doc_id AS media_id, doc_id % 3 AS period
+        FROM documents WHERE doc_id < 30
+    ),
+    f AS (
+        SELECT media_id, period, unnest(range(0, 12)) AS frame_no
+        FROM m
+    )
+    SELECT media_id, CAST(frame_no AS INTEGER) AS frame_no,
+           frame_no > 0
+           AND (frame_no % (period + 3)) = 0 AS is_cut
+    FROM f
+    """,
+)
+def video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot boundaries in 12-frame synthetic clips: frame pattern
+    (stripe width) advances every ``period+3`` frames while
+    brightness drifts EVERY frame (frame_no % 5) — a naive
+    pixel-diff detector would fire on every frame; aHash's adaptive
+    threshold ignores the drift, so hamming(prev, cur) > 0 exactly
+    at pattern changes. Real path: per-frame BMP synth + decode +
+    `multimodal.average_hash`, then one LAG window per clip. Frames
+    never shuffle (hashing happens in the synth stage's mapInPandas);
+    the cut test runs on 16-byte hash rows."""
+    from ..functions import multimodal as mm
+
+    docs = read_table(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") < 30).select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 3).cast("int").alias("period"),
+    )
+    frames = base.select(
+        "media_id",
+        "period",
+        F.explode(F.sequence(F.lit(0), F.lit(11))).alias("frame_no"),
+    )
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, per, fno in zip(
+                pdf["media_id"], pdf["period"], pdf["frame_no"]
+            ):
+                scene = int(fno) // (int(per) + 3)
+                bright_cols = (2 + (scene % 5)) * 2
+                shift = int(fno) % 5  # per-frame brightness drift
+                rows.append(
+                    (
+                        int(mid),
+                        int(fno),
+                        mm.synth_bmp_vstripes(
+                            16, 16, bright_cols, 40, 200, shift
+                        ),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_no", "payload"]
+            )
+
+    bmp = frames.mapInPandas(
+        synth, "media_id long, frame_no int, payload binary"
+    )
+    # hash each frame; carry frame_no through by hashing on a
+    # composite id then splitting it back out
+    keyed = bmp.select(
+        (F.col("media_id") * 100 + F.col("frame_no")).alias("media_id"),
+        "payload",
+    )
+    hashes = mm.average_hash(keyed).select(
+        (F.col("media_id") / 100).cast("long").alias("media_id"),
+        (F.col("media_id") % 100).cast("int").alias("frame_no"),
+        "ahash",
+    )
+    w = Window.partitionBy("media_id").orderBy("frame_no")
+    prev = F.lag("ahash").over(w)
+    return hashes.select(
+        "media_id",
+        "frame_no",
+        F.coalesce(
+            F.bit_count(F.col("ahash").bitwiseXOR(prev)) > 0, F.lit(False)
+        ).alias("is_cut"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling-origin forecast backtest: every day's Holt one-step-ahead
+# prediction scored against the NEXT observation, vs the naive
+# persistence baseline — the skill score that decides whether a
+# forecaster earns its complexity. Composes the oracle-checked Holt
+# recurrence with a lag window; no refitting (the fold IS the
+# rolling origin).
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "holt_backtest_skill",
+    """
+    WITH RECURSIVE daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                   AS cents
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    seq AS (
+        SELECT event_type, day, cents,
+               CAST(cents AS DOUBLE) AS x,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY day) AS stp
+        FROM daily
+    ),
+    hw AS (
+        SELECT event_type, day, cents, x, stp,
+               x AS level, CAST(0.0 AS DOUBLE) AS trend
+        FROM seq WHERE stp = 1
+        UNION ALL
+        SELECT n.event_type, n.day, n.cents, n.x, n.stp,
+               0.25 * n.x + 0.75 * (h.level + h.trend) AS level,
+               0.125 * ((0.25 * n.x + 0.75 * (h.level + h.trend))
+                        - h.level)
+                   + 0.875 * h.trend AS trend
+        FROM hw h JOIN seq n
+          ON n.event_type = h.event_type AND n.stp = h.stp + 1
+    ),
+    lagged AS (
+        SELECT event_type, stp, x,
+               LAG(level + trend) OVER w AS f_prev,
+               LAG(x) OVER w AS x_prev
+        FROM hw
+        WINDOW w AS (PARTITION BY event_type ORDER BY stp)
+    ),
+    err AS (
+        SELECT event_type,
+               COUNT(*) AS n_evals,
+               ROUND(SUM(ABS(x - f_prev)) / COUNT(*), 9) AS mae_holt,
+               ROUND(SUM(ABS(x - x_prev)) / COUNT(*), 9) AS mae_naive
+        FROM lagged WHERE f_prev IS NOT NULL
+        GROUP BY event_type
+    )
+    SELECT event_type, CAST(n_evals AS INTEGER) AS n_evals,
+           mae_holt, mae_naive,
+           CASE WHEN mae_naive > 0.0
+                THEN ROUND(1.0 - mae_holt / mae_naive, 9)
+                ELSE CAST(0.0 AS DOUBLE) END AS skill
+    FROM err
+    """,
+)
+def holt_backtest_skill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series backtest of the Holt forecaster: MAE of the
+    one-step-ahead prediction (previous row's level+trend) and of
+    naive persistence, plus the skill score 1 − MAE_holt/MAE_naive.
+    The fold IS the rolling origin — each prediction uses only the
+    prefix, no refit loop. Absolute errors are subtractions of
+    identical doubles; the MAEs ROUND at 1e-9; the skill compares
+    post-ROUND values. One grain reduction + one fold + one lag
+    window per series."""
+    from ..operators.sequential import holt_winters_per_key
+
+    ev = read_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    daily = (
+        ev.select(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            cents.alias("_c"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("_c").alias("cents"))
+        .withColumn("x", F.col("cents").cast("double"))
+    )
+    hw = holt_winters_per_key(
+        daily, "event_type", ("day",), "x", alpha=0.25, beta=0.125
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = hw.select(
+        "event_type",
+        "x",
+        F.lag(F.col("level") + F.col("trend")).over(w).alias("f_prev"),
+        F.lag("x").over(w).alias("x_prev"),
+    ).where(F.col("f_prev").isNotNull())
+    err = lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_evals"),
+        F.round(
+            F.sum(F.abs(F.col("x") - F.col("f_prev"))) / F.count(F.lit(1)),
+            9,
+        ).alias("mae_holt"),
+        F.round(
+            F.sum(F.abs(F.col("x") - F.col("x_prev"))) / F.count(F.lit(1)),
+            9,
+        ).alias("mae_naive"),
+    )
+    skill = F.when(
+        F.col("mae_naive") > 0.0,
+        F.round(F.lit(1.0) - F.col("mae_holt") / F.col("mae_naive"), 9),
+    ).otherwise(F.lit(0.0))
+    return err.select(
+        "event_type",
+        F.col("n_evals").cast("int").alias("n_evals"),
+        "mae_holt",
+        "mae_naive",
+        skill.alias("skill"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Audio activity segmentation (VAD-style): per-frame RMS gate over
+# REAL WAV decode, then native gaps-and-islands stitching. Clips are
+# synthesized tone/silence/tone with frame-aligned boundaries, so the
+# oracle states every segment in closed form.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "audio_activity_segments",
+    """
+    WITH m AS (
+        SELECT doc_id AS media_id,
+               3 + doc_id % 3 AS a, 2 + doc_id % 2 AS b
+        FROM documents WHERE doc_id < 40
+    )
+    SELECT media_id, CAST(0 AS INTEGER) AS seg_start,
+           CAST(a - 1 AS INTEGER) AS seg_end,
+           CAST(a AS INTEGER) AS n_frames
+    FROM m
+    UNION ALL
+    SELECT media_id, CAST(a + b AS INTEGER),
+           CAST(a + b + 3 AS INTEGER), CAST(4 AS INTEGER)
+    FROM m
+    """,
+)
+def audio_activity_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Active-audio segments per clip: tone(3..5 frames) → silence
+    (2..3) → tone(4), synthesized with frame-aligned boundaries,
+    pushed through the REAL decode + per-frame RMS gate
+    (`multimodal.wav_frame_activity`) and stitched by the classic
+    gaps-and-islands window (frame_no − row_number over active
+    frames). The oracle knows both segments of every clip in closed
+    form — a decode, framing, thresholding, or stitching bug moves
+    emitted boundaries. Payloads stay inside one mapInPandas; the
+    island window partitions per clip."""
+    from ..functions import multimodal as mm
+
+    docs = read_table(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") < 40).select(
+        F.col("doc_id").alias("media_id"),
+        (3 + F.col("doc_id") % 3).cast("int").alias("a"),
+        (2 + F.col("doc_id") % 2).cast("int").alias("b"),
+    )
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = [
+                (
+                    int(mid),
+                    mm.synth_wav_segments(
+                        [
+                            (500 + (int(mid) % 5) * 100, int(a)),
+                            (None, int(b)),
+                            (600, 4),
+                        ]
+                    ),
+                )
+                for mid, a, b in zip(pdf["media_id"], pdf["a"], pdf["b"])
+            ]
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    wav = base.mapInPandas(synth, "media_id long, payload binary")
+    act = mm.wav_frame_activity(wav).where(F.col("active"))
+    w = Window.partitionBy("media_id").orderBy("frame_no")
+    islands = act.select(
+        "media_id",
+        "frame_no",
+        (F.col("frame_no") - F.row_number().over(w)).alias("island"),
+    )
+    return islands.groupBy("media_id", "island").agg(
+        F.min("frame_no").cast("int").alias("seg_start"),
+        F.max("frame_no").cast("int").alias("seg_end"),
+        F.count(F.lit(1)).cast("int").alias("n_frames"),
+    ).drop("island")
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window.
 #
 # The driver hard-verifies (rows + schema + value hash vs the DuckDB

@@ -162,6 +162,9 @@ NOTES = {
     "cluster_top_terms": "c-TF-IDF labeling: the shuffle-free literal-centroid assignment joins token explodes on the id key; tf and cross-cluster df are two partial/final aggregates on (cluster, token) / (token) keys; the top-5 window partitions by cluster over vocabulary-bounded rows (WindowGroupLimit).",
     "quality_brier_decomposition": "Brier decomposition: the SAME single scored scan as the calibration diagram (shared CTE), one 10-key aggregate, then all decomposition arithmetic on bin rows with the base rate broadcast — adds zero corpus passes over the diagram.",
     "daily_trend_theil_sen": "Theil-Sen: one corpus grain-reduction, then the pair join runs per SERIES over calendar-bounded days (the checkpoint pins the ranked series so both median passes reuse it); medians are keyed aggregates, never a global sort.",
+    "daily_value_stl_lite": "STL-lite: the centered-MA window shares the series sort with nothing else it doesn't need; DOW seasonals are a 35-key aggregate broadcast back — one corpus aggregate, one per-series window, one broadcast join.",
+    "video_scene_cuts": "Shot detection: frame synth+decode+hash collapse to 16-byte rows inside the Python stage; the cut test is one LAG window per clip over frame-count-bounded partitions. A naive pixel-diff would fire on the planted per-frame brightness drift — the adaptive hash doesn't.",
+    "holt_backtest_skill": "Backtest: the Holt fold already carries the rolling-origin predictions, so scoring adds one LAG window and a types-sized aggregate — evaluating the forecaster costs no extra corpus pass.",
 }
 
 

@@ -263,3 +263,26 @@ def test_theil_sen_robust_to_outlier(spark):
 
     assert ts(rows) == 7.0
     assert abs(ts(dirty) - 7.0) < 0.5  # outlier barely moves the median
+
+
+def test_stl_lite_reconstruction_and_seasonal_balance(spark):
+    """trend + seasonal + residual must reconstruct the daily total
+    exactly (to the rounding grid), and per-series seasonal terms
+    must average ~0 (they redistribute, not shift, the level)."""
+    from collections import defaultdict
+
+    from reddit_hn_etl_spark.plans.queries import QUERIES
+
+    rows = QUERIES["daily_value_stl_lite"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    per_series = defaultdict(list)
+    for r in rows:
+        recon = r["trend"] + r["seasonal"] + r["residual"]
+        assert abs(recon - r["cents"]) < 1e-6, r
+        per_series[r["event_type"]].append(r["seasonal"])
+    for etype, seas in per_series.items():
+        assert abs(sum(seas) / len(seas)) < max(
+            1.0, 0.2 * max(abs(s) for s in seas)
+        ), etype
