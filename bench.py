@@ -237,6 +237,7 @@ BENCH_QUERIES_R4 = [
     "daily_value_stl_lite",
     "video_scene_cuts",
     "holt_backtest_skill",
+    "audio_activity_segments",
 ]
 
 

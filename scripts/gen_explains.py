@@ -165,6 +165,7 @@ NOTES = {
     "daily_value_stl_lite": "STL-lite: the centered-MA window shares the series sort with nothing else it doesn't need; DOW seasonals are a 35-key aggregate broadcast back — one corpus aggregate, one per-series window, one broadcast join.",
     "video_scene_cuts": "Shot detection: frame synth+decode+hash collapse to 16-byte rows inside the Python stage; the cut test is one LAG window per clip over frame-count-bounded partitions. A naive pixel-diff would fire on the planted per-frame brightness drift — the adaptive hash doesn't.",
     "holt_backtest_skill": "Backtest: the Holt fold already carries the rolling-origin predictions, so scoring adds one LAG window and a types-sized aggregate — evaluating the forecaster costs no extra corpus pass.",
+    "audio_activity_segments": "VAD segmentation: synth+decode+frame-RMS collapse to 3-column frame rows inside one mapInPandas; island stitching is a per-clip window + keyed aggregate over frame-count-bounded partitions.",
 }
 
 
