@@ -14138,6 +14138,365 @@ def audio_activity_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Mann-Kendall trend test per daily series: the nonparametric
+# significance companion to `daily_trend_theil_sen` (same pair join,
+# same grain). S is an exact integer (sum of pairwise signs), the
+# tie-corrected variance is an exact integer ratio (numerator < 2^53
+# for calendar-bounded series), and z composes identical doubles —
+# ROUND(,12) as belt against future FMA contraction.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "daily_mann_kendall",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                   AS cents
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    seq AS (
+        SELECT event_type, cents,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+                   AS i
+        FROM daily
+    ),
+    s AS (
+        SELECT a.event_type,
+               SUM(CASE WHEN b.cents > a.cents THEN 1
+                        WHEN b.cents < a.cents THEN -1 ELSE 0 END) AS s_stat,
+               COUNT(*) AS n_pairs
+        FROM seq a JOIN seq b
+          ON a.event_type = b.event_type AND a.i < b.i
+        GROUP BY a.event_type
+    ),
+    nd AS (
+        SELECT event_type, COUNT(*) AS n_days FROM seq GROUP BY event_type
+    ),
+    ties AS (
+        SELECT event_type,
+               SUM(t * (t - 1) * (2 * t + 5)) AS tie_term
+        FROM (
+            SELECT event_type, COUNT(*) AS t
+            FROM seq GROUP BY event_type, cents
+        ) GROUP BY event_type
+    ),
+    stat AS (
+        SELECT s.event_type, nd.n_days, s.s_stat,
+               (CAST(nd.n_days AS DOUBLE) * (nd.n_days - 1)
+                * (2 * nd.n_days + 5)
+                - CAST(ties.tie_term AS DOUBLE)) / 18.0 AS var_s
+        FROM s
+        JOIN nd ON nd.event_type = s.event_type
+        JOIN ties ON ties.event_type = s.event_type
+    )
+    SELECT event_type, n_days, s_stat, var_s,
+           ROUND(CASE WHEN s_stat > 0
+                      THEN (CAST(s_stat AS DOUBLE) - 1) / sqrt(var_s)
+                      WHEN s_stat < 0
+                      THEN (CAST(s_stat AS DOUBLE) + 1) / sqrt(var_s)
+                      ELSE 0.0 END, 12) AS z_stat
+    FROM stat
+    """,
+)
+def daily_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test on each event type's daily
+    totals: S = Σ_{i<j} sign(c_j − c_i) (exact integer), variance
+    with the standard tie correction (exact integers through the
+    closed form; /18.0 on identical numerators is bit-identical),
+    continuity-corrected z. Pair join is per-series O(days²) —
+    calendar-bounded like Theil-Sen; at 100 TB the grain reduction
+    to (event_type, day) happens first, so the quadratic stage sees
+    thousands of rows, not billions."""
+    ev = read_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    daily = (
+        ev.select(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            cents.alias("_c"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("_c").alias("cents"))
+    )
+    seq = daily.select(
+        "event_type",
+        "cents",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("day"))
+        .alias("i"),
+    ).localCheckpoint(eager=True)
+    b = seq.select(
+        F.col("event_type").alias("et2"),
+        F.col("cents").alias("cb"),
+        F.col("i").alias("ib"),
+    )
+    s = (
+        seq.join(b, (F.col("event_type") == F.col("et2")) & (F.col("i") < F.col("ib")))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.signum((F.col("cb") - F.col("cents")).cast("double")).cast("bigint"))
+            .alias("s_stat"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+        .drop("n_pairs")
+    )
+    nd = seq.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_days"))
+    ties = (
+        seq.groupBy("event_type", "cents")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tie_term")
+        )
+    )
+    n_d = F.col("n_days").cast("double")
+    var_s = (
+        n_d * (F.col("n_days") - 1) * (2 * F.col("n_days") + 5)
+        - F.col("tie_term").cast("double")
+    ) / F.lit(18.0)
+    s_d = F.col("s_stat").cast("double")
+    z = (
+        F.when(F.col("s_stat") > 0, (s_d - 1) / F.sqrt(F.col("var_s")))
+        .when(F.col("s_stat") < 0, (s_d + 1) / F.sqrt(F.col("var_s")))
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        s.join(nd, "event_type")
+        .join(ties, "event_type")
+        .withColumn("var_s", var_s)
+        .select(
+            "event_type",
+            "n_days",
+            "s_stat",
+            "var_s",
+            F.round(z, 12).alias("z_stat"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation between two daily measures. Average ranks
+# are kept EXACT by doubling (2·avgrank = 2·RANK + ties − 1, always
+# an integer); all five moments are then exact int64 sums and the
+# closed form composes identical doubles (ROUND 12 vs FMA).
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "daily_spearman_corr",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                   AS cents,
+               COUNT(*) AS n_events
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    ranked AS (
+        SELECT event_type,
+               2 * RANK() OVER (PARTITION BY event_type ORDER BY cents)
+                 + COUNT(*) OVER (PARTITION BY event_type, cents) - 1
+                   AS rx,
+               2 * RANK() OVER (PARTITION BY event_type ORDER BY n_events)
+                 + COUNT(*) OVER (PARTITION BY event_type, n_events) - 1
+                   AS ry
+        FROM daily
+    ),
+    mom AS (
+        SELECT event_type, COUNT(*) AS n,
+               SUM(rx) AS sx, SUM(ry) AS sy,
+               SUM(rx * ry) AS sxy,
+               SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy
+        FROM ranked GROUP BY event_type
+    )
+    SELECT event_type, n AS n_days,
+           ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * sqrt(CAST(n AS DOUBLE) * syy
+                           - CAST(sy AS DOUBLE) * sy)), 12) AS rho
+    FROM mom
+    """,
+)
+def daily_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman ρ between each event type's daily total value and its
+    daily event count. Tie handling uses exact average ranks via the
+    doubled-rank trick (2·avgrank = 2·RANK() + tie_count − 1 — an
+    integer, so Σr, Σr², Σrxry are exact int64 sums and both engines
+    build the SAME rationals); ρ is then the Pearson closed form on
+    identical doubles, ROUNDed at 1e-12 before emit. Window is
+    per-event_type (bounded partitions); the moments agg is one
+    map-side-combinable pass."""
+    ev = read_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    daily = (
+        ev.select(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            cents.alias("_c"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("_c").alias("cents"), F.count(F.lit(1)).alias("n_events"))
+    )
+
+    def _r2(col: str):
+        wr = Window.partitionBy("event_type").orderBy(col)
+        wt = Window.partitionBy("event_type", col)
+        return 2 * F.rank().over(wr) + F.count(F.lit(1)).over(wt) - 1
+
+    ranked = daily.select(
+        "event_type", _r2("cents").alias("rx"), _r2("n_events").alias("ry")
+    )
+    mom = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+    )
+    n_d = F.col("n").cast("double")
+    sx_d = F.col("sx").cast("double")
+    sy_d = F.col("sy").cast("double")
+    rho = (n_d * F.col("sxy") - sx_d * F.col("sy")) / (
+        F.sqrt(n_d * F.col("sxx") - sx_d * F.col("sx"))
+        * F.sqrt(n_d * F.col("syy") - sy_d * F.col("sy"))
+    )
+    return mom.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.round(rho, 12).alias("rho"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal prediction intervals: the distribution-free
+# uncertainty wrapper every model-quality monitor wants. Calibration
+# is a content-hash split (never random()); the quantile is a RANKED
+# order statistic (ceil((n+1)(1−α)) — no interpolation, so the
+# selected score is one identical double), and coverage compares
+# identical doubles on the held-out half.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "value_conformal_intervals",
+    """
+    WITH scored AS (
+        SELECT event_type,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+               CASE WHEN substring(md5(CAST(event_id AS VARCHAR)), 1, 1)
+                         IN ('0','1','2','3','4','5','6','7')
+                    THEN 'calib' ELSE 'test' END AS half
+        FROM events
+    ),
+    model AS (
+        SELECT event_type,
+               CAST(SUM(cents) AS DOUBLE) / COUNT(*) AS mu,
+               COUNT(*) AS n_calib
+        FROM scored WHERE half = 'calib' GROUP BY event_type
+    ),
+    resid AS (
+        SELECT s.event_type, m.n_calib,
+               abs(CAST(s.cents AS DOUBLE) - m.mu) AS r,
+               ROW_NUMBER() OVER (
+                   PARTITION BY s.event_type
+                   ORDER BY abs(CAST(s.cents AS DOUBLE) - m.mu), s.cents
+               ) AS rk
+        FROM scored s JOIN model m ON m.event_type = s.event_type
+        WHERE s.half = 'calib'
+    ),
+    qhat AS (
+        SELECT event_type, n_calib, r AS q
+        FROM resid
+        WHERE rk = CAST(ceil(0.9 * (n_calib + 1)) AS BIGINT)
+    ),
+    cover AS (
+        SELECT s.event_type,
+               COUNT(*) AS n_test,
+               SUM(CASE WHEN abs(CAST(s.cents AS DOUBLE) - m.mu) <= q.q
+                        THEN 1 ELSE 0 END) AS covered
+        FROM scored s
+        JOIN model m ON m.event_type = s.event_type
+        JOIN qhat q ON q.event_type = s.event_type
+        WHERE s.half = 'test'
+        GROUP BY s.event_type
+    )
+    SELECT c.event_type, q.n_calib, c.n_test, q.q AS qhat, c.covered,
+           CAST(c.covered AS DOUBLE) / c.n_test AS coverage
+    FROM cover c JOIN qhat q ON q.event_type = c.event_type
+    """,
+)
+def value_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal 90% intervals around a per-type mean model:
+    md5(event_id) splits 8/16 calib, 8/16 test (deterministic,
+    machine-independent); q̂ = the ⌈0.9(n+1)⌉-th smallest absolute
+    calibration residual (an exact ranked order statistic — the
+    residuals are identical doubles on both engines because
+    |int − exact-int-ratio-mean| composes identically); empirical
+    test coverage is an exact integer ratio. Scale shape: one scan
+    to split+score, per-type broadcast of the 1-row-per-type model
+    and q̂ — no data-sized shuffle beyond the calib rank (bounded
+    per-type partitions; at 100 TB the rank would switch to the
+    hierarchical-prefix order statistic like order_value_percentiles)."""
+    ev = read_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    nib = F.substring(F.md5(F.col("event_id").cast("string").cast("binary")), 1, 1)
+    scored = ev.select(
+        "event_type",
+        cents.alias("cents"),
+        F.when(nib.isin(*"01234567"), F.lit("calib"))
+        .otherwise(F.lit("test"))
+        .alias("half"),
+    ).localCheckpoint(eager=True)
+    calib = scored.where(F.col("half") == "calib")
+    model = calib.groupBy("event_type").agg(
+        (F.sum("cents").cast("double") / F.count(F.lit(1))).alias("mu"),
+        F.count(F.lit(1)).alias("n_calib"),
+    )
+    r = F.abs(F.col("cents").cast("double") - F.col("mu"))
+    resid = calib.join(F.broadcast(model), "event_type").select(
+        "event_type",
+        "n_calib",
+        r.alias("r"),
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy(r, "cents"))
+        .alias("rk"),
+    )
+    qhat = resid.where(
+        F.col("rk")
+        == F.ceil(F.lit(0.9) * (F.col("n_calib") + 1)).cast("bigint")
+    ).select("event_type", "n_calib", F.col("r").alias("q"))
+    test = scored.where(F.col("half") == "test")
+    cover = (
+        test.join(F.broadcast(model), "event_type")
+        .join(F.broadcast(qhat), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("cents").cast("double") - F.col("mu"))
+                    <= F.col("q"),
+                    1,
+                ).otherwise(0)
+            ).alias("covered"),
+        )
+    )
+    return cover.join(F.broadcast(qhat), "event_type").select(
+        "event_type",
+        "n_calib",
+        "n_test",
+        F.col("q").alias("qhat"),
+        "covered",
+        (F.col("covered").cast("double") / F.col("n_test")).alias("coverage"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window.
 #
 # The driver hard-verifies (rows + schema + value hash vs the DuckDB

@@ -113,3 +113,125 @@ def test_constraint_report_null_passes_and_one_scan(spark):
     plan = rep._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]  # AQE prints both
     assert final.count("Scan ExistingRDD") == 1
+
+
+def test_mann_kendall_matches_brute_force(spark, sf_dir):
+    """S, tie-corrected variance, and z of the registered query match
+    a straight numpy-free brute-force recomputation over the same
+    per-type daily series."""
+    import math
+    from collections import Counter
+
+    from reddit_hn_etl_spark.plans.queries import QUERIES
+
+    rows = QUERIES["daily_mann_kendall"](spark, sf_dir).collect()
+    assert rows, "empty MK result"
+    # rebuild the daily series directly
+    from pyspark.sql import functions as F
+
+    from reddit_hn_etl_spark.sources.tables import read_table
+
+    ev = read_table(spark, str(sf_dir), "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    got_daily = (
+        ev.select("event_type", F.col("ts").cast("date").alias("day"), cents.alias("c"))
+        .groupBy("event_type", "day")
+        .agg(F.sum("c").alias("cents"))
+        .collect()
+    )
+    series: dict[str, list] = {}
+    for r in got_daily:
+        series.setdefault(r["event_type"], []).append((r["day"], r["cents"]))
+    for row in rows:
+        xs = [c for _, c in sorted(series[row["event_type"]])]
+        n = len(xs)
+        s = sum(
+            (0 if xs[j] == xs[i] else (1 if xs[j] > xs[i] else -1))
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        ties = Counter(xs)
+        tie_term = sum(t * (t - 1) * (2 * t + 5) for t in ties.values())
+        var_s = (n * (n - 1) * (2 * n + 5) - tie_term) / 18.0
+        z = 0.0 if s == 0 else (s - (1 if s > 0 else -1)) / math.sqrt(var_s)
+        assert row["n_days"] == n and row["s_stat"] == s
+        assert row["var_s"] == var_s
+        assert abs(row["z_stat"] - z) < 1e-11
+
+
+def test_spearman_matches_brute_force(spark, sf_dir):
+    """rho of the registered query equals Pearson-on-average-ranks
+    computed with plain Python fractions-free arithmetic."""
+    import math
+
+    from reddit_hn_etl_spark.plans.queries import QUERIES
+
+    rows = QUERIES["daily_spearman_corr"](spark, sf_dir).collect()
+    from pyspark.sql import functions as F
+
+    from reddit_hn_etl_spark.sources.tables import read_table
+
+    ev = read_table(spark, str(sf_dir), "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    got_daily = (
+        ev.select("event_type", F.col("ts").cast("date").alias("day"), cents.alias("c"))
+        .groupBy("event_type", "day")
+        .agg(F.sum("c").alias("cents"), F.count(F.lit(1)).alias("ne"))
+        .collect()
+    )
+    series: dict[str, list] = {}
+    for r in got_daily:
+        series.setdefault(r["event_type"], []).append((r["cents"], r["ne"]))
+
+    def doubled_ranks(vals):
+        order = sorted(vals)
+        return [2 * (1 + order.index(v)) + order.count(v) - 1 for v in vals]
+
+    for row in rows:
+        pts = series[row["event_type"]]
+        rx = doubled_ranks([p[0] for p in pts])
+        ry = doubled_ranks([p[1] for p in pts])
+        n = len(pts)
+        sx, sy = sum(rx), sum(ry)
+        sxy = sum(a * b for a, b in zip(rx, ry))
+        sxx = sum(a * a for a in rx)
+        syy = sum(b * b for b in ry)
+        rho = (n * sxy - sx * sy) / (
+            math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+        )
+        assert row["n_days"] == n
+        assert abs(row["rho"] - rho) < 1e-11
+
+
+def test_conformal_qhat_is_exact_order_statistic(spark, sf_dir):
+    """q̂ equals the ⌈0.9(n+1)⌉-th smallest calibration residual
+    recomputed driver-side, and coverage lands in a sane band around
+    the nominal 90% on this near-exchangeable data."""
+    import math
+
+    from reddit_hn_etl_spark.plans.queries import QUERIES
+
+    rows = QUERIES["value_conformal_intervals"](spark, sf_dir).collect()
+    assert rows
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from reddit_hn_etl_spark.sources.tables import read_table
+
+    ev = read_table(spark, str(sf_dir), "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    raw = ev.select("event_id", "event_type", cents.alias("cents")).collect()
+    calib: dict[str, list] = {}
+    for r in raw:
+        h = hashlib.md5(str(r["event_id"]).encode()).hexdigest()[0]
+        if h in "01234567":
+            calib.setdefault(r["event_type"], []).append(r["cents"])
+    for row in rows:
+        xs = calib[row["event_type"]]
+        mu = sum(xs) / len(xs)
+        resid = sorted(abs(x - mu) for x in xs)
+        k = math.ceil(0.9 * (len(xs) + 1))
+        assert row["n_calib"] == len(xs)
+        assert row["qhat"] == resid[k - 1]
+        assert 0.8 <= row["coverage"] <= 1.0
