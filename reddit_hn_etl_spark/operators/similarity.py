@@ -44,8 +44,14 @@ def knn_cosine_bruteforce(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     k: int = 10,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
+
+    ``exclude_self=True`` drops query_id == id pairs BEFORE the rank
+    (for self-joins like the mutual-kNN graph) — filtering the self
+    row after a k+1 rank is wrong when exact-duplicate vectors tie
+    the self pair at cos = 1.0.
 
     ``queries`` (query_id_col, vec_col) is broadcast against the
     corpus — one corpus scan, no shuffle for the scoring; the top-k
@@ -80,6 +86,8 @@ def knn_cosine_bruteforce(
         (dot(F.col("_qvec"), F.col(vec_col))
          / (F.col("_qn") * F.col("_cn"))).alias("_cos"),
     )
+    if exclude_self:
+        scored = scored.where(F.col(query_id_col) != F.col(id_col))
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("_cos"), F.asc(id_col)
     )

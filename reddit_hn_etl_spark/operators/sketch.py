@@ -126,3 +126,89 @@ def cms_estimates(
         .groupBy(col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable Bloom filter: deterministic md5-derived bit positions so
+# the SAME filter (and the same membership verdicts) is reproducible
+# in any engine — the policy that made the Count-Min estimator
+# oracle-safe, applied to set membership. Words are 32-bit packed
+# (bit 31 = 2^31 fits BIGINT; a 64-bit pack would need bit 63 and
+# overflow signed arithmetic — the binary_hamming_knn lesson).
+#
+# Scale shape: build = one map-side-combinable bit_or aggregate over
+# k rows per member (k·N rows shuffled down to ≤ m/32 word rows);
+# probe = broadcast of the ≤ m/32-word map + a zero-shuffle filtered
+# scan. Spark's own BloomFilterAggregate is JVM-private and its bit
+# layout is not reproducible outside the JVM, which is exactly what
+# this variant trades a few bytes of portability overhead to get.
+# ---------------------------------------------------------------------------
+
+_BLOOM_WORD_BITS = 32
+
+
+def bloom_positions(value, m_bits: int, k: int):
+    """k deterministic bit positions for a value: position_i =
+    int(first 8 hex chars of md5(value || '#' || i), 16) % m_bits.
+    8 hex chars < 2^32 — exact in BIGINT on both engines."""
+    return F.array(
+        *[
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            value.cast("string"), F.lit(f"#{i}")
+                        ).cast("binary")
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % m_bits
+            for i in range(k)
+        ]
+    )
+
+
+def bloom_words(df: DataFrame, col: str, m_bits: int = 4096, k: int = 2) -> DataFrame:
+    """Build the packed filter: one row per non-empty 32-bit word,
+    ``(word_idx, word)``. bit_or is mergeable, so partial aggregation
+    combines map-side and the shuffle carries ≤ m/32 rows/partition."""
+    pos = F.explode(bloom_positions(F.col(col), m_bits, k)).alias("pos")
+    bit = F.col("pos") % _BLOOM_WORD_BITS
+    return (
+        df.select(pos)
+        .select(
+            (F.col("pos") / _BLOOM_WORD_BITS).cast("int").alias("word_idx"),
+            F.pow(F.lit(2.0), bit.cast("double")).cast("long").alias("b"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("b").alias("word"))
+    )
+
+
+def bloom_words_map(words: DataFrame):
+    """1-row DataFrame carrying the whole filter as a map column
+    ``m`` (word_idx → word) — the broadcastable probe-side artifact."""
+    return words.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("word_idx", "word"))
+        ).alias("m")
+    )
+
+
+def bloom_contains(value, m_bits: int, k: int, words_map):
+    """Membership expression against a ``words_map`` column: TRUE iff
+    every one of the k positions has its bit set. False negatives are
+    impossible by construction; false positives at the analytic
+    (1 − e^(−kn/m))^k rate."""
+    def bit_set(p):
+        word = F.coalesce(
+            F.element_at(words_map, (p / _BLOOM_WORD_BITS).cast("int")), F.lit(0)
+        )
+        mask = F.pow(F.lit(2.0), (p % _BLOOM_WORD_BITS).cast("double")).cast("long")
+        return word.bitwiseAND(mask) != 0
+
+    return F.forall(bloom_positions(value, m_bits, k), bit_set)

@@ -62,3 +62,48 @@ def test_heavy_hitters_summary_is_bounded(spark):
         .m
     )
     assert per <= 8
+
+
+def test_bloom_zero_false_negatives_and_packing(spark):
+    """Every inserted member must test positive (Bloom theorem), and
+    the packed-word popcount equals the number of distinct set
+    positions computed independently."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from reddit_hn_etl_spark.operators import sketch
+
+    m_bits, k = 512, 3
+    vals = list(range(0, 400, 7))
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    words = sketch.bloom_words(df, "v", m_bits, k)
+    wm = sketch.bloom_words_map(words)
+    probes = spark.createDataFrame([(v,) for v in range(400)], "v long")
+    hit = (
+        probes.crossJoin(F.broadcast(wm))
+        .select(
+            "v",
+            sketch.bloom_contains(F.col("v"), m_bits, k, F.col("m")).alias("h"),
+        )
+        .collect()
+    )
+    got = {r["v"]: r["h"] for r in hit}
+    assert all(got[v] for v in vals), "false negative!"
+    # independent position model
+    def positions(v):
+        return {
+            int(hashlib.md5(f"{v}#{i}".encode()).hexdigest()[:8], 16) % m_bits
+            for i in range(k)
+        }
+
+    set_pos = set()
+    for v in vals:
+        set_pos |= positions(v)
+    popcount = sum(
+        bin(r["word"]).count("1") for r in words.collect()
+    )
+    assert popcount == len(set_pos)
+    # verdict parity with the set model for every probe
+    for v in range(400):
+        assert got[v] == positions(v).issubset(set_pos)
