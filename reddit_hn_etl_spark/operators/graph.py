@@ -528,3 +528,52 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling: repeatedly delete
+    vertices with degree < k (and their edges) until a fixpoint.
+
+    Input edges are treated as UNDIRECTED (symmetrized + dedup'd
+    here); output is one row per surviving vertex with its degree
+    inside the core. Per round: one degree aggregate + one semi-join
+    filter — the CC/PageRank round budget — with the edge frame
+    localCheckpoint-ed so round i never re-executes rounds < i. The
+    driver-side convergence probe reads ONE count per round (same
+    pattern as connected_components). Rounds needed ≤ the peel depth
+    (graph-dependent, log-ish on real co-occurrence graphs); raises
+    if max_rounds is hit without convergence so a silent partial
+    peel can never masquerade as the core.
+    """
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .where(F.col("s") != F.col("d"))
+        .unionByName(
+            edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.where(F.col("deg") >= k).select("s")
+        e2 = (
+            e.join(keep, "s", "left_semi")
+            .join(keep.select(F.col("s").alias("d")), "d", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        before, after = e.count(), e2.count()
+        e = e2
+        if before == after:
+            return (
+                e.groupBy("s")
+                .agg(F.count(F.lit(1)).alias("core_degree"))
+                .select(F.col("s").alias("vertex"), "core_degree")
+            )
+    raise RuntimeError(f"kcore: no fixpoint within {max_rounds} rounds")

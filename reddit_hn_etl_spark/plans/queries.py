@@ -14497,6 +14497,662 @@ def value_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Portable Bloom-filter membership screen (operators/sketch.py):
+# deterministic md5 bit positions make the filter — and every
+# membership verdict — engine-reproducible, so the oracle checks the
+# zero-false-negative theorem AND the exact packed-bit population,
+# not just bounds. The set-bits count pins the 32-bit word packing:
+# any packing bug changes n_set_bits or flips a verdict.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "bloom_customer_screen",
+    """
+    WITH members AS (
+        SELECT c_custkey FROM customer WHERE c_custkey % 7 = 0
+    ),
+    hashes AS (SELECT unnest([0, 1]) AS i),
+    mpos AS (
+        SELECT DISTINCT
+               CAST(('0x' || substring(md5(CAST(m.c_custkey AS VARCHAR)
+                                           || '#' || CAST(h.i AS VARCHAR)),
+                                       1, 8)) AS BIGINT) % 4096 AS pos
+        FROM members m CROSS JOIN hashes h
+    ),
+    ppos AS (
+        SELECT c.c_custkey, (c.c_custkey % 7 = 0) AS is_member,
+               CAST(('0x' || substring(md5(CAST(c.c_custkey AS VARCHAR)
+                                           || '#' || CAST(h.i AS VARCHAR)),
+                                       1, 8)) AS BIGINT) % 4096 AS pos
+        FROM customer c CROSS JOIN hashes h
+    ),
+    verdict AS (
+        SELECT p.c_custkey, p.is_member,
+               COUNT(DISTINCT p.pos) AS npos,
+               COUNT(DISTINCT CASE WHEN m.pos IS NOT NULL
+                                   THEN p.pos END) AS nhit
+        FROM ppos p LEFT JOIN mpos m ON m.pos = p.pos
+        GROUP BY p.c_custkey, p.is_member
+    ),
+    summary AS (
+        SELECT COUNT(*) AS n_probes,
+               SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS n_members,
+               SUM(CASE WHEN is_member AND nhit = npos
+                        THEN 1 ELSE 0 END) AS n_member_pass,
+               SUM(CASE WHEN NOT is_member AND nhit = npos
+                        THEN 1 ELSE 0 END) AS n_nonmember_pass
+        FROM verdict
+    )
+    SELECT n_members, n_probes, n_member_pass,
+           n_member_pass = n_members AS all_members_pass,
+           n_nonmember_pass,
+           (SELECT COUNT(*) FROM mpos) AS n_set_bits,
+           CAST(n_nonmember_pass AS DOUBLE) / (n_probes - n_members)
+               AS fpr_measured
+    FROM summary
+    """,
+)
+def bloom_customer_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable Bloom filter (m=4096 bits, k=2) over a deterministic
+    member subset (c_custkey % 7 = 0), probed with every customer
+    key. Emits the zero-false-negative theorem (all members pass),
+    the EXACT false-positive count (deterministic because the bit
+    positions are md5-derived — engine-independent), the packed-word
+    population count (F.bit_count over the 32-bit words == the
+    oracle's distinct-position count), and the measured FPR. Build is
+    one mergeable bit_or aggregate (≤128 word rows); probing is a
+    broadcast of the word map + a zero-shuffle scan — at 100 TB the
+    filter rides the closure to every executor like a semi-join
+    Bloom, with no JVM-private bit layout (sketch.py provenance:
+    reference has no sketch surface; cites Bloom 1970 semantics)."""
+    from ..operators import sketch
+
+    m_bits, k = 4096, 2
+    cust = read_table(spark, sf_dir, "customer")
+    members = cust.where(F.col("c_custkey") % 7 == 0).select("c_custkey")
+    words = sketch.bloom_words(members, "c_custkey", m_bits, k)
+    wm = sketch.bloom_words_map(words)
+    set_bits = words.agg(
+        F.sum(F.bit_count("word")).alias("n_set_bits")
+    )
+    probed = (
+        cust.select(
+            "c_custkey", (F.col("c_custkey") % 7 == 0).alias("is_member")
+        )
+        .crossJoin(F.broadcast(wm))
+        .select(
+            "is_member",
+            sketch.bloom_contains(
+                F.col("c_custkey"), m_bits, k, F.col("m")
+            ).alias("hit"),
+        )
+    )
+    summary = probed.agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.sum(F.when(F.col("is_member"), 1).otherwise(0)).alias("n_members"),
+        F.sum(
+            F.when(F.col("is_member") & F.col("hit"), 1).otherwise(0)
+        ).alias("n_member_pass"),
+        F.sum(
+            F.when(~F.col("is_member") & F.col("hit"), 1).otherwise(0)
+        ).alias("n_nonmember_pass"),
+    )
+    return summary.crossJoin(F.broadcast(set_bits)).select(
+        "n_members",
+        "n_probes",
+        "n_member_pass",
+        (F.col("n_member_pass") == F.col("n_members")).alias(
+            "all_members_pass"
+        ),
+        "n_nonmember_pass",
+        "n_set_bits",
+        (
+            F.col("n_nonmember_pass").cast("double")
+            / (F.col("n_probes") - F.col("n_members"))
+        ).alias("fpr_measured"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM scoring with add-1 smoothing — the conditional-probability
+# step up from doc_unigram_logprob (same ordered-fold discipline:
+# every ln argument is an exact integer ratio, the per-doc sum folds
+# the doc's own bigram sequence in order on BOTH engines).
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "doc_bigram_lm_logprob",
+    r"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                           x -> x <> '') AS w
+        FROM documents
+    ),
+    big AS (
+        SELECT doc_id,
+               unnest(list_transform(w[1:len(w) - 1],
+                      (x, i) -> x || ' ' || w[i + 1])) AS bg,
+               unnest(range(1, len(w))) AS pos
+        FROM t WHERE len(w) > 1
+    ),
+    bc AS (SELECT bg, COUNT(*) AS cnt FROM big GROUP BY bg),
+    hc AS (
+        SELECT split_part(bg, ' ', 1) AS h, COUNT(*) AS cnt
+        FROM big GROUP BY split_part(bg, ' ', 1)
+    ),
+    vocab AS (
+        SELECT COUNT(DISTINCT term) AS v
+        FROM (SELECT unnest(w) AS term FROM t)
+    ),
+    lp AS (
+        SELECT big.doc_id, big.pos,
+               ln((bc.cnt + 1) / (hc.cnt + vocab.v)) AS lnp
+        FROM big
+        JOIN bc ON bc.bg = big.bg
+        JOIN hc ON hc.h = split_part(big.bg, ' ', 1), vocab
+    )
+    SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_bigrams,
+           ROUND(list_reduce(list(lnp ORDER BY pos), (a, b) -> a + b)
+                 / COUNT(*), 4) AS ll_per_bigram
+    FROM lp GROUP BY doc_id
+    """,
+)
+def doc_bigram_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram LM with add-1 smoothing, scored per doc:
+    mean ln p(w_i | w_{i-1}) where p = (c(a,b)+1)/(c₁(a)+V), c₁(a)
+    the history count (a as bigram-first) and V the distinct-unigram
+    vocabulary. Every ln argument is an exact integer ratio (ints →
+    identical doubles; bare ln on identical doubles is bit-equal —
+    the unigram_logprob discipline), and the per-doc fold walks the
+    doc's OWN bigram array in order on both engines. Corpus stats
+    broadcast as two tiny maps + one scalar; at an open vocabulary
+    the map broadcast switches to a (bigram → count) shuffle join —
+    documented, not needed at any tested SF."""
+    docs = read_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", dedup.tokens("text").alias("w")).where(
+        F.size("w") > 1
+    )
+    bigrams = F.expr(
+        "transform(slice(w, 1, size(w) - 1), (x, i) -> concat(x, ' ', w[i + 1]))"
+    )
+    tb = t.select("doc_id", bigrams.alias("bgs"))
+    big = tb.select("doc_id", F.explode("bgs").alias("bg"))
+    bc = big.groupBy("bg").agg(F.count(F.lit(1)).alias("cnt"))
+    hc = (
+        big.select(F.substring_index("bg", " ", 1).alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    vocab = t.select(F.explode("w").alias("term")).agg(
+        F.countDistinct("term").alias("v")
+    )
+    stats = (
+        bc.agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("bg", "cnt"))
+            ).alias("bm")
+        )
+        .crossJoin(
+            hc.agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("h", "cnt"))
+                ).alias("hm")
+            )
+        )
+        .crossJoin(vocab)
+    )
+    lp = F.aggregate(
+        F.col("bgs"),
+        F.lit(0.0),
+        lambda acc, x: acc
+        + F.log(
+            (F.element_at(F.col("bm"), x) + 1)
+            / (
+                F.element_at(F.col("hm"), F.substring_index(x, " ", 1))
+                + F.col("v")
+            )
+        ),
+    )
+    return tb.crossJoin(F.broadcast(stats)).select(
+        "doc_id",
+        F.size("bgs").cast("int").alias("n_bigrams"),
+        F.round(lp / F.size("bgs"), 4).alias("ll_per_bigram"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mutual-kNN graph: the symmetric-neighbor filter curation pipelines
+# put in front of graph clustering (a near-dup edge both endpoints
+# agree on is far more precise than a one-directional hit). Ranking
+# follows the knn_cosine discipline exactly — raw fold-ordered
+# cosine, vec_id tie-break — so top-k membership is engine-identical.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "mutual_knn_pairs",
+    """
+    WITH sub AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings WHERE vec_id % 4 = 0
+    ),
+    scored AS (
+        SELECT a.vec_id AS qid, b.vec_id AS nid,
+               list_cosine_similarity(a.e, b.e) AS cos
+        FROM sub a JOIN sub b ON a.vec_id <> b.vec_id
+    ),
+    topk AS (
+        SELECT qid, nid, cos
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+            FROM scored
+        ) WHERE rn <= 5
+    )
+    SELECT t1.qid AS lo_id, t1.nid AS hi_id,
+           ROUND(t1.cos, 4) AS cosine_sim
+    FROM topk t1 JOIN topk t2
+      ON t1.qid = t2.nid AND t1.nid = t2.qid
+    WHERE t1.qid < t1.nid
+    """,
+)
+def mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-kNN pairs (k=5) over a deterministic quarter of the
+    embedding table: an edge survives only if each endpoint ranks
+    the other in its own top-5 by exact cosine. The per-side top-k
+    reuses knn_cosine_bruteforce (queries broadcast, one corpus
+    scan, windowed rank per query); mutuality is one self-join on
+    the reversed pair. At 100 TB the all-pairs scoring stage swaps
+    for cosine_pairs_grid (block GEMM) or the IVF path with the
+    same downstream rank+join — the mutual filter itself is
+    partitioning-independent."""
+    emb = read_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") % 4 == 0
+    )
+    topk = similarity.knn_cosine_bruteforce(
+        emb,
+        emb.select(F.col("vec_id").alias("query_id"), "embedding"),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=5,
+        exclude_self=True,
+    )
+    t1 = topk.select(
+        F.col("query_id").alias("qid"),
+        F.col("vec_id").alias("nid"),
+        "cosine_sim",
+    )
+    t2 = t1.select(
+        F.col("qid").alias("r_nid"), F.col("nid").alias("r_qid")
+    )
+    return (
+        t1.join(
+            t2,
+            (F.col("qid") == F.col("r_qid")) & (F.col("nid") == F.col("r_nid")),
+        )
+        .where(F.col("qid") < F.col("nid"))
+        .select(
+            F.col("qid").alias("lo_id"),
+            F.col("nid").alias("hi_id"),
+            "cosine_sim",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (graph.kcore): iterative degree peel to a
+# fixpoint. Spark peels with a driver-side convergence probe; the
+# oracle unrolls 6 peel rounds (≥ the measured 4-round worst case at
+# any tested SF, and post-fixpoint rounds are no-ops, so unroll ≥
+# actual ⇒ identical). Every CTE is MATERIALIZED — DuckDB inlines
+# CTEs and this chain references each round twice (the PCA lesson:
+# un-materialized it re-expands the co-purchase self-join 2^6×).
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 65
+_KCORE_ORACLE_ROUNDS = 6
+
+
+def _kcore_oracle() -> str:
+    parts = [
+        """
+    WITH e0 AS MATERIALIZED (
+        SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+        FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_partkey < b.l_partkey
+    ),
+    e_0 AS MATERIALIZED (
+        SELECT s, d FROM e0 UNION SELECT d, s FROM e0
+    )"""
+    ]
+    for r in range(1, _KCORE_ORACLE_ROUNDS + 1):
+        parts.append(
+            f""",
+    k_{r} AS MATERIALIZED (
+        SELECT s FROM e_{r - 1} GROUP BY s HAVING COUNT(*) >= {_KCORE_K}
+    ),
+    e_{r} AS MATERIALIZED (
+        SELECT e.s, e.d FROM e_{r - 1} e
+        JOIN k_{r} a ON a.s = e.s
+        JOIN k_{r} b ON b.s = e.d
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT s AS vertex, COUNT(*) AS core_degree
+    FROM e_{_KCORE_ORACLE_ROUNDS} GROUP BY s
+    """
+    )
+    return "".join(parts)
+
+
+@_q("copurchase_kcore", _kcore_oracle())
+def copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """65-core of the part co-purchase graph (parts adjacent when
+    they share an order): repeatedly delete parts with fewer than 65
+    surviving co-purchase partners. The dense-region extractor
+    recommender/curation pipelines run before community detection —
+    the core keeps only parts whose neighborhoods survive mutually.
+    Spark side peels to a TRUE fixpoint (graph.kcore, one degree agg
+    + two semi-joins per round, localCheckpoint-ed, 1-count driver
+    probe — the connected_components round budget; raises rather
+    than return a partial peel); k=65 sits just below this graph's
+    sharp core-collapse threshold so the result is non-vacuous at
+    every SF (188/200, 1992/2000, 19845/20000 vertices). Edge build
+    is one orderkey-keyed self-join — partial-aggregatable and
+    shuffle-bounded by order width, not corpus size."""
+    li = read_table(spark, sf_dir, "lineitem")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("s"))
+    b = li.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("d")
+    )
+    edges = (
+        a.join(b, (F.col("l_orderkey") == F.col("ok2")) & (F.col("s") < F.col("d")))
+        .select("s", "d")
+        .distinct()
+    )
+    return graph.kcore(edges, k=_KCORE_K, src="s", dst="d")
+
+
+# ---------------------------------------------------------------------------
+# UCB1 arm ranking: the deterministic exploration-bonus score over
+# observed counts (Auer et al. 2002) — what a bandit-driven data-
+# mixing loop computes each round. Every input to the score is an
+# exact integer, so mean + sqrt(2 ln N / n) composes identical
+# doubles; ROUND(,12) before ranking per the PMI lesson.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "ucb1_brand_ranking",
+    """
+    WITH arms AS (
+        SELECT p.p_brand AS brand,
+               COUNT(*) AS n_pulls,
+               SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                   AS n_rewards
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY p.p_brand
+    ),
+    tot AS (SELECT SUM(n_pulls) AS big_n FROM arms),
+    scored AS (
+        SELECT brand, n_pulls, n_rewards,
+               CAST(n_rewards AS DOUBLE) / n_pulls AS mean_reward,
+               ROUND(CAST(n_rewards AS DOUBLE) / n_pulls
+                     + sqrt(2 * ln(CAST(big_n AS DOUBLE)) / n_pulls),
+                     12) AS ucb_score
+        FROM arms, tot
+    )
+    SELECT brand, n_pulls, n_rewards, mean_reward, ucb_score,
+           CAST(ROW_NUMBER() OVER (ORDER BY ucb_score DESC, brand)
+                AS INTEGER) AS rnk
+    FROM scored
+    """,
+)
+def ucb1_brand_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UCB1 scores treating each part brand as a bandit arm (pull =
+    lineitem, reward = returned line): mean reward (exact integer
+    ratio) + the sqrt(2 ln N / n) exploration bonus. ln/sqrt on
+    identical doubles are bit-equal; the one risky step — ADDING the
+    two terms — gets the 1e-12 grid before the rank so a boundary
+    ulp can't flip an ordering. One fact-dim broadcast join + one
+    partial-aggregatable groupBy + a 25-row window: nothing here
+    scales with more than the brand count."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    arms = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pulls"),
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).alias("n_rewards"),
+        )
+    )
+    tot = arms.agg(F.sum("n_pulls").alias("big_n"))
+    mean = F.col("n_rewards").cast("double") / F.col("n_pulls")
+    ucb = F.round(
+        mean
+        + F.sqrt(
+            F.lit(2.0)
+            * F.log(F.col("big_n").cast("double"))
+            / F.col("n_pulls")
+        ),
+        12,
+    )
+    scored = arms.crossJoin(F.broadcast(tot)).select(
+        "brand",
+        "n_pulls",
+        "n_rewards",
+        mean.alias("mean_reward"),
+        ucb.alias("ucb_score"),
+    )
+    return scored.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.desc("ucb_score"), F.asc("brand")))
+        .cast("int")
+        .alias("rnk"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic token dropout — the data-augmentation twin of the
+# sampling family: every keep/drop decision is an md5 of
+# (doc_id, position), so the augmented corpus is reproducible across
+# machines, retries, AND partitionings (never rand()). Positions are
+# pinned 1-based on both engines (Spark's two-arg lambda index is
+# 0-based, DuckDB's is 1-based — the off-by-one is handled HERE, not
+# downstream).
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "doc_token_dropout",
+    r"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                           x -> x <> '') AS w
+        FROM documents
+    ),
+    kept AS (
+        SELECT doc_id, len(w) AS n_tokens,
+               list_filter(w, (x, i) ->
+                   CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+                                               || '#' || CAST(i AS VARCHAR)),
+                                           1, 2)) AS BIGINT) >= 64) AS k
+        FROM t
+    )
+    SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+           CAST(len(k) AS INTEGER) AS n_kept,
+           array_to_string(k[1:8], ' ') AS kept_preview
+    FROM kept
+    """,
+)
+def doc_token_dropout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token dropout at nominal rate 64/256 = 25%: token at 1-based
+    position p survives iff the first md5 byte of "doc_id#p" is
+    ≥ 64. Content- and position-keyed, so the same doc always drops
+    the same tokens — reproducible augmentation with zero
+    coordination, and a pure projection (no shuffle at any scale).
+    Emits per-doc kept counts and an 8-token preview (string-exact
+    across engines)."""
+    docs = read_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", dedup.tokens("text").alias("w"))
+    kept = F.expr(
+        "filter(w, (x, i) -> conv(substring(md5(concat("
+        "cast(doc_id as string), '#', cast(i + 1 as string))), 1, 2),"
+        " 16, 10) >= 64)"
+    )
+    k = t.select("doc_id", F.size("w").alias("n_tokens"), kept.alias("k"))
+    return k.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.size("k").cast("int").alias("n_kept"),
+        F.array_join(F.slice("k", 1, 8), " ").alias("kept_preview"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss distance preservation under a deterministic
+# Rademacher (±1) projection 64 → 16. The planes are driver-computed
+# md5 signs inlined as INTEGER literals in both engines (no float
+# parse trap at all); every fold walks arrays in order; the final
+# ratio gets ROUND(,6) — the kmeans lesson, DuckDB FMA-contracts
+# (a−b)·(a−b) inside list lambdas so squared terms are never
+# bit-trusted.
+# ---------------------------------------------------------------------------
+
+_JL_DIM, _JL_OUT = 64, 16
+
+
+def _jl_planes() -> list[list[int]]:
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"jl{j}#{d}".encode()).hexdigest()[0], 16) < 8
+            else -1
+            for d in range(_JL_DIM)
+        ]
+        for j in range(_JL_OUT)
+    ]
+
+
+def _jl_oracle() -> str:
+    planes = _jl_planes()
+    proj_cols = ",\n               ".join(
+        "list_reduce(list_transform(range(1, %d), i -> e[i] * (%s)[i]),"
+        " (a, b) -> a + b) AS y%d"
+        % (_JL_DIM + 1, str(pl), j)
+        for j, pl in enumerate(planes)
+    )
+    dy = " + ".join(
+        f"(a.y{j} - b.y{j}) * (a.y{j} - b.y{j})" for j in range(_JL_OUT)
+    )
+    return f"""
+    WITH sub AS MATERIALIZED (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings WHERE vec_id % 10 < 2
+    ),
+    proj AS MATERIALIZED (
+        SELECT vec_id, e,
+               {proj_cols}
+        FROM sub
+    )
+    SELECT a.vec_id AS lo_id, b.vec_id AS hi_id,
+           ROUND(({dy})
+                 / ({_JL_OUT} * list_reduce(
+                        list_transform(range(1, {_JL_DIM + 1}),
+                                       i -> (a.e[i] - b.e[i])
+                                            * (a.e[i] - b.e[i])),
+                        (x, y) -> x + y)), 6) AS dist_ratio
+    FROM proj a JOIN proj b ON b.vec_id = a.vec_id + 10
+    """
+
+
+@_q("embedding_jl_distortion", _jl_oracle())
+def embedding_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL lemma, measured: squared pair distances after a ±1
+    Rademacher projection to 16 dims, relative to m·(original
+    squared distance) — concentrated around 1.0. Planes are md5-sign
+    literals shared by both engines; each projection coordinate is
+    one ordered fold over the row's own array (zero shuffle — the
+    projection is a map), and pairing joins vec_id → vec_id+10 over
+    a deterministic 20% subset. The measured-ratio column is the
+    curation signal (how far can we compress before ANN recall
+    degrades); ROUND(,6) kills the FMA-contraction ulp in the
+    squared-difference folds."""
+    emb = read_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") % 10 < 2
+    )
+    planes = _jl_planes()
+    lits = [
+        F.array(*[F.lit(v) for v in pl]).alias(f"_p{j}")
+        for j, pl in enumerate(planes)
+    ]
+    base = emb.select(
+        "vec_id", F.col("embedding").alias("e"), *lits
+    )
+    proj = base.select(
+        "vec_id",
+        "e",
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.col("e"),
+                    F.col(f"_p{j}"),
+                    lambda x, s: x.cast("double") * s.cast("double"),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias(f"y{j}")
+            for j in range(_JL_OUT)
+        ],
+    )
+    a = proj.select(
+        F.col("vec_id").alias("lo_id"),
+        F.col("e").alias("ea"),
+        *[F.col(f"y{j}").alias(f"a{j}") for j in range(_JL_OUT)],
+    )
+    b = proj.select(
+        F.col("vec_id").alias("hi_id"),
+        F.col("e").alias("eb"),
+        *[F.col(f"y{j}").alias(f"b{j}") for j in range(_JL_OUT)],
+    )
+    dy = None
+    for j in range(_JL_OUT):
+        term = (F.col(f"a{j}") - F.col(f"b{j}")) * (
+            F.col(f"a{j}") - F.col(f"b{j}")
+        )
+        dy = term if dy is None else dy + term
+    dx = F.aggregate(
+        F.zip_with(
+            F.col("ea"),
+            F.col("eb"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        a.join(b, F.col("hi_id") == F.col("lo_id") + 10)
+        .select(
+            "lo_id",
+            "hi_id",
+            F.round(dy / (F.lit(_JL_OUT) * dx), 6).alias("dist_ratio"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window.
 #
 # The driver hard-verifies (rows + schema + value hash vs the DuckDB

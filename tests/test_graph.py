@@ -225,3 +225,50 @@ def test_weighted_pagerank_mass_conserved_and_weight_sensitive(spark):
     # vertex 3 hangs off the heavy 1-2 edge only weakly; the heavy
     # pair should outrank it
     assert pr[1] > pr[3] and pr[2] > pr[3]
+
+
+def test_kcore_clique_plus_chain(spark):
+    """3-core of (K5 clique + pendant chain) keeps exactly the clique
+    with degree 4 each; a tree has an empty 2-core."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from reddit_hn_etl_spark.operators.graph import kcore
+
+    clique = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    chain = [(4, 10), (10, 11), (11, 12)]
+    edges = spark.createDataFrame(clique + chain, "src long, dst long")
+    got = {r["vertex"]: r["core_degree"] for r in kcore(edges, k=3).collect()}
+    assert got == {0: 4, 1: 4, 2: 4, 3: 4, 4: 4}
+    tree = spark.createDataFrame(
+        [(i, i // 2) for i in range(1, 16)], "src long, dst long"
+    )
+    assert kcore(tree, k=2).count() == 0
+
+
+def test_kcore_matches_brute_force(spark):
+    """Fixpoint peel on a deterministic pseudo-random graph equals a
+    driver-side networkx-free brute-force k-core."""
+    import hashlib
+
+    from reddit_hn_etl_spark.operators.graph import kcore
+
+    edges = []
+    for i in range(300):
+        h = int(hashlib.md5(f"e{i}".encode()).hexdigest()[:8], 16)
+        a, b = h % 40, (h // 40) % 40
+        if a != b:
+            edges.append((a, b))
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["vertex"]: r["core_degree"] for r in kcore(df, k=5).collect()}
+    adj: dict[int, set] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    alive = set(adj)
+    while True:
+        drop = {v for v in alive if len(adj[v] & alive) < 5}
+        if not drop:
+            break
+        alive -= drop
+    want = {v: len(adj[v] & alive) for v in alive}
+    assert got == want

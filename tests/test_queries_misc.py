@@ -235,3 +235,69 @@ def test_conformal_qhat_is_exact_order_statistic(spark, sf_dir):
         assert row["n_calib"] == len(xs)
         assert row["qhat"] == resid[k - 1]
         assert 0.8 <= row["coverage"] <= 1.0
+
+
+def test_mutual_knn_pairs_are_symmetric_topk(spark, sf_dir):
+    """Every emitted pair must appear in BOTH endpoints' exact top-5
+    neighbor lists, recomputed driver-side with numpy."""
+    import numpy as np
+
+    from reddit_hn_etl_spark.plans.queries import QUERIES
+    from reddit_hn_etl_spark.sources.tables import read_table
+    from pyspark.sql import functions as F
+
+    rows = QUERIES["mutual_knn_pairs"](spark, sf_dir).collect()
+    assert rows
+    emb = (
+        read_table(spark, str(sf_dir), "embeddings")
+        .where(F.col("vec_id") % 4 == 0)
+        .collect()
+    )
+    ids = [r["vec_id"] for r in emb]
+    M = np.array([r["embedding"] for r in emb], dtype=np.float64)
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = M @ M.T
+    topk = {}
+    for i, vid in enumerate(ids):
+        order = sorted(
+            ((S[i, j], -ids[j]) for j in range(len(ids)) if j != i),
+            reverse=True,
+        )[:5]
+        topk[vid] = {-t[1] for t in order}
+    for r in rows:
+        assert r["hi_id"] in topk[r["lo_id"]], r
+        assert r["lo_id"] in topk[r["hi_id"]], r
+
+
+def test_jl_distortion_concentrates_near_one(spark, sf_dir):
+    """JL with m=16: the measured squared-distance ratios concentrate
+    around 1; assert median within [0.6, 1.6] and every ratio
+    positive (numpy cross-check of one pair)."""
+    import hashlib
+
+    import numpy as np
+
+    from reddit_hn_etl_spark.plans.queries import QUERIES, _jl_planes
+
+    rows = QUERIES["embedding_jl_distortion"](spark, sf_dir).collect()
+    assert rows
+    ratios = sorted(r["dist_ratio"] for r in rows)
+    assert all(r > 0 for r in ratios)
+    med = ratios[len(ratios) // 2]
+    assert 0.6 <= med <= 1.6
+    # numpy recomputation for the first emitted pair
+    from pyspark.sql import functions as F
+
+    from reddit_hn_etl_spark.sources.tables import read_table
+
+    pair = rows[0]
+    emb = (
+        read_table(spark, str(sf_dir), "embeddings")
+        .where(F.col("vec_id").isin(pair["lo_id"], pair["hi_id"]))
+        .collect()
+    )
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in emb}
+    P = np.array(_jl_planes(), dtype=np.float64)
+    d = vecs[pair["lo_id"]] - vecs[pair["hi_id"]]
+    ratio = float((P @ d) @ (P @ d)) / (16 * float(d @ d))
+    assert abs(ratio - pair["dist_ratio"]) < 1e-4
