@@ -212,3 +212,25 @@ def bloom_contains(value, m_bits: int, k: int, words_map):
         return word.bitwiseAND(mask) != 0
 
     return F.forall(bloom_positions(value, m_bits, k), bit_set)
+
+
+def cms_join_size(
+    table_a: DataFrame, table_b: DataFrame, depth: int = 4
+) -> DataFrame:
+    """Join/self-join size estimate from two CMS tables (the AMS
+    inner-product estimator over CMS cells, Cormode-Muthukrishnan
+    §4.2): est_r = Σ_bucket cntA[r,b]·cntB[r,b], est = min_r est_r.
+
+    Never undercounts (every colliding pair adds a non-negative
+    cross term) and both inputs are deterministic-bucket tables, so
+    the estimate itself is engine-reproducible exact integer
+    arithmetic. Cost: one (depth×width)-row join — constant work
+    regardless of input size once the sketches exist."""
+    a = table_a.select("r", "bucket", F.col("cnt").alias("ca"))
+    b = table_b.select("r", "bucket", F.col("cnt").alias("cb"))
+    return (
+        a.join(b, ["r", "bucket"])
+        .groupBy("r")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("est_r"))
+        .agg(F.min("est_r").alias("est"))
+    )
