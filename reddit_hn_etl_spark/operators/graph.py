@@ -577,3 +577,53 @@ def kcore(
                 .select(F.col("s").alias("vertex"), "core_degree")
             )
     raise RuntimeError(f"kcore: no fixpoint within {max_rounds} rounds")
+
+
+def bellman_ford(
+    edges: DataFrame,
+    sources: list[int],
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    max_rounds: int = 40,
+) -> DataFrame:
+    """Single-source (or multi-source) shortest WEIGHTED paths by
+    Bellman-Ford relaxation — the weighted upgrade of bfs_distances.
+
+    Treats edges as directed (symmetrize upstream for undirected
+    graphs); weights must be non-negative for the fixpoint to be the
+    true distance. Per round: one dist⋈edges join + a min aggregate
+    (the CC round budget), localCheckpoint-ed; the driver probe
+    counts changed vertices and stops at 0. Converges in ≤ (max
+    shortest-path hop count) rounds; raises on non-convergence so a
+    partial relaxation can never pass as the answer. Distances stay
+    exact integers when weights are integers."""
+    e = edges.select(
+        F.col(src).alias("s"), F.col(dst).alias("d"), F.col(weight).alias("w")
+    ).localCheckpoint(eager=True)
+    dist = (
+        e.sparkSession.createDataFrame(
+            [(int(v), 0) for v in sources], "vertex long, dist long"
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        relaxed = (
+            dist.join(e, dist.vertex == e.s)
+            .select(F.col("d").alias("vertex"), (F.col("dist") + F.col("w")).alias("dist"))
+            .unionByName(dist)
+            .groupBy("vertex")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            relaxed.join(
+                dist.withColumnRenamed("dist", "old"), "vertex", "left"
+            )
+            .where(F.col("old").isNull() | (F.col("dist") != F.col("old")))
+            .count()
+        )
+        dist = relaxed
+        if changed == 0:
+            return dist
+    raise RuntimeError(f"bellman_ford: no fixpoint within {max_rounds} rounds")

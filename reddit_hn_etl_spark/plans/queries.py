@@ -15153,6 +15153,701 @@ def embedding_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# CMS self-join-size estimation (AMS inner product over CMS cells):
+# the query optimizer's cardinality-estimation primitive, exactly
+# reproducible because the cells are deterministic md5 buckets.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "cms_selfjoin_size_estimate",
+    """
+    WITH rows AS (SELECT unnest([0, 1, 2, 3]) AS r),
+    cells AS (
+        SELECT r.r,
+               CAST(('0x' || substring(md5(CAST(r.r AS VARCHAR) || '|'
+                                           || CAST(l.l_suppkey AS VARCHAR)),
+                                       1, 15)) AS BIGINT) % 256 AS bucket,
+               COUNT(*) AS cnt
+        FROM lineitem l CROSS JOIN rows r
+        GROUP BY 1, 2
+    ),
+    est AS (
+        SELECT MIN(est_r) AS est
+        FROM (SELECT r, SUM(cnt * cnt) AS est_r FROM cells GROUP BY r)
+    ),
+    tru AS (
+        SELECT SUM(f * f) AS true_size
+        FROM (SELECT COUNT(*) AS f FROM lineitem GROUP BY l_suppkey)
+    )
+    SELECT t.true_size, e.est,
+           e.est >= t.true_size AS never_undercounts,
+           CAST(e.est AS DOUBLE) / t.true_size AS overestimate_ratio
+    FROM tru t, est e
+    """,
+)
+def cms_selfjoin_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join size of lineitem on l_suppkey (Σ f(s)² — the AMS
+    F₂-style statistic behind join cardinality estimation), estimated
+    from the Count-Min sketch via the inner-product estimator
+    (sketch.cms_join_size) and compared with the exact answer. Both
+    numbers are exact integers: the sketch cells are deterministic
+    md5 buckets (engine-reproducible — the cms_user_counts policy),
+    so the ESTIMATE itself is oracle material, plus the
+    never-undercounts theorem as a boolean. Sketch build is one
+    (4×256)-key partial agg; the estimate joins two 1 KB tables —
+    constant cost at any input scale."""
+    from ..operators import sketch
+
+    li = read_table(spark, sf_dir, "lineitem")
+    cms = sketch.cms_table(li, "l_suppkey", depth=4, width=256)
+    est = sketch.cms_join_size(cms, cms, depth=4)
+    true_size = (
+        li.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .agg(F.sum(F.col("f") * F.col("f")).alias("true_size"))
+    )
+    return true_size.crossJoin(F.broadcast(est)).select(
+        "true_size",
+        "est",
+        (F.col("est") >= F.col("true_size")).alias("never_undercounts"),
+        (F.col("est").cast("double") / F.col("true_size")).alias(
+            "overestimate_ratio"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# AR(1) fit by Yule-Walker (lag-1 autocorrelation) per daily series —
+# the simplest member of the forecasting family (Holt, STL, Theil-Sen
+# already covered): five exact-int lag-pair moments, closed form on
+# the 1e-12 grid, one-step-ahead forecast from identical doubles.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "daily_value_ar1",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                   AS cents
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    seq AS (
+        SELECT event_type, cents,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+                   AS i
+        FROM daily
+    ),
+    pairs AS (
+        SELECT a.event_type, a.cents AS x, b.cents AS y
+        FROM seq a JOIN seq b
+          ON a.event_type = b.event_type AND b.i = a.i + 1
+    ),
+    mom AS (
+        SELECT event_type, COUNT(*) AS n,
+               SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+               SUM(x * x) AS sxx, SUM(y * y) AS syy
+        FROM pairs GROUP BY event_type
+    ),
+    last_v AS (
+        SELECT s.event_type, s.cents AS x_last
+        FROM seq s
+        JOIN (SELECT event_type, MAX(i) AS mi FROM seq GROUP BY event_type) m
+          ON m.event_type = s.event_type AND m.mi = s.i
+    ),
+    fit AS (
+        SELECT m.event_type, m.n,
+               ROUND((CAST(m.n AS DOUBLE) * m.sxy
+                      - CAST(m.sx AS DOUBLE) * m.sy)
+                     / (sqrt(CAST(m.n AS DOUBLE) * m.sxx
+                             - CAST(m.sx AS DOUBLE) * m.sx)
+                        * sqrt(CAST(m.n AS DOUBLE) * m.syy
+                               - CAST(m.sy AS DOUBLE) * m.sy)), 12)
+                   AS phi,
+               CAST(m.sy AS DOUBLE) / m.n AS mu,
+               l.x_last
+        FROM mom m JOIN last_v l ON l.event_type = m.event_type
+    )
+    SELECT event_type, n AS n_pairs, phi,
+           ROUND(mu + phi * (CAST(x_last AS DOUBLE) - mu), 6)
+               AS forecast_cents
+    FROM fit
+    """,
+)
+def daily_value_ar1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AR(1) coefficient per event type from the Yule-Walker moment
+    equations on (x_t, x_{t+1}) lag pairs: φ = lag-1 Pearson from
+    five exact-int64 moments (closed form, 1e-12 grid), one-step
+    forecast μ + φ(x_n − μ) on identical doubles (1e-6 grid — the
+    subtract-multiply-add is the FMA-contractible shape). Lag pairs
+    come from the same per-series row-number self-join every series
+    query uses; all downstream work is per-type scalars."""
+    ev = read_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    daily = (
+        ev.select(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            cents.alias("_c"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("_c").alias("cents"))
+    )
+    seq = daily.select(
+        "event_type",
+        "cents",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("day"))
+        .alias("i"),
+    ).localCheckpoint(eager=True)
+    b = seq.select(
+        F.col("event_type").alias("et2"),
+        F.col("cents").alias("y"),
+        F.col("i").alias("ib"),
+    )
+    pairs = seq.join(
+        b,
+        (F.col("event_type") == F.col("et2"))
+        & (F.col("ib") == F.col("i") + 1),
+    ).select("event_type", F.col("cents").alias("x"), "y")
+    mom = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    last_v = (
+        seq.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy(F.desc("i"))
+            ),
+        )
+        .where(F.col("_rn") == 1)
+        .select("event_type", F.col("cents").alias("x_last"))
+    )
+    n_d = F.col("n").cast("double")
+    sx_d = F.col("sx").cast("double")
+    sy_d = F.col("sy").cast("double")
+    phi = F.round(
+        (n_d * F.col("sxy") - sx_d * F.col("sy"))
+        / (
+            F.sqrt(n_d * F.col("sxx") - sx_d * F.col("sx"))
+            * F.sqrt(n_d * F.col("syy") - sy_d * F.col("sy"))
+        ),
+        12,
+    )
+    mu = sy_d / F.col("n")
+    fit = mom.join(last_v, "event_type").select(
+        "event_type",
+        F.col("n").alias("n_pairs"),
+        phi.alias("phi"),
+        mu.alias("mu"),
+        "x_last",
+    )
+    return fit.select(
+        "event_type",
+        "n_pairs",
+        "phi",
+        F.round(
+            F.col("mu")
+            + F.col("phi") * (F.col("x_last").cast("double") - F.col("mu")),
+            6,
+        ).alias("forecast_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau-b: the third rank-correlation surface (Spearman and
+# Pearson-on-moments exist) — concordant/discordant pair counts are
+# exact integers, the tie-corrected denominator is a sqrt of exact
+# integer products, grid-rounded before emit.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "daily_kendall_tau",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                   AS cents,
+               COUNT(*) AS n_events
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    seq AS (
+        SELECT event_type, cents AS x, n_events AS y,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+                   AS i
+        FROM daily
+    ),
+    pairc AS (
+        SELECT a.event_type,
+               SUM(CASE WHEN (b.x - a.x) * (b.y - a.y) > 0
+                        THEN 1 ELSE 0 END) AS c,
+               SUM(CASE WHEN (b.x - a.x) * (b.y - a.y) < 0
+                        THEN 1 ELSE 0 END) AS d,
+               COUNT(*) AS n0
+        FROM seq a JOIN seq b
+          ON a.event_type = b.event_type AND a.i < b.i
+        GROUP BY a.event_type
+    ),
+    tx AS (
+        SELECT event_type, SUM(t * (t - 1) / 2) AS n1
+        FROM (SELECT event_type, COUNT(*) AS t FROM seq
+              GROUP BY event_type, x)
+        GROUP BY event_type
+    ),
+    ty AS (
+        SELECT event_type, SUM(t * (t - 1) / 2) AS n2
+        FROM (SELECT event_type, COUNT(*) AS t FROM seq
+              GROUP BY event_type, y)
+        GROUP BY event_type
+    )
+    SELECT p.event_type, p.c AS concordant, p.d AS discordant,
+           ROUND((CAST(p.c AS DOUBLE) - p.d)
+                 / sqrt(CAST((p.n0 - tx.n1) AS DOUBLE)
+                        * (p.n0 - ty.n2)), 12) AS tau_b
+    FROM pairc p
+    JOIN tx ON tx.event_type = p.event_type
+    JOIN ty ON ty.event_type = p.event_type
+    """,
+)
+def daily_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall τ-b between daily total value and daily event count:
+    concordant/discordant counts over the calendar-bounded pair join
+    (exact integers), tie corrections n1/n2 as exact integer sums,
+    τ-b = (C−D)/√((n0−n1)(n0−n2)) composed from identical doubles on
+    the 1e-12 grid. Complements daily_spearman_corr: τ is the
+    robust, interpretable cousin (probability of agreement minus
+    disagreement)."""
+    ev = read_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    daily = (
+        ev.select(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            cents.alias("_c"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("_c").alias("x"), F.count(F.lit(1)).alias("y"))
+    )
+    seq = daily.select(
+        "event_type",
+        "x",
+        "y",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("day"))
+        .alias("i"),
+    ).localCheckpoint(eager=True)
+    b = seq.select(
+        F.col("event_type").alias("et2"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        F.col("i").alias("ib"),
+    )
+    prod = (F.col("xb") - F.col("x")) * (F.col("yb") - F.col("y"))
+    pairc = (
+        seq.join(
+            b,
+            (F.col("event_type") == F.col("et2")) & (F.col("i") < F.col("ib")),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(prod > 0, 1).otherwise(0)).alias("c"),
+            F.sum(F.when(prod < 0, 1).otherwise(0)).alias("d"),
+            F.count(F.lit(1)).alias("n0"),
+        )
+    )
+
+    def _ties(col: str, out: str):
+        return (
+            seq.groupBy("event_type", col)
+            .agg(F.count(F.lit(1)).alias("t"))
+            .groupBy("event_type")
+            .agg(
+                F.sum((F.col("t") * (F.col("t") - 1) / 2).cast("bigint")).alias(
+                    out
+                )
+            )
+        )
+
+    tx, ty = _ties("x", "n1"), _ties("y", "n2")
+    tau = F.round(
+        (F.col("c").cast("double") - F.col("d"))
+        / F.sqrt(
+            (F.col("n0") - F.col("n1")).cast("double")
+            * (F.col("n0") - F.col("n2"))
+        ),
+        12,
+    )
+    return (
+        pairc.join(tx, "event_type")
+        .join(ty, "event_type")
+        .select(
+            "event_type",
+            F.col("c").alias("concordant"),
+            F.col("d").alias("discordant"),
+            tau.alias("tau_b"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ER survivorship: FS link pairs → transitive clusters → ONE golden
+# record per cluster with deterministic field election (the master-
+# data-management step after linkage). Every election key is exact
+# (padded integer-string argmax — the OHLC discipline), so the
+# golden rows are hash-exact.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "customer_golden_records",
+    f"""
+    WITH RECURSIVE c AS MATERIALIZED (
+        SELECT c_custkey, c_mktsegment, c_name, c_nationkey,
+               CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS cents
+        FROM customer WHERE c_custkey % 10 = 0
+    ),
+    p AS (
+        SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+               ROUND(jaro_winkler_similarity(a.c_name, b.c_name), 6) >= 0.95
+                   AS agree_name,
+               a.c_nationkey = b.c_nationkey AS agree_nation,
+               ABS(a.cents - b.cents) <= 10000 AS agree_bal
+        FROM c a JOIN c b
+          ON a.c_mktsegment = b.c_mktsegment AND a.c_custkey < b.c_custkey
+    ),
+    s AS (SELECT key_a, key_b, {_FS_CASES} AS fs_score FROM p),
+    pairs AS MATERIALIZED (
+        SELECT key_a AS doc_a, key_b AS doc_b FROM s WHERE fs_score >= 5.0
+    ),
+    {_CC_BY_RECURSIVE_CTE},
+    rec AS (
+        SELECT cc.component, c.*,
+               lpad(CAST(c.cents AS VARCHAR), 14, '0') || '-' ||
+                   lpad(CAST(c.c_custkey AS VARCHAR), 12, '0') AS kk
+        FROM c JOIN cc ON cc.vertex = c.c_custkey
+    )
+    SELECT component AS cluster_id,
+           CAST(COUNT(*) AS INTEGER) AS n_members,
+           MIN(c_custkey) AS rep_key,
+           arg_max(c_name, kk) AS canonical_name,
+           arg_max(c_mktsegment, kk) AS canonical_segment,
+           MAX(cents) AS best_balance_cents,
+           MIN(c_nationkey) AS min_nationkey
+    FROM rec GROUP BY component
+    """,
+)
+def customer_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record construction over Fellegi-Sunter linkage: link
+    pairs (fs_score ≥ 5, the customer_fellegi_sunter scoring reused
+    verbatim) feed graph.connected_components; each cluster elects
+    one survivor per field — name/segment from the member with the
+    lexicographically-max (padded cents, custkey) key (max_by on a
+    total order — deterministic), balance = MAX, representative key
+    = MIN. The classic MDM survivorship shapes (most-complete /
+    most-recent) reduce to exactly this argmax-over-total-order
+    pattern. Blocked pairs bound the quadratic stage; CC is
+    O(diameter) rounds; election is one partial-aggregatable
+    groupBy."""
+    from ..operators import er
+
+    jw = textfn.jaro_winkler_pandas_udf()
+    cust = read_table(spark, sf_dir, "customer").where(
+        F.col("c_custkey") % 10 == 0
+    )
+    cents = (F.col("c_acctbal").cast("decimal(18,2)") * 100).cast("bigint")
+    base = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_name",
+        "c_nationkey",
+        cents.alias("cents"),
+    ).localCheckpoint(eager=True)
+    a = base.select(
+        F.col("c_custkey").alias("key_a"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_name").alias("_na"),
+        F.col("c_nationkey").alias("_ga"),
+        F.col("cents").alias("_ca"),
+    )
+    b = base.select(
+        F.col("c_custkey").alias("key_b"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_name").alias("_nb"),
+        F.col("c_nationkey").alias("_gb"),
+        F.col("cents").alias("_cb"),
+    )
+    pairs = (
+        a.join(b, "segment")
+        .where(F.col("key_a") < F.col("key_b"))
+        .select(
+            "key_a",
+            "key_b",
+            (F.round(jw(F.col("_na"), F.col("_nb")), 6) >= 0.95).alias(
+                "agree_name"
+            ),
+            (F.col("_ga") == F.col("_gb")).alias("agree_nation"),
+            (F.abs(F.col("_ca") - F.col("_cb")) <= 10000).alias("agree_bal"),
+        )
+    )
+    links = (
+        er.fellegi_sunter(
+            pairs, _FS_PARAMS, link_threshold=5.0, possible_threshold=0.0
+        )
+        .where(F.col("decision") == "link")
+        .select(
+            F.col("key_a").alias("doc_a"), F.col("key_b").alias("doc_b")
+        )
+    )
+    cc = graph.connected_components(links)
+    kk = F.concat(
+        F.lpad(F.col("cents").cast("string"), 14, "0"),
+        F.lit("-"),
+        F.lpad(F.col("c_custkey").cast("string"), 12, "0"),
+    )
+    rec = base.join(
+        cc, base.c_custkey == cc.vertex
+    ).select("component", "c_custkey", "c_name", "c_mktsegment",
+             "c_nationkey", "cents", kk.alias("kk"))
+    return rec.groupBy("component").agg(
+        F.count(F.lit(1)).cast("int").alias("n_members"),
+        F.min("c_custkey").alias("rep_key"),
+        F.max_by("c_name", "kk").alias("canonical_name"),
+        F.max_by("c_mktsegment", "kk").alias("canonical_segment"),
+        F.max("cents").alias("best_balance_cents"),
+        F.min("c_nationkey").alias("min_nationkey"),
+    ).withColumnRenamed("component", "cluster_id")
+
+
+# ---------------------------------------------------------------------------
+# CDC log apply: materialize the current state from an ordered
+# insert/update/delete change log — the lakehouse ingestion shape
+# MERGE handles incrementally, expressed as one windowed last-writer
+# pass (delete wins only if it is the LAST op). Ordering key is
+# exact integer microseconds + event_id: both engines truncate the
+# nano timestamps identically, so the "last" op can never diverge.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "cdc_user_state_apply",
+    """
+    WITH log AS (
+        SELECT user_id, event_id,
+               epoch_us(ts) AS us,
+               CASE event_type WHEN 'signup' THEN 'I'
+                               WHEN 'error' THEN 'D'
+                               ELSE 'U' END AS op,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events
+    ),
+    ordered AS (
+        SELECT user_id, op, cents,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY us DESC, event_id DESC) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n_ops
+        FROM log
+    )
+    SELECT user_id, CAST(n_ops AS INTEGER) AS n_ops,
+           op AS last_op, cents AS last_cents
+    FROM ordered WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_user_state_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a CDC change log to materialize current per-user state:
+    event_type maps to I/U/D ops, ops apply in (microsecond,
+    event_id) order, and a user exists in the final state iff their
+    LAST op is not a delete — the Debezium-snapshot semantics the
+    incremental path implements via operators/merge.py. One windowed
+    pass on bounded per-user partitions; at scale this runs per
+    partition-pruned key range, and the last-writer row carries
+    everything downstream."""
+    ev = read_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    log = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+        cents.alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("us"), F.desc("event_id")
+    )
+    wc = Window.partitionBy("user_id")
+    ordered = log.select(
+        "user_id",
+        "op",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n_ops"),
+    )
+    return ordered.where((F.col("rn") == 1) & (F.col("op") != "D")).select(
+        "user_id",
+        F.col("n_ops").cast("int").alias("n_ops"),
+        F.col("op").alias("last_op"),
+        F.col("cents").alias("last_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted SSSP (Bellman-Ford): graph.bellman_ford relaxes to a
+# driver-probed fixpoint; the oracle unrolls 16 relaxation rounds
+# (≥ the ≤14-hop tree depth at any tested SF; post-fixpoint rounds
+# are no-ops). Integer weights keep every distance exact.
+# ---------------------------------------------------------------------------
+
+_SSSP_ROUNDS = 16
+
+
+def _sssp_oracle() -> str:
+    parts = [
+        """
+    WITH e0 AS MATERIALIZED (
+        SELECT c_custkey AS s, CAST(c_custkey // 2 AS BIGINT) AS d,
+               c_custkey % 10 + 1 AS w
+        FROM customer WHERE c_custkey > 1
+    ),
+    e AS MATERIALIZED (
+        SELECT s, d, w FROM e0 UNION ALL SELECT d, s, w FROM e0
+    ),
+    d_0 AS (SELECT CAST(0 AS BIGINT) AS vertex, CAST(0 AS BIGINT) AS dist)"""
+    ]
+    for r in range(1, _SSSP_ROUNDS + 1):
+        parts.append(
+            f""",
+    d_{r} AS MATERIALIZED (
+        SELECT vertex, MIN(dist) AS dist FROM (
+            SELECT vertex, dist FROM d_{r - 1}
+            UNION ALL
+            SELECT e.d AS vertex, p.dist + e.w AS dist
+            FROM e JOIN d_{r - 1} p ON p.vertex = e.s
+        ) GROUP BY vertex
+    )"""
+        )
+    parts.append(f"""
+    SELECT vertex, dist FROM d_{_SSSP_ROUNDS}
+    """)
+    return "".join(parts)
+
+
+@_q("referral_weighted_sssp", _sssp_oracle())
+def referral_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shortest weighted distance from the referral root (customer 0)
+    to every customer over the undirected referral tree with integer
+    edge weights (c_custkey % 10 + 1): graph.bellman_ford — per
+    round one dist⋈edges relaxation + min aggregate, checkpointed,
+    stopping when the driver probe counts zero changed vertices
+    (raises rather than emit a partial relaxation). Distances are
+    exact integer sums. At 100 TB the dist table is vertex-sized and
+    partitions with the edges on vertex id — the Pregel shape."""
+    cust = read_table(spark, sf_dir, "customer")
+    e0 = cust.where(F.col("c_custkey") > 1).select(
+        F.col("c_custkey").alias("src"),
+        (F.col("c_custkey") / 2).cast("long").alias("dst"),
+        (F.col("c_custkey") % 10 + 1).alias("w"),
+    )
+    edges = e0.unionByName(
+        e0.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    )
+    return graph.bellman_ford(edges, sources=[0])
+
+
+# ---------------------------------------------------------------------------
+# HLL set-operation estimation: intersection size by inclusion-
+# exclusion over mergeable sketches — the portable claim is the
+# bound boolean (sketch bytes never cross engines), the
+# hll_sketch_weekly_users policy extended to set algebra.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "hll_user_overlap_estimate",
+    """
+    WITH a AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'click'),
+    b AS (SELECT DISTINCT user_id FROM events
+          WHERE event_type = 'purchase')
+    SELECT (SELECT COUNT(*) FROM a) AS exact_click_users,
+           (SELECT COUNT(*) FROM b) AS exact_purchase_users,
+           (SELECT COUNT(*) FROM a JOIN b USING (user_id)) AS exact_both,
+           TRUE AS union_within_5pct,
+           TRUE AS intersection_within_15pct
+    """,
+)
+def hll_user_overlap_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap estimation from HLL sketches alone: |A∩B| ≈
+    est(A) + est(B) − est(A∪B) by inclusion-exclusion, where the
+    union estimate comes from MERGING the two sketches (never
+    re-reading raw events — the mergeability story). Exact counts
+    ride along; the oracle asserts the union estimate within 5% and
+    the (error-compounding) intersection estimate within 15%. At
+    100 TB each per-set sketch is one partial-aggregatable pass and
+    the set algebra is O(sketch bytes)."""
+    ev = read_table(spark, sf_dir, "events")
+    a = ev.where(F.col("event_type") == "click")
+    b = ev.where(F.col("event_type") == "purchase")
+    sk = (
+        a.agg(F.hll_sketch_agg("user_id").alias("sa"))
+        .crossJoin(b.agg(F.hll_sketch_agg("user_id").alias("sb")))
+        .select(
+            F.hll_sketch_estimate("sa").alias("ea"),
+            F.hll_sketch_estimate("sb").alias("eb"),
+            F.hll_sketch_estimate(
+                F.hll_union("sa", "sb")
+            ).alias("eu"),
+        )
+    )
+    exact = (
+        a.select("user_id")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("exact_click_users"))
+        .crossJoin(
+            b.select("user_id")
+            .distinct()
+            .agg(F.count(F.lit(1)).alias("exact_purchase_users"))
+        )
+        .crossJoin(
+            a.select("user_id")
+            .distinct()
+            .join(b.select("user_id").distinct(), "user_id")
+            .agg(F.count(F.lit(1)).alias("exact_both"))
+        )
+    )
+    est_both = F.col("ea") + F.col("eb") - F.col("eu")
+    exact_union = (
+        F.col("exact_click_users")
+        + F.col("exact_purchase_users")
+        - F.col("exact_both")
+    )
+    return exact.crossJoin(F.broadcast(sk)).select(
+        "exact_click_users",
+        "exact_purchase_users",
+        "exact_both",
+        (
+            F.abs(F.col("eu") - exact_union) <= 0.05 * exact_union
+        ).alias("union_within_5pct"),
+        (
+            F.abs(est_both - F.col("exact_both"))
+            <= 0.15 * F.col("exact_both")
+        ).alias("intersection_within_15pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window.
 #
 # The driver hard-verifies (rows + schema + value hash vs the DuckDB

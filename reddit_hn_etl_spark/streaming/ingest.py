@@ -1125,3 +1125,74 @@ def merged_cms(spark: SparkSession, sketch_dir: str) -> DataFrame:
         .groupBy("r", "bucket")
         .agg(F.sum("cnt").alias("cnt"))
     )
+
+
+def bloom_ingest_stream(
+    rows: DataFrame,
+    col: str,
+    words_dir: str,
+    verdicts_dir: str,
+    checkpoint_dir: str,
+    m_bits: int = 4096,
+    k: int = 2,
+) -> StreamingQuery:
+    """Streaming first-seen screen over a growing portable Bloom
+    filter: each micro-batch's keys are tested against the filter
+    accumulated from EARLIER batches (seen = possibly-already-
+    ingested; unseen = definitely new — Bloom has no false
+    negatives), verdicts are appended, then the batch's own bits are
+    appended to ``words_dir``. The filter state is append-only
+    (word_idx, word) rows whose merge is bit_or — IDEMPOTENT, so a
+    replayed batch re-ORs the same bits and the merged filter is
+    byte-identical (stronger than the batch_id-dedup the counting
+    sketches need; verdicts still carry batch_id for keyed dedup
+    downstream). The index is the state: no engine state store, and
+    the merged filter stays ≤ m/32 rows forever."""
+    from ..operators.sketch import bloom_contains, bloom_words, bloom_words_map
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark_b = batch_df.sparkSession
+        try:
+            existing = (
+                spark_b.read.parquet(words_dir)
+                .groupBy("word_idx")
+                .agg(F.bit_or("word").alias("word"))
+            )
+        except AnalysisException:  # first batch: empty filter
+            existing = None
+        keys = batch_df.select(col)
+        if existing is not None:
+            wm = bloom_words_map(existing)
+            verdicts = keys.crossJoin(F.broadcast(wm)).select(
+                col,
+                bloom_contains(F.col(col), m_bits, k, F.col("m")).alias(
+                    "maybe_seen"
+                ),
+            )
+        else:
+            verdicts = keys.select(col, F.lit(False).alias("maybe_seen"))
+        verdicts.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(verdicts_dir)
+        bloom_words(keys, col, m_bits, k).withColumn(
+            "batch_id", F.lit(batch_id)
+        ).write.mode("append").parquet(words_dir)
+
+    return (
+        rows.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def merged_bloom_words(spark: SparkSession, words_dir: str) -> DataFrame:
+    """The current filter: bit_or over every stored word row —
+    idempotent under replay by construction (re-ORing is a no-op)."""
+    return (
+        spark.read.parquet(words_dir)
+        .groupBy("word_idx")
+        .agg(F.bit_or("word").alias("word"))
+    )

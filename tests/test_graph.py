@@ -272,3 +272,37 @@ def test_kcore_matches_brute_force(spark):
         alive -= drop
     want = {v: len(adj[v] & alive) for v in alive}
     assert got == want
+
+
+def test_bellman_ford_matches_dijkstra(spark):
+    """Fixpoint relaxation on a deterministic weighted graph equals a
+    driver-side Dijkstra."""
+    import hashlib
+    import heapq
+
+    from reddit_hn_etl_spark.operators.graph import bellman_ford
+
+    edges = []
+    for i in range(200):
+        h = int(hashlib.md5(f"w{i}".encode()).hexdigest()[:8], 16)
+        a, b, w = h % 30, (h // 30) % 30, h % 7 + 1
+        if a != b:
+            edges.append((a, b, w))
+            edges.append((b, a, w))
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    got = {r["vertex"]: r["dist"] for r in bellman_ford(df, sources=[0]).collect()}
+    adj: dict[int, list] = {}
+    for a, b, w in edges:
+        adj.setdefault(a, []).append((b, w))
+    dist = {0: 0}
+    pq = [(0, 0)]
+    while pq:
+        d, u = heapq.heappop(pq)
+        if d > dist.get(u, float("inf")):
+            continue
+        for v, w in adj.get(u, []):
+            nd = d + w
+            if nd < dist.get(v, float("inf")):
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+    assert got == dist

@@ -1091,3 +1091,74 @@ def test_holt_winters_stream_matches_batch_fold(spark, tmp_path):
         assert latest[k].level == final[k][1]  # bit-exact
         assert latest[k].trend == final[k][2]
         assert latest[k].forecast_next == final[k][1] + final[k][2]
+
+
+def test_bloom_ingest_stream_first_seen_and_replay(spark, tmp_path):
+    """Batch-2 keys that appeared in batch 1 screen as maybe_seen;
+    brand-new keys screen unseen (zero false negatives means every
+    repeat IS flagged); the merged filter equals the one-shot batch
+    filter word-for-word, and re-running with no new data changes
+    nothing (bit_or idempotence)."""
+    import os
+
+    from reddit_hn_etl_spark.operators.sketch import bloom_words
+
+    src = tmp_path / "bloom_src"
+    src.mkdir()
+    words_dir = str(tmp_path / "bloom_words")
+    verdicts_dir = str(tmp_path / "bloom_verdicts")
+    ckpt = str(tmp_path / "bloom_ckpt")
+
+    _write_events_jsonl(src / "b1.jsonl", [
+        (i, "2024-01-01 10:00:00", i, 1.0) for i in range(30)
+    ])
+    _write_events_jsonl(src / "b2.jsonl", [
+        (100 + i, "2024-01-01 11:00:00", i + 20, 1.0) for i in range(20)
+    ])  # user_ids 20..39: 20..29 repeat batch 1, 30..39 are new
+    os.utime(src / "b1.jsonl", (1, 1))
+    os.utime(src / "b2.jsonl", (2, 2))
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).json(str(src))
+        )
+        q = ingest.bloom_ingest_stream(
+            stream, "user_id", words_dir, verdicts_dir, ckpt
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    merged_1 = {
+        (r.word_idx, r.word)
+        for r in ingest.merged_bloom_words(spark, words_dir).collect()
+    }
+    run_once()  # replay with no new data: merged filter unchanged
+    merged_2 = {
+        (r.word_idx, r.word)
+        for r in ingest.merged_bloom_words(spark, words_dir).collect()
+    }
+    assert merged_1 == merged_2
+
+    verdicts = spark.read.parquet(verdicts_dir).collect()
+    by_batch: dict = {}
+    for r in verdicts:
+        by_batch.setdefault(r.batch_id, {})[r.user_id] = r.maybe_seen
+    b1, b2 = by_batch[0], by_batch[1]
+    assert not any(b1.values())  # empty filter: nothing seen
+    for uid in range(20, 30):    # repeats: MUST flag (no false negatives)
+        assert b2[uid]
+    assert not all(b2[uid] for uid in range(30, 40))  # mostly unseen
+
+    # one-shot batch filter over all keys == streamed merged filter
+    batch_df = spark.read.schema(schema).json(str(src))
+    expect = {
+        (r.word_idx, r.word)
+        for r in bloom_words(batch_df, "user_id").collect()
+    }
+    assert merged_2 == expect
