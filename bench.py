@@ -238,6 +238,22 @@ BENCH_QUERIES_R4 = [
     "video_scene_cuts",
     "holt_backtest_skill",
     "audio_activity_segments",
+    # r4 eighth session: trend/correlation statistics, portable
+    # membership + cardinality sketches, dense-region graph peel,
+    # weighted SSSP, ER survivorship, CDC apply, LM scoring,
+    # mutual-kNN and JL projection over embeddings.
+    "daily_mann_kendall",
+    "value_conformal_intervals",
+    "bloom_customer_screen",
+    "cms_selfjoin_size_estimate",
+    "doc_bigram_lm_logprob",
+    "mutual_knn_pairs",
+    "copurchase_kcore",
+    "referral_weighted_sssp",
+    "customer_golden_records",
+    "cdc_user_state_apply",
+    "embedding_jl_distortion",
+    "hll_user_overlap_estimate",
 ]
 
 

@@ -58,6 +58,18 @@ NOTES = {
     "salted_event_enrichment": "Skew-resistant enrichment: the fact side is salted by a deterministic row hash and the dim side exploded salt_buckets×, so the shuffle partitions on (user_id, _salt) and a hot user spreads over salt_buckets tasks. The result is provably identical to the plain join (oracle row + hypothesis property); this is the manual fallback where AQE's skew split cannot apply.",
     "quantize_embeddings_int8": "Pure projection: per-vector max-abs scale + transform() quantize/dequantize, all JVM-side higher-order functions over array<float> — zero exchanges, embarrassingly parallel at any scale; round-trip error is bound-checked in-query.",
     "user_engagement_rank": "r4: global RANK/DENSE_RANK re-expressed over the VALUE dimension — cumulative counts per distinct n_types (≤5 rows through the only SinglePartition window) broadcast-joined back to users. The user-sized data path has zero global-order operators.",
+    "daily_mann_kendall": "Trend significance: one grain-reduction agg to (type, day), the calendar-bounded pair self-join on the tiny checkpointed series (days² per series, never event-sized), then three per-type scalar joins. The quadratic stage sees dozens of rows at any corpus scale.",
+    "value_conformal_intervals": "Split conformal: ONE scan splits+scores (md5 projection), the per-type model and q̂ are 1-row-per-type broadcasts, and the only rank runs inside bounded per-type partitions; at 100 TB the calibration rank swaps to the hierarchical-prefix order statistic with the same downstream broadcasts.",
+    "bloom_customer_screen": "Portable Bloom build+probe in one plan: k-position Generate → map-side-combinable bit_or agg (≤128 word rows shuffle), the word map broadcast back over a zero-shuffle probe scan; the popcount check rides the same word rows. At scale the filter ships like a semi-join Bloom — bytes, not rows.",
+    "cms_selfjoin_size_estimate": "Cardinality estimation: the (4×256)-cell sketch is one partial/final agg; the AMS inner product joins two KB-sized cell tables; the exact Σf² branch exists only for the in-query theorem check — a production optimizer keeps just the sketch join, constant cost at any input size.",
+    "doc_bigram_lm_logprob": "Bigram LM: one tokenize+transform projection builds per-doc bigram arrays; corpus stats (bigram map, history map, V) are two partial/final aggs collapsed to ONE broadcast row; scoring is a zero-shuffle ordered fold per doc. Open-vocabulary corpora swap the map broadcast for a (bigram→count) shuffle join — same downstream fold.",
+    "mutual_knn_pairs": "Mutual-kNN graph: query side broadcast over one corpus scan (no shuffle to score), per-query WindowGroupLimit top-k, then a self-join on the reversed (q,n) pair — id pairs only. At 100 TB the scoring stage swaps for cosine_pairs_grid or the IVF path; the mutual filter join is unchanged.",
+    "copurchase_kcore": "k-core peel: the orderkey self-join builds edges once (shuffle bounded by order width), then each round is a degree agg + two LeftSemi joins over the checkpointed edge frame — O(E) per round, O(peel-depth) rounds, 1-count driver probe. No all-pairs, no global window anywhere.",
+    "referral_weighted_sssp": "Bellman-Ford: per round ONE dist⋈edges hash join + min agg on vertex id (the Pregel budget), localCheckpoint per round; the frontier table is vertex-sized and co-partitions with edges at scale. Convergence is a 1-count probe; rounds ≤ max hop count.",
+    "customer_golden_records": "Survivorship: blocked pair join (bounded by block width) → Arrow-batched JW scoring → FS literal-weight projection → iterative CC over link pairs (id pairs only) → ONE election agg with max_by on padded total-order keys. Text/fields cross the plan once; clusters move as ids.",
+    "cdc_user_state_apply": "CDC apply: one hash exchange on user_id; last-writer row via row_number and the op count share the same partition — WindowGroupLimit keeps post-filter rows at 1/key. Delete-wins filtering is a post-projection; nothing else moves.",
+    "embedding_jl_distortion": "JL projection: 16 literal ±1 planes fold per row (zero-shuffle map), pairing is one equality self-join on vec_id+10 over the 20% subset; distance distortion is computed from columns already in flight. The projection never materializes corpus-sized intermediate state beyond the 16 doubles per row.",
+    "doc_token_dropout": "Deterministic augmentation: a single filter() higher-order projection keyed on md5(doc_id, position) — zero exchanges at any scale, and the SAME rows drop under any partitioning/retry (the reproducibility contract random() cannot give).",
     "customer_rfm_segments": "r4: the three data-sized NTILE windows replaced by hierarchical global_ntile — each ordering is a rangepartitioning exchange + Arrow per-partition row numbering + closed-form bucket from a shared literal row count (one driver probe for all three passes); carry columns chain the orderings with no join-backs.",
     "doc_boilerplate_strip": "Line-level boilerplate removal: posexplode projection → df-threshold partial/final agg (ONE shuffle on the line content) → BroadcastHashJoin of the by-construction-small boilerplate set (≤ total_lines/min_df rows — bounded by the threshold, not by luck) → one doc_id shuffle for the order-preserving reassembly. Two exchanges total; text crosses each exactly once.",
     "doc_tf_cosine_pairs": "Sparse tf-vector cosine: non-distinct bigram Generate → (doc, gram, tf) partial/final agg, norms ride along via a window over the SAME aggregate (no second text scan), then the inverted-index self-join canonicalizes both sides to one reused exchange on the gram. Integer dot/norm sums are partitioning-invariant — the hash match needs no float tolerance.",

@@ -65,6 +65,21 @@ PROBES = [
     "event_value_bootstrap_se",  # events: x32 fan-out partial agg
     "daily_value_changepoint",  # events: prefix moments + argmin
     "bigram_pmi_collocations",  # documents: two count aggs + scoring
+    # r4 eighth session additions
+    "bloom_customer_screen",    # customer: bit_or agg + broadcast probe
+    "cms_selfjoin_size_estimate",  # lineitem: cell agg + KB join
+    "doc_bigram_lm_logprob",    # documents: stat maps + ordered fold
+    "doc_token_dropout",        # documents: pure filter() projection
+    "cdc_user_state_apply",     # events: one keyed window pass
+    "value_conformal_intervals",  # events: split + per-type rank
+    "referral_weighted_sssp",   # customer: Bellman-Ford rounds
+    "daily_mann_kendall",       # events: grain agg + bounded pair join
+    # copurchase_kcore / mutual_knn_pairs are EXCLUDED like the
+    # semantic-dedup pair queries: the lineitem replica offsets
+    # l_orderkey but NOT l_partkey, so co-purchase degrees grow k×
+    # and the k=65 peel measures a different (denser) graph, and
+    # embedding replicas are unsalted exact-twin vectors that
+    # rewrite every top-5 list. Measure those across real SFs.
 ]
 
 

@@ -123,3 +123,40 @@ def test_covariance_shuffles_partials_not_vectors(spark, sf_dir):
     plan = _plan(spark, sf_dir, "embedding_covariance")
     assert "hashpartitioning(i#" in plan
     assert plan.count("Exchange") <= 2  # one shuffle (+AQE read)
+
+
+# r4 eighth session: new-family plan contracts.
+# doc_bigram_lm_logprob is NOT in this list: its plan has
+# SinglePartition exchanges, but they collapse the already-aggregated
+# vocabulary-sized count rows into the 1-row broadcast maps — bounded
+# by |vocab|, never by corpus rows (same class as the 1-row stats
+# aggregates in bm25_doc_search).
+R8_FULLY_PARTITIONED = [
+    "cdc_user_state_apply",       # keyed window only
+    "doc_token_dropout",          # pure projection
+]
+
+
+@pytest.mark.parametrize("name", R8_FULLY_PARTITIONED)
+def test_r8_no_single_partition_exchange(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name)
+    assert "Exchange SinglePartition" not in plan, name
+    assert "CartesianProduct" not in plan, name
+
+
+def test_bloom_probe_is_broadcast_not_shuffle(spark, sf_dir):
+    """The probe side must consume the filter via a broadcast
+    (BroadcastNestedLoopJoin over the 1-row word map), never by
+    shuffling the probe table against the words."""
+    plan = _plan(spark, sf_dir, "bloom_customer_screen")
+    assert "Broadcast" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_mutual_knn_scoring_broadcasts_queries(spark, sf_dir):
+    """The all-pairs scoring stage must broadcast the query side (one
+    corpus scan), and the top-k filter must plan WindowGroupLimit so
+    only k rows per query survive the rank sort."""
+    plan = _plan(spark, sf_dir, "mutual_knn_pairs")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "WindowGroupLimit" in plan
