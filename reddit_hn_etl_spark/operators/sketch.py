@@ -234,3 +234,87 @@ def cms_join_size(
         .agg(F.sum(F.col("ca") * F.col("cb")).alias("est_r"))
         .agg(F.min("est_r").alias("est"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile summary (GK/KLL-lite): per-partition bounded
+# compaction with a provable rank-error bound that holds under ANY
+# partitioning — the quantile member of the sketch pantheon
+# (Misra–Gries frequency, CMS counts, HLL distinct, Bloom member-
+# ship). Like MG, raw estimates are partitioning-dependent and are
+# never oracle material; the THEOREM (rank error ≤ Σ_p ⌈n_p/k⌉) is.
+# ---------------------------------------------------------------------------
+
+
+def quantile_summary(df: DataFrame, col: str, k: int = 64) -> DataFrame:
+    """Per-partition quantile compaction: sort the partition, split
+    into ≤ k contiguous segments, emit each segment's FIRST value
+    with the segment length as weight — ``(value, weight)`` rows,
+    ≤ k per partition.
+
+    Rank soundness: for any query point q, the weighted rank of q in
+    the summary differs from its true rank by at most one segment
+    per partition (a segment is miscounted only when q falls inside
+    it), so total error ≤ Σ_p ⌈n_p/k⌉ ≤ N/k + P. Summaries merge by
+    concatenation (weights are additive) — one bounded shuffle."""
+
+    def compact(batches):
+        import numpy as np
+        import pandas as pd
+
+        vals: list = []
+        for pdf in batches:
+            vals.append(pdf[col].to_numpy())
+        if not vals:
+            return
+        x = np.sort(np.concatenate(vals))
+        n = len(x)
+        if n == 0:
+            return
+        nseg = min(k, n)
+        bounds = [(j * n) // nseg for j in range(nseg)] + [n]
+        out_v, out_w = [], []
+        for j in range(nseg):
+            lo, hi = bounds[j], bounds[j + 1]
+            if hi > lo:
+                out_v.append(x[lo])
+                out_w.append(hi - lo)
+        yield pd.DataFrame({"value": out_v, "weight": out_w})
+
+    field = df.schema[col]
+    return df.select(F.col(col).alias(col)).mapInPandas(
+        compact, f"value {field.dataType.simpleString()}, weight long"
+    )
+
+
+def quantile_estimates(summary: DataFrame, targets: list[float]) -> DataFrame:
+    """Weighted lower-quantile estimates from a merged summary: for
+    each target p, the smallest summary value whose cumulative
+    weight reaches ⌈p·N⌉ — ``(p_target, est_value, target_rank)``.
+    The window runs over the BOUNDED summary (≤ k·P rows), never
+    over data."""
+    from pyspark.sql import Window
+
+    n_total = summary.agg(F.sum("weight").alias("n")).collect()[0]["n"]
+    w = Window.orderBy("value", "weight").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = summary.select(
+        "value", F.sum("weight").over(w).alias("cw")
+    )
+    import math
+
+    rows = []
+    for p in targets:
+        target = max(1, math.ceil(p * n_total))
+        first = (
+            cum.where(F.col("cw") >= target)
+            .orderBy("value")
+            .limit(1)
+            .collect()
+        )
+        rows.append((float(p), int(target), first[0]["value"] if first else None))
+    spark = summary.sparkSession
+    return spark.createDataFrame(
+        rows, "p_target double, target_rank long, est_value long"
+    )

@@ -107,3 +107,36 @@ def test_bloom_zero_false_negatives_and_packing(spark):
     # verdict parity with the set model for every probe
     for v in range(400):
         assert got[v] == positions(v).issubset(set_pos)
+
+
+def test_quantile_summary_rank_bound_any_partitioning(spark):
+    """The rank-error theorem (|est_rank − target| ≤ N/k + P) holds
+    under several repartitionings, and summary weights always sum to
+    N (no value lost or double-counted)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from reddit_hn_etl_spark.operators.sketch import (
+        quantile_estimates,
+        quantile_summary,
+    )
+
+    vals = [(int(((i * 2654435761) % 97) * 100 + i),) for i in range(2000)]
+    df = spark.createDataFrame(vals, "cents long")
+    xs = sorted(v[0] for v in vals)
+    n = len(xs)
+    k = 32
+    for parts in (1, 3, 8):
+        d = df.repartition(parts)
+        summ = quantile_summary(d, "cents", k=k)
+        wsum = summ.agg(F.sum("weight")).collect()[0][0]
+        assert wsum == n
+        est = quantile_estimates(summ, [0.1, 0.5, 0.9]).collect()
+        bound = n / k + parts
+        for r in est:
+            v = r["est_value"]
+            lt = sum(1 for x in xs if x < v)
+            le = sum(1 for x in xs if x <= v)
+            t = max(1, math.ceil(r["p_target"] * n))
+            assert lt + 1 <= t + bound and le >= t - bound, (parts, r)
