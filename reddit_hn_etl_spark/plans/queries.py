@@ -15848,6 +15848,448 @@ def hll_user_overlap_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Mergeable quantile summary (sketch.quantile_summary): the quantile
+# member of the sketch pantheon. Raw estimates are partitioning-
+# dependent (never oracle material — the Misra–Gries policy); the
+# oracle checks the rank-error THEOREM as booleans, with the exact
+# rank-based quantiles riding along through the hierarchical prefix
+# rank (never a data-sized SinglePartition window).
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "quantile_sketch_order_values",
+    """
+    WITH o AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS cents,
+               o_orderkey
+        FROM orders
+    ),
+    n AS (SELECT COUNT(*) AS n_rows FROM o),
+    r AS (
+        SELECT cents,
+               ROW_NUMBER() OVER (ORDER BY cents, o_orderkey) AS rn
+        FROM o
+    )
+    SELECT CAST(p.p_target AS DOUBLE) AS p_target, n.n_rows,
+           r.cents AS exact_q_cents,
+           TRUE AS within_rank_bound
+    FROM (VALUES (0.25), (0.5), (0.75)) p(p_target)
+    CROSS JOIN n
+    JOIN r ON r.rn = CAST(ceil(p.p_target * n.n_rows) AS BIGINT)
+    """,
+)
+def quantile_sketch_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-value quantiles from the mergeable per-partition summary
+    (k=64 segments/partition): the sketch estimate for each target
+    rank must sit within the Σ_p ⌈n_p/k⌉ ≤ N/k + P rank-error bound
+    of its target — the theorem holds under ANY partitioning, which
+    is what makes it oracle-safe while the estimates themselves are
+    not. Exact rank-based quantiles (value at rank ⌈p·N⌉) ride along
+    via the hierarchical prefix rank. At 100 TB only the ≤ k·P-row
+    summary ever moves; the exact branch exists for the in-query
+    check (a production rollup persists per-shard summaries and
+    merges by concatenation)."""
+    from ..operators import prefix, sketch
+
+    k = 64
+    orders = read_table(spark, sf_dir, "orders")
+    o = orders.select(
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        "o_orderkey",
+    ).localCheckpoint(eager=True)
+    n_parts = o.rdd.getNumPartitions()
+    summary = sketch.quantile_summary(o, "cents", k=k)
+    est = sketch.quantile_estimates(summary, [0.25, 0.5, 0.75])
+    n_total = o.count()
+    bound = n_total / k + n_parts
+    # exact counts around each estimate (one pass, 3 conditional aggs)
+    est_rows = est.collect()
+    agg_exprs = []
+    for i, r in enumerate(est_rows):
+        v = int(r["est_value"])
+        agg_exprs.append(
+            F.sum(F.when(F.col("cents") < v, 1).otherwise(0)).alias(f"lt{i}")
+        )
+        agg_exprs.append(
+            F.sum(F.when(F.col("cents") <= v, 1).otherwise(0)).alias(f"le{i}")
+        )
+    counts = o.agg(*agg_exprs).collect()[0]
+    verdicts = {}
+    for i, r in enumerate(est_rows):
+        target = int(r["target_rank"])
+        ok = (counts[f"lt{i}"] + 1 <= target + bound) and (
+            counts[f"le{i}"] >= target - bound
+        )
+        verdicts[float(r["p_target"])] = bool(ok)
+    vdf = spark.createDataFrame(
+        [(p, v) for p, v in verdicts.items()],
+        "p_target double, within_rank_bound boolean",
+    )
+    rn = prefix.global_row_number(
+        o, ["cents", "o_orderkey"], out_col="rn", carry_cols=("cents",)
+    )
+    targets = spark.createDataFrame(
+        [(0.25,), (0.5,), (0.75,)], "p_target double"
+    ).crossJoin(
+        spark.createDataFrame([(n_total,)], "n_rows long")
+    )
+    exact = targets.join(
+        rn,
+        F.col("rn")
+        == F.ceil(F.col("p_target") * F.col("n_rows")).cast("bigint"),
+    ).select("p_target", "n_rows", F.col("cents").alias("exact_q_cents"))
+    return exact.join(vdf, "p_target").select(
+        "p_target", "n_rows", "exact_q_cents", "within_rank_bound"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zipf fit of the corpus frequency spectrum — the corpus-health
+# diagnostic every LM data report carries: OLS slope of ln(freq) on
+# ln(rank) over exact term counts and deterministic ranks.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "corpus_zipf_fit",
+    r"""
+    WITH t AS (
+        SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                           x -> x <> '') AS w
+        FROM documents
+    ),
+    counts AS (
+        SELECT term, COUNT(*) AS freq
+        FROM (SELECT unnest(w) AS term FROM t) GROUP BY term
+    ),
+    ranked AS (
+        SELECT freq,
+               ROW_NUMBER() OVER (ORDER BY freq DESC, term) AS rnk
+        FROM counts
+    ),
+    pts AS (
+        SELECT ln(CAST(rnk AS DOUBLE)) AS x, ln(CAST(freq AS DOUBLE)) AS y
+        FROM ranked
+    ),
+    mom AS (
+        SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * y) AS sxy, SUM(x * x) AS sxx
+        FROM pts
+    )
+    SELECT n AS n_terms,
+           ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+                 / (CAST(n AS DOUBLE) * sxx - sx * sx), 9) AS zipf_slope,
+           ROUND((sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+                        / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+                 / n, 9) AS intercept
+    FROM mom
+    """,
+)
+def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: slope of
+    ln(freq) ~ ln(rank) (healthy natural-language corpora sit near
+    −1; synthetic/degenerate vocabularies flatten). Ranks are
+    deterministic (freq DESC, term tiebreak); ln of exact integers
+    is bit-equal; the OLS moments are sums of identical doubles in
+    engine-dependent ORDER — so the closed form gets the 1e-9 grid
+    rather than bit-trust (unlike the int-moment regressions, these
+    moments are float sums; the slope is stable far beyond 1e-9).
+    One count agg + a vocabulary-sized window — corpus text is read
+    once."""
+    docs = read_table(spark, sf_dir, "documents")
+    t = docs.select(dedup.tokens("text").alias("w"))
+    counts = (
+        t.select(F.explode("w").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    ranked = counts.select(
+        "freq",
+        F.row_number()
+        .over(Window.orderBy(F.desc("freq"), F.asc("term")))
+        .alias("rnk"),
+    )
+    pts = ranked.select(
+        F.log(F.col("rnk").cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    mom = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n_d = F.col("n").cast("double")
+    slope = (n_d * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n_d * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return mom.select(
+        F.col("n").alias("n_terms"),
+        F.round(slope, 9).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 9).alias(
+            "intercept"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival burstiness per user: coefficient of variation of the
+# exact-integer microsecond gaps, and the Goh–Barabási burstiness
+# parameter B = (σ−μ)/(σ+μ) — exact-int moments, 1e-9 grid.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "user_interarrival_burstiness",
+    """
+    WITH e AS (
+        SELECT user_id, epoch_us(ts) AS us, event_id FROM events
+    ),
+    gaps AS (
+        SELECT user_id,
+               us - lag(us) OVER (PARTITION BY user_id
+                                  ORDER BY us, event_id) AS g
+        FROM e
+    ),
+    mom AS (
+        SELECT user_id, COUNT(*) AS n, SUM(g) AS s,
+               SUM(CAST(g AS DECIMAL(38,0)) * CAST(g AS DECIMAL(38,0))) AS s2
+        FROM gaps WHERE g IS NOT NULL GROUP BY user_id
+        HAVING COUNT(*) >= 10
+    )
+    SELECT user_id, n AS n_gaps,
+           ROUND(sqrt((CAST(s2 AS DOUBLE) * n - CAST(s AS DOUBLE) * s))
+                 / CAST(s AS DOUBLE), 9) AS cv,
+           ROUND((sqrt((CAST(s2 AS DOUBLE) * n - CAST(s AS DOUBLE) * s)) / n
+                  - CAST(s AS DOUBLE) / n)
+                 / (sqrt((CAST(s2 AS DOUBLE) * n - CAST(s AS DOUBLE) * s)) / n
+                    + CAST(s AS DOUBLE) / n), 9) AS burstiness
+    FROM mom
+    """,
+)
+def user_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh–Barabási burstiness per user over inter-event gaps:
+    B = (σ−μ)/(σ+μ) (−1 regular, 0 Poisson, →1 bursty) and the CV.
+    Gaps are exact integer microseconds (both engines truncate nanos
+    identically); Σg fits int64, Σg² goes through DECIMAL(38,0)
+    (micros² overflows int64 — the value_distribution_moments
+    lesson); σ and the ratios compose identical doubles on the 1e-9
+    grid. One keyed window + one partial-aggregatable groupBy."""
+    ev = read_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gaps = e.select(
+        "user_id", (F.col("us") - F.lag("us").over(w)).alias("g")
+    ).where(F.col("g").isNotNull())
+    mom = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("g").alias("s"),
+            F.sum(
+                F.col("g").cast("decimal(38,0)")
+                * F.col("g").cast("decimal(38,0)")
+            ).alias("s2"),
+        )
+        .where(F.col("n") >= 10)
+    )
+    n_d = F.col("n").cast("double")
+    s_d = F.col("s").cast("double")
+    sig_n = F.sqrt(F.col("s2").cast("double") * F.col("n") - s_d * s_d)
+    sigma = sig_n / F.col("n")
+    mu = s_d / F.col("n")
+    return mom.select(
+        "user_id",
+        F.col("n").alias("n_gaps"),
+        F.round(sig_n / s_d, 9).alias("cv"),
+        F.round((sigma - mu) / (sigma + mu), 9).alias("burstiness"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew diagnostics: the pre-flight report a 100 TB join
+# plan needs (pick salting / AQE skew thresholds from DATA, not
+# folklore). All exact integers; the per-key agg is the only
+# data-sized stage.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "join_key_skew_report",
+    """
+    WITH ks AS (
+        SELECT 'lineitem.l_suppkey' AS key_name, l_suppkey AS k
+        FROM lineitem
+        UNION ALL
+        SELECT 'lineitem.l_partkey', l_partkey FROM lineitem
+        UNION ALL
+        SELECT 'orders.o_custkey', o_custkey FROM orders
+        UNION ALL
+        SELECT 'events.user_id', user_id FROM events
+    ),
+    per_key AS (
+        SELECT key_name, k, COUNT(*) AS f FROM ks GROUP BY key_name, k
+    ),
+    stats AS (
+        SELECT key_name,
+               COUNT(*) AS n_distinct,
+               SUM(f) AS n_rows,
+               MAX(f) AS max_freq,
+               SUM(CAST(f AS DECIMAL(38,0)) * CAST(f AS DECIMAL(38,0)))
+                   AS sum_f2
+        FROM per_key GROUP BY key_name
+    )
+    SELECT key_name, n_distinct, n_rows, max_freq,
+           ROUND(CAST(max_freq AS DOUBLE) * n_distinct / n_rows, 9)
+               AS max_over_mean,
+           ROUND(CAST(sum_f2 AS DOUBLE) * n_distinct
+                 / (CAST(n_rows AS DOUBLE) * n_rows), 9)
+               AS skew_factor
+    FROM stats
+    """,
+)
+def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew report across the engine's join keys:
+    max/mean frequency ratio and the normalized second moment
+    n·Σf²/N² (= 1 for uniform keys; the expected per-task blowup of
+    a hash join on that key). This is the number that decides
+    between plain hash join, AQE skew split, and the manual salting
+    fallback (salted_event_enrichment) BEFORE the job runs. One
+    union scan + per-key partial agg; Σf² through DECIMAL(38,0)."""
+    tables = [
+        ("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+        ("lineitem.l_partkey", "lineitem", "l_partkey"),
+        ("orders.o_custkey", "orders", "o_custkey"),
+        ("events.user_id", "events", "user_id"),
+    ]
+    ks = None
+    for key_name, tbl, col in tables:
+        part = read_table(spark, sf_dir, tbl).select(
+            F.lit(key_name).alias("key_name"), F.col(col).alias("k")
+        )
+        ks = part if ks is None else ks.unionByName(part)
+    per_key = ks.groupBy("key_name", "k").agg(F.count(F.lit(1)).alias("f"))
+    f38 = F.col("f").cast("decimal(38,0)")
+    stats = per_key.groupBy("key_name").agg(
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum("f").alias("n_rows"),
+        F.max("f").alias("max_freq"),
+        F.sum(f38 * f38).alias("sum_f2"),
+    )
+    return stats.select(
+        "key_name",
+        "n_distinct",
+        "n_rows",
+        "max_freq",
+        F.round(
+            F.col("max_freq").cast("double")
+            * F.col("n_distinct")
+            / F.col("n_rows"),
+            9,
+        ).alias("max_over_mean"),
+        F.round(
+            F.col("sum_f2").cast("double")
+            * F.col("n_distinct")
+            / (F.col("n_rows").cast("double") * F.col("n_rows")),
+            9,
+        ).alias("skew_factor"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling correlation between two daily measures over a bounded
+# 14-day frame: every frame moment is an exact int64 window sum, so
+# the per-day correlation composes identical doubles (1e-12 grid) —
+# the windowed member of the exact-moment correlation family.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "rolling_corr_value_count",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                   AS x,
+               COUNT(*) AS y
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    fr AS (
+        SELECT event_type, day,
+               COUNT(*) OVER w AS n,
+               SUM(x) OVER w AS sx, SUM(y) OVER w AS sy,
+               SUM(x * y) OVER w AS sxy,
+               SUM(x * x) OVER w AS sxx, SUM(y * y) OVER w AS syy
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, day, CAST(n AS INTEGER) AS n_days,
+           ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * sqrt(CAST(n AS DOUBLE) * syy
+                           - CAST(sy AS DOUBLE) * sy)), 12) AS rolling_corr
+    FROM fr WHERE n = 14
+    """,
+)
+def rolling_corr_value_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-day rolling Pearson correlation between daily value totals
+    and daily event counts per type (complete frames only): all six
+    frame moments are exact int64 sums sharing ONE frame sort, the
+    closed form composes identical doubles on the 1e-12 grid. The
+    window partitions per type over calendar-bounded series — never
+    data-sized."""
+    ev = read_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    daily = (
+        ev.select(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            cents.alias("_c"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("_c").alias("x"), F.count(F.lit(1)).alias("y"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-13, Window.currentRow)
+    )
+    fr = daily.select(
+        "event_type",
+        "day",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
+    ).where(F.col("n") == 14)
+    n_d = F.col("n").cast("double")
+    sx_d = F.col("sx").cast("double")
+    sy_d = F.col("sy").cast("double")
+    corr = (n_d * F.col("sxy") - sx_d * F.col("sy")) / (
+        F.sqrt(n_d * F.col("sxx") - sx_d * F.col("sx"))
+        * F.sqrt(n_d * F.col("syy") - sy_d * F.col("sy"))
+    )
+    return fr.select(
+        "event_type",
+        "day",
+        F.col("n").cast("int").alias("n_days"),
+        F.round(corr, 12).alias("rolling_corr"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window.
 #
 # The driver hard-verifies (rows + schema + value hash vs the DuckDB

@@ -1196,3 +1196,72 @@ def merged_bloom_words(spark: SparkSession, words_dir: str) -> DataFrame:
         .groupBy("word_idx")
         .agg(F.bit_or("word").alias("word"))
     )
+
+
+def cdc_apply_stream(
+    changes: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "user_id",
+    seq_cols: tuple[str, str] = ("us", "event_id"),
+    op_col: str = "op",
+    value_cols: tuple[str, ...] = ("cents",),
+) -> StreamingQuery:
+    """Streaming CDC materialization — the incremental twin of the
+    batch `cdc_user_state_apply` query: each micro-batch of I/U/D
+    change rows is merged into the persisted current-state table
+    (last-writer by the exact (seq, tiebreak) order; a key whose
+    LAST op is a delete leaves the table), and the new state is
+    promoted with the two-rename atomic swap.
+
+    Exactly-once: the merge is a pure function of (old state ∪
+    batch) ranked by the monotone sequence columns, so a replayed
+    batch reproduces the same state — idempotent like the freshness
+    merge in stream_merge_to_staging. DELETE is the one op MERGE's
+    upsert semantics can't express by accumulation; here it rides
+    the same last-writer window as a tombstone row that filters out
+    at emit. State stays one row per live key."""
+    seq_a, seq_b = seq_cols
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark_b = batch_df.sparkSession
+        cols = [key_col, seq_a, seq_b, op_col, *value_cols]
+        incoming = batch_df.select(*cols)
+        try:
+            state = spark_b.read.parquet(state_dir).select(*cols)
+            merged = state.unionByName(incoming)
+        except AnalysisException:
+            merged = incoming
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy(key_col).orderBy(
+            F.desc(seq_a), F.desc(seq_b)
+        )
+        # Tombstones (last op = D) STAY in the state table: dropping
+        # them would let a replayed pre-delete U out-rank nothing and
+        # resurrect the key. Readers filter via read_cdc_state.
+        nxt = (
+            merged.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        tmp = state_dir + "_next"
+        nxt.write.mode("overwrite").parquet(tmp)
+        _swap_dir(tmp, state_dir)
+
+    return (
+        changes.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_cdc_state(
+    spark: SparkSession, state_dir: str, op_col: str = "op"
+) -> DataFrame:
+    """Live view over the CDC state table: tombstoned keys (last op
+    = delete) are filtered out here, never from storage."""
+    return spark.read.parquet(state_dir).where(F.col(op_col) != "D")

@@ -1162,3 +1162,90 @@ def test_bloom_ingest_stream_first_seen_and_replay(spark, tmp_path):
         for r in bloom_words(batch_df, "user_id").collect()
     }
     assert merged_2 == expect
+
+
+def test_cdc_apply_stream_matches_batch_and_replays(spark, tmp_path):
+    """Streaming CDC materialization equals the batch last-writer
+    computation over all change rows; a key whose last op is D is
+    invisible through read_cdc_state but resurrectable by a later U;
+    replay with no new data leaves the state identical."""
+    import os
+
+    src = tmp_path / "cdc_src"
+    src.mkdir()
+    state_dir = str(tmp_path / "cdc_state")
+    ckpt = str(tmp_path / "cdc_ckpt")
+
+    # batch 1: inserts/updates for users 1..5
+    _write_events_jsonl(src / "b1.jsonl", [
+        (i, f"2024-01-01 10:00:{i:02d}", i % 5 + 1, float(i)) for i in range(10)
+    ])
+    # batch 2: user 1 deleted LAST; user 2 updated
+    _write_events_jsonl(src / "b2.jsonl", [
+        (100, "2024-01-01 11:00:00", 1, 7.0),
+        (101, "2024-01-01 11:30:00", 1, 0.0),   # will map to D below
+        (102, "2024-01-01 11:10:00", 2, 9.5),
+    ])
+    os.utime(src / "b1.jsonl", (1, 1))
+    os.utime(src / "b2.jsonl", (2, 2))
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+    def to_changes(df):
+        from pyspark.sql import functions as F
+
+        # op: event 101 is the delete; even event_ids insert, odd update
+        op = (
+            F.when(F.col("event_id") == 101, "D")
+            .when(F.col("event_id") % 2 == 0, "I")
+            .otherwise("U")
+        )
+        return df.select(
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+            "event_id",
+            op.alias("op"),
+            (F.col("value").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).json(str(src))
+        )
+        q = ingest.cdc_apply_stream(to_changes(stream), state_dir, ckpt)
+        q.awaitTermination(120)
+
+    run_once()
+    got1 = {
+        r.user_id: (r.op, r.cents)
+        for r in ingest.read_cdc_state(spark, state_dir).collect()
+    }
+    run_once()  # replay: no change
+    got2 = {
+        r.user_id: (r.op, r.cents)
+        for r in ingest.read_cdc_state(spark, state_dir).collect()
+    }
+    assert got1 == got2
+
+    # batch recomputation over ALL change rows
+    from pyspark.sql import Window, functions as F
+
+    all_changes = to_changes(spark.read.schema(schema).json(str(src)))
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("us"), F.desc("event_id")
+    )
+    expect = {
+        r.user_id: (r.op, r.cents)
+        for r in all_changes.withColumn("_rn", F.row_number().over(w))
+        .where((F.col("_rn") == 1) & (F.col("op") != "D"))
+        .collect()
+    }
+    assert got1 == expect
+    assert 1 not in got1          # deleted user invisible
+    assert got1[2] == ("I", 950)  # 9.50 at 11:10 (event 102) wins for user 2
