@@ -254,6 +254,13 @@ BENCH_QUERIES_R4 = [
     "cdc_user_state_apply",
     "embedding_jl_distortion",
     "hll_user_overlap_estimate",
+    "quantile_sketch_order_values",
+    "corpus_zipf_fit",
+    "user_interarrival_burstiness",
+    "join_key_skew_report",
+    "rolling_corr_value_count",
+    "dsir_ess_report",
+    "rm3_feedback_search",
 ]
 
 

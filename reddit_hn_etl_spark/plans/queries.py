@@ -16290,6 +16290,247 @@ def rolling_corr_value_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Effective sample size of the DSIR importance weights — the
+# diagnostic that decides whether importance RESAMPLING is usable at
+# all (ESS/n → 0 means the weights are too peaked and the resampled
+# set collapses onto a few documents). Max-stabilized exp + sorted
+# ordered folds keep every float bit-equal; ROUND(,6) as belt.
+# ---------------------------------------------------------------------------
+
+@_q("dsir_ess_report")  # oracle assigned below (embeds the DSIR CTE)
+def dsir_ess_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ESS = (Σw)²/Σw² over the raw (non-target) pool's importance
+    weights w = exp(log_weight − max): the Kong effective-sample-
+    size diagnostic for DSIR resampling. The max-shift is an exact
+    MAX of identical doubles; exp is bit-equal; both Σ folds walk
+    the doc_id-sorted list on both engines (the diversity-entropy
+    discipline — engine-order float sums are never trusted). One
+    1-row collapse over doc-count-sized weights; at 100 TB the fold
+    switches to the hierarchical prefix sum with the same
+    stabilization."""
+    docs = read_table(spark, sf_dir, "documents")
+    w = textfn.dsir_log_weights(
+        docs, F.col("lang") == "en", id_col="doc_id", text_col="text",
+        n_buckets=256,
+    )
+    raw = w.where(~F.col("is_target")).select("doc_id", "log_weight")
+    mx = raw.agg(F.max("log_weight").alias("m"))
+    ex = raw.crossJoin(F.broadcast(mx)).select(
+        "doc_id", F.exp(F.col("log_weight") - F.col("m")).alias("wt")
+    )
+    arr = F.sort_array(F.collect_list(F.struct("doc_id", "wt")))
+    s = ex.agg(
+        F.count(F.lit(1)).alias("n_raw"), arr.alias("_arr")
+    ).select(
+        "n_raw",
+        F.aggregate(
+            F.transform(F.col("_arr"), lambda x: x["wt"]),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("s1"),
+        F.aggregate(
+            F.transform(F.col("_arr"), lambda x: x["wt"] * x["wt"]),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("s2"),
+    )
+    return s.select(
+        "n_raw",
+        F.round(F.col("s1") * F.col("s1") / F.col("s2"), 6).alias("ess"),
+        F.round(
+            F.col("s1") * F.col("s1") / F.col("s2") / F.col("n_raw"), 6
+        ).alias("ess_fraction"),
+    )
+
+
+ORACLES["dsir_ess_report"] = f"""
+    WITH w AS ({ORACLES["doc_dsir_weights"]}),
+    raw AS (SELECT doc_id, log_weight FROM w WHERE NOT is_target),
+    mx AS (SELECT MAX(log_weight) AS m FROM raw),
+    ex AS (SELECT doc_id, exp(log_weight - mx.m) AS wt FROM raw, mx),
+    s AS (
+        SELECT COUNT(*) AS n_raw,
+               list_reduce(list(wt ORDER BY doc_id), (a, b) -> a + b)
+                   AS s1,
+               list_reduce(list(wt * wt ORDER BY doc_id), (a, b) -> a + b)
+                   AS s2
+        FROM ex
+    )
+    SELECT n_raw, ROUND(s1 * s1 / s2, 6) AS ess,
+           ROUND(s1 * s1 / s2 / n_raw, 6) AS ess_fraction
+    FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# RM3-style pseudo-relevance feedback: BM25 pass 1 → top-10 feedback
+# docs → top-5 expansion terms by exact feedback-tf mass → BM25 pass
+# 2 over the expanded query. Long-format (doc, term, tf) BM25, so the
+# expanded term set can stay data-dependent; per-doc scores fold the
+# term-sorted contribution list (never an engine-order float SUM) and
+# ROUND(,4) before every rank.
+# ---------------------------------------------------------------------------
+
+_RM3_Q0 = ("dup", "spark", "vector")
+
+
+def _rm3_contrib_sql(qcte: str) -> str:
+    return f"""
+        SELECT tf.doc_id, tf.term,
+               ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) AS c
+        FROM tf
+        JOIN {qcte} USING (term)
+        JOIN df USING (term)
+        JOIN dl USING (doc_id), stats
+    """
+
+
+@_q(
+    "rm3_feedback_search",
+    rf"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                           x -> x <> '') AS w
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, len(w) AS dl FROM t),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(w) AS term FROM t)
+        GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    stats AS (
+        SELECT (SELECT COUNT(*) FROM dl) AS n_docs,
+               (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) FROM dl) AS avgdl
+    ),
+    q0 AS (SELECT unnest({list(_RM3_Q0)!r}) AS term),
+    c0 AS ({_rm3_contrib_sql('q0')}),
+    s1 AS (
+        SELECT doc_id,
+               ROUND(list_reduce(list(c ORDER BY term), (a, b) -> a + b), 4)
+                   AS s
+        FROM c0 GROUP BY doc_id
+    ),
+    top10 AS (SELECT doc_id FROM s1 ORDER BY s DESC, doc_id LIMIT 10),
+    expterms AS (
+        SELECT tf.term, SUM(tf.tf) AS cnt
+        FROM tf JOIN top10 USING (doc_id)
+        WHERE tf.term NOT IN (SELECT term FROM q0)
+        GROUP BY tf.term ORDER BY cnt DESC, term LIMIT 5
+    ),
+    q1 AS (SELECT term FROM q0 UNION ALL SELECT term FROM expterms),
+    c1 AS ({_rm3_contrib_sql('q1')}),
+    s2 AS (
+        SELECT doc_id,
+               ROUND(list_reduce(list(c ORDER BY term), (a, b) -> a + b), 4)
+                   AS rm3_score
+        FROM c1 GROUP BY doc_id
+    )
+    SELECT doc_id, rm3_score,
+           CAST(ROW_NUMBER() OVER (ORDER BY rm3_score DESC, doc_id)
+                AS INTEGER) AS rnk
+    FROM s2 ORDER BY rm3_score DESC, doc_id LIMIT 20
+    """,
+)
+def rm3_feedback_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance feedback (RM3 shape): score the corpus with
+    BM25 for {dup, spark, vector}, take the top-10 as feedback,
+    expand the query with the 5 highest-mass feedback terms (exact
+    integer tf sums — no float weighting needed for the selection),
+    rescore with the expanded query, emit the top-20. BM25 here is
+    LONG-format — (doc, term, tf) rows joined against a term-set
+    relation — because the expansion terms are data-dependent and
+    cannot be inlined as columns; per-doc totals fold the
+    term-sorted contributions so both engines add identical doubles
+    in identical order. Plan: the postings/tf/df tables build in one
+    shuffle each and are REUSED by both passes; the query relations
+    are ≤8 rows, always broadcast."""
+    docs = read_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", dedup.tokens("text").alias("w"))
+    dl = t.select("doc_id", F.size("w").alias("dl")).localCheckpoint(
+        eager=True
+    )
+    tf = (
+        t.select("doc_id", F.explode("w").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+
+    def score(terms_df):
+        c = (
+            tf.join(F.broadcast(terms_df), "term")
+            .join(F.broadcast(df_t), "term")
+            .join(dl, "doc_id")
+            .crossJoin(F.broadcast(stats))
+            .select(
+                "doc_id",
+                "term",
+                (
+                    F.log(
+                        1
+                        + (F.col("n_docs") - F.col("df") + 0.5)
+                        / (F.col("df") + 0.5)
+                    )
+                    * (F.col("tf") * 2.2)
+                    / (
+                        F.col("tf")
+                        + 1.2
+                        * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+                    )
+                ).alias("c"),
+            )
+        )
+        arr = F.array_sort(F.collect_list(F.struct("term", "c")))
+        return c.groupBy("doc_id").agg(
+            F.round(
+                F.aggregate(
+                    F.transform(arr, lambda x: x["c"]),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+                4,
+            ).alias("s")
+        )
+
+    q0 = spark.createDataFrame([(x,) for x in _RM3_Q0], "term string")
+    s1 = score(q0)
+    top10 = s1.orderBy(F.desc("s"), F.asc("doc_id")).limit(10).select("doc_id")
+    expterms = (
+        tf.join(F.broadcast(top10), "doc_id")
+        .join(F.broadcast(q0), "term", "left_anti")
+        .groupBy("term")
+        .agg(F.sum("tf").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(5)
+        .select("term")
+    )
+    q1 = q0.unionByName(expterms)
+    s2 = score(q1).withColumnRenamed("s", "rm3_score")
+    return (
+        s2.orderBy(F.desc("rm3_score"), F.asc("doc_id"))
+        .limit(20)
+        .select(
+            "doc_id",
+            "rm3_score",
+            F.row_number()
+            .over(Window.orderBy(F.desc("rm3_score"), F.asc("doc_id")))
+            .cast("int")
+            .alias("rnk"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window.
 #
 # The driver hard-verifies (rows + schema + value hash vs the DuckDB
@@ -16338,7 +16579,6 @@ _DRIVER_WINDOW = [
     # redundant in-window and still enforced by tests/test_oracle.py.
     "embedding_covariance",
     "pca_power_component",
-    "pca_project_top1",
     "ivm_nation_revenue",
     "phrase_search_positional",
     "image_ahash_pairs",
@@ -16353,15 +16593,21 @@ _DRIVER_WINDOW = [
     "bigram_pmi_collocations",
     "neyman_allocation",
     "attribution_credit_models",
-    "image_ahash_clusters",
-    "purchase_absorption_3step",
+    # eighth-session family firsts (funded by evicting
+    # pca_project_top1 / image_ahash_clusters /
+    # purchase_absorption_3step / rich_idle_customers /
+    # doc_repetition — each family keeps another in-window
+    # representative; evictees stay enforced by tests/test_oracle.py)
+    "quantile_sketch_order_values",
+    "customer_golden_records",
+    "copurchase_kcore",
+    "cms_selfjoin_size_estimate",
+    "value_conformal_intervals",
     # TPC-H correlated family (never driver-checked before r4)
     "min_cost_supplier",
     "sole_late_suppliers",
-    "rich_idle_customers",
     # curation / sampling / splits
     "curation_funnel",
-    "doc_repetition",
     "cluster_keep_best",
     "train_val_split_counts",
     "pack_token_budget",
