@@ -32,7 +32,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
-from pyspark.sql.types import DoubleType, StructField, StructType
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
 
 def ema_per_key(
@@ -170,6 +170,83 @@ def holt_winters_per_key(
             tr_out[i] = tr
         pdf[level_col] = lvl_out
         pdf[trend_col] = tr_out
+        return pdf
+
+    return df.groupBy(key_col).applyInPandas(fold, schema)
+
+
+def holt_winters_fixed_point_per_key(
+    df: DataFrame,
+    key_col: str,
+    order_cols: Sequence[str],
+    int_value_col: str,
+    alpha: tuple[int, int] = (1, 4),
+    beta: tuple[int, int] = (1, 8),
+    scale_bits: int = 20,
+    level_col: str = "level_fp",
+    trend_col: str = "trend_fp",
+) -> DataFrame:
+    """Holt double exponential smoothing as an EXACT integer
+    fixed-point recurrence — the engine-proof twin of
+    :func:`holt_winters_per_key`.
+
+    The float version bets on cross-engine bit-equality of a chained
+    float recurrence (``0.25·x + 0.75·(l+t)``); round 4's driver run
+    called that bet (FMA contraction / engine-version drift are real).
+    This variant carries level and trend as BIGINT multiples of
+    ``2^-scale_bits`` of the input unit, with rational smoothing
+    factors ``alpha = an/ad``, ``beta = bn/bd``:
+
+    ``L_0 = x_0·S``, ``T_0 = 0`` (``S = 2^scale_bits``);
+    ``L_i = ⌊(an·x_i·S + (ad−an)·(L+T)) / ad⌋`` (floor);
+    ``T_i = ⌊(bn·(L_i−L_{i−1}) + (bd−bn)·T_{i−1}) / bd⌋``.
+
+    Every state is an int64 (floor division — Python ``//`` — matches
+    the oracle's portable SQL floor ``(a − (((a % d) + d) % d)) // d``;
+    DuckDB ``//`` truncates but the adjusted numerator divides
+    exactly). Downstream, ``L/S`` is an exact power-of-2 double while
+    ``L ≤ 2^52``, so emitted doubles are bit-identical by
+    construction, not by luck. Headroom: inputs up to ~4·10^8 with the
+    default 20 scale bits keep ``ad·(L+T)`` under 2^62.
+
+    Same physical shape as the float twin: one hash shuffle on the
+    key, one ordered Arrow fold per key; per-key history must fit a
+    task (entity-feature contract, not single-global-series).
+    """
+    import pandas as pd
+
+    an, ad = int(alpha[0]), int(alpha[1])
+    bn, bd = int(beta[0]), int(beta[1])
+    if not (0 < an < ad and 0 < bn < bd):
+        raise ValueError("alpha/beta must be proper positive fractions")
+    scale = 1 << scale_bits
+    order = list(order_cols)
+    schema = StructType(
+        list(df.schema.fields)
+        + [StructField(level_col, LongType()),
+           StructField(trend_col, LongType())]
+    )
+
+    def fold(pdf):
+        pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
+        vals = pdf[int_value_col].tolist()
+        lvls: list[int] = []
+        trs: list[int] = []
+        lvl = tr = 0
+        for i, v in enumerate(vals):
+            x = int(v) * scale
+            if i == 0:
+                lvl, tr = x, 0
+            else:
+                # Python // floors — identical to the oracle's
+                # portable-floor SQL on every sign combination.
+                lvl_new = (an * x + (ad - an) * (lvl + tr)) // ad
+                tr = (bn * (lvl_new - lvl) + (bd - bn) * tr) // bd
+                lvl = lvl_new
+            lvls.append(lvl)
+            trs.append(tr)
+        pdf[level_col] = pd.Series(lvls, dtype="int64")
+        pdf[trend_col] = pd.Series(trs, dtype="int64")
         return pdf
 
     return df.groupBy(key_col).applyInPandas(fold, schema)

@@ -11970,7 +11970,8 @@ def pca_project_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_nationkey AS nation_key,
            COUNT(*) AS n_orders,
-           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue,
            COUNT(*) FILTER (WHERE o_orderkey % 7 = 0 OR c_custkey % 9 = 0)
                AS n_from_delta
     FROM orders JOIN customer ON o_custkey = c_custkey
@@ -12016,7 +12017,7 @@ def ivm_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return view.join(dn, "c_nationkey", "left").select(
         F.col("c_nationkey").alias("nation_key"),
         F.col("n_orders").cast("long").alias("n_orders"),
-        F.col("revenue").alias("revenue"),
+        F.col("revenue").cast("double").alias("revenue"),
         F.coalesce(F.col("n_from_delta"), F.lit(0))
         .cast("long")
         .alias("n_from_delta"),
@@ -12163,45 +12164,60 @@ def image_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Holt double exponential smoothing (sequential.holt_winters_per_key):
-# level+trend forecasting over daily exact-cent totals. The 2-state
-# recurrence doesn't fit a scalar list_reduce, so the oracle is a
-# RECURSIVE CTE evaluating the literal same float expressions —
-# bit-equal, no tolerance.
+# Holt double exponential smoothing
+# (sequential.holt_winters_fixed_point_per_key): level+trend
+# forecasting over daily exact-cent totals. The 2-state recurrence
+# doesn't fit a scalar list_reduce, so the oracle is a RECURSIVE CTE —
+# and after the r4 driver hash-fail the recurrence is EXACT integer
+# fixed point (BIGINT state in 2^-20 cents, portable floor division),
+# not a float chain betting on cross-engine FMA behavior. Emitted
+# doubles are exact power-of-2 divisions of identical BIGINTs.
 # ---------------------------------------------------------------------------
+
+
+def _sql_floordiv(a: str, d: int) -> str:
+    """Portable SQL floor division by positive ``d``: DuckDB's ``//``
+    truncates toward zero and ``%`` is C-style, so shift the numerator
+    onto an exact multiple first (then trunc == floor)."""
+    return f"(({a}) - (((({a}) % {d}) + {d}) % {d})) // {d}"
+
+
+_HW_SCALE = 1 << 20
+_HW_LNEW = _sql_floordiv("n.xfp + 3 * (h.lfp + h.tfp)", 4)
+_HW_TNEW = _sql_floordiv(f"(({_HW_LNEW}) - h.lfp) + 7 * h.tfp", 8)
 
 
 @_q(
     "daily_value_holt_winters",
-    """
+    f"""
     WITH RECURSIVE daily AS (
         SELECT event_type, CAST(ts AS DATE) AS day,
-               SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
-                   AS cents
+               CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                    AS BIGINT) AS cents
         FROM events GROUP BY event_type, CAST(ts AS DATE)
     ),
     seq AS (
         SELECT event_type, day, cents,
-               CAST(cents AS DOUBLE) AS x,
+               cents * {_HW_SCALE} AS xfp,
                ROW_NUMBER() OVER (PARTITION BY event_type
                                   ORDER BY day) AS stp
         FROM daily
     ),
     hw AS (
-        SELECT event_type, day, cents, x, stp,
-               x AS level, CAST(0.0 AS DOUBLE) AS trend
+        SELECT event_type, day, cents, xfp, stp,
+               xfp AS lfp, CAST(0 AS BIGINT) AS tfp
         FROM seq WHERE stp = 1
         UNION ALL
-        SELECT n.event_type, n.day, n.cents, n.x, n.stp,
-               0.25 * n.x + 0.75 * (h.level + h.trend) AS level,
-               0.125 * ((0.25 * n.x + 0.75 * (h.level + h.trend))
-                        - h.level)
-                   + 0.875 * h.trend AS trend
+        SELECT n.event_type, n.day, n.cents, n.xfp, n.stp,
+               {_HW_LNEW} AS lfp,
+               {_HW_TNEW} AS tfp
         FROM hw h JOIN seq n
           ON n.event_type = h.event_type AND n.stp = h.stp + 1
     )
-    SELECT event_type, day, cents, level, trend,
-           level + trend AS forecast_next
+    SELECT event_type, day, cents,
+           CAST(lfp AS DOUBLE) / {_HW_SCALE}.0 AS level,
+           CAST(tfp AS DOUBLE) / {_HW_SCALE}.0 AS trend,
+           CAST(lfp + tfp AS DOUBLE) / {_HW_SCALE}.0 AS forecast_next
     FROM hw
     """,
 )
@@ -12210,12 +12226,14 @@ def daily_value_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the one-step-ahead forecast — the trend-aware upgrade of
     `user_value_ema` (`revenue_forecast` fits one global line; this
     tracks a drifting level per series). Daily totals are exact
-    integer cents; α=1/4, β=1/8 are binary-exact; the applyInPandas
-    fold evaluates the LITERAL same expressions as the oracle's
-    recursive CTE, so every level/trend/forecast double matches
-    bit-for-bit. One shuffle to daily grain + one ordered fold per
+    integer cents; the recurrence runs in EXACT int64 fixed point
+    (state in 2^-20 cents, α=1/4, β=1/8 as rationals, floor division
+    — the r4 float-chain version drew a driver hash-fail from
+    engine-sensitive FMA/rounding). Emitted level/trend/forecast are
+    single power-of-2 divisions of bit-identical BIGINTs, exact while
+    |state| < 2^52. One shuffle to daily grain + one ordered fold per
     type."""
-    from ..operators.sequential import holt_winters_per_key
+    from ..operators.sequential import holt_winters_fixed_point_per_key
 
     ev = read_table(spark, sf_dir, "events")
     cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
@@ -12226,19 +12244,21 @@ def daily_value_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
             cents.alias("_c"),
         )
         .groupBy("event_type", "day")
-        .agg(F.sum("_c").alias("cents"))
-        .withColumn("x", F.col("cents").cast("double"))
+        .agg(F.sum("_c").cast("bigint").alias("cents"))
     )
-    out = holt_winters_per_key(
-        daily, "event_type", ("day",), "x", alpha=0.25, beta=0.125
+    out = holt_winters_fixed_point_per_key(
+        daily, "event_type", ("day",), "cents", alpha=(1, 4), beta=(1, 8)
     )
+    s = F.lit(float(_HW_SCALE))
     return out.select(
         "event_type",
         "day",
         "cents",
-        "level",
-        "trend",
-        (F.col("level") + F.col("trend")).alias("forecast_next"),
+        (F.col("level_fp").cast("double") / s).alias("level"),
+        (F.col("trend_fp").cast("double") / s).alias("trend"),
+        (
+            (F.col("level_fp") + F.col("trend_fp")).cast("double") / s
+        ).alias("forecast_next"),
     )
 
 
@@ -13951,52 +13971,54 @@ def video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "holt_backtest_skill",
-    """
+    f"""
     WITH RECURSIVE daily AS (
         SELECT event_type, CAST(ts AS DATE) AS day,
-               SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
-                   AS cents
+               CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                    AS BIGINT) AS cents
         FROM events GROUP BY event_type, CAST(ts AS DATE)
     ),
     seq AS (
         SELECT event_type, day, cents,
-               CAST(cents AS DOUBLE) AS x,
+               cents * {_HW_SCALE} AS xfp,
                ROW_NUMBER() OVER (PARTITION BY event_type
                                   ORDER BY day) AS stp
         FROM daily
     ),
     hw AS (
-        SELECT event_type, day, cents, x, stp,
-               x AS level, CAST(0.0 AS DOUBLE) AS trend
+        SELECT event_type, day, cents, xfp, stp,
+               xfp AS lfp, CAST(0 AS BIGINT) AS tfp
         FROM seq WHERE stp = 1
         UNION ALL
-        SELECT n.event_type, n.day, n.cents, n.x, n.stp,
-               0.25 * n.x + 0.75 * (h.level + h.trend) AS level,
-               0.125 * ((0.25 * n.x + 0.75 * (h.level + h.trend))
-                        - h.level)
-                   + 0.875 * h.trend AS trend
+        SELECT n.event_type, n.day, n.cents, n.xfp, n.stp,
+               {_HW_LNEW} AS lfp,
+               {_HW_TNEW} AS tfp
         FROM hw h JOIN seq n
           ON n.event_type = h.event_type AND n.stp = h.stp + 1
     ),
     lagged AS (
-        SELECT event_type, stp, x,
-               LAG(level + trend) OVER w AS f_prev,
-               LAG(x) OVER w AS x_prev
+        SELECT event_type, stp, xfp,
+               LAG(lfp + tfp) OVER w AS ffp_prev,
+               LAG(xfp) OVER w AS xfp_prev
         FROM hw
         WINDOW w AS (PARTITION BY event_type ORDER BY stp)
     ),
     err AS (
         SELECT event_type,
                COUNT(*) AS n_evals,
-               ROUND(SUM(ABS(x - f_prev)) / COUNT(*), 9) AS mae_holt,
-               ROUND(SUM(ABS(x - x_prev)) / COUNT(*), 9) AS mae_naive
-        FROM lagged WHERE f_prev IS NOT NULL
+               CAST(SUM(ABS(xfp - ffp_prev)) AS BIGINT) AS se_holt,
+               CAST(SUM(ABS(xfp - xfp_prev)) AS BIGINT) AS se_naive
+        FROM lagged WHERE ffp_prev IS NOT NULL
         GROUP BY event_type
     )
     SELECT event_type, CAST(n_evals AS INTEGER) AS n_evals,
-           mae_holt, mae_naive,
-           CASE WHEN mae_naive > 0.0
-                THEN ROUND(1.0 - mae_holt / mae_naive, 9)
+           ROUND(CAST(se_holt AS DOUBLE)
+                 / CAST(n_evals * {_HW_SCALE} AS DOUBLE), 9) AS mae_holt,
+           ROUND(CAST(se_naive AS DOUBLE)
+                 / CAST(n_evals * {_HW_SCALE} AS DOUBLE), 9) AS mae_naive,
+           CASE WHEN se_naive > 0
+                THEN ROUND(1.0 - CAST(se_holt AS DOUBLE)
+                                 / CAST(se_naive AS DOUBLE), 12)
                 ELSE CAST(0.0 AS DOUBLE) END AS skill
     FROM err
     """,
@@ -14006,11 +14028,14 @@ def holt_backtest_skill(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-step-ahead prediction (previous row's level+trend) and of
     naive persistence, plus the skill score 1 − MAE_holt/MAE_naive.
     The fold IS the rolling origin — each prediction uses only the
-    prefix, no refit loop. Absolute errors are subtractions of
-    identical doubles; the MAEs ROUND at 1e-9; the skill compares
-    post-ROUND values. One grain reduction + one fold + one lag
-    window per series."""
-    from ..operators.sequential import holt_winters_per_key
+    prefix, no refit loop. Runs on the exact fixed-point recurrence
+    (see daily_value_holt_winters): absolute errors are BIGINT
+    subtractions, their sums are exact, the MAEs are single divides
+    of identical integers on the 1e-9 grid, and the skill is
+    1 − se_holt/se_naive (the n·S denominators cancel EXACTLY in the
+    integer domain) on the 1e-12 grid. One grain reduction + one fold
+    + one lag window per series."""
+    from ..operators.sequential import holt_winters_fixed_point_per_key
 
     ev = read_table(spark, sf_dir, "events")
     cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
@@ -14021,39 +14046,43 @@ def holt_backtest_skill(spark: SparkSession, sf_dir: str) -> DataFrame:
             cents.alias("_c"),
         )
         .groupBy("event_type", "day")
-        .agg(F.sum("_c").alias("cents"))
-        .withColumn("x", F.col("cents").cast("double"))
+        .agg(F.sum("_c").cast("bigint").alias("cents"))
     )
-    hw = holt_winters_per_key(
-        daily, "event_type", ("day",), "x", alpha=0.25, beta=0.125
+    hw = holt_winters_fixed_point_per_key(
+        daily, "event_type", ("day",), "cents", alpha=(1, 4), beta=(1, 8)
     )
+    xfp = F.col("cents") * F.lit(_HW_SCALE)
     w = Window.partitionBy("event_type").orderBy("day")
     lagged = hw.select(
         "event_type",
-        "x",
-        F.lag(F.col("level") + F.col("trend")).over(w).alias("f_prev"),
-        F.lag("x").over(w).alias("x_prev"),
-    ).where(F.col("f_prev").isNotNull())
+        xfp.alias("xfp"),
+        F.lag(F.col("level_fp") + F.col("trend_fp")).over(w).alias("ffp_prev"),
+        F.lag(xfp).over(w).alias("xfp_prev"),
+    ).where(F.col("ffp_prev").isNotNull())
     err = lagged.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_evals"),
-        F.round(
-            F.sum(F.abs(F.col("x") - F.col("f_prev"))) / F.count(F.lit(1)),
-            9,
-        ).alias("mae_holt"),
-        F.round(
-            F.sum(F.abs(F.col("x") - F.col("x_prev"))) / F.count(F.lit(1)),
-            9,
-        ).alias("mae_naive"),
+        F.sum(F.abs(F.col("xfp") - F.col("ffp_prev")))
+        .cast("bigint")
+        .alias("se_holt"),
+        F.sum(F.abs(F.col("xfp") - F.col("xfp_prev")))
+        .cast("bigint")
+        .alias("se_naive"),
     )
+    den = (F.col("n_evals") * F.lit(_HW_SCALE)).cast("double")
     skill = F.when(
-        F.col("mae_naive") > 0.0,
-        F.round(F.lit(1.0) - F.col("mae_holt") / F.col("mae_naive"), 9),
+        F.col("se_naive") > 0,
+        F.round(
+            F.lit(1.0)
+            - F.col("se_holt").cast("double")
+            / F.col("se_naive").cast("double"),
+            12,
+        ),
     ).otherwise(F.lit(0.0))
     return err.select(
         "event_type",
         F.col("n_evals").cast("int").alias("n_evals"),
-        "mae_holt",
-        "mae_naive",
+        F.round(F.col("se_holt").cast("double") / den, 9).alias("mae_holt"),
+        F.round(F.col("se_naive").cast("double") / den, 9).alias("mae_naive"),
         skill.alias("skill"),
     )
 
@@ -14395,38 +14424,43 @@ def daily_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     model AS (
         SELECT event_type,
-               CAST(SUM(cents) AS DOUBLE) / COUNT(*) AS mu,
+               CAST(SUM(cents) AS BIGINT) AS s_cents,
                COUNT(*) AS n_calib
         FROM scored WHERE half = 'calib' GROUP BY event_type
     ),
     resid AS (
         SELECT s.event_type, m.n_calib,
-               abs(CAST(s.cents AS DOUBLE) - m.mu) AS r,
+               abs(s.cents * m.n_calib - m.s_cents) AS r_int,
                ROW_NUMBER() OVER (
                    PARTITION BY s.event_type
-                   ORDER BY abs(CAST(s.cents AS DOUBLE) - m.mu), s.cents
+                   ORDER BY abs(s.cents * m.n_calib - m.s_cents), s.cents
                ) AS rk
         FROM scored s JOIN model m ON m.event_type = s.event_type
         WHERE s.half = 'calib'
     ),
     qhat AS (
-        SELECT event_type, n_calib, r AS q
+        SELECT event_type, n_calib, r_int AS q_int
         FROM resid
-        WHERE rk = CAST(ceil(0.9 * (n_calib + 1)) AS BIGINT)
+        WHERE rk = (9 * (n_calib + 1) + 9) // 10
     ),
     cover AS (
         SELECT s.event_type,
                COUNT(*) AS n_test,
-               SUM(CASE WHEN abs(CAST(s.cents AS DOUBLE) - m.mu) <= q.q
-                        THEN 1 ELSE 0 END) AS covered
+               CAST(SUM(CASE WHEN abs(s.cents * m.n_calib - m.s_cents)
+                                  <= q.q_int
+                             THEN 1 ELSE 0 END) AS BIGINT) AS covered
         FROM scored s
         JOIN model m ON m.event_type = s.event_type
         JOIN qhat q ON q.event_type = s.event_type
         WHERE s.half = 'test'
         GROUP BY s.event_type
     )
-    SELECT c.event_type, q.n_calib, c.n_test, q.q AS qhat, c.covered,
-           CAST(c.covered AS DOUBLE) / c.n_test AS coverage
+    SELECT c.event_type, q.n_calib, c.n_test,
+           ROUND(CAST(q.q_int AS DOUBLE) / CAST(q.n_calib AS DOUBLE), 6)
+               AS qhat,
+           c.covered,
+           ROUND(CAST(c.covered AS DOUBLE) / CAST(c.n_test AS DOUBLE), 12)
+               AS coverage
     FROM cover c JOIN qhat q ON q.event_type = c.event_type
     """,
 )
@@ -14434,14 +14468,19 @@ def value_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Split-conformal 90% intervals around a per-type mean model:
     md5(event_id) splits 8/16 calib, 8/16 test (deterministic,
     machine-independent); q̂ = the ⌈0.9(n+1)⌉-th smallest absolute
-    calibration residual (an exact ranked order statistic — the
-    residuals are identical doubles on both engines because
-    |int − exact-int-ratio-mean| composes identically); empirical
-    test coverage is an exact integer ratio. Scale shape: one scan
-    to split+score, per-type broadcast of the 1-row-per-type model
-    and q̂ — no data-sized shuffle beyond the calib rank (bounded
-    per-type partitions; at 100 TB the rank would switch to the
-    hierarchical-prefix order statistic like order_value_percentiles)."""
+    calibration residual. The r4 hash-fail taught the lesson: the
+    WHOLE decision path is now exact integers — residuals are scaled
+    by n_calib (|cents·n − Σcents| ≡ n·|cents − mean|, same order,
+    same coverage verdicts, zero floats), the rank is the integer
+    ceil ⌈9(n+1)/10⌉ = (9(n+1)+9) DIV 10 (a double 0.9·(n+1) parses
+    as DECIMAL in DuckDB but DOUBLE in Spark — a latent tie-break
+    hazard), and the only doubles are two terminal single divides of
+    bit-identical BIGINTs, ROUNDed onto 1e-6/1e-12 grids. Scale
+    shape: one scan to split+score, per-type broadcast of the
+    1-row-per-type model and q̂ — no data-sized shuffle beyond the
+    calib rank (bounded per-type partitions; at 100 TB the rank
+    would switch to the hierarchical-prefix order statistic like
+    order_value_percentiles)."""
     ev = read_table(spark, sf_dir, "events")
     cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
     nib = F.substring(F.md5(F.col("event_id").cast("string").cast("binary")), 1, 1)
@@ -14454,45 +14493,51 @@ def value_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     calib = scored.where(F.col("half") == "calib")
     model = calib.groupBy("event_type").agg(
-        (F.sum("cents").cast("double") / F.count(F.lit(1))).alias("mu"),
+        F.sum("cents").cast("bigint").alias("s_cents"),
         F.count(F.lit(1)).alias("n_calib"),
     )
-    r = F.abs(F.col("cents").cast("double") - F.col("mu"))
+    r_int = F.abs(F.col("cents") * F.col("n_calib") - F.col("s_cents"))
     resid = calib.join(F.broadcast(model), "event_type").select(
         "event_type",
         "n_calib",
-        r.alias("r"),
+        r_int.alias("r_int"),
         F.row_number()
-        .over(Window.partitionBy("event_type").orderBy(r, "cents"))
+        .over(Window.partitionBy("event_type").orderBy(r_int, "cents"))
         .alias("rk"),
     )
     qhat = resid.where(
-        F.col("rk")
-        == F.ceil(F.lit(0.9) * (F.col("n_calib") + 1)).cast("bigint")
-    ).select("event_type", "n_calib", F.col("r").alias("q"))
+        F.col("rk") == F.expr("(9 * (n_calib + 1) + 9) DIV 10")
+    ).select("event_type", "n_calib", F.col("r_int").alias("q_int"))
     test = scored.where(F.col("half") == "test")
     cover = (
         test.join(F.broadcast(model), "event_type")
-        .join(F.broadcast(qhat), "event_type")
+        .join(F.broadcast(qhat.select("event_type", "q_int")), "event_type")
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_test"),
             F.sum(
                 F.when(
-                    F.abs(F.col("cents").cast("double") - F.col("mu"))
-                    <= F.col("q"),
+                    F.abs(F.col("cents") * F.col("n_calib") - F.col("s_cents"))
+                    <= F.col("q_int"),
                     1,
                 ).otherwise(0)
-            ).alias("covered"),
+            )
+            .cast("bigint")
+            .alias("covered"),
         )
     )
     return cover.join(F.broadcast(qhat), "event_type").select(
         "event_type",
         "n_calib",
         "n_test",
-        F.col("q").alias("qhat"),
+        F.round(
+            F.col("q_int").cast("double") / F.col("n_calib").cast("double"), 6
+        ).alias("qhat"),
         "covered",
-        (F.col("covered").cast("double") / F.col("n_test")).alias("coverage"),
+        F.round(
+            F.col("covered").cast("double") / F.col("n_test").cast("double"),
+            12,
+        ).alias("coverage"),
     )
 
 
@@ -15162,7 +15207,7 @@ def embedding_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "cms_selfjoin_size_estimate",
     """
-    WITH rows AS (SELECT unnest([0, 1, 2, 3]) AS r),
+    WITH rows AS (SELECT unnest(range(0, 4)) AS r),
     cells AS (
         SELECT r.r,
                CAST(('0x' || substring(md5(CAST(r.r AS VARCHAR) || '|'
@@ -15173,16 +15218,18 @@ def embedding_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2
     ),
     est AS (
-        SELECT MIN(est_r) AS est
-        FROM (SELECT r, SUM(cnt * cnt) AS est_r FROM cells GROUP BY r)
+        SELECT CAST(MIN(est_r) AS BIGINT) AS est
+        FROM (SELECT r, CAST(SUM(cnt * cnt) AS BIGINT) AS est_r
+              FROM cells GROUP BY r)
     ),
     tru AS (
-        SELECT SUM(f * f) AS true_size
+        SELECT CAST(SUM(f * f) AS BIGINT) AS true_size
         FROM (SELECT COUNT(*) AS f FROM lineitem GROUP BY l_suppkey)
     )
     SELECT t.true_size, e.est,
            e.est >= t.true_size AS never_undercounts,
-           CAST(e.est AS DOUBLE) / t.true_size AS overestimate_ratio
+           ROUND(CAST(e.est AS DOUBLE) / CAST(t.true_size AS DOUBLE), 9)
+               AS overestimate_ratio
     FROM tru t, est e
     """,
 )
@@ -15194,7 +15241,10 @@ def cms_selfjoin_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     numbers are exact integers: the sketch cells are deterministic
     md5 buckets (engine-reproducible — the cms_user_counts policy),
     so the ESTIMATE itself is oracle material, plus the
-    never-undercounts theorem as a boolean. Sketch build is one
+    never-undercounts theorem as a boolean. Terminal columns are
+    explicitly BIGINT (DuckDB SUM yields HUGEINT otherwise — the
+    r4 hash-fail class) and the ratio sits on the 1e-9 ROUND grid
+    rather than betting on raw-double bit equality. Sketch build is one
     (4×256)-key partial agg; the estimate joins two 1 KB tables —
     constant cost at any input scale."""
     from ..operators import sketch
@@ -15208,12 +15258,13 @@ def cms_selfjoin_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("f") * F.col("f")).alias("true_size"))
     )
     return true_size.crossJoin(F.broadcast(est)).select(
-        "true_size",
-        "est",
+        F.col("true_size").cast("long").alias("true_size"),
+        F.col("est").cast("long").alias("est"),
         (F.col("est") >= F.col("true_size")).alias("never_undercounts"),
-        (F.col("est").cast("double") / F.col("true_size")).alias(
-            "overestimate_ratio"
-        ),
+        F.round(
+            F.col("est").cast("double") / F.col("true_size").cast("double"),
+            9,
+        ).alias("overestimate_ratio"),
     )
 
 
