@@ -5263,10 +5263,10 @@ def shipping_lag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     run AS (
         SELECT o_custkey, revenue_cents,
-               SUM(revenue_cents)
-                   OVER (ORDER BY revenue_cents DESC, o_custkey)
-                   AS running_cents,
-               SUM(revenue_cents) OVER () AS total_cents
+               CAST(SUM(revenue_cents)
+                    OVER (ORDER BY revenue_cents DESC, o_custkey)
+                    AS BIGINT) AS running_cents,
+               CAST(SUM(revenue_cents) OVER () AS BIGINT) AS total_cents
         FROM per
     )
     SELECT o_custkey, revenue_cents, running_cents,
@@ -6950,7 +6950,7 @@ def orders_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     md5(CAST(o_orderkey AS VARCHAR) || '|'
                         || CAST(o_custkey AS VARCHAR) || '|'
                         || o_orderpriority), 1, 15) AS BIGINT))
-                AS DECIMAL(38,0)) AS checksum
+                % 2305843009213693951 AS BIGINT) AS checksum
     FROM orders
     GROUP BY o_orderstatus
     """,
@@ -6958,12 +6958,15 @@ def orders_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def orders_group_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-insensitive per-group table checksum: per-row md5 over a
     canonical '|'-joined int/text projection, first 60 bits as an
-    integer, summed exactly in DECIMAL(38,0). Summation commutes, so
-    the checksum is independent of partitioning and row order — equal
-    checksums certify group equality across engines/migrations
-    without moving rows (`orders_version_diff` then EXPLAINS any
-    group that disagrees). One partial-agg shuffle of (status, sum)
-    pairs; row hashes never leave their partition."""
+    integer, summed exactly in a wide intermediate (DECIMAL(38,0) /
+    HUGEINT) then reduced mod 2^61−1 so the TERMINAL column is plain
+    BIGINT (uncast HUGEINT/DECIMAL outputs are the r4 driver
+    hash-fail class). Summation commutes, so the checksum is
+    independent of partitioning and row order — equal checksums
+    certify group equality across engines/migrations without moving
+    rows (`orders_version_diff` then EXPLAINS any group that
+    disagrees). One partial-agg shuffle of (status, sum) pairs; row
+    hashes never leave their partition."""
     orders = read_table(spark, sf_dir, "orders")
     row_hash = F.conv(
         F.substring(
@@ -6983,7 +6986,9 @@ def orders_group_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("decimal(38,0)")
     return orders.groupBy("o_orderstatus").agg(
         F.count("*").alias("n_rows"),
-        F.sum(row_hash).cast("decimal(38,0)").alias("checksum"),
+        (F.sum(row_hash) % F.lit(2305843009213693951))
+        .cast("long")
+        .alias("checksum"),
     )
 
 
@@ -8249,7 +8254,9 @@ def customer_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                                             WHERE c.c_custkey = o.o_custkey))
                    FROM base
     )
-    SELECT "constraint", n_rows, n_violations, n_violations = 0 AS passed
+    SELECT "constraint", n_rows,
+           CAST(n_violations AS BIGINT) AS n_violations,
+           n_violations = 0 AS passed
     FROM stacked
     """,
 )
@@ -8826,11 +8833,13 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (
         SELECT source,
                COUNT(*) AS n_docs,
-               SUM(len(list_filter(string_split_regex(text, '\s+'),
-                                   w -> w <> ''))) AS n_tokens
+               CAST(SUM(len(list_filter(string_split_regex(text, '\s+'),
+                                        w -> w <> ''))) AS BIGINT)
+                   AS n_tokens
         FROM documents GROUP BY source
     ),
-    t AS (SELECT SUM(n_tokens) AS total, COUNT(*) AS n_sources FROM s)
+    t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total,
+                 COUNT(*) AS n_sources FROM s)
     SELECT s.source,
            CAST(s.n_docs AS INTEGER) AS n_docs,
            s.n_tokens,
@@ -8950,8 +8959,8 @@ def doc_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH daily AS (
         SELECT event_type, CAST(ts AS DATE) AS day,
-               SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
-                   AS cents
+               CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                    AS BIGINT) AS cents
         FROM events GROUP BY event_type, CAST(ts AS DATE)
     ),
     ref AS (
@@ -9269,7 +9278,7 @@ def customer_name_jw_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT label_type,
            CAST(SUM(pos) AS INTEGER) AS p_count,
            CAST(SUM(neg) AS INTEGER) AS n_count,
-           SUM(pos * (2 * neg_below + neg)) AS auc_num_x2,
+           CAST(SUM(pos * (2 * neg_below + neg)) AS BIGINT) AS auc_num_x2,
            CAST(SUM(pos * (2 * neg_below + neg)) AS DOUBLE)
                / (2.0 * SUM(pos) * SUM(neg)) AS auc
     FROM r GROUP BY label_type
@@ -9406,7 +9415,7 @@ def referral_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
            MAX(cents) AS high_cents,
            MIN(cents) AS low_cents,
            arg_max(cents, k) AS close_cents,
-           SUM(cents) AS volume_cents,
+           CAST(SUM(cents) AS BIGINT) AS volume_cents,
            CAST(COUNT(*) AS INTEGER) AS n_events
     FROM b GROUP BY event_type, day
     """,
@@ -9469,8 +9478,8 @@ def daily_value_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM rev
     )
     SELECT CAST(COUNT(*) AS INTEGER) AS n_customers,
-           SUM(cents) AS total_cents,
-           SUM(i * cents) AS weighted_cents,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           CAST(SUM(i * cents) AS BIGINT) AS weighted_cents,
            CAST(2 * SUM(i * cents) - (COUNT(*) + 1) * SUM(cents)
                 AS DOUBLE)
                / (COUNT(*) * SUM(cents)) AS gini
@@ -9536,7 +9545,8 @@ def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY event_type, next_type
     ),
     t AS (
-        SELECT from_type, SUM(n) AS row_total FROM c GROUP BY from_type
+        SELECT from_type, CAST(SUM(n) AS BIGINT) AS row_total
+        FROM c GROUP BY from_type
     )
     SELECT c.from_type, c.to_type, c.n,
            t.row_total,
@@ -9654,8 +9664,8 @@ def source_diversity_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH m AS (
         SELECT event_type, CAST(date_trunc('month', ts) AS DATE) AS month,
-               SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
-                   AS cents
+               CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                    AS BIGINT) AS cents
         FROM events GROUP BY event_type, month
     )
     SELECT event_type, month, cents,
@@ -10830,7 +10840,8 @@ def ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS v_label_domain
         FROM base
     )
-    SELECT "constraint", n_rows, n_violations,
+    SELECT "constraint", n_rows,
+           CAST(n_violations AS BIGINT) AS n_violations,
            n_violations = 0 AS passed
     FROM (
         SELECT 'dim_64' AS "constraint", n_rows,
@@ -11615,7 +11626,8 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM first_seen GROUP BY cohort)
     SELECT r.cohort, CAST(r.age_weeks AS INTEGER) AS age_weeks,
            CAST(s.cohort_users AS INTEGER) AS cohort_users,
-           SUM(r.cents) OVER (PARTITION BY r.cohort ORDER BY r.age_weeks)
+           CAST(SUM(r.cents) OVER (PARTITION BY r.cohort
+                                   ORDER BY r.age_weeks) AS BIGINT)
                AS cum_cents,
            CAST(SUM(r.cents) OVER (PARTITION BY r.cohort
                                    ORDER BY r.age_weeks) AS DOUBLE)
@@ -11683,8 +11695,8 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH daily AS (
         SELECT CAST(ts AS DATE) AS day, dayofweek(ts) AS dow,
-               SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
-                   AS cents
+               CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                    AS BIGINT) AS cents
         FROM events GROUP BY 1, 2
     ),
     base AS (
@@ -11695,19 +11707,23 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT d.day, CAST(d.dow AS INTEGER) AS dow, d.cents,
            ROUND(b.dow_mean, 6) AS dow_mean_cents,
-           ROUND(CAST(d.cents AS DOUBLE) / b.dow_mean, 6) AS ratio
+           ROUND(CAST(d.cents AS DOUBLE) / b.dow_mean, 6) AS ratio,
+           (CAST(d.cents AS DOUBLE) / b.dow_mean > 1.2
+            OR CAST(d.cents AS DOUBLE) / b.dow_mean < 0.8) AS is_anomaly
     FROM daily d JOIN base b USING (dow)
     WHERE b.n_days >= 3
-      AND (CAST(d.cents AS DOUBLE) / b.dow_mean > 1.2
-           OR CAST(d.cents AS DOUBLE) / b.dow_mean < 0.8)
     """,
 )
 def dow_adjusted_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Days whose total deviates ≥20% from their own day-of-week
-    mean. Daily rollup → 7-row baseline broadcast → projection; the
-    DOW convention is aligned Spark→DuckDB by subtracting 1 (the
-    chisquare precedent). Flag compares the same raw double ratio on
-    both sides; emitted values round."""
+    """Each day's total vs its own day-of-week mean, with the ≥20%
+    deviation verdict as an emitted boolean (filtering on it made
+    the oracle match vacuously on calm data — 0 rows at sf0.01; the
+    full series keeps the comparison discriminating while the flag
+    still marks the anomalies). Daily rollup → 7-row baseline
+    broadcast → projection; the DOW convention is aligned
+    Spark→DuckDB by subtracting 1 (the chisquare precedent). The
+    flag compares the same raw double ratio on both sides; emitted
+    values round."""
     ev = read_table(spark, sf_dir, "events")
     cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
     daily = (
@@ -11726,15 +11742,14 @@ def dow_adjusted_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio = F.col("cents").cast("double") / F.col("dow_mean")
     return (
         daily.join(F.broadcast(base), "dow")
-        .where(
-            (F.col("n_days") >= 3) & ((ratio > 1.2) | (ratio < 0.8))
-        )
+        .where(F.col("n_days") >= 3)
         .select(
             "day",
             F.col("dow").cast("int"),
             "cents",
             F.round("dow_mean", 6).alias("dow_mean_cents"),
             F.round(ratio, 6).alias("ratio"),
+            ((ratio > 1.2) | (ratio < 0.8)).alias("is_anomaly"),
         )
     )
 
@@ -13777,8 +13792,8 @@ def daily_trend_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH daily AS (
         SELECT event_type, CAST(ts AS DATE) AS day,
-               SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
-                   AS cents
+               CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                    AS BIGINT) AS cents
         FROM events GROUP BY event_type, CAST(ts AS DATE)
     ),
     tr AS (
@@ -14193,8 +14208,9 @@ def audio_activity_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (
         SELECT a.event_type,
-               SUM(CASE WHEN b.cents > a.cents THEN 1
-                        WHEN b.cents < a.cents THEN -1 ELSE 0 END) AS s_stat,
+               CAST(SUM(CASE WHEN b.cents > a.cents THEN 1
+                             WHEN b.cents < a.cents THEN -1 ELSE 0 END)
+                    AS BIGINT) AS s_stat,
                COUNT(*) AS n_pairs
         FROM seq a JOIN seq b
           ON a.event_type = b.event_type AND a.i < b.i
@@ -14582,11 +14598,13 @@ def value_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     summary AS (
         SELECT COUNT(*) AS n_probes,
-               SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS n_members,
-               SUM(CASE WHEN is_member AND nhit = npos
-                        THEN 1 ELSE 0 END) AS n_member_pass,
-               SUM(CASE WHEN NOT is_member AND nhit = npos
-                        THEN 1 ELSE 0 END) AS n_nonmember_pass
+               CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_members,
+               CAST(SUM(CASE WHEN is_member AND nhit = npos
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_member_pass,
+               CAST(SUM(CASE WHEN NOT is_member AND nhit = npos
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_nonmember_pass
         FROM verdict
     )
     SELECT n_members, n_probes, n_member_pass,
@@ -14937,8 +14955,8 @@ def copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH arms AS (
         SELECT p.p_brand AS brand,
                COUNT(*) AS n_pulls,
-               SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
-                   AS n_rewards
+               CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_rewards
         FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
         GROUP BY p.p_brand
     ),
@@ -15459,7 +15477,9 @@ def daily_value_ar1(spark: SparkSession, sf_dir: str) -> DataFrame:
               GROUP BY event_type, y)
         GROUP BY event_type
     )
-    SELECT p.event_type, p.c AS concordant, p.d AS discordant,
+    SELECT p.event_type,
+           CAST(p.c AS BIGINT) AS concordant,
+           CAST(p.d AS BIGINT) AS discordant,
            ROUND((CAST(p.c AS DOUBLE) - p.d)
                  / sqrt(CAST((p.n0 - tx.n1) AS DOUBLE)
                         * (p.n0 - ty.n2)), 12) AS tau_b
@@ -16193,7 +16213,7 @@ def user_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats AS (
         SELECT key_name,
                COUNT(*) AS n_distinct,
-               SUM(f) AS n_rows,
+               CAST(SUM(f) AS BIGINT) AS n_rows,
                MAX(f) AS max_freq,
                SUM(CAST(f AS DECIMAL(38,0)) * CAST(f AS DECIMAL(38,0)))
                    AS sum_f2
