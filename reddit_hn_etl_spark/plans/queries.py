@@ -16617,90 +16617,72 @@ def rm3_feedback_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
-    # §2 family representatives (kept in-window every round). r4
-    # fourth session: daily_metrics/dedup_keep_last/filter_project/
-    # table_counts rotate OUT (driver-green three straight rounds,
-    # still enforced by tests/test_oracle.py) to fund first rows for
-    # this session's additions below.
-    "pricing_summary",
-    "merge_upsert",
-    # added or changed this session (fourth): the composed-curation
-    # conversion and the most novel new operator families; the other
-    # five new queries (bm25/zscore/gopher/scd2/logprob) queue for
-    # the r5 rotation, locally enforced meanwhile.
-    "curate_documents",
-    "duplicate_token_spans",
-    "semantic_dedup_cells",
-    "event_sequence_funnel",
-    # converted to hard oracle rows / added / plan-changed this round
-    "doc_simhash_pairs",
-    "media_features",
-    "media_resize",
-    "doc_token_jaccard_capped",
-    "pit_user_features",
-    "selective_order_lines",
-    "nation_trade_volume",
-    # seventh-session additions (each the first row for a NEW operator
-    # family: PCA, delta-join IVM, phrase retrieval, perceptual image
-    # hashing, Holt forecasting, FS linkage, changepoint, bootstrap).
-    # Funded by evicting doc_chunking / sample_k_per_group /
-    # user_missing_days / media_frames / promo_revenue_share /
-    # top_revenue_supplier / product_type_profit / volume_shipping /
-    # quantize_embeddings_int8 / revenue_forecast — all family-
-    # redundant in-window and still enforced by tests/test_oracle.py.
-    "embedding_covariance",
-    "pca_power_component",
+    # --- r5 rotation ---
+    # RE-CHECKS: the four r4 hash-fails, fixed this round via exact
+    # integer arithmetic / portable terminal types — they stay in the
+    # window until the DRIVER (not just local emulation) confirms
+    # green (VERDICT r4 #1).
     "ivm_nation_revenue",
-    "phrase_search_positional",
-    "image_ahash_pairs",
     "daily_value_holt_winters",
-    "customer_fellegi_sunter",
-    "daily_value_changepoint",
-    "event_value_bootstrap_se",
-    # late-session family firsts (funded by evicting bulk_suppliers /
-    # part_supplier_counts / weighted_doc_sample /
-    # stratified_sample_counts / value_range_frame_sums — families
-    # keep other in-window representatives)
-    "bigram_pmi_collocations",
-    "neyman_allocation",
-    "attribution_credit_models",
-    # eighth-session family firsts (funded by evicting
-    # pca_project_top1 / image_ahash_clusters /
-    # purchase_absorption_3step / rich_idle_customers /
-    # doc_repetition — each family keeps another in-window
-    # representative; evictees stay enforced by tests/test_oracle.py)
-    "quantile_sketch_order_values",
-    "customer_golden_records",
-    "copurchase_kcore",
     "cms_selfjoin_size_estimate",
     "value_conformal_intervals",
-    # TPC-H correlated family (never driver-checked before r4)
-    "min_cost_supplier",
-    "sole_late_suppliers",
-    # curation / sampling / splits
-    "curation_funnel",
-    "cluster_keep_best",
-    "train_val_split_counts",
-    "pack_token_budget",
-    "pii_redaction",
-    # multimodal
-    "audio_wav_metrics",
-    "image_bmp_metrics",
-    # window-frame / time-series breadth
-    "running_user_value",
-    "forward_fill_values",
-    "interpolate_missing_values",
-    # product analytics
-    "session_funnel",
-    "weekly_cohort_retention",
-    "customer_rfm_segments",
-    # TPC-H analytics breadth
-    "nation_share_by_year",
-    "status_priority_grouping_sets",
-    "not_in_null_semantics",
-    "benchmark_contamination",
-    # embeddings / similarity breadth
-    "knn_cosine_ivf",
+    # §2 evergreens kept in-window every round.
+    "pricing_summary",
+    "merge_upsert",
+    # CHANGED THIS ROUND: every query whose oracle or plan was edited
+    # in the r5 terminal-type normalization (HUGEINT/DECIMAL → BIGINT;
+    # see tests/test_oracle_type_policy.py) or whose recurrence moved
+    # to fixed point — each needs a fresh driver row.
+    "holt_backtest_skill",
+    "orders_group_checksum",
+    "orders_constraint_report",
+    "embeddings_constraint_report",
+    "source_mixture_weights",
+    "daily_value_cusum",
+    "event_value_auc",
+    "daily_value_ohlc",
+    "customer_revenue_gini",
+    "event_transition_matrix",
+    "monthly_value_growth",
+    "cohort_ltv_curve",
+    "dow_adjusted_anomalies",
+    "daily_value_stl_lite",
+    "daily_mann_kendall",
+    "bloom_customer_screen",
+    "ucb1_brand_ranking",
+    "daily_kendall_tau",
+    "join_key_skew_report",
+    "customer_revenue_pareto",
+    # NEVER-CHECKED FAMILY FIRSTS (VERDICT r4 #3): one representative
+    # per family that has no driver row in r1-r4 — kmeans, PQ/IVF-PQ,
+    # DSIR, pagerank/LPA/BFS, order statistics, recursive CTE +
+    # lateral, variant, hopping windows, rolling stats, hybrid
+    # search, sorted-neighborhood ER, UDTF, EMA recurrence,
+    # incremental near-dup, BPE, HLL.
+    "kmeans_update_step",
+    "semantic_dedup_kmeans",
+    "pq_adc_topk",
+    "ivf_pq_residual_knn",
+    "doc_dsir_weights",
+    "dsir_gumbel_sample",
+    "customer_graph_pagerank",
+    "referral_lpa_communities",
+    "referral_reach_bfs",
+    "order_value_percentiles",
+    "order_value_equidepth_hist",
+    "customer_chain_rollup",
+    "lateral_recent_orders",
+    "props_variant_agg",
+    "hopping_window_counts",
+    "rolling_median_value",
+    "value_distribution_moments",
+    "hybrid_search_rrf",
+    "sorted_neighborhood_pairs",
+    "doc_chunks_udtf",
+    "user_value_ema",
+    "incremental_near_dup",
+    "bpe_merge_pairs",
+    "hll_sketch_weekly_users",
 ]
 
 
