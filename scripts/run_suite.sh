@@ -1,10 +1,11 @@
 #!/usr/bin/env bash
-# Full test suite in three sequential chunks, each comfortably under a
-# 10-minute harness/CI timeout (the one-shot `pytest tests/` run now
-# takes ~13 min: 153 oracle differentials + property tests + the
-# iterative-CC compositions). Chunks partition tests/ exactly — no
+# Full test suite in four sequential chunks, each comfortably under a
+# 10-minute harness/CI timeout (the one-shot `pytest tests/` run takes
+# ~15 min: 272 oracle differentials + property tests + streaming +
+# the iterative-CC compositions). Chunks partition tests/ exactly — no
 # file runs twice, none is skipped; a file added later lands in chunk
-# C via the ignore-list construction.
+# D via the ignore-list construction. Re-timed r5: A 3:49, B 3:16,
+# C 5:09, D ~2:25 — all under the 6-minute comfort line.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
@@ -15,12 +16,15 @@ tests/test_curation_depth.py tests/test_dedup_similarity.py \
 tests/test_diff.py tests/test_external_io.py tests/test_graph.py \
 tests/test_hn_pipeline.py tests/test_incremental_marts.py \
 tests/test_kafka_seam.py tests/test_maintenance.py"
+CHUNK_C="tests/test_stateful_streaming.py tests/test_properties.py"
 
 echo "== chunk A: oracle differentials =="
 python -m pytest $CHUNK_A -q
 echo "== chunk B: operator/unit tests (bloom..maintenance) =="
 python -m pytest $CHUNK_B -q
-echo "== chunk C: remainder =="
+echo "== chunk C: streaming + property tests =="
+python -m pytest $CHUNK_C -q
+echo "== chunk D: remainder =="
 python -m pytest tests/ -q --ignore=tests/test_oracle.py \
-  $(for f in $CHUNK_B; do printf -- "--ignore=%s " "$f"; done)
+  $(for f in $CHUNK_B $CHUNK_C; do printf -- "--ignore=%s " "$f"; done)
 echo "== suite green =="

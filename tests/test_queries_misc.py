@@ -229,11 +229,14 @@ def test_conformal_qhat_is_exact_order_statistic(spark, sf_dir):
             calib.setdefault(r["event_type"], []).append(r["cents"])
     for row in rows:
         xs = calib[row["event_type"]]
-        mu = sum(xs) / len(xs)
-        resid = sorted(abs(x - mu) for x in xs)
-        k = math.ceil(0.9 * (len(xs) + 1))
-        assert row["n_calib"] == len(xs)
-        assert row["qhat"] == resid[k - 1]
+        n = len(xs)
+        s = sum(xs)
+        # integer-exact residual discipline (r5): |cents·n − Σcents|
+        # ≡ n·|cents − mean| — same order statistic, zero floats
+        resid_int = sorted(abs(x * n - s) for x in xs)
+        k = math.ceil(0.9 * (n + 1))
+        assert row["n_calib"] == n
+        assert abs(row["qhat"] - resid_int[k - 1] / n) < 1e-6
         assert 0.8 <= row["coverage"] <= 1.0
 
 
