@@ -62,7 +62,8 @@ NOTES = {
     "value_conformal_intervals": "Split conformal: ONE scan splits+scores (md5 projection), the per-type model and q̂ are 1-row-per-type broadcasts, and the only rank runs inside bounded per-type partitions; at 100 TB the calibration rank swaps to the hierarchical-prefix order statistic with the same downstream broadcasts.",
     "bloom_customer_screen": "Portable Bloom build+probe in one plan: k-position Generate → map-side-combinable bit_or agg (≤128 word rows shuffle), the word map broadcast back over a zero-shuffle probe scan; the popcount check rides the same word rows. At scale the filter ships like a semi-join Bloom — bytes, not rows.",
     "cms_selfjoin_size_estimate": "Cardinality estimation: the (4×256)-cell sketch is one partial/final agg; the AMS inner product joins two KB-sized cell tables; the exact Σf² branch exists only for the in-query theorem check — a production optimizer keeps just the sketch join, constant cost at any input size.",
-    "doc_bigram_lm_logprob": "Bigram LM: one tokenize+transform projection builds per-doc bigram arrays; corpus stats (bigram map, history map, V) are two partial/final aggs collapsed to ONE broadcast row; scoring is a zero-shuffle ordered fold per doc. Open-vocabulary corpora swap the map broadcast for a (bigram→count) shuffle join — same downstream fold.",
+    "doc_bigram_lm_logprob": "Bigram LM (r5: JOIN path is now the DEFAULT — VERDICT r4 #2): per-doc bigram arrays come from zip_with over shifted slices (codegen-friendly; the old outer-capture transform lambda was 6× slower), the (bigram→count)/(history→count) tables attach by size-driven join (AQE broadcasts while they fit, shuffles at open vocabulary), and the per-doc ordered sum is a position-sorted collect_list fold. The only SinglePartition is the 1-row vocabulary scalar agg; the r4 collect_list→map broadcast survives as the opt-in closed-vocabulary mode.",
+    "quantile_sketch_order_values": "Mergeable quantile summary (r5: single lazy action chain — the r4 version burned 4 driver collects): per-partition mapInPandas compaction emits ≤k rows each; targets join the bounded cumulative-weight summary; the rank-bound verdict is one conditional-agg pass over the checkpointed base keyed by target; exact quantiles ride the hierarchical prefix rank. Only the ≤k·P-row summary ever crosses partitions.",
     "mutual_knn_pairs": "Mutual-kNN graph: query side broadcast over one corpus scan (no shuffle to score), per-query WindowGroupLimit top-k, then a self-join on the reversed (q,n) pair — id pairs only. At 100 TB the scoring stage swaps for cosine_pairs_grid or the IVF path; the mutual filter join is unchanged.",
     "copurchase_kcore": "k-core peel: the orderkey self-join builds edges once (shuffle bounded by order width), then each round is a degree agg + two LeftSemi joins over the checkpointed edge frame — O(E) per round, O(peel-depth) rounds, 1-count driver probe. No all-pairs, no global window anywhere.",
     "referral_weighted_sssp": "Bellman-Ford: per round ONE dist⋈edges hash join + min agg on vertex id (the Pregel budget), localCheckpoint per round; the frontier table is vertex-sized and co-partitions with edges at scale. Convergence is a 1-count probe; rounds ≤ max hop count.",
@@ -160,7 +161,7 @@ NOTES = {
     "ivm_nation_revenue": "Delta-join IVM: the base view sits behind a checkpoint boundary (Scan ExistingRDD — the persisted-state stand-in); the refresh plans only the three delta-sided joins (size-driven broadcast of the small delta sides) plus ONE state-merge hash aggregate on the group keys. No recompute of the base join anywhere in the plan.",
     "phrase_search_positional": "Phrase search: postings explode is vocabulary-FILTERED before anything shuffles (the isin filter sits directly above the Generate), the phrase table is an explicit broadcast (kilobytes), and the all-offsets-matched check is one hash aggregate on (phrase, doc, start) — query-side data ships to the index side, never the reverse.",
     "image_ahash_pairs": "Perceptual near-dup: synth+decode+hash share ONE mapInPandas stage (payloads never shuffle); the pair join runs on 16-byte (id, hash) rows with hamming as JVM-side bit_count(xor). At corpus scale the documented switch is hamming-block bucketing (the simhash pigeonhole plan) instead of the all-pairs join.",
-    "daily_value_holt_winters": "Holt smoothing: one shuffle to daily grain (partial/final agg on exact cents), then FlatMapGroupsInPandas folds each series in order — parallelism is series cardinality, the right contract for per-entity forecasting; a single global series would route to the streaming stateful twin instead.",
+    "daily_value_holt_winters": "Holt smoothing (r5: EXACT int64 fixed-point recurrence — the r4 float chain drew the round's driver hash-fail): one shuffle to daily grain (partial/final agg on exact cents), then FlatMapGroupsInPandas folds each series in order over BIGINT state (2^-20 units, floor division; emitted doubles are exact power-of-2 divisions). Parallelism is series cardinality — the right contract for per-entity forecasting; a single global series would route to the streaming stateful twin instead.",
     "customer_fellegi_sunter": "FS linkage: blocking's equi-join on the segment key is the only corpus-sized exchange; the JW Pandas UDF runs Arrow-batched over the bounded pair set, and the weight sum + decision are pure literals in whole-stage codegen — the decision layer adds ZERO shuffle over blocking.",
     "daily_value_changepoint": "Change-point: the events→days grain reduction is the only corpus-sized agg; every window partitions by event_type over calendar-bounded series (never SinglePartition over data rows), and the candidate scoring + argmin run on O(types × days) rows.",
     "event_value_bootstrap_se": "Poisson bootstrap: the ×32 replicate fan-out (Generate) feeds a map-side partial aggregate, so the shuffle carries 32·types partials per task, never 32·N rows; all finishing statistics run on O(types·32) rows. Content-hash weights make the resample retry- and partitioning-invariant — rand() is neither.",
