@@ -151,14 +151,9 @@ def repetition_features(
         F.col(id_col), tokens(text_col).alias("w")
     )
 
-    k = F.size("w") - 1
-    bigrams = F.when(
-        k > 0,
-        F.transform(
-            F.sequence(F.lit(0), k - 1),
-            lambda i: F.concat_ws(" ", F.slice("w", i + 1, 2)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    from ..operators.dedup import ngram_array
+
+    bigrams = ngram_array(F.col("w"), 2)
     tag = lambda col, t: F.transform(  # noqa: E731
         col, lambda g: F.struct(g.alias("g"), F.lit(t).alias("t"))
     )
@@ -210,14 +205,12 @@ def rolling_hash_fingerprint(
     (array<bigint>). Shared sketch values across docs indicate local
     overlap (plagiarism-style detection) — a cheap per-row sketch that
     joins on ``F.explode``."""
+    from ..operators.dedup import ngram_array
+
     toks = tokens(text)
-    k = F.size(toks) - (window - 1)
-    idx = F.when(k > 0, F.sequence(F.lit(0), k - 1)).otherwise(
-        F.array().cast("array<int>")
-    )
-    hashes = F.transform(
-        idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, window)))
-    )
+    # elementwise hash over a zip_with-built gram array — no
+    # outer-capture lambda (see ngram_array)
+    hashes = F.transform(ngram_array(toks, window), F.xxhash64)
     return F.slice(F.array_sort(hashes), 1, keep)
 
 

@@ -560,20 +560,14 @@ def tf_cosine_pairs(
     cap gram document frequency upstream or screen through the
     MinHash index first.
     """
-    from .dedup import fan_out_narrow_input, tokens
+    from .dedup import fan_out_narrow_input, ngram_array, tokens
 
     df = fan_out_narrow_input(df)
     toks = tokens(text_col)
-    if n > 1:
-        k = F.size(toks) - (n - 1)
-        idx = F.when(k > 0, F.sequence(F.lit(0), k - 1)).otherwise(
-            F.array().cast("array<int>")
-        )
-        grams = F.transform(
-            idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
-        )
-    else:
-        grams = toks
+    # zip_with construction (dedup.ngram_array), never an
+    # outer-capture transform lambda — that knocks the explode off
+    # whole-stage codegen (6x, see ngram_array's docstring)
+    grams = ngram_array(toks, n) if n > 1 else toks
     tf = (
         df.select(F.col(id_col), F.explode(grams).alias("gram"))
         .groupBy(id_col, "gram")

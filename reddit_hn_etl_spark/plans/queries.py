@@ -2176,13 +2176,7 @@ def bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     asc) for cross-engine parity."""
     docs = dedup.fan_out_narrow_input(read_table(spark, sf_dir, "documents"))
     w = docs.select(dedup.tokens("text").alias("w"))
-    k = F.size("w") - 1
-    idx = F.when(k > 0, F.sequence(F.lit(0), k - 1)).otherwise(
-        F.array().cast("array<int>")
-    )
-    pairs = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice("w", i + 1, 2))
-    )
+    pairs = dedup.ngram_array(F.col("w"), 2)
     return (
         w.select(F.explode(pairs).alias("pair"))
         .groupBy("pair")
