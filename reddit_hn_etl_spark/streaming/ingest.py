@@ -521,6 +521,77 @@ def holt_winters_stream(
     )
 
 
+def holt_winters_fixed_point_stream(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    int_value_col: str = "cents",
+    alpha: tuple[int, int] = (1, 4),
+    beta: tuple[int, int] = (1, 8),
+    scale_bits: int = 20,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of
+    ``sequential.holt_winters_fixed_point_per_key`` — the EXACT
+    integer Holt recurrence carried as (level_fp, trend_fp, n) int64
+    state across micro-batches. Unlike the float twin above, state
+    equivalence with the batch fold is exact by CONSTRUCTION (integer
+    arithmetic has no rounding to drift), so resume-after-restart and
+    replay land on bit-identical state under any in-order batch
+    slicing. Emits per batch: (key, level_fp, trend_fp,
+    forecast_next_fp, n_seen).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    an, ad = int(alpha[0]), int(alpha[1])
+    bn, bd = int(beta[0]), int(beta[1])
+    scale = 1 << scale_bits
+    out_schema = (
+        f"{key_col} long, level_fp long, trend_fp long, "
+        "forecast_next_fp long, n_seen long"
+    )
+    state_schema = "lvl long, tr long, n long"
+
+    def update(key, pdfs, state):
+        lvl, tr, n = state.get if state.exists else (0, 0, 0)
+        lvl, tr, n = int(lvl), int(tr), int(n)
+        for pdf in pdfs:
+            pdf = pdf.sort_values([ts_col, id_col], kind="mergesort")
+            for v in pdf[int_value_col].tolist():
+                x = int(v) * scale
+                if n == 0:
+                    lvl, tr = x, 0
+                else:
+                    # Python // floors — identical to the batch fold
+                    lvl_new = (an * x + (ad - an) * (lvl + tr)) // ad
+                    tr = (bn * (lvl_new - lvl) + (bd - bn) * tr) // bd
+                    lvl = lvl_new
+                n += 1
+        state.update((lvl, tr, n))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "level_fp": [lvl],
+                "trend_fp": [tr],
+                "forecast_next_fp": [lvl + tr],
+                "n_seen": [n],
+            }
+        )
+
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def curate_doc_stream(
     docs: DataFrame,
     ts_col: str = "ts",

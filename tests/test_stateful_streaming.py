@@ -1249,3 +1249,93 @@ def test_cdc_apply_stream_matches_batch_and_replays(spark, tmp_path):
     assert got1 == expect
     assert 1 not in got1          # deleted user invisible
     assert got1[2] == ("I", 950)  # 9.50 at 11:10 (event 102) wins for user 2
+
+
+def test_holt_fixed_point_stream_matches_batch_fold(spark, tmp_path):
+    # The int64 (level_fp, trend_fp) carry must equal the batch
+    # fixed-point fold EXACTLY — integer arithmetic, so equivalence
+    # is by construction, not by matching float operand order.
+    from pyspark.sql import functions as F
+
+    from reddit_hn_etl_spark.operators.sequential import (
+        holt_winters_fixed_point_per_key,
+    )
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 7, 1.5),
+        (2, "2024-01-01 10:05:00", 7, 2.75),
+        (3, "2024-01-01 10:06:00", 8, 10.0),
+        (4, "2024-01-01 11:00:00", 7, 6.13),
+        (5, "2024-01-01 11:30:00", 8, 0.25),
+        (6, "2024-01-01 12:00:00", 7, 3.5),
+    ]
+    src = tmp_path / "hwfp_stream"
+    src.mkdir()
+    out = tmp_path / "hwfp_out"
+    ckpt = str(tmp_path / "hwfp_ckpt")
+    import os as _os
+    import time as _time
+
+    base_t = _time.time() - 100
+    for i, chunk in enumerate((rows[:2], rows[2:4], rows[4:])):
+        p = src / f"b{i + 1}.jsonl"
+        _write_events_jsonl(p, chunk)
+        _os.utime(p, (base_t + 10 * i, base_t + 10 * i))
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .withColumn(
+            "cents", (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+        )
+    )
+    hw = ingest.holt_winters_fixed_point_stream(
+        stream, int_value_col="cents", alpha=(1, 4), beta=(1, 8)
+    )
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(str(out))
+
+    q = (
+        hw.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    latest = {}
+    for r in spark.read.parquet(str(out)).collect():
+        if r.user_id not in latest or r.n_seen > latest[r.user_id].n_seen:
+            latest[r.user_id] = r
+
+    batch_df = (
+        spark.createDataFrame(
+            [(e, ts, u, v) for e, ts, u, v in rows],
+            "event_id long, ts string, user_id long, value double",
+        )
+        .selectExpr(
+            "event_id",
+            "CAST(ts AS TIMESTAMP) ts",
+            "user_id",
+            "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) cents",
+        )
+    )
+    final = {}
+    for r in holt_winters_fixed_point_per_key(
+        batch_df, "user_id", ("ts", "event_id"), "cents",
+        alpha=(1, 4), beta=(1, 8),
+    ).collect():
+        if r.user_id not in final or r.event_id > final[r.user_id][0]:
+            final[r.user_id] = (r.event_id, r.level_fp, r.trend_fp)
+
+    assert latest[7].n_seen == 4 and latest[8].n_seen == 2
+    for k in (7, 8):
+        assert latest[k].level_fp == final[k][1]
+        assert latest[k].trend_fp == final[k][2]
+        assert latest[k].forecast_next_fp == final[k][1] + final[k][2]
