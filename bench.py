@@ -267,6 +267,15 @@ BENCH_QUERIES_R4 = [
     "rm3_feedback_search",
 ]
 
+# Added in round 5: sweep-line concurrency, time-weighted average,
+# grid-bucketed spatial nearest neighbor. Same subtotal policy
+# (excluded from the r01-comparable figure).
+BENCH_QUERIES_R5 = [
+    "peak_concurrent_sessions",
+    "type_daily_twap",
+    "customer_nearest_supplier_geo",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -312,7 +321,9 @@ def main() -> None:
     # suppression degrades gracefully instead of the whole bench
     # timing out.
     budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "400"))
-    names = BENCH_QUERIES + BENCH_QUERIES_R2 + BENCH_QUERIES_R4
+    names = (
+        BENCH_QUERIES + BENCH_QUERIES_R2 + BENCH_QUERIES_R4 + BENCH_QUERIES_R5
+    )
     timings: dict[str, float] = {n: float("inf") for n in names}
     t_start = time.perf_counter()
     sweeps_done = 0

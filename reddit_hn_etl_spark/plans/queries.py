@@ -16657,6 +16657,380 @@ def rm3_feedback_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Sweep-line peak concurrency: the classic interval-overlap maximum
+# (room scheduling / concurrent-sessions / capacity planning) as
+# +1/-1 boundary events and a running sum — never an interval
+# self-join. All integers end to end.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "peak_concurrent_sessions",
+    """
+    WITH s AS (
+        SELECT event_type,
+               epoch_us(ts) AS start_us,
+               epoch_us(ts)
+               + (60 + CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       % 1800) * 1000000 AS end_us
+        FROM events
+    ),
+    b AS (
+        SELECT event_type, start_us AS t, CAST(1 AS BIGINT) AS delta FROM s
+        UNION ALL
+        SELECT event_type, end_us, CAST(-1 AS BIGINT) FROM s
+    ),
+    c AS (
+        SELECT event_type, t, delta,
+               CAST(SUM(delta) OVER (
+                   PARTITION BY event_type ORDER BY t, delta
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS conc
+        FROM b
+    ),
+    m AS (
+        SELECT event_type, t, conc,
+               MAX(conc) OVER (PARTITION BY event_type) AS mx
+        FROM c
+    )
+    SELECT event_type,
+           CAST(COUNT(*) // 2 AS BIGINT) AS n_sessions,
+           CAST(MAX(mx) AS BIGINT) AS peak_concurrency,
+           CAST(MIN(CASE WHEN conc = mx THEN t END) AS BIGINT)
+               AS peak_at_us
+    FROM m
+    GROUP BY event_type
+    """,
+)
+def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum simultaneous sessions per event type by sweep line:
+    each event opens a session of deterministic length (60 +
+    cents % 1800 seconds), every boundary becomes a +1/-1 delta row,
+    and the concurrency curve is a running sum ordered by
+    (t, delta) — ends sort before starts at the same instant
+    (half-open intervals), so a back-to-back handoff never counts as
+    overlap. `peak_at_us` is the earliest instant achieving the
+    peak. The interval SELF-JOIN this replaces is quadratic in
+    overlap depth; the sweep is one per-type ordered pass — bounded
+    per-type partitions here, range-partitioned time + the
+    hierarchical prefix operator at 100 TB (same state split as
+    prefix.prefix_sum). Everything is exact integers."""
+    ev = read_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    start = F.unix_micros(F.col("ts").cast("timestamp"))
+    dur_us = (F.lit(60) + cents % 1800) * F.lit(1000000)
+    s = ev.select(
+        "event_type",
+        start.alias("start_us"),
+        (start + dur_us).alias("end_us"),
+    )
+    b = s.select(
+        "event_type",
+        F.col("start_us").alias("t"),
+        F.lit(1).cast("bigint").alias("delta"),
+    ).unionByName(
+        s.select(
+            "event_type",
+            F.col("end_us").alias("t"),
+            F.lit(-1).cast("bigint").alias("delta"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = b.select(
+        "event_type", "t", F.sum("delta").over(w).cast("bigint").alias("conc")
+    )
+    m = c.select(
+        "event_type",
+        "t",
+        "conc",
+        F.max("conc").over(Window.partitionBy("event_type")).alias("mx"),
+    )
+    return m.groupBy("event_type").agg(
+        (F.count(F.lit(1)) / 2).cast("bigint").alias("n_sessions"),
+        F.max("mx").cast("bigint").alias("peak_concurrency"),
+        F.min(F.when(F.col("conc") == F.col("mx"), F.col("t")))
+        .cast("bigint")
+        .alias("peak_at_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (TWAP): the irregular-sampling mean every
+# metering/pricing pipeline needs — each observation weighted by how
+# long it was current. Exact integer numerator/denominator; the
+# denominator is bounded by the day length at ANY data scale.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "type_daily_twap",
+    """
+    WITH e AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, epoch_us(ts) AS t_us,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+               event_id
+        FROM events
+    ),
+    g AS (
+        SELECT event_type, day, cents,
+               LEAD(t_us) OVER (
+                   PARTITION BY event_type, day ORDER BY t_us, event_id
+               ) - t_us AS gap_us
+        FROM e
+    ),
+    a AS (
+        SELECT event_type, day,
+               COUNT(*) AS n_gaps,
+               CAST(SUM(cents * gap_us) AS BIGINT) AS num,
+               CAST(SUM(gap_us) AS BIGINT) AS den
+        FROM g WHERE gap_us IS NOT NULL
+        GROUP BY event_type, day
+    )
+    SELECT event_type, day, n_gaps, den AS observed_us,
+           ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+                 / CAST(100 AS DOUBLE), 6) AS twap_value
+    FROM a WHERE den > 0
+    """,
+)
+def type_daily_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per (type, day): each event's
+    value holds until the next event of that type that day; the last
+    observation of the day carries no weight (no lookahead into the
+    next day). TWAP = Σ cents·gap / Σ gap — both exact int64 (the
+    denominator is ≤ 86 400e6 µs per day REGARDLESS of data scale,
+    and the numerator ≤ max_cents·day — scale-invariant overflow
+    headroom), one terminal divide chain on the 1e-6 grid. One
+    per-(type, day) LEAD window — calendar-bounded partitions — and
+    one partial-aggregatable groupBy."""
+    ev = read_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    e = ev.select(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+        cents.alias("cents"),
+        "event_id",
+    )
+    w = Window.partitionBy("event_type", "day").orderBy("t_us", "event_id")
+    g = e.select(
+        "event_type",
+        "day",
+        "cents",
+        (F.lead("t_us").over(w) - F.col("t_us")).alias("gap_us"),
+    ).where(F.col("gap_us").isNotNull())
+    a = g.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum(F.col("cents") * F.col("gap_us")).cast("bigint").alias("num"),
+        F.sum("gap_us").cast("bigint").alias("den"),
+    )
+    return a.where(F.col("den") > 0).select(
+        "event_type",
+        "day",
+        "n_gaps",
+        F.col("den").alias("observed_us"),
+        F.round(
+            F.col("num").cast("double")
+            / F.col("den").cast("double")
+            / F.lit(100).cast("double"),
+            6,
+        ).alias("twap_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spatial nearest-neighbor via grid bucketing: the geo twin of the
+# LSH band join — candidates come from the 3x3 neighbor cells of a
+# lat/lon grid, never an all-pairs cross join. Coordinates are
+# deterministic md5-derived integers (engine-reproducible, the
+# cms_user_counts policy); only the haversine itself touches libm,
+# absorbed by the ROUND grid.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "customer_nearest_supplier_geo",
+    """
+    WITH sup AS (
+        SELECT s_suppkey,
+               CAST(('0x' || substring(md5('lat|' || CAST(s_suppkey AS VARCHAR)),
+                                       1, 8)) AS BIGINT) % 1000000 AS hlat,
+               CAST(('0x' || substring(md5('lon|' || CAST(s_suppkey AS VARCHAR)),
+                                       1, 8)) AS BIGINT) % 1000000 AS hlon
+        FROM supplier
+    ),
+    cust AS (
+        SELECT c_custkey,
+               CAST(('0x' || substring(md5('lat|c' || CAST(c_custkey AS VARCHAR)),
+                                       1, 8)) AS BIGINT) % 1000000 AS hlat,
+               CAST(('0x' || substring(md5('lon|c' || CAST(c_custkey AS VARCHAR)),
+                                       1, 8)) AS BIGINT) % 1000000 AS hlon
+        FROM customer
+    ),
+    supc AS (
+        SELECT *,
+               hlat // 100000 AS cell_lat, hlon // 100000 AS cell_lon,
+               CAST(hlat * 120 AS DOUBLE) / CAST(1000000 AS DOUBLE)
+                   - CAST(60 AS DOUBLE) AS lat,
+               CAST(hlon * 360 AS DOUBLE) / CAST(1000000 AS DOUBLE)
+                   - CAST(180 AS DOUBLE) AS lon
+        FROM sup
+    ),
+    custc AS (
+        SELECT *,
+               hlat // 100000 AS cell_lat, hlon // 100000 AS cell_lon,
+               CAST(hlat * 120 AS DOUBLE) / CAST(1000000 AS DOUBLE)
+                   - CAST(60 AS DOUBLE) AS lat,
+               CAST(hlon * 360 AS DOUBLE) / CAST(1000000 AS DOUBLE)
+                   - CAST(180 AS DOUBLE) AS lon
+        FROM cust
+    ),
+    probe AS (
+        SELECT c.*, c.cell_lat + dy.d AS ncell_lat, c.cell_lon + dx.d AS ncell_lon
+        FROM custc c
+        CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dy
+        CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dx
+        WHERE c.cell_lat + dy.d BETWEEN 0 AND 9
+          AND c.cell_lon + dx.d BETWEEN 0 AND 9
+    ),
+    cand AS (
+        SELECT p.c_custkey, s.s_suppkey,
+               ROUND(2.0 * CAST(6371 AS DOUBLE) * asin(sqrt(
+                   sin(radians(s.lat - p.lat) / 2) ^ 2
+                   + cos(radians(p.lat)) * cos(radians(s.lat))
+                     * sin(radians(s.lon - p.lon) / 2) ^ 2)), 6) AS d_km
+        FROM probe p
+        JOIN supc s ON s.cell_lat = p.ncell_lat AND s.cell_lon = p.ncell_lon
+    ),
+    ranked AS (
+        SELECT c_custkey, s_suppkey, d_km,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c_custkey ORDER BY d_km, s_suppkey
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY c_custkey) AS n_candidates
+        FROM cand
+    )
+    SELECT c_custkey, s_suppkey AS nearest_suppkey, d_km AS distance_km,
+           CAST(n_candidates AS INTEGER) AS n_candidates
+    FROM ranked WHERE rn = 1
+    """,
+)
+def customer_nearest_supplier_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest supplier per customer on a deterministic synthetic
+    globe: md5-derived integer coordinates map every key to a
+    (lat, lon) in [-60,60)x[-180,180), a 10x10 grid cell comes from
+    PURE integer division of the raw hash (no float in the bucketing
+    path), and each customer probes only its 3x3 neighbor cells —
+    the spatial twin of the LSH band join, replacing the
+    customers x suppliers cross join with a cell-equality join.
+    Haversine is the one libm surface (sin/cos/asin may differ by an
+    ulp across engines) so distances ROUND to the 1e-6 km grid
+    before the argmin; ties break on supplier key. Semantics note
+    (mirrored exactly in the oracle): no longitude wraparound — the
+    grid clamps at the +-180 seam, candidates are ONLY the 3x3
+    neighborhood, and customers with an empty neighborhood emit no
+    row. At scale both sides partition by cell; hot cells shrink by
+    refining the grid (cells are prefixes, like LSH bands)."""
+    sup = read_table(spark, sf_dir, "supplier")
+    cust = read_table(spark, sf_dir, "customer")
+
+    def h(tag: str, col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.lit(tag), col.cast("string")).cast("binary")
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1000000
+        )
+
+    def coords(df, key, tag_suffix):
+        key_col = F.col(key)
+        return df.select(
+            key,
+            h("lat|" + tag_suffix, key_col).alias("hlat"),
+            h("lon|" + tag_suffix, key_col).alias("hlon"),
+        ).select(
+            key,
+            F.expr("hlat DIV 100000").alias("cell_lat"),
+            F.expr("hlon DIV 100000").alias("cell_lon"),
+            (
+                (F.col("hlat") * 120).cast("double")
+                / F.lit(1000000).cast("double")
+                - F.lit(60).cast("double")
+            ).alias("lat"),
+            (
+                (F.col("hlon") * 360).cast("double")
+                / F.lit(1000000).cast("double")
+                - F.lit(180).cast("double")
+            ).alias("lon"),
+        )
+
+    supc = coords(sup, "s_suppkey", "")
+    custc = coords(cust, "c_custkey", "c")
+    offsets = spark.createDataFrame(
+        [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)], "dy int, dx int"
+    )
+    probe = (
+        custc.crossJoin(F.broadcast(offsets))
+        .select(
+            "c_custkey",
+            "lat",
+            "lon",
+            (F.col("cell_lat") + F.col("dy")).alias("ncell_lat"),
+            (F.col("cell_lon") + F.col("dx")).alias("ncell_lon"),
+        )
+        .where(
+            F.col("ncell_lat").between(0, 9) & F.col("ncell_lon").between(0, 9)
+        )
+    )
+    s = supc.select(
+        "s_suppkey",
+        F.col("cell_lat").alias("ncell_lat"),
+        F.col("cell_lon").alias("ncell_lon"),
+        F.col("lat").alias("slat"),
+        F.col("lon").alias("slon"),
+    )
+    hav = (
+        F.pow(F.sin(F.radians(F.col("slat") - F.col("lat")) / 2), 2)
+        + F.cos(F.radians("lat"))
+        * F.cos(F.radians("slat"))
+        * F.pow(F.sin(F.radians(F.col("slon") - F.col("lon")) / 2), 2)
+    )
+    d_km = F.round(
+        F.lit(2.0) * F.lit(6371).cast("double") * F.asin(F.sqrt(hav)), 6
+    )
+    cand = probe.join(F.broadcast(s), ["ncell_lat", "ncell_lon"]).select(
+        "c_custkey", "s_suppkey", d_km.alias("d_km")
+    )
+    wv = Window.partitionBy("c_custkey")
+    ranked = cand.select(
+        "c_custkey",
+        "s_suppkey",
+        "d_km",
+        F.row_number()
+        .over(wv.orderBy("d_km", "s_suppkey"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(wv).alias("n_candidates"),
+    )
+    return ranked.where(F.col("rn") == 1).select(
+        "c_custkey",
+        F.col("s_suppkey").alias("nearest_suppkey"),
+        F.col("d_km").alias("distance_km"),
+        F.col("n_candidates").cast("int").alias("n_candidates"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window.
 #
 # The driver hard-verifies (rows + schema + value hash vs the DuckDB
