@@ -16,6 +16,9 @@ from reddit_hn_etl_spark.plans.queries import QUERIES  # noqa: E402
 from reddit_hn_etl_spark.session import get_session  # noqa: E402
 
 NOTES = {
+    "peak_concurrent_sessions": "Sweep line: intervals become +1/−1 boundary rows (one union, no interval self-join); the concurrency curve is a per-type running sum sharing one sort with the per-type max; exact integers end to end. At 100 TB the time axis range-partitions and per-partition curves stitch with broadcast offsets (the prefix.prefix_sum state split).",
+    "type_daily_twap": "TWAP: one calendar-bounded LEAD window + one partial-aggregatable groupBy; Σ value·gap and Σ gap are exact int64 with SCALE-INVARIANT overflow headroom (the denominator is bounded by the day length whatever the data volume); one terminal divide chain on the 1e-6 grid.",
+    "customer_nearest_supplier_geo": "Spatial grid join: cell ids from PURE integer division of the md5 hash (no float in the bucketing path); customers probe only their 3×3 neighbor cells via a cell-equality join — the geo twin of the LSH band join, O(points/cell) candidates instead of points². Haversine (the one libm surface) rounds to 1e-6 km before the per-customer argmin window.",
     "pricing_summary": "Filter pushed into parquet scan (PushedFilters), 7-col pruned ReadSchema, map-side partial_sum, ONE exchange on the group keys.",
     "segment_revenue": "r4: forced `F.broadcast(cust)` removed — customer is the third-largest table; the optimizer still broadcasts it at sf0.1 from size estimates (BroadcastHashJoin BuildRight) and degrades to a shuffle join at scale instead of OOMing executors.",
     "brand_revenue": "Two chained broadcast joins over the fact scan; only the 4 needed lineitem columns read.",
