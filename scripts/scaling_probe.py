@@ -80,6 +80,12 @@ PROBES = [
     # and the k=65 peel measures a different (denser) graph, and
     # embedding replicas are unsalted exact-twin vectors that
     # rewrite every top-5 list. Measure those across real SFs.
+    # r5 additions
+    "peak_concurrent_sessions",  # events: boundary union + keyed sweep
+    "type_daily_twap",          # events: LEAD window + partial agg
+    # customer_nearest_supplier_geo EXCLUDED like the pair queries:
+    # replicated keys hash to k× denser cells, so candidates/cell
+    # grow by construction, not by plan defect. Measure across SFs.
 ]
 
 
