@@ -304,3 +304,86 @@ def test_jl_distortion_concentrates_near_one(spark, sf_dir):
     d = vecs[pair["lo_id"]] - vecs[pair["hi_id"]]
     ratio = float((P @ d) @ (P @ d)) / (16 * float(d @ d))
     assert abs(ratio - pair["dist_ratio"]) < 1e-4
+
+
+def test_peak_concurrency_matches_brute_force(spark, sf_dir):
+    """Sweep-line peak == brute-force max overlap recomputed
+    driver-side from the same deterministic session intervals."""
+    from pyspark.sql import functions as F
+
+    from reddit_hn_etl_spark.plans.queries import QUERIES
+    from reddit_hn_etl_spark.sources.tables import read_table
+
+    rows = {
+        r["event_type"]: r
+        for r in QUERIES["peak_concurrent_sessions"](spark, sf_dir).collect()
+    }
+    assert rows
+    ev = read_table(spark, str(sf_dir), "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    start = F.unix_micros(F.col("ts").cast("timestamp"))
+    raw = ev.select(
+        "event_type",
+        start.alias("s"),
+        (start + (F.lit(60) + cents % 1800) * 1000000).alias("e"),
+    ).collect()
+    by_type: dict[str, list] = {}
+    for r in raw:
+        by_type.setdefault(r["event_type"], []).append((r["s"], r["e"]))
+    for et, ivs in by_type.items():
+        bounds = sorted(
+            [(s, 1) for s, _ in ivs] + [(e, -1) for _, e in ivs]
+        )  # (-1 sorts before +1 at equal t: half-open semantics)
+        cur = peak = 0
+        peak_at = None
+        for t, d in bounds:
+            cur += d
+            if cur > peak:
+                peak, peak_at = cur, t
+        row = rows[et]
+        assert row["n_sessions"] == len(ivs)
+        assert row["peak_concurrency"] == peak
+        assert row["peak_at_us"] == peak_at
+        assert peak >= 2  # discriminating data, not vacuous
+
+
+def test_twap_matches_brute_force(spark, sf_dir):
+    """TWAP == driver-side Σ cents·gap / Σ gap over the same
+    (type, day) event sequences."""
+    from pyspark.sql import functions as F
+
+    from reddit_hn_etl_spark.plans.queries import QUERIES
+    from reddit_hn_etl_spark.sources.tables import read_table
+
+    got = {
+        (r["event_type"], str(r["day"])): r
+        for r in QUERIES["type_daily_twap"](spark, sf_dir).collect()
+    }
+    assert got
+    ev = read_table(spark, str(sf_dir), "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    raw = ev.select(
+        "event_type",
+        F.col("ts").cast("date").cast("string").alias("day"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+        cents.alias("c"),
+        "event_id",
+    ).collect()
+    series: dict[tuple, list] = {}
+    for r in raw:
+        series.setdefault((r["event_type"], r["day"]), []).append(
+            (r["t"], r["event_id"], r["c"])
+        )
+    for key, pts in series.items():
+        pts.sort()
+        num = den = 0
+        for (t1, _, c), (t2, _, _) in zip(pts, pts[1:]):
+            num += c * (t2 - t1)
+            den += t2 - t1
+        if den == 0:
+            assert key not in got
+            continue
+        row = got[key]
+        assert row["observed_us"] == den
+        assert row["n_gaps"] == len(pts) - 1
+        assert abs(row["twap_value"] - num / den / 100.0) < 1e-6
