@@ -274,6 +274,8 @@ BENCH_QUERIES_R5 = [
     "peak_concurrent_sessions",
     "type_daily_twap",
     "customer_nearest_supplier_geo",
+    "sliding_distinct_users_hll",
+    "top_event_trigram_paths",
 ]
 
 

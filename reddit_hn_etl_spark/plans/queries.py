@@ -17031,6 +17031,158 @@ def customer_nearest_supplier_geo(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # ---------------------------------------------------------------------------
+# Sliding-window distinct users via HLL sketch algebra: the rolling
+# DAU/WAU board metric. Exact sliding distinct decomposes as a
+# bounded 7x day-replication (each (day, user) pair serves the 7
+# windows that contain it); the sketch path merges the SAME persisted
+# daily sketches over a 7-row frame — no re-read of raw events, the
+# rollup-table pattern that survives 100 TB.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "sliding_distinct_users_hll",
+    """
+    WITH du AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM du),
+    win AS (
+        SELECT d.day AS win_end, du.user_id, du.day AS src_day
+        FROM days d
+        JOIN du ON du.day BETWEEN d.day - 6 AND d.day
+    )
+    SELECT win_end,
+           CAST(COUNT(DISTINCT src_day) AS INTEGER) AS n_days_in_window,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users_7d,
+           TRUE AS merged_within_5pct
+    FROM win
+    GROUP BY win_end
+    """,
+)
+def sliding_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users per day, twice: EXACTLY (each
+    distinct (day, user) pair replicated to the <=7 windows that
+    contain it — a bounded fan-out + one distinct agg, the
+    scale-safe decomposition of sliding COUNT DISTINCT) and
+    approximately by merging per-day DataSketches HLL sketches over
+    a 7-row window frame (`hll_union_agg` OVER) — zero re-reads of
+    raw events, the persisted-rollup pattern. Sketch bytes are
+    engine-specific (the hll_sketch_weekly_users policy), so the
+    portable claim is the 5% bound boolean the oracle asserts TRUE;
+    the exact side hash-matches outright."""
+    ev = read_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    days = du.select("day").distinct()
+    win = days.select(F.col("day").alias("win_end")).join(
+        du,
+        (F.col("day") >= F.date_sub(F.col("win_end"), 6))
+        & (F.col("day") <= F.col("win_end")),
+    )
+    exact = win.groupBy("win_end").agg(
+        F.countDistinct("day").cast("int").alias("n_days_in_window"),
+        F.countDistinct("user_id").cast("bigint").alias("exact_users_7d"),
+    )
+    daily_sk = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("_sketch")
+    )
+    wf = Window.orderBy("day").rowsBetween(-6, 0)
+    est = daily_sk.select(
+        F.col("day").alias("win_end"),
+        F.hll_sketch_estimate(F.hll_union_agg("_sketch").over(wf)).alias(
+            "_est"
+        ),
+    )
+    return exact.join(est, "win_end").select(
+        "win_end",
+        "n_days_in_window",
+        "exact_users_7d",
+        (
+            F.abs(F.col("_est") - F.col("exact_users_7d"))
+            <= 0.05 * F.col("exact_users_7d")
+        ).alias("merged_within_5pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top journey trigrams: the 3-step upgrade of the Markov transition
+# matrix — which exact event-type PATHS dominate user behavior. The
+# per-user ordered collect is the bounded-entity-history contract;
+# the trigram expansion reuses ngram_array (codegen-safe zip_with).
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "top_event_trigram_paths",
+    """
+    WITH seqs AS (
+        SELECT user_id,
+               list(event_type ORDER BY epoch_us(ts), event_id) AS types
+        FROM events GROUP BY user_id
+    ),
+    tri AS (
+        SELECT unnest(list_transform(
+                   range(1, len(types) - 1),
+                   i -> types[i] || ' ' || types[i + 1] || ' '
+                        || types[i + 2])) AS path
+        FROM seqs WHERE len(types) >= 3
+    ),
+    c AS (SELECT path, COUNT(*) AS n_occurrences FROM tri GROUP BY path)
+    SELECT path, n_occurrences,
+           CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, path)
+                AS INTEGER) AS rnk
+    FROM c
+    ORDER BY n_occurrences DESC, path
+    LIMIT 20
+    """,
+)
+def top_event_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 three-step event-type journeys across all users:
+    per-user type sequences (one shuffle on user_id, history bounded
+    per entity), trigram expansion via the zip_with ngram builder,
+    one partial-aggregatable count on the <= |types|^3 = 125 path
+    domain, and a TakeOrdered top-k. Exact integers; ties break on
+    the path string so the rank is total."""
+    from ..operators.dedup import ngram_array
+
+    ev = read_table(spark, sf_dir, "events")
+    seqs = (
+        ev.select(
+            "user_id",
+            F.struct(
+                F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+                F.col("event_id").alias("e"),
+                F.col("event_type").alias("y"),
+            ).alias("_s"),
+        )
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_list("_s")).alias("_arr"))
+        .select(
+            F.transform(F.col("_arr"), lambda s: s["y"]).alias("types")
+        )
+        .where(F.size("types") >= 3)
+    )
+    tri = seqs.select(
+        F.explode(ngram_array(F.col("types"), 3)).alias("path")
+    )
+    c = tri.groupBy("path").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    return (
+        c.orderBy(F.desc("n_occurrences"), F.asc("path"))
+        .limit(20)
+        .select(
+            "path",
+            "n_occurrences",
+            F.row_number()
+            .over(Window.orderBy(F.desc("n_occurrences"), F.asc("path")))
+            .cast("int")
+            .alias("rnk"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window.
 #
 # The driver hard-verifies (rows + schema + value hash vs the DuckDB
