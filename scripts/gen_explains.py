@@ -16,6 +16,8 @@ from reddit_hn_etl_spark.plans.queries import QUERIES  # noqa: E402
 from reddit_hn_etl_spark.session import get_session  # noqa: E402
 
 NOTES = {
+    "sliding_distinct_users_hll": "Sliding COUNT DISTINCT, both ways: the exact side replicates distinct (day,user) pairs ≤7× (bounded fan-out + one distinct agg — the scale-safe decomposition); the sketch side merges PERSISTED per-day HLL sketches over a 7-row calendar-bounded frame (rows = days, never data). The sketch table is the 100 TB rollup artifact; any window regrouping is a cheap merge.",
+    "top_event_trigram_paths": "Journey trigrams: per-user ordered collect (bounded entity history, one shuffle on user_id), zip_with trigram expansion, partial-aggregatable count over the |types|³ path domain, TakeOrdered top-k — nothing super-linear in users.",
     "peak_concurrent_sessions": "Sweep line: intervals become +1/−1 boundary rows (one union, no interval self-join); the concurrency curve is a per-type running sum sharing one sort with the per-type max; exact integers end to end. At 100 TB the time axis range-partitions and per-partition curves stitch with broadcast offsets (the prefix.prefix_sum state split).",
     "type_daily_twap": "TWAP: one calendar-bounded LEAD window + one partial-aggregatable groupBy; Σ value·gap and Σ gap are exact int64 with SCALE-INVARIANT overflow headroom (the denominator is bounded by the day length whatever the data volume); one terminal divide chain on the 1e-6 grid.",
     "customer_nearest_supplier_geo": "Spatial grid join: cell ids from PURE integer division of the md5 hash (no float in the bucketing path); customers probe only their 3×3 neighbor cells via a cell-equality join — the geo twin of the LSH band join, O(points/cell) candidates instead of points². Haversine (the one libm surface) rounds to 1e-6 km before the per-customer argmin window.",
