@@ -276,6 +276,7 @@ BENCH_QUERIES_R5 = [
     "customer_nearest_supplier_geo",
     "sliding_distinct_users_hll",
     "top_event_trigram_paths",
+    "ab_test_sprt",
 ]
 
 

@@ -17183,6 +17183,116 @@ def top_event_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Sequential probability ratio test (Wald 1945): the ALWAYS-VALID
+# monitoring twin of the fixed-horizon ab_test_ztest — peek at the
+# cumulative log-likelihood ratio every day and stop the moment a
+# boundary is crossed, with error rates guaranteed by construction.
+# Counts are exact ints; the LLR composes two Python-computed literal
+# doubles (the fs_weights literal discipline) on the 1e-9 grid.
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+_SPRT_P0, _SPRT_P1 = 0.25, 0.20
+_SPRT_LW = _math.log(_SPRT_P1 / _SPRT_P0)          # per-conversion term
+_SPRT_LL = _math.log((1 - _SPRT_P1) / (1 - _SPRT_P0))  # per-miss term
+_SPRT_LNA = _math.log(19.0)    # (1-beta)/alpha at alpha=beta=0.05
+_SPRT_LNB = -_math.log(19.0)   # beta/(1-alpha)
+
+
+@_q(
+    "ab_test_sprt",
+    f"""
+    WITH b AS (
+        SELECT CAST(ts AS DATE) AS day,
+               COUNT(*) AS n,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS k
+        FROM events
+        WHERE substring(md5(CAST(user_id AS VARCHAR)), 1, 1)
+              NOT IN ('0','1','2','3','4','5','6','7')
+        GROUP BY 1
+    ),
+    c AS (
+        SELECT day,
+               CAST(SUM(n) OVER w AS BIGINT) AS n_cum,
+               CAST(SUM(k) OVER w AS BIGINT) AS k_cum
+        FROM b
+        WINDOW w AS (ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT day, n_cum, k_cum,
+           ROUND(k_cum * CAST({_SPRT_LW!r} AS DOUBLE)
+                 + (n_cum - k_cum) * CAST({_SPRT_LL!r} AS DOUBLE), 9)
+               AS llr,
+           CASE WHEN k_cum * CAST({_SPRT_LW!r} AS DOUBLE)
+                     + (n_cum - k_cum) * CAST({_SPRT_LL!r} AS DOUBLE)
+                     >= CAST({_SPRT_LNA!r} AS DOUBLE) THEN 'accept_h1'
+                WHEN k_cum * CAST({_SPRT_LW!r} AS DOUBLE)
+                     + (n_cum - k_cum) * CAST({_SPRT_LL!r} AS DOUBLE)
+                     <= CAST({_SPRT_LNB!r} AS DOUBLE) THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+    FROM c
+    """,
+)
+def ab_test_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald SPRT over the B-variant's daily conversion stream
+    (deterministic md5 user split, conversion = purchase): cumulative
+    LLR_t = K·ln(p1/p0) + (N−K)·ln((1−p1)/(1−p0)) against H0 p=0.25
+    vs H1 p=0.20, boundaries ±ln 19 (α=β=0.05) — hypotheses chosen so
+    the ~0.20 conversion stream actually CROSSES a boundary at every
+    tested SF (a permanently 'continue' decision column would be a
+    vacuous oracle). Unlike the z-test,
+    the decision column is VALID at every row — this is the query a
+    live experiment dashboard polls daily. Cumulative counts ride a
+    calendar-bounded window (≤ days rows); the two ln constants are
+    Python-computed literals inlined into BOTH plans (a bare decimal
+    literal would parse as DECIMAL in DuckDB — the fs_weights
+    discipline), so the LLR is a deterministic mul/add chain on the
+    1e-9 grid."""
+    ev = read_table(spark, sf_dir, "events")
+    nib = F.substring(
+        F.md5(F.col("user_id").cast("string").cast("binary")), 1, 1
+    )
+    b = (
+        ev.where(~nib.isin(*"01234567"))
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("k"),
+        )
+    )
+    w = (
+        Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = b.select(
+        "day",
+        F.sum("n").over(w).cast("bigint").alias("n_cum"),
+        F.sum("k").over(w).cast("bigint").alias("k_cum"),
+    )
+    llr_raw = F.col("k_cum") * F.lit(_SPRT_LW) + (
+        F.col("n_cum") - F.col("k_cum")
+    ) * F.lit(_SPRT_LL)
+    decision = (
+        F.when(llr_raw >= F.lit(_SPRT_LNA), F.lit("accept_h1"))
+        .when(llr_raw <= F.lit(_SPRT_LNB), F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+    )
+    return c.select(
+        "day",
+        "n_cum",
+        "k_cum",
+        F.round(llr_raw, 9).alias("llr"),
+        decision.alias("decision"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window.
 #
 # The driver hard-verifies (rows + schema + value hash vs the DuckDB

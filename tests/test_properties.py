@@ -1171,3 +1171,46 @@ def test_cms_never_undercounts_and_is_partitioning_invariant(spark, items):
     a = {(r.r, r.bucket): r.cnt for r in table.collect()}
     b = {(r.r, r.bucket): r.cnt for r in t2.collect()}
     assert a == b
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.text(
+                alphabet="abcxyz", min_size=1, max_size=4
+            ),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    n=st.integers(min_value=1, max_value=5),
+)
+def test_ngram_array_matches_model(spark, docs, n):
+    """dedup.ngram_array (the zip_with n-gram builder every shingle
+    consumer now shares) == the obvious Python sliding window, for
+    every doc length / n combination including empty and shorter-
+    than-n docs."""
+    from reddit_hn_etl_spark.operators.dedup import ngram_array
+
+    df = spark.createDataFrame(
+        [(i, toks) for i, toks in enumerate(docs)],
+        "doc_id long, w array<string>",
+    )
+    got = {
+        r["doc_id"]: list(r["g"])
+        for r in df.select(
+            "doc_id", ngram_array(F.col("w"), n).alias("g")
+        ).collect()
+    }
+    for i, toks in enumerate(docs):
+        expect = [
+            " ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)
+        ]
+        assert got[i] == expect, (i, toks, n)
