@@ -277,6 +277,7 @@ BENCH_QUERIES_R5 = [
     "sliding_distinct_users_hll",
     "top_event_trigram_paths",
     "ab_test_sprt",
+    "padding_waste_report",
 ]
 
 

@@ -17293,6 +17293,152 @@ def ab_test_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Sequence-packing efficiency report: the number a pretraining
+# exporter actually optimizes — what fraction of every context
+# window is padding under each packing policy. Pure integer
+# arithmetic over the same BPE-ish token counts as pack_token_budget;
+# the doc-boundary policy reuses the hierarchical prefix sum.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "padding_waste_report",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))
+                   AS n_tok
+        FROM documents
+    ),
+    tot AS (
+        SELECT COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS total
+        FROM toks
+    ),
+    cum AS (
+        SELECT doc_id, n_tok,
+               CAST(SUM(n_tok) OVER (ORDER BY doc_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS BIGINT) AS running
+        FROM toks
+    ),
+    shards AS (
+        SELECT (running - 1) // 512 AS shard_id,
+               CAST(SUM(n_tok) AS BIGINT) AS st
+        FROM cum GROUP BY 1
+    ),
+    p1 AS (
+        SELECT 'one_doc_per_seq' AS policy,
+               CAST(t.n_docs AS BIGINT) AS n_sequences,
+               CAST(SUM(512 - LEAST(x.n_tok, 512)) AS BIGINT)
+                   AS padding_tokens,
+               CAST(SUM(GREATEST(x.n_tok - 512, 0)) AS BIGINT)
+                   AS overflow_tokens
+        FROM toks x CROSS JOIN tot t
+        GROUP BY t.n_docs
+    ),
+    p2 AS (
+        SELECT 'concat_stream' AS policy,
+               (total + 511) // 512 AS n_sequences,
+               ((total + 511) // 512) * 512 - total AS padding_tokens,
+               CAST(0 AS BIGINT) AS overflow_tokens
+        FROM tot
+    ),
+    p3 AS (
+        SELECT 'doc_boundary_shards' AS policy,
+               CAST(COUNT(*) AS BIGINT) AS n_sequences,
+               CAST(SUM(GREATEST(512 - st, 0)) AS BIGINT) AS padding_tokens,
+               CAST(SUM(GREATEST(st - 512, 0)) AS BIGINT) AS overflow_tokens
+        FROM shards
+    ),
+    u AS (
+        SELECT * FROM p1 UNION ALL SELECT * FROM p2 UNION ALL
+        SELECT * FROM p3
+    )
+    SELECT u.policy, u.n_sequences, t.total AS total_tokens,
+           u.padding_tokens, u.overflow_tokens,
+           ROUND(CAST(u.padding_tokens AS DOUBLE)
+                 / CAST(u.n_sequences * 512 AS DOUBLE), 9)
+               AS padding_fraction
+    FROM u CROSS JOIN tot t
+    """,
+)
+def padding_waste_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding/overflow audit of three context-window (L=512) packing
+    policies over the same BPE-ish token counts: one-doc-per-sequence
+    (truncate long docs, pad the rest), concat-stream (split at every
+    L tokens — only the final window pads), and doc-boundary shards
+    (the pack_token_budget running-sum policy — docs never split, so
+    a shard can pad OR overflow). Every count is an exact integer;
+    padding_fraction is one divide of exact ints on the 1e-9 grid.
+    The doc-boundary branch rides the hierarchical prefix sum; the
+    others are single partial-aggregatable passes."""
+    from ..operators.prefix import prefix_sum
+
+    L = 512
+    docs = read_table(spark, sf_dir, "documents")
+    n_tok = textfn.token_count_bpe_ish("text")
+    toks = docs.select("doc_id", n_tok.alias("n_tok"))
+    tot = toks.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total"),
+    )
+    p1 = toks.crossJoin(F.broadcast(tot)).groupBy("n_docs").agg(
+        F.sum(F.lit(L) - F.least(F.col("n_tok"), F.lit(L)))
+        .cast("bigint")
+        .alias("padding_tokens"),
+        F.sum(F.greatest(F.col("n_tok") - L, F.lit(0)))
+        .cast("bigint")
+        .alias("overflow_tokens"),
+    ).select(
+        F.lit("one_doc_per_seq").alias("policy"),
+        F.col("n_docs").cast("bigint").alias("n_sequences"),
+        "padding_tokens",
+        "overflow_tokens",
+    )
+    p2 = tot.select(
+        F.lit("concat_stream").alias("policy"),
+        F.expr(f"(total + {L - 1}) DIV {L}").alias("n_sequences"),
+        (
+            F.expr(f"(total + {L - 1}) DIV {L}") * L - F.col("total")
+        ).alias("padding_tokens"),
+        F.lit(0).cast("bigint").alias("overflow_tokens"),
+    )
+    cum = prefix_sum(
+        toks, order_col="doc_id", value_col="n_tok", out_col="running"
+    )
+    shards = cum.groupBy(
+        F.expr(f"(running - 1) DIV {L}").alias("shard_id")
+    ).agg(F.sum("n_tok").cast("bigint").alias("st"))
+    p3 = shards.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sequences"),
+        F.sum(F.greatest(F.lit(L) - F.col("st"), F.lit(0)))
+        .cast("bigint")
+        .alias("padding_tokens"),
+        F.sum(F.greatest(F.col("st") - L, F.lit(0)))
+        .cast("bigint")
+        .alias("overflow_tokens"),
+    ).select(
+        F.lit("doc_boundary_shards").alias("policy"),
+        "n_sequences",
+        "padding_tokens",
+        "overflow_tokens",
+    )
+    u = p1.unionByName(p2).unionByName(p3)
+    return u.crossJoin(F.broadcast(tot.select("total"))).select(
+        "policy",
+        "n_sequences",
+        F.col("total").alias("total_tokens"),
+        "padding_tokens",
+        "overflow_tokens",
+        F.round(
+            F.col("padding_tokens").cast("double")
+            / (F.col("n_sequences") * L).cast("double"),
+            9,
+        ).alias("padding_fraction"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window.
 #
 # The driver hard-verifies (rows + schema + value hash vs the DuckDB
