@@ -16,6 +16,8 @@ from reddit_hn_etl_spark.plans.queries import QUERIES  # noqa: E402
 from reddit_hn_etl_spark.session import get_session  # noqa: E402
 
 NOTES = {
+    "ab_test_sprt": "Wald SPRT: one filtered scan to daily (n, k) counts, a calendar-bounded cumulative window (≤ days rows), and a literal-coefficient LLR projection — the always-valid sequential decision at rollup-table cost; nothing scales with raw events beyond the first aggregation.",
+    "padding_waste_report": "Packing-efficiency audit: three policies over one token-count projection — two partial-aggregatable passes plus the doc-boundary branch on the hierarchical prefix sum; every padding/overflow count is an exact integer and the report is 3 rows whatever the corpus size.",
     "sliding_distinct_users_hll": "Sliding COUNT DISTINCT, both ways: the exact side replicates distinct (day,user) pairs ≤7× (bounded fan-out + one distinct agg — the scale-safe decomposition); the sketch side merges PERSISTED per-day HLL sketches over a 7-row calendar-bounded frame (rows = days, never data). The sketch table is the 100 TB rollup artifact; any window regrouping is a cheap merge.",
     "top_event_trigram_paths": "Journey trigrams: per-user ordered collect (bounded entity history, one shuffle on user_id), zip_with trigram expansion, partial-aggregatable count over the |types|³ path domain, TakeOrdered top-k — nothing super-linear in users.",
     "peak_concurrent_sessions": "Sweep line: intervals become +1/−1 boundary rows (one union, no interval self-join); the concurrency curve is a per-type running sum sharing one sort with the per-type max; exact integers end to end. At 100 TB the time axis range-partitions and per-partition curves stitch with broadcast offsets (the prefix.prefix_sum state split).",
