@@ -1198,6 +1198,60 @@ def merged_cms(spark: SparkSession, sketch_dir: str) -> DataFrame:
     )
 
 
+def quantile_summary_stream(
+    rows: DataFrame,
+    col: str,
+    summary_dir: str,
+    checkpoint_dir: str,
+    k: int = 64,
+) -> StreamingQuery:
+    """Streaming quantile maintenance: each micro-batch compacts to
+    its own ≤ k-row-per-partition (value, weight) summary
+    (sketch.quantile_summary), appended with its batch_id — the
+    index-is-the-state discipline, like cms_stream. Summaries merge
+    by CONCATENATION (weights are additive), so the merged stream
+    summary obeys the same Σ_p ⌈n_p/k⌉ rank-error theorem as a batch
+    summary whose partitioning is (batches × partitions) — the
+    streaming case is just MORE partitions, which the bound already
+    quantifies. Raw values never persist; state is O(k · batches ·
+    partitions) rows and compacts further by re-summarizing."""
+    from ..operators.sketch import quantile_summary
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # collapse to one row per value: (batch_id, value) becomes a
+        # KEY, so replay dedup can't eat a legitimately repeated
+        # (value, weight) row emitted by two partitions
+        (
+            quantile_summary(batch_df, col, k=k)
+            .groupBy("value")
+            .agg(F.sum("weight").alias("weight"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(summary_dir)
+        )
+
+    return (
+        rows.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def merged_quantile_summary(spark: SparkSession, summary_dir: str) -> DataFrame:
+    """(value, weight) across every stored batch summary — summaries
+    add by concatenation; replay-safe because (batch_id, value) is a
+    key of the stored rows (a re-delivered batch re-appends the same
+    rows, deduped before use)."""
+    return (
+        spark.read.parquet(summary_dir)
+        .dropDuplicates(["batch_id", "value"])
+        .select("value", "weight")
+    )
+
+
 def bloom_ingest_stream(
     rows: DataFrame,
     col: str,

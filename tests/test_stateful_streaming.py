@@ -1339,3 +1339,90 @@ def test_holt_fixed_point_stream_matches_batch_fold(spark, tmp_path):
         assert latest[k].level_fp == final[k][1]
         assert latest[k].trend_fp == final[k][2]
         assert latest[k].forecast_next_fp == final[k][1] + final[k][2]
+
+
+def test_quantile_summary_stream_bound_and_replay(spark, tmp_path):
+    """Streamed per-batch quantile summaries merge by concatenation:
+    total weight is conserved exactly, every estimate obeys the
+    N/k + P rank bound against the exact ranks, and a replayed batch
+    (same batch_id re-appended) changes nothing after dedup."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from reddit_hn_etl_spark.operators.sketch import quantile_estimates
+
+    rows = [
+        (i, "2024-01-01 10:%02d:00" % (i % 60), 7, float(v))
+        for i, v in enumerate(
+            [((j * 37) % 101) + 1 for j in range(300)], start=1
+        )
+    ]
+    src = tmp_path / "q_stream"
+    src.mkdir()
+    sketch_dir = str(tmp_path / "q_summaries")
+    ckpt = str(tmp_path / "q_ckpt")
+    import os as _os
+    import time as _time
+
+    base_t = _time.time() - 100
+    for i, chunk in enumerate((rows[:100], rows[100:200], rows[200:])):
+        p = src / f"b{i + 1}.jsonl"
+        _write_events_jsonl(p, chunk)
+        _os.utime(p, (base_t + 10 * i, base_t + 10 * i))
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .select((F.col("value").cast("bigint")).alias("v"))
+    )
+    k = 16
+    q = ingest.quantile_summary_stream(
+        stream, "v", sketch_dir, ckpt, k=k
+    )
+    q.awaitTermination(120)
+
+    merged = ingest.merged_quantile_summary(spark, sketch_dir)
+    n = len(rows)
+    assert merged.agg(F.sum("weight")).collect()[0][0] == n
+
+    targets = [0.25, 0.5, 0.75]
+    est = {
+        float(r["p_target"]): (int(r["target_rank"]), int(r["est_value"]))
+        for r in quantile_estimates(merged, targets).collect()
+    }
+    xs = sorted(int(v) for _, _, _, v in rows)
+    # rank-error theorem: ≤ Σ_c ⌈n_c/k⌉ over compaction units c,
+    # which is ≤ N/k + C; each compaction emits ≥ 1 stored row, so
+    # C ≤ stored-row count — a conservative but honest bound
+    n_compactions = spark.read.parquet(sketch_dir).count()
+    bound = n / k + n_compactions
+    assert bound < n / 2, "bound too loose to be a meaningful check"
+    for p, (target, v) in est.items():
+        lt = sum(1 for x in xs if x < v)
+        le = sum(1 for x in xs if x <= v)
+        assert lt + 1 <= target + bound and le >= target - bound, (
+            p,
+            v,
+            target,
+            bound,
+        )
+
+    # replay: re-append batch 0's stored rows verbatim (same
+    # batch_id) — dedup must make it a no-op
+    stored = spark.read.parquet(sketch_dir)
+    first_bid = stored.select(F.min("batch_id")).collect()[0][0]
+    stored.where(F.col("batch_id") == first_bid).write.mode(
+        "append"
+    ).parquet(sketch_dir)
+    replayed = {
+        float(r["p_target"]): (int(r["target_rank"]), int(r["est_value"]))
+        for r in quantile_estimates(
+            ingest.merged_quantile_summary(spark, sketch_dir), targets
+        ).collect()
+    }
+    assert replayed == est
