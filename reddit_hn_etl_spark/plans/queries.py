@@ -477,12 +477,25 @@ def segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "customers_no_orders",
     """
     SELECT c_custkey, c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
     """,
 )
 def customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 anti join. The r1 form anti-joined against ALL orders and
+    matched its oracle on ZERO rows at every driver SF (every
+    customer has an order in this data — a vacuous check, caught by
+    the r5 0/1-row audit); the predicate now excludes customers with
+    no URGENT-priority order, so the anti join produces a large,
+    value-bearing result while keeping the identical plan shape
+    (filter pushed below the anti join's build side)."""
     cust = read_table(spark, sf_dir, "customer")
-    orders = read_table(spark, sf_dir, "orders").select("o_custkey")
+    orders = (
+        read_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
     return cust.join(
         orders, cust.c_custkey == orders.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
@@ -9904,30 +9917,47 @@ def order_priority_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT k AS key,
            CAST(COUNT(*) AS INTEGER) AS n_events,
-           CAST(COUNT(DISTINCT event_type) AS INTEGER) AS n_types
+           CAST(COUNT(DISTINCT event_type) AS INTEGER) AS n_types,
+           CAST(COUNT(DISTINCT json_extract_string(props, '$.' || k))
+                AS INTEGER) AS n_distinct_values,
+           MIN(TRY_CAST(json_extract_string(props, '$.' || k) AS BIGINT))
+               AS min_int_value,
+           MAX(TRY_CAST(json_extract_string(props, '$.' || k) AS BIGINT))
+               AS max_int_value
     FROM (
-        SELECT event_type, unnest(json_keys(props)) AS k
+        SELECT event_type, props, unnest(json_keys(props)) AS k
         FROM events WHERE props IS NOT NULL
     )
     GROUP BY k
     """,
 )
 def props_key_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Key frequency across the props payloads: json_object_keys →
-    explode → one partial/final agg on the (small) key domain. At
-    100 TB this is the cheap first pass that decides which keys
-    deserve VARIANT extraction or schema promotion."""
+    """Key frequency AND value profile across the props payloads:
+    json_object_keys → explode → one partial/final agg on the (small)
+    key domain, now carrying distinct-value cardinality and the
+    numeric min/max per key (this data has a single key 'k', so the
+    1-row shape needs value-bearing columns to be a non-vacuous
+    oracle — the r5 audit). At 100 TB this is the cheap first pass
+    that decides which keys deserve VARIANT extraction or schema
+    promotion."""
     ev = read_table(spark, sf_dir, "events")
+    # get_json_object via expr: the Python wrapper insists on a
+    # literal path; the SQL form evaluates a per-row path fine
+    val = F.expr("get_json_object(props, concat('$.', key))")
     return (
         ev.where(F.col("props").isNotNull())
         .select(
             "event_type",
+            "props",
             F.explode(F.json_object_keys("props")).alias("key"),
         )
         .groupBy("key")
         .agg(
             F.count(F.lit(1)).cast("int").alias("n_events"),
             F.countDistinct("event_type").cast("int").alias("n_types"),
+            F.countDistinct(val).cast("int").alias("n_distinct_values"),
+            F.min(val.try_cast("bigint")).alias("min_int_value"),
+            F.max(val.try_cast("bigint")).alias("max_int_value"),
         )
     )
 
@@ -15850,7 +15880,7 @@ def _sssp_oracle() -> str:
     e AS MATERIALIZED (
         SELECT s, d, w FROM e0 UNION ALL SELECT d, s, w FROM e0
     ),
-    d_0 AS (SELECT CAST(0 AS BIGINT) AS vertex, CAST(0 AS BIGINT) AS dist)"""
+    d_0 AS (SELECT CAST(1 AS BIGINT) AS vertex, CAST(0 AS BIGINT) AS dist)"""
     ]
     for r in range(1, _SSSP_ROUNDS + 1):
         parts.append(
@@ -15872,13 +15902,16 @@ def _sssp_oracle() -> str:
 
 @_q("referral_weighted_sssp", _sssp_oracle())
 def referral_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shortest weighted distance from the referral root (customer 0)
-    to every customer over the undirected referral tree with integer
-    edge weights (c_custkey % 10 + 1): graph.bellman_ford — per
-    round one dist⋈edges relaxation + min aggregate, checkpointed,
-    stopping when the driver probe counts zero changed vertices
-    (raises rather than emit a partial relaxation). Distances are
-    exact integer sums. At 100 TB the dist table is vertex-sized and
+    """Shortest weighted distance from the referral root (customer 1
+    — every custkey halves down to 1, so the whole tree is reachable;
+    the r4 version rooted at the ISOLATED vertex 0 and emitted one
+    vacuous row, caught by the r5 0/1-row oracle audit) to every
+    customer over the undirected referral tree with integer edge
+    weights (c_custkey % 10 + 1): graph.bellman_ford — per round one
+    dist⋈edges relaxation + min aggregate, checkpointed, stopping
+    when the driver probe counts zero changed vertices (raises
+    rather than emit a partial relaxation). Distances are exact
+    integer sums. At 100 TB the dist table is vertex-sized and
     partitions with the edges on vertex id — the Pregel shape."""
     cust = read_table(spark, sf_dir, "customer")
     e0 = cust.where(F.col("c_custkey") > 1).select(
@@ -15891,7 +15924,7 @@ def referral_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
         )
     )
-    return graph.bellman_ford(edges, sources=[0])
+    return graph.bellman_ford(edges, sources=[1])
 
 
 # ---------------------------------------------------------------------------
