@@ -30,7 +30,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions import scalars, text as textfn
+from ..functions import privacy, scalars, text as textfn
 from ..operators import (
     checks,
     cleaning,
@@ -17469,6 +17469,520 @@ def padding_waste_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("padding_fraction"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Differentially-private release (Dwork et al. 2006): the per-slice
+# count histogram a pipeline publishes about a private corpus, with
+# Laplace(1/ε) noise per cell. Event-level DP (sensitivity 1: adding
+# or removing one event changes one cell by 1). Exact counts are the
+# usual partial/final hash agg; the noise is a per-group scalar from
+# the deterministic md5 uniform (functions/privacy.py) so both
+# engines draw the SAME noise — production swaps in a crypto RNG.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "dp_noisy_type_daily",
+    f"""
+    WITH g AS (
+        SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS true_n
+        FROM events GROUP BY 1, 2
+    ),
+    n AS (
+        SELECT day, event_type, true_n,
+               {privacy.DETERMINISTIC_UNIFORM_SQL.format(
+                   key="CAST(day AS VARCHAR) || '|' || event_type"
+               )} AS u
+        FROM g
+    )
+    SELECT day, event_type, CAST(true_n AS INTEGER) AS true_n,
+           ROUND({privacy.laplace_noise_sql("u", 1.0)}, 6) AS laplace_noise,
+           ROUND(true_n + ({privacy.laplace_noise_sql("u", 1.0)}), 6)
+               AS noisy_n,
+           abs(ROUND({privacy.laplace_noise_sql("u", 1.0)}, 6)) <= 37.5
+               AS noise_bounded
+    FROM n
+    """,
+)
+def dp_noisy_type_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε=1 DP daily event-type histogram. One shuffle (the count);
+    the Laplace draw is a scalar expression per output cell, so the
+    DP release adds zero distributed cost at any scale. The
+    `noise_bounded` column checks the |noise| ≤ scale·ln 2^54 bound
+    as an in-query assertion."""
+    from ..functions import privacy as priv
+
+    ev = read_table(spark, sf_dir, "events")
+    g = ev.groupBy(
+        F.col("ts").cast("date").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("true_n"))
+    u = priv.deterministic_uniform(
+        F.concat(
+            F.col("day").cast("string"), F.lit("|"), F.col("event_type")
+        )
+    )
+    noise = priv.laplace_noise(u, 1.0)
+    n = g.select("day", "event_type", "true_n", noise.alias("_noise"))
+    return n.select(
+        "day",
+        "event_type",
+        F.col("true_n").cast("int").alias("true_n"),
+        F.round(F.col("_noise"), 6).alias("laplace_noise"),
+        F.round(F.col("true_n") + F.col("_noise"), 6).alias("noisy_n"),
+        (F.abs(F.round(F.col("_noise"), 6)) <= 37.5).alias("noise_bounded"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-feature ridge regression via distributed normal equations:
+# (XᵀX + λI)β = Xᵀy solved in closed form (Cramer) from one pass of
+# EXACT integer moment sums — the standard single-shuffle distributed
+# linear regression (the 2-feature generalization of
+# brand_price_regression's 1-feature OLS). Moments are exact int64
+# (all < 2^53 at sf0.1, so the HUGEINT/DECIMAL intermediates convert
+# to bit-identical doubles); the Cramer expressions are ONE shared
+# SQL fragment evaluated by both engines in the same operation order.
+# ---------------------------------------------------------------------------
+
+# Shared closed-form fragments over moment columns n,s1,s2,s11,s12,
+# s22,sy,s1y,s2y (λ ridge on the two slope diagonals, intercept
+# unpenalized). Built once; used verbatim in the oracle SQL and via
+# F.expr on the Spark side so FMA/ordering is identical.
+_RIDGE_LAMBDA = 100.0
+
+
+def _ridge_fragments(lam: float) -> dict[str, str]:
+    d = {
+        k: f"CAST({k} AS DOUBLE)"
+        for k in ["n", "s1", "s2", "s11", "s12", "s22", "sy", "s1y", "s2y"]
+    }
+    a11 = f"({d['s11']} + {lam!r})"
+    a22 = f"({d['s22']} + {lam!r})"
+    n, s1, s2, s12 = d["n"], d["s1"], d["s2"], d["s12"]
+    sy, s1y, s2y = d["sy"], d["s1y"], d["s2y"]
+    det = (
+        f"({n} * ({a11} * {a22} - {s12} * {s12})"
+        f" - {s1} * ({s1} * {a22} - {s12} * {s2})"
+        f" + {s2} * ({s1} * {s12} - {a11} * {s2}))"
+    )
+    det0 = (
+        f"({sy} * ({a11} * {a22} - {s12} * {s12})"
+        f" - {s1} * ({s1y} * {a22} - {s12} * {s2y})"
+        f" + {s2} * ({s1y} * {s12} - {a11} * {s2y}))"
+    )
+    det1 = (
+        f"({n} * ({s1y} * {a22} - {s12} * {s2y})"
+        f" - {sy} * ({s1} * {a22} - {s12} * {s2})"
+        f" + {s2} * ({s1} * {s2y} - {s1y} * {s2}))"
+    )
+    det2 = (
+        f"({n} * ({a11} * {s2y} - {s1y} * {s12})"
+        f" - {s1} * ({s1} * {s2y} - {s1y} * {s2})"
+        f" + {sy} * ({s1} * {s12} - {a11} * {s2}))"
+    )
+    return {
+        "b0": f"ROUND({det0} / {det}, 6)",
+        "b1": f"ROUND({det1} / {det}, 6)",
+        "b2": f"ROUND({det2} / {det}, 6)",
+    }
+
+
+_RIDGE_F = _ridge_fragments(_RIDGE_LAMBDA)
+
+
+@_q(
+    "lineitem_ridge_regression",
+    f"""
+    WITH m AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               SUM(CAST(l_quantity AS BIGINT)) AS s1,
+               SUM(CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))
+                   AS s2,
+               SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+                   AS s11,
+               SUM(CAST(l_quantity AS BIGINT)
+                   * CAST(CAST(l_discount AS DECIMAL(18,2)) * 100
+                          AS BIGINT)) AS s12,
+               SUM(CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   * CAST(CAST(l_discount AS DECIMAL(18,2)) * 100
+                          AS BIGINT)) AS s22,
+               SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT)) AS sy,
+               SUM(CAST(l_quantity AS BIGINT)
+                   * CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT)) AS s1y,
+               SUM(CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   * CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT)) AS s2y
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, CAST(n AS INTEGER) AS n_rows,
+           {_RIDGE_F['b0']} AS beta0_cents,
+           {_RIDGE_F['b1']} AS beta1_cents_per_qty,
+           {_RIDGE_F['b2']} AS beta2_cents_per_disc_cent
+    FROM m
+    """,
+)
+def lineitem_ridge_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-cents ~ quantity + discount-cents ridge (λ=100) per
+    return flag. One partial/final integer aggregation per group —
+    the 9 moments are the ONLY state that moves, so the plan is the
+    same at 100 TB (sums would move to DECIMAL(38,0) above ~2^53
+    rows·maxterm; asserted in docs). The 3×3 solve is a scalar
+    expression per group, shared textually with the oracle."""
+    li = read_table(spark, sf_dir, "lineitem")
+    x1 = F.col("l_quantity").cast("bigint")
+    x2 = (F.col("l_discount").cast("decimal(18,2)") * 100).cast("bigint")
+    y = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint")
+    m = (
+        li.select(
+            "l_returnflag", x1.alias("_x1"), x2.alias("_x2"), y.alias("_y")
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_x1").alias("s1"),
+            F.sum("_x2").alias("s2"),
+            F.sum(F.col("_x1") * F.col("_x1")).alias("s11"),
+            F.sum(F.col("_x1") * F.col("_x2")).alias("s12"),
+            F.sum(F.col("_x2") * F.col("_x2")).alias("s22"),
+            F.sum("_y").alias("sy"),
+            F.sum(F.col("_x1") * F.col("_y")).alias("s1y"),
+            F.sum(F.col("_x2") * F.col("_y")).alias("s2y"),
+        )
+    )
+    return m.select(
+        "l_returnflag",
+        F.col("n").cast("int").alias("n_rows"),
+        F.expr(_RIDGE_F["b0"]).alias("beta0_cents"),
+        F.expr(_RIDGE_F["b1"]).alias("beta1_cents_per_qty"),
+        F.expr(_RIDGE_F["b2"]).alias("beta2_cents_per_disc_cent"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Isotonic calibration (pool-adjacent-violators, Ayer et al. 1955)
+# of the quality-score reliability diagram: the monotone-regression
+# fit iso_k = max_{i≤k} min_{j≥k} pooled-rate(i..j) computed by the
+# minimax identity over bin prefix sums — O(B³) on the B≈10 BINS,
+# i.e. driver-free and constant-cost no matter the corpus size. The
+# distributed part is exactly quality_calibration_bins' one agg; the
+# PAV solve runs on the domain-sized bins frame. Block rates are
+# ratios of identical exact ints, and min/max select from identical
+# double sets, so the fit is engine-reproducible; ROUND(,9) guards
+# the terminal.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "quality_isotonic_calibration",
+    f"""
+    WITH {_QUALITY_SCORED_CTES},
+    bins AS (
+        SELECT CAST(LEAST(CAST(floor(q * 50) AS BIGINT), 49) AS INTEGER)
+                   AS bin,
+               COUNT(*) AS nb, count_if(gopher_pass) AS pb
+        FROM scored GROUP BY bin
+    ),
+    pref AS (
+        SELECT bin, nb, pb,
+               SUM(nb) OVER (ORDER BY bin) AS cn,
+               SUM(pb) OVER (ORDER BY bin) AS cp
+        FROM bins
+    ),
+    pairs AS (
+        SELECT i.bin AS i, j.bin AS j,
+               CAST(j.cp - (i.cp - i.pb) AS DOUBLE)
+                   / CAST(j.cn - (i.cn - i.nb) AS DOUBLE) AS block_avg
+        FROM pref i JOIN pref j ON i.bin <= j.bin
+    ),
+    minj AS (
+        SELECT p.i, k.bin AS k, MIN(p.block_avg) AS lo
+        FROM pairs p JOIN pref k ON p.j >= k.bin AND p.i <= k.bin
+        GROUP BY p.i, k.bin
+    ),
+    iso AS (SELECT k, MAX(lo) AS iso_rate FROM minj GROUP BY k)
+    SELECT b.bin, CAST(b.nb AS INTEGER) AS n_docs,
+           CAST(b.pb AS INTEGER) AS n_pass,
+           CAST(b.pb AS DOUBLE) / b.nb AS raw_rate,
+           ROUND(i.iso_rate, 9) AS iso_rate,
+           COALESCE(ROUND(i.iso_rate, 9) >=
+                    LAG(ROUND(i.iso_rate, 9)) OVER (ORDER BY b.bin),
+                    TRUE) AS monotone_ok
+    FROM bins b JOIN iso i ON b.bin = i.k
+    """,
+)
+def quality_isotonic_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PAV-calibrated pass rate per quality 1/50-bin (finer than the
+    calibration-bins deciles so adjacent-violator pooling genuinely
+    fires). One corpus scan + one domain-sized agg; the minimax
+    solve joins the ≤50-row bins frame against itself — broadcast,
+    constant work at any SF. The `monotone_ok` column asserts the
+    PAV invariant in-query."""
+    docs = read_table(spark, sf_dir, "documents")
+    w_ = dedup.tokens("text")
+    n_words = F.size(w_)
+    n_alpha = F.size(F.filter(w_, lambda x: x.rlike("[a-z]")))
+    n_chars = F.length(F.array_join(w_, ""))
+    n_stop = F.array_contains(w_, "the").cast("int") + F.array_contains(
+        w_, "a"
+    ).cast("int")
+    gopher = (
+        n_words.between(30, 5000)
+        & (n_chars / n_words).between(3.0, 5.0)
+        & (n_alpha / n_words.cast("double") >= 0.9)
+        & (n_stop >= 2)
+    )
+    q = F.round(textfn.quality_score(F.col("text")), 4)
+    scored = docs.where(n_words > 0).select(
+        gopher.alias("gopher_pass"), q.alias("q")
+    )
+    b = F.least(F.floor(F.col("q") * 50).cast("bigint"), F.lit(49)).cast(
+        "int"
+    )
+    bins = scored.groupBy(b.alias("bin")).agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.sum(F.col("gopher_pass").cast("int")).cast("bigint").alias("pb"),
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    pref = bins.select(
+        "bin",
+        "nb",
+        "pb",
+        F.sum("nb").over(w).alias("cn"),
+        F.sum("pb").over(w).alias("cp"),
+    ).localCheckpoint()
+    i_, j_, k_ = pref.alias("i"), pref.alias("j"), pref.alias("k")
+    pairs = i_.join(
+        F.broadcast(j_), F.col("i.bin") <= F.col("j.bin")
+    ).select(
+        F.col("i.bin").alias("i"),
+        F.col("j.bin").alias("j"),
+        (
+            (F.col("j.cp") - (F.col("i.cp") - F.col("i.pb"))).cast("double")
+            / (F.col("j.cn") - (F.col("i.cn") - F.col("i.nb"))).cast(
+                "double"
+            )
+        ).alias("block_avg"),
+    )
+    minj = (
+        pairs.join(
+            F.broadcast(k_),
+            (F.col("j") >= F.col("k.bin")) & (F.col("i") <= F.col("k.bin")),
+        )
+        .groupBy(F.col("i"), F.col("k.bin").alias("k"))
+        .agg(F.min("block_avg").alias("lo"))
+    )
+    iso = minj.groupBy("k").agg(F.max("lo").alias("iso_rate"))
+    out = bins.join(iso, bins["bin"] == iso["k"]).select(
+        "bin",
+        F.col("nb").cast("int").alias("n_docs"),
+        F.col("pb").cast("int").alias("n_pass"),
+        (F.col("pb").cast("double") / F.col("nb")).alias("raw_rate"),
+        F.round(F.col("iso_rate"), 9).alias("iso_rate"),
+    )
+    wlag = Window.orderBy("bin")
+    return out.select(
+        "bin",
+        "n_docs",
+        "n_pass",
+        "raw_rate",
+        "iso_rate",
+        F.coalesce(
+            F.col("iso_rate") >= F.lag("iso_rate").over(wlag), F.lit(True)
+        ).alias("monotone_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# EM estimation of the Fellegi-Sunter m/u parameters (Winkler 1988,
+# the Splink/dedupe.io training step). operators/er.py's docstring
+# said EM's float fixpoint was "not differential-testable" — this
+# query retires that caveat. The trick: the sufficient statistics
+# are just the 8 agreement-PATTERN counts (exact ints, one
+# distributed agg over the blocked pairs); EM then runs as a fixed
+# number of UNROLLED scalar iterations over ONE pivoted row, with
+# every expression generated once in Python and evaluated verbatim
+# by both engines — fixed operation order, no aggregation over
+# floats, bit-identical trajectory. Distributed cost: exactly one
+# pattern-count aggregation; the solve is O(8·iters) scalar work.
+# ---------------------------------------------------------------------------
+
+_EM_CLAMP_LO = "CAST(0.000001 AS DOUBLE)"
+_EM_CLAMP_HI = "CAST(0.999999 AS DOUBLE)"
+
+
+def _fs_em_w_exprs() -> list[str]:
+    """w_g = p·P(γ_g|M) / (p·P(γ_g|M) + (1−p)·P(γ_g|U)) for the 8
+    patterns, as SQL text over columns p, m1..m3, u1..u3. Pattern
+    index g: bit2=name, bit1=nation, bit0=bal."""
+    out = []
+    for g in range(8):
+        bits = ((g >> 2) & 1, (g >> 1) & 1, g & 1)
+        pm = " * ".join(
+            f"m{i + 1}" if b else f"(1.0 - m{i + 1})"
+            for i, b in enumerate(bits)
+        )
+        pu = " * ".join(
+            f"u{i + 1}" if b else f"(1.0 - u{i + 1})"
+            for i, b in enumerate(bits)
+        )
+        out.append(
+            f"(p * ({pm})) / (p * ({pm}) + (1.0 - p) * ({pu})) AS w{g}"
+        )
+    return out
+
+
+def _fs_em_update_exprs() -> list[str]:
+    """One EM M-step over the w0..w7 / c0..c7 columns: p, m_i, u_i
+    updates as fixed-order sums, clamped into (0, 1)."""
+    tw = " + ".join(f"c{g} * w{g}" for g in range(8))
+    n = " + ".join(f"c{g}" for g in range(8))
+    upd = [f"LEAST(GREATEST(({tw}) / ({n}), {_EM_CLAMP_LO}), {_EM_CLAMP_HI}) AS p"]
+    for i in range(3):
+        bit = 2 - i  # field i+1 agrees when pattern bit (2-i) is set
+        on = [g for g in range(8) if (g >> bit) & 1]
+        num_m = " + ".join(f"c{g} * w{g}" for g in on)
+        num_u = " + ".join(f"c{g} * (1.0 - w{g})" for g in on)
+        upd.append(
+            f"LEAST(GREATEST(({num_m}) / ({tw}), {_EM_CLAMP_LO}), "
+            f"{_EM_CLAMP_HI}) AS m{i + 1}"
+        )
+        upd.append(
+            f"LEAST(GREATEST(({num_u}) / (({n}) - ({tw})), {_EM_CLAMP_LO}), "
+            f"{_EM_CLAMP_HI}) AS u{i + 1}"
+        )
+    return upd
+
+
+_FS_EM_ITERS = 8
+_FS_EM_INIT = (
+    "CAST(0.1 AS DOUBLE) AS p, "
+    "CAST(0.9 AS DOUBLE) AS m1, CAST(0.9 AS DOUBLE) AS m2, "
+    "CAST(0.9 AS DOUBLE) AS m3, "
+    "CAST(0.1 AS DOUBLE) AS u1, CAST(0.1 AS DOUBLE) AS u2, "
+    "CAST(0.1 AS DOUBLE) AS u3"
+)
+_FS_EM_COUNT_EXPRS = [
+    "CAST(count_if("
+    + " AND ".join(
+        c if b else f"NOT {c}"
+        for c, b in zip(
+            ["agree_name", "agree_nation", "agree_bal"],
+            [(g >> 2) & 1, (g >> 1) & 1, g & 1],
+        )
+    )
+    + f") AS DOUBLE) AS c{g}"
+    for g in range(8)
+]
+
+
+def _fs_em_oracle() -> str:
+    cs = ", ".join(f"c{g}" for g in range(8))
+    chain = [f"e0 AS (SELECT {cs}, {_FS_EM_INIT} FROM counts)"]
+    for k in range(_FS_EM_ITERS):
+        chain.append(
+            f"e{k}w AS (SELECT *, {', '.join(_fs_em_w_exprs())} FROM e{k})"
+        )
+        chain.append(
+            f"e{k + 1} AS (SELECT {cs}, "
+            f"{', '.join(_fs_em_update_exprs())} FROM e{k}w)"
+        )
+    n = " + ".join(f"c{g}" for g in range(8))
+    return f"""
+    WITH c AS (
+        SELECT c_custkey, c_mktsegment, c_name, c_nationkey,
+               CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS cents
+        FROM customer WHERE c_custkey % 10 = 0
+    ),
+    pr AS (
+        SELECT ROUND(jaro_winkler_similarity(a.c_name, b.c_name), 6) >= 0.95
+                   AS agree_name,
+               a.c_nationkey = b.c_nationkey AS agree_nation,
+               ABS(a.cents - b.cents) <= 10000 AS agree_bal
+        FROM c a JOIN c b
+          ON a.c_mktsegment = b.c_mktsegment AND a.c_custkey < b.c_custkey
+    ),
+    counts AS (SELECT {', '.join(_FS_EM_COUNT_EXPRS)} FROM pr),
+    {', '.join(chain)},
+    fin AS (SELECT *, CAST(({n}) AS BIGINT) AS n_pairs
+            FROM e{_FS_EM_ITERS})
+    SELECT 'name' AS field, ROUND(m1, 9) AS m_est, ROUND(u1, 9) AS u_est,
+           ROUND(p, 9) AS lambda_est, CAST(n_pairs AS INTEGER) AS n_pairs
+    FROM fin
+    UNION ALL
+    SELECT 'nation', ROUND(m2, 9), ROUND(u2, 9), ROUND(p, 9),
+           CAST(n_pairs AS INTEGER) FROM fin
+    UNION ALL
+    SELECT 'bal', ROUND(m3, 9), ROUND(u3, 9), ROUND(p, 9),
+           CAST(n_pairs AS INTEGER) FROM fin
+    """
+
+
+@_q("fs_em_weights", _fs_em_oracle())
+def fs_em_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EM-trained Fellegi-Sunter parameters over the same blocked
+    customer pairs as customer_fellegi_sunter. One distributed agg
+    (the 8 pattern counts); {iters} unrolled EM iterations as scalar
+    selectExpr passes over the pivoted 1-row frame — the generated
+    expression text is shared verbatim with the oracle, so the float
+    trajectory is fixed-order-identical on both engines. At 100 TB
+    only the pattern-count agg scales; the solve is constant."""
+    jw = textfn.jaro_winkler_pandas_udf()
+    cust = read_table(spark, sf_dir, "customer").where(
+        F.col("c_custkey") % 10 == 0
+    )
+    cents = (F.col("c_acctbal").cast("decimal(18,2)") * 100).cast("bigint")
+    a = cust.select(
+        F.col("c_custkey").alias("key_a"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_name").alias("_na"),
+        F.col("c_nationkey").alias("_ga"),
+        cents.alias("_ca"),
+    )
+    b = cust.select(
+        F.col("c_custkey").alias("key_b"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_name").alias("_nb"),
+        F.col("c_nationkey").alias("_gb"),
+        cents.alias("_cb"),
+    )
+    pairs = (
+        a.join(b, "segment")
+        .where(F.col("key_a") < F.col("key_b"))
+        .select(
+            (F.round(jw(F.col("_na"), F.col("_nb")), 6) >= 0.95).alias(
+                "agree_name"
+            ),
+            (F.col("_ga") == F.col("_gb")).alias("agree_nation"),
+            (F.abs(F.col("_ca") - F.col("_cb")) <= 10000).alias("agree_bal"),
+        )
+    )
+    state = pairs.selectExpr(*_FS_EM_COUNT_EXPRS).selectExpr(
+        "*", *_FS_EM_INIT.split(", ")
+    )
+    for _ in range(_FS_EM_ITERS):
+        state = state.selectExpr("*", *_fs_em_w_exprs())
+        state = state.selectExpr(
+            *[f"c{g}" for g in range(8)], *_fs_em_update_exprs()
+        )
+    n = " + ".join(f"c{g}" for g in range(8))
+    fin = state.selectExpr("*", f"CAST(({n}) AS BIGINT) AS n_pairs")
+    return fin.selectExpr(
+        "stack(3, 'name', ROUND(m1, 9), ROUND(u1, 9), "
+        "'nation', ROUND(m2, 9), ROUND(u2, 9), "
+        "'bal', ROUND(m3, 9), ROUND(u3, 9)) AS (field, m_est, u_est)",
+        "ROUND(p, 9) AS lambda_est",
+        "CAST(n_pairs AS INTEGER) AS n_pairs",
+    )
+
+
+fs_em_weights.__doc__ = fs_em_weights.__doc__.format(iters=_FS_EM_ITERS)
 
 
 # ---------------------------------------------------------------------------
