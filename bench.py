@@ -278,6 +278,11 @@ BENCH_QUERIES_R5 = [
     "top_event_trigram_paths",
     "ab_test_sprt",
     "padding_waste_report",
+    # r5 continuation: privacy / regression / calibration / linkage-EM
+    "dp_noisy_type_daily",
+    "lineitem_ridge_regression",
+    "quality_isotonic_calibration",
+    "fs_em_weights",
 ]
 
 

@@ -18,10 +18,13 @@ Determinism: the per-field weights are computed ONCE in Python
 (`math.log`) and inlined as double literals into the plan — the same
 literals the DuckDB oracle embeds — so the score is a fixed-order sum
 of identical doubles on both engines; bit-equal, no tolerance. The
-m/u parameters are caller-supplied (in production, EM-estimated;
-EM's float fixpoint is not differential-testable, so the estimation
-step stays out of the oracle surface the same way k-means' Lloyd
-LOOP does — see operators/kmeans.py).
+m/u parameters are caller-supplied or EM-estimated: the
+`fs_em_weights` query (plans/queries.py) trains them with a fully
+oracle-checked EM — the sufficient statistics are the 2^k
+agreement-PATTERN counts (exact ints, one distributed agg), and the
+iterations run as UNROLLED scalar expressions over a pivoted 1-row
+frame, generated once and evaluated verbatim by both engines, so
+even the float trajectory is differential-testable.
 
 Scale shape: pure projection over the blocked pair set — zero
 shuffle beyond what blocking already did; weights are literals in

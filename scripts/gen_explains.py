@@ -186,6 +186,10 @@ NOTES = {
     "video_scene_cuts": "Shot detection: frame synth+decode+hash collapse to 16-byte rows inside the Python stage; the cut test is one LAG window per clip over frame-count-bounded partitions. A naive pixel-diff would fire on the planted per-frame brightness drift — the adaptive hash doesn't.",
     "holt_backtest_skill": "Backtest: the Holt fold already carries the rolling-origin predictions, so scoring adds one LAG window and a types-sized aggregate — evaluating the forecaster costs no extra corpus pass.",
     "audio_activity_segments": "VAD segmentation: synth+decode+frame-RMS collapse to 3-column frame rows inside one mapInPandas; island stitching is a per-clip window + keyed aggregate over frame-count-bounded partitions.",
+    "dp_noisy_type_daily": "DP release: one partial/final hash agg produces the exact histogram; the Laplace draw is a scalar expression per OUTPUT cell (md5 uniform -> inverse CDF), so privacy costs zero extra shuffle at any corpus size.",
+    "lineitem_ridge_regression": "Distributed normal equations: the only shuffle is the 9-moment integer aggregation per return flag (partial/final, map-side combined); the 3x3 Cramer solve is whole-stage-codegen scalar math on the 3-row result.",
+    "quality_isotonic_calibration": "PAV calibration: the corpus pass is the same single scan+agg as the reliability diagram; the minimax solve self-joins the <=50-row bins frame (broadcast both sides) — constant work regardless of SF.",
+    "fs_em_weights": "Linkage EM: blocked pair generation + ONE pattern-count aggregation is the entire distributed footprint; 8 unrolled EM iterations run as scalar projections over a pivoted 1-row frame — no iteration touches the data again.",
 }
 
 
