@@ -283,6 +283,9 @@ BENCH_QUERIES_R5 = [
     "lineitem_ridge_regression",
     "quality_isotonic_calibration",
     "fs_em_weights",
+    "dp_median_exponential",
+    "purchase_diff_in_diff",
+    "lang_token_fertility",
 ]
 
 

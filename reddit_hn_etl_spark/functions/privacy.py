@@ -63,6 +63,20 @@ def laplace_noise_sql(u_expr: str, scale: float) -> str:
     )
 
 
+def gumbel_noise(u: Column) -> Column:
+    """Gumbel(0, 1) via the inverse CDF −ln(−ln u) — the noise of the
+    exponential mechanism's report-noisy-max formulation (the same
+    Gumbel-max trick `dsir_gumbel_sample` uses for sampling): adding
+    Gumbel noise to ε·utility/(2Δ) and taking the argmax IS the
+    exponential mechanism (McSherry & Talwar 2007)."""
+    return -F.log(-F.log(u))
+
+
+def gumbel_noise_sql(u_expr: str) -> str:
+    """ANSI-SQL twin of `gumbel_noise`."""
+    return f"-ln(-ln({u_expr}))"
+
+
 DETERMINISTIC_UNIFORM_SQL = (
     "((CAST(('0x' || substring(md5({key}), 1, 15)) AS BIGINT) "
     f"% {_TWO_53}) + 0.5) / {float(_TWO_53)!r}"

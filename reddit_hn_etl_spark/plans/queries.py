@@ -17986,6 +17986,267 @@ fs_em_weights.__doc__ = fs_em_weights.__doc__.format(iters=_FS_EM_ITERS)
 
 
 # ---------------------------------------------------------------------------
+# DP median via the exponential mechanism (McSherry & Talwar 2007)
+# in its report-noisy-max form: score every candidate bucket by
+# ε·u/(2Δu) with the median utility u(b) = −|2·cum(b) − n| (exact
+# even ints, Δu = 2), add deterministic Gumbel noise, take the
+# argmax. The second DP primitive next to the Laplace release —
+# selection queries (median, mode, best split) can't be answered by
+# adding noise to the output value; the exponential mechanism is the
+# standard tool. Distributed cost: one bucket aggregation; the
+# scoring/argmax runs on the domain-sized bucket frame.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "dp_median_exponential",
+    f"""
+    WITH b AS (
+        SELECT CAST(FLOOR(CAST(o_totalprice AS DECIMAL(18,2)) / 10000)
+                    AS BIGINT) AS bucket,
+               COUNT(*) AS nb
+        FROM orders GROUP BY bucket
+    ),
+    c AS (
+        SELECT bucket, nb,
+               SUM(nb) OVER (ORDER BY bucket) AS cum,
+               SUM(nb) OVER () AS n
+        FROM b
+    ),
+    s AS (
+        SELECT bucket, nb, cum, n,
+               -abs(2 * cum - n) AS util,
+               {privacy.DETERMINISTIC_UNIFORM_SQL.format(
+                   key="'dpmed|' || CAST(bucket AS VARCHAR)"
+               )} AS u
+        FROM c
+    ),
+    g AS (
+        SELECT bucket, nb, util, n,
+               ROUND(CAST(util AS DOUBLE) / 4.0
+                     + ({privacy.gumbel_noise_sql('u')}), 6) AS noisy_score
+        FROM s
+    ),
+    r AS (
+        SELECT bucket, CAST(nb AS INTEGER) AS n_orders,
+               CAST(util AS BIGINT) AS utility,
+               noisy_score,
+               RANK() OVER (ORDER BY noisy_score DESC, bucket) AS rk
+        FROM g
+    )
+    SELECT bucket, n_orders, utility, noisy_score,
+           CAST(rk AS INTEGER) AS noisy_rank,
+           rk = 1 AS is_dp_choice
+    FROM r WHERE rk <= 10
+    """,
+)
+def dp_median_exponential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε=1 DP median bucket of order totalprice ($100 buckets): top
+    10 candidates by Gumbel-noised utility, the argmax being the DP
+    release. One shuffle (bucket counts); every window runs over the
+    price-domain-sized bucket frame (~tens of rows at any SF). Ranks
+    compare ROUND(,6)-gridded scores with a bucket tie-break, so the
+    ordering is engine-stable."""
+    from ..functions import privacy as priv
+
+    orders = read_table(spark, sf_dir, "orders")
+    b = orders.groupBy(
+        F.floor(F.col("o_totalprice").cast("decimal(18,2)") / 10000)
+        .cast("bigint")
+        .alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("nb"))
+    wcum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = b.select(
+        "bucket",
+        "nb",
+        F.sum("nb").over(wcum).alias("cum"),
+        F.sum("nb").over(wall).alias("n"),
+    )
+    u = priv.deterministic_uniform(
+        F.concat(F.lit("dpmed|"), F.col("bucket").cast("string"))
+    )
+    s = c.select(
+        "bucket",
+        "nb",
+        (-F.abs(2 * F.col("cum") - F.col("n"))).alias("util"),
+        u.alias("u"),
+    )
+    g = s.select(
+        "bucket",
+        "nb",
+        "util",
+        F.round(
+            F.col("util").cast("double") / 4.0 + priv.gumbel_noise(F.col("u")),
+            6,
+        ).alias("noisy_score"),
+    )
+    wrk = Window.orderBy(F.desc("noisy_score"), F.asc("bucket"))
+    r = g.select(
+        "bucket",
+        F.col("nb").cast("int").alias("n_orders"),
+        F.col("util").cast("bigint").alias("utility"),
+        "noisy_score",
+        F.rank().over(wrk).alias("rk"),
+    )
+    return r.where(F.col("rk") <= 10).select(
+        "bucket",
+        "n_orders",
+        "utility",
+        "noisy_score",
+        F.col("rk").cast("int").alias("noisy_rank"),
+        (F.col("rk") == 1).alias("is_dp_choice"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences (the workhorse quasi-experimental
+# estimator): outcome = event value cents, treatment = even user_id
+# (synthetic exposure cohort), post = second half of the month. The
+# DiD estimate per event type is (ΔT) − (ΔC) of group means — four
+# exact integer (sum, count) pairs per type, one partial/final agg,
+# closed form on the 5-row result. Group means are double divisions
+# of identical exact ints; the estimate is a fixed-order expression;
+# ROUND(,6) guards the terminal.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "purchase_diff_in_diff",
+    """
+    WITH e AS (
+        SELECT event_type,
+               user_id % 2 = 0 AS treated,
+               CAST(ts AS DATE) >= DATE '2024-01-16' AS post,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events
+    ),
+    m AS (
+        SELECT event_type,
+               SUM(cents) FILTER (WHERE treated AND post) AS s_tp,
+               COUNT(*) FILTER (WHERE treated AND post) AS n_tp,
+               SUM(cents) FILTER (WHERE treated AND NOT post) AS s_ta,
+               COUNT(*) FILTER (WHERE treated AND NOT post) AS n_ta,
+               SUM(cents) FILTER (WHERE NOT treated AND post) AS s_cp,
+               COUNT(*) FILTER (WHERE NOT treated AND post) AS n_cp,
+               SUM(cents) FILTER (WHERE NOT treated AND NOT post) AS s_ca,
+               COUNT(*) FILTER (WHERE NOT treated AND NOT post) AS n_ca
+        FROM e GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n_tp + n_ta AS INTEGER) AS n_treated,
+           CAST(n_cp + n_ca AS INTEGER) AS n_control,
+           ROUND(CAST(s_tp AS DOUBLE) / n_tp
+                 - CAST(s_ta AS DOUBLE) / n_ta, 6) AS delta_treated_cents,
+           ROUND(CAST(s_cp AS DOUBLE) / n_cp
+                 - CAST(s_ca AS DOUBLE) / n_ca, 6) AS delta_control_cents,
+           ROUND((CAST(s_tp AS DOUBLE) / n_tp
+                  - CAST(s_ta AS DOUBLE) / n_ta)
+                 - (CAST(s_cp AS DOUBLE) / n_cp
+                    - CAST(s_ca AS DOUBLE) / n_ca), 6) AS did_cents
+    FROM m
+    """,
+)
+def purchase_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DiD estimate of the post-period value shift per event type.
+    One aggregation computes all eight (sum, count) cells via
+    conditional aggregates — no per-cell scans, no joins; the
+    estimator is scalar arithmetic on the types-sized result."""
+    ev = read_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    e = ev.select(
+        "event_type",
+        (F.col("user_id") % 2 == 0).alias("treated"),
+        (F.col("ts").cast("date") >= F.lit("2024-01-16").cast("date")).alias(
+            "post"
+        ),
+        cents.alias("cents"),
+    )
+    m = e.groupBy("event_type").agg(
+        F.sum(F.when((F.col("treated")) & (F.col("post")), F.col("cents"))).alias("s_tp"),
+        F.count(F.when((F.col("treated")) & (F.col("post")), F.lit(1))).alias("n_tp"),
+        F.sum(F.when((F.col("treated")) & (~F.col("post")), F.col("cents"))).alias("s_ta"),
+        F.count(F.when((F.col("treated")) & (~F.col("post")), F.lit(1))).alias("n_ta"),
+        F.sum(F.when((~F.col("treated")) & (F.col("post")), F.col("cents"))).alias("s_cp"),
+        F.count(F.when((~F.col("treated")) & (F.col("post")), F.lit(1))).alias("n_cp"),
+        F.sum(F.when((~F.col("treated")) & (~F.col("post")), F.col("cents"))).alias("s_ca"),
+        F.count(F.when((~F.col("treated")) & (~F.col("post")), F.lit(1))).alias("n_ca"),
+    )
+    dt = F.col("s_tp").cast("double") / F.col("n_tp") - F.col("s_ta").cast(
+        "double"
+    ) / F.col("n_ta")
+    dc = F.col("s_cp").cast("double") / F.col("n_cp") - F.col("s_ca").cast(
+        "double"
+    ) / F.col("n_ca")
+    return m.select(
+        "event_type",
+        (F.col("n_tp") + F.col("n_ta")).cast("int").alias("n_treated"),
+        (F.col("n_cp") + F.col("n_ca")).cast("int").alias("n_control"),
+        F.round(dt, 6).alias("delta_treated_cents"),
+        F.round(dc, 6).alias("delta_control_cents"),
+        F.round(dt - dc, 6).alias("did_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility per language — the budgeting statistic a
+# multilingual training pipeline tracks (how many subword tokens a
+# word costs per language decides corpus mixing and cost forecasts).
+# Fertility = Σ bpe-ish tokens / Σ whitespace words per language
+# (ratio of exact corpus sums, not mean of per-doc ratios). Single
+# scan + one language-domain-sized agg.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "lang_token_fertility",
+    r"""
+    WITH t AS (
+        SELECT lang,
+               len(list_filter(string_split_regex(trim(text), '\s+'),
+                               x -> x <> '')) AS n_ws,
+               len(regexp_extract_all(text,
+                   '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpe,
+               length(text) AS n_chars
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS INTEGER) AS n_docs,
+           CAST(SUM(n_ws) AS BIGINT) AS total_words,
+           CAST(SUM(n_bpe) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_bpe) AS DOUBLE) / SUM(n_ws) AS fertility,
+           CAST(SUM(n_chars) AS DOUBLE) / SUM(n_bpe) AS chars_per_token
+    FROM t GROUP BY lang
+    """,
+)
+def lang_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword fertility and bytes-ish density per language over the
+    ground-truth lang column. One projection (three counts per doc,
+    all native regex/size expressions) + one 5-key agg — the
+    canonical single-pass corpus statistic."""
+    docs = read_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang",
+        textfn.token_count_ws("text").cast("bigint").alias("n_ws"),
+        textfn.token_count_bpe_ish("text").cast("bigint").alias("n_bpe"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+    return t.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("int").alias("n_docs"),
+        F.sum("n_ws").cast("bigint").alias("total_words"),
+        F.sum("n_bpe").cast("bigint").alias("total_tokens"),
+        (F.sum("n_bpe").cast("double") / F.sum("n_ws")).alias("fertility"),
+        (F.sum("n_chars").cast("double") / F.sum("n_bpe")).alias(
+            "chars_per_token"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window.
 #
 # The driver hard-verifies (rows + schema + value hash vs the DuckDB

@@ -190,6 +190,9 @@ NOTES = {
     "lineitem_ridge_regression": "Distributed normal equations: the only shuffle is the 9-moment integer aggregation per return flag (partial/final, map-side combined); the 3x3 Cramer solve is whole-stage-codegen scalar math on the 3-row result.",
     "quality_isotonic_calibration": "PAV calibration: the corpus pass is the same single scan+agg as the reliability diagram; the minimax solve self-joins the <=50-row bins frame (broadcast both sides) — constant work regardless of SF.",
     "fs_em_weights": "Linkage EM: blocked pair generation + ONE pattern-count aggregation is the entire distributed footprint; 8 unrolled EM iterations run as scalar projections over a pivoted 1-row frame — no iteration touches the data again.",
+    "dp_median_exponential": "Exponential mechanism: one bucket aggregation is the only shuffle; utility + Gumbel scoring and the argmax rank run over the price-domain-sized bucket frame (~tens of rows at any SF).",
+    "purchase_diff_in_diff": "DiD: all eight (sum,count) cells come from ONE conditional aggregation per event type — no per-cell scans, no joins; the estimator is scalar math on the types-sized result.",
+    "lang_token_fertility": "Fertility: three native regex/size counts per doc in one projection, then one 5-key agg — single corpus pass, fully partial-aggregatable.",
 }
 
 
