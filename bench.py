@@ -286,6 +286,8 @@ BENCH_QUERIES_R5 = [
     "dp_median_exponential",
     "purchase_diff_in_diff",
     "lang_token_fertility",
+    "knn_shapley_data_value",
+    "value_ks_test",
 ]
 
 

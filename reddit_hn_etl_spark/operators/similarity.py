@@ -1011,3 +1011,111 @@ def ivf_pq_search_residual(
         .orderBy(F.asc("est_dist"), F.asc(id_col))
         .limit(k)
     )
+
+
+_SHAP_FP = 1099511627776.0  # 2^40: the fixed-point grid for Shapley terms
+
+
+def knn_shapley(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+    query_label_col: str = "qlabel",
+    k: int = 5,
+) -> DataFrame:
+    """Exact data-valuation Shapley values for the unweighted K-NN
+    classifier (Jia et al., "Efficient Task-Specific Data Valuation
+    for Nearest Neighbor Algorithms", PVLDB 2019, Theorem 1).
+
+    For each test point, sort the corpus by distance ascending
+    (cosine descending); with m_i = 1[label_i = test label] the
+    closed-form recurrence is
+
+        s_N = m_N / N
+        s_i = s_{i+1} + (m_i - m_{i+1}) / K * min(K, i) / i
+
+    i.e. every Shapley value is a SUFFIX SUM of per-rank terms — one
+    ranking window plus one running sum per test point, no coalition
+    enumeration. Terms are snapped to a 2^-40 fixed-point grid
+    (floor(x * 2^40 + 0.5)) so the suffix sum is an INTEGER window
+    sum — exact and order-free in any engine (a raw double running
+    sum is not portable: DuckDB's segment-tree window accumulation
+    adds in tree order, Spark adds sequentially). Grid error is
+    <= N * 2^-40 (~5e-9 at N=1e4), far below any ranking use.
+
+    Output: one row per (query_id, corpus id) with the fixed-point
+    term suffix-sum ``s_fp`` (BIGINT; shapley = s_fp / 2^40).
+
+    Scale shape: the query side is broadcast (bounded test set), the
+    corpus streams through one scan; ranking + suffix sum are
+    per-query windows (parallel across queries). At 100 TB corpora
+    the per-query global sort dominates — real deployments feed an
+    ANN-preselected or sampled corpus per test point; the valuation
+    algebra is unchanged.
+    """
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
+        F.col(query_label_col).alias("_qlabel"),
+    )
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col(label_col).alias("_clabel"),
+        l2_norm(F.col(vec_col)).alias("_cn"),
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        (
+            dot(F.col("_qvec"), F.col(vec_col))
+            / (F.col("_qn") * F.col("_cn"))
+        ).alias("_cos"),
+        (F.col("_clabel") == F.col("_qlabel")).cast("int").alias("_m"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("_cos"), F.asc(id_col)
+    )
+    wp = Window.partitionBy(query_id_col)
+    r = scored.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.col("_m"),
+        F.row_number().over(w).alias("_i"),
+        F.count(F.lit(1)).over(wp).alias("_n"),
+        F.lead("_m").over(w).alias("_mn"),
+    )
+    # Term op order mirrors the oracle SQL text exactly: every step is
+    # a single IEEE-exact op (int diffs, double divides/multiplies,
+    # floor), so the fixed-point ints agree bit-for-bit cross-engine.
+    term = F.when(
+        F.col("_i") == F.col("_n"),
+        F.col("_m").cast("double") / F.col("_n"),
+    ).otherwise(
+        (F.col("_m") - F.col("_mn"))
+        / F.lit(k)
+        * F.least(F.lit(k), F.col("_i"))
+        / F.col("_i")
+    )
+    t = r.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.col("_i"),
+        F.floor(term * F.lit(_SHAP_FP) + F.lit(0.5))
+        .cast("long")
+        .alias("_term_fp"),
+    )
+    ws = (
+        Window.partitionBy(query_id_col)
+        .orderBy(F.desc("_i"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return t.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.sum("_term_fp").over(ws).alias("s_fp"),
+    )

@@ -18247,6 +18247,244 @@ def lang_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# kNN-Shapley data valuation (Jia et al., PVLDB 2019): the exact
+# Shapley value of every training point for an unweighted K-NN
+# classifier has a closed form — a per-test-point suffix sum over
+# distance ranks — so a quantity that naively costs 2^N coalition
+# evaluations becomes one ranking window + one running sum. THE
+# data-curation primitive: points with negative value are mislabeled
+# or harmful; points with high value anchor their class. Terms are
+# snapped to a 2^-40 fixed-point grid so every cross-engine sum is
+# an exact integer sum (see operators/similarity.py:knn_shapley).
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "knn_shapley_data_value",
+    """
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe,
+               label AS qlabel
+        FROM embeddings WHERE vec_id < 8
+    ),
+    s AS (
+        SELECT q.query_id, e.vec_id,
+               list_cosine_similarity(q.qe,
+                   CAST(e.embedding AS DOUBLE[])) AS cos,
+               CAST(e.label = q.qlabel AS INTEGER) AS m
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id >= 8
+    ),
+    r AS (
+        SELECT query_id, vec_id, m,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, vec_id) AS i,
+               COUNT(*) OVER (PARTITION BY query_id) AS n,
+               LEAD(m) OVER (PARTITION BY query_id
+                             ORDER BY cos DESC, vec_id) AS mn
+        FROM s
+    ),
+    t AS (
+        SELECT query_id, vec_id, i,
+               CAST(FLOOR((CASE WHEN i = n THEN CAST(m AS DOUBLE) / n
+                                ELSE (m - mn) / 5 * least(5, i) / i END)
+                          * 1099511627776.0 + 0.5) AS BIGINT) AS term_fp
+        FROM r
+    ),
+    v AS (
+        SELECT query_id, vec_id,
+               SUM(term_fp) OVER (PARTITION BY query_id
+                                  ORDER BY i DESC) AS s_fp
+        FROM t
+    )
+    SELECT v.vec_id, e.label,
+           CAST(SUM(v.s_fp) AS BIGINT) AS shapley_fp,
+           CAST(SUM(v.s_fp) AS DOUBLE) / 8796093022208.0 AS shapley,
+           SUM(v.s_fp) > 0 AS helpful
+    FROM v JOIN embeddings e ON e.vec_id = v.vec_id
+    GROUP BY v.vec_id, e.label
+    """,
+)
+def knn_shapley_data_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-training-point value for the K=5-NN classifier over the 8
+    held-out test embeddings: summed fixed-point Shapley + the
+    double view + a `helpful` sign flag. The cross-test sum is an
+    integer sum (order-free); `shapley` is one exact division.
+    Plan: bounded test side broadcast, one corpus scan, per-query
+    ranking/suffix windows, then a vec_id-keyed agg + label join."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    tests = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        "embedding",
+        F.col("label").alias("qlabel"),
+    )
+    train = emb.where(F.col("vec_id") >= 8)
+    vals = similarity.knn_shapley(
+        train, tests, query_label_col="qlabel", k=5
+    )
+    agg = vals.groupBy("vec_id").agg(
+        F.sum("s_fp").cast("bigint").alias("shapley_fp")
+    )
+    return agg.join(
+        emb.select("vec_id", "label"), "vec_id"
+    ).select(
+        "vec_id",
+        "label",
+        "shapley_fp",
+        (F.col("shapley_fp").cast("double") / F.lit(8796093022208.0)).alias(
+            "shapley"
+        ),
+        (F.col("shapley_fp") > 0).alias("helpful"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov drift test, exact-integer form: with
+# cumA/cumB the per-distinct-value cumulative counts, the KS
+# statistic is max|cumA·nB − cumB·nA| / (nA·nB) — the numerator is a
+# pure BIGINT max (no float CDFs), the division is one exact IEEE
+# op, and the decision threshold c(α)·sqrt((nA+nB)/(nA·nB)) uses
+# only exactly-rounded ops (sqrt is IEEE-exact; no libm
+# transcendental in any emitted column — the exponent of the
+# asymptotic p-value is emitted instead of exp(·) of it).
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "value_ks_test",
+    """
+    WITH e0 AS (
+        SELECT event_type, value,
+               CAST(ts AS DATE) < DATE '2024-01-16' AS in_a
+        FROM events WHERE value IS NOT NULL
+    ),
+    e AS (
+        SELECT event_type,
+               value + (CASE WHEN event_type = 'purchase' AND NOT in_a
+                             THEN 15.0 ELSE 0.0 END) AS value,
+               in_a
+        FROM e0
+    ),
+    g AS (
+        SELECT event_type, value,
+               COUNT(*) FILTER (WHERE in_a) AS ca,
+               COUNT(*) FILTER (WHERE NOT in_a) AS cb
+        FROM e GROUP BY event_type, value
+    ),
+    c AS (
+        SELECT event_type,
+               SUM(ca) OVER (PARTITION BY event_type
+                             ORDER BY value) AS cum_a,
+               SUM(cb) OVER (PARTITION BY event_type
+                             ORDER BY value) AS cum_b,
+               SUM(ca) OVER (PARTITION BY event_type) AS n_a,
+               SUM(cb) OVER (PARTITION BY event_type) AS n_b
+        FROM g
+    ),
+    d AS (
+        SELECT event_type, CAST(n_a AS BIGINT) AS n_a,
+               CAST(n_b AS BIGINT) AS n_b,
+               CAST(MAX(abs(cum_a * n_b - cum_b * n_a)) AS BIGINT)
+                   AS d_scaled
+        FROM c GROUP BY event_type, n_a, n_b
+    ),
+    k AS (
+        SELECT event_type, n_a, n_b, d_scaled,
+               CAST(d_scaled AS DOUBLE) / (n_a * n_b) AS ks_d
+        FROM d
+    )
+    SELECT event_type, n_a, n_b, d_scaled, ks_d,
+           -2.0 * ks_d * ks_d
+               * (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                  / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+               AS ks_exponent,
+           ks_d > CAST(1.358 AS DOUBLE)
+                  * sqrt((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                         / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
+               AS drifted
+    FROM k
+    """,
+)
+def value_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type KS drift test between the first and second half
+    of the month. One (type, value) agg, two integer cum windows per
+    type, then scalar arithmetic on the 5-row frame; emits the exact
+    integer statistic, its double view, the asymptotic-p exponent
+    (-2·D²·nA·nB/(nA+nB)) and the α=0.05 decision. The generator is
+    drift-free, so a +15 location shift is injected into second-half
+    purchase values as a detector canary — the decision column must
+    fire for exactly that type at every SF (power checked: the shift
+    clears the α=0.05 critical D even at the sf0.001 sample sizes).
+    At extreme per-group cardinalities the BIGINT cross-products
+    need a binned CDF (equi-depth histogram) — the statistic's form
+    is unchanged."""
+    ev = read_table(spark, sf_dir, "events")
+    e0 = ev.where(F.col("value").isNotNull()).select(
+        "event_type",
+        "value",
+        (F.col("ts").cast("date") < F.lit("2024-01-16").cast("date")).alias(
+            "in_a"
+        ),
+    )
+    shift = F.when(
+        (F.col("event_type") == "purchase") & (~F.col("in_a")), F.lit(15.0)
+    ).otherwise(F.lit(0.0))
+    e = e0.select(
+        "event_type", (F.col("value") + shift).alias("value"), "in_a"
+    )
+    g = e.groupBy("event_type", "value").agg(
+        F.count(F.when(F.col("in_a"), F.lit(1))).alias("ca"),
+        F.count(F.when(~F.col("in_a"), F.lit(1))).alias("cb"),
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("event_type")
+    c = g.select(
+        "event_type",
+        F.sum("ca").over(wcum).alias("cum_a"),
+        F.sum("cb").over(wcum).alias("cum_b"),
+        F.sum("ca").over(wall).alias("n_a"),
+        F.sum("cb").over(wall).alias("n_b"),
+    )
+    d = c.groupBy("event_type", "n_a", "n_b").agg(
+        F.max(
+            F.abs(
+                F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")
+            )
+        ).alias("d_scaled")
+    )
+    k = d.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        "d_scaled",
+        (F.col("d_scaled").cast("double") / (F.col("n_a") * F.col("n_b"))).alias(
+            "ks_d"
+        ),
+    )
+    nad = F.col("n_a").cast("double")
+    nbd = F.col("n_b").cast("double")
+    return k.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        "d_scaled",
+        "ks_d",
+        (
+            F.lit(-2.0) * F.col("ks_d") * F.col("ks_d")
+            * (nad * nbd / (nad + nbd))
+        ).alias("ks_exponent"),
+        (
+            F.col("ks_d")
+            > F.lit(1.358) * F.sqrt((nad + nbd) / (nad * nbd))
+        ).alias("drifted"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window.
 #
 # The driver hard-verifies (rows + schema + value hash vs the DuckDB

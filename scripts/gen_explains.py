@@ -193,6 +193,8 @@ NOTES = {
     "dp_median_exponential": "Exponential mechanism: one bucket aggregation is the only shuffle; utility + Gumbel scoring and the argmax rank run over the price-domain-sized bucket frame (~tens of rows at any SF).",
     "purchase_diff_in_diff": "DiD: all eight (sum,count) cells come from ONE conditional aggregation per event type — no per-cell scans, no joins; the estimator is scalar math on the types-sized result.",
     "lang_token_fertility": "Fertility: three native regex/size counts per doc in one projection, then one 5-key agg — single corpus pass, fully partial-aggregatable.",
+    "knn_shapley_data_value": "kNN-Shapley: bounded test side broadcast against ONE corpus scan; ranking + fixed-point suffix sum are per-query windows (parallel across queries); the cross-test reduction is an integer keyed agg. The 2^N coalition enumeration is gone — total cost is one scored scan.",
+    "value_ks_test": "KS drift: one (type,value) partial/final agg shrinks the corpus to distinct values; the two cumulative-count windows run per type; everything after the BIGINT max is scalar math on 5 rows. No float CDFs anywhere — the statistic is exact integers until one terminal division.",
 }
 
 
