@@ -288,6 +288,7 @@ BENCH_QUERIES_R5 = [
     "lang_token_fertility",
     "knn_shapley_data_value",
     "value_ks_test",
+    "mmr_diverse_rerank",
 ]
 
 

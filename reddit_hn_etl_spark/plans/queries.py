@@ -18339,6 +18339,211 @@ def knn_shapley_data_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# MMR diversified reranking (Carbonell & Goldstein, SIGIR 1998):
+# greedy argmax of λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s) over a
+# bounded ANN candidate pool. The greedy loop is inherently
+# sequential in k but each step is pure relational algebra on the
+# pool-sized frame, so the k=10 steps unroll into 10 join+window
+# stages (the same unrolled-iteration oracle discipline as
+# fs_em_weights) — every step runs for ALL queries at once.
+# ---------------------------------------------------------------------------
+
+_MMR_K = 10
+_MMR_POOL = 30
+
+
+def _mmr_oracle() -> str:
+    head = """
+    WITH q AS MATERIALIZED (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+        FROM embeddings WHERE vec_id < 4
+    ),
+    scored AS MATERIALIZED (
+        SELECT q.query_id, e.vec_id,
+               list_cosine_similarity(q.qe,
+                   CAST(e.embedding AS DOUBLE[])) AS rel
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> q.query_id
+    ),
+    cand AS MATERIALIZED (
+        SELECT query_id, vec_id, rel, rn AS rel_rank FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY rel DESC, vec_id) AS rn
+            FROM scored) t
+        WHERE rn <= 30
+    ),
+    pairs AS MATERIALIZED (
+        SELECT a.query_id, a.vec_id AS a, b.vec_id AS b,
+               list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                   CAST(eb.embedding AS DOUBLE[])) AS sim
+        FROM cand a
+        JOIN cand b ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
+        JOIN embeddings ea ON ea.vec_id = a.vec_id
+        JOIN embeddings eb ON eb.vec_id = b.vec_id
+    ),
+    s1 AS MATERIALIZED (
+        SELECT query_id, vec_id, rel, rel_rank, 1 AS step FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY rel DESC, vec_id) AS rn
+            FROM cand) t WHERE rn = 1
+    )"""
+    steps = []
+    for i in range(2, _MMR_K + 1):
+        prev = f"s{i - 1}"
+        steps.append(f""",
+    p{i} AS MATERIALIZED (
+        SELECT query_id, vec_id, rel, rel_rank FROM (
+            SELECT c.query_id, c.vec_id, c.rel, c.rel_rank,
+                   ROW_NUMBER() OVER (PARTITION BY c.query_id
+                       ORDER BY CAST(0.7 AS DOUBLE) * c.rel
+                              - CAST(0.3 AS DOUBLE) * c.msim DESC,
+                              c.vec_id) AS rn
+            FROM (
+                SELECT c.query_id, c.vec_id, c.rel, c.rel_rank,
+                       MAX(p.sim) AS msim
+                FROM cand c
+                JOIN {prev} s ON s.query_id = c.query_id
+                JOIN pairs p ON p.query_id = c.query_id
+                            AND p.a = c.vec_id AND p.b = s.vec_id
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM {prev} x
+                    WHERE x.query_id = c.query_id
+                      AND x.vec_id = c.vec_id)
+                GROUP BY c.query_id, c.vec_id, c.rel, c.rel_rank
+            ) c
+        ) t WHERE rn = 1
+    ),
+    s{i} AS MATERIALIZED (
+        SELECT * FROM {prev}
+        UNION ALL
+        SELECT query_id, vec_id, rel, rel_rank, {i} AS step FROM p{i}
+    )""")
+    tail = f"""
+    SELECT query_id, CAST(step AS INTEGER) AS mmr_rank, vec_id,
+           CAST(rel_rank AS INTEGER) AS rel_rank,
+           ROUND(rel, 4) AS relevance
+    FROM s{_MMR_K}
+    """
+    return head + "".join(steps) + tail
+
+
+@_q("mmr_diverse_rerank", _mmr_oracle())
+def mmr_diverse_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR (λ=0.7) rerank of the top-{pool} cosine candidates down to
+    k={k} for 4 query vectors. `rel_rank` is the pure-relevance rank
+    of each pick — values > {k} prove the diversity term pulls deep
+    pool items forward (checked non-vacuous at every SF). Pool and
+    pair frames are localCheckpointed once (pool-sized, 4×{pool}
+    rows) so the 10 unrolled steps never re-touch the corpus; each
+    step is a join + per-query window over the pool. At 100 TB the
+    pool per query is still bounded (it comes from ANN search), so
+    MMR's cost is independent of corpus size."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("_qvec"),
+        similarity.l2_norm(F.col("embedding")).alias("_qn"),
+    )
+    c = emb.select(
+        "vec_id",
+        "embedding",
+        similarity.l2_norm(F.col("embedding")).alias("_cn"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (
+                similarity.dot(F.col("_qvec"), F.col("embedding"))
+                / (F.col("_qn") * F.col("_cn"))
+            ).alias("rel"),
+        )
+    )
+    wrel = Window.partitionBy("query_id").orderBy(
+        F.desc("rel"), F.asc("vec_id")
+    )
+    cand = (
+        scored.withColumn("rel_rank", F.row_number().over(wrel))
+        .where(F.col("rel_rank") <= _MMR_POOL)
+        .localCheckpoint()
+    )
+    ea = emb.select(
+        F.col("vec_id").alias("a"),
+        F.col("embedding").alias("_ea"),
+        similarity.l2_norm(F.col("embedding")).alias("_na"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("b"),
+        F.col("embedding").alias("_eb"),
+        similarity.l2_norm(F.col("embedding")).alias("_nb"),
+    )
+    ca = cand.select("query_id", F.col("vec_id").alias("a"))
+    cb = cand.select("query_id", F.col("vec_id").alias("b"))
+    pairs = (
+        ca.join(cb, "query_id")
+        .where(F.col("a") != F.col("b"))
+        .join(F.broadcast(ea), "a")
+        .join(F.broadcast(eb), "b")
+        .select(
+            "query_id",
+            "a",
+            "b",
+            (
+                similarity.dot(F.col("_ea"), F.col("_eb"))
+                / (F.col("_na") * F.col("_nb"))
+            ).alias("sim"),
+        )
+        .localCheckpoint()
+    )
+    sel = (
+        cand.where(F.col("rel_rank") == 1)
+        .select("query_id", "vec_id", "rel", "rel_rank", F.lit(1).alias("step"))
+        .localCheckpoint()
+    )
+    for i in range(2, _MMR_K + 1):
+        remaining = cand.join(
+            sel.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_anti"
+        )
+        msim = (
+            remaining.join(
+                sel.select("query_id", F.col("vec_id").alias("b")), "query_id"
+            )
+            .join(pairs.withColumnRenamed("a", "vec_id"), ["query_id", "vec_id", "b"])
+            .groupBy("query_id", "vec_id", "rel", "rel_rank")
+            .agg(F.max("sim").alias("msim"))
+        )
+        wpick = Window.partitionBy("query_id").orderBy(
+            F.desc(
+                F.lit(0.7) * F.col("rel") - F.lit(0.3) * F.col("msim")
+            ),
+            F.asc("vec_id"),
+        )
+        pick = (
+            msim.withColumn("rn", F.row_number().over(wpick))
+            .where(F.col("rn") == 1)
+            .select(
+                "query_id", "vec_id", "rel", "rel_rank",
+                F.lit(i).alias("step"),
+            )
+        )
+        sel = sel.unionByName(pick).localCheckpoint()
+    return sel.select(
+        "query_id",
+        F.col("step").cast("int").alias("mmr_rank"),
+        "vec_id",
+        F.col("rel_rank").cast("int").alias("rel_rank"),
+        F.round("rel", 4).alias("relevance"),
+    )
+
+
+mmr_diverse_rerank.__doc__ = mmr_diverse_rerank.__doc__.format(
+    pool=_MMR_POOL, k=_MMR_K
+)
+
+
+# ---------------------------------------------------------------------------
 # Two-sample Kolmogorov-Smirnov drift test, exact-integer form: with
 # cumA/cumB the per-distinct-value cumulative counts, the KS
 # statistic is max|cumA·nB − cumB·nA| / (nA·nB) — the numerator is a
