@@ -289,6 +289,7 @@ BENCH_QUERIES_R5 = [
     "knn_shapley_data_value",
     "value_ks_test",
     "mmr_diverse_rerank",
+    "knn_label_diagnostics",
 ]
 
 

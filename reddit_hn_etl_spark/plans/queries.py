@@ -18544,6 +18544,143 @@ mmr_diverse_rerank.__doc__ = mmr_diverse_rerank.__doc__.format(
 
 
 # ---------------------------------------------------------------------------
+# kNN label diagnostics (confident-learning / cleanlab style): for
+# every labeled point, the label votes of its K=10 nearest neighbors
+# give (a) a consensus label, (b) an agreement count, (c) a
+# plurality margin — flagging suspected mislabels (neighborhood
+# plurality of >=4 disagrees with the point's own label) and
+# boundary points (margin <= 1). Every emitted quantity is an exact
+# integer or boolean — zero float surface. Ranking follows the
+# knn_cosine discipline (raw fold-ordered cosine, nid tie-break).
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "knn_label_diagnostics",
+    """
+    WITH sub AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label
+        FROM embeddings WHERE vec_id % 2 = 0
+    ),
+    scored AS (
+        SELECT a.vec_id AS qid, a.label AS qlabel,
+               b.vec_id AS nid, b.label AS nlabel,
+               list_cosine_similarity(a.e, b.e) AS cos
+        FROM sub a JOIN sub b ON a.vec_id <> b.vec_id
+    ),
+    topk AS (
+        SELECT qid, qlabel, nlabel FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                          ORDER BY cos DESC, nid) AS rn
+            FROM scored) t WHERE rn <= 10
+    ),
+    votes AS (
+        SELECT qid, qlabel, nlabel, COUNT(*) AS v
+        FROM topk GROUP BY qid, qlabel, nlabel
+    ),
+    rk AS (
+        SELECT qid, qlabel, nlabel, v,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                   ORDER BY v DESC, nlabel) AS rv
+        FROM votes
+    ),
+    diag AS (
+        SELECT qid, qlabel,
+               MAX(CASE WHEN rv = 1 THEN nlabel END) AS consensus_label,
+               MAX(CASE WHEN rv = 1 THEN v END) AS v1,
+               COALESCE(MAX(CASE WHEN rv = 2 THEN v END), 0) AS v2,
+               COALESCE(MAX(CASE WHEN nlabel = qlabel THEN v END), 0)
+                   AS n_agree
+        FROM rk GROUP BY qid, qlabel
+    )
+    SELECT qid AS vec_id, qlabel AS label,
+           CAST(consensus_label AS INTEGER) AS consensus_label,
+           CAST(n_agree AS INTEGER) AS n_agree,
+           CAST(v1 - v2 AS INTEGER) AS vote_margin,
+           consensus_label <> qlabel AND v1 >= 4 AS suspect_mislabel,
+           v1 - v2 <= 1 AS boundary_point
+    FROM diag
+    """,
+)
+def knn_label_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood label-consensus diagnostics over the even-id half
+    of the embeddings table (the mutual_knn_pairs subsetting
+    discipline): suspected mislabels + boundary points from K=10
+    neighbor votes. The exact self-join is the oracle-checkable
+    core; at 100 TB the neighbor lists come from the IVF/LSH index
+    (operators/similarity.py) and the vote algebra is unchanged.
+    Flags checked non-vacuous (both values present) at every SF."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    sub = emb.where(F.col("vec_id") % 2 == 0).select(
+        "vec_id",
+        "embedding",
+        "label",
+        similarity.l2_norm(F.col("embedding")).alias("_n"),
+    )
+    a = sub.select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("_ea"),
+        F.col("label").alias("qlabel"),
+        F.col("_n").alias("_na"),
+    )
+    b = sub.select(
+        F.col("vec_id").alias("nid"),
+        F.col("embedding").alias("_eb"),
+        F.col("label").alias("nlabel"),
+        F.col("_n").alias("_nb"),
+    )
+    scored = (
+        a.join(F.broadcast(b), F.col("qid") != F.col("nid"))
+        .select(
+            "qid",
+            "qlabel",
+            "nid",
+            "nlabel",
+            (
+                similarity.dot(F.col("_ea"), F.col("_eb"))
+                / (F.col("_na") * F.col("_nb"))
+            ).alias("cos"),
+        )
+    )
+    wk = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    topk = (
+        scored.withColumn("rn", F.row_number().over(wk))
+        .where(F.col("rn") <= 10)
+        .select("qid", "qlabel", "nlabel")
+    )
+    votes = topk.groupBy("qid", "qlabel", "nlabel").agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    wv = Window.partitionBy("qid").orderBy(F.desc("v"), F.asc("nlabel"))
+    rk = votes.withColumn("rv", F.row_number().over(wv))
+    diag = rk.groupBy("qid", "qlabel").agg(
+        F.max(F.when(F.col("rv") == 1, F.col("nlabel"))).alias(
+            "consensus_label"
+        ),
+        F.max(F.when(F.col("rv") == 1, F.col("v"))).alias("v1"),
+        F.coalesce(
+            F.max(F.when(F.col("rv") == 2, F.col("v"))), F.lit(0)
+        ).alias("v2"),
+        F.coalesce(
+            F.max(F.when(F.col("nlabel") == F.col("qlabel"), F.col("v"))),
+            F.lit(0),
+        ).alias("n_agree"),
+    )
+    return diag.select(
+        F.col("qid").alias("vec_id"),
+        F.col("qlabel").alias("label"),
+        F.col("consensus_label").cast("int").alias("consensus_label"),
+        F.col("n_agree").cast("int").alias("n_agree"),
+        (F.col("v1") - F.col("v2")).cast("int").alias("vote_margin"),
+        (
+            (F.col("consensus_label") != F.col("qlabel"))
+            & (F.col("v1") >= 4)
+        ).alias("suspect_mislabel"),
+        (F.col("v1") - F.col("v2") <= 1).alias("boundary_point"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Two-sample Kolmogorov-Smirnov drift test, exact-integer form: with
 # cumA/cumB the per-distinct-value cumulative counts, the KS
 # statistic is max|cumA·nB − cumB·nA| / (nA·nB) — the numerator is a
