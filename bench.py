@@ -290,6 +290,8 @@ BENCH_QUERIES_R5 = [
     "value_ks_test",
     "mmr_diverse_rerank",
     "knn_label_diagnostics",
+    "value_mannwhitney_test",
+    "purchase_cem_att",
 ]
 
 

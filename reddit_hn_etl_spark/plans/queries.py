@@ -18827,6 +18827,278 @@ def value_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Mann-Whitney U rank-sum test, exact-midrank form: the nonparametric
+# sibling of the KS drift test (same A/B split, same purchase canary
+# shift). Doubled midranks are exact integers — for a tie group of
+# size t starting after cum-before rows, 2·midrank = 2·cum_before +
+# t + 1 — so the rank sum, 2U, and the tie-correction term Σ(t³−t)
+# are all BIGINT; the normal z uses only IEEE-exact ops (sqrt, no
+# libm transcendentals).
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "value_mannwhitney_test",
+    """
+    WITH e0 AS (
+        SELECT event_type, value,
+               CAST(ts AS DATE) < DATE '2024-01-16' AS in_a
+        FROM events WHERE value IS NOT NULL
+    ),
+    e AS (
+        SELECT event_type,
+               value + (CASE WHEN event_type = 'purchase' AND NOT in_a
+                             THEN 15.0 ELSE 0.0 END) AS value,
+               in_a
+        FROM e0
+    ),
+    g AS (
+        SELECT event_type, value,
+               COUNT(*) FILTER (WHERE in_a) AS ca,
+               COUNT(*) FILTER (WHERE NOT in_a) AS cb
+        FROM e GROUP BY event_type, value
+    ),
+    c AS (
+        SELECT event_type, ca, cb, ca + cb AS cnt,
+               SUM(ca + cb) OVER (PARTITION BY event_type
+                                  ORDER BY value) AS cum,
+               SUM(ca) OVER (PARTITION BY event_type) AS n_a,
+               SUM(cb) OVER (PARTITION BY event_type) AS n_b
+        FROM g
+    ),
+    m AS (
+        SELECT event_type, CAST(n_a AS BIGINT) AS n_a,
+               CAST(n_b AS BIGINT) AS n_b,
+               CAST(SUM(ca * (2 * (cum - cnt) + cnt + 1)) AS BIGINT)
+                   AS r2_a,
+               CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_cubes
+        FROM c GROUP BY event_type, n_a, n_b
+    ),
+    u AS (
+        SELECT event_type, n_a, n_b, tie_cubes,
+               CAST(r2_a - n_a * (n_a + 1) AS BIGINT) AS u2_a
+        FROM m
+    ),
+    z AS (
+        SELECT event_type, n_a, n_b, u2_a, tie_cubes,
+               (CAST(u2_a AS DOUBLE) / 2.0
+                - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)
+               / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+                      * ((CAST(n_a + n_b AS DOUBLE) + 1.0)
+                         - CAST(tie_cubes AS DOUBLE)
+                           / (CAST(n_a + n_b AS DOUBLE)
+                              * (CAST(n_a + n_b AS DOUBLE) - 1.0))))
+                   AS z
+        FROM u
+    )
+    SELECT event_type, n_a, n_b, u2_a, tie_cubes, z,
+           abs(z) > CAST(1.96 AS DOUBLE) AS significant
+    FROM z
+    """,
+)
+def value_mannwhitney_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Mann-Whitney U between the month halves (same
+    +15 purchase canary as value_ks_test — the decision must fire
+    for exactly that type). Midranks never materialize as floats:
+    the doubled rank sum r2_a and 2·U are exact BIGINTs from the
+    per-distinct-value cumulative window; the tie-corrected z is one
+    chain of exactly-rounded IEEE ops. Same scan/agg shape as the
+    KS test — the two share everything up to the per-type frame."""
+    ev = read_table(spark, sf_dir, "events")
+    e0 = ev.where(F.col("value").isNotNull()).select(
+        "event_type",
+        "value",
+        (F.col("ts").cast("date") < F.lit("2024-01-16").cast("date")).alias(
+            "in_a"
+        ),
+    )
+    shift = F.when(
+        (F.col("event_type") == "purchase") & (~F.col("in_a")), F.lit(15.0)
+    ).otherwise(F.lit(0.0))
+    e = e0.select(
+        "event_type", (F.col("value") + shift).alias("value"), "in_a"
+    )
+    g = e.groupBy("event_type", "value").agg(
+        F.count(F.when(F.col("in_a"), F.lit(1))).alias("ca"),
+        F.count(F.when(~F.col("in_a"), F.lit(1))).alias("cb"),
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("event_type")
+    cnt = F.col("ca") + F.col("cb")
+    c = g.select(
+        "event_type",
+        "ca",
+        "cb",
+        cnt.alias("cnt"),
+        F.sum(cnt).over(wcum).alias("cum"),
+        F.sum("ca").over(wall).alias("n_a"),
+        F.sum("cb").over(wall).alias("n_b"),
+    )
+    m = c.groupBy("event_type", "n_a", "n_b").agg(
+        F.sum(
+            F.col("ca")
+            * (2 * (F.col("cum") - F.col("cnt")) + F.col("cnt") + 1)
+        )
+        .cast("bigint")
+        .alias("r2_a"),
+        F.sum(
+            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        )
+        .cast("bigint")
+        .alias("tie_cubes"),
+    )
+    u = m.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        "tie_cubes",
+        (F.col("r2_a") - F.col("n_a") * (F.col("n_a") + 1))
+        .cast("bigint")
+        .alias("u2_a"),
+    )
+    nad = F.col("n_a").cast("double")
+    nbd = F.col("n_b").cast("double")
+    nd = (F.col("n_a") + F.col("n_b")).cast("double")
+    zc = (
+        F.col("u2_a").cast("double") / F.lit(2.0)
+        - nad * nbd / F.lit(2.0)
+    ) / F.sqrt(
+        nad * nbd / F.lit(12.0)
+        * (
+            (nd + F.lit(1.0))
+            - F.col("tie_cubes").cast("double") / (nd * (nd - F.lit(1.0)))
+        )
+    )
+    z = u.select(
+        "event_type", "n_a", "n_b", "u2_a", "tie_cubes", zc.alias("z")
+    )
+    return z.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        "u2_a",
+        "tie_cubes",
+        "z",
+        (F.abs(F.col("z")) > F.lit(1.96)).alias("significant"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Coarsened exact matching (Iacus, King & Porro 2012): the
+# observational-causal sibling of the DiD estimator. Units match
+# exactly on COARSENED covariates (event_type × day-of-week strata);
+# strata missing either arm drop; ATT reweights per-stratum treated/
+# control mean differences by the treated share. Per-stratum
+# contributions snap to a 2^-20 fixed-point grid so the cross-strata
+# sum is an exact integer sum (strata counts are data-dependent — a
+# fixed-order pivot like DiD's 2×2 doesn't apply).
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "purchase_cem_att",
+    """
+    WITH e AS (
+        SELECT event_type, dayofweek(ts) AS dow,
+               user_id % 2 = 0 AS treated,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events WHERE value IS NOT NULL
+    ),
+    s AS (
+        SELECT event_type, dow,
+               SUM(cents) FILTER (WHERE treated) AS st,
+               COUNT(*) FILTER (WHERE treated) AS nt,
+               SUM(cents) FILTER (WHERE NOT treated) AS sc,
+               COUNT(*) FILTER (WHERE NOT treated) AS nc
+        FROM e GROUP BY event_type, dow
+    ),
+    k AS (
+        SELECT * FROM s WHERE nt > 0 AND nc > 0
+    ),
+    d AS (
+        SELECT event_type, dow, nt, nc,
+               CAST(st AS DOUBLE) / nt - CAST(sc AS DOUBLE) / nc
+                   AS diff_cents,
+               CAST(FLOOR((CAST(st AS DOUBLE)
+                           - CAST(nt AS DOUBLE) * sc / nc)
+                          * 1048576.0 + 0.5) AS BIGINT) AS contrib_fp,
+               SUM(nt) OVER () AS n_treated_total
+        FROM k
+    )
+    SELECT event_type, CAST(dow AS INTEGER) AS dow,
+           CAST(nt AS INTEGER) AS n_treated,
+           CAST(nc AS INTEGER) AS n_control,
+           diff_cents,
+           CAST(SUM(contrib_fp) OVER () AS DOUBLE) / 1048576.0
+               / CAST(n_treated_total AS DOUBLE) AS att_cents
+    FROM d
+    """,
+)
+def purchase_cem_att(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEM ATT of the user-parity 'treatment' on event value: strata
+    are (event_type, dow) — 35 cells, all doubly-populated here (the
+    nt>0 AND nc>0 pruning is live logic for sparser covariates).
+    One conditional aggregation per stratum; per-stratum mean diffs
+    are exact IEEE chains; the treated-weighted ATT sums 2^-20
+    fixed-point contributions (integer window sum, order-free). The
+    scalar OVER () windows run on the strata frame (35 rows), never
+    the corpus. DuckDB dayofweek ≡ Spark dayofweek − 1."""
+    ev = read_table(spark, sf_dir, "events")
+    e = ev.where(F.col("value").isNotNull()).select(
+        "event_type",
+        (F.dayofweek("ts") - 1).alias("dow"),
+        (F.col("user_id") % 2 == 0).alias("treated"),
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    s = e.groupBy("event_type", "dow").agg(
+        F.sum(F.when(F.col("treated"), F.col("cents"))).alias("st"),
+        F.count(F.when(F.col("treated"), F.lit(1))).alias("nt"),
+        F.sum(F.when(~F.col("treated"), F.col("cents"))).alias("sc"),
+        F.count(F.when(~F.col("treated"), F.lit(1))).alias("nc"),
+    )
+    k = s.where((F.col("nt") > 0) & (F.col("nc") > 0))
+    contrib = (
+        F.col("st").cast("double")
+        - F.col("nt").cast("double") * F.col("sc") / F.col("nc")
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    d = k.select(
+        "event_type",
+        "dow",
+        "nt",
+        "nc",
+        (
+            F.col("st").cast("double") / F.col("nt")
+            - F.col("sc").cast("double") / F.col("nc")
+        ).alias("diff_cents"),
+        F.floor(contrib * F.lit(1048576.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("contrib_fp"),
+        F.sum("nt").over(wall).alias("n_treated_total"),
+    )
+    return d.select(
+        "event_type",
+        F.col("dow").cast("int").alias("dow"),
+        F.col("nt").cast("int").alias("n_treated"),
+        F.col("nc").cast("int").alias("n_control"),
+        "diff_cents",
+        (
+            F.sum("contrib_fp").over(wall).cast("double")
+            / F.lit(1048576.0)
+            / F.col("n_treated_total").cast("double")
+        ).alias("att_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window.
 #
 # The driver hard-verifies (rows + schema + value hash vs the DuckDB

@@ -196,6 +196,8 @@ NOTES = {
     "knn_shapley_data_value": "kNN-Shapley: bounded test side broadcast against ONE corpus scan; ranking + fixed-point suffix sum are per-query windows (parallel across queries); the cross-test reduction is an integer keyed agg. The 2^N coalition enumeration is gone — total cost is one scored scan.",
     "mmr_diverse_rerank": "MMR rerank: the corpus is touched ONCE (candidate scoring scan, bounded test side broadcast); pool + pair frames are localCheckpointed at 4x30 rows, so all 10 greedy steps are joins + per-query windows over pool-sized frames — cost independent of corpus size past the ANN stage.",
     "knn_label_diagnostics": "Label diagnostics: one broadcast self-join of the bounded probe set scores all pairs in a single scan-side projection (no shuffle before the per-point top-k window); vote counting and the consensus/margin algebra are keyed aggregates over <=10 rows per point — all-integer outputs, zero float surface.",
+    "value_mannwhitney_test": "Mann-Whitney: shares the KS scan/agg shape (one (type,value) partial/final agg, per-type cum windows); doubled midranks, 2U and tie cubes are exact BIGINTs; z is scalar math on 5 rows.",
+    "purchase_cem_att": "CEM: one conditional aggregation collapses the corpus to 35 strata; mean diffs + the fixed-point weighted ATT are scalar ops on the strata frame (the OVER () windows run on 35 rows, never data).",
     "value_ks_test": "KS drift: one (type,value) partial/final agg shrinks the corpus to distinct values; the two cumulative-count windows run per type; everything after the BIGINT max is scalar math on 5 rows. No float CDFs anywhere — the statistic is exact integers until one terminal division.",
 }
 
