@@ -292,6 +292,8 @@ BENCH_QUERIES_R5 = [
     "knn_label_diagnostics",
     "value_mannwhitney_test",
     "purchase_cem_att",
+    "cluster_label_purity",
+    "source_overlap_matrix",
 ]
 
 

@@ -19099,6 +19099,157 @@ def purchase_cem_att(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Clustering evaluation: per-cluster majority-label purity over the
+# k=8 literal-centroid Voronoi assignment — the standard external
+# quality metric a curation pipeline reports next to the clustering
+# it ships (semantic_dedup_kmeans / cluster_balanced_sample). All
+# counts integer; both purities are single exact divisions; the
+# overall aggregate is an order-free integer window sum.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "cluster_label_purity",
+    f"""
+    WITH {_KMEANS_DIST_CTES},
+    a AS (
+        SELECT b.vec_id, b.cluster_id, e.label
+        FROM best b JOIN embeddings e ON e.vec_id = b.vec_id
+    ),
+    cl AS (
+        SELECT cluster_id, label, COUNT(*) AS c
+        FROM a GROUP BY cluster_id, label
+    ),
+    r AS (
+        SELECT cluster_id, label, c,
+               ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                  ORDER BY c DESC, label) AS rn,
+               SUM(c) OVER (PARTITION BY cluster_id) AS n
+        FROM cl
+    ),
+    m AS (
+        SELECT cluster_id, CAST(n AS BIGINT) AS n,
+               label AS majority_label, CAST(c AS BIGINT) AS n_majority
+        FROM r WHERE rn = 1
+    )
+    SELECT CAST(cluster_id AS INTEGER) AS cluster_id,
+           CAST(n AS INTEGER) AS n_points,
+           CAST(majority_label AS INTEGER) AS majority_label,
+           CAST(n_majority AS INTEGER) AS n_majority,
+           CAST(n_majority AS DOUBLE) / n AS purity,
+           CAST(SUM(n_majority) OVER () AS DOUBLE)
+               / CAST(SUM(n) OVER () AS BIGINT) AS overall_purity
+    FROM m
+    """,
+)
+def cluster_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Majority-label purity per k-means cell + the corpus-wide
+    purity. One shuffle-free assignment scan, one (cluster, label)
+    agg (≤ 80 cells), then windows over the cell frame. The scalar
+    OVER () runs on ≤ 8 rows."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    a = kmeans.assign(emb, _KMEANS_CENTROIDS).select(
+        "vec_id", "cluster_id"
+    ).join(emb.select("vec_id", "label"), "vec_id")
+    cl = a.groupBy("cluster_id", "label").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wr = Window.partitionBy("cluster_id").orderBy(
+        F.desc("c"), F.asc("label")
+    )
+    wn = Window.partitionBy("cluster_id")
+    r = cl.select(
+        "cluster_id",
+        "label",
+        "c",
+        F.row_number().over(wr).alias("rn"),
+        F.sum("c").over(wn).alias("n"),
+    )
+    m = r.where(F.col("rn") == 1).select(
+        "cluster_id",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("label").alias("majority_label"),
+        F.col("c").cast("bigint").alias("n_majority"),
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return m.select(
+        F.col("cluster_id").cast("int").alias("cluster_id"),
+        F.col("n").cast("int").alias("n_points"),
+        F.col("majority_label").cast("int").alias("majority_label"),
+        F.col("n_majority").cast("int").alias("n_majority"),
+        (F.col("n_majority").cast("double") / F.col("n")).alias("purity"),
+        (
+            F.sum("n_majority").over(wall).cast("double")
+            / F.sum("n").over(wall)
+        ).alias("overall_purity"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source duplication matrix: which SOURCES copy each other —
+# the data-governance rollup of the exact near-dup pair surface
+# (de-prioritize or re-license a source whose docs are mirrored
+# elsewhere). Reuses the proven exact 3-gram-Jaccard pair fragment;
+# the matrix is a (source, source) count aggregation over pairs.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "source_overlap_matrix",
+    f"""
+    WITH pairs AS MATERIALIZED ({_TRUE_PAIRS_3G_05}),
+    lab AS (
+        SELECT da.source AS sa, db.source AS sb
+        FROM pairs p
+        JOIN documents da ON da.doc_id = p.doc_a
+        JOIN documents db ON db.doc_id = p.doc_b
+    ),
+    m AS (
+        SELECT least(sa, sb) AS source_lo, greatest(sa, sb) AS source_hi,
+               COUNT(*) AS n_pairs
+        FROM lab GROUP BY least(sa, sb), greatest(sa, sb)
+    )
+    SELECT source_lo, source_hi, CAST(n_pairs AS BIGINT) AS n_pairs,
+           source_lo = source_hi AS within_source,
+           CAST(n_pairs AS DOUBLE) / CAST(SUM(n_pairs) OVER () AS BIGINT)
+               AS pair_share
+    FROM m
+    """,
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair counts rolled up to unordered (source, source)
+    cells. The pair surface is the exact-Jaccard join (the LSH band
+    join is the 100 TB mode — identical downstream algebra); the
+    rollup adds two id-keyed dim joins and a source-domain-sized
+    agg. pair_share is one exact division over the order-free
+    integer total."""
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    da = docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    db = docs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    lab = pairs.join(da, "doc_a").join(db, "doc_b")
+    m = lab.groupBy(
+        F.least("sa", "sb").alias("source_lo"),
+        F.greatest("sa", "sb").alias("source_hi"),
+    ).agg(F.count(F.lit(1)).alias("n_pairs"))
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return m.select(
+        "source_lo",
+        "source_hi",
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        (F.col("source_lo") == F.col("source_hi")).alias("within_source"),
+        (
+            F.col("n_pairs").cast("double")
+            / F.sum("n_pairs").over(wall)
+        ).alias("pair_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window.
 #
 # The driver hard-verifies (rows + schema + value hash vs the DuckDB

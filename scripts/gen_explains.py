@@ -198,6 +198,8 @@ NOTES = {
     "knn_label_diagnostics": "Label diagnostics: one broadcast self-join of the bounded probe set scores all pairs in a single scan-side projection (no shuffle before the per-point top-k window); vote counting and the consensus/margin algebra are keyed aggregates over <=10 rows per point — all-integer outputs, zero float surface.",
     "value_mannwhitney_test": "Mann-Whitney: shares the KS scan/agg shape (one (type,value) partial/final agg, per-type cum windows); doubled midranks, 2U and tie cubes are exact BIGINTs; z is scalar math on 5 rows.",
     "purchase_cem_att": "CEM: one conditional aggregation collapses the corpus to 35 strata; mean diffs + the fixed-point weighted ATT are scalar ops on the strata frame (the OVER () windows run on 35 rows, never data).",
+    "cluster_label_purity": "Purity: shuffle-free literal-centroid assignment scan, one (cluster,label) agg (<=80 cells), windows on the cell frame — the whole metric costs one corpus pass.",
+    "source_overlap_matrix": "Source matrix: the pair surface (exact-Jaccard here, LSH bands at scale) dominates; the rollup is two id-keyed joins + a source-domain agg — governance reporting rides the dedup pass for free.",
     "value_ks_test": "KS drift: one (type,value) partial/final agg shrinks the corpus to distinct values; the two cumulative-count windows run per type; everything after the BIGINT max is scalar math on 5 rows. No float CDFs anywhere — the statistic is exact integers until one terminal division.",
 }
 
