@@ -294,6 +294,7 @@ BENCH_QUERIES_R5 = [
     "purchase_cem_att",
     "cluster_label_purity",
     "source_overlap_matrix",
+    "corpus_heaps_fit",
 ]
 
 

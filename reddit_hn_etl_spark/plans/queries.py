@@ -19250,6 +19250,170 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Heaps'-law vocabulary-growth fit: V(n) ≈ K·n^β from the per-doc
+# cumulative (tokens, new-types) curve — Zipf's companion statistic
+# (a collapsing β flags a corpus whose vocabulary has saturated:
+# heavy duplication or template text). Unlike corpus_zipf_fit, the
+# OLS moments here are EXACT: the ln() points (bit-equal on exact
+# integer inputs) snap to a 2^-18 fixed-point grid, so every moment
+# is an integer sum (order-free in both engines) and the closed-form
+# slope is a short chain of exactly-rounded double ops.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "corpus_heaps_fit",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                           x -> x <> '') AS w
+        FROM documents
+    ),
+    per_doc AS (
+        SELECT doc_id, len(w) AS n_tok FROM toks
+    ),
+    firsts AS (
+        SELECT term, MIN(doc_id) AS doc_id FROM (
+            SELECT DISTINCT doc_id, unnest(w) AS term FROM toks
+        ) GROUP BY term
+    ),
+    news AS (
+        SELECT doc_id, COUNT(*) AS n_new FROM firsts GROUP BY doc_id
+    ),
+    cum AS (
+        SELECT p.doc_id,
+               SUM(p.n_tok) OVER (ORDER BY p.doc_id) AS cum_tok,
+               SUM(COALESCE(nw.n_new, 0)) OVER (ORDER BY p.doc_id)
+                   AS cum_vocab
+        FROM per_doc p LEFT JOIN news nw ON nw.doc_id = p.doc_id
+    ),
+    pts AS (
+        SELECT CAST(FLOOR(ln(CAST(cum_tok AS DOUBLE)) * 262144.0 + 0.5)
+                    AS BIGINT) AS xf,
+               CAST(FLOOR(ln(CAST(cum_vocab AS DOUBLE)) * 262144.0 + 0.5)
+                    AS BIGINT) AS yf
+        FROM cum WHERE cum_tok >= 1 AND cum_vocab >= 1
+    ),
+    mom AS (
+        SELECT COUNT(*) AS n, CAST(SUM(xf) AS BIGINT) AS sx,
+               CAST(SUM(yf) AS BIGINT) AS sy,
+               CAST(SUM(xf * yf) AS BIGINT) AS sxy,
+               CAST(SUM(xf * xf) AS BIGINT) AS sxx
+        FROM pts
+    ),
+    fit AS (
+        SELECT n, sx, sy,
+               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS beta
+        FROM mom
+    ),
+    tot AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+            FROM per_doc),
+    voc AS (SELECT COUNT(*) AS vocab_size FROM firsts)
+    SELECT CAST(fit.n AS INTEGER) AS n_points,
+           tot.total_tokens,
+           CAST(voc.vocab_size AS BIGINT) AS vocab_size,
+           ROUND(fit.beta, 9) AS heaps_beta,
+           ROUND((CAST(fit.sy AS DOUBLE) - fit.beta
+                  * CAST(fit.sx AS DOUBLE))
+                 / CAST(fit.n AS DOUBLE) / 262144.0, 9) AS heaps_log_k
+    FROM fit, tot, voc
+    """,
+)
+def corpus_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law (vocab-growth) OLS over the doc_id-ordered corpus.
+    The cumulative curves use the hierarchical prefix operator
+    (operators/prefix.py) — NO data-sized SinglePartition window;
+    first occurrences are one (term → min doc) agg. The 2^-18 grid
+    keeps every OLS moment an exact int64 (headroom to ~5e4 docs ×
+    (20·2^18)² products; past that, raise the grid or bucket docs).
+    One text scan, two slim range shuffles, constant-size tail."""
+    from ..operators.prefix import prefix_sum
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", dedup.tokens("text").alias("w"))
+    per_doc = toks.select(
+        "doc_id", F.size("w").cast("bigint").alias("n_tok")
+    )
+    firsts = (
+        toks.select("doc_id", F.explode("w").alias("term"))
+        .distinct()
+        .groupBy("term")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    news = firsts.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_new")
+    )
+    joined = per_doc.join(news, "doc_id", "left").select(
+        "doc_id",
+        "n_tok",
+        F.coalesce("n_new", F.lit(0).cast("bigint")).alias("n_new"),
+    )
+    c1 = prefix_sum(
+        joined, "doc_id", "n_tok", out_col="cum_tok", carry_cols=["n_new"]
+    )
+    cum = prefix_sum(
+        c1, "doc_id", "n_new", out_col="cum_vocab", carry_cols=["cum_tok"]
+    )
+    pts = cum.where(
+        (F.col("cum_tok") >= 1) & (F.col("cum_vocab") >= 1)
+    ).select(
+        F.floor(
+            F.log(F.col("cum_tok").cast("double")) * F.lit(262144.0)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("xf"),
+        F.floor(
+            F.log(F.col("cum_vocab").cast("double")) * F.lit(262144.0)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("yf"),
+    )
+    mom = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xf").cast("bigint").alias("sx"),
+        F.sum("yf").cast("bigint").alias("sy"),
+        F.sum(F.col("xf") * F.col("yf")).cast("bigint").alias("sxy"),
+        F.sum(F.col("xf") * F.col("xf")).cast("bigint").alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    beta = (
+        nd * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / (
+        nd * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    fit = mom.select("n", "sx", "sy", beta.alias("beta"))
+    tot = per_doc.agg(F.sum("n_tok").cast("bigint").alias("total_tokens"))
+    voc = firsts.agg(F.count(F.lit(1)).alias("vocab_size"))
+    return (
+        fit.crossJoin(tot)
+        .crossJoin(voc)
+        .select(
+            F.col("n").cast("int").alias("n_points"),
+            "total_tokens",
+            F.col("vocab_size").cast("bigint").alias("vocab_size"),
+            F.round("beta", 9).alias("heaps_beta"),
+            F.round(
+                (
+                    F.col("sy").cast("double")
+                    - F.col("beta") * F.col("sx").cast("double")
+                )
+                / F.col("n").cast("double")
+                / F.lit(262144.0),
+                9,
+            ).alias("heaps_log_k"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window.
 #
 # The driver hard-verifies (rows + schema + value hash vs the DuckDB

@@ -200,6 +200,7 @@ NOTES = {
     "purchase_cem_att": "CEM: one conditional aggregation collapses the corpus to 35 strata; mean diffs + the fixed-point weighted ATT are scalar ops on the strata frame (the OVER () windows run on 35 rows, never data).",
     "cluster_label_purity": "Purity: shuffle-free literal-centroid assignment scan, one (cluster,label) agg (<=80 cells), windows on the cell frame — the whole metric costs one corpus pass.",
     "source_overlap_matrix": "Source matrix: the pair surface (exact-Jaccard here, LSH bands at scale) dominates; the rollup is two id-keyed joins + a source-domain agg — governance reporting rides the dedup pass for free.",
+    "corpus_heaps_fit": "Heaps fit: one text scan; cumulative curves via the hierarchical prefix operator (NO data-sized SinglePartition window); first occurrences are one (term -> min doc) agg; fixed-point moments make the OLS an exact-integer reduction.",
     "value_ks_test": "KS drift: one (type,value) partial/final agg shrinks the corpus to distinct values; the two cumulative-count windows run per type; everything after the BIGINT max is scalar math on 5 rows. No float CDFs anywhere — the statistic is exact integers until one terminal division.",
 }
 
