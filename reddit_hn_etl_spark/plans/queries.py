@@ -18680,6 +18680,154 @@ def knn_label_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def drift_value_counts(ev: DataFrame) -> DataFrame:
+    """Shared state of the two-sample drift tests: per (event_type,
+    value) A/B counts (A = first month half; B = second half with the
+    +15 purchase canary shift). Counts are ADDITIVE — count tables
+    over disjoint row sets merge by summing — which the streaming
+    twin (streaming/ingest.drift_counts_stream) exploits: each
+    micro-batch appends its own count table and the merged state is
+    row-identical to this batch state over the same rows."""
+    e0 = ev.where(F.col("value").isNotNull()).select(
+        "event_type",
+        "value",
+        (F.col("ts").cast("date") < F.lit("2024-01-16").cast("date")).alias(
+            "in_a"
+        ),
+    )
+    shift = F.when(
+        (F.col("event_type") == "purchase") & (~F.col("in_a")), F.lit(15.0)
+    ).otherwise(F.lit(0.0))
+    e = e0.select(
+        "event_type", (F.col("value") + shift).alias("value"), "in_a"
+    )
+    return e.groupBy("event_type", "value").agg(
+        F.count(F.when(F.col("in_a"), F.lit(1))).alias("ca"),
+        F.count(F.when(~F.col("in_a"), F.lit(1))).alias("cb"),
+    )
+
+
+def ks_from_counts(g: DataFrame) -> DataFrame:
+    """KS statistic/decision from a (event_type, value, ca, cb) count
+    table — `value_ks_test` past its first aggregation, shared
+    verbatim with the streaming path."""
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("event_type")
+    c = g.select(
+        "event_type",
+        F.sum("ca").over(wcum).alias("cum_a"),
+        F.sum("cb").over(wcum).alias("cum_b"),
+        F.sum("ca").over(wall).alias("n_a"),
+        F.sum("cb").over(wall).alias("n_b"),
+    )
+    d = c.groupBy("event_type", "n_a", "n_b").agg(
+        F.max(
+            F.abs(
+                F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")
+            )
+        ).alias("d_scaled")
+    )
+    k = d.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        "d_scaled",
+        (F.col("d_scaled").cast("double") / (F.col("n_a") * F.col("n_b"))).alias(
+            "ks_d"
+        ),
+    )
+    nad = F.col("n_a").cast("double")
+    nbd = F.col("n_b").cast("double")
+    return k.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        "d_scaled",
+        "ks_d",
+        (
+            F.lit(-2.0) * F.col("ks_d") * F.col("ks_d")
+            * (nad * nbd / (nad + nbd))
+        ).alias("ks_exponent"),
+        (
+            F.col("ks_d")
+            > F.lit(1.358) * F.sqrt((nad + nbd) / (nad * nbd))
+        ).alias("drifted"),
+    )
+
+
+def mw_from_counts(g: DataFrame) -> DataFrame:
+    """Mann-Whitney z/decision from the same count table —
+    `value_mannwhitney_test` past its first aggregation, shared
+    verbatim with the streaming path."""
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("event_type")
+    cnt = F.col("ca") + F.col("cb")
+    c = g.select(
+        "event_type",
+        "ca",
+        "cb",
+        cnt.alias("cnt"),
+        F.sum(cnt).over(wcum).alias("cum"),
+        F.sum("ca").over(wall).alias("n_a"),
+        F.sum("cb").over(wall).alias("n_b"),
+    )
+    m = c.groupBy("event_type", "n_a", "n_b").agg(
+        F.sum(
+            F.col("ca")
+            * (2 * (F.col("cum") - F.col("cnt")) + F.col("cnt") + 1)
+        )
+        .cast("bigint")
+        .alias("r2_a"),
+        F.sum(
+            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        )
+        .cast("bigint")
+        .alias("tie_cubes"),
+    )
+    u = m.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        "tie_cubes",
+        (F.col("r2_a") - F.col("n_a") * (F.col("n_a") + 1))
+        .cast("bigint")
+        .alias("u2_a"),
+    )
+    nad = F.col("n_a").cast("double")
+    nbd = F.col("n_b").cast("double")
+    nd = (F.col("n_a") + F.col("n_b")).cast("double")
+    zc = (
+        F.col("u2_a").cast("double") / F.lit(2.0)
+        - nad * nbd / F.lit(2.0)
+    ) / F.sqrt(
+        nad * nbd / F.lit(12.0)
+        * (
+            (nd + F.lit(1.0))
+            - F.col("tie_cubes").cast("double") / (nd * (nd - F.lit(1.0)))
+        )
+    )
+    z = u.select(
+        "event_type", "n_a", "n_b", "u2_a", "tie_cubes", zc.alias("z")
+    )
+    return z.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        "u2_a",
+        "tie_cubes",
+        "z",
+        (F.abs(F.col("z")) > F.lit(1.96)).alias("significant"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Two-sample Kolmogorov-Smirnov drift test, exact-integer form: with
 # cumA/cumB the per-distinct-value cumulative counts, the KS
@@ -18761,69 +18909,7 @@ def value_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     need a binned CDF (equi-depth histogram) — the statistic's form
     is unchanged."""
     ev = read_table(spark, sf_dir, "events")
-    e0 = ev.where(F.col("value").isNotNull()).select(
-        "event_type",
-        "value",
-        (F.col("ts").cast("date") < F.lit("2024-01-16").cast("date")).alias(
-            "in_a"
-        ),
-    )
-    shift = F.when(
-        (F.col("event_type") == "purchase") & (~F.col("in_a")), F.lit(15.0)
-    ).otherwise(F.lit(0.0))
-    e = e0.select(
-        "event_type", (F.col("value") + shift).alias("value"), "in_a"
-    )
-    g = e.groupBy("event_type", "value").agg(
-        F.count(F.when(F.col("in_a"), F.lit(1))).alias("ca"),
-        F.count(F.when(~F.col("in_a"), F.lit(1))).alias("cb"),
-    )
-    wcum = (
-        Window.partitionBy("event_type")
-        .orderBy("value")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    wall = Window.partitionBy("event_type")
-    c = g.select(
-        "event_type",
-        F.sum("ca").over(wcum).alias("cum_a"),
-        F.sum("cb").over(wcum).alias("cum_b"),
-        F.sum("ca").over(wall).alias("n_a"),
-        F.sum("cb").over(wall).alias("n_b"),
-    )
-    d = c.groupBy("event_type", "n_a", "n_b").agg(
-        F.max(
-            F.abs(
-                F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")
-            )
-        ).alias("d_scaled")
-    )
-    k = d.select(
-        "event_type",
-        "n_a",
-        "n_b",
-        "d_scaled",
-        (F.col("d_scaled").cast("double") / (F.col("n_a") * F.col("n_b"))).alias(
-            "ks_d"
-        ),
-    )
-    nad = F.col("n_a").cast("double")
-    nbd = F.col("n_b").cast("double")
-    return k.select(
-        "event_type",
-        "n_a",
-        "n_b",
-        "d_scaled",
-        "ks_d",
-        (
-            F.lit(-2.0) * F.col("ks_d") * F.col("ks_d")
-            * (nad * nbd / (nad + nbd))
-        ).alias("ks_exponent"),
-        (
-            F.col("ks_d")
-            > F.lit(1.358) * F.sqrt((nad + nbd) / (nad * nbd))
-        ).alias("drifted"),
-    )
+    return ks_from_counts(drift_value_counts(ev))
 
 
 # ---------------------------------------------------------------------------
@@ -18905,86 +18991,7 @@ def value_mannwhitney_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain of exactly-rounded IEEE ops. Same scan/agg shape as the
     KS test — the two share everything up to the per-type frame."""
     ev = read_table(spark, sf_dir, "events")
-    e0 = ev.where(F.col("value").isNotNull()).select(
-        "event_type",
-        "value",
-        (F.col("ts").cast("date") < F.lit("2024-01-16").cast("date")).alias(
-            "in_a"
-        ),
-    )
-    shift = F.when(
-        (F.col("event_type") == "purchase") & (~F.col("in_a")), F.lit(15.0)
-    ).otherwise(F.lit(0.0))
-    e = e0.select(
-        "event_type", (F.col("value") + shift).alias("value"), "in_a"
-    )
-    g = e.groupBy("event_type", "value").agg(
-        F.count(F.when(F.col("in_a"), F.lit(1))).alias("ca"),
-        F.count(F.when(~F.col("in_a"), F.lit(1))).alias("cb"),
-    )
-    wcum = (
-        Window.partitionBy("event_type")
-        .orderBy("value")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    wall = Window.partitionBy("event_type")
-    cnt = F.col("ca") + F.col("cb")
-    c = g.select(
-        "event_type",
-        "ca",
-        "cb",
-        cnt.alias("cnt"),
-        F.sum(cnt).over(wcum).alias("cum"),
-        F.sum("ca").over(wall).alias("n_a"),
-        F.sum("cb").over(wall).alias("n_b"),
-    )
-    m = c.groupBy("event_type", "n_a", "n_b").agg(
-        F.sum(
-            F.col("ca")
-            * (2 * (F.col("cum") - F.col("cnt")) + F.col("cnt") + 1)
-        )
-        .cast("bigint")
-        .alias("r2_a"),
-        F.sum(
-            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
-        )
-        .cast("bigint")
-        .alias("tie_cubes"),
-    )
-    u = m.select(
-        "event_type",
-        "n_a",
-        "n_b",
-        "tie_cubes",
-        (F.col("r2_a") - F.col("n_a") * (F.col("n_a") + 1))
-        .cast("bigint")
-        .alias("u2_a"),
-    )
-    nad = F.col("n_a").cast("double")
-    nbd = F.col("n_b").cast("double")
-    nd = (F.col("n_a") + F.col("n_b")).cast("double")
-    zc = (
-        F.col("u2_a").cast("double") / F.lit(2.0)
-        - nad * nbd / F.lit(2.0)
-    ) / F.sqrt(
-        nad * nbd / F.lit(12.0)
-        * (
-            (nd + F.lit(1.0))
-            - F.col("tie_cubes").cast("double") / (nd * (nd - F.lit(1.0)))
-        )
-    )
-    z = u.select(
-        "event_type", "n_a", "n_b", "u2_a", "tie_cubes", zc.alias("z")
-    )
-    return z.select(
-        "event_type",
-        "n_a",
-        "n_b",
-        "u2_a",
-        "tie_cubes",
-        "z",
-        (F.abs(F.col("z")) > F.lit(1.96)).alias("significant"),
-    )
+    return mw_from_counts(drift_value_counts(ev))
 
 
 # ---------------------------------------------------------------------------

@@ -1390,3 +1390,50 @@ def read_cdc_state(
     """Live view over the CDC state table: tombstoned keys (last op
     = delete) are filtered out here, never from storage."""
     return spark.read.parquet(state_dir).where(F.col(op_col) != "D")
+
+
+def drift_counts_stream(
+    rows: DataFrame,
+    counts_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Streaming two-sample drift-state maintenance: each micro-batch
+    reduces to its own (event_type, value, ca, cb) count table — the
+    shared state of ``value_ks_test`` / ``value_mannwhitney_test``
+    (plans/queries.drift_value_counts) — appended with its batch_id;
+    the index-is-the-state discipline of cms_stream. Counts merge by
+    SUM, so the merged stream state is row-identical to the batch
+    state over the same rows, and every statistic derived from it
+    (KS D, Mann-Whitney U/z, decisions) is EXACTLY the batch value —
+    not an approximation. Asserted by the parity test."""
+    from ..plans.queries import drift_value_counts
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            drift_value_counts(batch_df)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(counts_dir)
+        )
+
+    return (
+        rows.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def merged_drift_counts(spark: SparkSession, counts_dir: str) -> DataFrame:
+    """(event_type, value, ca, cb) summed across every stored batch
+    count table; replay-safe because (batch_id, event_type, value) is
+    a key of the stored rows (a re-delivered batch re-appends the
+    same rows, deduped before the sum)."""
+    return (
+        spark.read.parquet(counts_dir)
+        .dropDuplicates(["batch_id", "event_type", "value"])
+        .groupBy("event_type", "value")
+        .agg(F.sum("ca").alias("ca"), F.sum("cb").alias("cb"))
+    )

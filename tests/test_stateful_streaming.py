@@ -1426,3 +1426,84 @@ def test_quantile_summary_stream_bound_and_replay(spark, tmp_path):
         ).collect()
     }
     assert replayed == est
+
+
+def test_drift_counts_stream_statistics_match_batch(spark, tmp_path):
+    """The streamed+merged drift state is row-identical to the batch
+    state, so KS and Mann-Whitney computed from it EQUAL the batch
+    queries' outputs exactly (integers and IEEE-exact doubles alike).
+    Replaying with no new data must change nothing."""
+    import os
+
+    from reddit_hn_etl_spark.plans.queries import (
+        drift_value_counts,
+        ks_from_counts,
+        mw_from_counts,
+    )
+
+    src = tmp_path / "drift_stream_src"
+    src.mkdir()
+    counts_dir = str(tmp_path / "drift_counts")
+    ckpt = str(tmp_path / "drift_ckpt")
+
+    def write_batch(path, rows):
+        with open(path, "w", encoding="utf-8") as f:
+            for event_id, ts, event_type, value in rows:
+                f.write(json.dumps({
+                    "event_id": event_id, "ts": ts, "user_id": event_id % 7,
+                    "event_type": event_type, "value": value, "props": "{}",
+                }) + "\n")
+
+    # both month halves, both a shifted and an unshifted type, ties
+    write_batch(src / "b1.jsonl", [
+        (i, "2024-01-0%d 10:00:00" % (1 + i % 9),
+         "purchase" if i % 2 == 0 else "view", float(i % 13) + 0.25)
+        for i in range(60)
+    ])
+    write_batch(src / "b2.jsonl", [
+        (200 + i, "2024-01-2%d 11:00:00" % (i % 9),
+         "purchase" if i % 3 == 0 else "view", float(i % 11) + 0.75)
+        for i in range(50)
+    ])
+    os.utime(src / "b1.jsonl", (1, 1))
+    os.utime(src / "b2.jsonl", (2, 2))
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).json(str(src))
+        )
+        q = ingest.drift_counts_stream(stream, counts_dir, ckpt)
+        q.awaitTermination(120)
+
+    run_once()
+    run_once()  # replay: no new files -> no state change
+
+    merged = ingest.merged_drift_counts(spark, counts_dir)
+    batch_df = spark.read.schema(schema).json(str(src))
+    batch_counts = drift_value_counts(batch_df)
+
+    # state parity: row-identical count tables
+    key = lambda r: (r["event_type"], r["value"])
+    got = sorted(
+        [(key(r), r["ca"], r["cb"]) for r in merged.collect()]
+    )
+    want = sorted(
+        [(key(r), r["ca"], r["cb"]) for r in batch_counts.collect()]
+    )
+    assert got == want and len(got) > 10
+
+    # statistic parity: EXACT equality, doubles included
+    for fn in (ks_from_counts, mw_from_counts):
+        s = sorted(map(tuple, fn(merged).collect()))
+        b = sorted(map(tuple, fn(batch_counts).collect()))
+        assert s == b, fn.__name__
+    # decisions are non-vacuous on this fixture: the second-half
+    # purchase values got the +15 canary shift
+    ks = {r["event_type"]: r["drifted"] for r in ks_from_counts(merged).collect()}
+    assert ks["purchase"] and not ks["view"]
