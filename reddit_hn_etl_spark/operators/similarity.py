@@ -1056,13 +1056,15 @@ def knn_shapley(
     ANN-preselected or sampled corpus per test point; the valuation
     algebra is unchanged.
     """
+    from .dedup import fan_out_narrow_input
+
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("_qvec"),
         l2_norm(F.col(vec_col)).alias("_qn"),
         F.col(query_label_col).alias("_qlabel"),
     )
-    c = corpus.select(
+    c = fan_out_narrow_input(corpus).select(
         F.col(id_col),
         F.col(vec_col),
         F.col(label_col).alias("_clabel"),

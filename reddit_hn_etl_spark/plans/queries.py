@@ -18444,7 +18444,7 @@ def mmr_diverse_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("_qvec"),
         similarity.l2_norm(F.col("embedding")).alias("_qn"),
     )
-    c = emb.select(
+    c = dedup.fan_out_narrow_input(emb).select(
         "vec_id",
         "embedding",
         similarity.l2_norm(F.col("embedding")).alias("_cn"),
@@ -18617,7 +18617,10 @@ def knn_label_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         similarity.l2_norm(F.col("embedding")).alias("_n"),
     )
-    a = sub.select(
+    # the pair scoring is CPU-bound at the INPUT partitioning (a
+    # single parquet file enters as 1 partition and serializes 1M
+    # 128-dim dot products onto one core — measured 7s → ~1.5s)
+    a = dedup.fan_out_narrow_input(sub).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("_ea"),
         F.col("label").alias("qlabel"),
