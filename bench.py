@@ -295,6 +295,8 @@ BENCH_QUERIES_R5 = [
     "cluster_label_purity",
     "source_overlap_matrix",
     "corpus_heaps_fit",
+    "uplift_qini_deciles",
+    "lang_id_kappa",
 ]
 
 

@@ -19424,6 +19424,227 @@ def corpus_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Uplift evaluation (Qini curve by score decile): the standard audit
+# of a targeting model — rank units by score, then per cumulative
+# decile compare treated vs control conversions. Deciles come from
+# the hierarchical global_ntile (operators/prefix.py) — identical
+# remainder distribution to ANSI NTILE, no SinglePartition funnel.
+# All counts exact ints; rates and the Qini coefficient are short
+# IEEE-exact chains.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "uplift_qini_deciles",
+    """
+    WITH pu AS (
+        SELECT user_id,
+               COUNT(*) FILTER (WHERE event_type = 'view') AS score,
+               MAX(CASE WHEN event_type = 'purchase' AND value >= 200
+                        THEN 1 ELSE 0 END) AS converted,
+               user_id % 2 = 0 AS treated
+        FROM events GROUP BY user_id
+    ),
+    d AS (
+        SELECT treated, converted,
+               NTILE(10) OVER (ORDER BY score DESC, user_id) AS decile
+        FROM pu
+    ),
+    a AS (
+        SELECT decile,
+               COUNT(*) FILTER (WHERE treated) AS nt,
+               COUNT(*) FILTER (WHERE NOT treated) AS nc,
+               SUM(CASE WHEN treated THEN converted ELSE 0 END) AS convt,
+               SUM(CASE WHEN NOT treated THEN converted ELSE 0 END)
+                   AS convc
+        FROM d GROUP BY decile
+    ),
+    c AS (
+        SELECT decile, nt, nc, convt, convc,
+               SUM(nt) OVER (ORDER BY decile) AS cnt_t,
+               SUM(nc) OVER (ORDER BY decile) AS cnt_c,
+               SUM(convt) OVER (ORDER BY decile) AS cconv_t,
+               SUM(convc) OVER (ORDER BY decile) AS cconv_c
+        FROM a
+    )
+    SELECT CAST(decile AS INTEGER) AS decile,
+           CAST(nt AS INTEGER) AS n_treated,
+           CAST(nc AS INTEGER) AS n_control,
+           CAST(convt AS INTEGER) AS conv_treated,
+           CAST(convc AS INTEGER) AS conv_control,
+           CASE WHEN nt > 0 AND nc > 0
+                THEN CAST(convt AS DOUBLE) / nt
+                     - CAST(convc AS DOUBLE) / nc END AS uplift_rate,
+           CASE WHEN cnt_c > 0
+                THEN CAST(cconv_t AS DOUBLE)
+                     - CAST(cconv_c AS DOUBLE)
+                       * (CAST(cnt_t AS DOUBLE) / CAST(cnt_c AS DOUBLE))
+                END AS qini
+    FROM c
+    """,
+)
+def uplift_qini_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini audit of an engagement-score targeting policy (score =
+    view count per user; treatment = the user-parity assignment the
+    causal family uses; conversion = any purchase of value ≥ 200 —
+    ~20% of users, so both arms vary). One per-user agg, the
+    hierarchical ntile, a 10-row decile agg, cumulative windows on
+    10 rows. The treatment is random by construction, so the Qini
+    curve hovers near 0 — the audit's null reading, exactly what a
+    correct evaluator should report here. Empty-arm deciles (the
+    15-user sf0.001 corner) emit NULL rates, ANSI-safe on both
+    engines."""
+    from ..operators.prefix import global_ntile
+
+    ev = read_table(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "view", F.lit(1))).alias(
+            "score"
+        ),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") >= 200),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        ).alias("converted"),
+    ).withColumn("treated", F.col("user_id") % 2 == 0)
+    d = global_ntile(
+        pu,
+        10,
+        order_cols=["score", "user_id"],
+        descending=[True, False],
+        out_col="decile",
+        carry_cols=["treated", "converted"],
+    )
+    a = d.groupBy("decile").agg(
+        F.count(F.when(F.col("treated"), F.lit(1))).alias("nt"),
+        F.count(F.when(~F.col("treated"), F.lit(1))).alias("nc"),
+        F.sum(
+            F.when(F.col("treated"), F.col("converted")).otherwise(F.lit(0))
+        ).alias("convt"),
+        F.sum(
+            F.when(~F.col("treated"), F.col("converted")).otherwise(
+                F.lit(0)
+            )
+        ).alias("convc"),
+    )
+    wcum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = a.select(
+        "decile",
+        "nt",
+        "nc",
+        "convt",
+        "convc",
+        F.sum("nt").over(wcum).alias("cnt_t"),
+        F.sum("nc").over(wcum).alias("cnt_c"),
+        F.sum("convt").over(wcum).alias("cconv_t"),
+        F.sum("convc").over(wcum).alias("cconv_c"),
+    )
+    return c.select(
+        F.col("decile").cast("int").alias("decile"),
+        F.col("nt").cast("int").alias("n_treated"),
+        F.col("nc").cast("int").alias("n_control"),
+        F.col("convt").cast("int").alias("conv_treated"),
+        F.col("convc").cast("int").alias("conv_control"),
+        F.when(
+            (F.col("nt") > 0) & (F.col("nc") > 0),
+            F.col("convt").cast("double") / F.col("nt")
+            - F.col("convc").cast("double") / F.col("nc"),
+        ).alias("uplift_rate"),
+        F.when(
+            F.col("cnt_c") > 0,
+            F.col("cconv_t").cast("double")
+            - F.col("cconv_c").cast("double")
+            * (F.col("cnt_t").cast("double") / F.col("cnt_c").cast("double")),
+        ).alias("qini"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa for the language-ID classifier: chance-corrected
+# agreement between lang_pred and the ground-truth lang column.
+# Entirely exact integers — agreement count, the expected-agreement
+# numerator Σ rowtot·coltot — down to two terminal single divisions
+# (accuracy, kappa = (agree·N − pe_num)/(N² − pe_num)).
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "lang_id_kappa",
+    f"""
+    WITH l AS ({ORACLES["doc_lang_id"]}),
+    j AS (
+        SELECT d.lang AS truth, l.lang_pred AS pred
+        FROM documents d JOIN l ON l.doc_id = d.doc_id
+    ),
+    conf AS (
+        SELECT truth, pred, COUNT(*) AS c FROM j GROUP BY truth, pred
+    ),
+    rows_t AS (SELECT truth AS lab, SUM(c) AS rowtot FROM conf
+               GROUP BY truth),
+    cols_t AS (SELECT pred AS lab, SUM(c) AS coltot FROM conf
+               GROUP BY pred),
+    stats AS (
+        SELECT (SELECT SUM(c) FROM conf) AS n,
+               (SELECT COALESCE(SUM(c), 0) FROM conf
+                WHERE truth = pred) AS agree,
+               (SELECT COALESCE(SUM(r.rowtot * c.coltot), 0)
+                FROM rows_t r JOIN cols_t c ON r.lab = c.lab) AS pe_num
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(agree AS BIGINT) AS agree,
+           CAST(pe_num AS BIGINT) AS pe_num,
+           CAST(agree AS DOUBLE) / n AS accuracy,
+           CAST(agree * n - pe_num AS DOUBLE)
+               / CAST(n * n - pe_num AS BIGINT) AS kappa
+    FROM stats
+    """,
+)
+def lang_id_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chance-corrected agreement of the marker-based lang-ID against
+    ground truth. Confusion counts are one (truth, pred) agg; row and
+    column totals are label-domain-sized; kappa's numerator and
+    denominator are exact BIGINTs, divided once. Low kappa here is
+    the honest reading: the heuristic covers 4 of 5 true languages
+    (zh has no markers) and abstains as 'unknown'."""
+    docs = read_table(spark, sf_dir, "documents")
+    j = docs.select(
+        F.col("lang").alias("truth"),
+        textfn.lang_id("text").alias("pred"),
+    )
+    conf = j.groupBy("truth", "pred").agg(F.count(F.lit(1)).alias("c"))
+    rows_t = conf.groupBy(F.col("truth").alias("lab")).agg(
+        F.sum("c").alias("rowtot")
+    )
+    cols_t = conf.groupBy(F.col("pred").alias("lab")).agg(
+        F.sum("c").alias("coltot")
+    )
+    n_df = conf.agg(F.sum("c").alias("n"))
+    agree_df = conf.where(F.col("truth") == F.col("pred")).agg(
+        F.coalesce(F.sum("c"), F.lit(0)).alias("agree")
+    )
+    pe_df = rows_t.join(cols_t, "lab").agg(
+        F.coalesce(
+            F.sum(F.col("rowtot") * F.col("coltot")), F.lit(0)
+        ).alias("pe_num")
+    )
+    stats = n_df.crossJoin(agree_df).crossJoin(pe_df)
+    return stats.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("agree").cast("bigint").alias("agree"),
+        F.col("pe_num").cast("bigint").alias("pe_num"),
+        (F.col("agree").cast("double") / F.col("n")).alias("accuracy"),
+        (
+            (F.col("agree") * F.col("n") - F.col("pe_num")).cast("double")
+            / (F.col("n") * F.col("n") - F.col("pe_num")).cast("bigint")
+        ).alias("kappa"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window.
 #
 # The driver hard-verifies (rows + schema + value hash vs the DuckDB

@@ -201,6 +201,8 @@ NOTES = {
     "cluster_label_purity": "Purity: shuffle-free literal-centroid assignment scan, one (cluster,label) agg (<=80 cells), windows on the cell frame — the whole metric costs one corpus pass.",
     "source_overlap_matrix": "Source matrix: the pair surface (exact-Jaccard here, LSH bands at scale) dominates; the rollup is two id-keyed joins + a source-domain agg — governance reporting rides the dedup pass for free.",
     "corpus_heaps_fit": "Heaps fit: one text scan; cumulative curves via the hierarchical prefix operator (NO data-sized SinglePartition window); first occurrences are one (term -> min doc) agg; fixed-point moments make the OLS an exact-integer reduction.",
+    "uplift_qini_deciles": "Qini: one per-user agg, deciles via the hierarchical global_ntile (no SinglePartition), then all curve algebra on 10 rows — targeting-policy evaluation at rollup cost.",
+    "lang_id_kappa": "Kappa: the confusion matrix is one (truth,pred) agg; totals and the chance-agreement numerator are label-domain products; kappa is one exact integer division.",
     "value_ks_test": "KS drift: one (type,value) partial/final agg shrinks the corpus to distinct values; the two cumulative-count windows run per type; everything after the BIGINT max is scalar math on 5 rows. No float CDFs anywhere — the statistic is exact integers until one terminal division.",
 }
 
