@@ -297,6 +297,7 @@ BENCH_QUERIES_R5 = [
     "corpus_heaps_fit",
     "uplift_qini_deciles",
     "lang_id_kappa",
+    "embedding_isotropy_audit",
 ]
 
 

@@ -19645,6 +19645,97 @@ def lang_id_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Embedding isotropy audit: the mean pairwise dot product over ALL
+# N² vector pairs collapses to one vector sum via the identity
+# Σ_{a≠b} <e_a, e_b> = ||Σ_n e_n||² − Σ_n ||e_n||² — the canonical
+# example of replacing a quadratic pair join with a linear
+# aggregation. Components quantize to the covariance pass's 1e-6
+# grid (plans/queries._PCA_COV_CTES discipline), so both Gram
+# quantities are EXACT integers (emitted as digit strings — a
+# quantization or overflow bug cannot hide behind float tolerance);
+# an anisotropic (mean-shifted) embedding space shows as
+# isotropy_ratio >> 0.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "embedding_isotropy_audit",
+    """
+    WITH qx AS (
+        SELECT vec_id, CAST(u.pos AS INTEGER) AS pos,
+               CAST(FLOOR(CAST(u.x AS DOUBLE) * 1000000.0) AS BIGINT) AS q
+        FROM embeddings,
+             LATERAL (SELECT unnest(embedding) AS x,
+                             unnest(range(0, len(embedding))) AS pos) u
+    ),
+    s AS (SELECT pos, SUM(q) AS sd FROM qx GROUP BY pos),
+    a1 AS (SELECT SUM(sd * sd) AS ss FROM s),
+    a2 AS (SELECT SUM(q * q) AS t FROM qx),
+    nn AS (SELECT COUNT(*) AS n FROM embeddings)
+    SELECT CAST(nn.n AS INTEGER) AS n_vectors,
+           CAST(64 AS INTEGER) AS dim,
+           CAST(a1.ss AS VARCHAR) AS ss_exact,
+           CAST(a2.t AS VARCHAR) AS self_dot_exact,
+           CAST(a2.t AS DOUBLE) / nn.n / 1000000000000.0
+               AS mean_sq_norm,
+           (CAST(a1.ss AS DOUBLE) - CAST(a2.t AS DOUBLE))
+               / nn.n / (nn.n - 1) / 1000000000000.0
+               AS mean_offdiag_dot,
+           ((CAST(a1.ss AS DOUBLE) - CAST(a2.t AS DOUBLE))
+                / nn.n / (nn.n - 1))
+               / (CAST(a2.t AS DOUBLE) / nn.n) AS isotropy_ratio
+    FROM a1, a2, nn
+    """,
+)
+def embedding_isotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean squared norm, mean off-diagonal dot and their ratio for
+    the embedding corpus — N² pair semantics at one-scan cost (the
+    per-dimension sum vector is the whole state; 64 rows). BIGINT
+    holds Σq to ~1e9 vectors at this grid; the squared terms run in
+    DECIMAL(38,0)/HUGEINT. Near-zero ratio = isotropic; a common
+    mean direction inflates it toward 1."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        "vec_id",
+        "pos",
+        F.floor(F.col("x").cast("double") * F.lit(1000000.0))
+        .cast("bigint")
+        .alias("q"),
+    )
+    s = q.groupBy("pos").agg(F.sum("q").alias("sd"))
+    a1 = s.agg(
+        F.sum(
+            F.col("sd").cast("decimal(19,0)") * F.col("sd").cast("decimal(19,0)")
+        ).alias("ss")
+    )
+    a2 = q.agg(
+        F.sum(
+            F.col("q").cast("decimal(19,0)") * F.col("q").cast("decimal(19,0)")
+        ).alias("t")
+    )
+    nn = emb.agg(F.count(F.lit(1)).alias("n"))
+    j = a1.crossJoin(a2).crossJoin(nn)
+    ssd = F.col("ss").cast("double")
+    td = F.col("t").cast("double")
+    nd = F.col("n")
+    return j.select(
+        F.col("n").cast("int").alias("n_vectors"),
+        F.lit(64).cast("int").alias("dim"),
+        F.col("ss").cast("string").alias("ss_exact"),
+        F.col("t").cast("string").alias("self_dot_exact"),
+        (td / nd / F.lit(1000000000000.0)).alias("mean_sq_norm"),
+        ((ssd - td) / nd / (nd - 1) / F.lit(1000000000000.0)).alias(
+            "mean_offdiag_dot"
+        ),
+        (((ssd - td) / nd / (nd - 1)) / (td / nd)).alias(
+            "isotropy_ratio"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window.
 #
 # The driver hard-verifies (rows + schema + value hash vs the DuckDB

@@ -203,6 +203,7 @@ NOTES = {
     "corpus_heaps_fit": "Heaps fit: one text scan; cumulative curves via the hierarchical prefix operator (NO data-sized SinglePartition window); first occurrences are one (term -> min doc) agg; fixed-point moments make the OLS an exact-integer reduction.",
     "uplift_qini_deciles": "Qini: one per-user agg, deciles via the hierarchical global_ntile (no SinglePartition), then all curve algebra on 10 rows — targeting-policy evaluation at rollup cost.",
     "lang_id_kappa": "Kappa: the confusion matrix is one (truth,pred) agg; totals and the chance-agreement numerator are label-domain products; kappa is one exact integer division.",
+    "embedding_isotropy_audit": "Isotropy: the N^2 pairwise-dot semantics collapse to one posexplode + a 64-key integer agg via ||sum||^2 - sum||.||^2 — the canonical quadratic-to-linear rewrite; exact Gram strings make overflow/quantization bugs visible.",
     "value_ks_test": "KS drift: one (type,value) partial/final agg shrinks the corpus to distinct values; the two cumulative-count windows run per type; everything after the BIGINT max is scalar math on 5 rows. No float CDFs anywhere — the statistic is exact integers until one terminal division.",
 }
 

@@ -387,3 +387,30 @@ def test_twap_matches_brute_force(spark, sf_dir):
         assert row["observed_us"] == den
         assert row["n_gaps"] == len(pts) - 1
         assert abs(row["twap_value"] - num / den / 100.0) < 1e-6
+
+
+def test_isotropy_identity_equals_bruteforce_pairs(duck):
+    """||Σq||² − Σ||q||² must equal the brute-force Σ_{a≠b}<q_a,q_b>
+    EXACTLY (all integers on the 1e-6 grid) — the N²→N identity the
+    isotropy audit rests on."""
+    ss, t = duck.execute("""
+        WITH qx AS (
+            SELECT vec_id, CAST(u.pos AS INTEGER) pos,
+                   CAST(FLOOR(CAST(u.x AS DOUBLE)*1000000.0) AS BIGINT) q
+            FROM embeddings,
+                 LATERAL (SELECT unnest(embedding) x,
+                          unnest(range(0,len(embedding))) pos) u),
+        s AS (SELECT pos, SUM(q) sd FROM qx GROUP BY pos)
+        SELECT (SELECT SUM(sd*sd) FROM s), (SELECT SUM(q*q) FROM qx)
+    """).fetchone()
+    brute = duck.execute("""
+        WITH qx AS (
+            SELECT vec_id, CAST(u.pos AS INTEGER) pos,
+                   CAST(FLOOR(CAST(u.x AS DOUBLE)*1000000.0) AS BIGINT) q
+            FROM embeddings,
+                 LATERAL (SELECT unnest(embedding) x,
+                          unnest(range(0,len(embedding))) pos) u)
+        SELECT COALESCE(SUM(a.q*b.q), 0) FROM qx a
+        JOIN qx b ON a.pos = b.pos AND a.vec_id <> b.vec_id
+    """).fetchone()[0]
+    assert ss - t == brute and brute != 0
