@@ -298,6 +298,7 @@ BENCH_QUERIES_R5 = [
     "uplift_qini_deciles",
     "lang_id_kappa",
     "embedding_isotropy_audit",
+    "purchase_ipw_ate",
 ]
 
 

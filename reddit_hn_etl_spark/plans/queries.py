@@ -19736,6 +19736,136 @@ def embedding_isotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Inverse-propensity-weighted ATE (Hájek/stabilized form) with the
+# propensity estimated per stratum — the third leg of the causal
+# trio (DiD: parallel trends; CEM: exact matching; IPW: reweighting)
+# over the SAME treatment/outcome, so the three estimates are
+# directly comparable. With stratum-constant e(s) = nt/n the Hájek
+# weights telescope: μt = Σ_s st_s·n_s/nt_s / N — a per-stratum IEEE
+# chain snapped to the 2^-20 grid, summed as exact integers.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "purchase_ipw_ate",
+    """
+    WITH e AS (
+        SELECT event_type, dayofweek(ts) AS dow,
+               user_id % 2 = 0 AS treated,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events WHERE value IS NOT NULL
+    ),
+    s AS (
+        SELECT event_type, dow,
+               SUM(cents) FILTER (WHERE treated) AS st,
+               COUNT(*) FILTER (WHERE treated) AS nt,
+               SUM(cents) FILTER (WHERE NOT treated) AS sc,
+               COUNT(*) FILTER (WHERE NOT treated) AS nc,
+               COUNT(*) AS n
+        FROM e GROUP BY event_type, dow
+    ),
+    k AS (
+        SELECT * FROM s WHERE nt > 0 AND nc > 0
+    ),
+    d AS (
+        SELECT event_type, dow, n, nt,
+               CAST(nt AS DOUBLE) / n AS propensity,
+               CAST(FLOOR(CAST(st AS DOUBLE) * n / nt
+                          * 1048576.0 + 0.5) AS BIGINT) AS wt_fp,
+               CAST(FLOOR(CAST(sc AS DOUBLE) * n / nc
+                          * 1048576.0 + 0.5) AS BIGINT) AS wc_fp,
+               SUM(n) OVER () AS n_total
+        FROM k
+    )
+    SELECT event_type, CAST(dow AS INTEGER) AS dow,
+           CAST(n AS INTEGER) AS n,
+           CAST(nt AS INTEGER) AS n_treated,
+           propensity,
+           CAST(SUM(wt_fp) OVER () AS DOUBLE) / 1048576.0
+               / CAST(n_total AS DOUBLE) AS mu_treated_cents,
+           CAST(SUM(wc_fp) OVER () AS DOUBLE) / 1048576.0
+               / CAST(n_total AS DOUBLE) AS mu_control_cents,
+           CAST(SUM(wt_fp) OVER () - SUM(wc_fp) OVER () AS DOUBLE)
+               / 1048576.0 / CAST(n_total AS DOUBLE) AS ipw_ate_cents
+    FROM d
+    """,
+)
+def purchase_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratum-propensity IPW over the causal family's shared design
+    ((event_type, dow) strata, parity treatment, cents outcome).
+    One conditional aggregation; weighted sums snap to the 2^-20
+    grid so the cross-strata reductions are order-free integer
+    window sums on the 35-row strata frame. The ATE difference is
+    taken on the EXACT integers before the terminal divisions."""
+    ev = read_table(spark, sf_dir, "events")
+    e = ev.where(F.col("value").isNotNull()).select(
+        "event_type",
+        (F.dayofweek("ts") - 1).alias("dow"),
+        (F.col("user_id") % 2 == 0).alias("treated"),
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    s = e.groupBy("event_type", "dow").agg(
+        F.sum(F.when(F.col("treated"), F.col("cents"))).alias("st"),
+        F.count(F.when(F.col("treated"), F.lit(1))).alias("nt"),
+        F.sum(F.when(~F.col("treated"), F.col("cents"))).alias("sc"),
+        F.count(F.when(~F.col("treated"), F.lit(1))).alias("nc"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    k = s.where((F.col("nt") > 0) & (F.col("nc") > 0))
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    d = k.select(
+        "event_type",
+        "dow",
+        "n",
+        "nt",
+        (F.col("nt").cast("double") / F.col("n")).alias("propensity"),
+        F.floor(
+            F.col("st").cast("double") * F.col("n") / F.col("nt")
+            * F.lit(1048576.0)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("wt_fp"),
+        F.floor(
+            F.col("sc").cast("double") * F.col("n") / F.col("nc")
+            * F.lit(1048576.0)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("wc_fp"),
+        F.sum("n").over(wall).alias("n_total"),
+    )
+    return d.select(
+        "event_type",
+        F.col("dow").cast("int").alias("dow"),
+        F.col("n").cast("int").alias("n"),
+        F.col("nt").cast("int").alias("n_treated"),
+        "propensity",
+        (
+            F.sum("wt_fp").over(wall).cast("double")
+            / F.lit(1048576.0)
+            / F.col("n_total").cast("double")
+        ).alias("mu_treated_cents"),
+        (
+            F.sum("wc_fp").over(wall).cast("double")
+            / F.lit(1048576.0)
+            / F.col("n_total").cast("double")
+        ).alias("mu_control_cents"),
+        (
+            (F.sum("wt_fp").over(wall) - F.sum("wc_fp").over(wall)).cast(
+                "double"
+            )
+            / F.lit(1048576.0)
+            / F.col("n_total").cast("double")
+        ).alias("ipw_ate_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window.
 #
 # The driver hard-verifies (rows + schema + value hash vs the DuckDB
