@@ -299,6 +299,7 @@ BENCH_QUERIES_R5 = [
     "lang_id_kappa",
     "embedding_isotropy_audit",
     "purchase_ipw_ate",
+    "heldout_oov_rate",
 ]
 
 

@@ -19866,6 +19866,105 @@ def purchase_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Held-out OOV rate against a train-split n-gram vocabulary: the
+# generalization statistic a pipeline tracks when it builds a
+# tokenizer or dedups against a reference corpus — how much of the
+# held-out split is UNSEEN (word trigrams, the repo's shingle unit:
+# the unigram vocab here is degenerate at 31 types, trigram types
+# run ~16k at sf0.01). All counts exact ints; rates are single
+# divisions.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "heldout_oov_rate",
+    r"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                           x -> x <> '') AS w
+        FROM documents
+    ),
+    tr AS (
+        SELECT DISTINCT unnest(list_transform(w[1:len(w) - 2],
+               (x, i) -> x || ' ' || w[i + 1] || ' ' || w[i + 2])) AS g
+        FROM t WHERE doc_id % 5 <> 0
+    ),
+    ho AS (
+        SELECT lang, unnest(list_transform(w[1:len(w) - 2],
+               (x, i) -> x || ' ' || w[i + 1] || ' ' || w[i + 2])) AS g
+        FROM t WHERE doc_id % 5 = 0
+    ),
+    hg AS (SELECT lang, g, COUNT(*) AS c FROM ho GROUP BY lang, g),
+    j AS (
+        SELECT hg.lang, hg.c, tr.g IS NOT NULL AS known
+        FROM hg LEFT JOIN tr ON tr.g = hg.g
+    )
+    SELECT lang,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN NOT known THEN c ELSE 0 END) AS BIGINT)
+               AS n_oov_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(CASE WHEN NOT known THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov_types,
+           CAST(SUM(CASE WHEN NOT known THEN c ELSE 0 END) AS DOUBLE)
+               / SUM(c) AS oov_token_rate,
+           CAST(SUM(CASE WHEN NOT known THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS oov_type_rate
+    FROM j GROUP BY lang
+    """,
+)
+def heldout_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language unseen-trigram share of the 20% held-out split
+    vs the 80% train vocabulary. One tokenization pass feeds both
+    splits; the vocabulary membership check is a (gram)-keyed
+    left join of the held-out gram counts against the distinct
+    train grams — both sides partial-aggregated before the shuffle.
+    At 100 TB the train vocab is the big side and the join stays a
+    plain shuffle join on the gram key (or a bloom-filtered probe,
+    operators/sketch.py, when the held-out side is tiny)."""
+    docs = read_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "lang", dedup.tokens("text").alias("w")
+    )
+    tri = dedup.ngram_array(F.col("w"), 3)
+    tr = (
+        t.where(F.col("doc_id") % 5 != 0)
+        .select(F.explode(tri).alias("g"))
+        .distinct()
+    )
+    ho = t.where(F.col("doc_id") % 5 == 0).select(
+        "lang", F.explode(tri).alias("g")
+    )
+    hg = ho.groupBy("lang", "g").agg(F.count(F.lit(1)).alias("c"))
+    j = hg.join(
+        tr.withColumn("known", F.lit(True)), "g", "left"
+    ).select("lang", "c", F.coalesce("known", F.lit(False)).alias("known"))
+    return j.groupBy("lang").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.sum(F.when(~F.col("known"), F.col("c")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("n_oov_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum(F.when(~F.col("known"), F.lit(1)).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("n_oov_types"),
+        (
+            F.sum(
+                F.when(~F.col("known"), F.col("c")).otherwise(F.lit(0))
+            ).cast("double")
+            / F.sum("c")
+        ).alias("oov_token_rate"),
+        (
+            F.sum(
+                F.when(~F.col("known"), F.lit(1)).otherwise(F.lit(0))
+            ).cast("double")
+            / F.count(F.lit(1))
+        ).alias("oov_type_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window.
 #
 # The driver hard-verifies (rows + schema + value hash vs the DuckDB
