@@ -300,6 +300,7 @@ BENCH_QUERIES_R5 = [
     "embedding_isotropy_audit",
     "purchase_ipw_ate",
     "heldout_oov_rate",
+    "corpus_datasheet",
 ]
 
 

@@ -19965,6 +19965,189 @@ def heldout_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Corpus datasheet: the one-page "datasheets for datasets" report a
+# curation pipeline publishes with every corpus release — size,
+# vocabulary, duplication (exact + near), quality, language mix —
+# composed from the SAME building blocks the individual queries use
+# (doc_quality CTE, the exact 3-gram pair fragment, the tokenizer),
+# so the driver hash-checks the composition end to end. Tall
+# (metric, value) layout; every value is an exact count or a short
+# exact-IEEE chain (mean quality rides the 1e-4 grid the per-doc
+# score is already published on).
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "corpus_datasheet",
+    rf"""
+    WITH t AS (
+        SELECT doc_id,
+               LENGTH(text) AS n_chars,
+               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                           x -> x <> '') AS w,
+               lang, text
+        FROM documents
+    ),
+    base AS (
+        SELECT COUNT(*) AS n_docs,
+               SUM(len(w)) AS n_tokens,
+               SUM(n_chars) AS n_chars,
+               SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_en,
+               COUNT(DISTINCT md5(text)) AS n_distinct_text
+        FROM t
+    ),
+    tri AS (
+        SELECT COUNT(DISTINCT g) AS vocab FROM (
+            SELECT unnest(list_transform(w[1:len(w) - 2],
+                   (x, i) -> x || ' ' || w[i + 1] || ' ' || w[i + 2])) AS g
+            FROM t)
+    ),
+    q AS ({{doc_quality}}),
+    qs AS (
+        SELECT SUM(CAST(FLOOR(quality_score * 10000.0 + 0.5) AS BIGINT))
+                   AS sq,
+               SUM(CASE WHEN quality_score >= 0.82 THEN 1 ELSE 0 END)
+                   AS npass
+        FROM q
+    ),
+    pairs AS MATERIALIZED ({{true_pairs}}),
+    np AS (SELECT COUNT(*) AS n_pairs FROM pairs)
+    SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value
+    FROM base
+    UNION ALL
+    SELECT 'total_ws_tokens', CAST(n_tokens AS DOUBLE) FROM base
+    UNION ALL
+    SELECT 'mean_tokens_per_doc',
+           CAST(n_tokens AS DOUBLE) / n_docs FROM base
+    UNION ALL
+    SELECT 'mean_chars_per_token',
+           CAST(n_chars AS DOUBLE) / n_tokens FROM base
+    UNION ALL
+    SELECT 'trigram_vocab', CAST(vocab AS DOUBLE) FROM tri
+    UNION ALL
+    SELECT 'exact_dup_rate',
+           (CAST(n_docs AS DOUBLE) - CAST(n_distinct_text AS DOUBLE))
+               / n_docs
+    FROM base
+    UNION ALL
+    SELECT 'near_dup_pairs', CAST(n_pairs AS DOUBLE) FROM np
+    UNION ALL
+    SELECT 'quality_pass_rate',
+           CAST(npass AS DOUBLE) / (SELECT n_docs FROM base) FROM qs
+    UNION ALL
+    SELECT 'mean_quality',
+           CAST(sq AS DOUBLE) / (SELECT n_docs FROM base) / 10000.0
+    FROM qs
+    UNION ALL
+    SELECT 'lang_en_share', CAST(n_en AS DOUBLE) / n_docs FROM base
+    """,
+)
+def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ten-metric corpus release report. One tokenization scan feeds
+    size/vocab/dup metrics; the quality CTE is the published per-doc
+    score (its 1e-4 grid makes the mean an exact integer sum); the
+    near-dup count rides the exact pair join (LSH bands at 100 TB,
+    same downstream count). Everything reduces before it crosses a
+    shuffle; the report itself is 10 rows."""
+    docs = read_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        dedup.tokens("text").alias("w"),
+        "lang",
+        "text",
+    )
+    base = t.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("w").cast("bigint")).alias("n_tokens"),
+        F.sum(F.col("n_chars").cast("bigint")).alias("n_chars"),
+        F.sum(
+            F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_en"),
+        F.countDistinct(F.md5("text")).alias("n_distinct_text"),
+    ).localCheckpoint()
+    tri = (
+        t.select(F.explode(dedup.ngram_array(F.col("w"), 3)).alias("g"))
+        .agg(F.countDistinct("g").alias("vocab"))
+    )
+    q = textfn.quality_features(docs, "doc_id", "text")
+    qs = q.agg(
+        F.sum(
+            F.floor(F.col("quality_score") * F.lit(10000.0) + F.lit(0.5))
+            .cast("bigint")
+        ).alias("sq"),
+        F.sum(
+            F.when(F.col("quality_score") >= 0.82, F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        ).alias("npass"),
+    )
+    np_ = dedup.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+
+    def row(name: str, col) -> DataFrame:
+        return F.lit(name).alias("metric"), col.alias("value")
+
+    nd = F.col("n_docs").cast("double")
+    parts = [
+        base.select(*row("n_docs", nd)),
+        base.select(*row("total_ws_tokens", F.col("n_tokens").cast("double"))),
+        base.select(
+            *row(
+                "mean_tokens_per_doc",
+                F.col("n_tokens").cast("double") / F.col("n_docs"),
+            )
+        ),
+        base.select(
+            *row(
+                "mean_chars_per_token",
+                F.col("n_chars").cast("double") / F.col("n_tokens"),
+            )
+        ),
+        tri.select(*row("trigram_vocab", F.col("vocab").cast("double"))),
+        base.select(
+            *row(
+                "exact_dup_rate",
+                (nd - F.col("n_distinct_text").cast("double"))
+                / F.col("n_docs"),
+            )
+        ),
+        np_.select(*row("near_dup_pairs", F.col("n_pairs").cast("double"))),
+        qs.crossJoin(base.select("n_docs")).select(
+            *row(
+                "quality_pass_rate",
+                F.col("npass").cast("double") / F.col("n_docs"),
+            )
+        ),
+        qs.crossJoin(base.select("n_docs")).select(
+            *row(
+                "mean_quality",
+                F.col("sq").cast("double")
+                / F.col("n_docs")
+                / F.lit(10000.0),
+            )
+        ),
+        base.select(
+            *row(
+                "lang_en_share",
+                F.col("n_en").cast("double") / F.col("n_docs"),
+            )
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# the datasheet oracle composes two published fragments
+ORACLES["corpus_datasheet"] = ORACLES["corpus_datasheet"].format(
+    doc_quality=ORACLES["doc_quality"], true_pairs=_TRUE_PAIRS_3G_05
+)
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window.
 #
 # The driver hard-verifies (rows + schema + value hash vs the DuckDB
