@@ -1437,3 +1437,67 @@ def merged_drift_counts(spark: SparkSession, counts_dir: str) -> DataFrame:
         .groupBy("event_type", "value")
         .agg(F.sum("ca").alias("ca"), F.sum("cb").alias("cb"))
     )
+
+
+def embedding_stats_stream(
+    rows: DataFrame,
+    stats_dir: str,
+    checkpoint_dir: str,
+    vec_col: str = "embedding",
+) -> StreamingQuery:
+    """Streaming embedding-moment maintenance: each micro-batch
+    reduces to its 64-row per-dimension state (dim, n, Σq, Σq²) on
+    the isotropy audit's 1e-6 integer grid, appended with its
+    batch_id. All three moments are ADDITIVE integers, so the merged
+    stream state is exactly the batch state and every derived
+    statistic (mean vector, per-dim variance, the ||Σq||²-identity
+    isotropy ratio) is EXACTLY the batch value — the embedding twin
+    of drift_counts_stream."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        q = batch_df.select(
+            F.posexplode(vec_col).alias("pos", "x")
+        ).select(
+            "pos",
+            F.floor(F.col("x").cast("double") * F.lit(1000000.0))
+            .cast("bigint")
+            .alias("q"),
+        )
+        (
+            q.groupBy("pos")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("q").alias("sd"),
+                F.sum(
+                    F.col("q").cast("decimal(19,0)")
+                    * F.col("q").cast("decimal(19,0)")
+                ).alias("td"),
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(stats_dir)
+        )
+
+    return (
+        rows.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def merged_embedding_stats(spark: SparkSession, stats_dir: str) -> DataFrame:
+    """(pos, n, sd, td) summed over every stored batch state;
+    replay-safe via (batch_id, pos) dedup before the sums."""
+    return (
+        spark.read.parquet(stats_dir)
+        .dropDuplicates(["batch_id", "pos"])
+        .groupBy("pos")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sd").alias("sd"),
+            F.sum("td").alias("td"),
+        )
+    )

@@ -1507,3 +1507,48 @@ def test_drift_counts_stream_statistics_match_batch(spark, tmp_path):
     # purchase values got the +15 canary shift
     ks = {r["event_type"]: r["drifted"] for r in ks_from_counts(merged).collect()}
     assert ks["purchase"] and not ks["view"]
+
+
+def test_embedding_stats_stream_isotropy_matches_batch(spark, tmp_path, sf_dir):
+    """Merged per-dim moment state reproduces the batch isotropy
+    audit EXACTLY (integers + the same IEEE chains), and replay is a
+    no-op."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from reddit_hn_etl_spark.plans import queries as Q
+    from reddit_hn_etl_spark.sources.tables import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    src = tmp_path / "emb_stream_src"
+    # two parquet files -> two micro-batches
+    emb.where(F.col("vec_id") % 2 == 0).write.parquet(str(src / "b1"))
+    emb.where(F.col("vec_id") % 2 == 1).write.parquet(str(src / "b2"))
+    stats_dir = str(tmp_path / "emb_stats")
+    ckpt = str(tmp_path / "emb_ckpt")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = ingest.embedding_stats_stream(stream, stats_dir, ckpt)
+        q.awaitTermination(120)
+
+    run_once()
+    run_once()
+
+    m = ingest.merged_embedding_stats(spark, stats_dir).collect()
+    n = m[0]["n"]
+    assert all(r["n"] == n for r in m) and len(m) == 64
+    ss = sum(int(r["sd"]) * int(r["sd"]) for r in m)
+    t = sum(int(r["td"]) for r in m)
+    batch = Q.QUERIES["embedding_isotropy_audit"](spark, sf_dir).collect()[0]
+    assert batch["n_vectors"] == n
+    assert int(batch["ss_exact"]) == ss
+    assert int(batch["self_dot_exact"]) == t
+    # derived ratio from state, same op order as the query
+    ratio = ((float(ss) - float(t)) / n / (n - 1)) / (float(t) / n)
+    assert batch["isotropy_ratio"] == ratio
