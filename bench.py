@@ -301,6 +301,7 @@ BENCH_QUERIES_R5 = [
     "purchase_ipw_ate",
     "heldout_oov_rate",
     "corpus_datasheet",
+    "daily_value_its",
 ]
 
 

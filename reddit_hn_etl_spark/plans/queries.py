@@ -20151,6 +20151,143 @@ ORACLES["corpus_datasheet"] = ORACLES["corpus_datasheet"].format(
 
 
 # ---------------------------------------------------------------------------
+# Interrupted time series (segmented regression): the fourth member
+# of the causal family (DiD / CEM / IPW need a control group; ITS
+# needs only the series and a known break). Independent pre/post OLS
+# on (day index, daily cents): every moment is an exact BIGINT (day
+# indexes and cents are integers), each slope is ONE division of
+# exact integers, and the level/slope changes at the break are short
+# exact-IEEE chains — no grid needed anywhere.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "daily_value_its",
+    """
+    WITH daily AS (
+        SELECT CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS t,
+               CAST(ts AS DATE) >= DATE '2024-01-16' AS post,
+               SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                   AS cents
+        FROM events WHERE value IS NOT NULL
+        GROUP BY CAST(ts AS DATE)
+    ),
+    mom AS (
+        SELECT post, COUNT(*) AS n,
+               CAST(SUM(t) AS BIGINT) AS st,
+               CAST(SUM(t * t) AS BIGINT) AS stt,
+               CAST(SUM(cents) AS BIGINT) AS sy,
+               CAST(SUM(t * cents) AS BIGINT) AS sty
+        FROM daily GROUP BY post
+    ),
+    fit AS (
+        SELECT post, n,
+               CAST(n * sty - st * sy AS DOUBLE)
+                   / CAST(n * stt - st * st AS BIGINT) AS slope,
+               st, sy
+        FROM mom
+    ),
+    seg AS (
+        SELECT post, n, slope,
+               (CAST(sy AS DOUBLE) - slope * CAST(st AS DOUBLE))
+                   / CAST(n AS DOUBLE) AS icept
+        FROM fit
+    ),
+    p AS (
+        SELECT MAX(CASE WHEN NOT post THEN n END) AS n_pre,
+               MAX(CASE WHEN post THEN n END) AS n_post,
+               MAX(CASE WHEN NOT post THEN slope END) AS pre_slope,
+               MAX(CASE WHEN post THEN slope END) AS post_slope,
+               MAX(CASE WHEN NOT post THEN icept END) AS pre_icept,
+               MAX(CASE WHEN post THEN icept END) AS post_icept
+        FROM seg
+    )
+    SELECT CAST(n_pre AS INTEGER) AS n_pre,
+           CAST(n_post AS INTEGER) AS n_post,
+           pre_slope, post_slope,
+           post_slope - pre_slope AS slope_change,
+           (post_icept + post_slope * 15.0)
+               - (pre_icept + pre_slope * 15.0) AS level_change_at_break
+    FROM p
+    """,
+)
+def daily_value_its(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segmented regression around the Jan-16 break on the daily
+    cents series. One date-grain aggregation (the only corpus pass),
+    2-row integer moments, closed-form slopes/intercepts, and a
+    fixed-order 1-row pivot — the whole causal readout is constant
+    work after the rollup. The series is generated break-free, so
+    slope_change ≈ 0 is the correct null reading; the estimator's
+    moments are exact so the oracle pins every bit."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("value").isNotNull())
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(
+                (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+            ).alias("cents")
+        )
+        .select(
+            F.datediff(F.col("day"), F.lit("2024-01-01").cast("date"))
+            .cast("bigint")
+            .alias("t"),
+            (F.col("day") >= F.lit("2024-01-16").cast("date")).alias("post"),
+            "cents",
+        )
+    )
+    mom = daily.groupBy("post").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("t").cast("bigint").alias("st"),
+        F.sum(F.col("t") * F.col("t")).cast("bigint").alias("stt"),
+        F.sum("cents").cast("bigint").alias("sy"),
+        F.sum(F.col("t") * F.col("cents")).cast("bigint").alias("sty"),
+    )
+    fit = mom.select(
+        "post",
+        "n",
+        (
+            (F.col("n") * F.col("sty") - F.col("st") * F.col("sy")).cast(
+                "double"
+            )
+            / (F.col("n") * F.col("stt") - F.col("st") * F.col("st")).cast(
+                "bigint"
+            )
+        ).alias("slope"),
+        "st",
+        "sy",
+    )
+    seg = fit.select(
+        "post",
+        "n",
+        "slope",
+        (
+            (F.col("sy").cast("double") - F.col("slope") * F.col("st").cast("double"))
+            / F.col("n").cast("double")
+        ).alias("icept"),
+    )
+    p = seg.agg(
+        F.max(F.when(~F.col("post"), F.col("n"))).alias("n_pre"),
+        F.max(F.when(F.col("post"), F.col("n"))).alias("n_post"),
+        F.max(F.when(~F.col("post"), F.col("slope"))).alias("pre_slope"),
+        F.max(F.when(F.col("post"), F.col("slope"))).alias("post_slope"),
+        F.max(F.when(~F.col("post"), F.col("icept"))).alias("pre_icept"),
+        F.max(F.when(F.col("post"), F.col("icept"))).alias("post_icept"),
+    )
+    return p.select(
+        F.col("n_pre").cast("int").alias("n_pre"),
+        F.col("n_post").cast("int").alias("n_post"),
+        "pre_slope",
+        "post_slope",
+        (F.col("post_slope") - F.col("pre_slope")).alias("slope_change"),
+        (
+            (F.col("post_icept") + F.col("post_slope") * F.lit(15.0))
+            - (F.col("pre_icept") + F.col("pre_slope") * F.lit(15.0))
+        ).alias("level_change_at_break"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window.
 #
 # The driver hard-verifies (rows + schema + value hash vs the DuckDB
