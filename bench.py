@@ -302,6 +302,7 @@ BENCH_QUERIES_R5 = [
     "heldout_oov_rate",
     "corpus_datasheet",
     "daily_value_its",
+    "audio_fingerprint_match",
 ]
 
 

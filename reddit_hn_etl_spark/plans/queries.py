@@ -20288,6 +20288,182 @@ def daily_value_its(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Audio fingerprint matching (Wang 2003, "Shazam"): spectral-peak
+# landmark pairs hashed to (band₁, band₂, Δt) keys; a query snippet
+# matches the reference whose key join produces the most consistent
+# time OFFSET — the classic histogram-of-offsets vote, expressed
+# relationally (hash equality join + groupBy + argmax window). The
+# audio is REAL (stdlib WAV synth → the repo's STFT decode path);
+# ground truth is planted: query q replays 4 of the 8 tone segments
+# of reference (3q mod 20) starting at window 24, so the matcher's
+# verdicts are closed-form oracle material — the
+# audio_wav_metrics physics-verification discipline.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "audio_fingerprint_match",
+    """
+    SELECT CAST(100 + doc_id AS BIGINT) AS query_id,
+           CAST((doc_id * 3) % 20 AS BIGINT) AS matched_ref,
+           TRUE AS is_correct,
+           TRUE AS offset_ok,
+           TRUE AS vote_margin_ok
+    FROM documents WHERE doc_id < 8
+    """,
+)
+def audio_fingerprint_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20 reference clips (8 deterministic tone segments each) + 8
+    query snippets (segments 3-6 of their planted source). Peaks =
+    per-window argmax STFT band (16 bands); landmarks = (b_t, b_t+d,
+    d) for d ≤ 3; the match is the (query, ref, offset) vote argmax
+    with ≥2× margin over the best wrong-reference vote. A broken
+    hash, joint, or offset algebra flips a boolean and fails the
+    driver compare. Scale shape: synth+decode collapse inside one
+    mapInPandas (payloads never shuffle); landmarks are
+    windows×3 rows per clip; the match is a key-equality join —
+    catalog-sized, never all-pairs audio."""
+    from ..functions import multimodal as mm
+
+    docs = read_table(spark, sf_dir, "documents")
+
+    def seg_freqs(i: int) -> list[float]:
+        # band-centered tones (n_bands=32 -> 125 Hz bands): the peak
+        # band is exactly the planted index; the per-clip sequence is
+        # nonlinear in j so segment-transition pairs differ between
+        # clips (a linear ramp gives every clip the same pair deltas)
+        return [
+            (2 + ((i * 37 + j * j * 11 + j * 5) % 23) + 0.5) * 125.0
+            for j in range(8)
+        ]
+
+    base = docs.where(F.col("doc_id") < 20).select(
+        F.col("doc_id").cast("long").alias("media_id")
+    )
+    qbase = docs.where(F.col("doc_id") < 8).select(
+        (F.col("doc_id") + 100).cast("long").alias("media_id"),
+        ((F.col("doc_id") * 3) % 20).cast("long").alias("src"),
+    )
+
+    def synth_refs(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = [
+                (
+                    int(m),
+                    mm.synth_wav_segments(
+                        [(f, 8) for f in seg_freqs(int(m))],
+                        frame_samples=128,
+                    ),
+                )
+                for m in pdf["media_id"]
+            ]
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    def synth_queries(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = [
+                (
+                    int(m),
+                    mm.synth_wav_segments(
+                        [(f, 8) for f in seg_freqs(int(s))[3:7]],
+                        frame_samples=128,
+                    ),
+                )
+                for m, s in zip(pdf["media_id"], pdf["src"])
+            ]
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    schema = "media_id long, payload binary"
+    refs = base.mapInPandas(synth_refs, schema)
+    qrys = qbase.select("media_id", "src").mapInPandas(
+        synth_queries, schema
+    )
+    clips = refs.unionByName(qrys)
+    spec = mm.extract_wav_spectrograms(
+        clips, n_fft=256, hop=128, n_bands=32
+    )
+    pk = spec.select(
+        "media_id", F.posexplode("spectrogram").alias("t", "bands")
+    ).select(
+        "media_id",
+        "t",
+        (F.array_position(F.col("bands"), F.array_max("bands")) - 1)
+        .cast("int")
+        .alias("b"),
+    )
+    a = pk.select("media_id", F.col("t").alias("t1"), F.col("b").alias("b1"))
+    b = pk.select("media_id", F.col("t").alias("t2"), F.col("b").alias("b2"))
+    marks = (
+        a.join(b, "media_id")
+        .where(
+            (F.col("t2") > F.col("t1")) & (F.col("t2") <= F.col("t1") + 3)
+        )
+        .select(
+            "media_id",
+            "t1",
+            (
+                (F.col("b1") * 32 + F.col("b2")) * 4
+                + (F.col("t2") - F.col("t1") - 1)
+            ).alias("key"),
+        )
+        .localCheckpoint()
+    )
+    rh = marks.where(F.col("media_id") < 100).select(
+        F.col("media_id").alias("ref_id"),
+        F.col("t1").alias("tr"),
+        "key",
+    )
+    qh = marks.where(F.col("media_id") >= 100).select(
+        F.col("media_id").alias("query_id"),
+        F.col("t1").alias("tq"),
+        "key",
+    )
+    votes = (
+        qh.join(rh, "key")
+        .groupBy(
+            "query_id", "ref_id", (F.col("tr") - F.col("tq")).alias("off")
+        )
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    wbest = Window.partitionBy("query_id").orderBy(
+        F.desc("v"), F.asc("ref_id"), F.asc("off")
+    )
+    top = (
+        votes.withColumn("rn", F.row_number().over(wbest))
+        .where(F.col("rn") == 1)
+        .select("query_id", "ref_id", "off", "v")
+        .localCheckpoint()
+    )
+    wrong = (
+        votes.join(
+            top.select(
+                "query_id", F.col("ref_id").alias("top_ref")
+            ),
+            "query_id",
+        )
+        .where(F.col("ref_id") != F.col("top_ref"))
+        .groupBy("query_id")
+        .agg(F.max("v").alias("best_wrong"))
+    )
+    best = top.join(wrong, "query_id", "left").withColumn(
+        "best_wrong", F.coalesce("best_wrong", F.lit(0))
+    )
+    return best.select(
+        "query_id",
+        F.col("ref_id").alias("matched_ref"),
+        (F.col("ref_id") == (F.col("query_id") - 100) * 3 % 20).alias(
+            "is_correct"
+        ),
+        (F.abs(F.col("off") - 24) <= 1).alias("offset_ok"),
+        (F.col("v") >= 2 * F.col("best_wrong")).alias("vote_margin_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window.
 #
 # The driver hard-verifies (rows + schema + value hash vs the DuckDB
