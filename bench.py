@@ -303,6 +303,7 @@ BENCH_QUERIES_R5 = [
     "corpus_datasheet",
     "daily_value_its",
     "audio_fingerprint_match",
+    "brand_bradley_terry",
 ]
 
 
