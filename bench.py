@@ -304,6 +304,8 @@ BENCH_QUERIES_R5 = [
     "daily_value_its",
     "audio_fingerprint_match",
     "brand_bradley_terry",
+    "user_markov_surprisal",
+    "covariate_balance_smd",
 ]
 
 

@@ -20678,6 +20678,256 @@ def brand_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Per-user Markov sequence surprisal: fit the corpus-wide first-order
+# event-transition model (exact count ratios), then score every
+# user's journey by its average negative log-likelihood — the
+# standard anomalous-session detector (bots and broken clients walk
+# improbable paths). ln() terms are bit-equal on identical exact
+# ratios; each user's sum runs over 2^-30 fixed-point integers, so
+# the per-user aggregation is order-free in both engines.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "user_markov_surprisal",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type AS a,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS b
+        FROM events
+    ),
+    tr AS (SELECT user_id, a, b FROM seq WHERE b IS NOT NULL),
+    cnt AS (
+        SELECT a, b, COUNT(*) AS c_ab FROM tr GROUP BY a, b
+    ),
+    tot AS (SELECT a, SUM(c_ab) AS c_a FROM cnt GROUP BY a),
+    model AS (
+        SELECT cnt.a, cnt.b,
+               CAST(FLOOR(ln(CAST(c_ab AS DOUBLE) / c_a)
+                          * 1073741824.0 + 0.5) AS BIGINT) AS lp_fp
+        FROM cnt JOIN tot ON tot.a = cnt.a
+    ),
+    scored AS (
+        SELECT t.user_id, COUNT(*) AS n_trans,
+               CAST(SUM(m.lp_fp) AS BIGINT) AS lp_sum
+        FROM tr t JOIN model m ON m.a = t.a AND m.b = t.b
+        GROUP BY t.user_id
+    ),
+    r AS (
+        SELECT user_id, CAST(n_trans AS INTEGER) AS n_trans,
+               -(CAST(lp_sum AS DOUBLE) / 1073741824.0) / n_trans
+                   AS avg_surprisal,
+               ROW_NUMBER() OVER (
+                   ORDER BY -(CAST(lp_sum AS DOUBLE) / 1073741824.0)
+                            / n_trans DESC, user_id) AS rn
+        FROM scored WHERE n_trans >= 5
+    )
+    SELECT user_id, n_trans, avg_surprisal,
+           CAST(rn AS INTEGER) AS anomaly_rank
+    FROM r WHERE rn <= 20
+    """,
+)
+def user_markov_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most improbable user journeys under the corpus
+    transition model. One LEAD window per user (bounded history),
+    one |types|²-key model agg broadcast back onto the transitions,
+    per-user integer sums. Ranking compares fixed-point-derived
+    doubles (two exact divisions) with a user tie-break."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.col("event_type").alias("a"),
+        F.lead("event_type").over(w).alias("b"),
+    )
+    tr = seq.where(F.col("b").isNotNull())
+    cnt = tr.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    tot = cnt.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
+    model = cnt.join(tot, "a").select(
+        "a",
+        "b",
+        F.floor(
+            F.log(F.col("c_ab").cast("double") / F.col("c_a"))
+            * F.lit(1073741824.0)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("lp_fp"),
+    )
+    scored = (
+        tr.join(F.broadcast(model), ["a", "b"])
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trans"),
+            F.sum("lp_fp").cast("bigint").alias("lp_sum"),
+        )
+    )
+    surp = -(F.col("lp_sum").cast("double") / F.lit(1073741824.0)) / F.col(
+        "n_trans"
+    )
+    r = (
+        scored.where(F.col("n_trans") >= 5)
+        .select(
+            "user_id",
+            F.col("n_trans").cast("int").alias("n_trans"),
+            surp.alias("avg_surprisal"),
+        )
+        .withColumn(
+            "anomaly_rank",
+            F.row_number()
+            .over(Window.orderBy(F.desc("avg_surprisal"), F.asc("user_id")))
+            .cast("int"),
+        )
+    )
+    return r.where(F.col("anomaly_rank") <= 20)
+
+
+# ---------------------------------------------------------------------------
+# Covariate-balance diagnostics (standardized mean differences): the
+# table every observational-causal analysis prints BEFORE trusting
+# DiD/CEM/IPW — |SMD| ≤ 0.1 is the conventional balance bar. The
+# assignment here is random by design, so a +5 confound is planted
+# into one covariate as a detector canary (the KS-canary
+# discipline): the flag must fire for exactly that row at every SF.
+# All moments are exact integers; SMD is one IEEE chain.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "covariate_balance_smd",
+    """
+    WITH e AS (
+        SELECT user_id % 2 = 0 AS treated,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+               CAST(dayofweek(ts) AS BIGINT) AS dow,
+               CAST(hour(ts) AS BIGINT) AS hr
+        FROM events WHERE value IS NOT NULL
+    ),
+    x AS (
+        SELECT treated, cents AS v, 'value_cents' AS covariate FROM e
+        UNION ALL
+        SELECT treated, dow, 'day_of_week' FROM e
+        UNION ALL
+        SELECT treated, hr, 'hour_of_day' FROM e
+        UNION ALL
+        SELECT treated,
+               cents + (CASE WHEN treated THEN 2000 ELSE 0 END),
+               'value_with_confound'
+        FROM e
+    ),
+    m AS (
+        SELECT covariate,
+               COUNT(*) FILTER (WHERE treated) AS nt,
+               SUM(v) FILTER (WHERE treated) AS st,
+               SUM(v * v) FILTER (WHERE treated) AS qt,
+               COUNT(*) FILTER (WHERE NOT treated) AS nc,
+               SUM(v) FILTER (WHERE NOT treated) AS sc,
+               SUM(v * v) FILTER (WHERE NOT treated) AS qc
+        FROM x GROUP BY covariate
+    ),
+    d AS (
+        SELECT covariate,
+               CAST(st AS DOUBLE) / nt AS mean_t,
+               CAST(sc AS DOUBLE) / nc AS mean_c,
+               (CAST(qt AS DOUBLE) - CAST(st AS DOUBLE) * st / nt) / nt
+                   AS var_t,
+               (CAST(qc AS DOUBLE) - CAST(sc AS DOUBLE) * sc / nc) / nc
+                   AS var_c
+        FROM m
+    ),
+    s AS (
+        SELECT covariate, mean_t, mean_c,
+               (mean_t - mean_c) / sqrt((var_t + var_c) / 2.0) AS smd
+        FROM d
+    )
+    SELECT covariate, mean_t, mean_c, smd,
+           abs(smd) <= CAST(0.1 AS DOUBLE) AS balanced
+    FROM s
+    """,
+)
+def covariate_balance_smd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SMD balance table for the causal family's parity assignment
+    over three real covariates plus the planted-confound canary.
+    One union-projection scan, one 4-key conditional aggregation,
+    scalar IEEE math on 4 rows. The canary row must read
+    balanced = false; the real rows must read true."""
+    ev = read_table(spark, sf_dir, "events")
+    e = ev.where(F.col("value").isNotNull()).select(
+        (F.col("user_id") % 2 == 0).alias("treated"),
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        (F.dayofweek("ts") - 1).cast("bigint").alias("dow"),
+        F.hour("ts").cast("bigint").alias("hr"),
+    )
+    parts = [
+        e.select("treated", F.col("cents").alias("v"),
+                 F.lit("value_cents").alias("covariate")),
+        e.select("treated", F.col("dow").alias("v"),
+                 F.lit("day_of_week").alias("covariate")),
+        e.select("treated", F.col("hr").alias("v"),
+                 F.lit("hour_of_day").alias("covariate")),
+        e.select(
+            "treated",
+            (
+                F.col("cents")
+                + F.when(F.col("treated"), F.lit(2000)).otherwise(F.lit(0))
+            ).alias("v"),
+            F.lit("value_with_confound").alias("covariate"),
+        ),
+    ]
+    x = parts[0]
+    for p in parts[1:]:
+        x = x.unionByName(p)
+    m = x.groupBy("covariate").agg(
+        F.count(F.when(F.col("treated"), F.lit(1))).alias("nt"),
+        F.sum(F.when(F.col("treated"), F.col("v"))).alias("st"),
+        F.sum(F.when(F.col("treated"), F.col("v") * F.col("v"))).alias("qt"),
+        F.count(F.when(~F.col("treated"), F.lit(1))).alias("nc"),
+        F.sum(F.when(~F.col("treated"), F.col("v"))).alias("sc"),
+        F.sum(F.when(~F.col("treated"), F.col("v") * F.col("v"))).alias(
+            "qc"
+        ),
+    )
+    d = m.select(
+        "covariate",
+        (F.col("st").cast("double") / F.col("nt")).alias("mean_t"),
+        (F.col("sc").cast("double") / F.col("nc")).alias("mean_c"),
+        (
+            (
+                F.col("qt").cast("double")
+                - F.col("st").cast("double") * F.col("st") / F.col("nt")
+            )
+            / F.col("nt")
+        ).alias("var_t"),
+        (
+            (
+                F.col("qc").cast("double")
+                - F.col("sc").cast("double") * F.col("sc") / F.col("nc")
+            )
+            / F.col("nc")
+        ).alias("var_c"),
+    )
+    s = d.select(
+        "covariate",
+        "mean_t",
+        "mean_c",
+        (
+            (F.col("mean_t") - F.col("mean_c"))
+            / F.sqrt((F.col("var_t") + F.col("var_c")) / F.lit(2.0))
+        ).alias("smd"),
+    )
+    return s.select(
+        "covariate",
+        "mean_t",
+        "mean_c",
+        "smd",
+        (F.abs(F.col("smd")) <= F.lit(0.1)).alias("balanced"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window.
 #
 # The driver hard-verifies (rows + schema + value hash vs the DuckDB
