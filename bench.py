@@ -306,6 +306,8 @@ BENCH_QUERIES_R5 = [
     "brand_bradley_terry",
     "user_markov_surprisal",
     "covariate_balance_smd",
+    "term_burstiness",
+    "source_loo_impact",
 ]
 
 

@@ -20928,6 +20928,220 @@ def covariate_balance_smd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Term burstiness (Church & Gale): the variance-to-mean ratio of
+# per-document term frequency separates content words (bursty —
+# absent mostly, heavy where topical) from function words (Poisson-
+# like). The dispersion index uses exact integer moments over ALL
+# docs (including zero-tf ones — algebraically, via the corpus doc
+# count, without materializing zeros).
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "term_burstiness",
+    r"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                           x -> x <> '') AS w
+        FROM documents
+    ),
+    nd AS (SELECT COUNT(*) AS n_docs FROM t),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS f FROM (
+            SELECT doc_id, unnest(w) AS term FROM t) GROUP BY doc_id, term
+    ),
+    m AS (
+        SELECT term, COUNT(*) AS df,
+               CAST(SUM(f) AS BIGINT) AS sf,
+               CAST(SUM(f * f) AS BIGINT) AS sff
+        FROM tf GROUP BY term
+    ),
+    d AS (
+        SELECT term, df, sf, sff, nd.n_docs,
+               CAST(sf AS DOUBLE) / nd.n_docs AS mean_tf,
+               (CAST(sff AS DOUBLE)
+                - CAST(sf AS DOUBLE) * sf / nd.n_docs) / nd.n_docs
+                   AS var_tf
+        FROM m, nd
+    )
+    SELECT term, CAST(df AS INTEGER) AS doc_freq,
+           CAST(sf AS BIGINT) AS total_tf,
+           mean_tf,
+           var_tf / mean_tf AS dispersion,
+           var_tf / mean_tf > CAST(1.5 AS DOUBLE) AS bursty
+    FROM d
+    """,
+)
+def term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dispersion index per vocabulary term. Zero-tf documents enter
+    the moments through n_docs alone (Σf and Σf² are unchanged by
+    zeros), so the stats are exact without a dense doc×term frame —
+    the sparsity trick that keeps this one explode + one term-keyed
+    agg at any corpus size. The 31-term shared vocabulary makes the
+    whole report vocabulary-sized."""
+    docs = read_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", dedup.tokens("text").alias("w"))
+    nd = t.agg(F.count(F.lit(1)).alias("n_docs"))
+    tf = (
+        t.select("doc_id", F.explode("w").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    m = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("f").cast("bigint").alias("sf"),
+        F.sum(F.col("f") * F.col("f")).cast("bigint").alias("sff"),
+    )
+    d = m.crossJoin(F.broadcast(nd)).select(
+        "term",
+        "df",
+        "sf",
+        (F.col("sf").cast("double") / F.col("n_docs")).alias("mean_tf"),
+        (
+            (
+                F.col("sff").cast("double")
+                - F.col("sf").cast("double") * F.col("sf") / F.col("n_docs")
+            )
+            / F.col("n_docs")
+        ).alias("var_tf"),
+    )
+    return d.select(
+        "term",
+        F.col("df").cast("int").alias("doc_freq"),
+        F.col("sf").alias("total_tf"),
+        "mean_tf",
+        (F.col("var_tf") / F.col("mean_tf")).alias("dispersion"),
+        (F.col("var_tf") / F.col("mean_tf") > F.lit(1.5)).alias("bursty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Leave-one-source-out impact: for each source, what happens to the
+# corpus quality mean and the near-dup surface if that source is
+# dropped — the curation decision table behind source re-weighting
+# and de-licensing. Additive metrics make LOO pure algebra over
+# per-source aggregates (no per-source recomputation passes): the
+# quality delta comes from subtracting the source's fixed-point
+# quality sum; the pair delta counts pairs TOUCHING the source.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "source_loo_impact",
+    f"""
+    WITH q AS ({{doc_quality}}),
+    dq AS (
+        SELECT d.source,
+               CAST(FLOOR(q.quality_score * 10000.0 + 0.5) AS BIGINT)
+                   AS q_fp
+        FROM documents d JOIN q ON q.doc_id = d.doc_id
+    ),
+    per_src AS (
+        SELECT source, COUNT(*) AS n, CAST(SUM(q_fp) AS BIGINT) AS sq
+        FROM dq GROUP BY source
+    ),
+    tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS n_all,
+               CAST(SUM(sq) AS BIGINT) AS sq_all
+        FROM per_src
+    ),
+    pairs AS MATERIALIZED ({{true_pairs}}),
+    lab AS (
+        SELECT da.source AS sa, db.source AS sb
+        FROM pairs p
+        JOIN documents da ON da.doc_id = p.doc_a
+        JOIN documents db ON db.doc_id = p.doc_b
+    ),
+    touch AS (
+        SELECT source, COUNT(*) AS p_touch FROM (
+            SELECT sa AS source FROM lab
+            UNION ALL
+            SELECT sb FROM lab WHERE sb <> sa
+        ) GROUP BY source
+    )
+    SELECT s.source,
+           CAST(s.n AS INTEGER) AS n_docs,
+           CAST(s.sq AS DOUBLE) / s.n / 10000.0 AS src_quality,
+           CAST(t.sq_all - s.sq AS DOUBLE) / (t.n_all - s.n) / 10000.0
+               - CAST(t.sq_all AS DOUBLE) / t.n_all / 10000.0
+               AS loo_quality_delta,
+           CAST(COALESCE(tc.p_touch, 0) AS BIGINT) AS near_dup_pairs_removed,
+           CAST(t.sq_all - s.sq AS DOUBLE) / (t.n_all - s.n) / 10000.0
+               > CAST(t.sq_all AS DOUBLE) / t.n_all / 10000.0
+               AS drop_improves_quality
+    FROM per_src s
+    LEFT JOIN touch tc ON tc.source = s.source, tot t
+    """,
+)
+def source_loo_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source leave-one-out table: source quality, the corpus
+    quality delta if the source is dropped (exact fixed-point sums —
+    no re-scan per source), near-dup pairs that would vanish, and
+    the drop-improves flag. LOO over S sources costs ONE quality
+    pass + ONE pair surface, not S of either."""
+    docs = read_table(spark, sf_dir, "documents")
+    q = textfn.quality_features(docs, "doc_id", "text").select(
+        "doc_id",
+        F.floor(F.col("quality_score") * F.lit(10000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("q_fp"),
+    )
+    dq = docs.select("doc_id", "source").join(q, "doc_id")
+    per_src = dq.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q_fp").cast("bigint").alias("sq"),
+    )
+    tot = per_src.agg(
+        F.sum("n").cast("bigint").alias("n_all"),
+        F.sum("sq").cast("bigint").alias("sq_all"),
+    )
+    pairs = dedup.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    da = docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    db = docs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    lab = pairs.join(da, "doc_a").join(db, "doc_b").localCheckpoint()
+    touch = (
+        lab.select(F.col("sa").alias("source"))
+        .unionByName(
+            lab.where(F.col("sb") != F.col("sa")).select(
+                F.col("sb").alias("source")
+            )
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("p_touch"))
+    )
+    mean_all = (
+        F.col("sq_all").cast("double") / F.col("n_all") / F.lit(10000.0)
+    )
+    mean_loo = (
+        (F.col("sq_all") - F.col("sq")).cast("double")
+        / (F.col("n_all") - F.col("n"))
+        / F.lit(10000.0)
+    )
+    return (
+        per_src.join(touch, "source", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("n").cast("int").alias("n_docs"),
+            (
+                F.col("sq").cast("double") / F.col("n") / F.lit(10000.0)
+            ).alias("src_quality"),
+            (mean_loo - mean_all).alias("loo_quality_delta"),
+            F.coalesce(F.col("p_touch"), F.lit(0))
+            .cast("bigint")
+            .alias("near_dup_pairs_removed"),
+            (mean_loo > mean_all).alias("drop_improves_quality"),
+        )
+    )
+
+
+ORACLES["source_loo_impact"] = ORACLES["source_loo_impact"].format(
+    doc_quality=ORACLES["doc_quality"], true_pairs=_TRUE_PAIRS_3G_05
+)
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window.
 #
 # The driver hard-verifies (rows + schema + value hash vs the DuckDB
