@@ -20969,7 +20969,7 @@ def covariate_balance_smd(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sf AS BIGINT) AS total_tf,
            mean_tf,
            var_tf / mean_tf AS dispersion,
-           var_tf / mean_tf > CAST(1.5 AS DOUBLE) AS bursty
+           var_tf / mean_tf > CAST(1.25 AS DOUBLE) AS bursty
     FROM d
     """,
 )
@@ -21012,7 +21012,7 @@ def term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sf").alias("total_tf"),
         "mean_tf",
         (F.col("var_tf") / F.col("mean_tf")).alias("dispersion"),
-        (F.col("var_tf") / F.col("mean_tf") > F.lit(1.5)).alias("bursty"),
+        (F.col("var_tf") / F.col("mean_tf") > F.lit(1.25)).alias("bursty"),
     )
 
 
