@@ -308,6 +308,7 @@ BENCH_QUERIES_R5 = [
     "covariate_balance_smd",
     "term_burstiness",
     "source_loo_impact",
+    "signup_purchase_logrank",
 ]
 
 

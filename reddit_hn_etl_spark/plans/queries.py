@@ -21142,6 +21142,240 @@ ORACLES["source_loo_impact"] = ORACLES["source_loo_impact"].format(
 
 
 # ---------------------------------------------------------------------------
+# Log-rank test (Mantel-Cox): the standard two-arm survival
+# comparison, completing the KM family — O−E and variance terms per
+# event day from exact integer risk sets, each term snapped to the
+# 2^-30 grid so the across-days sums are order-free integers. The
+# generator has no arm effect, so a 5-day conversion delay is
+# planted into the treated arm (the KS-canary discipline): the
+# decision must fire at every SF (probed z: −4.0 / −10.6 / −30.6).
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "signup_purchase_logrank",
+    """
+    WITH s AS (
+        SELECT user_id, MIN(ts) AS t0 FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    p AS (
+        SELECT s.user_id, MIN(e.ts) AS tp
+        FROM s JOIN events e
+          ON e.user_id = s.user_id AND e.event_type = 'purchase'
+         AND e.ts >= s.t0 + (CASE WHEN s.user_id % 2 = 0
+                                  THEN INTERVAL 5 DAY
+                                  ELSE INTERVAL 0 DAY END)
+        GROUP BY s.user_id
+    ),
+    h AS (SELECT MAX(ts) AS horizon FROM events),
+    dur AS (
+        SELECT s.user_id % 2 = 0 AS arm1,
+               CASE WHEN p.tp IS NOT NULL
+                    THEN date_diff('day', CAST(s.t0 AS DATE),
+                                   CAST(p.tp AS DATE))
+                    ELSE date_diff('day', CAST(s.t0 AS DATE),
+                                   CAST(h.horizon AS DATE)) END AS d,
+               p.tp IS NOT NULL AS obs
+        FROM s LEFT JOIN p USING (user_id) CROSS JOIN h
+    ),
+    cnt AS (
+        SELECT arm1, d, COUNT(*) AS n_all, count_if(obs) AS n_obs
+        FROM dur GROUP BY arm1, d
+    ),
+    alldays AS (SELECT DISTINCT d FROM cnt),
+    arms AS (SELECT DISTINCT arm1 FROM cnt),
+    grid AS (
+        SELECT a.d, b.arm1,
+               COALESCE(c.n_all, 0) AS n_all,
+               COALESCE(c.n_obs, 0) AS n_obs
+        FROM alldays a CROSS JOIN arms b
+        LEFT JOIN cnt c ON c.d = a.d AND c.arm1 = b.arm1
+    ),
+    risk AS (
+        SELECT d, arm1, n_obs,
+               SUM(n_all) OVER (PARTITION BY arm1)
+               - (SUM(n_all) OVER (PARTITION BY arm1 ORDER BY d
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND CURRENT ROW) - n_all)
+                   AS n_risk
+        FROM grid
+    ),
+    byday AS (
+        SELECT d,
+               CAST(MAX(CASE WHEN arm1 THEN n_risk END) AS BIGINT) AS n1,
+               CAST(MAX(CASE WHEN arm1 THEN n_obs END) AS BIGINT) AS d1,
+               CAST(SUM(n_risk) AS BIGINT) AS n,
+               CAST(SUM(n_obs) AS BIGINT) AS dd
+        FROM risk GROUP BY d
+    ),
+    terms AS (
+        SELECT d1,
+               CAST(FLOOR(CAST(dd AS DOUBLE) * n1 / n
+                          * 1073741824.0 + 0.5) AS BIGINT) AS e_fp,
+               CAST(FLOOR(CAST(dd AS DOUBLE) * n1 / n
+                          * (1.0 - CAST(n1 AS DOUBLE) / n)
+                          * (n - dd) / (n - 1)
+                          * 1073741824.0 + 0.5) AS BIGINT) AS v_fp
+        FROM byday WHERE dd > 0 AND n >= 2
+    ),
+    agg AS (
+        SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+               CAST(SUM(e_fp) AS BIGINT) AS e1_fp,
+               CAST(SUM(v_fp) AS BIGINT) AS v_fp
+        FROM terms
+    ),
+    narm AS (
+        SELECT count_if(arm1) AS n_treated,
+               count_if(NOT arm1) AS n_control
+        FROM dur
+    )
+    SELECT CAST(narm.n_treated AS INTEGER) AS n_treated,
+           CAST(narm.n_control AS INTEGER) AS n_control,
+           agg.o1 AS observed_treated,
+           CAST(agg.e1_fp AS DOUBLE) / 1073741824.0 AS expected_treated,
+           (CAST(agg.o1 AS DOUBLE)
+            - CAST(agg.e1_fp AS DOUBLE) / 1073741824.0)
+               / sqrt(CAST(agg.v_fp AS DOUBLE) / 1073741824.0) AS z,
+           abs((CAST(agg.o1 AS DOUBLE)
+                - CAST(agg.e1_fp AS DOUBLE) / 1073741824.0)
+               / sqrt(CAST(agg.v_fp AS DOUBLE) / 1073741824.0))
+               > CAST(1.96 AS DOUBLE) AS arms_differ
+    FROM agg, narm
+    """,
+)
+def signup_purchase_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mantel-Cox log-rank between the parity arms on signup→purchase
+    time (treated conversions delayed 5 days as the planted effect).
+    Corpus cost = the same duration construction as the KM curve;
+    risk sets come from per-arm cumulative windows over day-grain
+    counts; every cross-day reduction is an exact integer sum."""
+    ev = read_table(spark, sf_dir, "events")
+    s = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    delay = F.when(
+        F.col("user_id") % 2 == 0, F.expr("INTERVAL 5 DAYS")
+    ).otherwise(F.expr("INTERVAL 0 DAYS"))
+    p = (
+        s.join(
+            ev.where(F.col("event_type") == "purchase").select(
+                "user_id", F.col("ts").alias("pts")
+            ),
+            "user_id",
+        )
+        .where(F.col("pts") >= F.col("t0") + delay)
+        .groupBy("user_id")
+        .agg(F.min("pts").alias("tp"))
+    )
+    h = ev.agg(F.max("ts").alias("horizon"))
+    dur = (
+        s.join(p, "user_id", "left")
+        .crossJoin(F.broadcast(h))
+        .select(
+            (F.col("user_id") % 2 == 0).alias("arm1"),
+            F.when(
+                F.col("tp").isNotNull(),
+                F.datediff(F.col("tp").cast("date"), F.col("t0").cast("date")),
+            )
+            .otherwise(
+                F.datediff(
+                    F.col("horizon").cast("date"), F.col("t0").cast("date")
+                )
+            )
+            .alias("d"),
+            F.col("tp").isNotNull().alias("obs"),
+        )
+    )
+    cnt = dur.groupBy("arm1", "d").agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.count(F.when(F.col("obs"), F.lit(1))).alias("n_obs"),
+    ).localCheckpoint()
+    alldays = cnt.select("d").distinct()
+    arms = cnt.select("arm1").distinct()
+    grid = (
+        alldays.crossJoin(arms)
+        .join(cnt, ["d", "arm1"], "left")
+        .select(
+            "d",
+            "arm1",
+            F.coalesce("n_all", F.lit(0)).alias("n_all"),
+            F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
+        )
+    )
+    warm = Window.partitionBy("arm1")
+    wcum = (
+        Window.partitionBy("arm1")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    risk = grid.select(
+        "d",
+        "arm1",
+        "n_obs",
+        (
+            F.sum("n_all").over(warm)
+            - (F.sum("n_all").over(wcum) - F.col("n_all"))
+        ).alias("n_risk"),
+    )
+    byday = risk.groupBy("d").agg(
+        F.max(F.when(F.col("arm1"), F.col("n_risk")))
+        .cast("bigint")
+        .alias("n1"),
+        F.max(F.when(F.col("arm1"), F.col("n_obs")))
+        .cast("bigint")
+        .alias("d1"),
+        F.sum("n_risk").cast("bigint").alias("n"),
+        F.sum("n_obs").cast("bigint").alias("dd"),
+    )
+    terms = byday.where((F.col("dd") > 0) & (F.col("n") >= 2)).select(
+        "d1",
+        F.floor(
+            F.col("dd").cast("double") * F.col("n1") / F.col("n")
+            * F.lit(1073741824.0)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("e_fp"),
+        F.floor(
+            F.col("dd").cast("double") * F.col("n1") / F.col("n")
+            * (F.lit(1.0) - F.col("n1").cast("double") / F.col("n"))
+            * (F.col("n") - F.col("dd"))
+            / (F.col("n") - 1)
+            * F.lit(1073741824.0)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("v_fp"),
+    )
+    agg = terms.agg(
+        F.sum("d1").cast("bigint").alias("o1"),
+        F.sum("e_fp").cast("bigint").alias("e1_fp"),
+        F.sum("v_fp").cast("bigint").alias("v_fp"),
+    )
+    narm = dur.agg(
+        F.count(F.when(F.col("arm1"), F.lit(1))).alias("n_treated"),
+        F.count(F.when(~F.col("arm1"), F.lit(1))).alias("n_control"),
+    )
+    zc = (
+        F.col("o1").cast("double")
+        - F.col("e1_fp").cast("double") / F.lit(1073741824.0)
+    ) / F.sqrt(F.col("v_fp").cast("double") / F.lit(1073741824.0))
+    return agg.crossJoin(narm).select(
+        F.col("n_treated").cast("int").alias("n_treated"),
+        F.col("n_control").cast("int").alias("n_control"),
+        F.col("o1").alias("observed_treated"),
+        (F.col("e1_fp").cast("double") / F.lit(1073741824.0)).alias(
+            "expected_treated"
+        ),
+        zc.alias("z"),
+        (F.abs(zc) > F.lit(1.96)).alias("arms_differ"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window.
 #
 # The driver hard-verifies (rows + schema + value hash vs the DuckDB
