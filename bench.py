@@ -309,6 +309,7 @@ BENCH_QUERIES_R5 = [
     "term_burstiness",
     "source_loo_impact",
     "signup_purchase_logrank",
+    "value_qte",
 ]
 
 

@@ -21376,6 +21376,98 @@ def signup_purchase_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Quantile treatment effects: the distributional complement of the
+# causal family's mean estimators (an effect on the tail is
+# invisible to an ATE). Per-arm exact interpolated quantiles of
+# cents at p ∈ {.25, .5, .75}; QTE(p) = q_t(p) − q_c(p). A +$15
+# shift is planted into the treated arm's purchase values (the
+# family's standard canary) — the median-effect flag must fire for
+# exactly that type at every SF.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "value_qte",
+    """
+    WITH e AS (
+        SELECT event_type,
+               user_id % 2 = 0 AS treated,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   + (CASE WHEN event_type = 'purchase'
+                            AND user_id % 2 = 0
+                           THEN 1500 ELSE 0 END) AS cents
+        FROM events WHERE value IS NOT NULL
+    ),
+    q AS (
+        SELECT event_type,
+               COUNT(*) FILTER (WHERE treated) AS n_t,
+               COUNT(*) FILTER (WHERE NOT treated) AS n_c,
+               quantile_cont(cents, 0.25) FILTER (WHERE treated) AS qt25,
+               quantile_cont(cents, 0.50) FILTER (WHERE treated) AS qt50,
+               quantile_cont(cents, 0.75) FILTER (WHERE treated) AS qt75,
+               quantile_cont(cents, 0.25) FILTER (WHERE NOT treated)
+                   AS qc25,
+               quantile_cont(cents, 0.50) FILTER (WHERE NOT treated)
+                   AS qc50,
+               quantile_cont(cents, 0.75) FILTER (WHERE NOT treated)
+                   AS qc75
+        FROM e GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n_t AS INTEGER) AS n_treated,
+           CAST(n_c AS INTEGER) AS n_control,
+           qt25 - qc25 AS qte_p25,
+           qt50 - qc50 AS qte_p50,
+           qt75 - qc75 AS qte_p75,
+           abs(qt50 - qc50) > CAST(500.0 AS DOUBLE) AS median_effect
+    FROM q
+    """,
+)
+def value_qte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type quantile treatment effects on exact cents
+    (interpolated order statistics — sort-within-group, the
+    order_value_percentiles discipline). One aggregation computes
+    all six per-arm quantiles; at 100 TB the per-group exact sort
+    holds because groups partition the data (global QTE switches to
+    the mergeable quantile summary)."""
+    ev = read_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast(
+        "bigint"
+    ) + F.when(
+        (F.col("event_type") == "purchase") & (F.col("user_id") % 2 == 0),
+        F.lit(1500),
+    ).otherwise(F.lit(0))
+    e = ev.where(F.col("value").isNotNull()).select(
+        "event_type",
+        (F.col("user_id") % 2 == 0).alias("treated"),
+        cents.alias("cents"),
+    )
+    tcents = F.when(F.col("treated"), F.col("cents"))
+    ccents = F.when(~F.col("treated"), F.col("cents"))
+    q = e.groupBy("event_type").agg(
+        F.count(tcents).alias("n_t"),
+        F.count(ccents).alias("n_c"),
+        F.percentile(tcents, F.lit(0.25)).alias("qt25"),
+        F.percentile(tcents, F.lit(0.50)).alias("qt50"),
+        F.percentile(tcents, F.lit(0.75)).alias("qt75"),
+        F.percentile(ccents, F.lit(0.25)).alias("qc25"),
+        F.percentile(ccents, F.lit(0.50)).alias("qc50"),
+        F.percentile(ccents, F.lit(0.75)).alias("qc75"),
+    )
+    return q.select(
+        "event_type",
+        F.col("n_t").cast("int").alias("n_treated"),
+        F.col("n_c").cast("int").alias("n_control"),
+        (F.col("qt25") - F.col("qc25")).alias("qte_p25"),
+        (F.col("qt50") - F.col("qc50")).alias("qte_p50"),
+        (F.col("qt75") - F.col("qc75")).alias("qte_p75"),
+        (F.abs(F.col("qt50") - F.col("qc50")) > F.lit(500.0)).alias(
+            "median_effect"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window.
 #
 # The driver hard-verifies (rows + schema + value hash vs the DuckDB
