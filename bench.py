@@ -310,6 +310,7 @@ BENCH_QUERIES_R5 = [
     "source_loo_impact",
     "signup_purchase_logrank",
     "value_qte",
+    "corpus_textrank_keywords",
 ]
 
 

@@ -21468,6 +21468,102 @@ def value_qte(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over
+# the word co-occurrence (adjacency) graph — the unsupervised
+# keyword/keyphrase baseline. Reuses graph.pagerank verbatim on a
+# vocabulary-sized graph; the corpus pass is one bigram explode.
+# Same 3-round/damping-7/8 unrolled-oracle discipline as
+# brand_copurchase_pagerank.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "corpus_textrank_keywords",
+    r"""
+    WITH t AS (
+        SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                           x -> x <> '') AS w
+        FROM documents
+    ),
+    bg AS (
+        SELECT unnest(list_transform(w[1:len(w) - 1],
+               (x, i) -> x || ' ' || w[i + 1])) AS g
+        FROM t
+    ),
+    p0 AS (
+        SELECT string_split(g, ' ')[1] AS a,
+               string_split(g, ' ')[2] AS b
+        FROM bg
+    ),
+    pairs AS (
+        SELECT least(a, b) AS s, greatest(a, b) AS t, COUNT(*) AS w
+        FROM p0 WHERE a <> b GROUP BY least(a, b), greatest(a, b)
+    ),
+    e0 AS (SELECT s, t, w FROM pairs
+           UNION ALL SELECT t AS s, s AS t, w FROM pairs),
+    e AS (SELECT s, t, SUM(w) AS w FROM e0 GROUP BY s, t),
+    deg AS (SELECT s AS v, SUM(w) AS d FROM e GROUP BY s),
+    nt AS (SELECT COUNT(*) AS n FROM deg),
+    r0 AS (SELECT v, 1.0 / nt.n AS r FROM deg, nt),
+    i1 AS (SELECT e.t AS v, SUM(r.r * e.w / d.d) AS sc
+           FROM e JOIN r0 r ON r.v = e.s JOIN deg d ON d.v = e.s
+           GROUP BY e.t),
+    r1 AS (SELECT deg.v, 0.125 / nt.n + 0.875 * COALESCE(i1.sc, 0.0) AS r
+           FROM deg LEFT JOIN i1 ON deg.v = i1.v, nt),
+    i2 AS (SELECT e.t AS v, SUM(r.r * e.w / d.d) AS sc
+           FROM e JOIN r1 r ON r.v = e.s JOIN deg d ON d.v = e.s
+           GROUP BY e.t),
+    r2 AS (SELECT deg.v, 0.125 / nt.n + 0.875 * COALESCE(i2.sc, 0.0) AS r
+           FROM deg LEFT JOIN i2 ON deg.v = i2.v, nt),
+    i3 AS (SELECT e.t AS v, SUM(r.r * e.w / d.d) AS sc
+           FROM e JOIN r2 r ON r.v = e.s JOIN deg d ON d.v = e.s
+           GROUP BY e.t),
+    r3 AS (SELECT deg.v, 0.125 / nt.n + 0.875 * COALESCE(i3.sc, 0.0) AS r
+           FROM deg LEFT JOIN i3 ON deg.v = i3.v, nt)
+    SELECT term, textrank, CAST(rn AS INTEGER) AS rnk FROM (
+        SELECT v AS term, ROUND(r, 12) AS textrank,
+               ROW_NUMBER() OVER (ORDER BY ROUND(r, 12) DESC, v) AS rn
+        FROM r3) z
+    WHERE rn <= 15
+    """,
+)
+def corpus_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 TextRank keywords of the corpus. Adjacency edges from
+    one zip_with bigram explode (codegen path), PageRank via
+    graph.pagerank (per-round join+agg on the vocabulary-sized
+    graph, exact-integer weights/strengths per contribution), ranks
+    on the shared 1e-12 grid with a term tie-break."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(dedup.tokens("text").alias("w"))
+    bg = toks.select(
+        F.explode(dedup.ngram_array(F.col("w"), 2)).alias("g")
+    ).select(
+        F.split(F.col("g"), " ").getItem(0).alias("a"),
+        F.split(F.col("g"), " ").getItem(1).alias("b"),
+    )
+    pairs = (
+        bg.where(F.col("a") != F.col("b"))
+        .groupBy(
+            F.least("a", "b").alias("s"), F.greatest("a", "b").alias("t")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    pr = graph.pagerank(
+        pairs, src="s", dst="t", weight_col="w", n_iter=3, damping=0.875
+    )
+    ranked = pr.select(
+        F.col("vertex").alias("term"),
+        F.round("pagerank", 12).alias("textrank"),
+    ).withColumn(
+        "rnk",
+        F.row_number()
+        .over(Window.orderBy(F.desc("textrank"), F.asc("term")))
+        .cast("int"),
+    )
+    return ranked.where(F.col("rnk") <= 15)
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window.
 #
 # The driver hard-verifies (rows + schema + value hash vs the DuckDB
