@@ -86,6 +86,29 @@ PROBES = [
     # customer_nearest_supplier_geo EXCLUDED like the pair queries:
     # replicated keys hash to k× denser cells, so candidates/cell
     # grow by construction, not by plan defect. Measure across SFs.
+    # r5 continuation additions (statistics / corpus-science block)
+    "value_ks_test",            # events: distinct-value agg + cum windows
+    "value_mannwhitney_test",   # events: same state, midrank algebra
+    "purchase_cem_att",         # events: one conditional agg to strata
+    "purchase_ipw_ate",         # events: same shape, Hajek weights
+    "daily_value_its",          # events: date rollup + 2-row OLS
+    "signup_purchase_logrank",  # events: KM durations + day windows
+    "value_qte",                # events: per-arm group quantiles
+    "covariate_balance_smd",    # events: union projection + 4-key agg
+    "user_markov_surprisal",    # events: LEAD window + model broadcast
+    "uplift_qini_deciles",      # events: per-user agg + global_ntile
+    "corpus_heaps_fit",         # documents: prefix sums + int moments
+    "term_burstiness",          # documents: explode + term-keyed moments
+    "heldout_oov_rate",         # documents: trigram split-vocab join
+    "corpus_textrank_keywords", # documents: bigram graph + pagerank
+    "lang_id_kappa",            # documents: confusion agg + exact kappa
+    "embedding_isotropy_audit", # embeddings: posexplode + dim-keyed agg
+    "cluster_label_purity",     # embeddings: assignment + cell windows
+    # knn_shapley / knn_label_diagnostics / mmr / source_overlap /
+    # source_loo EXCLUDED like the other pair-surface queries:
+    # replicated embeddings are exact twins and salted text keeps
+    # jaccard pairs linear but the probes' interest is the new
+    # statistic algebra, already covered by the singles above.
 ]
 
 
