@@ -311,6 +311,7 @@ BENCH_QUERIES_R5 = [
     "signup_purchase_logrank",
     "value_qte",
     "corpus_textrank_keywords",
+    "cdc_chunk_dedup",
 ]
 
 

@@ -21564,6 +21564,125 @@ def corpus_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Content-defined chunking dedup (the FastCDC/LBFS family): cut each
+# document where a rolling content hash passes a gate (md5 of the
+# 8-gram ending at the position, mod 32), so chunk BOUNDARIES move
+# with the content — an insertion near the start re-chunks only its
+# neighborhood, and every downstream chunk still dedups (the
+# property fixed-size blocks lack; pinned by a pytest). The corpus
+# dedup report (shared chunks, chars saved) is the storage-layer
+# complement of the document-level near-dup surface.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "cdc_chunk_dedup",
+    """
+    WITH g AS (
+        SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n,
+               list_filter(range(8, CAST(length(text) AS BIGINT)),
+                   i -> CAST(('0x' || substring(md5(
+                            substr(text, CAST(i AS INTEGER) - 7, 8)),
+                            1, 15)) AS BIGINT) % 32 = 31) AS cuts
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id, text,
+               list_prepend(CAST(0 AS BIGINT),
+                            list_append(cuts, n)) AS bs
+        FROM g WHERE n > 0
+    ),
+    chunks AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(bs)),
+                   j -> substr(text, CAST(bs[j] + 1 AS INTEGER),
+                               CAST(bs[j + 1] - bs[j] AS INTEGER))))
+                   AS chunk
+        FROM b
+    ),
+    pc AS (
+        SELECT md5(chunk) AS cid,
+               CAST(length(MIN(chunk)) AS BIGINT) AS clen,
+               COUNT(*) AS cnt
+        FROM chunks GROUP BY md5(chunk)
+    )
+    SELECT CAST(SUM(cnt) AS BIGINT) AS total_chunks,
+           CAST(COUNT(*) AS BIGINT) AS distinct_chunks,
+           CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS shared_chunks,
+           CAST(SUM(clen * cnt) AS BIGINT) AS total_chars,
+           CAST(SUM(clen * (cnt - 1)) AS BIGINT) AS dedup_savings_chars,
+           CAST(SUM(clen * (cnt - 1)) AS DOUBLE) / SUM(clen * cnt)
+               AS savings_ratio,
+           CAST(SUM(clen * cnt) AS DOUBLE) / SUM(cnt) AS mean_chunk_len
+    FROM pc
+    """,
+)
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level CDC dedup report: gate = md5(8-gram) mod 32
+    (expected chunk ~32 chars), chunks from boundary-array slicing —
+    all native expressions inside one scan projection; the stats are
+    one chunk-hash aggregation. At 100 TB the (chunk-hash → count)
+    agg is the only shuffle and it moves hashes, not text."""
+    docs = read_table(spark, sf_dir, "documents")
+    g = docs.select(
+        "doc_id",
+        "text",
+        F.expr(
+            "CASE WHEN length(text) < 9 THEN array()"
+            " ELSE filter(sequence(8L, cast(length(text) as bigint) - 1),"
+            " i -> cast(conv(substring(md5("
+            "substr(text, cast(i as int) - 7, 8)), 1, 15), 16, 10)"
+            " as bigint) % 32 = 31) END"
+        ).alias("cuts"),
+    ).where(F.length("text") > 0)
+    b = g.select(
+        "doc_id",
+        "text",
+        F.expr(
+            "concat(array(0L), cuts,"
+            " array(cast(length(text) as bigint)))"
+        ).alias("bs"),
+    )
+    chunks = b.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(bs) - 1),"
+                " j -> substr(text,"
+                " cast(element_at(bs, j) + 1 as int),"
+                " cast(element_at(bs, j + 1) - element_at(bs, j) as int)))"
+            )
+        ).alias("chunk"),
+    )
+    pc = chunks.groupBy(F.md5("chunk").alias("cid")).agg(
+        F.length(F.min("chunk")).cast("bigint").alias("clen"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return pc.agg(
+        F.sum("cnt").cast("bigint").alias("total_chunks"),
+        F.count(F.lit(1)).cast("bigint").alias("distinct_chunks"),
+        F.sum(F.when(F.col("cnt") > 1, F.lit(1)).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("shared_chunks"),
+        F.sum(F.col("clen") * F.col("cnt")).cast("bigint").alias(
+            "total_chars"
+        ),
+        F.sum(F.col("clen") * (F.col("cnt") - 1))
+        .cast("bigint")
+        .alias("dedup_savings_chars"),
+        (
+            F.sum(F.col("clen") * (F.col("cnt") - 1)).cast("double")
+            / F.sum(F.col("clen") * F.col("cnt"))
+        ).alias("savings_ratio"),
+        (
+            F.sum(F.col("clen") * F.col("cnt")).cast("double")
+            / F.sum("cnt")
+        ).alias("mean_chunk_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window.
 #
 # The driver hard-verifies (rows + schema + value hash vs the DuckDB

@@ -414,3 +414,39 @@ def test_isotropy_identity_equals_bruteforce_pairs(duck):
         JOIN qx b ON a.pos = b.pos AND a.vec_id <> b.vec_id
     """).fetchone()[0]
     assert ss - t == brute and brute != 0
+
+
+def test_cdc_chunk_boundaries_survive_prefix_insertion(duck):
+    """The CDC selling point: prepending text re-chunks only the
+    neighborhood of the edit — chunks after the first post-edit cut
+    are IDENTICAL (fixed-size blocks would shift every boundary)."""
+    chunk_sql = """
+        WITH d AS (SELECT ? AS text),
+        g AS (
+            SELECT text, CAST(length(text) AS BIGINT) AS n,
+                   list_filter(range(8, CAST(length(text) AS BIGINT)),
+                       i -> CAST(('0x' || substring(md5(
+                                substr(text, CAST(i AS INTEGER) - 7, 8)),
+                                1, 15)) AS BIGINT) % 32 = 31) AS cuts
+            FROM d
+        ),
+        b AS (SELECT text,
+                     list_prepend(CAST(0 AS BIGINT),
+                                  list_append(cuts, n)) AS bs
+              FROM g)
+        SELECT list_transform(range(1, len(bs)),
+                   j -> substr(text, CAST(bs[j] + 1 AS INTEGER),
+                               CAST(bs[j + 1] - bs[j] AS INTEGER)))
+        FROM b
+    """
+    base = duck.execute(
+        "SELECT text FROM documents WHERE length(text) > 200 LIMIT 1"
+    ).fetchone()[0]
+    orig = duck.execute(chunk_sql, [base]).fetchone()[0]
+    edited = duck.execute(chunk_sql, ["XYZ " + base]).fetchone()[0]
+    assert "".join(orig) == base and "".join(edited) == "XYZ " + base
+    # all but the first few chunks of the edited doc appear verbatim
+    # in the original chunking (boundaries resynchronize)
+    tail = edited[2:]
+    assert len(tail) >= 3
+    assert all(c in orig for c in tail)
