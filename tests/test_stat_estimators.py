@@ -186,3 +186,165 @@ def test_qini_curve_equals_bruteforce(spark, sf_dir):
             assert gq is None, d
         else:
             assert gq == pytest.approx(qini, abs=1e-12), d
+
+
+def test_logrank_equals_python_definition(spark, sf_dir):
+    """O, E, V and z from the window algebra == the textbook
+    per-event-day walk in plain Python (with the same 5-day treated
+    delay the query plants)."""
+    import datetime
+
+    ev = read_table(spark, sf_dir, "events")
+    rows = ev.select("user_id", "event_type", "ts").collect()
+    t0 = {}
+    for r in rows:
+        if r["event_type"] == "signup":
+            u = r["user_id"]
+            if u not in t0 or r["ts"] < t0[u]:
+                t0[u] = r["ts"]
+    horizon = max(r["ts"] for r in rows)
+    tp = {}
+    for r in rows:
+        if r["event_type"] != "purchase":
+            continue
+        u = r["user_id"]
+        if u not in t0:
+            continue
+        gate = t0[u] + datetime.timedelta(days=5 if u % 2 == 0 else 0)
+        if r["ts"] >= gate and (u not in tp or r["ts"] < tp[u]):
+            tp[u] = r["ts"]
+    dur = []
+    for u, s in t0.items():
+        end = tp.get(u, horizon)
+        dur.append(
+            (u % 2 == 0, (end.date() - s.date()).days, u in tp)
+        )
+    times = sorted(set(d for _a, d, o in dur if o))
+    o1 = 0
+    e_fp = v_fp = 0
+    for t in times:
+        n1 = sum(1 for a, d, _o in dur if a and d >= t)
+        n2 = sum(1 for a, d, _o in dur if not a and d >= t)
+        d1 = sum(1 for a, d, o in dur if a and o and d == t)
+        d2 = sum(1 for a, d, o in dur if not a and o and d == t)
+        n, dd = n1 + n2, d1 + d2
+        if dd == 0 or n < 2:
+            continue
+        o1 += d1
+        e_fp += math.floor(dd * n1 / n * 1073741824.0 + 0.5)
+        v_fp += math.floor(
+            dd * n1 / n * (1.0 - n1 / n) * (n - dd) / (n - 1)
+            * 1073741824.0 + 0.5
+        )
+    got = Q.QUERIES["signup_purchase_logrank"](spark, sf_dir).collect()[0]
+    assert got["observed_treated"] == o1
+    assert got["expected_treated"] == e_fp / 1073741824.0
+    z = (o1 - e_fp / 1073741824.0) / math.sqrt(v_fp / 1073741824.0)
+    assert got["z"] == pytest.approx(z, abs=1e-12)
+
+
+def test_bradley_terry_matches_plain_float_mm(spark, sf_dir):
+    """The fixed-point MM strengths track a plain-float Python MM
+    run (same duels, same 3 iterations) to well under the 2^-30
+    grid's accumulated tolerance."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    rev = {}
+    prows = {r["p_partkey"]: r["p_brand"] for r in part.collect()}
+    for r in li.select("l_partkey", "l_shipdate", "l_extendedprice").collect():
+        key = (prows[r["l_partkey"]], r["l_shipdate"].year, r["l_shipdate"].month)
+        rev[key] = rev.get(key, 0) + round(float(r["l_extendedprice"]) * 100)
+    months = sorted(set((y, m) for (_b, y, m) in rev))
+    brands = sorted(set(b for (b, _y, _m) in rev))
+    n_ab, wins = {}, {b: 0 for b in brands}
+    for y, m in months:
+        have = [(b, rev.get((b, y, m))) for b in brands if (b, y, m) in rev]
+        for i in range(len(have)):
+            for j in range(i + 1, len(have)):
+                (ba, ra), (bb, rb) = have[i], have[j]
+                if ra == rb:
+                    continue
+                k = (min(ba, bb), max(ba, bb))
+                n_ab[k] = n_ab.get(k, 0) + 1
+                wins[ba if ra > rb else bb] += 1
+    s = {b: 1.0 for b in brands}
+    for _ in range(3):
+        den = {b: 0.0 for b in brands}
+        for (a, b), n in n_ab.items():
+            den[a] += n / (s[a] + s[b])
+            den[b] += n / (s[a] + s[b])
+        s = {
+            b: (wins[b] / den[b] if wins[b] and den[b] else 0.0)
+            for b in brands
+        }
+    tot = sum(s.values())
+    got = {
+        r["brand"]: (r["n_wins"], r["strength"])
+        for r in Q.QUERIES["brand_bradley_terry"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(brands)
+    for b in brands:
+        assert got[b][0] == wins[b], b
+        assert got[b][1] == pytest.approx(s[b] / tot, abs=1e-5), b
+
+
+def test_textrank_matches_python_pagerank(spark, sf_dir):
+    """Top-15 TextRank scores == a plain Python weighted PageRank
+    (same 3 rounds, damping 7/8, per-round 1e-12 rounding)."""
+    docs = read_table(spark, sf_dir, "documents")
+    import re
+
+    edges = {}
+    for r in docs.select("text").collect():
+        w = [t for t in re.split(r"\s+", r["text"].lower().strip()) if t]
+        for a, b in zip(w, w[1:]):
+            if a == b:
+                continue
+            k = (min(a, b), max(a, b))
+            edges[k] = edges.get(k, 0) + 1
+    adj = {}
+    for (a, b), wgt in edges.items():
+        adj.setdefault(a, {})[b] = adj.setdefault(a, {}).get(b, 0) + wgt
+        adj.setdefault(b, {})[a] = adj.setdefault(b, {}).get(a, 0) + wgt
+    deg = {v: sum(nb.values()) for v, nb in adj.items()}
+    n = len(adj)
+    r = {v: 1.0 / n for v in adj}
+    for _ in range(3):
+        nxt = {v: 0.0 for v in adj}
+        for v, nb in adj.items():
+            for u, wgt in nb.items():
+                nxt[u] += r[v] * wgt / deg[v]
+        r = {v: round(0.125 / n + 0.875 * nxt[v], 12) for v in adj}
+    want = sorted(((-s, v) for v, s in r.items()))[:15]
+    got = Q.QUERIES["corpus_textrank_keywords"](spark, sf_dir).collect()
+    got = {g["term"]: (g["textrank"], g["rnk"]) for g in got}
+    for rank, (neg_s, term) in enumerate(want, start=1):
+        assert term in got, term
+        assert got[term][1] == rank
+        assert got[term][0] == pytest.approx(-neg_s, abs=5e-12), term
+
+
+def test_heaps_beta_matches_polyfit(spark, sf_dir):
+    """The fixed-point OLS β is within the 2^-18 grid's tolerance of
+    numpy's lstsq fit on the same (ln N, ln V) points."""
+    import numpy as np
+
+    docs = read_table(spark, sf_dir, "documents")
+    rows = sorted(
+        (r["doc_id"], r["text"]) for r in docs.select("doc_id", "text").collect()
+    )
+    import re
+
+    seen, cum_tok, pts = set(), 0, []
+    for _did, text in rows:
+        w = [t for t in re.split(r"\s+", text.lower().strip()) if t]
+        cum_tok += len(w)
+        seen.update(w)
+        if cum_tok >= 1 and len(seen) >= 1:
+            pts.append((math.log(cum_tok), math.log(len(seen))))
+    x = np.array([p[0] for p in pts])
+    y = np.array([p[1] for p in pts])
+    beta = np.polyfit(x, y, 1)[0]
+    got = Q.QUERIES["corpus_heaps_fit"](spark, sf_dir).collect()[0]
+    assert got["heaps_beta"] == pytest.approx(beta, abs=1e-4)
+    assert got["vocab_size"] == len(seen)
