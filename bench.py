@@ -312,6 +312,8 @@ BENCH_QUERIES_R5 = [
     "value_qte",
     "corpus_textrank_keywords",
     "cdc_chunk_dedup",
+    "daily_spearman_rho",
+    "value_median_ci",
 ]
 
 

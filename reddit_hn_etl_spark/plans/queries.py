@@ -21683,6 +21683,213 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Spearman rank correlation between daily value totals and daily
+# event counts — Kendall's companion (daily_kendall_tau), computed
+# as Pearson over midranks. Doubled midranks are exact integers
+# (the Mann-Whitney trick), so all five correlation moments are
+# exact BIGINTs and ρ is one IEEE chain.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "daily_spearman_rho",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                   AS cents,
+               COUNT(*) AS n_events
+        FROM events WHERE value IS NOT NULL
+        GROUP BY CAST(ts AS DATE)
+    ),
+    g AS (
+        SELECT d.day,
+               (SELECT 2 * COUNT(*) FILTER (WHERE d2.cents < d.cents)
+                       + COUNT(*) FILTER (WHERE d2.cents = d.cents) + 1
+                FROM daily d2) AS rx2,
+               (SELECT 2 * COUNT(*) FILTER (WHERE d2.n_events < d.n_events)
+                       + COUNT(*) FILTER (WHERE d2.n_events = d.n_events)
+                       + 1
+                FROM daily d2) AS ry2
+        FROM daily d
+    ),
+    mom AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(rx2) AS BIGINT) AS sx,
+               CAST(SUM(ry2) AS BIGINT) AS sy,
+               CAST(SUM(rx2 * ry2) AS BIGINT) AS sxy,
+               CAST(SUM(rx2 * rx2) AS BIGINT) AS sxx,
+               CAST(SUM(ry2 * ry2) AS BIGINT) AS syy
+        FROM g
+    )
+    SELECT CAST(n AS INTEGER) AS n_days,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+               AS spearman_rho
+    FROM mom
+    """,
+)
+def daily_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ρ between daily revenue and daily volume on exact doubled
+    midranks (2·midrank = 2·#{below} + #{ties} + 1 — computed here
+    with rank windows, calendar-sized frame). Moments are exact
+    BIGINTs; ρ is one exactly-rounded chain. The oracle states
+    midranks as correlated-subquery counts — same integers."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("value").isNotNull())
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(
+                (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+            ).alias("cents"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    # 2·midrank = 2·rank − 1 + (ties−1) = rank + max_rank_of_tie − 1;
+    # via window counts: 2·#{<v} + #{=v} + 1
+    wx_lt = Window.orderBy("cents").rangeBetween(
+        Window.unboundedPreceding, -1
+    )
+    wy_lt = Window.orderBy("n_events").rangeBetween(
+        Window.unboundedPreceding, -1
+    )
+    wx_eq = Window.partitionBy("cents")
+    wy_eq = Window.partitionBy("n_events")
+    g = daily.select(
+        "day",
+        (
+            2 * F.coalesce(F.count(F.lit(1)).over(wx_lt), F.lit(0))
+            + F.count(F.lit(1)).over(wx_eq)
+            + 1
+        )
+        .cast("bigint")
+        .alias("rx2"),
+        (
+            2 * F.coalesce(F.count(F.lit(1)).over(wy_lt), F.lit(0))
+            + F.count(F.lit(1)).over(wy_eq)
+            + 1
+        )
+        .cast("bigint")
+        .alias("ry2"),
+    )
+    mom = g.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rx2").cast("bigint").alias("sx"),
+        F.sum("ry2").cast("bigint").alias("sy"),
+        F.sum(F.col("rx2") * F.col("ry2")).cast("bigint").alias("sxy"),
+        F.sum(F.col("rx2") * F.col("rx2")).cast("bigint").alias("sxx"),
+        F.sum(F.col("ry2") * F.col("ry2")).cast("bigint").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    rho = (
+        nd * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / F.sqrt(
+        (
+            nd * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx").cast("double")
+        )
+        * (
+            nd * F.col("syy").cast("double")
+            - F.col("sy").cast("double") * F.col("sy").cast("double")
+        )
+    )
+    return mom.select(
+        F.col("n").cast("int").alias("n_days"),
+        rho.alias("spearman_rho"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distribution-free median confidence interval from order statistics
+# (the binomial/sign-test CI): the (l, u) ranks bracketing the
+# median with ≥95% coverage need NO distributional assumption and NO
+# bootstrap resampling — l = ⌊n/2 − 1.96·√n/2⌋, u = n + 1 − l
+# (normal approximation to Binomial(n, ½)). Order-statistic
+# selection on exact cents; at 100 TB the rank selection rides the
+# same per-group sort the exact percentiles use.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "value_median_ci",
+    """
+    WITH e AS (
+        SELECT event_type,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+        SELECT event_type, cents,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY cents) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM e
+    ),
+    b AS (
+        SELECT event_type, cents, rn, n,
+               CAST(FLOOR(CAST(n AS DOUBLE) / 2.0
+                          - 1.96 * sqrt(CAST(n AS DOUBLE)) / 2.0)
+                    AS BIGINT) AS l
+        FROM r
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS INTEGER) AS n,
+           CAST(MAX(CASE WHEN rn = l THEN cents END) AS BIGINT)
+               AS ci_lo_cents,
+           quantile_cont(cents, 0.50) AS median_cents,
+           CAST(MAX(CASE WHEN rn = n + 1 - l THEN cents END) AS BIGINT)
+               AS ci_hi_cents
+    FROM b GROUP BY event_type
+    """,
+)
+def value_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% distribution-free median CI per event type on exact
+    cents. One per-type rank window (the group sort the exact
+    percentiles already pay), rank bounds from the binomial normal
+    approximation (floor of an IEEE-exact chain — engine-identical),
+    conditional-aggregate selection of the bracketing order
+    statistics."""
+    ev = read_table(spark, sf_dir, "events")
+    e = ev.where(F.col("value").isNotNull()).select(
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    wr = Window.partitionBy("event_type").orderBy("cents")
+    wn = Window.partitionBy("event_type")
+    r = e.select(
+        "event_type",
+        "cents",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    l = F.floor(
+        F.col("n").cast("double") / F.lit(2.0)
+        - F.lit(1.96) * F.sqrt(F.col("n").cast("double")) / F.lit(2.0)
+    ).cast("bigint")
+    b = r.withColumn("l", l)
+    return b.groupBy("event_type").agg(
+        F.max("n").cast("int").alias("n"),
+        F.max(F.when(F.col("rn") == F.col("l"), F.col("cents")))
+        .cast("bigint")
+        .alias("ci_lo_cents"),
+        F.percentile("cents", F.lit(0.50)).alias("median_cents"),
+        F.max(
+            F.when(F.col("rn") == F.col("n") + 1 - F.col("l"), F.col("cents"))
+        )
+        .cast("bigint")
+        .alias("ci_hi_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window.
 #
 # The driver hard-verifies (rows + schema + value hash vs the DuckDB
