@@ -314,6 +314,7 @@ BENCH_QUERIES_R5 = [
     "cdc_chunk_dedup",
     "daily_spearman_rho",
     "value_median_ci",
+    "feature_mi_ranking",
 ]
 
 

@@ -21890,6 +21890,138 @@ def value_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Mutual-information feature ranking: plug-in MI(X; Y) between each
+# candidate feature and the high-value label — the
+# information-gain screen a feature-selection pipeline runs before
+# training. Every cell term (c/N)·ln(c·N/(c_x·c_y)) is ln of an
+# exact integer ratio times an exact ratio, snapped to the 2^-40
+# grid; the per-feature MI is an order-free integer sum over the
+# feature's cells.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "feature_mi_ranking",
+    """
+    WITH e AS (
+        SELECT event_type,
+               CAST(dayofweek(ts) AS VARCHAR) AS dow,
+               CAST(hour(ts) // 6 AS VARCHAR) AS hour_bucket,
+               CAST(user_id % 2 AS VARCHAR) AS user_parity,
+               CAST(value >= 200 AS INTEGER) AS y
+        FROM events WHERE value IS NOT NULL
+    ),
+    x AS (
+        SELECT 'event_type' AS feature, event_type AS x, y FROM e
+        UNION ALL SELECT 'day_of_week', dow, y FROM e
+        UNION ALL SELECT 'hour_bucket', hour_bucket, y FROM e
+        UNION ALL SELECT 'user_parity', user_parity, y FROM e
+    ),
+    cells AS (
+        SELECT feature, x, y, COUNT(*) AS c FROM x GROUP BY feature, x, y
+    ),
+    mx AS (SELECT feature, x, SUM(c) AS cx FROM cells
+           GROUP BY feature, x),
+    my AS (SELECT feature, y, SUM(c) AS cy FROM cells
+           GROUP BY feature, y),
+    nn AS (SELECT feature, SUM(c) AS n FROM cells GROUP BY feature),
+    terms AS (
+        SELECT c.feature,
+               CAST(FLOOR(CAST(c.c AS DOUBLE) / nn.n
+                          * ln(CAST(c.c AS DOUBLE) * nn.n
+                               / (CAST(mx.cx AS DOUBLE) * my.cy))
+                          * 1099511627776.0 + 0.5) AS BIGINT) AS t_fp
+        FROM cells c
+        JOIN mx ON mx.feature = c.feature AND mx.x = c.x
+        JOIN my ON my.feature = c.feature AND my.y = c.y
+        JOIN nn ON nn.feature = c.feature
+    ),
+    mi AS (
+        SELECT feature, COUNT(*) AS n_cells,
+               CAST(SUM(t_fp) AS BIGINT) AS mi_fp
+        FROM terms GROUP BY feature
+    )
+    SELECT feature, CAST(n_cells AS INTEGER) AS n_cells,
+           CAST(mi_fp AS DOUBLE) / 1099511627776.0 AS mi_nats,
+           CAST(ROW_NUMBER() OVER (ORDER BY mi_fp DESC, feature)
+                AS INTEGER) AS rnk
+    FROM mi
+    """,
+)
+def feature_mi_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Information gain of four candidate features against the
+    high-value label. One union projection + one (feature, x, y)
+    agg; marginals and terms run on cell-count-sized frames; ranks
+    compare exact fixed-point integers. MI near 0 everywhere is the
+    correct reading for this generator (the label is independent of
+    all four features) — the RANKING still discriminates and is
+    grid-deterministic."""
+    ev = read_table(spark, sf_dir, "events")
+    e = ev.where(F.col("value").isNotNull()).select(
+        "event_type",
+        (F.dayofweek("ts") - 1).cast("string").alias("dow"),
+        F.floor(F.hour("ts") / 6).cast("int").cast("string").alias(
+            "hour_bucket"
+        ),
+        (F.col("user_id") % 2).cast("string").alias("user_parity"),
+        (F.col("value") >= 200).cast("int").alias("y"),
+    )
+    parts = [
+        e.select(F.lit("event_type").alias("feature"),
+                 F.col("event_type").alias("x"), "y"),
+        e.select(F.lit("day_of_week").alias("feature"),
+                 F.col("dow").alias("x"), "y"),
+        e.select(F.lit("hour_bucket").alias("feature"),
+                 F.col("hour_bucket").alias("x"), "y"),
+        e.select(F.lit("user_parity").alias("feature"),
+                 F.col("user_parity").alias("x"), "y"),
+    ]
+    x = parts[0]
+    for p in parts[1:]:
+        x = x.unionByName(p)
+    cells = x.groupBy("feature", "x", "y").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    mx = cells.groupBy("feature", "x").agg(F.sum("c").alias("cx"))
+    my = cells.groupBy("feature", "y").agg(F.sum("c").alias("cy"))
+    nn = cells.groupBy("feature").agg(F.sum("c").alias("n"))
+    terms = (
+        cells.join(mx, ["feature", "x"])
+        .join(my, ["feature", "y"])
+        .join(nn, "feature")
+        .select(
+            "feature",
+            F.floor(
+                F.col("c").cast("double") / F.col("n")
+                * F.log(
+                    F.col("c").cast("double") * F.col("n")
+                    / (F.col("cx").cast("double") * F.col("cy"))
+                )
+                * F.lit(1099511627776.0)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("t_fp"),
+        )
+    )
+    mi = terms.groupBy("feature").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("t_fp").cast("bigint").alias("mi_fp"),
+    )
+    return mi.select(
+        "feature",
+        F.col("n_cells").cast("int").alias("n_cells"),
+        (F.col("mi_fp").cast("double") / F.lit(1099511627776.0)).alias(
+            "mi_nats"
+        ),
+        F.row_number()
+        .over(Window.orderBy(F.desc("mi_fp"), F.asc("feature")))
+        .cast("int")
+        .alias("rnk"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window.
 #
 # The driver hard-verifies (rows + schema + value hash vs the DuckDB
