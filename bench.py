@@ -315,6 +315,7 @@ BENCH_QUERIES_R5 = [
     "daily_spearman_rho",
     "value_median_ci",
     "feature_mi_ranking",
+    "source_quality_thresholds",
 ]
 
 

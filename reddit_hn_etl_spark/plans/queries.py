@@ -22022,6 +22022,100 @@ def feature_mi_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Per-source quality thresholds: "keep the top 20%" means different
+# absolute cutoffs per source — applying one GLOBAL cutoff instead
+# skews the mix toward sources whose scorer runs hot. This report
+# quantifies that: each source's own 80th-percentile cutoff (exact
+# interpolated quantile on the published 1e-4 score grid) next to
+# its pass count under the global cutoff. The standard argument for
+# per-source (stratified) thresholding in curation pipelines.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "source_quality_thresholds",
+    f"""
+    WITH q AS ({{doc_quality}}),
+    dq AS (
+        SELECT d.source,
+               CAST(FLOOR(q.quality_score * 10000.0 + 0.5) AS BIGINT)
+                   AS q_fp
+        FROM documents d JOIN q ON q.doc_id = d.doc_id
+    ),
+    gq AS (SELECT quantile_cont(q_fp, 0.80) AS g80 FROM dq),
+    per_src AS (
+        SELECT source, COUNT(*) AS n,
+               quantile_cont(q_fp, 0.80) AS s80
+        FROM dq GROUP BY source
+    ),
+    pass AS (
+        SELECT dq.source,
+               SUM(CASE WHEN CAST(dq.q_fp AS DOUBLE) >= gq.g80
+                        THEN 1 ELSE 0 END) AS n_pass_global
+        FROM dq, gq GROUP BY dq.source
+    )
+    SELECT p.source, CAST(p.n AS INTEGER) AS n_docs,
+           p.s80 / 10000.0 AS source_q80,
+           g.g80 / 10000.0 AS global_q80,
+           CAST(ps.n_pass_global AS INTEGER) AS n_pass_global,
+           CAST(ps.n_pass_global AS DOUBLE) / p.n AS global_pass_share,
+           p.s80 > g.g80 AS runs_hot
+    FROM per_src p JOIN pass ps ON ps.source = p.source, gq g
+    """,
+)
+def source_quality_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20% cutoffs per source vs the global cutoff, with each
+    source's pass share under the global rule (0.2 everywhere iff
+    scorers are exchangeable across sources — deviations are the
+    selection skew). One quality pass; per-source quantiles ride the
+    group sort; the global quantile broadcasts back as one row."""
+    docs = read_table(spark, sf_dir, "documents")
+    q = textfn.quality_features(docs, "doc_id", "text").select(
+        "doc_id",
+        F.floor(F.col("quality_score") * F.lit(10000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("q_fp"),
+    )
+    dq = docs.select("doc_id", "source").join(q, "doc_id").localCheckpoint()
+    glob = dq.agg(F.percentile("q_fp", F.lit(0.80)).alias("g80"))
+    per_src = dq.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile("q_fp", F.lit(0.80)).alias("s80"),
+    )
+    pass_ = (
+        dq.crossJoin(F.broadcast(glob))
+        .groupBy("source")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("q_fp").cast("double") >= F.col("g80"), F.lit(1)
+                ).otherwise(F.lit(0))
+            ).alias("n_pass_global")
+        )
+    )
+    return (
+        per_src.join(pass_, "source")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "source",
+            F.col("n").cast("int").alias("n_docs"),
+            (F.col("s80") / F.lit(10000.0)).alias("source_q80"),
+            (F.col("g80") / F.lit(10000.0)).alias("global_q80"),
+            F.col("n_pass_global").cast("int").alias("n_pass_global"),
+            (F.col("n_pass_global").cast("double") / F.col("n")).alias(
+                "global_pass_share"
+            ),
+            (F.col("s80") > F.col("g80")).alias("runs_hot"),
+        )
+    )
+
+
+ORACLES["source_quality_thresholds"] = ORACLES[
+    "source_quality_thresholds"
+].format(doc_quality=ORACLES["doc_quality"])
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window.
 #
 # The driver hard-verifies (rows + schema + value hash vs the DuckDB
