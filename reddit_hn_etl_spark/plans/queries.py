@@ -22131,72 +22131,71 @@ ORACLES["source_quality_thresholds"] = ORACLES[
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
-    # --- r5 rotation ---
-    # RE-CHECKS: the four r4 hash-fails, fixed this round via exact
-    # integer arithmetic / portable terminal types — they stay in the
-    # window until the DRIVER (not just local emulation) confirms
-    # green (VERDICT r4 #1).
-    "ivm_nation_revenue",
-    "daily_value_holt_winters",
-    "cms_selfjoin_size_estimate",
-    "value_conformal_intervals",
-    # §2 evergreens kept in-window every round.
-    "pricing_summary",
-    "merge_upsert",
-    # CHANGED THIS ROUND: every query whose oracle or plan was edited
-    # in the r5 terminal-type normalization (HUGEINT/DECIMAL → BIGINT;
-    # see tests/test_oracle_type_policy.py) or whose recurrence moved
-    # to fixed point — each needs a fresh driver row.
-    "holt_backtest_skill",
-    "orders_group_checksum",
-    "orders_constraint_report",
-    "embeddings_constraint_report",
-    "source_mixture_weights",
-    "daily_value_cusum",
-    "event_value_auc",
-    "daily_value_ohlc",
-    "customer_revenue_gini",
-    "event_transition_matrix",
-    "monthly_value_growth",
-    "cohort_ltv_curve",
-    "dow_adjusted_anomalies",
-    "daily_value_stl_lite",
-    "daily_mann_kendall",
-    "bloom_customer_screen",
-    "ucb1_brand_ranking",
-    "daily_kendall_tau",
-    "join_key_skew_report",
-    "customer_revenue_pareto",
-    # NEVER-CHECKED FAMILY FIRSTS (VERDICT r4 #3): one representative
-    # per family that has no driver row in r1-r4 — kmeans, PQ/IVF-PQ,
-    # DSIR, pagerank/LPA/BFS, order statistics, recursive CTE +
-    # lateral, variant, hopping windows, rolling stats, hybrid
-    # search, sorted-neighborhood ER, UDTF, EMA recurrence,
-    # incremental near-dup, BPE, HLL.
-    "kmeans_update_step",
-    "semantic_dedup_kmeans",
-    "pq_adc_topk",
-    "ivf_pq_residual_knn",
-    "doc_dsir_weights",
-    "dsir_gumbel_sample",
-    "customer_graph_pagerank",
-    "referral_lpa_communities",
-    "referral_reach_bfs",
-    "order_value_percentiles",
-    "order_value_equidepth_hist",
-    "customer_chain_rollup",
-    "lateral_recent_orders",
-    "props_variant_agg",
-    "hopping_window_counts",
-    "rolling_median_value",
-    "value_distribution_moments",
-    "hybrid_search_rrf",
-    "sorted_neighborhood_pairs",
-    "doc_chunks_udtf",
-    "user_value_ema",
-    "incremental_near_dup",
-    "bpe_merge_pairs",
-    "hll_sketch_weekly_users",
+    # --- r6 rotation (VERDICT r5 #1 + #3) ---
+    # 45 never-driver-checked queries: the complete r5 second-half
+    # battery (stats/causal/eval, audio fingerprinting, DP, ER-EM,
+    # graph SSSP, retrieval rerank, corpus release reports) that no
+    # driver or judge window has ever gated, prioritized exactly as
+    # VERDICT r5 "Next round" #1 names them; then 5 SURVEY §2
+    # evergreen re-checks (VERDICT #3) whose underlying code was
+    # touched by the r5 ngram_array/oracle-type sweeps and whose last
+    # green driver row is r3.
+    # Verdict-named priority set:
+    "fs_em_weights",
+    "referral_weighted_sssp",
+    "audio_fingerprint_match",
+    "brand_bradley_terry",
+    "value_ks_test",
+    "value_mannwhitney_test",
+    "purchase_cem_att",
+    "signup_purchase_logrank",
+    "cdc_chunk_dedup",
+    "corpus_datasheet",
+    # Remaining third/fourth-stretch + final-stretch battery:
+    "dp_median_exponential",
+    "purchase_diff_in_diff",
+    "lang_token_fertility",
+    "knn_shapley_data_value",
+    "mmr_diverse_rerank",
+    "knn_label_diagnostics",
+    "cluster_label_purity",
+    "source_overlap_matrix",
+    "corpus_heaps_fit",
+    "uplift_qini_deciles",
+    "lang_id_kappa",
+    "embedding_isotropy_audit",
+    "purchase_ipw_ate",
+    "heldout_oov_rate",
+    "daily_value_its",
+    "user_markov_surprisal",
+    "covariate_balance_smd",
+    "term_burstiness",
+    "source_loo_impact",
+    "value_qte",
+    "corpus_textrank_keywords",
+    "daily_spearman_rho",
+    "value_median_ci",
+    "feature_mi_ranking",
+    "source_quality_thresholds",
+    # Post-verdict second-half families (pre-battery):
+    "peak_concurrent_sessions",
+    "type_daily_twap",
+    "customer_nearest_supplier_geo",
+    "sliding_distinct_users_hll",
+    "top_event_trigram_paths",
+    "ab_test_sprt",
+    "padding_waste_report",
+    "dp_noisy_type_daily",
+    "lineitem_ridge_regression",
+    "quality_isotonic_calibration",
+    # SURVEY §2 evergreen re-confirmation (reference semantics:
+    # sql/mart/02_marts.sql:30-39,58-63,114-121;
+    # src/transform/hn_transform.py:109-111):
+    "daily_metrics",
+    "domain_extract",
+    "user_activity",
+    "dedup_keep_last",
+    "top_orders_per_segment",
 ]
 
 
