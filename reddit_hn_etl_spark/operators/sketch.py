@@ -317,8 +317,11 @@ def quantile_estimates(summary: DataFrame, targets: list[float]) -> DataFrame:
         .cast("long")
         .alias("target_rank"),
     )
+    # LEFT join so a target no cumulative weight reaches (empty
+    # summary, or p > 1) still yields its row with est_value NULL —
+    # an inner join here silently dropped such targets (ADVICE r5).
     return (
-        with_rank.join(cum, F.col("cw") >= F.col("target_rank"))
+        with_rank.join(cum, F.col("cw") >= F.col("target_rank"), "left")
         .groupBy("p_target", "target_rank")
         .agg(F.min("value").alias("est_value"))
     )

@@ -14735,9 +14735,8 @@ def bigram_lm_logprob_plan(
     Both modes produce bit-identical doubles: every ln argument is
     an exact integer ratio and the per-doc sum folds the doc's own
     bigrams in position order."""
-    t = docs.select("doc_id", dedup.tokens("text").alias("w")).where(
-        F.size("w") > 1
-    )
+    t_all = docs.select("doc_id", dedup.tokens("text").alias("w"))
+    t = t_all.where(F.size("w") > 1)
     # zip_with over two shifted slices, NOT transform((x, i) -> ...
     # w[i+1]): a lambda that captures the outer array forces explode
     # off the codegen path (measured 6x slower at sf0.1).
@@ -14755,7 +14754,12 @@ def bigram_lm_logprob_plan(
         .groupBy("h")
         .agg(F.count(F.lit(1)).alias("hcnt"))
     )
-    vocab = t.select(F.explode("w").alias("term")).agg(
+    # Vocabulary over ALL docs (including single-token docs that
+    # yield no bigram) — the add-1 denominator must agree with the
+    # oracle's vocab CTE, which counts distinct terms over the
+    # unfiltered corpus (ADVICE r5: the old post-filter vocab
+    # diverged on corpora with a term unique to a 1-token doc).
+    vocab = t_all.select(F.explode("w").alias("term")).agg(
         F.countDistinct("term").alias("v")
     )
     if mode == "join":

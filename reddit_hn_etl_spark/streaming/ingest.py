@@ -1204,6 +1204,7 @@ def quantile_summary_stream(
     summary_dir: str,
     checkpoint_dir: str,
     k: int = 64,
+    parts: int = 8,
 ) -> StreamingQuery:
     """Streaming quantile maintenance: each micro-batch compacts to
     its own ≤ k-row-per-partition (value, weight) summary
@@ -1220,15 +1221,34 @@ def quantile_summary_stream(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # Replay safety needs BOTH (ADVICE r5 — per-partition
+        # compaction is partitioning-dependent, so a retried batch
+        # could otherwise append a DIFFERENT weight for the same
+        # (batch_id, value) and keyed dedup would keep an arbitrary
+        # one, corrupting merged mass):
+        #  1. hash-repartition by value into ``parts`` partitions
+        #     BEFORE compaction — each partition's value-multiset
+        #     (and the sorted compaction of it) is then a pure
+        #     function of batch content, not of upstream
+        #     partitioning. ``parts`` trades per-batch compaction
+        #     parallelism against summary size (state is ≤ k·parts
+        #     rows per batch);
+        #  2. overwrite THIS batch's partition instead of blind
+        #     append — a retry replaces its own output wholesale, so
+        #     no mixed-attempt state can exist on disk.
         # collapse to one row per value: (batch_id, value) becomes a
         # KEY, so replay dedup can't eat a legitimately repeated
         # (value, weight) row emitted by two partitions
         (
-            quantile_summary(batch_df, col, k=k)
+            quantile_summary(
+                batch_df.repartition(parts, F.col(col)), col, k=k
+            )
             .groupBy("value")
             .agg(F.sum("weight").alias("weight"))
             .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
             .parquet(summary_dir)
         )
 

@@ -1382,7 +1382,7 @@ def test_quantile_summary_stream_bound_and_replay(spark, tmp_path):
     )
     k = 16
     q = ingest.quantile_summary_stream(
-        stream, "v", sketch_dir, ckpt, k=k
+        stream, "v", sketch_dir, ckpt, k=k, parts=2
     )
     q.awaitTermination(120)
 
@@ -1412,13 +1412,14 @@ def test_quantile_summary_stream_bound_and_replay(spark, tmp_path):
             bound,
         )
 
-    # replay: re-append batch 0's stored rows verbatim (same
-    # batch_id) — dedup must make it a no-op
+    # replay 1 (deterministic retry): re-deliver batch 0's stored
+    # rows verbatim into its own partition — dedup must make it a
+    # no-op
     stored = spark.read.parquet(sketch_dir)
     first_bid = stored.select(F.min("batch_id")).collect()[0][0]
     stored.where(F.col("batch_id") == first_bid).write.mode(
         "append"
-    ).parquet(sketch_dir)
+    ).partitionBy("batch_id").parquet(sketch_dir)
     replayed = {
         float(r["p_target"]): (int(r["target_rank"]), int(r["est_value"]))
         for r in quantile_estimates(
@@ -1426,6 +1427,44 @@ def test_quantile_summary_stream_bound_and_replay(spark, tmp_path):
         ).collect()
     }
     assert replayed == est
+
+    # replay 2 (NON-deterministic retry, ADVICE r5): a retried
+    # foreachBatch that compacted under different partitioning emits
+    # a DIFFERENT (value, weight) decomposition for the same
+    # batch_id. The sink contract is partition-overwrite, so the
+    # retry must REPLACE batch 0's state wholesale — total mass
+    # stays exactly N (the old blind-append + keyed-dedup design
+    # kept an arbitrary attempt's weight per value, corrupting it).
+    b0 = stored.where(F.col("batch_id") == first_bid)
+    b0_vals = sorted(
+        (int(r["value"]), int(r["weight"])) for r in b0.collect()
+    )
+    lo_v = b0_vals[0][0]
+    hi_v = next(
+        v for v, w in reversed(b0_vals) if w >= 2 and v != lo_v
+    )
+    perturbed = [
+        (
+            v,
+            w + 1 if v == lo_v else (w - 1 if v == hi_v else w),
+            int(first_bid),
+        )
+        for v, w in b0_vals
+    ]
+    spark.createDataFrame(
+        perturbed, "value bigint, weight bigint, batch_id int"
+    ).write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("batch_id").parquet(sketch_dir)
+    merged2 = ingest.merged_quantile_summary(spark, sketch_dir)
+    assert merged2.agg(F.sum("weight")).collect()[0][0] == n
+    # estimates may legitimately shift within the rank bound
+    bound2 = n / k + spark.read.parquet(sketch_dir).count()
+    for r in quantile_estimates(merged2, targets).collect():
+        target, v = int(r["target_rank"]), int(r["est_value"])
+        lt = sum(1 for x in xs if x < v)
+        le = sum(1 for x in xs if x <= v)
+        assert lt + 1 <= target + bound2 and le >= target - bound2
 
 
 def test_drift_counts_stream_statistics_match_batch(spark, tmp_path):
