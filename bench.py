@@ -10,9 +10,13 @@ full dict outgrew it in r4 and the headline was lost to truncation).
 
 Execution is measured with the `noop` sink (full pipeline runs, no
 driver-side collect cost), after a small warm-up action to absorb JVM
-/ codegen startup. Heavy all-pairs queries (token jaccard, unigram
-minhash) are deliberately excluded — the scale path for those is the
-LSH family; see reddit_hn_etl_spark/operators/dedup.py.
+/ codegen startup. Every registry query is either in a sweep list or
+enumerated in BENCH_EXCLUDED with a reason class (machine-checked
+partition); exact all-pairs queries additionally run once per round
+in EXACT_PAIRS_PROBE paired against their benched LSH twin so the
+approximation speedup is a recorded number. The summary line carries
+the git commit and a CPU-calibration stamp so cross-round totals can
+be normalized for host variance.
 """
 
 from __future__ import annotations
@@ -318,6 +322,162 @@ BENCH_QUERIES_R5 = [
     "source_quality_thresholds",
 ]
 
+# Added in round 6 — the approximate/sketch scale paths that were
+# previously unbenched while their exact twins were probed only ad
+# hoc (VERDICT r5 #4): LSH/IVF ANN, minhash/simhash banding, the
+# incremental near-dup index, HLL, and the remaining moderate-cost
+# plan shapes (EMA recurrence, UCB ranking, PCA power iteration,
+# leakage-safe split, audit state, keep-best collapse).
+BENCH_QUERIES_R6 = [
+    "knn_cosine_lsh",
+    "knn_cosine_ivf",
+    "incremental_near_dup",
+    "doc_minhash_pairs",
+    "doc_simhash_pairs",
+    "hll_sketch_weekly_users",
+    "user_value_ema",
+    "ucb1_brand_ranking",
+    "approx_distinct_users",
+    "audit_current_state",
+    "pca_power_component",
+    "leakage_safe_split",
+    "cluster_keep_best",
+]
+
+# Exact all-pairs similarity: run ONCE per round (no repeat sweeps)
+# after the budgeted sweeps, each alongside the name of its benched
+# approximate twin, so the exact-vs-LSH speedup is a recorded number
+# every round (VERDICT r5 #4). These are the documented NON-scale
+# mode — at 100 TB the twin is the only viable plan; at local SFs
+# they complete and the ratio is the evidence.
+EXACT_PAIRS_PROBE = {
+    "doc_token_jaccard": "doc_minhash_pairs",
+    "doc_token_jaccard_prefix": "doc_minhash_pairs",
+    "doc_containment_pairs": "doc_minhash_pairs",
+    "near_dup_edit_distance": "doc_simhash_pairs",
+    "radius_cosine_search": "knn_cosine_lsh",
+    "source_dup_matrix": "doc_minhash_pairs",
+}
+
+# Every registry query NOT in the sweep lists, with its reason class
+# (VERDICT r5 #4: the exclusion set is now enumerated and
+# machine-checked — tests/test_queries_misc.py asserts that sweep
+# lists + this dict partition the registry exactly). Classes:
+#   exact-pairs — exact all-pairs / brute-force similarity whose
+#       100 TB mode is the benched LSH/banded twin; measured once
+#       per round head-to-head in EXACT_PAIRS_PROBE (sf0.1 cost
+#       1-15s each, quadratic in corpus size by construction).
+#   approx-eval — approximation-QUALITY evaluation harnesses
+#       (planted recall, bound consistency, triangle closure); their
+#       engine work is the same minhash/simhash plans benched via
+#       doc_minhash_pairs / doc_simhash_pairs.
+#   micro — ≤ ~2.5s at sf0.1 (measured r6), exercising a physical
+#       plan shape already covered by a benched sibling; adds sweep
+#       wall-time and scheduler noise, not signal.
+BENCH_EXCLUDED = {
+    **{n: "exact-pairs" for n in EXACT_PAIRS_PROBE},
+    "near_dup_triangles": "approx-eval",
+    "simhash_planted_recall": "approx-eval",
+    "simhash_jaccard_consistency": "approx-eval",
+    **{
+        n: "micro"
+        for n in [
+            "approx_value_percentiles",
+            "brand_value_concentration",
+            "calendar_breakdown",
+            "cheapest_order_per_customer",
+            "conditional_agg",
+            "corpus_mix_allocation",
+            "customer_order_distribution",
+            "customers_no_orders",
+            "customers_with_orders",
+            "daily_kendall_tau",
+            "daily_spearman_corr",
+            "daily_value_ar1",
+            "doc_token_dropout",
+            "domain_extract",
+            "events_last_day",
+            "forward_fill_values",
+            "interpolate_missing_values",
+            "kmeans_prototypes",
+            "large_volume_orders",
+            "media_frames",
+            "nation_trade_volume",
+            "not_in_null_semantics",
+            "null_semantics",
+            "order_price_ranks",
+            "orders_above_global_avg",
+            "orders_cube",
+            "orders_version_diff",
+            "orders_with_heavy_lines",
+            "part_supplier_counts",
+            "part_type_norm",
+            "promo_revenue_share",
+            "props_variant_agg",
+            "quantize_embeddings_int8",
+            "quarter_hour_counts",
+            "revenue_forecast",
+            "rich_idle_customers",
+            "running_user_value",
+            "salted_event_enrichment",
+            "salted_user_counts",
+            "sample_k_per_group",
+            "scalar_subqueries",
+            "scalar_summary",
+            "shipping_lag_stats",
+            "status_priority_grouping_sets",
+            "string_kitchen_sink",
+            "suppliers_outside_region",
+            "table_counts",
+            "try_cast_semantics",
+            "type_value_mutual_info",
+            "unpivot_daily_types",
+            "user_event_type_sets",
+            "user_missing_days",
+            "users_purchase_and_error",
+            "users_purchase_no_error",
+            "value_histogram",
+            "value_percentiles",
+            "value_range_frame_sums",
+            "value_stats",
+            "weekly_counts",
+        ]
+    },
+}
+
+
+def cpu_calibration_ms() -> float:
+    """Fixed pure-Python work loop, timed — a box-speed proxy stamped
+    into the bench JSON so cross-round totals can be normalized for
+    host variance (VERDICT r5 #5: r4's 'faster box' ambiguity)."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(2_000_000):
+        x += i * i
+    assert x > 0
+    return round((time.perf_counter() - t0) * 1000, 1)
+
+
+def git_head() -> str:
+    """Commit the bench ran against (VERDICT r5 #5 — BENCH_r04 was
+    generated mid-r5 and the label ambiguity cost a round of
+    cross-round comparability)."""
+    import subprocess
+
+    try:
+        return (
+            subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"],
+                capture_output=True,
+                text=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                timeout=10,
+            ).stdout.strip()
+            or "unknown"
+        )
+    except Exception:
+        return "unknown"
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -364,8 +524,19 @@ def main() -> None:
     # timing out.
     budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "400"))
     names = (
-        BENCH_QUERIES + BENCH_QUERIES_R2 + BENCH_QUERIES_R4 + BENCH_QUERIES_R5
+        BENCH_QUERIES
+        + BENCH_QUERIES_R2
+        + BENCH_QUERIES_R4
+        + BENCH_QUERIES_R5
+        + BENCH_QUERIES_R6
     )
+    # The sweep lists + BENCH_EXCLUDED must partition the registry
+    # exactly — a new registry entry that lands in neither is a
+    # silent coverage gap (also enforced by tests/test_queries_misc).
+    missing = set(QUERIES) - set(names) - set(BENCH_EXCLUDED)
+    overlap = set(names) & set(BENCH_EXCLUDED)
+    assert not missing and not overlap, (sorted(missing), sorted(overlap))
+
     timings: dict[str, float] = {n: float("inf") for n in names}
     t_start = time.perf_counter()
     sweeps_done = 0
@@ -373,25 +544,77 @@ def main() -> None:
         if sweeps_done >= 1 and time.perf_counter() - t_start > budget_s:
             break
         for name in names:
+            # Repeat sweeps also honor the budget BETWEEN queries —
+            # a partial second sweep still improves min() for the
+            # queries it reached, and the probe below keeps room.
+            if sweeps_done >= 1 and time.perf_counter() - t_start > budget_s:
+                break
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
             timings[name] = min(timings[name], time.perf_counter() - t0)
         sweeps_done += 1
-    timings = {n: round(t, 3) for n, t in timings.items()}
 
-    total = round(sum(timings.values()), 3)
-    base_total = round(sum(timings[n] for n in BENCH_QUERIES), 3)
+    # Exact all-pairs probe: one run each, paired with the benched
+    # approximate twin's sweep timing so the speedup is recorded.
+    probe: dict[str, dict] = {}
+    for name, twin in EXACT_PAIRS_PROBE.items():
+        if time.perf_counter() - t_start > budget_s * 1.25:
+            break  # leave the summary lines room under a hard kill
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        t_exact = round(time.perf_counter() - t0, 3)
+        t_twin = timings.get(twin, float("inf"))
+        probe[name] = {
+            "sec": t_exact,
+            "lsh_twin": twin,
+            "twin_sec": t_twin if t_twin != float("inf") else None,
+            "exact_over_twin": (
+                round(t_exact / t_twin, 2) if t_twin != float("inf") else None
+            ),
+        }
+
+    # A query that never completed a sweep (budget expiry / hard
+    # kill mid-first-sweep) must not leak bare Infinity into the
+    # JSON (ADVICE r5) — report null and keep totals finite.
+    incomplete = sorted(n for n, t in timings.items() if t == float("inf"))
+    timings = {
+        n: (round(t, 3) if t != float("inf") else None)
+        for n, t in timings.items()
+    }
+
+    total = round(sum(t for t in timings.values() if t is not None), 3)
+    base_total = round(
+        sum(
+            timings[n]
+            for n in BENCH_QUERIES
+            if timings.get(n) is not None
+        ),
+        3,
+    )
     # The harness records only the LAST ~2000 characters of stdout and
     # parses the final JSON line. The full per-query dict has outgrown
     # that window (BENCH_r04 lost its headline `value` to truncation),
     # so: the complete detail goes on a FIRST line (may truncate away)
     # and the LAST line is a short, self-contained summary — headline
     # totals plus only the slowest queries — that always survives.
-    print(json.dumps({"detail_queries": timings}))
+    print(
+        json.dumps(
+            {
+                "detail_queries": timings,
+                "exact_pairs_probe": probe,
+                "excluded": BENCH_EXCLUDED,
+            }
+        )
+    )
     slowest = dict(
-        sorted(timings.items(), key=lambda kv: -kv[1])[:20]
+        sorted(
+            ((n, t) for n, t in timings.items() if t is not None),
+            key=lambda kv: -kv[1],
+        )[:20]
     )
     print(
         json.dumps(
@@ -405,6 +628,11 @@ def main() -> None:
                 "r01_comparable_subtotal": base_total,
                 "sweeps": sweeps_done,
                 "n_queries": len(timings),
+                "n_incomplete": len(incomplete),
+                "n_excluded": len(BENCH_EXCLUDED),
+                "exact_pairs_probe_n": len(probe),
+                "git_head": git_head(),
+                "cpu_calib_ms": cpu_calibration_ms(),
                 "queries": slowest,
             }
         )

@@ -450,3 +450,36 @@ def test_cdc_chunk_boundaries_survive_prefix_insertion(duck):
     tail = edited[2:]
     assert len(tail) >= 3
     assert all(c in orig for c in tail)
+
+
+def test_bench_lists_partition_registry():
+    """Sweep lists + BENCH_EXCLUDED partition the registry exactly:
+    every query is either benched or excluded-with-reason (VERDICT r5
+    #4 — the exclusion set is enumerated and auditable), never both,
+    never neither; probe queries are a subset of the exact-pairs
+    exclusions and their twins are benched."""
+    import bench
+    from reddit_hn_etl_spark.plans.queries import QUERIES
+
+    names = (
+        bench.BENCH_QUERIES
+        + bench.BENCH_QUERIES_R2
+        + bench.BENCH_QUERIES_R4
+        + bench.BENCH_QUERIES_R5
+        + bench.BENCH_QUERIES_R6
+    )
+    assert len(names) == len(set(names)), "duplicate sweep entries"
+    swept, excluded = set(names), set(bench.BENCH_EXCLUDED)
+    assert not swept & excluded
+    assert swept | excluded == set(QUERIES), (
+        sorted(set(QUERIES) - swept - excluded),
+        sorted((swept | excluded) - set(QUERIES)),
+    )
+    assert set(bench.BENCH_EXCLUDED.values()) <= {
+        "exact-pairs",
+        "approx-eval",
+        "micro",
+    }
+    for exact, twin in bench.EXACT_PAIRS_PROBE.items():
+        assert bench.BENCH_EXCLUDED.get(exact) == "exact-pairs"
+        assert twin in swept, (exact, twin)
