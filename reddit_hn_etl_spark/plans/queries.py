@@ -16164,8 +16164,14 @@ def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-dependent ORDER — so the closed form gets the 1e-9 grid
     rather than bit-trust (unlike the int-moment regressions, these
     moments are float sums; the slope is stable far beyond 1e-9).
-    One count agg + a vocabulary-sized window — corpus text is read
-    once."""
+    One count agg + a hierarchical global rank (operators/prefix.py
+    — r6: the old vocabulary-sized SinglePartition row_number was the
+    one data-scaled funnel the registry-wide plan walker found; at
+    open-vocabulary scale the vocab IS data-sized, so it gets the
+    same prefix-sum treatment as customer ranks) — corpus text is
+    read once."""
+    from ..operators import prefix
+
     docs = read_table(spark, sf_dir, "documents")
     t = docs.select(dedup.tokens("text").alias("w"))
     counts = (
@@ -16173,12 +16179,13 @@ def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    ranked = counts.select(
-        "freq",
-        F.row_number()
-        .over(Window.orderBy(F.desc("freq"), F.asc("term")))
-        .alias("rnk"),
-    )
+    ranked = prefix.global_row_number(
+        counts,
+        ["freq", "term"],
+        out_col="rnk",
+        descending=[True, False],
+        carry_cols=("freq",),
+    ).select("freq", "rnk")
     pts = ranked.select(
         F.log(F.col("rnk").cast("double")).alias("x"),
         F.log(F.col("freq").cast("double")).alias("y"),
