@@ -13,8 +13,12 @@ expect the CSV and database seams to exist, so both are provided:
     as the reference's tmp-table + MERGE protocol, minus the
     row-by-row conflict handling Postgres did.
 
-No database runs in the test container; ``write_jdbc_reconciled`` is
-exercised for plan construction only and gated at call time.
+The JDBC writer is exercised for plan construction only and gated at
+call time (no JDBC driver jar in the container). The MERGE semantics
+and the CSV/COPY seam ARE verified against a real PostgreSQL 15
+server: tests/test_postgres_local_parity.py self-provisions a
+throwaway cluster from the container's server binaries and runs the
+reference's literal ON CONFLICT protocol head-to-head (r6).
 """
 
 from __future__ import annotations
@@ -31,6 +35,11 @@ def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
         df.write.mode("overwrite")
         .option("header", str(header).lower())
         .option("nullValue", CSV_NULL)
+        # RFC 4180 doubled-quote escaping — Spark's default escape
+        # char is backslash, which Postgres COPY (the reference's
+        # loader) reads as a literal; caught live by
+        # tests/test_postgres_local_parity.py (r6)
+        .option("escape", '"')
         .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
         .csv(path)
     )
@@ -44,6 +53,7 @@ def read_csv(spark: SparkSession, path: str, schema: T.StructType,
         spark.read.schema(schema)
         .option("header", str(header).lower())
         .option("nullValue", CSV_NULL)
+        .option("escape", '"')
         .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
         .csv(path)
     )
