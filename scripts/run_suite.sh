@@ -4,9 +4,10 @@
 # ~15 min: 272 oracle differentials + property tests + streaming +
 # the iterative-CC compositions). Chunks partition tests/ exactly — no
 # file runs twice, none is skipped; a file added later lands in chunk
-# D via the ignore-list construction. Re-timed late r5 (315-query
-# registry): A 3:39, B 2:26, C 4:09, D 2:29 — all under the
-# 6-minute comfort line.
+# D via the ignore-list construction. Re-timed r6 (316-query
+# registry; D now carries the registry-wide plan walker + the live
+# Postgres parity tests): A 3:25, B 2:33, C 4:14, D 4:00 — all under
+# the 6-minute comfort line.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
