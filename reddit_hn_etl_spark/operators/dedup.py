@@ -513,6 +513,14 @@ def simhash_near_pairs(
     least one chunk, so candidates are generated by equality join on
     (block_idx, chunk) — one shuffle, no all-pairs.
     Output: (doc_a, doc_b, hamming).
+
+    Choose ``blocks = max_hamming + 1`` (the pigeonhole minimum):
+    chunk WIDTH is the selectivity, and every extra block both
+    narrows chunks and adds a collision opportunity — candidates only
+    grow. Measured (r6, sf0.1 shared-vocabulary corpus, 6k docs):
+    8-bit chunks (blocks=8) produced 13.5M candidate pairs — 75% of
+    all-pairs, blocking vacuous; 16-bit chunks (blocks=4) produced
+    493k, a 27x cut and 4.3x wall-clock win for max_hamming=3.
     """
     assert bits % blocks == 0
     w = bits // blocks
