@@ -42,6 +42,7 @@ PROBES = [
     "user_value_ema",         # events: per-key Arrow fold
     "doc_exact_dedup",        # documents: hash dedup
     "doc_minhash_pairs",      # documents: signatures + LSH + bound check
+    "doc_simhash_pairs",      # documents: votes + pigeonhole + exact check (r6 blocks=4)
     "doc_boilerplate_strip",  # documents: line df + reassembly
     "doc_dsir_weights",       # documents: bucket models + ordered fold
     "kmeans_assign",          # embeddings: literal-centroid map
@@ -134,9 +135,16 @@ def build_replicas(spark: SparkSession) -> None:
                     df = df.withColumn(c, F.col(c) + F.lit(i * 100_000_000))
                 if salt_text and i > 0:
                     # copies must not near-match each other, or pair
-                    # output grows k² by construction instead of k
+                    # output grows k² by construction instead of k.
+                    # r6: salt EVERY token (a single trailing salt
+                    # token left J ≈ 0.98 between copies — the pair
+                    # surface silently grew k² anyway); a per-token
+                    # suffix makes every shingle copy-distinct.
                     df = df.withColumn(
-                        "text", F.concat("text", F.lit(f" copysalt{i}"))
+                        "text",
+                        F.regexp_replace(
+                            "text", r"(\S+)", rf"$1c{i}"
+                        ),
                     )
                 parts.append(df)
             out = parts[0]
