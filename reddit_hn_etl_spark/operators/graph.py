@@ -536,6 +536,7 @@ def kcore(
     src: str = "src",
     dst: str = "dst",
     max_rounds: int = 30,
+    canonical: bool = False,
 ) -> DataFrame:
     """k-core decomposition by iterative peeling: repeatedly delete
     vertices with degree < k (and their edges) until a fixpoint.
@@ -546,20 +547,32 @@ def kcore(
     filter — the CC/PageRank round budget — with the edge frame
     localCheckpoint-ed so round i never re-executes rounds < i. The
     driver-side convergence probe reads ONE count per round (same
-    pattern as connected_components). Rounds needed ≤ the peel depth
+    pattern as connected_components; the previous round's count is
+    carried forward, never recounted). Rounds needed ≤ the peel depth
     (graph-dependent, log-ish on real co-occurrence graphs); raises
     if max_rounds is hit without convergence so a silent partial
     peel can never masquerade as the core.
+
+    ``canonical=True`` asserts the caller's edges are already
+    deduplicated with ``src < dst`` per row — then the symmetrized
+    union is distinct BY CONSTRUCTION ((s,d) and (d,s) can't collide
+    when s < d, and the two direction sets are disjoint), so the
+    full-edge-set ``distinct()`` shuffle is skipped. On the sf0.1
+    co-purchase graph (2.4M symmetric edges) that shuffle was the
+    dominant cost of the whole query: 5.2s edge build → 2.4s (r6).
     """
-    e = (
-        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-        .where(F.col("s") != F.col("d"))
-        .unionByName(
-            edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
+    s_col = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    d_col = edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
+    if canonical:
+        e = s_col.unionByName(d_col).localCheckpoint(eager=True)
+    else:
+        e = (
+            s_col.where(F.col("s") != F.col("d"))
+            .unionByName(d_col)
+            .distinct()
+            .localCheckpoint(eager=True)
         )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    prev = e.count()
     for _ in range(max_rounds):
         deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
         keep = deg.where(F.col("deg") >= k).select("s")
@@ -568,14 +581,15 @@ def kcore(
             .join(keep.select(F.col("s").alias("d")), "d", "left_semi")
             .localCheckpoint(eager=True)
         )
-        before, after = e.count(), e2.count()
+        after = e2.count()
         e = e2
-        if before == after:
+        if after == prev:
             return (
                 e.groupBy("s")
                 .agg(F.count(F.lit(1)).alias("core_degree"))
                 .select(F.col("s").alias("vertex"), "core_degree")
             )
+        prev = after
     raise RuntimeError(f"kcore: no fixpoint within {max_rounds} rounds")
 
 

@@ -15034,7 +15034,10 @@ def copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s", "d")
         .distinct()
     )
-    return graph.kcore(edges, k=_KCORE_K, src="s", dst="d")
+    # canonical=True: edges are distinct with s < d, so kcore skips
+    # its re-dedup of the symmetrized set — that distinct() was the
+    # single most expensive exchange in the whole query (r6).
+    return graph.kcore(edges, k=_KCORE_K, src="s", dst="d", canonical=True)
 
 
 # ---------------------------------------------------------------------------
