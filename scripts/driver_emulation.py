@@ -92,7 +92,8 @@ for name, fn in sorted(qs.items()):
     ok_count = len(srows) == len(drows)
     ok_vals = rowset(scols, srows) == rowset(dcols, drows)
     if ok_schema and ok_count and ok_vals:
-        print(f"MATCH {name}: {len(srows)} rows in {dt:.1f}s")
+        vac = "  [WARN: 0-row result — vacuous match]" if not srows else ""
+        print(f"MATCH {name}: {len(srows)} rows in {dt:.1f}s{vac}")
     else:
         print(f"FAIL {name}: schema={ok_schema} count={ok_count}({len(srows)}/{len(drows)}) vals={ok_vals}")
         fails += 1
