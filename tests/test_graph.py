@@ -274,6 +274,43 @@ def test_kcore_matches_brute_force(spark):
     assert got == want
 
 
+def test_kcore_canonical_fast_path_equals_default(spark):
+    """`canonical=True` (r6: skips the symmetrized-set re-dedup when
+    the caller guarantees distinct src<dst edges) is result-identical
+    to the default path on canonical input — the fast path changes
+    the PLAN (one fewer full-edge shuffle), never the core."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from reddit_hn_etl_spark.operators.graph import kcore
+
+    edges = set()
+    for i in range(400):
+        h = int(hashlib.md5(f"c{i}".encode()).hexdigest()[:8], 16)
+        a, b = h % 50, (h // 50) % 50
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    df = spark.createDataFrame(sorted(edges), "src long, dst long")
+    default = {
+        r["vertex"]: r["core_degree"] for r in kcore(df, k=4).collect()
+    }
+    fast = {
+        r["vertex"]: r["core_degree"]
+        for r in kcore(df, k=4, canonical=True).collect()
+    }
+    assert fast == default and len(fast) > 0
+    # and the fast path really skips the dedup: feeding it NON-unique
+    # edges (a violated contract) must change the degrees, proving
+    # the distinct() is gone rather than silently still applied
+    dup = df.unionByName(df)
+    violated = {
+        r["vertex"]: r["core_degree"]
+        for r in kcore(dup, k=4, canonical=True).collect()
+    }
+    assert violated != default
+
+
 def test_bellman_ford_matches_dijkstra(spark):
     """Fixpoint relaxation on a deterministic weighted graph equals a
     driver-side Dijkstra."""
