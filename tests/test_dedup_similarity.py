@@ -176,6 +176,16 @@ def test_minhash_index_parquet_roundtrip(spark, tmp_path):
         ).collect()
     }
     assert persisted == live and persisted
+    # the layout claim itself: a band-predicate read must prune at
+    # the PARTITION level (PartitionFilters on band, not a post-scan
+    # filter) — this is what makes the incremental probe touch only
+    # matched band directories at 100 TB index size
+    pruned = reloaded.where(F.col("band") == 7)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "band" in plan.split(
+        "PartitionFilters", 1
+    )[1].split("]", 1)[0]
+    assert pruned.count() == 3  # one row per indexed doc in band 7
 
 
 def test_simhash_near_pairs(spark):
