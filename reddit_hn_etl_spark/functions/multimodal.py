@@ -18,8 +18,14 @@ that need none are decoded for real with stdlib + numpy:
   features and a REAL nearest-neighbor ``resize_images`` path;
   verified against closed-form gradient statistics by
   ``image_bmp_metrics``.
+* 8-bit PNG images (r6) — ``_decode_png`` / ``_encode_png``: chunk
+  walk + stdlib-zlib inflate + full five-filter scanline
+  unfiltering (None/Sub/Up/Average/Paeth) in numpy; gray/RGB/RGBA,
+  non-interlaced. PNG's DEFLATE needs no codec library, so features,
+  aHash, and resize are REAL for PNG too — verified
+  format-invariant against the BMP twin of the same pixels.
 
-JPEG/PNG/compressed audio fall back to a clearly-marked DETERMINISTIC
+JPEG/compressed audio fall back to a clearly-marked DETERMINISTIC
 FAKE (features derived from a stable hash of the payload bytes); PIL
 is tried first if it ever lands. The Spark-side plumbing — schema,
 partitioning, UDF signature, Arrow batch shape — is identical on both
@@ -148,6 +154,156 @@ def _decode_bmp(payload: bytes) -> tuple[int, int, "object"] | None:
     return width, height, rows[:, :, ::-1]  # BGR → RGB
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _encode_png(px_rgb: "object") -> bytes:
+    """Encode an HxWx3 RGB uint8 array as an 8-bit truecolor PNG
+    (filter 0 scanlines, one zlib IDAT). Pure stdlib zlib/struct —
+    no codec library involved."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(px_rgb, dtype=np.uint8)
+    height, width = px.shape[:2]
+    raw = b"".join(
+        b"\x00" + px[y].tobytes() for y in range(height)
+    )
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def synth_png(width: int, height: int, blue: int,
+              rg_step: int = 16) -> bytes:
+    """The ``synth_bmp`` gradient encoded as a PNG — same pixels, so
+    format-invariance of every downstream feature is testable by
+    construction (decode(synth_png(...)) ≡ decode(synth_bmp(...)))."""
+    import numpy as np
+
+    x = (np.arange(width) * rg_step).clip(0, 255).astype(np.uint8)
+    y = (np.arange(height) * rg_step).clip(0, 255).astype(np.uint8)
+    px = np.zeros((height, width, 3), dtype=np.uint8)
+    px[:, :, 0] = x[None, :]
+    px[:, :, 1] = y[:, None]
+    px[:, :, 2] = blue & 0xFF
+    return _encode_png(px)
+
+
+def _decode_png(payload: bytes) -> tuple[int, int, "object"] | None:
+    """REAL image decode for 8-bit non-interlaced PNG (r6): chunk
+    walk, zlib inflate, and full scanline unfiltering (all five
+    filter types — None/Sub/Up/Average/Paeth) in numpy. Supports
+    grayscale (expanded to RGB), truecolor, and truecolor+alpha
+    (alpha dropped). PNG needs no codec library — DEFLATE is stdlib
+    zlib — so this is a real decode path, not a stub. Returns
+    (width, height, HxWx3 RGB uint8 array) or None if the payload is
+    not a PNG this decoder supports."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if len(payload) < 8 or payload[:8] != _PNG_SIG:
+        return None
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        if len(data) < ln:
+            return None
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln  # length + type + data + crc
+    if ihdr is None or len(ihdr) != 13 or not idat:
+        return None
+    w, h, depth, ctype_, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    channels = {0: 1, 2: 3, 6: 4}.get(ctype_)
+    if (
+        channels is None or depth != 8 or comp != 0 or filt != 0
+        or interlace != 0 or w == 0 or h == 0
+    ):
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        return None
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    ftypes = arr[:, 0]
+    lines = arr[:, 1:].astype(np.int64)
+    out = np.zeros((h, stride), dtype=np.int64)
+    bpp = channels  # bytes per pixel at depth 8
+    zero = np.zeros(stride, dtype=np.int64)
+    for yrow in range(h):
+        f = int(ftypes[yrow])
+        cur = lines[yrow].copy()
+        prev = out[yrow - 1] if yrow else zero
+        if f == 0:
+            rec = cur
+        elif f == 2:  # Up — vectorized
+            rec = (cur + prev) & 0xFF
+        elif f in (1, 3, 4):  # Sub / Average / Paeth — sequential in x
+            rec = cur
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                if f == 1:
+                    rec[x] = (rec[x] + a) & 0xFF
+                elif f == 3:
+                    rec[x] = (rec[x] + (a + b) // 2) & 0xFF
+                else:
+                    c = prev[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if (pa <= pb and pa <= pc) else (
+                        b if pb <= pc else c
+                    )
+                    rec[x] = (rec[x] + pr) & 0xFF
+        else:
+            return None
+        out[yrow] = rec
+    px = out.astype(np.uint8).reshape(h, w, channels)
+    if channels == 1:
+        px = np.repeat(px, 3, axis=2)
+    elif channels == 4:
+        px = px[:, :, :3]
+    return int(w), int(h), px
+
+
+def _decode_rgb(payload: bytes) -> tuple[int, int, "object"] | None:
+    """Dispatch over the REAL in-container decoders (BMP, then PNG).
+    Returns (width, height, HxWx3 RGB uint8) or None."""
+    decoded = _decode_bmp(payload)
+    if decoded is None:
+        decoded = _decode_png(payload)
+    return decoded
+
+
 def _decode_image(payload: bytes) -> tuple[int, int, list[float]]:
     """(width, height, features). Real decode for formats this
     container can parse (PIL if present; uncompressed BMP always);
@@ -156,7 +312,7 @@ def _decode_image(payload: bytes) -> tuple[int, int, list[float]]:
     Real-path features (16): per-channel mean/std/min/max in [0,1]
     (12), mean luminance, luminance std, aspect ratio, pixel count
     (log-scaled) — actual image statistics, not hashes."""
-    bmp = _decode_bmp(payload)
+    bmp = _decode_rgb(payload)
     if bmp is not None:
         import math
 
@@ -257,7 +413,7 @@ def average_hash(df: DataFrame, id_col: str = "media_id",
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 if payload is None:
                     continue
-                decoded = _decode_bmp(bytes(payload))
+                decoded = _decode_rgb(bytes(payload))
                 if decoded is None:
                     continue
                 w, h, px = decoded
@@ -555,8 +711,8 @@ def resize_images(df: DataFrame, target_w: int, target_h: int,
             counter += 1
         return bytes(out[:n])
 
-    def _resize_real(payload: bytes) -> bytes | None:
-        decoded = _decode_bmp(payload)
+    def _resize_real(payload: bytes) -> tuple[bytes, str] | None:
+        decoded = _decode_rgb(payload)
         if decoded is None:
             return None
         import numpy as np
@@ -564,7 +720,10 @@ def resize_images(df: DataFrame, target_w: int, target_h: int,
         w, h, px = decoded
         xi = (np.arange(target_w) * w) // target_w
         yi = (np.arange(target_h) * h) // target_h
-        return _encode_bmp(px[yi][:, xi])
+        resized = px[yi][:, xi]
+        if payload[:8] == _PNG_SIG:  # re-encode in the source format
+            return _encode_png(resized), "image/png"
+        return _encode_bmp(resized), "image/bmp"
 
     def work(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -576,7 +735,7 @@ def resize_images(df: DataFrame, target_w: int, target_h: int,
                     continue
                 real = _resize_real(bytes(payload))
                 if real is not None:
-                    out, mime = real, "image/bmp"
+                    out, mime = real
                 else:
                     out, mime = (
                         _fake_bytes(

@@ -473,3 +473,168 @@ def test_average_hash_brightness_invariant_and_sensitive(spark):
     assert got[3] == 15 * 72340172838076673
     # hamming between 3-col and 4-col stripes: one bit per row
     assert bin(got[1] ^ got[3]).count("1") == 8
+
+
+def test_png_decode_is_real_and_format_invariant():
+    """The r6 PNG path is a REAL decode: synth_png carries the same
+    gradient as synth_bmp, so every pixel — and every downstream
+    statistic — must be identical across formats."""
+    import numpy as np
+
+    w, h, px = mm._decode_png(mm.synth_png(16, 16, blue=77))
+    assert (w, h) == (16, 16) and px.shape == (16, 16, 3)
+    _, _, pb = mm._decode_bmp(mm.synth_bmp(16, 16, blue=77))
+    assert np.array_equal(px, pb)
+    # encoder round trip is lossless; non-PNG payloads rejected
+    assert np.array_equal(mm._decode_png(mm._encode_png(px))[2], px)
+    assert mm._decode_png(b"\x89PNG but not a png") is None
+    assert mm._decode_png(mm.synth_bmp(4, 4, 1)) is None
+
+
+def test_png_unfilters_all_five_filter_types():
+    """Differential against the PNG spec: forward-filter the
+    scanlines HERE (Sub/Up/Average/Paeth per the spec's reference
+    algorithms), hand-assemble the IDAT, and the decoder must invert
+    every filter back to the original pixels."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    rng_px = np.frombuffer(
+        hashlib.sha256(b"png-filter-fixture").digest() * 30, dtype=np.uint8
+    )[: 10 * 4 * 3].reshape(10, 4, 3)
+    h, w, _ = rng_px.shape
+    bpp = 3
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    raw = bytearray()
+    prev = np.zeros(w * bpp, dtype=np.int64)
+    for y in range(h):
+        line = rng_px[y].reshape(-1).astype(np.int64)
+        f = y % 5  # cycle through all five filter types
+        raw.append(f)
+        for x in range(w * bpp):
+            a = int(line[x - bpp]) if x >= bpp else 0
+            b = int(prev[x])
+            c = int(prev[x - bpp]) if x >= bpp else 0
+            v = int(line[x])
+            if f == 0:
+                out = v
+            elif f == 1:
+                out = (v - a) % 256
+            elif f == 2:
+                out = (v - b) % 256
+            elif f == 3:
+                out = (v - (a + b) // 2) % 256
+            else:
+                out = (v - paeth(a, b, c)) % 256
+            raw.append(out)
+        prev = line
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    got = mm._decode_png(payload)
+    assert got is not None
+    assert np.array_equal(got[2], rng_px)
+
+
+def test_png_gray_and_rgba_color_types():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def build(ctype_code, channels, px_bytes, w, h):
+        raw = b"".join(
+            b"\x00" + px_bytes[y * w * channels : (y + 1) * w * channels]
+            for y in range(h)
+        )
+
+        def chunk(ctype, data):
+            return (
+                struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+            )
+
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(
+                b"IHDR",
+                struct.pack(">IIBBBBB", w, h, 8, ctype_code, 0, 0, 0),
+            )
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+
+    # grayscale 3x2 ramp → replicated across RGB
+    gray = bytes([0, 50, 100, 150, 200, 250])
+    w_, h_, px = mm._decode_png(build(0, 1, gray, 3, 2))
+    assert (w_, h_) == (3, 2)
+    assert px[0, 1, 0] == px[0, 1, 1] == px[0, 1, 2] == 50
+    # RGBA → alpha dropped
+    rgba = bytes(range(2 * 2 * 4))
+    w_, h_, px = mm._decode_png(build(6, 4, rgba, 2, 2))
+    assert (w_, h_) == (2, 2)
+    assert [int(v) for v in px[0, 0]] == [0, 1, 2]  # alpha byte 3 gone
+    assert [int(v) for v in px[1, 1]] == [12, 13, 14]
+
+
+def test_image_features_and_ahash_format_invariant(spark):
+    """Same pixels through BMP and PNG ⇒ identical REAL features and
+    identical perceptual hash — the format boundary adds nothing."""
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [
+            Row(media_id=1, payload=bytearray(mm.synth_bmp(16, 16, blue=9))),
+            Row(media_id=2, payload=bytearray(mm.synth_png(16, 16, blue=9))),
+        ],
+        "media_id long, payload binary",
+    )
+    feats = {
+        r.media_id: (r.width, r.height, tuple(r.features))
+        for r in mm.extract_image_features(df).collect()
+    }
+    assert feats[1] == feats[2]
+    assert feats[1][0] == 16  # real dims, not fake
+    hashes = {r.media_id: r.ahash for r in mm.average_hash(df).collect()}
+    assert hashes[1] == hashes[2]
+
+
+def test_resize_real_for_png(spark):
+    """PNG in → REAL nearest-neighbor resize → PNG out, pixel-equal
+    to the BMP twin's resize."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [
+            Row(media_id=1, payload=bytearray(mm.synth_png(16, 16, blue=9))),
+            Row(media_id=2, payload=bytearray(mm.synth_bmp(16, 16, blue=9))),
+        ],
+        "media_id long, payload binary",
+    )
+    out = {r.media_id: r for r in mm.resize_images(df, 8, 8).collect()}
+    assert out[1].meta.mime == "image/png"
+    assert out[2].meta.mime == "image/bmp"
+    _, _, png_px = mm._decode_png(bytes(out[1].payload))
+    _, _, bmp_px = mm._decode_bmp(bytes(out[2].payload))
+    assert np.array_equal(png_px, bmp_px)
+    assert [int(v) for v in png_px[0, :, 0]] == [
+        0, 32, 64, 96, 128, 160, 192, 224,
+    ]
