@@ -24,6 +24,13 @@ that need none are decoded for real with stdlib + numpy:
   non-interlaced. PNG's DEFLATE needs no codec library, so features,
   aHash, and resize are REAL for PNG too — verified
   format-invariant against the BMP twin of the same pixels.
+* Y4M video (r6) — ``_decode_y4m`` / ``synth_y4m`` /
+  ``sample_video_frames``: the yuv4mpeg2 container is raw planar
+  frames behind a text header, so VIDEO decode + frame sampling are
+  real too (C444/C420/Cmono, BT.601 conversion; neutral chroma ⇒
+  RGB equals luma exactly — the closed-form check). Sampled frames
+  re-encode as PNG, so the whole image path (features / aHash /
+  scene cuts) runs on real video frames unchanged.
 
 JPEG/compressed audio fall back to a clearly-marked DETERMINISTIC
 FAKE (features derived from a stable hash of the payload bytes); PIL
@@ -452,6 +459,164 @@ def sample_frame_offsets(df: DataFrame, n_frames: int = 4,
             F.posexplode(offsets).alias("frame_idx", "frame_offset_ms"),
         )
     )
+
+
+_Y4M_MAGIC = b"YUV4MPEG2"
+
+
+def synth_y4m(
+    width: int,
+    height: int,
+    y_per_frame: list,
+    colorspace: str = "C444",
+) -> bytes:
+    """Deterministic Y4M (yuv4mpeg2) clip: one luma plane value-map
+    per frame (an HxW uint8 array or a scalar), neutral chroma
+    (U=V=128 ⇒ decoded RGB equals Y exactly under BT.601 — the
+    closed-form check). Y4M is an UNCOMPRESSED container — header
+    line + raw planar frames — so video decode needs no codec
+    library, same as WAV/BMP/PNG."""
+    import numpy as np
+
+    assert colorspace in ("C444", "C420")
+    header = (
+        f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1 {colorspace}\n"
+    ).encode()
+    if colorspace == "C444":
+        cw, ch = width, height
+    else:
+        cw, ch = width // 2, height // 2
+    chroma = bytes([128]) * (cw * ch)
+    out = [header]
+    for y in y_per_frame:
+        plane = np.broadcast_to(
+            np.asarray(y, dtype=np.uint8), (height, width)
+        )
+        out.append(b"FRAME\n" + plane.tobytes() + chroma + chroma)
+    return b"".join(out)
+
+
+def _decode_y4m(payload: bytes):
+    """REAL video decode for non-interlaced 8-bit Y4M (r6): header
+    parse + per-frame planar YUV read + BT.601 full-range conversion
+    in numpy. Supports C444, C420 (2x2 nearest upsample), and Cmono.
+    Returns (width, height, [HxWx3 RGB uint8 per frame]) or None if
+    the payload is not a Y4M this decoder supports."""
+    import numpy as np
+
+    if not payload.startswith(_Y4M_MAGIC):
+        return None
+    nl = payload.find(b"\n")
+    if nl < 0:
+        return None
+    w = h = None
+    cs = "C420"  # the spec default when no C tag is present
+    for tok in payload[len(_Y4M_MAGIC) : nl].split():
+        t = tok.decode("ascii", "replace")
+        if t.startswith("W"):
+            w = int(t[1:])
+        elif t.startswith("H"):
+            h = int(t[1:])
+        elif t.startswith("C"):
+            cs = t
+    if not w or not h:
+        return None
+    if cs.startswith("C444"):
+        cw, ch = w, h
+    elif cs.startswith("C420"):
+        cw, ch = w // 2, h // 2
+    elif cs.startswith("Cmono"):
+        cw, ch = 0, 0
+    else:
+        return None
+    frame_bytes = w * h + 2 * cw * ch
+    frames = []
+    pos = nl + 1
+    while pos < len(payload):
+        fe = payload.find(b"\n", pos)
+        if fe < 0 or not payload[pos:fe].startswith(b"FRAME"):
+            return None
+        pos = fe + 1
+        if pos + frame_bytes > len(payload):
+            return None
+        y = np.frombuffer(
+            payload, np.uint8, count=w * h, offset=pos
+        ).reshape(h, w).astype(np.float64)
+        if cw:
+            u = np.frombuffer(
+                payload, np.uint8, count=cw * ch, offset=pos + w * h
+            ).reshape(ch, cw).astype(np.float64)
+            v = np.frombuffer(
+                payload,
+                np.uint8,
+                count=cw * ch,
+                offset=pos + w * h + cw * ch,
+            ).reshape(ch, cw).astype(np.float64)
+            if cw != w:  # 4:2:0 → nearest 2x2 upsample
+                u = u.repeat(2, axis=0)[:h].repeat(2, axis=1)[:, :w]
+                v = v.repeat(2, axis=0)[:h].repeat(2, axis=1)[:, :w]
+        else:
+            u = v = np.full((h, w), 128.0)
+        r = y + 1.402 * (v - 128.0)
+        g = y - 0.344136 * (u - 128.0) - 0.714136 * (v - 128.0)
+        b = y + 1.772 * (u - 128.0)
+        rgb = np.clip(
+            np.rint(np.stack([r, g, b], axis=2)), 0, 255
+        ).astype(np.uint8)
+        frames.append(rgb)
+        pos += frame_bytes
+    if not frames:
+        return None
+    return w, h, frames
+
+
+def sample_video_frames(
+    df: DataFrame,
+    n_frames: int = 4,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """REAL video frame sampling (r6): decode the Y4M container,
+    pick ``n_frames`` evenly spaced frames (center-of-bucket rule —
+    the same spacing ``sample_frame_offsets`` plans from metadata),
+    and emit each as a PNG payload, so the ENTIRE existing image
+    path (features / aHash / resize / scene cuts) runs on real
+    sampled video frames unchanged. Payloads stay inside the one
+    mapInPandas stage; output rows carry a frame-sized PNG each.
+    Non-Y4M payloads are skipped (no fake frames — a video stub
+    can't masquerade as a decode)."""
+    out_schema = (
+        f"{id_col} long, frame_idx int, frame_no int, "
+        "frame_count int, payload binary"
+    )
+
+    def work(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                decoded = _decode_y4m(bytes(payload))
+                if decoded is None:
+                    continue
+                _, _, frames = decoded
+                n = len(frames)
+                for i in range(n_frames):
+                    fno = min(((i * 2 + 1) * n) // (2 * n_frames), n - 1)
+                    rows.append(
+                        (int(mid), i, fno, n, _encode_png(frames[fno]))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "frame_idx", "frame_no", "frame_count",
+                    "payload",
+                ],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(work, out_schema)
 
 
 def synth_wav(

@@ -638,3 +638,65 @@ def test_resize_real_for_png(spark):
     assert [int(v) for v in png_px[0, :, 0]] == [
         0, 32, 64, 96, 128, 160, 192, 224,
     ]
+
+
+def test_y4m_decode_is_real():
+    """Y4M container decode: neutral chroma ⇒ RGB equals the luma
+    plane EXACTLY (BT.601 terms vanish at U=V=128) — closed-form
+    gray-gradient check, C444 and C420, plus frame segmentation."""
+    import numpy as np
+
+    ramp = np.tile(np.arange(16, dtype=np.uint8) * 16, (8, 1))  # 8x16
+    clip = mm.synth_y4m(16, 8, [ramp, 200], colorspace="C444")
+    w, h, frames = mm._decode_y4m(clip)
+    assert (w, h, len(frames)) == (16, 8, 2)
+    assert np.array_equal(frames[0][:, :, 0], ramp)
+    assert np.array_equal(frames[0][:, :, 0], frames[0][:, :, 2])
+    assert int(frames[1].min()) == int(frames[1].max()) == 200
+    # C420 with neutral chroma: same exact luma round trip
+    w, h, f420 = mm._decode_y4m(
+        mm.synth_y4m(16, 8, [ramp], colorspace="C420")
+    )
+    assert np.array_equal(f420[0][:, :, 1], ramp)
+    # non-Y4M rejected
+    assert mm._decode_y4m(b"RIFF not a video") is None
+    assert mm._decode_y4m(mm.synth_bmp(4, 4, 1)) is None
+
+
+def test_sample_video_frames_feeds_real_image_path(spark):
+    """End-to-end multimodal composition on a REAL container: Y4M
+    clip whose pattern flips mid-clip → sample 4 frames → the frames
+    are real PNGs → aHash over them detects exactly the flip, and
+    image features are exact for the constant frames."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    stripes_a = np.tile(
+        np.array([0] * 8 + [255] * 8, dtype=np.uint8), (16, 1)
+    )  # 16x16: left half dark, right half bright
+    stripes_b = stripes_a.T.copy()  # top/bottom halves — distinct aHash
+    clip = mm.synth_y4m(16, 16, [stripes_a] * 6 + [stripes_b] * 6)
+    df = spark.createDataFrame(
+        [Row(media_id=7, payload=bytearray(clip)),
+         Row(media_id=8, payload=bytearray(b"not a video"))],
+        "media_id long, payload binary",
+    )
+    frames = mm.sample_video_frames(df, n_frames=4)
+    rows = frames.collect()
+    assert {r.media_id for r in rows} == {7}  # stub can't fake frames
+    assert [r.frame_no for r in sorted(rows, key=lambda r: r.frame_idx)] == [
+        1, 4, 7, 10,
+    ]
+    # each sampled frame is a REAL PNG of the right pattern
+    for r in rows:
+        w, h, px = mm._decode_png(bytes(r.payload))
+        want = stripes_a if r.frame_no < 6 else stripes_b
+        assert np.array_equal(px[:, :, 0], want)
+    hashes = {
+        r.media_id: r.ahash
+        for r in mm.average_hash(
+            frames.select(F.col("frame_idx").alias("media_id"), "payload")
+        ).collect()
+    }
+    assert hashes[0] == hashes[1] and hashes[2] == hashes[3]
+    assert hashes[1] != hashes[2]  # the cut, found via real decode
