@@ -31,6 +31,14 @@ that need none are decoded for real with stdlib + numpy:
   RGB equals luma exactly — the closed-form check). Sampled frames
   re-encode as PNG, so the whole image path (features / aHash /
   scene cuts) runs on real video frames unchanged.
+* GIF87a/89a (r6) — ``_decode_gif`` / ``_encode_gif`` / ``synth_gif``:
+  pure-Python GIF-variant LZW (variable-width codes, table growth,
+  KwKwK, 12-bit reset), global/local palettes, interlace, GCE
+  transparency, frame-rect compositing. Single images feed
+  ``_decode_rgb``; animated GIFs are a second REAL video source for
+  ``sample_video_frames``. Decoder verified differentially against
+  the in-module LZW encoder across palette widths and table-reset-
+  forcing streams.
 
 JPEG/compressed audio fall back to a clearly-marked DETERMINISTIC
 FAKE (features derived from a stable hash of the payload bytes); PIL
@@ -303,11 +311,17 @@ def _decode_png(payload: bytes) -> tuple[int, int, "object"] | None:
 
 
 def _decode_rgb(payload: bytes) -> tuple[int, int, "object"] | None:
-    """Dispatch over the REAL in-container decoders (BMP, then PNG).
-    Returns (width, height, HxWx3 RGB uint8) or None."""
+    """Dispatch over the REAL in-container decoders (BMP, PNG, then
+    GIF first-frame). Returns (width, height, HxWx3 RGB uint8) or
+    None."""
     decoded = _decode_bmp(payload)
     if decoded is None:
         decoded = _decode_png(payload)
+    if decoded is None:
+        gif = _decode_gif(payload)
+        if gif is not None:
+            w, h, frames = gif
+            decoded = (w, h, frames[0])
     return decoded
 
 
@@ -461,6 +475,246 @@ def sample_frame_offsets(df: DataFrame, n_frames: int = 4,
     )
 
 
+def _lzw_encode_gif(indices, min_code_size: int) -> bytes:
+    """GIF-variant LZW encode (LSB-first variable-width codes, CLEAR/
+    END, 12-bit cap with table reset) — the fixture side of the
+    differential pair; the decoder below must invert it."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    table = {bytes([i]): i for i in range(1 << min_code_size)}
+    next_code = end + 1
+    width = min_code_size + 1
+    out_bits: list = []
+    out_bits.append((clear, width))
+    buf = b""
+    for px in indices:
+        cand = buf + bytes([px])
+        if cand in table:
+            buf = cand
+            continue
+        out_bits.append((table[buf], width))
+        table[cand] = next_code
+        next_code += 1
+        if next_code > (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4096:
+            out_bits.append((clear, width))
+            table = {bytes([i]): i for i in range(1 << min_code_size)}
+            next_code = end + 1
+            width = min_code_size + 1
+        buf = bytes([px])
+    if buf:
+        out_bits.append((table[buf], width))
+    out_bits.append((end, width))
+    acc = nb = 0
+    data = bytearray()
+    for code, w in out_bits:
+        acc |= code << nb
+        nb += w
+        while nb >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nb -= 8
+    if nb:
+        data.append(acc & 0xFF)
+    return bytes(data)
+
+
+def _lzw_decode_gif(data: bytes, min_code_size: int, n_expected: int) -> bytes:
+    """GIF-variant LZW decode: variable code width (grows when the
+    table fills the current width, 12-bit cap), CLEAR resets, the
+    code==next_table_slot KwKwK case. Stops at END or n_expected."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    width = min_code_size + 1
+    base = [bytes([i]) for i in range(1 << min_code_size)] + [b"", b""]
+    table = list(base)
+    acc = nb = pos = 0
+    out = bytearray()
+    prev = None
+    while True:
+        while nb < width:
+            if pos >= len(data):
+                return bytes(out)
+            acc |= data[pos] << nb
+            nb += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nb -= width
+        if code == clear:
+            table = list(base)
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            return bytes(out)
+        if code < len(table):
+            entry = table[code]
+            if prev is not None:
+                table.append(prev + entry[:1])
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt GIF LZW stream")
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+        if len(out) >= n_expected:
+            return bytes(out)
+
+
+def _encode_gif(frames, palette=None) -> bytes:
+    """Encode one or more HxWx3 RGB uint8 frames (≤256 distinct
+    colors across the clip) as a GIF89a with a global palette and
+    real LZW-compressed image data. Fixture-side encoder for the
+    differential decode tests and synths."""
+    import struct
+
+    import numpy as np
+
+    if not isinstance(frames, (list, tuple)):
+        frames = [frames]
+    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+    h, w, _ = frames[0].shape
+    if palette is None:
+        palette = np.unique(
+            np.concatenate([f.reshape(-1, 3) for f in frames]), axis=0
+        )
+    palette = np.asarray(palette, dtype=np.uint8)
+    n = len(palette)
+    assert n <= 256, "GIF fixtures need <= 256 distinct colors"
+    depth = max(2, int(n - 1).bit_length())
+    pal_full = np.zeros(((1 << depth), 3), dtype=np.uint8)
+    pal_full[:n] = palette
+    lut = {tuple(c): i for i, c in enumerate(palette)}
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0)
+    out += pal_full.tobytes()
+    for f in frames:
+        out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+        idx = [lut[tuple(px)] for px in f.reshape(-1, 3)]
+        out.append(depth)  # LZW min code size
+        data = _lzw_encode_gif(idx, depth)
+        for i in range(0, len(data), 255):
+            block = data[i : i + 255]
+            out.append(len(block))
+            out += block
+        out.append(0)  # block terminator
+    out.append(0x3B)  # trailer
+    return bytes(out)
+
+
+def synth_gif(width: int, height: int, blue: int,
+              rg_step: int = 16) -> bytes:
+    """The ``synth_bmp`` gradient as a GIF (its 16×16 R/G grid plus
+    constant B is ≤256 distinct colors by construction) — the
+    format-invariance twin for the GIF decode path."""
+    import numpy as np
+
+    x = (np.arange(width) * rg_step).clip(0, 255).astype(np.uint8)
+    y = (np.arange(height) * rg_step).clip(0, 255).astype(np.uint8)
+    px = np.zeros((height, width, 3), dtype=np.uint8)
+    px[:, :, 0] = x[None, :]
+    px[:, :, 1] = y[:, None]
+    px[:, :, 2] = blue & 0xFF
+    return _encode_gif(px)
+
+
+def _decode_gif(payload: bytes):
+    """REAL image/animation decode for GIF87a/89a (r6): pure-Python
+    LZW (variable-width codes, table growth, KwKwK), global/local
+    palettes, frame rects composited onto the logical screen,
+    interlaced row order, and GCE transparency (transparent pixels
+    keep the previous canvas — disposal "do not dispose"). Returns
+    (width, height, [HxWx3 RGB uint8 per frame]) or None."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    w, h, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gpal = None
+    if packed & 0x80:
+        gsize = 2 << (packed & 0x07)
+        gpal = np.frombuffer(
+            payload, np.uint8, count=gsize * 3, offset=pos
+        ).reshape(gsize, 3)
+        pos += gsize * 3
+    canvas = np.zeros((h, w, 3), dtype=np.uint8)
+    frames: list = []
+    transparent = None
+    while pos < len(payload):
+        intro = payload[pos]
+        pos += 1
+        if intro == 0x3B:  # trailer
+            break
+        if intro == 0x21:  # extension: label + sub-blocks
+            label = payload[pos]
+            pos += 1
+            if label == 0xF9 and payload[pos] >= 4:  # GCE
+                flags = payload[pos + 1]
+                tindex = payload[pos + 4]
+                transparent = tindex if flags & 1 else None
+            while pos < len(payload) and payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if intro != 0x2C:
+            return None
+        fx, fy, fw, fh, fpacked = struct.unpack_from("<HHHHB", payload, pos)
+        pos += 9
+        pal = gpal
+        if fpacked & 0x80:
+            lsize = 2 << (fpacked & 0x07)
+            pal = np.frombuffer(
+                payload, np.uint8, count=lsize * 3, offset=pos
+            ).reshape(lsize, 3)
+            pos += lsize * 3
+        if pal is None:
+            return None
+        mcs = payload[pos]
+        pos += 1
+        data = bytearray()
+        while pos < len(payload) and payload[pos]:
+            ln = payload[pos]
+            data += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        try:
+            idx = np.frombuffer(
+                _lzw_decode_gif(bytes(data), mcs, fw * fh), np.uint8
+            )
+        except ValueError:
+            return None
+        if len(idx) < fw * fh or int(idx.max()) >= len(pal):
+            return None
+        grid = idx[: fw * fh].reshape(fh, fw)
+        if fpacked & 0x40:  # interlaced: 4-pass row order
+            order = (
+                list(range(0, fh, 8))
+                + list(range(4, fh, 8))
+                + list(range(2, fh, 4))
+                + list(range(1, fh, 2))
+            )
+            de = np.empty_like(grid)
+            de[np.asarray(order)] = grid
+            grid = de
+        region = canvas[fy : fy + fh, fx : fx + fw]
+        rgb = pal[grid]
+        if transparent is not None:
+            mask = (grid != transparent)[:, :, None]
+            rgb = np.where(mask, rgb, region)
+        canvas[fy : fy + fh, fx : fx + fw] = rgb
+        frames.append(canvas.copy())
+        transparent = None
+    if not frames:
+        return None
+    return int(w), int(h), frames
+
+
 _Y4M_MAGIC = b"YUV4MPEG2"
 
 
@@ -576,7 +830,8 @@ def sample_video_frames(
     id_col: str = "media_id",
     payload_col: str = "payload",
 ) -> DataFrame:
-    """REAL video frame sampling (r6): decode the Y4M container,
+    """REAL video frame sampling (r6): decode the Y4M (or animated
+    GIF) container,
     pick ``n_frames`` evenly spaced frames (center-of-bucket rule —
     the same spacing ``sample_frame_offsets`` plans from metadata),
     and emit each as a PNG payload, so the ENTIRE existing image
@@ -599,6 +854,8 @@ def sample_video_frames(
                 if payload is None:
                     continue
                 decoded = _decode_y4m(bytes(payload))
+                if decoded is None:
+                    decoded = _decode_gif(bytes(payload))
                 if decoded is None:
                     continue
                 _, _, frames = decoded

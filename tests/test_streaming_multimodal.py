@@ -700,3 +700,71 @@ def test_sample_video_frames_feeds_real_image_path(spark):
     }
     assert hashes[0] == hashes[1] and hashes[2] == hashes[3]
     assert hashes[1] != hashes[2]  # the cut, found via real decode
+
+
+def test_gif_lzw_differential_and_decode():
+    """GIF LZW decode inverts the in-module encoder across palette
+    widths, including streams that force table growth, code-width
+    widening, and the 4096-entry reset; full-file decode is pixel-
+    identical to the BMP twin of the same gradient."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    for mcs in (2, 4, 8):
+        for n in (1, 64, 5000):
+            idx = rng.integers(0, 1 << mcs, size=n, dtype=np.uint8)
+            enc = mm._lzw_encode_gif(idx.tolist(), mcs)
+            dec = np.frombuffer(
+                mm._lzw_decode_gif(enc, mcs, n), dtype=np.uint8
+            )
+            assert np.array_equal(dec, idx), (mcs, n)
+    runs = (np.arange(30000) % 4).astype(np.uint8)  # forces resets
+    enc = mm._lzw_encode_gif(runs.tolist(), 2)
+    assert len(enc) < 1000  # real compression, not a store
+    dec = np.frombuffer(
+        mm._lzw_decode_gif(enc, 2, len(runs)), dtype=np.uint8
+    )
+    assert np.array_equal(dec, runs)
+
+    w, h, frames = mm._decode_gif(mm.synth_gif(16, 16, blue=77))
+    _, _, pb = mm._decode_bmp(mm.synth_bmp(16, 16, blue=77))
+    assert (w, h, len(frames)) == (16, 16, 1)
+    assert np.array_equal(frames[0], pb)
+    assert mm._decode_gif(b"GIF89a junk") is None
+    assert mm._decode_gif(mm.synth_png(4, 4, 1)) is None
+
+
+def test_gif_feeds_image_and_video_paths(spark):
+    """GIF joins the format-invariance family: same pixels through
+    BMP/PNG/GIF give identical features, and an ANIMATED gif samples
+    real frames through the video path."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [
+            Row(media_id=1, payload=bytearray(mm.synth_bmp(16, 16, blue=9))),
+            Row(media_id=2, payload=bytearray(mm.synth_gif(16, 16, blue=9))),
+        ],
+        "media_id long, payload binary",
+    )
+    feats = {
+        r.media_id: (r.width, r.height, tuple(r.features))
+        for r in mm.extract_image_features(df).collect()
+    }
+    assert feats[1] == feats[2]
+
+    base = mm._decode_bmp(mm.synth_bmp(16, 16, blue=9))[2]
+    anim = mm._encode_gif([base, np.roll(base, 8, axis=1)] * 3)
+    vdf = spark.createDataFrame(
+        [Row(media_id=5, payload=bytearray(anim))],
+        "media_id long, payload binary",
+    )
+    rows = mm.sample_video_frames(vdf, n_frames=3).collect()
+    assert [r.frame_no for r in sorted(rows, key=lambda r: r.frame_idx)] == [
+        1, 3, 5,
+    ]
+    for r in rows:
+        _, _, px = mm._decode_png(bytes(r.payload))
+        want = base if r.frame_no % 2 == 0 else np.roll(base, 8, axis=1)
+        assert np.array_equal(px, want)
