@@ -208,6 +208,63 @@ def jaccard_pairs(
     )
 
 
+def jaccard_pairs_cross(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 1,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs BETWEEN two disjoint document sets
+    (r6): same inverted-index shape as :func:`jaccard_pairs`, but the
+    self-join becomes an A-side ⋈ B-side join — the decontamination
+    shape, where A is a small benchmark and B the corpus. Candidate
+    volume drops from Σ df² over the union to Σ df_A·df_B, i.e. the
+    corpus never pair-scores against itself just to have those rows
+    discarded. Callers must keep the id spaces disjoint. Output:
+    (id_a, id_b, jaccard) with jaccard ≥ threshold.
+    """
+
+    def sized_shingles(df: DataFrame) -> DataFrame:
+        df = fan_out_narrow_input(df)
+        if n > 1:
+            sh = word_shingles(df, id_col, text_col, n=n)
+        else:
+            sh = df.select(
+                F.col(id_col),
+                F.explode(F.array_distinct(tokens(text_col))).alias(
+                    "shingle"
+                ),
+            )
+        return sh.withColumn(
+            "set_size", F.count("*").over(Window.partitionBy(id_col))
+        )
+
+    a = sized_shingles(df_a).select(
+        F.col(id_col).alias("id_a"), "shingle",
+        F.col("set_size").alias("size_a"),
+    )
+    b = sized_shingles(df_b).select(
+        F.col(id_col).alias("id_b"), "shingle",
+        F.col("set_size").alias("size_b"),
+    )
+    inter = (
+        a.join(b, on="shingle")
+        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.withColumn(
+            "jaccard",
+            F.col("inter")
+            / (F.col("size_a") + F.col("size_b") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
 def containment_pairs(
     df: DataFrame,
     id_col: str,

@@ -11545,20 +11545,16 @@ def fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_new").alias("corpus_id"),
         F.col("est_jaccard"),
     )
-    is_bench_a = F.col("doc_a") % 31 == 0
-    is_bench_b = F.col("doc_b") % 31 == 0
-    true_pairs = (
-        dedup.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
-        .where(is_bench_a != is_bench_b)  # exactly one side is bench
-        .select(
-            F.when(is_bench_a, F.col("doc_a"))
-            .otherwise(F.col("doc_b"))
-            .alias("bench_id"),
-            F.when(is_bench_a, F.col("doc_b"))
-            .otherwise(F.col("doc_a"))
-            .alias("corpus_id"),
-            "jaccard",
-        )
+    # r6: cross-sides-only exact join (dedup.jaccard_pairs_cross) —
+    # the old full-corpus jaccard_pairs scored every corpus×corpus
+    # pair just to discard them; the decontamination shape only ever
+    # needs bench×corpus candidates (Σ df_A·df_B, not Σ df²).
+    true_pairs = dedup.jaccard_pairs_cross(
+        bench, corpus, "doc_id", "text", n=3, threshold=0.5
+    ).select(
+        F.col("id_a").alias("bench_id"),
+        F.col("id_b").alias("corpus_id"),
+        "jaccard",
     )
     return (
         true_pairs.join(cand, ["bench_id", "corpus_id"], "left")

@@ -357,3 +357,27 @@ def test_semantic_dedup_planted_clusters(spark):
         4: (3, False),
         5: (5, True),
     }
+
+
+def test_jaccard_pairs_cross_equals_filtered_full(spark):
+    """The r6 cross-sides exact join (the decontamination shape)
+    returns exactly the cross-parity subset of the full all-pairs
+    join — same pairs, same jaccard values — while never scoring a
+    same-side pair."""
+    docs = _docs_df(spark)
+    a = docs.where(F.col("doc_id") % 2 == 0)
+    b = docs.where(F.col("doc_id") % 2 == 1)
+    full = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.jaccard_pairs(
+            docs, "doc_id", "text", n=1, threshold=0.2
+        ).collect()
+        if (r.doc_a % 2) != (r.doc_b % 2)
+    }
+    cross = {
+        (min(r.id_a, r.id_b), max(r.id_a, r.id_b)): r.jaccard
+        for r in dedup.jaccard_pairs_cross(
+            a, b, "doc_id", "text", n=1, threshold=0.2
+        ).collect()
+    }
+    assert cross == full and cross
