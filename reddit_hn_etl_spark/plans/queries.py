@@ -22147,71 +22147,84 @@ ORACLES["source_quality_thresholds"] = ORACLES[
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
-    # --- r6 rotation (VERDICT r5 #1 + #3) ---
-    # 45 never-driver-checked queries: the complete r5 second-half
-    # battery (stats/causal/eval, audio fingerprinting, DP, ER-EM,
-    # graph SSSP, retrieval rerank, corpus release reports) that no
-    # driver or judge window has ever gated, prioritized exactly as
-    # VERDICT r5 "Next round" #1 names them; then 5 SURVEY §2
-    # evergreen re-checks (VERDICT #3) whose underlying code was
-    # touched by the r5 ngram_array/oracle-type sweeps and whose last
-    # green driver row is r3.
-    # Verdict-named priority set:
-    "fs_em_weights",
-    "referral_weighted_sssp",
-    "audio_fingerprint_match",
-    "brand_bradley_terry",
-    "value_ks_test",
-    "value_mannwhitney_test",
-    "purchase_cem_att",
-    "signup_purchase_logrank",
-    "cdc_chunk_dedup",
-    "corpus_datasheet",
-    # Remaining third/fourth-stretch + final-stretch battery:
-    "dp_median_exponential",
-    "purchase_diff_in_diff",
-    "lang_token_fertility",
-    "knn_shapley_data_value",
-    "mmr_diverse_rerank",
-    "knn_label_diagnostics",
-    "cluster_label_purity",
-    "source_overlap_matrix",
-    "corpus_heaps_fit",
-    "uplift_qini_deciles",
-    "lang_id_kappa",
-    "embedding_isotropy_audit",
-    "purchase_ipw_ate",
-    "heldout_oov_rate",
-    "daily_value_its",
-    "user_markov_surprisal",
-    "covariate_balance_smd",
-    "term_burstiness",
-    "source_loo_impact",
-    "value_qte",
-    "corpus_textrank_keywords",
-    "daily_spearman_rho",
-    "value_median_ci",
-    "feature_mi_ranking",
-    "source_quality_thresholds",
-    # Post-verdict second-half families (pre-battery):
-    "peak_concurrent_sessions",
-    "type_daily_twap",
-    "customer_nearest_supplier_geo",
-    "sliding_distinct_users_hll",
-    "top_event_trigram_paths",
-    "ab_test_sprt",
-    "padding_waste_report",
-    "dp_noisy_type_daily",
-    "lineitem_ridge_regression",
-    "quality_isotonic_calibration",
-    # SURVEY §2 evergreen re-confirmation (reference semantics:
-    # sql/mart/02_marts.sql:30-39,58-63,114-121;
-    # src/transform/hn_transform.py:109-111):
-    "daily_metrics",
-    "domain_extract",
-    "user_activity",
-    "dedup_keep_last",
-    "top_orders_per_segment",
+    # --- r7 rotation (VERDICT r6 #1 + #4 + #6) ---
+    # 43 never-driver-checked queries from the 130-entry backlog,
+    # led by the three queries whose PHYSICAL PLANS were rewritten in
+    # r6 with only local/emulation green (highest divergence risk per
+    # VERDICT r6 "What's wrong" #1), then the top-cost benched
+    # never-checked queries and the verdict-named families
+    # (kmeans/PQ/IVF-PQ, bm25/rm3, scd2/cdc-apply, graph
+    # lift/absorption/pagerank, psi/benford/chisquare/ztest stats,
+    # video/audio segments); then 2 re-check slots for queries whose
+    # plans changed in r6 but whose last driver row is r4 (VERDICT
+    # #4); then 5 SURVEY §2 evergreens whose last rows are r3–r5
+    # (VERDICT #6; reference semantics sql/load/03_merge.sql:1-32,
+    # sql/load/04_checks.sql:5-8, sql/mart/03_checks.sql:8-21).
+    # r6-replanned, never driver-checked (highest risk):
+    "fuzzy_decontamination",
+    "corpus_zipf_fit",
+    "doc_bigram_lm_logprob",
+    # Top-cost benched, never checked:
+    "doc_tf_cosine_pairs",
+    "brand_copurchase_pagerank",
+    "brand_copurchase_lift",
+    # kmeans / PQ / IVF-PQ line:
+    "kmeans_assign",
+    "kmeans_prototypes",
+    "pq_codes",
+    "pq_residual_codes",
+    "ivf_pq_knn",
+    # retrieval line:
+    "bm25_doc_search",
+    "rm3_feedback_search",
+    # SCD2 / CDC line:
+    "scd2_user_state",
+    "cdc_user_state_apply",
+    # dedup/recall line:
+    "simhash_planted_recall",
+    "doc_token_jaccard_prefix",
+    "doc_containment_pairs",
+    "near_dup_clusters",
+    "near_dup_triangles",
+    # stats line (psi/benford/chisquare/ztest + survival):
+    "value_psi_weekly",
+    "value_benford_audit",
+    "type_dow_chisquare",
+    "ab_test_ztest",
+    "signup_purchase_km",
+    # multimodal segments:
+    "video_scene_cuts",
+    "audio_activity_segments",
+    "image_ahash_clusters",
+    # sketch line:
+    "heavy_hitters_sketch",
+    "cms_user_counts",
+    "hll_user_overlap_estimate",
+    # ANN / embedding line:
+    "binary_hamming_knn",
+    "matryoshka_two_stage_knn",
+    "mutual_knn_pairs",
+    "knn_ndcg_eval",
+    "embedding_jl_distortion",
+    "pca_project_top1",
+    # quality-filter + split line:
+    "doc_gopher_rules",
+    "doc_c4_rules",
+    "leakage_safe_split",
+    # graph/state extras:
+    "related_customers_ppr",
+    "purchase_absorption_3step",
+    "purchases_asof_state",
+    # Re-checks: plans changed in r6 (blocks=4 rebalance; kcore
+    # canonical fast path), last driver row r4 (VERDICT r6 #4):
+    "doc_simhash_pairs",
+    "copurchase_kcore",
+    # SURVEY §2 evergreen re-confirmation (VERDICT r6 #6):
+    "pricing_summary",
+    "merge_upsert",
+    "dup_detect",
+    "events_last_day",
+    "table_counts",
 ]
 
 
