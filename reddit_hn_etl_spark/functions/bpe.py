@@ -107,12 +107,32 @@ def train_bpe_distributed(
     n_merges: int,
     text_col: str = "text",
     min_count: int = 1,
-    top_words: int | None = None,
+    top_words: int | None = 262_144,
+    max_vocab_rows: int = 4_000_000,
 ) -> list[tuple[str, str]]:
-    """Corpus scan distributed, merge loop on the collected vocab."""
+    """Corpus scan distributed, merge loop on the collected vocab.
+
+    Scale contract: the (word, count) vocabulary is driver-collected
+    for the serial Sennrich merge loop, so it must be bounded.
+    ``top_words`` defaults to 256k (frequency-capped vocabularies are
+    standard for tokenizer training and change merges only in the
+    long tail); passing ``top_words=None`` explicitly opts into the
+    full vocabulary, which at open-vocabulary 100 TB scale is
+    data-sized — guarded by a loud ``max_vocab_rows`` check rather
+    than a silent driver OOM (same contract as
+    ``similarity.cosine_pairs_blocked``)."""
     wf = word_frequencies(
         df, text_col=text_col, min_count=min_count, top_words=top_words
     )
+    if top_words is None:
+        n_vocab = wf.count()
+        if n_vocab > max_vocab_rows:
+            raise ValueError(
+                f"train_bpe_distributed: full vocabulary has {n_vocab} "
+                f"rows > max_vocab_rows={max_vocab_rows}; collecting it "
+                "would OOM the driver. Pass top_words (frequency cap) "
+                "or raise min_count to bound the vocabulary."
+            )
     counts = [(r["word"], r["cnt"]) for r in wf.collect()]
     return train_bpe(counts, n_merges)
 

@@ -472,6 +472,7 @@ def knn_cosine_ivf(
     n_cells: int = 16,
     n_probe: int = 4,
     iters: int = 3,
+    max_query_rows: int = 1_000_000,
 ):
     """IVF-style approximate kNN: k-means cells over the corpus; each
     query probes its ``n_probe`` nearest cells; exact cosine re-rank
@@ -481,6 +482,13 @@ def knn_cosine_ivf(
     file); each query batch touches n_probe/n_cells of the data — the
     classic recall/cost dial. Candidate generation is an equi-join on
     cell (one shuffle); re-ranking reuses the exact cosine kernel.
+
+    Scale contract: the QUERY set is driver-collected to build the
+    per-query probe list (n_probe cell ids each), so it must fit on
+    the driver — enforced by a loud ``max_query_rows`` guard, exactly
+    like :func:`cosine_pairs_blocked`'s corpus guard. Above the bound
+    assign query cells distributedly (``_assign_cells`` with
+    ``n_probe`` ranks via posexplode) instead of collecting.
     """
     import numpy as np
 
@@ -497,7 +505,18 @@ def knn_cosine_ivf(
         id_col,
     )
 
-    # Driver-side probe list per query (query set is the small side).
+    # Driver-side probe list per query (query set is the small side —
+    # guarded, not assumed: a query set at corpus scale would OOM the
+    # driver silently without this check).
+    n_q = queries.count()
+    if n_q > max_query_rows:
+        raise ValueError(
+            f"knn_cosine_ivf: query set has {n_q} rows > max_query_rows="
+            f"{max_query_rows}; the driver-side probe-list build would "
+            "OOM. Assign query cells distributedly (broadcast the "
+            f"{n_cells} centroids, rank cells per query with "
+            "posexplode) for corpus-scale query sets."
+        )
     q_rows = queries.select(query_id_col, vec_col).collect()
     probes = []
     for r in q_rows:

@@ -124,3 +124,16 @@ def test_encode_ids_marks_unknown_symbols(spark):
     # é is outside the base ASCII vocab -> exactly one unk
     assert out["n_unk"] == 1
     assert out["token_ids"].count(-1) == 1
+
+
+def test_unbounded_vocab_guard_fires(spark, sf_dir):
+    """Explicit top_words=None opts into the full vocabulary; the
+    loud max_vocab_rows guard must fail before the driver collect
+    (same contract as similarity.cosine_pairs_blocked)."""
+    import pytest
+
+    docs = read_table(spark, sf_dir, "documents")
+    with pytest.raises(ValueError, match="max_vocab_rows"):
+        bpe.train_bpe_distributed(
+            docs, n_merges=2, top_words=None, max_vocab_rows=5
+        )

@@ -253,6 +253,24 @@ def test_blocked_kernel_size_guard(spark, sf_dir):
         similarity.cosine_pairs_blocked(emb, threshold=0.35, max_rows=5)
 
 
+def test_ivf_query_side_size_guard(spark, sf_dir):
+    """knn_cosine_ivf driver-collects the QUERY set for probe-list
+    construction; the guard must fail loudly (not OOM silently) when
+    the query set exceeds max_query_rows — same contract as the
+    blocked-kernel corpus guard above."""
+    import pytest
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from reddit_hn_etl_spark.sources.tables import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    with pytest.raises(ValueError, match="max_query_rows"):
+        similarity.knn_cosine_ivf(
+            emb, queries, dim=16, k=3, max_query_rows=2
+        )
+
+
 def test_ivf_knn_recall_against_bruteforce(spark, sf_dir):
     from pyspark.sql import functions as F  # noqa: F811
 
