@@ -215,6 +215,7 @@ def jaccard_pairs_cross(
     text_col: str,
     n: int = 1,
     threshold: float = 0.5,
+    df_cap: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs BETWEEN two disjoint document sets
     (r6): same inverted-index shape as :func:`jaccard_pairs`, but the
@@ -224,6 +225,19 @@ def jaccard_pairs_cross(
     corpus never pair-scores against itself just to have those rows
     discarded. Callers must keep the id spaces disjoint. Output:
     (id_a, id_b, jaccard) with jaccard ≥ threshold.
+
+    Scale: one boilerplate shingle present in most bench AND corpus
+    docs puts |A_df|·|B_df| candidates on a single shuffle bucket —
+    the same skew hazard the self-join's cap covers. ``df_cap`` drops
+    shingles whose CORPUS-side (df_b) document frequency exceeds the
+    cap from BOTH sides of the join: intersections are counted over
+    corpus-rare shingles only, while the Jaccard denominators keep
+    the FULL set sizes — identical semantics contract to
+    :func:`jaccard_pairs`'s cap (pinned vs brute force in
+    tests/test_skew.py). The banned set (ubiquitous shingles) is at
+    most Σ df_b / cap entries — small by construction — so it
+    broadcasts as an anti-join; the allow-list would be
+    vocabulary-sized. Approximation switch, off by default.
     """
 
     def sized_shingles(df: DataFrame) -> DataFrame:
@@ -249,6 +263,15 @@ def jaccard_pairs_cross(
         F.col(id_col).alias("id_b"), "shingle",
         F.col("set_size").alias("size_b"),
     )
+    if df_cap is not None:
+        banned = (
+            b.groupBy("shingle")
+            .agg(F.count("*").alias("df_b"))
+            .where(F.col("df_b") > df_cap)
+            .select("shingle")
+        )
+        a = a.join(F.broadcast(banned), "shingle", "left_anti")
+        b = b.join(F.broadcast(banned), "shingle", "left_anti")
     inter = (
         a.join(b, on="shingle")
         .groupBy("id_a", "id_b", "size_a", "size_b")

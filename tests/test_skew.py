@@ -204,3 +204,99 @@ def test_df_cap_bounds_inverted_index_self_join_skew(spark):
     assert got == want and len(want) == 10
     # the 10 planted pairs all survive with intersection 3 of union 5
     assert all(abs(v - 0.6) < 1e-9 for v in got.values())
+
+
+def test_df_cap_bounds_cross_sides_join_skew(spark):
+    """VERDICT r6 #3: the CROSS-sides variant (jaccard_pairs_cross —
+    the decontamination shape) has the same hot-shingle hazard as the
+    self-join: one boilerplate shingle present in most bench AND
+    corpus docs puts |A_df|·|B_df| candidates on one shuffle bucket.
+    Same three assertions as the self-join test above: (a) per-bucket
+    candidate load (Σ df_A·df_B by pmod(hash(shingle), P) — the same
+    murmur3 bucketing HashPartitioning uses) is dominated by the hot
+    bucket uncapped and near-uniform with the CORPUS-side cap on; (b)
+    the capped operator's semantics are pinned vs brute force
+    (intersections over corpus-rare shingles only, FULL set-size
+    denominators); (c) the planted contamination pairs survive."""
+    from pyspark.sql import functions as F
+
+    from reddit_hn_etl_spark.operators.dedup import jaccard_pairs_cross
+
+    n_bench, n_corpus, cap, parts = 40, 300, 8, 32
+    bench_rows = []
+    for i in range(n_bench):
+        # every bench doc carries the boilerplate token; rare tokens
+        # are doc-local
+        bench_rows.append((i, f"ubiq b{i}x b{i}y b{i}z"))
+    corpus_rows = []
+    for j in range(n_corpus):
+        cid = 1000 + j
+        if j < 10:
+            # planted contamination: corpus doc shares bench doc j's
+            # full rare set (plus the boilerplate)
+            corpus_rows.append((cid, f"ubiq b{j}x b{j}y b{j}z"))
+        else:
+            corpus_rows.append((cid, f"ubiq c{j}x c{j}y c{j}z"))
+    bench = spark.createDataFrame(bench_rows, "doc_id int, text string")
+    corpus = spark.createDataFrame(corpus_rows, "doc_id int, text string")
+
+    def df_of(side):
+        return (
+            side.select(
+                F.explode(
+                    F.array_distinct(F.split(F.col("text"), r"\s+"))
+                ).alias("shingle")
+            )
+            .groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+        )
+
+    fa = df_of(bench).withColumnRenamed("df", "df_a")
+    fb = df_of(corpus).withColumnRenamed("df", "df_b")
+
+    def bucket_load(fb_side):
+        # cross-join candidate volume per shuffle partition = sum of
+        # df_a * df_b over the shingles hashed into it
+        loads = [
+            r["load"]
+            for r in fa.join(fb_side, "shingle")
+            .groupBy(F.pmod(F.hash("shingle"), F.lit(parts)).alias("b"))
+            .agg(F.sum(F.col("df_a") * F.col("df_b")).alias("load"))
+            .collect()
+        ]
+        return max(loads) / (sum(loads) / len(loads))
+
+    ratio_uncapped = bucket_load(fb)
+    ratio_capped = bucket_load(fb.where(F.col("df_b") <= cap))
+    # hot shingle: df_a*df_b = 40*300 vs ~10 planted rare matches
+    assert ratio_uncapped > 10, ratio_uncapped
+    assert ratio_capped < 3, ratio_capped
+
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs_cross(
+            bench, corpus, "doc_id", "text", n=1, threshold=0.3, df_cap=cap
+        ).collect()
+    }
+    # brute-force the documented capped semantics: corpus-side df
+    # bans, intersections over surviving shingles, FULL set sizes
+    btoks = {i: set(t.split()) for i, t in bench_rows}
+    ctoks = {i: set(t.split()) for i, t in corpus_rows}
+    df_b_all: dict = {}
+    for t in ctoks.values():
+        for s in t:
+            df_b_all[s] = df_b_all.get(s, 0) + 1
+    allowed = {s for s, d in df_b_all.items() if d <= cap}
+    want = {}
+    for a, ta in btoks.items():
+        for b, tb in ctoks.items():
+            inter = len(ta & tb & allowed)
+            if not inter:
+                continue
+            jac = inter / (len(ta) + len(tb) - inter)
+            if jac >= 0.3:
+                want[(a, b)] = round(jac, 4)
+    assert got == want and len(want) == 10
+    # the planted pairs: 3 rare shared of union 5 (ubiq dropped from
+    # the intersection but kept in both set sizes)
+    assert all(abs(v - 0.6) < 1e-9 for v in got.values())
