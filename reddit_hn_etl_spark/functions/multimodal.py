@@ -639,6 +639,8 @@ def _decode_gif(payload: bytes):
     gpal = None
     if packed & 0x80:
         gsize = 2 << (packed & 0x07)
+        if pos + gsize * 3 > len(payload):
+            return None
         gpal = np.frombuffer(
             payload, np.uint8, count=gsize * 3, offset=pos
         ).reshape(gsize, 3)
@@ -646,34 +648,52 @@ def _decode_gif(payload: bytes):
     canvas = np.zeros((h, w, 3), dtype=np.uint8)
     frames: list = []
     transparent = None
+    # A corpus-scale decode must DEGRADE on truncated/degenerate
+    # payloads, never fail the task: every read below is
+    # bounds-checked and returns None (the documented corrupt-input
+    # path, same contract as _decode_bmp/_decode_png).
     while pos < len(payload):
         intro = payload[pos]
         pos += 1
         if intro == 0x3B:  # trailer
             break
         if intro == 0x21:  # extension: label + sub-blocks
+            if pos >= len(payload):
+                return None
             label = payload[pos]
             pos += 1
-            if label == 0xF9 and payload[pos] >= 4:  # GCE
+            if (
+                label == 0xF9
+                and pos + 4 < len(payload)
+                and payload[pos] >= 4
+            ):  # GCE
                 flags = payload[pos + 1]
                 tindex = payload[pos + 4]
                 transparent = tindex if flags & 1 else None
             while pos < len(payload) and payload[pos]:
                 pos += 1 + payload[pos]
+            if pos >= len(payload):
+                return None  # truncated before the block terminator
             pos += 1
             continue
         if intro != 0x2C:
             return None
+        if pos + 9 > len(payload):
+            return None  # cut-off image descriptor
         fx, fy, fw, fh, fpacked = struct.unpack_from("<HHHHB", payload, pos)
         pos += 9
+        if fw * fh == 0 or fx + fw > w or fy + fh > h:
+            return None  # zero-area or out-of-screen frame rect
         pal = gpal
         if fpacked & 0x80:
             lsize = 2 << (fpacked & 0x07)
+            if pos + lsize * 3 > len(payload):
+                return None
             pal = np.frombuffer(
                 payload, np.uint8, count=lsize * 3, offset=pos
             ).reshape(lsize, 3)
             pos += lsize * 3
-        if pal is None:
+        if pal is None or pos >= len(payload):
             return None
         mcs = payload[pos]
         pos += 1
@@ -682,6 +702,8 @@ def _decode_gif(payload: bytes):
             ln = payload[pos]
             data += payload[pos + 1 : pos + 1 + ln]
             pos += 1 + ln
+        if pos >= len(payload):
+            return None  # truncated before the data terminator
         pos += 1
         try:
             idx = np.frombuffer(
@@ -767,17 +789,29 @@ def _decode_y4m(payload: bytes):
     cs = "C420"  # the spec default when no C tag is present
     for tok in payload[len(_Y4M_MAGIC) : nl].split():
         t = tok.decode("ascii", "replace")
+        # Malformed W/H tokens must degrade to None (the corrupt-
+        # input contract), not raise out of the UDF.
         if t.startswith("W"):
-            w = int(t[1:])
+            try:
+                w = int(t[1:])
+            except ValueError:
+                return None
         elif t.startswith("H"):
-            h = int(t[1:])
+            try:
+                h = int(t[1:])
+            except ValueError:
+                return None
         elif t.startswith("C"):
             cs = t
-    if not w or not h:
+    if not w or not h or w < 0 or h < 0:
         return None
     if cs.startswith("C444"):
         cw, ch = w, h
     elif cs.startswith("C420"):
+        if w % 2 or h % 2:
+            # odd-dimension 4:2:0 would make the 2x2 chroma upsample
+            # (w-1)/(h-1)-sized and break the Y+chroma arithmetic
+            return None
         cw, ch = w // 2, h // 2
     elif cs.startswith("Cmono"):
         cw, ch = 0, 0

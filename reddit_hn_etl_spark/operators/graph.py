@@ -564,11 +564,17 @@ def kcore(
     s_col = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     d_col = edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
     if canonical:
+        # Precondition (caller-asserted): distinct edges with s < d,
+        # which also excludes self-loops — violating it detectably
+        # inflates degrees (contract-tested).
         e = s_col.unionByName(d_col).localCheckpoint(eager=True)
     else:
+        # Self-loop filter AFTER the union: filtering only s_col lets
+        # (x,x) re-enter via the reversed d_col side, survive
+        # distinct(), and inflate x's degree by 1 (ADVICE r6).
         e = (
-            s_col.where(F.col("s") != F.col("d"))
-            .unionByName(d_col)
+            s_col.unionByName(d_col)
+            .where(F.col("s") != F.col("d"))
             .distinct()
             .localCheckpoint(eager=True)
         )

@@ -1218,9 +1218,34 @@ def quantile_summary_stream(
     partitions) rows and compacts further by re-summarizing."""
     from ..operators.sketch import quantile_summary
 
+    # BREAKING (r6): the sink layout changed from flat append with
+    # batch_id as a data column to partitionBy("batch_id")
+    # directories (required for the overwrite-this-batch replay
+    # guarantee). A summary_dir written by the old layout mixes
+    # root-level parquet files with batch_id=N/ subdirectories, which
+    # Spark's partition discovery rejects — detected below on write
+    # with a clear migration error instead of a deep
+    # partition-discovery failure (ADVICE r6).
+    def _reject_flat_legacy_sink() -> None:
+        import glob as _glob
+        import os as _os
+
+        flat = _glob.glob(_os.path.join(summary_dir, "*.parquet"))
+        if flat:
+            raise ValueError(
+                f"quantile_summary_stream: {summary_dir} holds "
+                f"{len(flat)} root-level parquet file(s) from the "
+                "pre-r6 flat layout; the sink is now partitioned by "
+                "batch_id and Spark rejects mixed layouts. Migrate "
+                "once (read old files, write each batch_id group to "
+                "batch_id=N/ subdirectories) or point the stream at "
+                "a fresh summary_dir."
+            )
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        _reject_flat_legacy_sink()
         # Replay safety needs BOTH (ADVICE r5 — per-partition
         # compaction is partitioning-dependent, so a retried batch
         # could otherwise append a DIFFERENT weight for the same

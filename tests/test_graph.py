@@ -343,3 +343,19 @@ def test_bellman_ford_matches_dijkstra(spark):
                 dist[v] = nd
                 heapq.heappush(pq, (nd, v))
     assert got == dist
+
+
+def test_kcore_self_loop_both_directions_dropped(spark):
+    """ADVICE r6: a self-loop (x,x) must not survive via the reversed
+    direction and inflate x's degree. Triangle {1,2,3} plus a (1,1)
+    self-loop: with k=2 the core is exactly the triangle with degree
+    2 each — a leaked self-loop would give vertex 1 degree 3."""
+    from reddit_hn_etl_spark.operators.graph import kcore
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (1, 1)], "src int, dst int"
+    )
+    got = {r["vertex"]: r["core_degree"] for r in kcore(edges, k=2).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+    # k=3: the self-loop must not keep vertex 1 above the threshold
+    assert kcore(edges, k=3).count() == 0

@@ -1591,3 +1591,33 @@ def test_embedding_stats_stream_isotropy_matches_batch(spark, tmp_path, sf_dir):
     # derived ratio from state, same op order as the query
     ratio = ((float(ss) - float(t)) / n / (n - 1)) / (float(t) / n)
     assert batch["isotropy_ratio"] == ratio
+
+
+def test_quantile_summary_stream_rejects_legacy_flat_sink(spark, tmp_path):
+    """ADVICE r6: resuming against a pre-r6 FLAT-layout summary_dir
+    (root-level parquet, batch_id as a data column) must fail with
+    the clear migration error, not a deep partition-discovery
+    failure."""
+    import pytest
+
+    summary_dir = str(tmp_path / "summaries")
+    # fabricate the old flat layout: one root-level parquet file
+    spark.createDataFrame(
+        [(1.0, 2, 0)], "value double, weight long, batch_id long"
+    ).coalesce(1).write.parquet(summary_dir)
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    (src_dir / "b0.json").write_text('{"v": 5.0}\n')
+    rows = spark.readStream.schema("v double").json(str(src_dir))
+    q = ingest.quantile_summary_stream(
+        rows,
+        "v",
+        summary_dir=summary_dir,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        k=4,
+        parts=2,
+    )
+    with pytest.raises(Exception, match="pre-r6 flat layout"):
+        q.awaitTermination()
+        raise AssertionError("stream should have failed")

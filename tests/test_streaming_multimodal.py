@@ -768,3 +768,74 @@ def test_gif_feeds_image_and_video_paths(spark):
         _, _, px = mm._decode_png(bytes(r.payload))
         want = base if r.frame_no % 2 == 0 else np.roll(base, 8, axis=1)
         assert np.array_equal(px, want)
+
+
+def test_gif_corrupt_payloads_degrade_to_none():
+    """ADVICE r6: a corrupt GIF-magic payload in a corpus must return
+    None (the documented degrade path), never raise out of the UDF —
+    truncated image descriptors (struct.error class), end-of-buffer
+    extension labels / GCE reads (IndexError class), zero-area frame
+    rects (empty .max() ValueError class), and truncated palettes or
+    data sub-blocks."""
+    import numpy as np
+
+    good = mm.synth_gif(16, 16, blue=3)
+    # Truncations at EVERY byte boundary must degrade, not raise
+    # (sweeps through cut-off descriptor/palette/data/terminator).
+    for cut in range(6, len(good)):
+        out = mm._decode_gif(good[:cut])
+        assert out is None or isinstance(out, tuple), cut
+    # extension introducer then end-of-buffer
+    hdr = good[:13 + 256 * 3]  # header + global palette
+    assert mm._decode_gif(hdr + bytes([0x21])) is None
+    # GCE label with its size byte past the end
+    assert mm._decode_gif(hdr + bytes([0x21, 0xF9])) is None
+    assert mm._decode_gif(hdr + bytes([0x21, 0xF9, 0x04, 0x01])) is None
+    # zero-area frame rect passes the length check but must not
+    # reach idx.max() on an empty array
+    import struct
+
+    zero_rect = (
+        hdr
+        + bytes([0x2C])
+        + struct.pack("<HHHHB", 0, 0, 0, 0, 0)
+        + bytes([2, 0])  # min code size, empty data terminator
+        + bytes([0x3B])
+    )
+    assert mm._decode_gif(zero_rect) is None
+    # frame rect exceeding the logical screen degrades too
+    big_rect = (
+        hdr
+        + bytes([0x2C])
+        + struct.pack("<HHHHB", 10, 10, 16, 16, 0)
+        + bytes([2, 0])
+        + bytes([0x3B])
+    )
+    assert mm._decode_gif(big_rect) is None
+    # an animated gif truncated mid-second-frame still degrades
+    frames = [np.zeros((8, 8), np.uint8), np.full((8, 8), 3, np.uint8)]
+    anim = mm.synth_gif_animation(8, 8, frames) if hasattr(
+        mm, "synth_gif_animation"
+    ) else None
+    if anim:
+        for cut in (len(anim) - 5, len(anim) - 1):
+            out = mm._decode_gif(anim[:cut])
+            assert out is None or isinstance(out, tuple)
+
+
+def test_y4m_corrupt_payloads_degrade_to_none():
+    """ADVICE r6: malformed W/H header tokens and odd-dimension C420
+    payloads must return None, not raise inside the UDF."""
+    assert mm._decode_y4m(b"YUV4MPEG2 Wx H8 C444\nFRAME\n" + b"\0" * 64) is None
+    assert mm._decode_y4m(b"YUV4MPEG2 W16 Hy C444\nFRAME\n" + b"\0" * 128) is None
+    assert mm._decode_y4m(b"YUV4MPEG2 W-4 H8 C444\nFRAME\n") is None
+    # odd-dimension 4:2:0: chroma upsample cannot reconstruct WxH
+    odd = b"YUV4MPEG2 W5 H4 C420\nFRAME\n" + bytes(5 * 4 + 2 * 2 * 2)
+    assert mm._decode_y4m(odd) is None
+    odd_h = b"YUV4MPEG2 W4 H5 C420\nFRAME\n" + bytes(4 * 5 + 2 * 2 * 2)
+    assert mm._decode_y4m(odd_h) is None
+    # even-dimension C420 still decodes (the fix must not over-reject)
+    import numpy as np
+
+    ok = mm._decode_y4m(mm.synth_y4m(4, 4, [7], colorspace="C420"))
+    assert ok is not None and np.all(ok[2][0][:, :, 0] == 7)
