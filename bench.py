@@ -616,23 +616,34 @@ def main() -> None:
             key=lambda kv: -kv[1],
         )[:20]
     )
+    calib = cpu_calibration_ms()
+    # Box speeds vary ~1.7x round to round; `value` is the raw wall
+    # time, `value_normalized` rescales it to a reference box where
+    # the fixed Python calibration loop takes 100 ms (value x
+    # 100/cpu_calib_ms) so cross-round totals compare directly
+    # (VERDICT r6 #5). Per-query map stays raw.
+    norm = 100.0 / calib if calib and calib > 0 else None
     print(
         json.dumps(
             {
                 "metric": "headline-query wall time, local[%s], noop sink" % cpus,
                 "value": total,
+                "value_normalized": round(total * norm, 3) if norm else None,
                 "unit": "sec",
                 "sf": sf_val,
                 # Apples-to-apples vs BENCH_r01: the original 30-query
                 # subtotal (r2 added 7 queries; totals aren't comparable).
                 "r01_comparable_subtotal": base_total,
+                "r01_comparable_subtotal_normalized": (
+                    round(base_total * norm, 3) if norm else None
+                ),
                 "sweeps": sweeps_done,
                 "n_queries": len(timings),
                 "n_incomplete": len(incomplete),
                 "n_excluded": len(BENCH_EXCLUDED),
                 "exact_pairs_probe_n": len(probe),
                 "git_head": git_head(),
-                "cpu_calib_ms": cpu_calibration_ms(),
+                "cpu_calib_ms": calib,
                 "queries": slowest,
             }
         )
