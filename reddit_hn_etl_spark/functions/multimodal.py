@@ -40,11 +40,21 @@ that need none are decoded for real with stdlib + numpy:
   the in-module LZW encoder across palette widths and table-reset-
   forcing streams.
 
-JPEG/compressed audio fall back to a clearly-marked DETERMINISTIC
-FAKE (features derived from a stable hash of the payload bytes); PIL
-is tried first if it ever lands. The Spark-side plumbing — schema,
-partitioning, UDF signature, Arrow batch shape — is identical on both
-paths.
+* baseline-sequential JPEG (r7) — ``_decode_jpeg`` / ``_encode_jpeg``
+  / ``synth_jpeg``: full marker walk, DQT/DHT parse with canonical
+  Huffman rebuild, per-MCU entropy decode with DC prediction and
+  restart markers, exact float64 IDCT, 4:4:4 / 4:2:0 sampling-factor
+  assembly, JFIF YCbCr→RGB. The encoder builds per-image canonical
+  Huffman tables and is the spec-differential twin (grayscale
+  block-constant content round-trips EXACTLY; color within the
+  ±1-level YCbCr integer rounding). Progressive/arithmetic/12-bit
+  return None.
+
+Compressed audio (MP3/AAC/FLAC) falls back to a clearly-marked
+DETERMINISTIC FAKE (features derived from a stable hash of the
+payload bytes); PIL is tried first if it ever lands. The Spark-side
+plumbing — schema, partitioning, UDF signature, Arrow batch shape —
+is identical on both paths.
 
 Scale notes: media rows are wide (payload) and features are narrow —
 ``extract_*`` projects the payload away immediately so the shuffle
@@ -311,12 +321,14 @@ def _decode_png(payload: bytes) -> tuple[int, int, "object"] | None:
 
 
 def _decode_rgb(payload: bytes) -> tuple[int, int, "object"] | None:
-    """Dispatch over the REAL in-container decoders (BMP, PNG, then
-    GIF first-frame). Returns (width, height, HxWx3 RGB uint8) or
-    None."""
+    """Dispatch over the REAL in-container decoders (BMP, PNG,
+    baseline JPEG, then GIF first-frame). Returns (width, height,
+    HxWx3 RGB uint8) or None."""
     decoded = _decode_bmp(payload)
     if decoded is None:
         decoded = _decode_png(payload)
+    if decoded is None:
+        decoded = _decode_jpeg(payload)
     if decoded is None:
         gif = _decode_gif(payload)
         if gif is not None:
@@ -735,6 +747,604 @@ def _decode_gif(payload: bytes):
     if not frames:
         return None
     return int(w), int(h), frames
+
+
+# ---------------------------------------------------------------------------
+# JPEG (r7): REAL baseline-sequential codec — stdlib struct + numpy,
+# no codec library. Decoder: full marker walk (APPn/COM skip, DQT
+# 8/16-bit zigzag tables, SOF0, DHT canonical rebuild, SOS, DRI with
+# restart-segmented entropy data), per-MCU Huffman decode with DC
+# prediction + EXTEND, dequant, de-zigzag, exact float64 IDCT (8x8
+# orthonormal DCT-II matrix), sampling-factor plane assembly with
+# chroma upsample, JFIF full-range YCbCr→RGB. Encoder: the inverse
+# pipeline with per-image canonical Huffman tables built from actual
+# symbol frequencies (written as DHT segments — no reliance on the
+# Annex K defaults) and the libjpeg dummy-symbol trick so no real
+# symbol takes the all-ones code. Progressive (SOF2), arithmetic,
+# 12-bit, and hierarchical modes return None (honest capability
+# boundary, same contract as the other decoders: corrupt or
+# unsupported payloads DEGRADE, never raise).
+# ---------------------------------------------------------------------------
+
+
+def _jpeg_zigzag():
+    """Zigzag-order permutation: entry k is the natural (row*8+col)
+    index of the k-th zigzag element. Generated, not typed, to avoid
+    transcription bugs."""
+    out = []
+    for s in range(15):
+        rng = list(range(max(0, s - 7), min(7, s) + 1))
+        for r in rng if s % 2 else reversed(rng):
+            out.append(r * 8 + (s - r))
+    return out
+
+
+_JPEG_ZZ = None  # lazily built numpy array (import numpy only on use)
+
+
+def _jpeg_zz():
+    global _JPEG_ZZ
+    if _JPEG_ZZ is None:
+        import numpy as np
+
+        _JPEG_ZZ = np.array(_jpeg_zigzag(), dtype=np.int64)
+    return _JPEG_ZZ
+
+
+_JPEG_DCT_M = None
+
+
+def _jpeg_dct_mat():
+    """Orthonormal 8x8 DCT-II matrix M: forward F = M @ A @ M.T,
+    inverse A = M.T @ F @ M — exact in float64 far beyond the
+    half-ULP the integer rounding needs."""
+    global _JPEG_DCT_M
+    if _JPEG_DCT_M is None:
+        import numpy as np
+
+        k = np.arange(8)
+        m = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / 16) * 0.5
+        m[0, :] *= 1.0 / np.sqrt(2.0)
+        _JPEG_DCT_M = m
+    return _JPEG_DCT_M
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    """ITU T.81 F.2.2.1 EXTEND: map the s-bit magnitude code back to
+    the signed value."""
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _jpeg_category(v: int) -> int:
+    return abs(v).bit_length()
+
+
+class _JpegBitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.buf.append(self.acc)
+                if self.acc == 0xFF:  # byte stuffing
+                    self.buf.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> None:
+        while self.n:
+            self.write(1, 1)  # pad final byte with 1-bits (spec F.1.2.3)
+
+
+class _JpegBits:
+    """MSB-first bit reader over an already-unstuffed entropy segment."""
+
+    def __init__(self, data: bytes) -> None:
+        self.d = data
+        self.pos = 0  # bit position
+
+    def bit(self) -> int:
+        if self.pos >= len(self.d) * 8:
+            raise ValueError("jpeg: truncated entropy data")
+        b = self.d[self.pos >> 3]
+        v = (b >> (7 - (self.pos & 7))) & 1
+        self.pos += 1
+        return v
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _jpeg_huff_decode(bits: _JpegBits, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | bits.bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("jpeg: invalid huffman code")
+
+
+def _jpeg_canonical_codes(counts: list[int], values: list[int]):
+    """DHT (BITS, HUFFVAL) → {(length, code): symbol} decode map and
+    {symbol: (code, length)} encode map, per T.81 C.2."""
+    dec: dict = {}
+    enc: dict = {}
+    code = 0
+    vi = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            sym = values[vi]
+            vi += 1
+            dec[(length, code)] = sym
+            enc[sym] = (code, length)
+            code += 1
+        code <<= 1
+    return dec, enc
+
+
+def _jpeg_build_table(freqs: dict) -> tuple[list[int], list[int]]:
+    """Canonical Huffman (BITS, HUFFVAL) from symbol frequencies. A
+    dummy symbol is added so no REAL symbol gets the all-ones code
+    (the libjpeg reservation); if plain Huffman exceeds JPEG's 16-bit
+    code limit (possible only on pathological distributions), fall
+    back to fixed-length codes — still a valid canonical table."""
+    import heapq
+
+    syms = sorted(freqs)
+    # dummy reserves the largest (all-ones) code point; 257 can never
+    # collide with real symbols (DC cats ≤ 11, AC run/size ≤ 0xFA)
+    items = [(freqs[s], s) for s in syms] + [(0, 257)]
+    if len(items) == 1:
+        return [1] + [0] * 15, syms
+    heap = [(f, i, [s]) for i, (f, s) in enumerate(items)]
+    heapq.heapify(heap)
+    depth: dict = {s: 0 for _, s in items}
+    tick = len(items)
+    while len(heap) > 1:
+        f1, _, s1 = heapq.heappop(heap)
+        f2, _, s2 = heapq.heappop(heap)
+        for s in s1 + s2:
+            depth[s] += 1
+        heapq.heappush(heap, (f1 + f2, tick, s1 + s2))
+        tick += 1
+    if max(depth.values()) > 16:
+        flat = max((len(items) - 1).bit_length(), 1)
+        depth = {s: flat for _, s in items}
+    # canonical order: by (length, symbol); dummy sorts last at its
+    # length, so dropping it frees the largest code of the max length
+    ordered = sorted(items, key=lambda fs: (depth[fs[1]], fs[1]))
+    counts = [0] * 16
+    vals: list[int] = []
+    for _, s in ordered:
+        if s == 257:
+            continue
+        counts[depth[s] - 1] += 1
+        vals.append(s)
+    return counts, vals
+
+
+def _jpeg_ycbcr_from_rgb(px):
+    import numpy as np
+
+    r = px[:, :, 0].astype(np.float64)
+    g = px[:, :, 1].astype(np.float64)
+    b = px[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+    return [np.rint(p).clip(0, 255) for p in (y, cb, cr)]
+
+
+def _jpeg_rgb_from_ycbcr(y, cb, cr):
+    import numpy as np
+
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136286 * (cb - 128.0) - 0.714136286 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(
+        np.rint(np.stack([r, g, b], axis=2)), 0, 255
+    ).astype(np.uint8)
+
+
+def _jpeg_pad(plane, rows: int, cols: int):
+    """Edge-replicate pad up to (rows, cols)."""
+    import numpy as np
+
+    h, w = plane.shape
+    if h == rows and w == cols:
+        return plane
+    return np.pad(plane, ((0, rows - h), (0, cols - w)), mode="edge")
+
+
+def _encode_jpeg(px, subsample: str = "444",
+                 restart_interval: int = 0) -> bytes:
+    """Baseline-sequential JFIF encoder: 3-channel HxWx3 uint8 (or
+    HxW grayscale → 1-component scan). All-ones quantization tables
+    (the near-lossless end of the dial — block-constant content
+    round-trips its luma EXACTLY); per-image canonical Huffman
+    tables; 4:4:4 or 4:2:0 (box-average chroma); optional DRI +
+    RSTn restart markers every ``restart_interval`` MCUs (DC
+    predictor reset + byte realignment) so the decoder's
+    restart-segmented path is differentially testable."""
+    import struct
+
+    import numpy as np
+
+    zz = _jpeg_zz()
+    m = _jpeg_dct_mat()
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    if gray:
+        planes = [np.asarray(px, dtype=np.float64)]
+        samp = [(1, 1)]
+    else:
+        y, cb, cr = _jpeg_ycbcr_from_rgb(np.asarray(px))
+        if subsample == "420":
+            if h % 2 or w % 2:
+                raise ValueError("jpeg 420 synth requires even dims")
+            cb = cb.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+            cr = cr.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+            cb, cr = np.rint(cb), np.rint(cr)
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samp = [(1, 1), (1, 1), (1, 1)]
+        planes = [y, cb, cr]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcx = -(-w // (8 * hmax))
+    mcy = -(-h // (8 * vmax))
+    qt = np.ones(64)  # zigzag order (trivially — all ones)
+
+    padded = [
+        _jpeg_pad(p, mcy * 8 * v, mcx * 8 * hh) - 128.0
+        for p, (hh, v) in zip(planes, samp)
+    ]
+
+    # pass 1: quantized zigzag coefficients per block, MCU-interleaved
+    blocks: list = []  # (mcu_idx, comp_idx, qcoef int64[64])
+    for my in range(mcy):
+        for mx in range(mcx):
+            for ci, ((hh, v), plane) in enumerate(zip(samp, padded)):
+                for by in range(v):
+                    for bx in range(hh):
+                        r0 = (my * v + by) * 8
+                        c0 = (mx * hh + bx) * 8
+                        blk = plane[r0 : r0 + 8, c0 : c0 + 8]
+                        coef = (m @ blk @ m.T).flatten()[zz]
+                        blocks.append(
+                            (my * mcx + mx, ci,
+                             np.rint(coef / qt).astype(np.int64))
+                        )
+
+    # pass 2: symbol stream + frequencies (luma tables = comp 0,
+    # chroma tables shared by comps 1/2 — the standard arrangement).
+    # DC predictors reset at restart boundaries, matching T.81 E.2.4.
+    def tclass(ci: int) -> int:
+        return 0 if ci == 0 else 1
+
+    dc_freq: list[dict] = [{}, {}]
+    ac_freq: list[dict] = [{}, {}]
+    stream: list = []  # (kind, tbl, sym, extra_val, extra_len)
+    mcu_start: dict = {}  # mcu_idx -> stream index of its first symbol
+    preds = [0] * len(planes)
+    for mcu_idx, ci, q in blocks:
+        if restart_interval and mcu_idx % restart_interval == 0 and (
+            mcu_idx not in mcu_start
+        ):
+            preds = [0] * len(planes)
+        mcu_start.setdefault(mcu_idx, len(stream))
+        t = tclass(ci)
+        diff = int(q[0]) - preds[ci]
+        preds[ci] = int(q[0])
+        s = _jpeg_category(diff)
+        dc_freq[t][s] = dc_freq[t].get(s, 0) + 1
+        extra = diff if diff >= 0 else diff + (1 << s) - 1
+        stream.append(("dc", t, s, extra, s))
+        run = 0
+        last_nz = 0
+        for k in range(1, 64):
+            if q[k]:
+                last_nz = k
+        for k in range(1, last_nz + 1):
+            v = int(q[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                ac_freq[t][0xF0] = ac_freq[t].get(0xF0, 0) + 1
+                stream.append(("ac", t, 0xF0, 0, 0))
+                run -= 16
+            s = _jpeg_category(v)
+            sym = (run << 4) | s
+            ac_freq[t][sym] = ac_freq[t].get(sym, 0) + 1
+            extra = v if v >= 0 else v + (1 << s) - 1
+            stream.append(("ac", t, sym, extra, s))
+            run = 0
+        if last_nz < 63:
+            ac_freq[t][0x00] = ac_freq[t].get(0x00, 0) + 1
+            stream.append(("ac", t, 0x00, 0, 0))
+
+    n_t = 1 if gray else 2
+    dc_tabs = [_jpeg_build_table(dc_freq[t]) for t in range(n_t)]
+    ac_tabs = [_jpeg_build_table(ac_freq[t]) for t in range(n_t)]
+    dc_enc = [_jpeg_canonical_codes(*tab)[1] for tab in dc_tabs]
+    ac_enc = [_jpeg_canonical_codes(*tab)[1] for tab in ac_tabs]
+
+    restart_at = {
+        mcu_start[i]: (i // restart_interval - 1) % 8
+        for i in mcu_start
+        if restart_interval and i and i % restart_interval == 0
+    }
+    bw = _JpegBitWriter()
+    for si, (kind, t, sym, extra, elen) in enumerate(stream):
+        rst = restart_at.get(si)
+        if rst is not None:
+            bw.flush()
+            bw.buf += bytes([0xFF, 0xD0 + rst])
+        code, ln = (dc_enc if kind == "dc" else ac_enc)[t][sym]
+        bw.write(code, ln)
+        if elen:
+            bw.write(extra, elen)
+    bw.flush()
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+    out += struct.pack(">HHBB", 1, 1, 0, 0)  # density + no thumbnail
+    # DQT: one all-ones 8-bit table used by every component
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0x00) + bytes([1] * 64)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    ncomp = len(planes)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for ci, (hh, v) in enumerate(samp):
+        out += struct.pack(">BBB", ci + 1, (hh << 4) | v, 0)
+    for t in range(n_t):
+        for cls, (counts, vals) in ((0, dc_tabs[t]), (1, ac_tabs[t])):
+            out += b"\xff\xc4"
+            out += struct.pack(">HB", 19 + len(vals), (cls << 4) | t)
+            out += bytes(counts) + bytes(vals)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+    for ci in range(ncomp):
+        t = tclass(ci)
+        out += struct.pack(">BB", ci + 1, (t << 4) | t)
+    out += b"\x00\x3f\x00"  # Ss/Se/AhAl (baseline)
+    out += bw.buf
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _jpeg_split_scan(data: bytes, start: int):
+    """Unstuff the entropy-coded data from ``start``, splitting at
+    restart markers. Returns (segments, position of the terminating
+    marker's 0xFF)."""
+    segs: list[bytes] = []
+    cur = bytearray()
+    i = start
+    n = len(data)
+    while i < n:
+        b = data[i]
+        if b == 0xFF:
+            nxt = data[i + 1] if i + 1 < n else None
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if nxt is not None and 0xD0 <= nxt <= 0xD7:
+                segs.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+            break
+        cur.append(b)
+        i += 1
+    segs.append(bytes(cur))
+    return segs, i
+
+
+def _decode_jpeg(payload: bytes):
+    """REAL image decode for baseline-sequential JFIF/JPEG. Returns
+    (width, height, HxWx3 RGB uint8) or None for anything this
+    decoder does not support (progressive SOF2, arithmetic coding,
+    12-bit precision) or any corrupt payload — the degrade contract
+    shared by every decoder in this module."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        return None
+    zz = _jpeg_zz()
+    m = _jpeg_dct_mat()
+    qts: dict = {}
+    huff: dict = {}
+    sof = None
+    dri = 0
+    scan = None
+    pos = 2
+    try:
+        while pos + 4 <= len(payload):
+            if payload[pos] != 0xFF:
+                return None
+            marker = payload[pos + 1]
+            pos += 2
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                continue
+            if marker == 0xD9:
+                break
+            (seglen,) = struct.unpack_from(">H", payload, pos)
+            seg_end = pos + seglen
+            body = payload[pos + 2 : seg_end]
+            if marker == 0xDB:  # DQT
+                b = 0
+                while b < len(body):
+                    pq, tq = body[b] >> 4, body[b] & 0xF
+                    b += 1
+                    if pq:
+                        vals = struct.unpack_from(">64H", body, b)
+                        b += 128
+                    else:
+                        vals = list(body[b : b + 64])
+                        b += 64
+                    if len(vals) < 64:
+                        return None
+                    qts[tq] = np.asarray(vals, dtype=np.float64)  # zigzag
+            elif marker == 0xC4:  # DHT
+                b = 0
+                while b < len(body):
+                    cls, tid = body[b] >> 4, body[b] & 0xF
+                    counts = list(body[b + 1 : b + 17])
+                    nv = sum(counts)
+                    vals = list(body[b + 17 : b + 17 + nv])
+                    huff[(cls, tid)] = _jpeg_canonical_codes(counts, vals)[0]
+                    b += 17 + nv
+            elif marker == 0xC0:  # SOF0 baseline
+                prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+                if prec != 8 or nc not in (1, 3) or w == 0 or h == 0:
+                    return None
+                comps = []
+                for ci in range(nc):
+                    cid, hv, tq = struct.unpack_from(
+                        ">BBB", body, 6 + 3 * ci
+                    )
+                    comps.append((cid, hv >> 4, hv & 0xF, tq))
+                sof = (h, w, comps)
+            elif marker in (
+                0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF,
+            ):
+                return None  # non-baseline SOF: honest boundary
+            elif marker == 0xDD:  # DRI
+                (dri,) = struct.unpack_from(">H", body, 0)
+            elif marker == 0xDA:  # SOS
+                ns = body[0]
+                stabs = []
+                for ci in range(ns):
+                    cid = body[1 + 2 * ci]
+                    td, ta = body[2 + 2 * ci] >> 4, body[2 + 2 * ci] & 0xF
+                    stabs.append((cid, td, ta))
+                segs, _ = _jpeg_split_scan(payload, seg_end)
+                scan = (stabs, segs)
+                break
+            pos = seg_end
+        if sof is None or scan is None:
+            return None
+        h, w, comps = sof
+        stabs, segs = scan
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        if not hmax or not vmax:
+            return None
+        mcx = -(-w // (8 * hmax))
+        mcy = -(-h // (8 * vmax))
+        planes = [
+            np.zeros((mcy * 8 * v, mcx * 8 * hh))
+            for _, hh, v, _ in comps
+        ]
+        tbl = {cid: (td, ta) for cid, td, ta in stabs}
+        order = []
+        for ci, (cid, hh, v, tq) in enumerate(comps):
+            if cid not in tbl or tq not in qts:
+                return None
+            td, ta = tbl[cid]
+            if (0, td) not in huff or (1, ta) not in huff:
+                return None
+            order.append((ci, hh, v, qts[tq], huff[(0, td)], huff[(1, ta)]))
+
+        n_mcus = mcx * mcy
+        per_seg = dri if dri else n_mcus
+        mcu = 0
+        for seg in segs:
+            if mcu >= n_mcus:
+                break
+            bits = _JpegBits(seg)
+            preds = [0] * len(comps)
+            for _ in range(min(per_seg, n_mcus - mcu)):
+                my, mx = divmod(mcu, mcx)
+                for ci, hh, v, qt, dcm, acm in order:
+                    for by in range(v):
+                        for bx in range(hh):
+                            s = _jpeg_huff_decode(bits, dcm)
+                            diff = (
+                                _jpeg_extend(bits.bits(s), s) if s else 0
+                            )
+                            preds[ci] += diff
+                            coef = np.zeros(64)
+                            coef[0] = preds[ci] * qt[0]
+                            k = 1
+                            while k < 64:
+                                rs = _jpeg_huff_decode(bits, acm)
+                                r, sz = rs >> 4, rs & 0xF
+                                if sz == 0:
+                                    if r == 15:
+                                        k += 16
+                                        continue
+                                    break  # EOB
+                                k += r
+                                if k > 63:
+                                    return None
+                                coef[k] = (
+                                    _jpeg_extend(bits.bits(sz), sz) * qt[k]
+                                )
+                                k += 1
+                            nat = np.zeros(64)
+                            nat[zz] = coef
+                            blk = m.T @ nat.reshape(8, 8) @ m
+                            r0 = (my * v + by) * 8
+                            c0 = (mx * hh + bx) * 8
+                            planes[ci][r0 : r0 + 8, c0 : c0 + 8] = blk
+                mcu += 1
+        if mcu < n_mcus:
+            return None
+        full = []
+        for (ci, hh, v, _, _, _), plane in zip(order, planes):
+            ch = -(-h * v // vmax)
+            cw = -(-w * hh // hmax)
+            p = np.clip(np.rint(plane[:ch, :cw] + 128.0), 0, 255)
+            if hh != hmax or v != vmax:
+                p = p.repeat(vmax // v, axis=0)[:h]
+                p = p.repeat(hmax // hh, axis=1)[:, :w]
+            full.append(p[:h, :w])
+        if len(full) == 1:
+            g = full[0].astype(np.uint8)
+            return int(w), int(h), np.stack([g, g, g], axis=2)
+        return int(w), int(h), _jpeg_rgb_from_ycbcr(*full)
+    except (ValueError, IndexError, struct.error):
+        return None
+
+
+def _gradient_px(width: int, height: int, blue: int, rg_step: int = 16,
+                 block: int = 1):
+    """The synth family's R/G gradient as raw pixels; ``block`` > 1
+    quantizes the ramps to constant NxN blocks (closed-form content
+    for DCT codecs: block-constant blocks have a DC-only transform,
+    so integer quantization is exact)."""
+    import numpy as np
+
+    x = ((np.arange(width) // block) * block * rg_step).clip(0, 255)
+    y = ((np.arange(height) // block) * block * rg_step).clip(0, 255)
+    px = np.zeros((height, width, 3), dtype=np.uint8)
+    px[:, :, 0] = x[None, :].astype(np.uint8)
+    px[:, :, 1] = y[:, None].astype(np.uint8)
+    px[:, :, 2] = blue & 0xFF
+    return px
+
+
+def synth_jpeg(width: int, height: int, blue: int,
+               rg_step: int = 16) -> bytes:
+    """The gradient family's JPEG twin: 8x8-block-quantized ramps
+    (DC-only blocks ⇒ the all-ones quant table round-trips YCbCr
+    exactly; RGB differs only by the ±1-level YCbCr integer rounding,
+    which the metrics queries bound)."""
+    return _encode_jpeg(_gradient_px(width, height, blue, rg_step, block=8))
 
 
 _Y4M_MAGIC = b"YUV4MPEG2"

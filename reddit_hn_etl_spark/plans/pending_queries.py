@@ -171,6 +171,76 @@ def gif_lzw_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_pending(
+    "image_jpeg_metrics",
+    """
+    SELECT doc_id AS media_id,
+           CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+           CAST(60 + doc_id AS INTEGER) AS mean_gray,
+           TRUE AS channels_equal
+    FROM documents WHERE doc_id < 60
+    """,
+)
+def image_jpeg_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The codec-metrics family member for REAL baseline JPEG (r7):
+    a grayscale two-band image (left half 60, right half 60+2·doc_id)
+    goes through the full encode → Huffman/DCT decode pipeline;
+    grayscale block-constant content round-trips EXACTLY (DC-only
+    blocks, all-ones quant), so the recovered mean is the closed-form
+    integer 60+doc_id with NO tolerance — a quantization, zigzag,
+    IDCT, or predictor bug shifts it and fails the hash.
+    ``channels_equal`` pins the gray-replication contract.
+
+    Scale shape: synth + decode share one mapInPandas stage; payloads
+    never leave the UDF."""
+    from ..functions import multimodal as mm
+
+    docs = read_table(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") < 60).select(
+        F.col("doc_id").alias("media_id"),
+    )
+
+    out_schema = (
+        "media_id long, width int, height int, "
+        "mean_gray int, channels_equal boolean"
+    )
+
+    def roundtrip(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for m in pdf["media_id"]:
+                g = np.full((16, 16), 60, dtype=np.uint8)
+                g[:, 8:] = 60 + 2 * int(m)
+                w, h, px = mm._decode_jpeg(mm._encode_jpeg(g))
+                rows.append(
+                    (
+                        int(m),
+                        w,
+                        h,
+                        int(round(px[:, :, 0].mean())),
+                        bool(
+                            np.array_equal(px[:, :, 0], px[:, :, 1])
+                            and np.array_equal(px[:, :, 0], px[:, :, 2])
+                        ),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "width",
+                    "height",
+                    "mean_gray",
+                    "channels_equal",
+                ],
+            )
+
+    return base.mapInPandas(roundtrip, out_schema)
+
+
+@_pending(
     "video_y4m_scene_cuts",
     """
     SELECT doc_id AS media_id, fno AS frame_no,

@@ -839,3 +839,120 @@ def test_y4m_corrupt_payloads_degrade_to_none():
 
     ok = mm._decode_y4m(mm.synth_y4m(4, 4, [7], colorspace="C420"))
     assert ok is not None and np.all(ok[2][0][:, :, 0] == 7)
+
+
+def test_jpeg_codec_is_real():
+    """Baseline JPEG (r7) spec-differential: the decoder inverts the
+    in-module encoder — grayscale block-constant content EXACTLY
+    (DC-only blocks + all-ones quant tables lose nothing), color
+    within the ±1-level YCbCr integer rounding, arbitrary content
+    within the DCT coefficient-rounding bound; 4:2:0 reconstructs
+    like 4:4:4 on chroma-block-constant content; non-multiple-of-8
+    dims crop correctly."""
+    import numpy as np
+
+    # grayscale: exact
+    g = np.zeros((16, 16), np.uint8)
+    g[:8, :8], g[:8, 8:], g[8:, :8], g[8:, 8:] = 40, 200, 90, 255
+    w, h, px = mm._decode_jpeg(mm._encode_jpeg(g))
+    assert (w, h) == (16, 16)
+    assert np.array_equal(px[:, :, 0], g)
+    assert np.array_equal(px[:, :, 0], px[:, :, 2])  # gray replicated
+
+    # color 4:4:4 block-constant: ±1 (YCbCr rounding only)
+    c = mm._gradient_px(16, 16, 77, block=8)
+    _, _, px = mm._decode_jpeg(mm._encode_jpeg(c))
+    assert int(np.abs(px.astype(int) - c.astype(int)).max()) <= 1
+
+    # 4:2:0 on 16-block-constant content: same ±1 bound
+    c2 = mm._gradient_px(32, 32, 10, block=16)
+    w, h, px = mm._decode_jpeg(mm._encode_jpeg(c2, subsample="420"))
+    assert (w, h) == (32, 32)
+    assert int(np.abs(px.astype(int) - c2.astype(int)).max()) <= 1
+
+    # arbitrary noise, odd dims: decodes at the right size with the
+    # DCT-rounding bound (quant=1 → small, not exact)
+    rng = np.random.default_rng(3)
+    odd = rng.integers(0, 256, size=(13, 11, 3), dtype=np.uint8)
+    w, h, px = mm._decode_jpeg(mm._encode_jpeg(odd))
+    assert (w, h) == (11, 13)
+    assert int(np.abs(px.astype(int) - odd.astype(int)).max()) <= 8
+
+    # dispatch: synth_jpeg flows through _decode_rgb
+    out = mm._decode_rgb(mm.synth_jpeg(16, 16, 42))
+    assert out is not None and out[:2] == (16, 16)
+
+
+def test_jpeg_restart_markers_differential():
+    """DRI + RSTn: the decoder's restart-segmented path (DC reset +
+    byte realignment) reconstructs the identical image as the
+    unsegmented encoding of the same pixels."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    big = rng.integers(0, 256, size=(40, 48, 3), dtype=np.uint8)
+    plain = mm._decode_jpeg(mm._encode_jpeg(big))
+    rst = mm._decode_jpeg(mm._encode_jpeg(big, restart_interval=3))
+    assert np.array_equal(plain[2], rst[2])
+    ev = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    a = mm._decode_jpeg(mm._encode_jpeg(ev, subsample="420", restart_interval=1))
+    b = mm._decode_jpeg(mm._encode_jpeg(ev, subsample="420"))
+    assert np.array_equal(a[2], b[2])
+    # grayscale stays exact through restarts
+    g = np.zeros((24, 24), np.uint8)
+    g[:8], g[8:16], g[16:] = 10, 120, 250
+    out = mm._decode_jpeg(mm._encode_jpeg(g, restart_interval=2))
+    assert np.array_equal(out[2][:, :, 0], g)
+
+
+def test_jpeg_corrupt_payloads_degrade_to_none():
+    """Same degrade contract as BMP/PNG/GIF/Y4M: truncations at every
+    byte boundary, garbage after SOI, and non-baseline modes return
+    None — never raise out of the UDF."""
+    jp = mm._encode_jpeg(mm._gradient_px(16, 16, 5, block=8))
+    for cut in range(2, len(jp)):
+        out = mm._decode_jpeg(jp[:cut])
+        assert out is None or isinstance(out, tuple), cut
+    assert mm._decode_jpeg(b"\xff\xd8\xff\xe0junkjunk") is None
+    assert mm._decode_jpeg(b"not a jpeg") is None
+    assert mm._decode_jpeg(mm.synth_png(4, 4, 1)) is None
+    # progressive SOF2 is an honest boundary: flip SOF0 -> SOF2
+    prog = bytearray(jp)
+    idx = bytes(prog).find(b"\xff\xc0")
+    prog[idx + 1] = 0xC2
+    assert mm._decode_jpeg(bytes(prog)) is None
+
+
+def test_jpeg_feeds_image_paths_format_invariant(spark):
+    """JPEG joins the format-invariance family: grayscale content is
+    EXACT through the codec, so features and aHash from a JPEG
+    payload equal those from the BMP of the same pixels; color
+    features agree within the YCbCr rounding tolerance."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    g = np.zeros((16, 16), np.uint8)
+    g[:, :8] = 60
+    g[:, 8:] = 220
+    gray_rgb = np.stack([g, g, g], axis=2)
+    px8 = mm._gradient_px(16, 16, 9, block=8)
+    df = spark.createDataFrame(
+        [
+            Row(media_id=1, payload=bytearray(mm._encode_bmp(gray_rgb))),
+            Row(media_id=2, payload=bytearray(mm._encode_jpeg(g))),
+            Row(media_id=3, payload=bytearray(mm._encode_bmp(px8))),
+            Row(media_id=4, payload=bytearray(mm._encode_jpeg(px8))),
+        ],
+        "media_id long, payload binary",
+    )
+    feats = {
+        r.media_id: (r.width, r.height, list(r.features))
+        for r in mm.extract_image_features(df).collect()
+    }
+    assert feats[1] == feats[2]  # grayscale: bit-identical features
+    assert feats[3][:2] == feats[4][:2]
+    assert all(
+        abs(a - b) <= 2 / 255 for a, b in zip(feats[3][2], feats[4][2])
+    )
+    hashes = {r.media_id: r.ahash for r in mm.average_hash(df).collect()}
+    assert hashes[1] == hashes[2]
