@@ -50,7 +50,14 @@ that need none are decoded for real with stdlib + numpy:
   ±1-level YCbCr integer rounding). Progressive/arithmetic/12-bit
   return None.
 
-Compressed audio (MP3/AAC/FLAC) falls back to a clearly-marked
+* compressed WAV audio (r7) — G.711 u-law / A-law (exhaustively
+  bit-identical to stdlib audioop's independent C implementation)
+  and IMA/DVI ADPCM (block headers + serial nibble recurrence,
+  differentially equal to audioop's DVI core) decode through the
+  same REAL signal-metrics pipeline as PCM; encoders are the synth
+  twins.
+
+Perceptual codecs (MP3/AAC/Vorbis) fall back to a clearly-marked
 DETERMINISTIC FAKE (features derived from a stable hash of the
 payload bytes); PIL is tried first if it ever lands. The Spark-side
 plumbing — schema, partitioning, UDF signature, Arrow batch shape —
@@ -1618,6 +1625,290 @@ def wav_frame_activity(df: DataFrame, id_col: str = "media_id",
     return df.select(id_col, payload_col).mapInPandas(work, out_schema)
 
 
+# ---------------------------------------------------------------------------
+# Compressed audio (r7): REAL decode for the three compressed WAV
+# codecs that need no codec library — G.711 u-law (format tag 7),
+# G.711 A-law (tag 6), and IMA/DVI ADPCM (tag 0x11) — pure integer
+# arithmetic per their specs, vectorized in numpy (G.711) or a
+# per-block loop (ADPCM's sample recurrence is inherently serial).
+# Encoders are the spec-differential twins AND are cross-checked
+# against stdlib audioop (an independent C implementation) in tests.
+# Perceptual codecs (MP3/AAC/Vorbis) remain the labeled stub.
+# ---------------------------------------------------------------------------
+
+_IMA_STEP_TABLE = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767,
+]
+_IMA_INDEX_TABLE = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _g711_ulaw_decode(codes):
+    """u-law byte codes → int16 linear (ITU G.711 expansion)."""
+    import numpy as np
+
+    u = (~np.asarray(codes, dtype=np.uint8)).astype(np.int32) & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x07)
+    return np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int16)
+
+
+def _g711_ulaw_encode(pcm):
+    """int16 linear → u-law byte codes. Bit-identical to the Sun
+    reference implementation (stdlib audioop's C code): the 16→14-bit
+    shift is ARITHMETIC (floor) and happens before negation, which
+    differs by one mantissa step on some negative inputs from the
+    naive |x|-first formulation — pinned by the audioop differential
+    test."""
+    import numpy as np
+
+    x14 = np.asarray(pcm, dtype=np.int32) >> 2  # arithmetic shift
+    mask = np.where(x14 < 0, 0x7F, 0xFF)
+    mag = np.where(x14 < 0, -x14, x14)
+    mag = np.minimum(mag, 8159) + 33  # CLIP, BIAS>>2
+    # segment = leading-one position above bit 5 (seg_uend search)
+    seg = np.maximum(
+        np.floor(np.log2(mag)).astype(np.int32) - 5, 0
+    )
+    uval = (seg << 4) | ((mag >> (seg + 1)) & 0x0F)
+    uval = np.where(seg > 7, 0x7F, uval)
+    return ((uval ^ mask) & 0xFF).astype(np.uint8)
+
+
+def _g711_alaw_decode(codes):
+    """A-law byte codes → int16 linear (ITU G.711 expansion; sign bit
+    SET means positive in A-law)."""
+    import numpy as np
+
+    a = (np.asarray(codes, dtype=np.uint8).astype(np.int32)) ^ 0x55
+    t = (a & 0x0F) << 4
+    seg = (a >> 4) & 0x07
+    t = np.where(seg == 0, t + 8, np.where(seg == 1, t + 0x108,
+                 (t + 0x108) << np.maximum(seg - 1, 0)))
+    return np.where(a & 0x80, t, -t).astype(np.int16)
+
+
+def _g711_alaw_encode(pcm):
+    """int16 linear → A-law byte codes."""
+    import numpy as np
+
+    x = np.asarray(pcm, dtype=np.int32) >> 3  # 13-bit magnitude domain
+    mask = np.where(x >= 0, 0xD5, 0x55)
+    x = np.where(x >= 0, x, -x - 1)
+    x = np.minimum(x, 0xFFF)
+    seg = np.maximum((np.floor(np.log2(np.maximum(x, 1)))
+                      .astype(np.int32) - 4), 0)
+    seg = np.where(x <= 0x1F, 0, seg)
+    aval = seg << 4
+    low = (x >> 1) & 0x0F           # segments 0-1: shift by 1
+    high = (x >> seg) & 0x0F        # segments 2-7: shift by seg
+    aval = aval | np.where(seg < 2, low, high)
+    return ((aval ^ mask) & 0xFF).astype(np.uint8)
+
+
+def _ima_adpcm_decode(data: bytes, block_align: int, channels: int):
+    """WAV IMA/DVI ADPCM (format tag 0x11) → int16 mono signal.
+    Per-block: 4-byte header per channel (int16 predictor = the first
+    sample, step index, reserved), then 4-bit codes LOW NIBBLE FIRST,
+    interleaved in 4-byte channel groups for stereo. The sample
+    recurrence (predictor feeds the next step) is serial by nature —
+    the loop is per block, and blocks are independent."""
+    import struct
+
+    import numpy as np
+
+    if block_align < 4 * channels or channels not in (1, 2):
+        return None
+    out: list = []
+    nblocks = len(data) // block_align
+    for bi in range(nblocks):
+        blk = data[bi * block_align : (bi + 1) * block_align]
+        chans: list = []
+        ok = True
+        for c in range(channels):
+            pred, idx, _ = struct.unpack_from("<hBB", blk, 4 * c)
+            if idx > 88:
+                ok = False
+                break
+            chans.append([pred, idx, [pred]])
+        if not ok:
+            return None
+        body = blk[4 * channels :]
+        # nibbles, low first, in 4-byte per-channel groups
+        for g in range(0, len(body), 4 * channels):
+            for c in range(channels):
+                chunk = body[g + 4 * c : g + 4 * c + 4]
+                pred, idx, samples = chans[c]
+                for byte in chunk:
+                    for nib in (byte & 0x0F, byte >> 4):
+                        step = _IMA_STEP_TABLE[idx]
+                        diff = step >> 3
+                        if nib & 1:
+                            diff += step >> 2
+                        if nib & 2:
+                            diff += step >> 1
+                        if nib & 4:
+                            diff += step
+                        pred = pred - diff if nib & 8 else pred + diff
+                        pred = max(-32768, min(32767, pred))
+                        idx = max(0, min(88, idx + _IMA_INDEX_TABLE[nib & 7]))
+                        samples.append(pred)
+                chans[c][0], chans[c][1] = pred, idx
+        arrs = [np.asarray(s, dtype=np.float64) for _, _, s in chans]
+        out.append(np.mean(arrs, axis=0) if channels > 1 else arrs[0])
+    if not out:
+        return None
+    return np.concatenate(out)
+
+
+def _ima_adpcm_encode(pcm, samples_per_block: int = 505) -> tuple[bytes, int]:
+    """int16 mono → WAV IMA ADPCM block stream. Returns (data,
+    block_align). Each block stores the first sample verbatim in the
+    header and codes the rest as nibbles; the encoder reconstructs
+    its own output (decode-in-the-loop) so predictor drift is zero —
+    the property the differential test pins."""
+    import struct
+
+    import numpy as np
+
+    x = np.asarray(pcm, dtype=np.int64)
+    if (samples_per_block - 1) % 8:
+        raise ValueError("samples_per_block must be 1 + multiple of 8")
+    block_align = 4 + (samples_per_block - 1) // 2
+    out = bytearray()
+    idx = 0
+    for b0 in range(0, len(x), samples_per_block):
+        blk = x[b0 : b0 + samples_per_block]
+        if len(blk) < samples_per_block:  # zero-pad the tail block
+            blk = np.concatenate(
+                [blk, np.zeros(samples_per_block - len(blk), dtype=np.int64)]
+            )
+        pred = int(blk[0])
+        out += struct.pack("<hBB", pred, idx, 0)
+        nibbles: list[int] = []
+        for s in blk[1:]:
+            step = _IMA_STEP_TABLE[idx]
+            diff = int(s) - pred
+            nib = 8 if diff < 0 else 0
+            diff = abs(diff)
+            q = 0
+            if diff >= step:
+                q |= 4
+                diff -= step
+            if diff >= step >> 1:
+                q |= 2
+                diff -= step >> 1
+            if diff >= step >> 2:
+                q |= 1
+            nib |= q
+            # reconstruct exactly as the decoder will
+            d = step >> 3
+            if nib & 1:
+                d += step >> 2
+            if nib & 2:
+                d += step >> 1
+            if nib & 4:
+                d += step
+            pred = pred - d if nib & 8 else pred + d
+            pred = max(-32768, min(32767, pred))
+            idx = max(0, min(88, idx + _IMA_INDEX_TABLE[nib & 7]))
+            nibbles.append(nib)
+        for i in range(0, len(nibbles), 2):
+            out.append(nibbles[i] | (nibbles[i + 1] << 4))
+    return bytes(out), block_align
+
+
+def _riff_chunks(payload: bytes):
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    chunks: dict = {}
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (sz,) = struct.unpack_from("<I", payload, pos + 4)
+        chunks.setdefault(cid, []).append(payload[pos + 8 : pos + 8 + sz])
+        pos += 8 + sz + (sz & 1)
+    return chunks
+
+
+def _decode_wav_compressed(payload: bytes) -> dict | None:
+    """REAL decode for compressed-WAV payloads stdlib ``wave``
+    rejects: G.711 u-law (tag 7), A-law (tag 6), IMA ADPCM (tag
+    0x11). Manual RIFF walk; same metrics dict as the PCM path, or
+    None (degrade contract)."""
+    import struct
+
+    import numpy as np
+
+    chunks = _riff_chunks(payload)
+    if not chunks or b"fmt " not in chunks or b"data" not in chunks:
+        return None
+    fmt = chunks[b"fmt "][0]
+    if len(fmt) < 16:
+        return None
+    tag, ch, sr, _bps, block_align, _bits = struct.unpack_from(
+        "<HHIIHH", fmt, 0
+    )
+    data = chunks[b"data"][0]
+    if sr <= 0 or ch not in (1, 2):
+        return None
+    if tag == 7 or tag == 6:
+        codes = np.frombuffer(data, dtype=np.uint8)
+        lin = (
+            _g711_ulaw_decode(codes) if tag == 7 else _g711_alaw_decode(codes)
+        ).astype(np.float64)
+        if ch > 1:
+            lin = lin[: len(lin) - (len(lin) % ch)].reshape(-1, ch).mean(axis=1)
+        x = lin / 32767.0
+    elif tag == 0x11:
+        sig = _ima_adpcm_decode(data, block_align, ch)
+        if sig is None:
+            return None
+        x = sig / 32767.0
+    else:
+        return None
+    if len(x) <= 1:
+        return None
+    return _wav_metrics_from_signal(np.clip(x, -1.0, 1.0), int(sr))
+
+
+def _encode_wav_compressed(pcm, sample_rate: int, codec: str) -> bytes:
+    """int16 mono PCM → a compressed RIFF/WAV payload (u-law, A-law,
+    or IMA ADPCM) — the synth twin for the compressed decode path."""
+    import struct
+
+    import numpy as np
+
+    x = np.asarray(pcm, dtype=np.int16)
+    if codec == "ulaw":
+        tag, data, block_align, bits = 7, _g711_ulaw_encode(x).tobytes(), 1, 8
+    elif codec == "alaw":
+        tag, data, block_align, bits = 6, _g711_alaw_encode(x).tobytes(), 1, 8
+    elif codec == "ima_adpcm":
+        data, block_align = _ima_adpcm_encode(x)
+        tag, bits = 0x11, 4
+    else:
+        raise ValueError(f"unknown codec {codec!r}")
+    avg_bps = sample_rate * block_align // (
+        1 if codec != "ima_adpcm" else 505
+    )
+    fmt = struct.pack(
+        "<HHIIHH", tag, 1, sample_rate, avg_bps, block_align, bits
+    )
+    if codec == "ima_adpcm":
+        fmt += struct.pack("<HH", 2, 505)  # cbSize, wSamplesPerBlock
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
 def _decode_wav(payload: bytes) -> dict | None:
     """REAL audio decode for RIFF/WAV payloads: stdlib ``wave`` parses
     the container, numpy computes signal metrics — no fake anywhere on
@@ -1642,17 +1933,30 @@ def _decode_wav(payload: bytes) -> dict | None:
             sw = w.getsampwidth()
             raw = w.readframes(n)
     except Exception:
-        return None
+        # stdlib wave handles PCM only; try the compressed-WAV path
+        # (G.711 u-law/A-law, IMA ADPCM) before giving up.
+        return _decode_wav_compressed(payload)
     if sw != 2 or sr <= 0 or n <= 1:
         return None
     x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32767.0
     if ch > 1:
         x = x.reshape(-1, ch).mean(axis=1)
+    return _wav_metrics_from_signal(x, sr)
+
+
+def _wav_metrics_from_signal(x, sr: int) -> dict | None:
+    """Signal metrics over a [-1, 1] float64 mono signal — shared by
+    the PCM and compressed decode paths."""
+    import numpy as np
+
+    n = len(x)
+    if sr <= 0 or n <= 1:
+        return None
     rms = float(np.sqrt(np.mean(x * x)))
     crossings = int(np.count_nonzero(np.diff(np.signbit(x))))
-    zcr_hz = crossings * sr / (len(x) - 1) / 2.0  # full cycles per s
+    zcr_hz = crossings * sr / (n - 1) / 2.0  # full cycles per s
     spec = np.abs(np.fft.rfft(x))
-    freqs = np.fft.rfftfreq(len(x), 1.0 / sr)
+    freqs = np.fft.rfftfreq(n, 1.0 / sr)
     power = spec * spec
     total = float(power.sum())
     centroid_hz = float((power * freqs).sum() / total) if total > 0 else 0.0

@@ -241,6 +241,93 @@ def image_jpeg_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_pending(
+    "audio_g711_adpcm_metrics",
+    """
+    SELECT doc_id AS media_id, codec,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           TRUE AS rms_ok, TRUE AS zcr_ok, TRUE AS centroid_ok
+    FROM documents
+    CROSS JOIN (SELECT unnest(['ulaw', 'alaw', 'ima_adpcm']) AS codec)
+    WHERE doc_id < 20
+    """,
+)
+def audio_g711_adpcm_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``audio_wav_metrics`` family member for REAL compressed
+    audio (r7): a per-row sine tone is compressed through each real
+    codec (G.711 u-law / A-law, IMA ADPCM) and decoded back through
+    the standard metrics path — zero-crossing rate and spectral
+    centroid must recover the tone frequency and rms its amplitude
+    within the codec's quantization bound, turning each flag false on
+    any expansion-table, sign-convention, or nibble-order bug.
+
+    Scale shape: synth + compress + decode share one mapInPandas
+    stage; payloads never leave the UDF."""
+    from ..functions import multimodal as mm
+
+    docs = read_table(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("media_id"),
+        (200 + (F.col("doc_id") % 10) * 100).cast("double").alias("freq"),
+    )
+
+    out_schema = (
+        "media_id long, codec string, sample_rate int, "
+        "rms_ok boolean, zcr_ok boolean, centroid_ok boolean"
+    )
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        sr = 8000
+        a_rms = 0.5 / 2**0.5
+        for pdf in batches:
+            rows = []
+            for m, f in zip(pdf["media_id"], pdf["freq"]):
+                t = np.arange(sr)  # 1 second
+                pcm = (
+                    0.5 * 32767 * np.sin(2 * np.pi * float(f) * t / sr)
+                ).astype(np.int16)
+                for codec in ("ulaw", "alaw", "ima_adpcm"):
+                    met = mm._decode_wav(
+                        mm._encode_wav_compressed(pcm, sr, codec)
+                    )
+                    # ADPCM granular noise chatters extra crossings
+                    # near zero — wider (still discriminating) band
+                    zcr_tol = (
+                        max(16.0, float(f) * 0.08)
+                        if codec == "ima_adpcm"
+                        else max(5.0, float(f) * 0.05)
+                    )
+                    rows.append(
+                        (
+                            int(m),
+                            codec,
+                            met["sample_rate"],
+                            bool(abs(met["rms"] - a_rms) <= 0.02),
+                            bool(abs(met["zcr_hz"] - float(f)) <= zcr_tol),
+                            bool(
+                                abs(met["centroid_hz"] - float(f))
+                                <= max(10.0, float(f) * 0.10)
+                            ),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "codec",
+                    "sample_rate",
+                    "rms_ok",
+                    "zcr_ok",
+                    "centroid_ok",
+                ],
+            )
+
+    return base.mapInPandas(run, out_schema)
+
+
+@_pending(
     "video_y4m_scene_cuts",
     """
     SELECT doc_id AS media_id, fno AS frame_no,
