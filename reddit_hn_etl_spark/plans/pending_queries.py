@@ -328,6 +328,79 @@ def audio_g711_adpcm_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_pending(
+    "audio_flac_roundtrip",
+    """
+    SELECT doc_id AS media_id,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(4000 AS BIGINT) AS n_frames,
+           TRUE AS lossless, TRUE AS compressed
+    FROM documents WHERE doc_id < 30
+    """,
+)
+def audio_flac_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL FLAC codec end-to-end (r7): a per-row tone+ramp signal is
+    FLAC-encoded and decoded back inside the UDF; ``lossless``
+    compares the decoded PCM to the source sample-exact (the codec's
+    defining property — any Rice, predictor, CRC, or decorrelation
+    bug flips it), ``compressed`` asserts the payload actually beat
+    raw PCM size (a store-only fake would fail it).
+
+    Scale shape: synth + encode + decode share one mapInPandas stage;
+    payloads never leave the UDF."""
+    from ..functions import multimodal as mm
+
+    docs = read_table(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") < 30).select(
+        F.col("doc_id").alias("media_id"),
+        (200 + (F.col("doc_id") % 10) * 100).cast("double").alias("freq"),
+    )
+
+    out_schema = (
+        "media_id long, sample_rate int, n_frames long, "
+        "lossless boolean, compressed boolean"
+    )
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        sr, n = 8000, 4000
+        for pdf in batches:
+            rows = []
+            for m, f in zip(pdf["media_id"], pdf["freq"]):
+                t = np.arange(n)
+                pcm = (
+                    10000 * np.sin(2 * np.pi * float(f) * t / sr)
+                    + (t % 64) * 16
+                ).astype(np.int16)
+                payload = mm._flac_encode(pcm, sr)
+                d = mm._decode_flac(payload)
+                rows.append(
+                    (
+                        int(m),
+                        d["sample_rate"],
+                        int(d["n_frames"]),
+                        bool(
+                            np.array_equal(d["pcm"][0], pcm.astype(np.int64))
+                        ),
+                        bool(len(payload) < 2 * n),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "sample_rate",
+                    "n_frames",
+                    "lossless",
+                    "compressed",
+                ],
+            )
+
+    return base.mapInPandas(run, out_schema)
+
+
+@_pending(
     "video_y4m_scene_cuts",
     """
     SELECT doc_id AS media_id, fno AS frame_no,

