@@ -40,15 +40,18 @@ that need none are decoded for real with stdlib + numpy:
   the in-module LZW encoder across palette widths and table-reset-
   forcing streams.
 
-* baseline-sequential JPEG (r7) — ``_decode_jpeg`` / ``_encode_jpeg``
-  / ``synth_jpeg``: full marker walk, DQT/DHT parse with canonical
-  Huffman rebuild, per-MCU entropy decode with DC prediction and
-  restart markers, exact float64 IDCT, 4:4:4 / 4:2:0 sampling-factor
-  assembly, JFIF YCbCr→RGB. The encoder builds per-image canonical
-  Huffman tables and is the spec-differential twin (grayscale
-  block-constant content round-trips EXACTLY; color within the
-  ±1-level YCbCr integer rounding). Progressive/arithmetic/12-bit
-  return None.
+* JPEG, baseline AND progressive (r7) — ``_decode_jpeg`` /
+  ``_encode_jpeg`` / ``_encode_jpeg_progressive`` / ``synth_jpeg``:
+  full marker walk, DQT/DHT parse with canonical Huffman rebuild,
+  restart markers, exact float64 IDCT, 4:4:4 / 4:2:0 assembly, JFIF
+  YCbCr→RGB. Scans of any script accumulate into a per-component
+  coefficient store (baseline = the one-scan special case): spectral
+  selection, successive approximation (DC and AC first + refinement
+  passes), EOBRUN, non-interleaved scans. Two independent encoders
+  are the differential: grayscale block-constant content round-trips
+  EXACTLY through baseline, and the progressive encoding of ANY
+  image must decode pixel-identical to its baseline encoding.
+  Arithmetic-coded/12-bit/hierarchical return None.
 
 * compressed WAV audio (r7) — G.711 u-law / A-law (exhaustively
   bit-identical to stdlib audioop's independent C implementation)
@@ -972,6 +975,46 @@ def _jpeg_pad(plane, rows: int, cols: int):
     return np.pad(plane, ((0, rows - h), (0, cols - w)), mode="edge")
 
 
+def _jpeg_quantized_grids(planes, samp, mcx: int, mcy: int):
+    """Level-shift, pad, forward-DCT, and quantize (all-ones table)
+    every 8x8 block of every component plane. Returns one int64 array
+    (nby, nbx, 64) per component, zigzag-ordered — the shared front
+    half of the baseline and progressive encoders."""
+    import numpy as np
+
+    zz = _jpeg_zz()
+    m = _jpeg_dct_mat()
+    grids = []
+    for (hh, v), plane in zip(samp, planes):
+        padded = _jpeg_pad(plane, mcy * 8 * v, mcx * 8 * hh) - 128.0
+        nby, nbx = mcy * v, mcx * hh
+        blocks = padded.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3)
+        coefs = np.einsum("ik,yxkl,jl->yxij", m, blocks, m)
+        grids.append(
+            np.rint(coefs.reshape(nby, nbx, 64)[:, :, zz]).astype(np.int64)
+        )
+    return grids
+
+
+def _jpeg_prep_planes(px, subsample: str):
+    """RGB/gray pixels → component planes + sampling factors (shared
+    by both encoders)."""
+    import numpy as np
+
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    if gray:
+        return [np.asarray(px, dtype=np.float64)], [(1, 1)], h, w, True
+    y, cb, cr = _jpeg_ycbcr_from_rgb(np.asarray(px))
+    if subsample == "420":
+        if h % 2 or w % 2:
+            raise ValueError("jpeg 420 synth requires even dims")
+        cb = np.rint(cb.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3)))
+        cr = np.rint(cr.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3)))
+        return [y, cb, cr], [(2, 2), (1, 1), (1, 1)], h, w, False
+    return [y, cb, cr], [(1, 1), (1, 1), (1, 1)], h, w, False
+
+
 def _encode_jpeg(px, subsample: str = "444",
                  restart_interval: int = 0) -> bytes:
     """Baseline-sequential JFIF encoder: 3-channel HxWx3 uint8 (or
@@ -986,50 +1029,23 @@ def _encode_jpeg(px, subsample: str = "444",
 
     import numpy as np
 
-    zz = _jpeg_zz()
-    m = _jpeg_dct_mat()
-    gray = px.ndim == 2
-    h, w = px.shape[:2]
-    if gray:
-        planes = [np.asarray(px, dtype=np.float64)]
-        samp = [(1, 1)]
-    else:
-        y, cb, cr = _jpeg_ycbcr_from_rgb(np.asarray(px))
-        if subsample == "420":
-            if h % 2 or w % 2:
-                raise ValueError("jpeg 420 synth requires even dims")
-            cb = cb.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
-            cr = cr.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
-            cb, cr = np.rint(cb), np.rint(cr)
-            samp = [(2, 2), (1, 1), (1, 1)]
-        else:
-            samp = [(1, 1), (1, 1), (1, 1)]
-        planes = [y, cb, cr]
+    planes, samp, h, w, gray = _jpeg_prep_planes(px, subsample)
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)
     mcx = -(-w // (8 * hmax))
     mcy = -(-h // (8 * vmax))
-    qt = np.ones(64)  # zigzag order (trivially — all ones)
-
-    padded = [
-        _jpeg_pad(p, mcy * 8 * v, mcx * 8 * hh) - 128.0
-        for p, (hh, v) in zip(planes, samp)
-    ]
+    grids = _jpeg_quantized_grids(planes, samp, mcx, mcy)
 
     # pass 1: quantized zigzag coefficients per block, MCU-interleaved
     blocks: list = []  # (mcu_idx, comp_idx, qcoef int64[64])
     for my in range(mcy):
         for mx in range(mcx):
-            for ci, ((hh, v), plane) in enumerate(zip(samp, padded)):
+            for ci, (hh, v) in enumerate(samp):
                 for by in range(v):
                     for bx in range(hh):
-                        r0 = (my * v + by) * 8
-                        c0 = (mx * hh + bx) * 8
-                        blk = plane[r0 : r0 + 8, c0 : c0 + 8]
-                        coef = (m @ blk @ m.T).flatten()[zz]
                         blocks.append(
                             (my * mcx + mx, ci,
-                             np.rint(coef / qt).astype(np.int64))
+                             grids[ci][my * v + by][mx * hh + bx])
                         )
 
     # pass 2: symbol stream + frequencies (luma tables = comp 0,
@@ -1129,6 +1145,234 @@ def _encode_jpeg(px, subsample: str = "444",
     return bytes(out)
 
 
+def _encode_jpeg_progressive(px, subsample: str = "444") -> bytes:
+    """Progressive (SOF2) JFIF encoder — the spec-differential twin
+    for the decoder's progressive paths. Scan script exercises all of
+    them: interleaved DC first scan at Al=1 then a DC refinement
+    scan (raw bit per block); per-component AC spectral-selection
+    bands (1-5, 6-63) first-coded at Al=1 with EOBRUN accumulation;
+    per-component AC refinement scans (1-63, Ah=1→Al=0) with the
+    G.1.2.3 correction-bit walk (ZRL-in-span, buffered BR bits
+    flushed after each EOB/ZRL/newly-significant symbol). Quantized
+    coefficients are IDENTICAL to the baseline encoder's, so
+    progressive and baseline encodings of the same pixels must
+    decode to the same image exactly — the cross-path differential."""
+    import struct
+
+    planes, samp, h, w, gray = _jpeg_prep_planes(px, subsample)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcx = -(-w // (8 * hmax))
+    mcy = -(-h // (8 * vmax))
+    grids = _jpeg_quantized_grids(planes, samp, mcx, mcy)
+    ncomp = len(planes)
+
+    def tclass(ci: int) -> int:
+        return 0 if ci == 0 else 1
+
+    n_t = 1 if gray else 2
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+    out += struct.pack(">HHBB", 1, 1, 0, 0)
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0x00) + bytes([1] * 64)
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for ci, (hh, v) in enumerate(samp):
+        out += struct.pack(">BBB", ci + 1, (hh << 4) | v, 0)
+
+    def comp_blocks(ci):
+        """Block grid a NON-interleaved scan walks for component ci
+        (true ceil dims, not MCU-padded)."""
+        hh, v = samp[ci]
+        nbw = -(-(-(-w * hh // hmax)) // 8)
+        nbh = -(-(-(-h * v // vmax)) // 8)
+        return nbh, nbw
+
+    def emit_scan(stabs, ss, se, ah, al, symbols, table_cls):
+        """symbols: list of ('sym', tbl_id, sym) | ('bits', val, n) in
+        emission order. Two passes: count → tables → DHT + SOS +
+        entropy data appended to `out`."""
+        freqs: dict = {}
+        for item in symbols:
+            if item[0] == "sym":
+                _, t, sym = item
+                freqs.setdefault(t, {})
+                freqs[t][sym] = freqs[t].get(sym, 0) + 1
+        encs: dict = {}
+        for t, fr in freqs.items():
+            counts, vals = _jpeg_build_table(fr)
+            encs[t] = _jpeg_canonical_codes(counts, vals)[1]
+            out.extend(b"\xff\xc4")
+            out.extend(struct.pack(">HB", 19 + len(vals), (table_cls << 4) | t))
+            out.extend(bytes(counts) + bytes(vals))
+        bw = _JpegBitWriter()
+        for item in symbols:
+            if item[0] == "sym":
+                _, t, sym = item
+                code, ln = encs[t][sym]
+                bw.write(code, ln)
+            else:
+                _, val, n = item
+                if n:
+                    bw.write(val, n)
+        bw.flush()
+        ns = len(stabs)
+        out.extend(b"\xff\xda" + struct.pack(">HB", 6 + 2 * ns, ns))
+        for cid, td, ta in stabs:
+            out.extend(struct.pack(">BB", cid, (td << 4) | ta))
+        out.extend(bytes([ss, se, (ah << 4) | al]))
+        out.extend(bw.buf)
+
+    # --- scan 1: DC first, interleaved, Al=1 ---
+    al = 1
+    syms: list = []
+    preds = [0] * ncomp
+    for my in range(mcy):
+        for mx in range(mcx):
+            for ci, (hh, v) in enumerate(samp):
+                for by in range(v):
+                    for bx in range(hh):
+                        val = int(grids[ci][my * v + by][mx * hh + bx][0]) >> al
+                        diff = val - preds[ci]
+                        preds[ci] = val
+                        s = _jpeg_category(diff)
+                        syms.append(("sym", tclass(ci), s))
+                        extra = diff if diff >= 0 else diff + (1 << s) - 1
+                        syms.append(("bits", extra, s))
+    emit_scan(
+        [(ci + 1, tclass(ci), 0) for ci in range(ncomp)],
+        0, 0, 0, al, syms, table_cls=0,
+    )
+
+    # --- scan 2: DC refinement, interleaved, Ah=1 Al=0 (raw bits) ---
+    syms = []
+    for my in range(mcy):
+        for mx in range(mcx):
+            for ci, (hh, v) in enumerate(samp):
+                for by in range(v):
+                    for bx in range(hh):
+                        bit = int(grids[ci][my * v + by][mx * hh + bx][0]) & 1
+                        syms.append(("bits", bit, 1))
+    emit_scan(
+        [(ci + 1, 0, 0) for ci in range(ncomp)], 0, 0, 1, 0, syms,
+        table_cls=0,
+    )
+
+    # --- AC first scans: two spectral bands per component, Al=1 ---
+    def ac_first_scan(ci, ss, se, al):
+        t = tclass(ci)
+        syms: list = []
+        st = {"eobrun": 0}
+
+        def flush_eob():
+            if st["eobrun"]:
+                rb = st["eobrun"].bit_length() - 1
+                syms.append(("sym", t, rb << 4))
+                syms.append(("bits", st["eobrun"] - (1 << rb), rb))
+                st["eobrun"] = 0
+
+        nbh, nbw = comp_blocks(ci)
+        for bi in range(nbh * nbw):
+            by, bx = divmod(bi, nbw)
+            c = grids[ci][by][bx]
+            r = 0
+            wrote = False
+            for k in range(ss, se + 1):
+                v = int(c[k])
+                t2 = abs(v) >> al
+                if t2 == 0:
+                    r += 1
+                    continue
+                flush_eob()
+                while r > 15:
+                    syms.append(("sym", t, 0xF0))
+                    r -= 16
+                s = t2.bit_length()
+                syms.append(("sym", t, (r << 4) | s))
+                # negative magnitudes code as the s-bit one's complement
+                mag = t2 if v >= 0 else (t2 ^ ((1 << s) - 1))
+                syms.append(("bits", mag, s))
+                r = 0
+                wrote = True
+            if r > 0 or not wrote:
+                st["eobrun"] += 1
+                if st["eobrun"] == 0x7FFF:
+                    flush_eob()
+        flush_eob()
+        emit_scan([(ci + 1, 0, t)], ss, se, 0, al, syms, table_cls=1)
+
+    for ci in range(ncomp):
+        ac_first_scan(ci, 1, 5, 1)
+    for ci in range(ncomp):
+        ac_first_scan(ci, 6, 63, 1)
+
+    # --- AC refinement scans: Ss=1..63, Ah=1 -> Al=0 (G.1.2.3) ---
+    def ac_refine_scan(ci, ss, se, al):
+        t = tclass(ci)
+        syms: list = []
+        st = {"eobrun": 0, "br": []}
+
+        def emit_br():
+            for b in st["br"]:
+                syms.append(("bits", b, 1))
+            st["br"] = []
+
+        def flush_eob():
+            if st["eobrun"]:
+                rb = st["eobrun"].bit_length() - 1
+                syms.append(("sym", t, rb << 4))
+                syms.append(("bits", st["eobrun"] - (1 << rb), rb))
+                st["eobrun"] = 0
+            emit_br()
+
+        nbh, nbw = comp_blocks(ci)
+        for bi in range(nbh * nbw):
+            by, bx = divmod(bi, nbw)
+            c = grids[ci][by][bx]
+            absv = [abs(int(c[k])) >> al for k in range(ss, se + 1)]
+            eob_abs = ss - 1
+            for i, k in enumerate(range(ss, se + 1)):
+                if absv[i] == 1:
+                    eob_abs = k
+            r = 0
+            block_br: list = []
+            for i, k in enumerate(range(ss, se + 1)):
+                temp = absv[i]
+                if temp == 0:
+                    r += 1
+                    continue
+                while r > 15 and k <= eob_abs:
+                    flush_eob()
+                    syms.append(("sym", t, 0xF0))
+                    r -= 16
+                    for b in block_br:
+                        syms.append(("bits", b, 1))
+                    block_br = []
+                if temp > 1:
+                    block_br.append(abs(int(c[k])) & 1)
+                    continue
+                flush_eob()
+                syms.append(("sym", t, (r << 4) | 1))
+                syms.append(("bits", 1 if int(c[k]) > 0 else 0, 1))
+                for b in block_br:
+                    syms.append(("bits", b, 1))
+                block_br = []
+                r = 0
+            if r > 0 or block_br:
+                st["eobrun"] += 1
+                st["br"].extend(block_br)
+                if st["eobrun"] == 0x7FFF or len(st["br"]) > 900:
+                    flush_eob()
+        flush_eob()
+        emit_scan([(ci + 1, 0, t)], ss, se, 1, al, syms, table_cls=1)
+
+    for ci in range(ncomp):
+        ac_refine_scan(ci, 1, 63, 0)
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def _jpeg_split_scan(data: bytes, start: int):
     """Unstuff the entropy-coded data from ``start``, splitting at
     restart markers. Returns (segments, position of the terminating
@@ -1157,12 +1401,170 @@ def _jpeg_split_scan(data: bytes, start: int):
     return segs, i
 
 
+def _jpeg_decode_scan(
+    payload, sos_body, seg_end, comps, huff, dri, coef, prog, geom
+):
+    """Decode ONE entropy-coded scan (baseline sequential or any
+    progressive DC/AC first/refinement scan, interleaved or not) into
+    the per-component quantized-coefficient store. Returns the file
+    position after the scan. Implements T.81 F.2.2 (sequential),
+    G.2 (progressive, incl. EOBRUN and the G.1.2.3 AC-refinement
+    correction-bit walk); restart segments reset DC predictors and
+    EOBRUN."""
+    h, w, hmax, vmax, mcx, mcy = geom
+    ns = sos_body[0]
+    stabs = []
+    for ci in range(ns):
+        cid = sos_body[1 + 2 * ci]
+        td, ta = sos_body[2 + 2 * ci] >> 4, sos_body[2 + 2 * ci] & 0xF
+        stabs.append((cid, td, ta))
+    ss, se, ahal = sos_body[1 + 2 * ns : 4 + 2 * ns]
+    ah, al = ahal >> 4, ahal & 0xF
+    if se > 63 or ss > se:
+        raise ValueError("jpeg: bad spectral range")
+    segs, endpos = _jpeg_split_scan(payload, seg_end)
+
+    cid_to_ci = {c[0]: i for i, c in enumerate(comps)}
+    scomps = []
+    for cid, td, ta in stabs:
+        if cid not in cid_to_ci:
+            raise ValueError("jpeg: scan names unknown component")
+        ci = cid_to_ci[cid]
+        _, hh, v, _ = comps[ci]
+        dcm = huff.get((0, td))
+        acm = huff.get((1, ta))
+        if ss == 0 and not (prog and ah) and dcm is None:
+            raise ValueError("jpeg: missing DC table")
+        if se > 0 and acm is None:
+            raise ValueError("jpeg: missing AC table")
+        scomps.append((ci, hh, v, dcm, acm))
+
+    interleaved = ns > 1
+    if interleaved:
+        units = mcx * mcy
+    else:
+        ci, hh, v, _, _ = scomps[0]
+        nbw = -(-(-(-w * hh // hmax)) // 8)
+        nbh = -(-(-(-h * v // vmax)) // 8)
+        units = nbw * nbh
+    per_seg = dri if dri else units
+    unit = 0
+
+    def dec_block(bits, ci, by, bx, dcm, acm, preds, state):
+        c = coef[ci][by][bx]
+        if ss == 0:
+            if prog and ah:  # DC refinement: one raw bit
+                if bits.bit():
+                    c[0] |= 1 << al
+            else:
+                s = _jpeg_huff_decode(bits, dcm)
+                diff = _jpeg_extend(bits.bits(s), s) if s else 0
+                preds[ci] += diff
+                c[0] = preds[ci] << al
+            if se == 0:
+                return
+            k = 1
+        else:
+            k = ss
+        if prog and ah:  # AC refinement (G.1.2.3)
+            p1, m1 = 1 << al, -1 << al
+            if state["eobrun"] > 0:
+                state["eobrun"] -= 1
+                for kk in range(k, se + 1):
+                    if c[kk]:
+                        if bits.bit() and not (c[kk] & p1):
+                            c[kk] += p1 if c[kk] > 0 else m1
+                return
+            while k <= se:
+                rs = _jpeg_huff_decode(bits, acm)
+                r, sz = rs >> 4, rs & 0xF
+                newval = 0
+                if sz == 0:
+                    if r < 15:
+                        state["eobrun"] = (1 << r) - 1
+                        if r:
+                            state["eobrun"] += bits.bits(r)
+                        break
+                    # ZRL: pass over 16 zero-history coefficients
+                else:
+                    if sz != 1:
+                        raise ValueError("jpeg: AC refine size != 1")
+                    newval = p1 if bits.bit() else m1
+                while k <= se:
+                    if c[k]:
+                        if bits.bit() and not (c[k] & p1):
+                            c[k] += p1 if c[k] > 0 else m1
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if newval and k <= se:
+                    c[k] = newval
+                k += 1
+            for kk in range(k, se + 1):  # EOB correction pass
+                if c[kk]:
+                    if bits.bit() and not (c[kk] & p1):
+                        c[kk] += p1 if c[kk] > 0 else m1
+            return
+        # sequential AC / progressive AC first scan
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        while k <= se:
+            rs = _jpeg_huff_decode(bits, acm)
+            r, sz = rs >> 4, rs & 0xF
+            if sz == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                state["eobrun"] = (1 << r) - 1
+                if r:
+                    state["eobrun"] += bits.bits(r)
+                break
+            k += r
+            if k > se:
+                raise ValueError("jpeg: AC index overrun")
+            c[k] = _jpeg_extend(bits.bits(sz), sz) << al
+            k += 1
+
+    for seg in segs:
+        if unit >= units:
+            break
+        bits = _JpegBits(seg)
+        preds = [0] * len(comps)
+        state = {"eobrun": 0}
+        for _ in range(min(per_seg, units - unit)):
+            if interleaved:
+                my, mx = divmod(unit, mcx)
+                for ci, hh, v, dcm, acm in scomps:
+                    for by in range(v):
+                        for bx in range(hh):
+                            dec_block(
+                                bits, ci, my * v + by, mx * hh + bx,
+                                dcm, acm, preds, state,
+                            )
+            else:
+                ci, hh, v, dcm, acm = scomps[0]
+                by, bx = divmod(unit, nbw)
+                dec_block(bits, ci, by, bx, dcm, acm, preds, state)
+            unit += 1
+    if unit < units:
+        raise ValueError("jpeg: scan ended early")
+    return endpos
+
+
 def _decode_jpeg(payload: bytes):
-    """REAL image decode for baseline-sequential JFIF/JPEG. Returns
-    (width, height, HxWx3 RGB uint8) or None for anything this
-    decoder does not support (progressive SOF2, arithmetic coding,
-    12-bit precision) or any corrupt payload — the degrade contract
-    shared by every decoder in this module."""
+    """REAL image decode for baseline-sequential AND progressive
+    JFIF/JPEG (r7). Scans — any number, interleaved or per-component,
+    spectral-selection and successive-approximation (DC and AC first
+    + refinement passes, EOBRUN) — accumulate into a per-component
+    quantized-coefficient store; dequant, de-zigzag, and the exact
+    float64 IDCT run once at the end, so baseline is just the
+    one-scan special case of the same pipeline. Returns (width,
+    height, HxWx3 RGB uint8) or None for anything unsupported
+    (arithmetic coding, 12-bit, hierarchical) or corrupt — the shared
+    degrade contract."""
     import struct
 
     import numpy as np
@@ -1174,11 +1576,12 @@ def _decode_jpeg(payload: bytes):
     qts: dict = {}
     huff: dict = {}
     sof = None
+    prog = False
     dri = 0
-    scan = None
+    saw_scan = False
     pos = 2
     try:
-        while pos + 4 <= len(payload):
+        while pos + 2 <= len(payload):
             if payload[pos] != 0xFF:
                 return None
             marker = payload[pos + 1]
@@ -1187,6 +1590,8 @@ def _decode_jpeg(payload: bytes):
                 continue
             if marker == 0xD9:
                 break
+            if pos + 2 > len(payload):
+                return None
             (seglen,) = struct.unpack_from(">H", payload, pos)
             seg_end = pos + seglen
             body = payload[pos + 2 : seg_end]
@@ -1213,7 +1618,8 @@ def _decode_jpeg(payload: bytes):
                     vals = list(body[b + 17 : b + 17 + nv])
                     huff[(cls, tid)] = _jpeg_canonical_codes(counts, vals)[0]
                     b += 17 + nv
-            elif marker == 0xC0:  # SOF0 baseline
+            elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+                prog = marker == 0xC2
                 prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
                 if prec != 8 or nc not in (1, 3) or w == 0 or h == 0:
                     return None
@@ -1223,96 +1629,50 @@ def _decode_jpeg(payload: bytes):
                         ">BBB", body, 6 + 3 * ci
                     )
                     comps.append((cid, hv >> 4, hv & 0xF, tq))
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                if not hmax or not vmax:
+                    return None
+                mcx = -(-w // (8 * hmax))
+                mcy = -(-h // (8 * vmax))
+                coef = [
+                    np.zeros((mcy * v, mcx * hh, 64), dtype=np.int32)
+                    for _, hh, v, _ in comps
+                ]
                 sof = (h, w, comps)
             elif marker in (
-                0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF,
             ):
-                return None  # non-baseline SOF: honest boundary
+                return None  # arithmetic/lossless/hierarchical: boundary
             elif marker == 0xDD:  # DRI
                 (dri,) = struct.unpack_from(">H", body, 0)
             elif marker == 0xDA:  # SOS
-                ns = body[0]
-                stabs = []
-                for ci in range(ns):
-                    cid = body[1 + 2 * ci]
-                    td, ta = body[2 + 2 * ci] >> 4, body[2 + 2 * ci] & 0xF
-                    stabs.append((cid, td, ta))
-                segs, _ = _jpeg_split_scan(payload, seg_end)
-                scan = (stabs, segs)
-                break
+                if sof is None:
+                    return None
+                pos = _jpeg_decode_scan(
+                    payload, body, seg_end, sof[2], huff, dri, coef,
+                    prog, (sof[0], sof[1], hmax, vmax, mcx, mcy),
+                )
+                saw_scan = True
+                continue
             pos = seg_end
-        if sof is None or scan is None:
+        if sof is None or not saw_scan:
             return None
         h, w, comps = sof
-        stabs, segs = scan
-        hmax = max(c[1] for c in comps)
-        vmax = max(c[2] for c in comps)
-        if not hmax or not vmax:
-            return None
-        mcx = -(-w // (8 * hmax))
-        mcy = -(-h // (8 * vmax))
-        planes = [
-            np.zeros((mcy * 8 * v, mcx * 8 * hh))
-            for _, hh, v, _ in comps
-        ]
-        tbl = {cid: (td, ta) for cid, td, ta in stabs}
-        order = []
-        for ci, (cid, hh, v, tq) in enumerate(comps):
-            if cid not in tbl or tq not in qts:
-                return None
-            td, ta = tbl[cid]
-            if (0, td) not in huff or (1, ta) not in huff:
-                return None
-            order.append((ci, hh, v, qts[tq], huff[(0, td)], huff[(1, ta)]))
-
-        n_mcus = mcx * mcy
-        per_seg = dri if dri else n_mcus
-        mcu = 0
-        for seg in segs:
-            if mcu >= n_mcus:
-                break
-            bits = _JpegBits(seg)
-            preds = [0] * len(comps)
-            for _ in range(min(per_seg, n_mcus - mcu)):
-                my, mx = divmod(mcu, mcx)
-                for ci, hh, v, qt, dcm, acm in order:
-                    for by in range(v):
-                        for bx in range(hh):
-                            s = _jpeg_huff_decode(bits, dcm)
-                            diff = (
-                                _jpeg_extend(bits.bits(s), s) if s else 0
-                            )
-                            preds[ci] += diff
-                            coef = np.zeros(64)
-                            coef[0] = preds[ci] * qt[0]
-                            k = 1
-                            while k < 64:
-                                rs = _jpeg_huff_decode(bits, acm)
-                                r, sz = rs >> 4, rs & 0xF
-                                if sz == 0:
-                                    if r == 15:
-                                        k += 16
-                                        continue
-                                    break  # EOB
-                                k += r
-                                if k > 63:
-                                    return None
-                                coef[k] = (
-                                    _jpeg_extend(bits.bits(sz), sz) * qt[k]
-                                )
-                                k += 1
-                            nat = np.zeros(64)
-                            nat[zz] = coef
-                            blk = m.T @ nat.reshape(8, 8) @ m
-                            r0 = (my * v + by) * 8
-                            c0 = (mx * hh + bx) * 8
-                            planes[ci][r0 : r0 + 8, c0 : c0 + 8] = blk
-                mcu += 1
-        if mcu < n_mcus:
-            return None
         full = []
-        for (ci, hh, v, _, _, _), plane in zip(order, planes):
+        for (cid, hh, v, tq), cf in zip(comps, coef):
+            if tq not in qts:
+                return None
+            qt = qts[tq]
+            nby, nbx = cf.shape[0], cf.shape[1]
+            deq = cf.astype(np.float64) * qt[None, None, :]
+            nat = np.zeros_like(deq)
+            nat[:, :, zz] = deq
+            blocks = nat.reshape(nby, nbx, 8, 8)
+            # batched IDCT: pixels = M.T @ F @ M per 8x8 block
+            px = np.einsum("ki,yxkl,lj->yxij", m, blocks, m)
+            plane = px.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
             ch = -(-h * v // vmax)
             cw = -(-w * hh // hmax)
             p = np.clip(np.rint(plane[:ch, :cw] + 128.0), 0, 255)

@@ -916,11 +916,11 @@ def test_jpeg_corrupt_payloads_degrade_to_none():
     assert mm._decode_jpeg(b"\xff\xd8\xff\xe0junkjunk") is None
     assert mm._decode_jpeg(b"not a jpeg") is None
     assert mm._decode_jpeg(mm.synth_png(4, 4, 1)) is None
-    # progressive SOF2 is an honest boundary: flip SOF0 -> SOF2
-    prog = bytearray(jp)
-    idx = bytes(prog).find(b"\xff\xc0")
-    prog[idx + 1] = 0xC2
-    assert mm._decode_jpeg(bytes(prog)) is None
+    # arithmetic coding (SOF9) is the honest boundary: flip SOF0
+    arith = bytearray(jp)
+    idx = bytes(arith).find(b"\xff\xc0")
+    arith[idx + 1] = 0xC9
+    assert mm._decode_jpeg(bytes(arith)) is None
 
 
 def test_jpeg_feeds_image_paths_format_invariant(spark):
@@ -1168,3 +1168,48 @@ def test_flac_feeds_wav_metrics_path(spark):
     assert got[1].zcr_hz == got[2].zcr_hz
     assert got[1].centroid_hz == got[2].centroid_hz
     assert got[2].sample_rate == 8000
+
+
+def test_jpeg_progressive_equals_baseline():
+    """Progressive (SOF2) decode paths — multi-scan coefficient
+    accumulation, DC successive approximation (first + raw-bit
+    refinement), per-component AC spectral bands with EOBRUN, and the
+    G.1.2.3 AC-refinement correction-bit walk — verified by the
+    cross-path differential: the progressive encoder writes the SAME
+    quantized coefficients as the baseline encoder through a
+    completely different entropy layering, so both payloads must
+    decode to the IDENTICAL image, pixel for pixel."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    g = np.zeros((16, 16), np.uint8)
+    g[:8, :8], g[:8, 8:], g[8:, :8], g[8:, 8:] = 40, 200, 90, 255
+    cases = [
+        g,
+        mm._gradient_px(16, 16, 77, block=8),
+        rng.integers(0, 256, size=(24, 40, 3), dtype=np.uint8),
+        rng.integers(0, 256, size=(13, 11, 3), dtype=np.uint8),
+    ]
+    for px in cases:
+        base = mm._decode_jpeg(mm._encode_jpeg(px))
+        prog = mm._decode_jpeg(mm._encode_jpeg_progressive(px))
+        assert prog is not None
+        assert np.array_equal(base[2], prog[2])
+    e = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    base = mm._decode_jpeg(mm._encode_jpeg(e, subsample="420"))
+    prog = mm._decode_jpeg(mm._encode_jpeg_progressive(e, subsample="420"))
+    assert np.array_equal(base[2], prog[2])
+
+
+def test_jpeg_progressive_corrupt_degrades():
+    """Truncating a progressive payload at every byte boundary (mid
+    scan-script, mid DHT, mid refinement bits) degrades to None or a
+    valid tuple — never raises."""
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    px = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    jp = mm._encode_jpeg_progressive(px)
+    for cut in range(2, len(jp)):
+        out = mm._decode_jpeg(jp[:cut])
+        assert out is None or isinstance(out, tuple), cut
