@@ -1458,8 +1458,12 @@ def _jpeg_decode_scan(
                     c[0] |= 1 << al
             else:
                 s = _jpeg_huff_decode(bits, dcm)
+                if s > 11:  # 8-bit DC categories cap at 11 (T.81 F.1.2.1.2)
+                    raise ValueError("jpeg: DC category out of range")
                 diff = _jpeg_extend(bits.bits(s), s) if s else 0
                 preds[ci] += diff
+                if abs(preds[ci]) > 1 << 20:  # corrupt-stream runaway
+                    raise ValueError("jpeg: DC predictor out of range")
                 c[0] = preds[ci] << al
             if se == 0:
                 return
@@ -1523,8 +1527,8 @@ def _jpeg_decode_scan(
                     state["eobrun"] += bits.bits(r)
                 break
             k += r
-            if k > se:
-                raise ValueError("jpeg: AC index overrun")
+            if k > se or sz > 10:  # 8-bit AC categories cap at 10
+                raise ValueError("jpeg: AC coefficient out of range")
             c[k] = _jpeg_extend(bits.bits(sz), sz) << al
             k += 1
 

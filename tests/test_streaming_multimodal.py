@@ -1213,3 +1213,37 @@ def test_jpeg_progressive_corrupt_degrades():
     for cut in range(2, len(jp)):
         out = mm._decode_jpeg(jp[:cut])
         assert out is None or isinstance(out, tuple), cut
+
+
+def test_all_decoders_survive_mutation_fuzz():
+    """Degrade-contract fuzz: 150 seeded single/multi-byte mutations
+    of a valid payload per format must decode to None or a valid
+    result — never raise. Guards every parser path (headers, tables,
+    entropy data, CRCs) against the corrupt-corpus case at once."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    t = np.arange(3000)
+    pcm = (9000 * np.sin(2 * np.pi * 500 * t / 8000)).astype(np.int16)
+    targets = [
+        (mm._decode_bmp, mm.synth_bmp(16, 16, 7)),
+        (mm._decode_png, mm.synth_png(16, 16, 7)),
+        (mm._decode_gif, mm.synth_gif(16, 16, 7)),
+        (mm._decode_jpeg, mm._encode_jpeg(mm._gradient_px(16, 16, 7, block=8))),
+        (mm._decode_jpeg, mm._encode_jpeg_progressive(
+            mm._gradient_px(16, 16, 7, block=8))),
+        (mm._decode_y4m, mm.synth_y4m(16, 8, [100, 200])),
+        (mm._decode_wav, mm.synth_wav(300.0, 200)),
+        (mm._decode_wav, mm._encode_wav_compressed(pcm, 8000, "ulaw")),
+        (mm._decode_wav, mm._encode_wav_compressed(pcm, 8000, "ima_adpcm")),
+        (mm._decode_flac, mm._flac_encode(pcm, 8000)),
+    ]
+    for decode, payload in targets:
+        base = bytearray(payload)
+        for _ in range(150):
+            mutated = bytearray(base)
+            for _ in range(int(rng.integers(1, 4))):
+                i = int(rng.integers(0, len(mutated)))
+                mutated[i] = int(rng.integers(0, 256))
+            out = decode(bytes(mutated))  # must not raise
+            assert out is None or isinstance(out, (tuple, dict))
