@@ -2443,20 +2443,16 @@ class _FlacBits:
 
 
 def _flac_utf8_encode(n: int) -> bytes:
+    """Canonical (shortest-form) UTF-8-style coded number — an
+    n-byte sequence carries (7-n) + 6(n-1) payload bits."""
     if n < 0x80:
         return bytes([n])
-    out = []
     bits = n.bit_length()
     nbytes = 2
-    while bits > 5 * nbytes - (nbytes - 1) + 1 and nbytes < 7:
-        # capacity of a nbytes UTF-8 sequence: 7-nbytes-1+6*(nbytes-1)
-        if bits <= (7 - nbytes - 1) + 6 * (nbytes - 1):
-            break
-        nbytes += 1
-    while bits > (7 - nbytes - 1) + 6 * (nbytes - 1):
+    while bits > (7 - nbytes) + 6 * (nbytes - 1):
         nbytes += 1
     lead = (0xFF << (8 - nbytes)) & 0xFF
-    out.append(lead | (n >> (6 * (nbytes - 1))))
+    out = [lead | (n >> (6 * (nbytes - 1)))]
     for i in range(nbytes - 2, -1, -1):
         out.append(0x80 | ((n >> (6 * i)) & 0x3F))
     return bytes(out)

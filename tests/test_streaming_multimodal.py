@@ -1247,3 +1247,19 @@ def test_all_decoders_survive_mutation_fuzz():
                 mutated[i] = int(rng.integers(0, 256))
             out = decode(bytes(mutated))  # must not raise
             assert out is None or isinstance(out, (tuple, dict))
+
+
+def test_flac_utf8_coded_numbers_canonical():
+    """Frame numbers use canonical (shortest-form) UTF-8-style coding
+    — strict decoders reject over-long forms; exhaustive boundary +
+    roundtrip check."""
+    for n, want in (
+        (0, 1), (0x7F, 1), (0x80, 2), (0x7FF, 2), (0x800, 3),
+        (0xFFFF, 3), (0x10000, 4), (0x1FFFFF, 4), (0x200000, 5),
+    ):
+        enc = mm._flac_utf8_encode(n)
+        assert len(enc) == want, (hex(n), enc.hex())
+        assert mm._flac_utf8_decode(mm._FlacBits(enc)) == n
+    for n in range(0, 70000, 13):
+        enc = mm._flac_utf8_encode(n)
+        assert mm._flac_utf8_decode(mm._FlacBits(enc)) == n
