@@ -2558,11 +2558,38 @@ def _flac_read_residual(bits: _FlacBits, block: int, order: int) -> list:
     return res
 
 
+def _flac_pack_samples(arrs, bps: int) -> bytes:
+    """Interleaved little-endian signed sample bytes at the stream's
+    bit depth — the byte string FLAC's STREAMINFO MD5 covers."""
+    import numpy as np
+
+    nch = len(arrs)
+    if nch == 2:
+        inter = np.empty(len(arrs[0]) * 2, dtype=np.int64)
+        inter[0::2], inter[1::2] = arrs[0], arrs[1]
+    else:
+        inter = np.asarray(arrs[0], dtype=np.int64)
+    if bps == 8:
+        return inter.astype(np.int8).tobytes()
+    if bps == 16:
+        return inter.astype("<i2").tobytes()
+    if bps == 24:
+        b4 = inter.astype("<i4").tobytes()
+        out = bytearray(len(inter) * 3)
+        out[0::3] = b4[0::4]
+        out[1::3] = b4[1::4]
+        out[2::3] = b4[2::4]
+        return bytes(out)
+    raise ValueError(f"unsupported bps {bps}")
+
+
 def _flac_encode(pcm, sample_rate: int = 8000, block_size: int = 4096,
-                 stereo_mode: str = "auto", force_lpc: bool = False) -> bytes:
-    """FLAC encoder twin: int16 mono (1-D) or stereo (Nx2) numpy
-    array → a spec-conformant FLAC stream with real CRC-8/CRC-16 and
-    a real STREAMINFO MD5 of the decoded-signal bytes. Subframes pick
+                 stereo_mode: str = "auto", force_lpc: bool = False,
+                 bps: int = 16) -> bytes:
+    """FLAC encoder twin: signed-int mono (1-D) or stereo (Nx2) numpy
+    array at ``bps`` ∈ {8, 16, 24} → a spec-conformant FLAC stream
+    with real CRC-8/CRC-16 and a real STREAMINFO MD5 of the
+    decoded-signal bytes. Subframes pick
     the cheapest of CONSTANT / FIXED order 0-4 (per true Rice cost) /
     VERBATIM; ``force_lpc`` instead writes the order-2 fixed
     predictor THROUGH the LPC subframe format (coefs [2,-1], shift 0)
@@ -2574,19 +2601,19 @@ def _flac_encode(pcm, sample_rate: int = 8000, block_size: int = 4096,
 
     import numpy as np
 
+    if bps not in (8, 16, 24):
+        raise ValueError("flac encoder supports bps 8/16/24")
     x = np.asarray(pcm, dtype=np.int64)
     stereo = x.ndim == 2
     nch = 2 if stereo else 1
     nsamples = x.shape[0]
-    bps = 16
 
     md5 = hashlib.md5()
-    if stereo:
-        inter = np.empty(nsamples * 2, dtype=np.int64)
-        inter[0::2], inter[1::2] = x[:, 0], x[:, 1]
-        md5.update(inter.astype("<i2").tobytes())
-    else:
-        md5.update(x.astype("<i2").tobytes())
+    md5.update(
+        _flac_pack_samples(
+            [x[:, 0], x[:, 1]] if stereo else [x], bps
+        )
+    )
 
     out = bytearray(b"fLaC")
     si = bytearray()
@@ -2696,7 +2723,7 @@ def _flac_encode(pcm, sample_rate: int = 8000, block_size: int = 4096,
         hdr.write(0b0111, 4)  # blocksize: 16-bit escape
         hdr.write(0b0000, 4)  # sample rate: from STREAMINFO
         hdr.write(chan_assign, 4)
-        hdr.write(0b100, 3)  # bps 16
+        hdr.write({8: 0b001, 16: 0b100, 24: 0b110}[bps], 3)
         hdr.write(0, 1)  # reserved
         hdr.align()
         hb = bytes(hdr.buf) + _flac_utf8_encode(frame_idx) + struct.pack(
@@ -2892,14 +2919,9 @@ def _decode_flac(payload: bytes):
         arrs = [np.asarray(c, dtype=np.int64) for c in chans]
         if total:
             arrs = [a[:total] for a in arrs]
-        if md5_want and md5_want != b"\x00" * 16 and bps == 16:
+        if md5_want and md5_want != b"\x00" * 16:
             md5 = hashlib.md5()
-            if nch == 2:
-                inter = np.empty(len(arrs[0]) * 2, dtype=np.int64)
-                inter[0::2], inter[1::2] = arrs[0], arrs[1]
-                md5.update(inter.astype("<i2").tobytes())
-            else:
-                md5.update(arrs[0].astype("<i2").tobytes())
+            md5.update(_flac_pack_samples(arrs, bps))
             if md5.digest() != md5_want:
                 return None
         mono = (

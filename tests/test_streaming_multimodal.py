@@ -1263,3 +1263,28 @@ def test_flac_utf8_coded_numbers_canonical():
     for n in range(0, 70000, 13):
         enc = mm._flac_utf8_encode(n)
         assert mm._flac_utf8_decode(mm._FlacBits(enc)) == n
+
+
+def test_flac_8_and_24_bit_lossless():
+    """The full claimed bit-depth set {8, 16, 24} round-trips
+    losslessly (mono and mid/side stereo, sine and noise) with the
+    STREAMINFO MD5 verified at each width's little-endian packing."""
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    t = np.arange(4000)
+    for bps, lo, hi in ((8, -128, 128), (24, -(1 << 23), 1 << 23)):
+        sine = (0.4 * (hi - 1) * np.sin(2 * np.pi * 440 * t / 8000)).astype(
+            np.int64
+        )
+        noise = rng.integers(lo, hi, size=3000).astype(np.int64)
+        for pcm in (sine, noise):
+            d = mm._decode_flac(mm._flac_encode(pcm, 8000, bps=bps))
+            assert d is not None and d["bits_per_sample"] == bps
+            assert np.array_equal(d["pcm"][0], pcm)
+        st = np.stack([sine[:3000], noise], axis=1)
+        d = mm._decode_flac(
+            mm._flac_encode(st, 8000, bps=bps, stereo_mode="mid_side")
+        )
+        assert np.array_equal(d["pcm"][0], st[:, 0])
+        assert np.array_equal(d["pcm"][1], st[:, 1])
