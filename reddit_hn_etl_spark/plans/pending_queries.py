@@ -401,6 +401,105 @@ def audio_flac_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_pending(
+    "doc_quality_logistic",
+    """
+    WITH feats AS (
+        SELECT CAST(lang = 'en' AS DOUBLE) AS y,
+               CAST(n_chars AS DOUBLE) / 4096.0 AS f1,
+               CAST(length(text) - length(replace(text, ' ', ''))
+                    AS DOUBLE) / 64.0 AS f2
+        FROM documents
+    ),
+    -- iter 1: w = 0 => p = 0.5 exactly (libm-free first step)
+    g1 AS (
+        SELECT COUNT(*) AS n,
+               SUM(CAST(FLOOR((0.5 - y) * 1048576.0 + 0.5) AS BIGINT)) AS g0,
+               SUM(CAST(FLOOR((0.5 - y) * f1 * 1048576.0 + 0.5) AS BIGINT)) AS ga,
+               SUM(CAST(FLOOR((0.5 - y) * f2 * 1048576.0 + 0.5) AS BIGINT)) AS gb
+        FROM feats
+    ),
+    w1 AS (
+        SELECT n,
+               0.0 - 0.25 * ((g0 / 1048576.0) / n) AS w0,
+               0.0 - 0.25 * ((ga / 1048576.0) / n) AS wa,
+               0.0 - 0.25 * ((gb / 1048576.0) / n) AS wb
+        FROM g1
+    ),
+    g2 AS (
+        SELECT w1.n, w1.w0, w1.wa, w1.wb,
+               SUM(CAST(FLOOR((1.0/(1.0+exp(-(w0 + wa*f1 + wb*f2))) - y)
+                   * 1048576.0 + 0.5) AS BIGINT)) AS g0n,
+               SUM(CAST(FLOOR((1.0/(1.0+exp(-(w0 + wa*f1 + wb*f2))) - y)
+                   * f1 * 1048576.0 + 0.5) AS BIGINT)) AS gan,
+               SUM(CAST(FLOOR((1.0/(1.0+exp(-(w0 + wa*f1 + wb*f2))) - y)
+                   * f2 * 1048576.0 + 0.5) AS BIGINT)) AS gbn
+        FROM feats CROSS JOIN w1
+        GROUP BY ALL
+    ),
+    w2 AS (
+        SELECT n,
+               w0 - 0.25 * ((g0n / 1048576.0) / n) AS w0,
+               wa - 0.25 * ((gan / 1048576.0) / n) AS wa,
+               wb - 0.25 * ((gbn / 1048576.0) / n) AS wb
+        FROM g2
+    ),
+    g3 AS (
+        SELECT w2.n, w2.w0, w2.wa, w2.wb,
+               SUM(CAST(FLOOR((1.0/(1.0+exp(-(w0 + wa*f1 + wb*f2))) - y)
+                   * 1048576.0 + 0.5) AS BIGINT)) AS g0n,
+               SUM(CAST(FLOOR((1.0/(1.0+exp(-(w0 + wa*f1 + wb*f2))) - y)
+                   * f1 * 1048576.0 + 0.5) AS BIGINT)) AS gan,
+               SUM(CAST(FLOOR((1.0/(1.0+exp(-(w0 + wa*f1 + wb*f2))) - y)
+                   * f2 * 1048576.0 + 0.5) AS BIGINT)) AS gbn
+        FROM feats CROSS JOIN w2
+        GROUP BY ALL
+    )
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           ROUND(w0 - 0.25 * ((g0n / 1048576.0) / n), 9) AS w_bias,
+           ROUND(wa - 0.25 * ((gan / 1048576.0) / n), 9) AS w_chars,
+           ROUND(wb - 0.25 * ((gbn / 1048576.0) / n), 9) AS w_spaces
+    FROM g3
+    """,
+)
+def doc_quality_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine quality-classifier training (r7): 3 full-batch
+    gradient-descent steps of logistic regression predicting
+    lang='en' from two grid-rational text features (chars/4096,
+    spaces/64 — integer counts over powers of two stay exact in
+    doubles). Each step is one map-side-combinable scalar aggregate
+    with per-row contributions snapped to the 2^-20 fixed-point grid,
+    so the WEIGHT TRAJECTORY is bit-reproducible across engines —
+    the oracle unrolls the identical three steps in SQL (step 1 is
+    exp-free since σ(0) = 0.5 exactly). Emits (n_docs, final weights
+    on the 1e-9 grid); any gradient, update, or feature-engineering
+    divergence shifts the weights and fails the hash.
+
+    Scale: per step one scan + a 1-row reduce; weights re-enter as
+    literals (whole-stage codegen, no UDF) — identical plan at
+    100 TB."""
+    from ..operators.regression import logistic_regression_gd
+
+    docs = read_table(spark, sf_dir, "documents")
+    feats = docs.select(
+        (F.col("lang") == "en").cast("double").alias("y"),
+        (F.col("n_chars").cast("double") / 4096.0).alias("f1"),
+        (
+            (
+                F.length("text") - F.length(F.translate("text", " ", ""))
+            ).cast("double")
+            / 64.0
+        ).alias("f2"),
+    )
+    w, n = logistic_regression_gd(
+        feats, ["f1", "f2"], "y", lr=0.25, iters=3
+    )
+    return spark.createDataFrame(
+        [(n, round(w[0], 9), round(w[1], 9), round(w[2], 9))],
+        "n_docs long, w_bias double, w_chars double, w_spaces double",
+    )
+
+
+@_pending(
     "video_y4m_scene_cuts",
     """
     SELECT doc_id AS media_id, fno AS frame_no,

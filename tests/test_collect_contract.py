@@ -37,6 +37,7 @@ ALLOWED = {
     ("operators/checks.py", "assert_non_empty"): "limit(1) probe",
     ("operators/checks.py", "assert_cast_lossless"): "limit(1) probe",
     ("functions/bpe.py", "train_bpe_distributed"): "guarded: top_words cap default; loud max_vocab_rows on explicit None",
+    ("operators/regression.py", "logistic_regression_gd"): "1-row scalar gradient aggregate (d+2 numbers) per iteration",
 }
 
 
