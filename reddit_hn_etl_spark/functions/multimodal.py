@@ -241,14 +241,17 @@ def synth_png(width: int, height: int, blue: int,
 
 
 def _decode_png(payload: bytes) -> tuple[int, int, "object"] | None:
-    """REAL image decode for 8-bit non-interlaced PNG (r6): chunk
-    walk, zlib inflate, and full scanline unfiltering (all five
+    """REAL image decode for non-interlaced PNG (r6; palette r7):
+    chunk walk, zlib inflate, and full scanline unfiltering (all five
     filter types — None/Sub/Up/Average/Paeth) in numpy. Supports
-    grayscale (expanded to RGB), truecolor, and truecolor+alpha
-    (alpha dropped). PNG needs no codec library — DEFLATE is stdlib
-    zlib — so this is a real decode path, not a stub. Returns
-    (width, height, HxWx3 RGB uint8 array) or None if the payload is
-    not a PNG this decoder supports."""
+    8-bit grayscale (expanded to RGB), truecolor, truecolor+alpha
+    (alpha dropped), AND palette color (type 3) at bit depths
+    1/2/4/8 with MSB-first index unpacking and PLTE lookup — the
+    color type real-world icon/logo PNGs actually use. PNG needs no
+    codec library — DEFLATE is stdlib zlib — so this is a real
+    decode path, not a stub. Returns (width, height, HxWx3 RGB uint8
+    array) or None if the payload is not a PNG this decoder
+    supports."""
     import struct
     import zlib
 
@@ -256,7 +259,7 @@ def _decode_png(payload: bytes) -> tuple[int, int, "object"] | None:
 
     if len(payload) < 8 or payload[:8] != _PNG_SIG:
         return None
-    pos, ihdr, idat = 8, None, []
+    pos, ihdr, idat, plte = 8, None, [], None
     while pos + 8 <= len(payload):
         (ln,) = struct.unpack_from(">I", payload, pos)
         ctype = payload[pos + 4 : pos + 8]
@@ -267,6 +270,10 @@ def _decode_png(payload: bytes) -> tuple[int, int, "object"] | None:
             ihdr = data
         elif ctype == b"IDAT":
             idat.append(data)
+        elif ctype == b"PLTE":
+            if ln % 3:
+                return None
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
         elif ctype == b"IEND":
             break
         pos += 12 + ln  # length + type + data + crc
@@ -275,24 +282,33 @@ def _decode_png(payload: bytes) -> tuple[int, int, "object"] | None:
     w, h, depth, ctype_, comp, filt, interlace = struct.unpack(
         ">IIBBBBB", ihdr
     )
-    channels = {0: 1, 2: 3, 6: 4}.get(ctype_)
+    paletted = ctype_ == 3
+    channels = {0: 1, 2: 3, 3: 1, 6: 4}.get(ctype_)
     if (
-        channels is None or depth != 8 or comp != 0 or filt != 0
+        channels is None or comp != 0 or filt != 0
         or interlace != 0 or w == 0 or h == 0
     ):
+        return None
+    if paletted:
+        if depth not in (1, 2, 4, 8) or plte is None or not len(plte):
+            return None
+    elif depth != 8:
         return None
     try:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error:
         return None
-    stride = w * channels
+    # scanline stride in BYTES (sub-byte palette indices pack
+    # MSB-first); filters always operate on bytes with bpp =
+    # max(1, channels*depth//8)
+    stride = (w * channels * depth + 7) // 8
     if len(raw) != h * (stride + 1):
         return None
     arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
     ftypes = arr[:, 0]
     lines = arr[:, 1:].astype(np.int64)
     out = np.zeros((h, stride), dtype=np.int64)
-    bpp = channels  # bytes per pixel at depth 8
+    bpp = max(1, channels * depth // 8)  # filter distance in bytes
     zero = np.zeros(stride, dtype=np.int64)
     for yrow in range(h):
         f = int(ftypes[yrow])
@@ -322,7 +338,20 @@ def _decode_png(payload: bytes) -> tuple[int, int, "object"] | None:
         else:
             return None
         out[yrow] = rec
-    px = out.astype(np.uint8).reshape(h, w, channels)
+    recon = out.astype(np.uint8)
+    if paletted:
+        if depth == 8:
+            idx = recon[:, :w]
+        else:
+            # unpack MSB-first sub-byte indices, then crop row padding
+            bits = np.unpackbits(recon, axis=1)
+            per = bits.reshape(h, -1, depth)
+            weights = 1 << np.arange(depth - 1, -1, -1)
+            idx = (per * weights).sum(axis=2)[:, :w]
+        if int(idx.max()) >= len(plte):
+            return None
+        return int(w), int(h), plte[idx]
+    px = recon.reshape(h, w, channels)
     if channels == 1:
         px = np.repeat(px, 3, axis=2)
     elif channels == 4:

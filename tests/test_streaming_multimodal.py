@@ -1288,3 +1288,104 @@ def test_flac_8_and_24_bit_lossless():
         )
         assert np.array_equal(d["pcm"][0], st[:, 0])
         assert np.array_equal(d["pcm"][1], st[:, 1])
+
+
+def test_png_palette_color_type_exact():
+    """Palette PNG (color type 3, the type real icon/logo PNGs use):
+    a hand-built 2-bit-depth image with a known PLTE must decode to
+    the exact palette-mapped pixels (MSB-first index unpacking +
+    per-row bit padding)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 10, 20, 30])
+    w, h, depth = 7, 3, 2
+    idx = np.array(
+        [[0, 1, 2, 3, 0, 1, 2], [3, 2, 1, 0, 3, 2, 1], [1, 1, 2, 2, 3, 3, 0]],
+        np.uint8,
+    )
+    rows = b""
+    for r in idx:
+        bits = np.unpackbits(r.reshape(-1, 1), axis=1)[:, -depth:].flatten()
+        padded = np.concatenate(
+            [bits, np.zeros((-len(bits)) % 8, np.uint8)]
+        )
+        rows += b"\x00" + np.packbits(padded).tobytes()
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 0))
+        + chunk(b"PLTE", pal)
+        + chunk(b"IDAT", zlib.compress(rows))
+        + chunk(b"IEND", b"")
+    )
+    out = mm._decode_png(png)
+    want = np.frombuffer(pal, np.uint8).reshape(4, 3)[idx]
+    assert out is not None and (out[0], out[1]) == (w, h)
+    assert np.array_equal(out[2], want)
+    # out-of-range index degrades
+    bad = png.replace(chunk(b"PLTE", pal), chunk(b"PLTE", pal[:9]))
+    assert mm._decode_png(bad) is None
+
+
+def test_decoders_on_real_third_party_files():
+    """Independent validation against files produced by REAL encoders
+    shipped in this container (libpng icons, giflib IDLE icons,
+    libjpeg photos incl. Spark's own mllib sample images) — not our
+    own synths. Each must decode with correct dimensions; the
+    grayscale libjpeg photo must come back channel-equal, and the
+    near-white JPEG stripes near-white. Skips any file the host
+    lacks."""
+    import os
+
+    import numpy as np
+
+    def decode(path):
+        if not os.path.exists(path):
+            return None
+        return mm._decode_rgb(open(path, "rb").read())
+
+    checked = 0
+    out = decode("/usr/share/doc/python3/_static/file.png")
+    if out:
+        assert (out[0], out[1]) == (16, 16)
+        checked += 1
+    out = decode("/usr/share/gitweb/static/git-logo.png")
+    if out:
+        assert (out[0], out[1]) == (72, 27)  # 8-bit palette PNG
+        checked += 1
+    out = decode("/usr/share/gitweb/static/git-favicon.png")
+    if out:
+        assert (out[0], out[1]) == (16, 16)  # 2-bit palette PNG
+        checked += 1
+    out = decode(
+        "/root/.pyenv/versions/3.11.7/lib/python3.11/idlelib/Icons/python.gif"
+    )
+    if out:
+        assert (out[0], out[1]) == (16, 16)
+        checked += 1
+    out = decode("/usr/share/doc/nodejs/full-white-stripe.jpg")
+    if out:
+        assert (out[0], out[1]) == (493, 312)
+        assert float(out[2].mean()) > 240  # a white stripe is white
+        checked += 1
+    base = "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/multi-channel"
+    color = decode(f"{base}/chr30.4.184.jpg")
+    gray = decode(f"{base}/grayscale.jpg")
+    if color and gray:
+        assert (color[0], color[1]) == (300, 215) == (gray[0], gray[1])
+        # the 1-component libjpeg file replicates channels exactly
+        assert np.array_equal(gray[2][:, :, 0], gray[2][:, :, 1])
+        assert np.array_equal(gray[2][:, :, 0], gray[2][:, :, 2])
+        # same scene: luma statistics agree within a few levels
+        luma_c = color[2].astype(np.float64).mean()
+        assert abs(luma_c - float(gray[2].mean())) < 16
+        checked += 2
+    assert checked >= 3, "too few real-world files present to validate"
