@@ -2252,6 +2252,18 @@ def _decode_wav_compressed(payload: bytes) -> dict | None:
     data = chunks[b"data"][0]
     if sr <= 0 or ch not in (1, 2):
         return None
+    if tag == 0xFFFE and len(fmt) >= 26:
+        # WAVE_FORMAT_EXTENSIBLE: the real format is the first two
+        # bytes of the SubFormat GUID (PCM=1, u-law=7, A-law=6)
+        (tag,) = struct.unpack_from("<H", fmt, 24)
+    if tag == 1:  # PCM widths stdlib wave rejected (e.g. EXTENSIBLE)
+        sw = _bits // 8
+        x = _pcm_to_float(data, sw)
+        if x is None:
+            return None
+        if ch > 1:
+            x = x[: len(x) - (len(x) % ch)].reshape(-1, ch).mean(axis=1)
+        return _wav_metrics_from_signal(x, int(sr))
     if tag == 7 or tag == 6:
         codes = np.frombuffer(data, dtype=np.uint8)
         lin = (
@@ -2327,14 +2339,42 @@ def _decode_wav(payload: bytes) -> dict | None:
             raw = w.readframes(n)
     except Exception:
         # stdlib wave handles PCM only; try the compressed-WAV path
-        # (G.711 u-law/A-law, IMA ADPCM), then FLAC, before giving up.
+        # (G.711 u-law/A-law, IMA ADPCM, EXTENSIBLE), then FLAC,
+        # before giving up.
         return _decode_wav_compressed(payload) or _decode_flac(payload)
-    if sw != 2 or sr <= 0 or n <= 1:
+    if sr <= 0 or n <= 1:
         return None
-    x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32767.0
+    x = _pcm_to_float(raw, sw)
+    if x is None:
+        return None
     if ch > 1:
         x = x.reshape(-1, ch).mean(axis=1)
     return _wav_metrics_from_signal(x, sr)
+
+
+def _pcm_to_float(raw: bytes, sw: int):
+    """Raw PCM bytes at sample width ``sw`` ∈ {1,2,3,4} bytes →
+    [-1, 1] float64 (8-bit WAV PCM is UNSIGNED with a 128 offset;
+    the wider widths are signed little-endian)."""
+    import numpy as np
+
+    if sw == 1:
+        return (
+            np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
+        ) / 127.0
+    if sw == 2:
+        return np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32767.0
+    if sw == 3:
+        b = np.frombuffer(raw, dtype=np.uint8)
+        b = b[: len(b) - (len(b) % 3)].reshape(-1, 3).astype(np.int64)
+        v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        v = np.where(v >= 1 << 23, v - (1 << 24), v)
+        return v.astype(np.float64) / float((1 << 23) - 1)
+    if sw == 4:
+        return np.frombuffer(raw, dtype="<i4").astype(np.float64) / float(
+            (1 << 31) - 1
+        )
+    return None
 
 
 def _wav_metrics_from_signal(x, sr: int) -> dict | None:

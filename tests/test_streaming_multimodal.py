@@ -1389,3 +1389,37 @@ def test_decoders_on_real_third_party_files():
         assert abs(luma_c - float(gray[2].mean())) < 16
         checked += 2
     assert checked >= 3, "too few real-world files present to validate"
+
+
+def test_wav_all_pcm_widths_on_real_recordings():
+    """CPython's test-suite 'pluck' recordings — the SAME audio at
+    8/16/24/32-bit and WAVE_FORMAT_EXTENSIBLE, written by real tools
+    — must all decode (24-bit assembly, unsigned-8 offset, EXTENSIBLE
+    SubFormat-GUID unwrap) and agree on every metric: identical
+    sample count, zcr and rms equal across the signed widths, 8-bit
+    within quantization tolerance. Skips if the files are absent."""
+    import glob
+    import os
+
+    base = "/root/.pyenv/versions/3.13.0/lib/python3.13/test/audiodata"
+    files = sorted(glob.glob(os.path.join(base, "pluck-pcm*.wav")))
+    if len(files) < 3:
+        import pytest
+
+        pytest.skip("CPython audiodata not present")
+    got = {}
+    for f in files:
+        m = mm._decode_wav(open(f, "rb").read())
+        assert m is not None, f
+        got[os.path.basename(f)] = m
+    ref = got["pluck-pcm16.wav"]
+    assert ref["sample_rate"] == 11025 and ref["n_frames"] == 3307
+    for name, m in got.items():
+        assert m["n_frames"] == ref["n_frames"], name
+        assert abs(m["zcr_hz"] - ref["zcr_hz"]) < 40, name
+        assert abs(m["rms"] - ref["rms"]) < 0.01, name
+    # the signed widths are bit-upscales of the same master: exact
+    # metric agreement
+    for name in ("pluck-pcm24.wav", "pluck-pcm32.wav", "pluck-pcm24-ext.wav"):
+        if name in got:
+            assert abs(got[name]["zcr_hz"] - ref["zcr_hz"]) < 1e-9, name
