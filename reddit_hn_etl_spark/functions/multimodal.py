@@ -2314,6 +2314,46 @@ def _encode_wav_compressed(pcm, sample_rate: int, codec: str) -> bytes:
     return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
 
 
+def _decode_au(payload: bytes) -> dict | None:
+    """REAL decode for Sun/NeXT AU (.snd) audio — the other classic
+    uncompressed/G.711 container (big-endian header: magic, data
+    offset, data size, encoding, sample rate, channels). Encodings:
+    1 = 8-bit u-law, 2 = 8-bit signed PCM, 3 = 16-bit BE PCM,
+    27 = 8-bit A-law. Reuses the audioop-verified G.711 kernels."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 24 or payload[:4] != b".snd":
+        return None
+    off, size, enc, sr, ch = struct.unpack_from(">IIIII", payload, 4)
+    if off < 24 or sr <= 0 or ch not in (1, 2) or off > len(payload):
+        return None
+    end = min(len(payload), off + size) if size != 0xFFFFFFFF else len(payload)
+    data = payload[off:end]
+    if enc == 1:
+        x = _g711_ulaw_decode(
+            np.frombuffer(data, np.uint8)
+        ).astype(np.float64) / 32767.0
+    elif enc == 27:
+        x = _g711_alaw_decode(
+            np.frombuffer(data, np.uint8)
+        ).astype(np.float64) / 32767.0
+    elif enc == 2:
+        x = np.frombuffer(data, np.int8).astype(np.float64) / 127.0
+    elif enc == 3:
+        x = np.frombuffer(
+            data[: len(data) - (len(data) % 2)], dtype=">i2"
+        ).astype(np.float64) / 32767.0
+    else:
+        return None
+    if ch > 1:
+        x = x[: len(x) - (len(x) % ch)].reshape(-1, ch).mean(axis=1)
+    if len(x) <= 1:
+        return None
+    return _wav_metrics_from_signal(np.clip(x, -1.0, 1.0), int(sr))
+
+
 def _decode_wav(payload: bytes) -> dict | None:
     """REAL audio decode for RIFF/WAV payloads: stdlib ``wave`` parses
     the container, numpy computes signal metrics — no fake anywhere on
@@ -2338,10 +2378,14 @@ def _decode_wav(payload: bytes) -> dict | None:
             sw = w.getsampwidth()
             raw = w.readframes(n)
     except Exception:
-        # stdlib wave handles PCM only; try the compressed-WAV path
-        # (G.711 u-law/A-law, IMA ADPCM, EXTENSIBLE), then FLAC,
-        # before giving up.
-        return _decode_wav_compressed(payload) or _decode_flac(payload)
+        # stdlib wave handles RIFF PCM only; try the compressed-WAV
+        # path (G.711 u-law/A-law, IMA ADPCM, EXTENSIBLE), then FLAC
+        # and Sun AU, before giving up.
+        return (
+            _decode_wav_compressed(payload)
+            or _decode_flac(payload)
+            or _decode_au(payload)
+        )
     if sr <= 0 or n <= 1:
         return None
     x = _pcm_to_float(raw, sw)
