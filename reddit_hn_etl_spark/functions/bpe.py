@@ -112,6 +112,13 @@ def train_bpe_distributed(
 ) -> list[tuple[str, str]]:
     """Corpus scan distributed, merge loop on the collected vocab.
 
+    .. note:: **BEHAVIOR CHANGE (r7)** — ``top_words`` used to default
+       to ``None`` (full vocabulary). It now defaults to 256k, which
+       can change merge sequences in the long tail for corpora with
+       larger vocabularies; when the cap actually truncates, a
+       ``UserWarning`` is emitted so the change is never silent.
+       Pass ``top_words=None`` to restore the old behavior.
+
     Scale contract: the (word, count) vocabulary is driver-collected
     for the serial Sennrich merge loop, so it must be bounded.
     ``top_words`` defaults to 256k (frequency-capped vocabularies are
@@ -134,6 +141,17 @@ def train_bpe_distributed(
                 "or raise min_count to bound the vocabulary."
             )
     counts = [(r["word"], r["cnt"]) for r in wf.collect()]
+    if top_words is not None and len(counts) >= top_words:
+        import warnings
+
+        warnings.warn(
+            f"train_bpe_distributed: vocabulary truncated to "
+            f"top_words={top_words}; merges may differ in the long "
+            "tail vs full-vocabulary training (pre-r7 default). Pass "
+            "top_words=None for the uncapped behavior.",
+            UserWarning,
+            stacklevel=2,
+        )
     return train_bpe(counts, n_merges)
 
 

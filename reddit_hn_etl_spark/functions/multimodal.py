@@ -2132,8 +2132,12 @@ def _ima_adpcm_decode(data: bytes, block_align: int, channels: int):
         if not ok:
             return None
         body = blk[4 * channels :]
-        # nibbles, low first, in 4-byte per-channel groups
-        for g in range(0, len(body), 4 * channels):
+        # nibbles, low first, in 4-byte per-channel groups. Only
+        # COMPLETE groups decode — a truncated tail group would give
+        # the channels unequal sample counts (ragged np.mean crash on
+        # malformed stereo blocks); degrade by dropping it instead.
+        usable = len(body) - (len(body) % (4 * channels))
+        for g in range(0, usable, 4 * channels):
             for c in range(channels):
                 chunk = body[g + 4 * c : g + 4 * c + 4]
                 pred, idx, samples = chans[c]
@@ -2380,12 +2384,17 @@ def _decode_wav(payload: bytes) -> dict | None:
     except Exception:
         # stdlib wave handles RIFF PCM only; try the compressed-WAV
         # path (G.711 u-law/A-law, IMA ADPCM, EXTENSIBLE), then FLAC
-        # and Sun AU, before giving up.
-        return (
-            _decode_wav_compressed(payload)
-            or _decode_flac(payload)
-            or _decode_au(payload)
-        )
+        # and Sun AU, before giving up. The whole chain sits under
+        # the module's degrade contract: a corrupt payload returns
+        # None, it never raises out of the UDF.
+        try:
+            return (
+                _decode_wav_compressed(payload)
+                or _decode_flac(payload)
+                or _decode_au(payload)
+            )
+        except Exception:
+            return None
     if sr <= 0 or n <= 1:
         return None
     x = _pcm_to_float(raw, sw)
@@ -3041,17 +3050,20 @@ def _decode_flac(payload: bytes):
             np.mean(arrs, axis=0) if nch > 1 else arrs[0].astype(np.float64)
         )
         scale = float(1 << (bps - 1)) - 1.0
+        metrics = _wav_metrics_from_signal(
+            np.clip(mono / scale, -1.0, 1.0), int(sr)
+        )
+        if metrics is None:
+            # <=1-sample streams (bs_code 6 allows 1-sample frames)
+            # have no metrics; a partial dict would KeyError in
+            # callers that index metrics keys — degrade to None.
+            return None
         return {
             "sample_rate": int(sr),
             "channels": nch,
             "bits_per_sample": bps,
             "pcm": arrs,
-            **(
-                _wav_metrics_from_signal(
-                    np.clip(mono / scale, -1.0, 1.0), int(sr)
-                )
-                or {}
-            ),
+            **metrics,
         }
     except (ValueError, IndexError, struct.error):
         return None

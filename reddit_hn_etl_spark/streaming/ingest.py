@@ -1223,14 +1223,27 @@ def quantile_summary_stream(
     # directories (required for the overwrite-this-batch replay
     # guarantee). A summary_dir written by the old layout mixes
     # root-level parquet files with batch_id=N/ subdirectories, which
-    # Spark's partition discovery rejects — detected below on write
+    # Spark's partition discovery rejects — detected ONCE at stream
+    # setup (the stream itself only ever writes the partitioned
+    # layout, so re-checking per micro-batch is wasted listing I/O)
     # with a clear migration error instead of a deep
-    # partition-discovery failure (ADVICE r6).
+    # partition-discovery failure (ADVICE r6). Resolved through the
+    # Hadoop FileSystem API so s3://, hdfs://, and file:// sinks are
+    # all inspected — a local-only glob silently never fires on
+    # object-store URIs (ADVICE r7).
     def _reject_flat_legacy_sink() -> None:
-        import glob as _glob
-        import os as _os
-
-        flat = _glob.glob(_os.path.join(summary_dir, "*.parquet"))
+        spark = rows.sparkSession
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        path = jvm.org.apache.hadoop.fs.Path(summary_dir)
+        fs = path.getFileSystem(hconf)
+        if not fs.exists(path):
+            return
+        flat = [
+            st.getPath().getName()
+            for st in fs.listStatus(path)
+            if st.isFile() and st.getPath().getName().endswith(".parquet")
+        ]
         if flat:
             raise ValueError(
                 f"quantile_summary_stream: {summary_dir} holds "
@@ -1242,10 +1255,11 @@ def quantile_summary_stream(
                 "a fresh summary_dir."
             )
 
+    _reject_flat_legacy_sink()
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        _reject_flat_legacy_sink()
         # Replay safety needs BOTH (ADVICE r5 — per-partition
         # compaction is partitioning-dependent, so a retried batch
         # could otherwise append a DIFFERENT weight for the same

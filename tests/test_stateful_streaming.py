@@ -1597,7 +1597,9 @@ def test_quantile_summary_stream_rejects_legacy_flat_sink(spark, tmp_path):
     """ADVICE r6: resuming against a pre-r6 FLAT-layout summary_dir
     (root-level parquet, batch_id as a data column) must fail with
     the clear migration error, not a deep partition-discovery
-    failure."""
+    failure. ADVICE r7 moved the check to STREAM SETUP (once, via the
+    Hadoop FileSystem API so non-local URIs are inspected too), so
+    the constructor itself raises before any micro-batch runs."""
     import pytest
 
     summary_dir = str(tmp_path / "summaries")
@@ -1610,14 +1612,12 @@ def test_quantile_summary_stream_rejects_legacy_flat_sink(spark, tmp_path):
     src_dir.mkdir()
     (src_dir / "b0.json").write_text('{"v": 5.0}\n')
     rows = spark.readStream.schema("v double").json(str(src_dir))
-    q = ingest.quantile_summary_stream(
-        rows,
-        "v",
-        summary_dir=summary_dir,
-        checkpoint_dir=str(tmp_path / "ckpt"),
-        k=4,
-        parts=2,
-    )
     with pytest.raises(Exception, match="pre-r6 flat layout"):
-        q.awaitTermination()
-        raise AssertionError("stream should have failed")
+        ingest.quantile_summary_stream(
+            rows,
+            "v",
+            summary_dir=summary_dir,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            k=4,
+            parts=2,
+        )

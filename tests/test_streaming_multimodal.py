@@ -1078,6 +1078,55 @@ def test_compressed_wav_corrupt_payloads_degrade():
     assert mm._decode_wav(bytes(wav)) is None
 
 
+def test_ima_adpcm_malformed_stereo_degrades():
+    """ADVICE r7 (high): a STEREO IMA-ADPCM block whose body length
+    is not a multiple of 4*channels must degrade (drop the ragged
+    tail group), never raise a ragged-np.mean ValueError out of the
+    UDF — and the fallback chain in _decode_wav must swallow any
+    decoder exception (never-raise contract)."""
+    import struct
+
+    def stereo_adpcm_wav(block_align: int, nblocks: int = 2) -> bytes:
+        data = b""
+        for _ in range(nblocks):
+            blk = struct.pack("<hBB", 100, 0, 0)
+            blk += struct.pack("<hBB", -100, 0, 0)
+            blk += bytes(range(block_align - 8))
+            data += blk
+        fmt = struct.pack("<HHIIHH", 0x11, 2, 8000, 8000, block_align, 4)
+        body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        body += b"data" + struct.pack("<I", len(data)) + data
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    # body = 4 bytes: one 4-byte group for channel 0 only → pre-fix
+    # this crashed on np.mean over ragged per-channel sample lists
+    for ba in (12, 16, 20, 8 + 12):  # body 4 / 8 / 12 bytes
+        out = mm._decode_wav(stereo_adpcm_wav(ba))
+        assert out is None or isinstance(out, dict), ba
+    # sanity: a well-formed stereo block (body multiple of 8) decodes
+    assert isinstance(mm._decode_wav(stereo_adpcm_wav(8 + 16)), dict)
+
+
+def test_flac_one_sample_stream_degrades():
+    """ADVICE r7 (medium): a FLAC stream decoding to <=1 sample has
+    no signal metrics; _decode_flac must return None (degrade), not
+    a partial dict missing rms/n_frames/signal that KeyErrors in
+    wav_frame_activity/_decode_audio_features."""
+    import numpy as np
+
+    one = mm._flac_encode(np.array([1234], dtype=np.int16), 8000)
+    assert mm._decode_flac(one) is None
+    assert mm._decode_wav(one) is None  # fallback chain degrades too
+    # and the feature vector falls back to the deterministic fake
+    # instead of raising
+    feats = mm._decode_audio_features(one)
+    assert len(feats) == 8
+    # two samples is the smallest stream with metrics
+    two = mm._flac_encode(np.array([1234, -1234], dtype=np.int16), 8000)
+    m = mm._decode_flac(two)
+    assert m is not None and "rms" in m and "signal" in m
+
+
 def test_flac_codec_lossless_roundtrip():
     """FLAC (r7): decode(encode(pcm)) is EXACT for every waveform —
     losslessness makes the spec differential bit-for-bit. Covers
