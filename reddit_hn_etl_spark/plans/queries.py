@@ -7379,7 +7379,7 @@ _PQ_ENCODE_CTES = f"""
     f"""
     WITH {_PQ_ENCODE_CTES}
     SELECT vec_id,
-           list(cid ORDER BY s) AS codes,
+           array_to_string(list(cid ORDER BY s), ',') AS codes_csv,
            ROUND(list_reduce(list(ds ORDER BY s), (a, b) -> a + b), 6)
                AS recon_err
     FROM best GROUP BY vec_id
@@ -7392,11 +7392,18 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets memory-resident. Shuffle-free literal-codebook argmin per
     subspace; reconstruction error folds the per-subspace minima in
     subspace order on both engines and rounds to 6 (the
-    FMA-contraction policy from `kmeans_assign`)."""
+    FMA-contraction policy from `kmeans_assign`). The code vector is
+    emitted as a CSV string (`codes_csv`) rather than array<int> —
+    same information, but hashable by the driver's order-insensitive
+    pandas canonicalizer (array cells broke the r7 driver row)."""
     emb = read_table(spark, sf_dir, "embeddings")
     enc = similarity.pq_encode(emb, _PQ_CODEBOOKS)
     return enc.select(
-        "vec_id", "codes", F.round("recon_err", 6).alias("recon_err")
+        "vec_id",
+        F.array_join(
+            F.transform("codes", lambda c: c.cast("string")), ","
+        ).alias("codes_csv"),
+        F.round("recon_err", 6).alias("recon_err"),
     )
 
 
@@ -7686,7 +7693,7 @@ def array_map_kitchen_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    ORDER BY ds, cid) = 1
     )
     SELECT vec_id, CAST(cluster_id AS INTEGER) AS cluster_id,
-           list(cid ORDER BY s) AS codes,
+           array_to_string(list(cid ORDER BY s), ',') AS codes_csv,
            ROUND(list_reduce(list(ds ORDER BY s), (a, b) -> a + b), 6)
                AS recon_err
     FROM pbest GROUP BY vec_id, cluster_id
@@ -7698,7 +7705,9 @@ def pq_residual_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the shared codebooks. The coarse argmin, literal-matrix
     centroid lookup, subtraction, and 8 subspace argmins fuse into
     ONE shuffle-free stage; the whole composition (cell + codes +
-    residual reconstruction error) is hash-compared."""
+    residual reconstruction error) is hash-compared. Codes are
+    emitted CSV-joined (`codes_csv`) so the driver's pandas
+    canonicalizer can sort/hash them (array cells broke the r7 row)."""
     emb = read_table(spark, sf_dir, "embeddings")
     enc = similarity.pq_encode_residual(
         emb, _KMEANS_CENTROIDS, _PQ_CODEBOOKS
@@ -7706,7 +7715,9 @@ def pq_residual_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enc.select(
         "vec_id",
         F.col("cluster_id").cast("int").alias("cluster_id"),
-        "codes",
+        F.array_join(
+            F.transform("codes", lambda c: c.cast("string")), ","
+        ).alias("codes_csv"),
         F.round("recon_err", 6).alias("recon_err"),
     )
 

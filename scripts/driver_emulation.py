@@ -75,6 +75,24 @@ for name, fn in sorted(qs.items()):
             n = sdf.count()
             print(f"OK(rows-only) {name}: {n} rows in {time.time()-t0:.1f}s")
             continue
+        # Driver-canonicalizability: the REAL driver sorts a pandas
+        # frame over all columns before hashing — array/map/struct
+        # cells raise `unhashable type` there even though this
+        # emulation's norm() could serialize them (the r7 pq_codes
+        # failure mode). Flag them as FAIL here so a window slot is
+        # never burned on a schema the driver cannot hash.
+        complex_cols = [
+            f.name
+            for f in sdf.schema.fields
+            if f.dataType.typeName() in ("array", "map", "struct")
+        ]
+        if complex_cols:
+            print(
+                f"FAIL {name}: driver-unhashable columns {complex_cols} "
+                "(array/map/struct — join to CSV or explode)"
+            )
+            fails += 1
+            continue
         srows = [tuple(r) for r in sdf.collect()]
         scols = list(sdf.columns)
     except Exception as ex:
