@@ -22158,84 +22158,80 @@ ORACLES["source_quality_thresholds"] = ORACLES[
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
-    # --- r7 rotation (VERDICT r6 #1 + #4 + #6) ---
-    # 43 never-driver-checked queries from the 130-entry backlog,
-    # led by the three queries whose PHYSICAL PLANS were rewritten in
-    # r6 with only local/emulation green (highest divergence risk per
-    # VERDICT r6 "What's wrong" #1), then the top-cost benched
-    # never-checked queries and the verdict-named families
-    # (kmeans/PQ/IVF-PQ, bm25/rm3, scd2/cdc-apply, graph
-    # lift/absorption/pagerank, psi/benford/chisquare/ztest stats,
-    # video/audio segments); then 2 re-check slots for queries whose
-    # plans changed in r6 but whose last driver row is r4 (VERDICT
-    # #4); then 5 SURVEY §2 evergreens whose last rows are r3–r5
-    # (VERDICT #6; reference semantics sql/load/03_merge.sql:1-32,
-    # sql/load/04_checks.sql:5-8, sql/mart/03_checks.sql:8-21).
-    # r6-replanned, never driver-checked (highest risk):
-    "fuzzy_decontamination",
-    "corpus_zipf_fit",
-    "doc_bigram_lm_logprob",
-    # Top-cost benched, never checked:
-    "doc_tf_cosine_pairs",
-    "brand_copurchase_pagerank",
-    "brand_copurchase_lift",
-    # kmeans / PQ / IVF-PQ line:
-    "kmeans_assign",
-    "kmeans_prototypes",
+    # --- r8 rotation ---
+    # 45 backlog slots (89 never-driver-green remain after r7's 48/50;
+    # 45 here → 44 after this round, which crosses the freeze-lift
+    # threshold of 50 for r9) + 5 §2 evergreens whose last driver rows
+    # are r3–r5. Leads with the two r7 FAILURES (pq_codes /
+    # pq_residual_codes — array<int> outputs broke the driver's pandas
+    # canonicalizer; now CSV-joined, and a registry-wide contract test
+    # bans the class), then the NOTES_r7 plan families: string/null/
+    # cast kitchen sinks, the customers-with-orders relational line,
+    # the revenue family, window/rank misc, sampling, drift/robust/
+    # rolling, as-of/version-diff/audit, and the remaining singleton
+    # analytics.
+    # r7 driver FAILURES, output shape fixed this round:
     "pq_codes",
     "pq_residual_codes",
-    "ivf_pq_knn",
-    # retrieval line:
-    "bm25_doc_search",
-    "rm3_feedback_search",
-    # SCD2 / CDC line:
-    "scd2_user_state",
-    "cdc_user_state_apply",
-    # dedup/recall line:
-    "simhash_planted_recall",
-    "doc_token_jaccard_prefix",
-    "doc_containment_pairs",
-    "near_dup_clusters",
-    "near_dup_triangles",
-    # stats line (psi/benford/chisquare/ztest + survival):
-    "value_psi_weekly",
-    "value_benford_audit",
-    "type_dow_chisquare",
-    "ab_test_ztest",
-    "signup_purchase_km",
-    # multimodal segments:
-    "video_scene_cuts",
-    "audio_activity_segments",
-    "image_ahash_clusters",
-    # sketch line:
-    "heavy_hitters_sketch",
-    "cms_user_counts",
-    "hll_user_overlap_estimate",
-    # ANN / embedding line:
-    "binary_hamming_knn",
-    "matryoshka_two_stage_knn",
-    "mutual_knn_pairs",
-    "knn_ndcg_eval",
-    "embedding_jl_distortion",
-    "pca_project_top1",
-    # quality-filter + split line:
-    "doc_gopher_rules",
-    "doc_c4_rules",
-    "leakage_safe_split",
-    # graph/state extras:
-    "related_customers_ppr",
-    "purchase_absorption_3step",
-    "purchases_asof_state",
-    # Re-checks: plans changed in r6 (blocks=4 rebalance; kcore
-    # canonical fast path), last driver row r4 (VERDICT r6 #4):
-    "doc_simhash_pairs",
-    "copurchase_kcore",
-    # SURVEY §2 evergreen re-confirmation (VERDICT r6 #6):
-    "pricing_summary",
-    "merge_upsert",
-    "dup_detect",
-    "events_last_day",
-    "table_counts",
+    # string/null/cast kitchen sinks:
+    "string_kitchen_sink",
+    "null_semantics",
+    "try_cast_semantics",
+    "null_semantics_battery",
+    "array_map_kitchen_sink",
+    # relational line (semi/anti/exists + grouped havings):
+    "customers_with_orders",
+    "orders_with_heavy_lines",
+    "cheapest_order_per_customer",
+    "customer_order_distribution",
+    "suppliers_outside_region",
+    "orders_above_global_avg",
+    # revenue family:
+    "revenue_forecast",
+    "volume_shipping",
+    "product_type_profit",
+    "returned_item_revenue",
+    "promo_revenue_share",
+    "small_qty_revenue",
+    "disjunctive_part_revenue",
+    # window/rank misc:
+    "order_price_ranks",
+    "value_histogram",
+    "quarter_hour_counts",
+    "value_range_frame_sums",
+    "user_missing_days",
+    # text + ANN singletons:
+    "doc_boilerplate_strip",
+    "radius_cosine_search",
+    # sampling line:
+    "stratified_sample_counts",
+    "sample_k_per_group",
+    "weighted_doc_sample",
+    "kfold_split_counts",
+    # drift / robust / rolling line:
+    "value_drift_weekly",
+    "robust_value_outliers",
+    "rolling_zscore_anomalies",
+    # as-of / version-diff / audit line:
+    "orders_version_diff",
+    "audit_current_state",
+    # remaining analytics singletons:
+    "customer_name_jw_pairs",
+    "parts_price_size_skyline",
+    "customer_kanonymity_risk",
+    "hard_negative_mining",
+    "props_key_histogram",
+    "brand_item_item_cf",
+    "purchase_attribution_counts",
+    "quality_calibration_bins",
+    "lang_id_confusion",
+    # SURVEY §2 evergreen re-confirmation (5 slots/round cadence;
+    # last rows r3–r5):
+    "segment_revenue",
+    "pii_redaction",
+    "doc_chunks_udtf",
+    "running_user_value",
+    "sessionize",
 ]
 
 
