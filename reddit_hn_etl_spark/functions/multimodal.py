@@ -463,6 +463,38 @@ def synth_bmp_vstripes(width: int, height: int, bright_cols: int,
     return _encode_bmp(px)
 
 
+def synth_bmp_phash_pattern(group: int, shift: int = 0,
+                            side: int = 32) -> bytes:
+    """Deterministic grayscale BMP pattern family for the pHash
+    cluster oracle: five mutually-distinct low-frequency layouts
+    (vertical/horizontal half split, vertical/horizontal stripes,
+    one bright quadrant) at base 40 / bright 200 plus a brightness
+    ``shift``. pHash drops DC, so every shift of the same group
+    hashes IDENTICALLY (DCT linearity — exact, not approximate),
+    while the five groups' low-frequency sign structures differ —
+    the closed-form cluster truth the pending oracle states."""
+    import numpy as np
+
+    base, bright = 40 + shift, 200 + shift
+    px = np.full((side, side, 3), min(base, 255), dtype=np.uint8)
+    b = min(bright, 255)
+    half, quarter = side // 2, side // 4
+    g = group % 5
+    if g == 0:
+        px[:, :half, :] = b
+    elif g == 1:
+        px[:half, :, :] = b
+    elif g == 2:
+        for x0 in range(0, side, half):
+            px[:, x0 : x0 + quarter, :] = b
+    elif g == 3:
+        for y0 in range(0, side, half):
+            px[y0 : y0 + quarter, :, :] = b
+    else:
+        px[:half, :half, :] = b
+    return _encode_bmp(px)
+
+
 def average_hash(df: DataFrame, id_col: str = "media_id",
                  payload_col: str = "payload", grid: int = 8) -> DataFrame:
     """REAL perceptual average-hash over decoded image payloads:
@@ -501,6 +533,87 @@ def average_hash(df: DataFrame, id_col: str = "media_id",
                     code -= 1 << 64
                 rows.append((int(mid), code))
             yield pd.DataFrame(rows, columns=[id_col, "ahash"])
+
+    return df.select(id_col, payload_col).mapInPandas(work, out_schema)
+
+
+def _dct_matrix(n: int):
+    """Orthonormal DCT-II basis matrix C (C @ x applies the 1-D DCT;
+    C @ img @ C.T the 2-D one). Same basis as the JPEG IDCT twin
+    (`_idct_blocks`), built here at the pHash working size."""
+    import numpy as np
+
+    x = np.arange(n, dtype=np.float64)
+    u = x.reshape(-1, 1)
+    c = np.cos(np.pi * (2.0 * x + 1.0) * u / (2.0 * n))
+    c *= np.sqrt(2.0 / n)
+    c[0] *= np.sqrt(0.5)
+    return c
+
+
+def perceptual_hash(df: DataFrame, id_col: str = "media_id",
+                    payload_col: str = "payload", size: int = 32,
+                    grid: int = 8) -> DataFrame:
+    """REAL DCT perceptual hash (pHash) — the standard upgrade over
+    `average_hash` for image near-dup: grayscale (channel mean),
+    resample to ``size×size`` (exact area pooling when dims divide,
+    nearest-neighbor index maps otherwise — same rule as
+    `resize_images`), orthonormal 2-D DCT-II, keep the low-frequency
+    ``grid×grid`` corner, drop DC, threshold the remaining
+    ``grid²−1`` coefficients strictly above their median, and pack
+    bit ``u·grid+v−1`` into an int64 (63 bits — always in signed
+    range).
+
+    Dropping DC makes the hash EXACTLY brightness-shift invariant
+    (adding a constant moves only the DC coefficient — linearity of
+    the DCT), the property the cluster queries pin; thresholding at
+    the median keeps the popcount near 63/2 (exactly 31 when the 63
+    coefficients are distinct; fewer only under ties) so hamming
+    distances are comparable across images — the classic pHash
+    design point.
+
+    Scale shape: payloads die inside the UDF; 16 bytes/row continue.
+    Near-dup pairing then rides the same hamming-join/banding
+    machinery as `simhash` (`operators/dedup.py`)."""
+    out_schema = f"{id_col} long, phash long"
+
+    def work(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        dct = _dct_matrix(size)
+        weights = np.uint64(1) << np.arange(
+            grid * grid - 1, dtype=np.uint64
+        )
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                decoded = _decode_rgb(bytes(payload))
+                if decoded is None:
+                    continue
+                w, h, px = decoded
+                gray = px.astype(np.float64).mean(axis=2)
+                if w % size == 0 and h % size == 0:
+                    gray = gray.reshape(
+                        size, h // size, size, w // size
+                    ).mean(axis=(1, 3))
+                else:
+                    xi = (np.arange(size) * w) // size
+                    yi = (np.arange(size) * h) // size
+                    gray = gray[yi][:, xi]
+                low = (dct @ gray @ dct.T)[:grid, :grid]
+                # snap to a 1e-6 grid before the median compare: the
+                # exact-math coefficients of shifted/pooled twins
+                # differ by O(1e-13) float noise, which would flip
+                # bits tied at the median (the engine's usual
+                # round-at-grid determinism policy)
+                ac = np.round(low.ravel()[1:], 6)
+                bits = (ac > np.median(ac)).astype(np.uint64)
+                rows.append((int(mid), int((bits * weights).sum())))
+            yield pd.DataFrame(rows, columns=[id_col, "phash"])
 
     return df.select(id_col, payload_col).mapInPandas(work, out_schema)
 

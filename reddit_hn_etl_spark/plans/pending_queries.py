@@ -571,3 +571,74 @@ def video_y4m_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ahash") != F.col("prev")).alias("is_cut"),
         )
     )
+
+
+@_pending(
+    "image_phash_clusters",
+    """
+    SELECT doc_id AS media_id,
+           doc_id % 5 AS component,
+           doc_id < 5 AS is_rep
+    FROM documents WHERE doc_id < 60
+    """,
+)
+def image_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`image_ahash_clusters`'s DCT twin through the REAL pHash path
+    (r8, `multimodal.perceptual_hash`): synthesize the five-pattern
+    BMP family (`synth_bmp_phash_pattern` — half splits, stripes,
+    quadrant) with a per-doc brightness shift, decode → grayscale →
+    area-pool → orthonormal 2-D DCT-II → median-threshold the 63
+    low-frequency AC coefficients → 63-bit hash; hamming-0 pair
+    edges close under `graph.connected_components`. pHash drops DC,
+    so every brightness shift of a group hashes IDENTICALLY (DCT
+    linearity — exact) while the five groups' low-frequency sign
+    structures differ: the oracle states the clusters in closed form
+    from the synthesis parameters (component = doc_id % 5). Any bug
+    in the DCT basis, the pooling, the median threshold, the bit
+    packing, the hamming join, or the CC iteration moves emitted
+    values. Scale shape: payloads die inside the hashing UDF; the
+    pair join and CC run on 16-byte hash rows."""
+    from ..functions import multimodal as mm
+    from ..operators import graph
+
+    docs = read_table(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") < 60).select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 5).cast("int").alias("g"),
+        (F.col("doc_id") % 7).cast("int").alias("shift"),
+    )
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = [
+                (int(m), mm.synth_bmp_phash_pattern(int(g), int(s)))
+                for m, g, s in zip(pdf["media_id"], pdf["g"], pdf["shift"])
+            ]
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    bmp = base.mapInPandas(synth, "media_id long, payload binary")
+    hashes = mm.perceptual_hash(bmp).localCheckpoint(eager=True)
+    a = hashes.select(
+        F.col("media_id").alias("src"), F.col("phash").alias("ha")
+    )
+    b = hashes.select(
+        F.col("media_id").alias("dst"), F.col("phash").alias("hb")
+    )
+    edges = (
+        a.join(b, F.col("src") < F.col("dst"))
+        .where(F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) == 0)
+        .select("src", "dst")
+    )
+    comp = graph.connected_components(edges, src="src", dst="dst")
+    allv = hashes.select(F.col("media_id").alias("vertex"))
+    full = allv.join(comp, "vertex", "left").select(
+        "vertex",
+        F.coalesce("component", F.col("vertex")).alias("component"),
+    )
+    return full.select(
+        F.col("vertex").alias("media_id"),
+        F.col("component").cast("long").alias("component"),
+        (F.col("vertex") == F.col("component")).alias("is_rep"),
+    )

@@ -475,6 +475,84 @@ def test_average_hash_brightness_invariant_and_sensitive(spark):
     assert bin(got[1] ^ got[3]).count("1") == 8
 
 
+def test_perceptual_hash_dct_differential_and_invariants(spark):
+    """pHash (r8): the low-frequency DCT block is verified against an
+    INDEPENDENT O(N^4) direct-summation DCT-II twin computed here from
+    the definition (no shared matrix code), then the analytic
+    invariants: constant image → hash 0 (all AC zero), brightness
+    shift → IDENTICAL hash (DC dropped; DCT linearity makes this
+    exact), 2× block upscale → identical hash (exact area pooling),
+    and the five synth pattern groups → five distinct hashes."""
+    import numpy as np
+
+    from reddit_hn_etl_spark.functions.multimodal import (
+        _decode_rgb,
+        perceptual_hash,
+        synth_bmp_phash_pattern,
+    )
+
+    def phash_reference(payload: bytes, size=32, grid=8) -> int:
+        w, h, px = _decode_rgb(bytes(payload))
+        gray = px.astype(np.float64).mean(axis=2)
+        gray = gray.reshape(size, h // size, size, w // size).mean(
+            axis=(1, 3)
+        )
+        # direct-summation orthonormal DCT-II from the definition
+        low = np.zeros((grid, grid))
+        for u in range(grid):
+            for v in range(grid):
+                s = 0.0
+                for y in range(size):
+                    for x in range(size):
+                        s += (
+                            gray[y, x]
+                            * np.cos(np.pi * (2 * y + 1) * u / (2 * size))
+                            * np.cos(np.pi * (2 * x + 1) * v / (2 * size))
+                        )
+                au = np.sqrt((1 if u == 0 else 2) / size)
+                av = np.sqrt((1 if v == 0 else 2) / size)
+                low[u, v] = au * av * s
+        ac = np.round(low.ravel()[1:], 6)
+        bits = (ac > np.median(ac)).astype(np.uint64)
+        return int(
+            (bits * (np.uint64(1) << np.arange(63, dtype=np.uint64))).sum()
+        )
+
+    rows = []
+    mid = 0
+    for g in range(5):
+        for s in (0, 3, 6):
+            rows.append((mid, g, s, synth_bmp_phash_pattern(g, s)))
+            mid += 1
+    # constant image + 64x64 upscale of group 0
+    from reddit_hn_etl_spark.functions.multimodal import _encode_bmp
+
+    rows.append((90, -1, 0, _encode_bmp(np.full((32, 32, 3), 77, np.uint8))))
+    rows.append((91, 0, 0, synth_bmp_phash_pattern(0, 0, side=64)))
+    df = spark.createDataFrame(
+        [(m, bytearray(p)) for m, _, _, p in rows],
+        "media_id long, payload binary",
+    )
+    got = {r["media_id"]: r["phash"] for r in perceptual_hash(df).collect()}
+    assert len(got) == len(rows)
+    # differential vs the direct-summation reference (one per group)
+    for m, g, s, p in rows[:5]:
+        assert got[m] == phash_reference(p), (m, g)
+    # constant → 0
+    assert got[90] == 0
+    # brightness-shift identity within each group; groups distinct
+    by_group: dict[int, set] = {}
+    for m, g, s, _ in rows[:15]:
+        by_group.setdefault(g, set()).add(got[m])
+    assert all(len(v) == 1 for v in by_group.values()), by_group
+    assert len({v.pop() for v in by_group.values()}) == 5
+    # pooling invariance: 64x64 of group 0 == 32x32 of group 0
+    assert got[91] == got[0]
+    # median threshold keeps popcount near half (31 of 63) for the
+    # non-degenerate patterns
+    assert bin(got[0]).count("1") <= 31
+
+
 def test_png_decode_is_real_and_format_invariant():
     """The r6 PNG path is a REAL decode: synth_png carries the same
     gradient as synth_bmp, so every pixel — and every downstream
