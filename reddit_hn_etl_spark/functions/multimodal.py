@@ -912,10 +912,14 @@ def _decode_gif(payload: bytes):
 # pipeline with per-image canonical Huffman tables built from actual
 # symbol frequencies (written as DHT segments — no reliance on the
 # Annex K defaults) and the libjpeg dummy-symbol trick so no real
-# symbol takes the all-ones code. Progressive (SOF2), arithmetic,
-# 12-bit, and hierarchical modes return None (honest capability
-# boundary, same contract as the other decoders: corrupt or
-# unsupported payloads DEGRADE, never raise).
+# symbol takes the all-ones code. Progressive (SOF2) and 12-bit
+# (SOF1 extended sequential / 12-bit progressive, r8) are REAL;
+# arithmetic-coded and hierarchical modes return None (honest
+# capability boundary — the T.81 Annex D QM-coder state table is not
+# reproducible here without the spec, and a self-consistent-but-wrong
+# table would be fake interop; same degrade contract as the other
+# decoders: corrupt or unsupported payloads return None, never
+# raise).
 # ---------------------------------------------------------------------------
 
 
@@ -1117,18 +1121,20 @@ def _jpeg_pad(plane, rows: int, cols: int):
     return np.pad(plane, ((0, rows - h), (0, cols - w)), mode="edge")
 
 
-def _jpeg_quantized_grids(planes, samp, mcx: int, mcy: int):
+def _jpeg_quantized_grids(planes, samp, mcx: int, mcy: int,
+                          level_shift: float = 128.0):
     """Level-shift, pad, forward-DCT, and quantize (all-ones table)
     every 8x8 block of every component plane. Returns one int64 array
     (nby, nbx, 64) per component, zigzag-ordered — the shared front
-    half of the baseline and progressive encoders."""
+    half of the baseline and progressive encoders. ``level_shift`` is
+    2^(P−1) — 128 for 8-bit, 2048 for 12-bit (T.81 A.3.1)."""
     import numpy as np
 
     zz = _jpeg_zz()
     m = _jpeg_dct_mat()
     grids = []
     for (hh, v), plane in zip(samp, planes):
-        padded = _jpeg_pad(plane, mcy * 8 * v, mcx * 8 * hh) - 128.0
+        padded = _jpeg_pad(plane, mcy * 8 * v, mcx * 8 * hh) - level_shift
         nby, nbx = mcy * v, mcx * hh
         blocks = padded.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3)
         coefs = np.einsum("ik,yxkl,jl->yxij", m, blocks, m)
@@ -1158,7 +1164,7 @@ def _jpeg_prep_planes(px, subsample: str):
 
 
 def _encode_jpeg(px, subsample: str = "444",
-                 restart_interval: int = 0) -> bytes:
+                 restart_interval: int = 0, precision: int = 8) -> bytes:
     """Baseline-sequential JFIF encoder: 3-channel HxWx3 uint8 (or
     HxW grayscale → 1-component scan). All-ones quantization tables
     (the near-lossless end of the dial — block-constant content
@@ -1166,17 +1172,35 @@ def _encode_jpeg(px, subsample: str = "444",
     tables; 4:4:4 or 4:2:0 (box-average chroma); optional DRI +
     RSTn restart markers every ``restart_interval`` MCUs (DC
     predictor reset + byte realignment) so the decoder's
-    restart-segmented path is differentially testable."""
+    restart-segmented path is differentially testable.
+
+    ``precision=12`` (r8) writes SOF1 extended-sequential with
+    12-bit samples (T.81 Table B.2: baseline SOF0 is 8-bit-only) —
+    GRAYSCALE input only (HxW ints 0..4095), level shift 2048, DC
+    categories to 15 / AC to 14 exercised by high-contrast content.
+    No JFIF APP0 is written in 12-bit mode (JFIF mandates 8-bit
+    samples)."""
     import struct
 
     import numpy as np
 
+    if precision not in (8, 12):
+        raise ValueError("jpeg encoder: precision must be 8 or 12")
+    if precision == 12:
+        if np.asarray(px).ndim != 2:
+            raise ValueError("jpeg 12-bit encoder twin is grayscale-only")
+        if int(np.asarray(px).max(initial=0)) > 4095 or (
+            int(np.asarray(px).min(initial=0)) < 0
+        ):
+            raise ValueError("jpeg 12-bit samples must be in [0, 4095]")
     planes, samp, h, w, gray = _jpeg_prep_planes(px, subsample)
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)
     mcx = -(-w // (8 * hmax))
     mcy = -(-h // (8 * vmax))
-    grids = _jpeg_quantized_grids(planes, samp, mcx, mcy)
+    grids = _jpeg_quantized_grids(
+        planes, samp, mcx, mcy, level_shift=float(1 << (precision - 1))
+    )
 
     # pass 1: quantized zigzag coefficients per block, MCU-interleaved
     blocks: list = []  # (mcu_idx, comp_idx, qcoef int64[64])
@@ -1262,14 +1286,18 @@ def _encode_jpeg(px, subsample: str = "444",
     bw.flush()
 
     out = bytearray(b"\xff\xd8")  # SOI
-    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
-    out += struct.pack(">HHBB", 1, 1, 0, 0)  # density + no thumbnail
+    if precision == 8:  # JFIF APP0 is defined for 8-bit samples only
+        out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+        out += struct.pack(">HHBB", 1, 1, 0, 0)  # density + no thumbnail
     # DQT: one all-ones 8-bit table used by every component
     out += b"\xff\xdb" + struct.pack(">HB", 67, 0x00) + bytes([1] * 64)
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     ncomp = len(planes)
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    sof_marker = b"\xff\xc0" if precision == 8 else b"\xff\xc1"
+    out += sof_marker + struct.pack(
+        ">HBHHB", 8 + 3 * ncomp, precision, h, w, ncomp
+    )
     for ci, (hh, v) in enumerate(samp):
         out += struct.pack(">BBB", ci + 1, (hh << 4) | v, 0)
     for t in range(n_t):
@@ -1287,7 +1315,8 @@ def _encode_jpeg(px, subsample: str = "444",
     return bytes(out)
 
 
-def _encode_jpeg_progressive(px, subsample: str = "444") -> bytes:
+def _encode_jpeg_progressive(px, subsample: str = "444",
+                             precision: int = 8) -> bytes:
     """Progressive (SOF2) JFIF encoder — the spec-differential twin
     for the decoder's progressive paths. Scan script exercises all of
     them: interleaved DC first scan at Al=1 then a DC refinement
@@ -1301,12 +1330,20 @@ def _encode_jpeg_progressive(px, subsample: str = "444") -> bytes:
     decode to the same image exactly — the cross-path differential."""
     import struct
 
+    import numpy as np
+
+    if precision not in (8, 12):
+        raise ValueError("jpeg encoder: precision must be 8 or 12")
+    if precision == 12 and np.asarray(px).ndim != 2:
+        raise ValueError("jpeg 12-bit encoder twin is grayscale-only")
     planes, samp, h, w, gray = _jpeg_prep_planes(px, subsample)
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)
     mcx = -(-w // (8 * hmax))
     mcy = -(-h // (8 * vmax))
-    grids = _jpeg_quantized_grids(planes, samp, mcx, mcy)
+    grids = _jpeg_quantized_grids(
+        planes, samp, mcx, mcy, level_shift=float(1 << (precision - 1))
+    )
     ncomp = len(planes)
 
     def tclass(ci: int) -> int:
@@ -1315,10 +1352,13 @@ def _encode_jpeg_progressive(px, subsample: str = "444") -> bytes:
     n_t = 1 if gray else 2
 
     out = bytearray(b"\xff\xd8")
-    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
-    out += struct.pack(">HHBB", 1, 1, 0, 0)
+    if precision == 8:  # JFIF APP0 mandates 8-bit samples
+        out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+        out += struct.pack(">HHBB", 1, 1, 0, 0)
     out += b"\xff\xdb" + struct.pack(">HB", 67, 0x00) + bytes([1] * 64)
-    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    out += b"\xff\xc2" + struct.pack(
+        ">HBHHB", 8 + 3 * ncomp, precision, h, w, ncomp
+    )
     for ci, (hh, v) in enumerate(samp):
         out += struct.pack(">BBB", ci + 1, (hh << 4) | v, 0)
 
@@ -1544,7 +1584,8 @@ def _jpeg_split_scan(data: bytes, start: int):
 
 
 def _jpeg_decode_scan(
-    payload, sos_body, seg_end, comps, huff, dri, coef, prog, geom
+    payload, sos_body, seg_end, comps, huff, dri, coef, prog, geom,
+    prec: int = 8,
 ):
     """Decode ONE entropy-coded scan (baseline sequential or any
     progressive DC/AC first/refinement scan, interleaved or not) into
@@ -1552,8 +1593,10 @@ def _jpeg_decode_scan(
     position after the scan. Implements T.81 F.2.2 (sequential),
     G.2 (progressive, incl. EOBRUN and the G.1.2.3 AC-refinement
     correction-bit walk); restart segments reset DC predictors and
-    EOBRUN."""
+    EOBRUN. Corrupt-stream category caps follow Tables F.1/F.2:
+    DC SSSS ≤ 11 / AC ≤ 10 at 8-bit, ≤ 15 / ≤ 14 at 12-bit."""
     h, w, hmax, vmax, mcx, mcy = geom
+    dc_cap, ac_cap = (11, 10) if prec == 8 else (15, 14)
     ns = sos_body[0]
     stabs = []
     for ci in range(ns):
@@ -1600,7 +1643,7 @@ def _jpeg_decode_scan(
                     c[0] |= 1 << al
             else:
                 s = _jpeg_huff_decode(bits, dcm)
-                if s > 11:  # 8-bit DC categories cap at 11 (T.81 F.1.2.1.2)
+                if s > dc_cap:  # T.81 F.1.2.1.2 / Table F.1
                     raise ValueError("jpeg: DC category out of range")
                 diff = _jpeg_extend(bits.bits(s), s) if s else 0
                 preds[ci] += diff
@@ -1669,7 +1712,7 @@ def _jpeg_decode_scan(
                     state["eobrun"] += bits.bits(r)
                 break
             k += r
-            if k > se or sz > 10:  # 8-bit AC categories cap at 10
+            if k > se or sz > ac_cap:  # T.81 Table F.2
                 raise ValueError("jpeg: AC coefficient out of range")
             c[k] = _jpeg_extend(bits.bits(sz), sz) << al
             k += 1
@@ -1707,10 +1750,13 @@ def _decode_jpeg(payload: bytes):
     + refinement passes, EOBRUN) — accumulate into a per-component
     quantized-coefficient store; dequant, de-zigzag, and the exact
     float64 IDCT run once at the end, so baseline is just the
-    one-scan special case of the same pipeline. Returns (width,
-    height, HxWx3 RGB uint8) or None for anything unsupported
-    (arithmetic coding, 12-bit, hierarchical) or corrupt — the shared
-    degrade contract."""
+    one-scan special case of the same pipeline. 12-bit precision
+    (SOF1 extended sequential and 12-bit SOF2, r8) reconstructs at
+    full depth — level shift 2048, DC categories to 15 / AC to 14 —
+    then drops to the uint8 output contract. Returns (width, height,
+    HxWx3 RGB uint8) or None for anything unsupported (arithmetic
+    coding, hierarchical, lossless) or corrupt — the shared degrade
+    contract."""
     import struct
 
     import numpy as np
@@ -1764,10 +1810,15 @@ def _decode_jpeg(payload: bytes):
                     vals = list(body[b + 17 : b + 17 + nv])
                     huff[(cls, tid)] = _jpeg_canonical_codes(counts, vals)[0]
                     b += 17 + nv
-            elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            elif marker in (0xC0, 0xC1, 0xC2):
+                # SOF0 baseline / SOF1 extended sequential / SOF2
+                # progressive (all Huffman). Baseline is 8-bit-only
+                # (T.81 Table B.2); SOF1/SOF2 allow 8 or 12.
                 prog = marker == 0xC2
                 prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
-                if prec != 8 or nc not in (1, 3) or w == 0 or h == 0:
+                if prec not in (8, 12) or (marker == 0xC0 and prec != 8):
+                    return None
+                if nc not in (1, 3) or w == 0 or h == 0:
                     return None
                 comps = []
                 for ci in range(nc):
@@ -1787,7 +1838,7 @@ def _decode_jpeg(payload: bytes):
                 ]
                 sof = (h, w, comps)
             elif marker in (
-                0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
+                0xC3, 0xC5, 0xC6, 0xC7,
                 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF,
             ):
                 return None  # arithmetic/lossless/hierarchical: boundary
@@ -1799,6 +1850,7 @@ def _decode_jpeg(payload: bytes):
                 pos = _jpeg_decode_scan(
                     payload, body, seg_end, sof[2], huff, dri, coef,
                     prog, (sof[0], sof[1], hmax, vmax, mcx, mcy),
+                    prec=prec,
                 )
                 saw_scan = True
                 continue
@@ -1821,7 +1873,14 @@ def _decode_jpeg(payload: bytes):
             plane = px.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
             ch = -(-h * v // vmax)
             cw = -(-w * hh // hmax)
-            p = np.clip(np.rint(plane[:ch, :cw] + 128.0), 0, 255)
+            half, maxv = 1 << (prec - 1), (1 << prec) - 1
+            p = np.clip(np.rint(plane[:ch, :cw] + half), 0, maxv)
+            if prec > 8:
+                # uint8 output contract: drop the extra sample bits
+                # AFTER full-precision reconstruction (chroma centers
+                # 2048→128 under the same shift, so the 8-bit YCbCr
+                # matrix below stays correct)
+                p = np.floor(p / (1 << (prec - 8)))
             if hh != hmax or v != vmax:
                 p = p.repeat(vmax // v, axis=0)[:h]
                 p = p.repeat(hmax // hh, axis=1)[:, :w]

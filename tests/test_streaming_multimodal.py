@@ -1328,6 +1328,62 @@ def test_jpeg_progressive_equals_baseline():
     assert np.array_equal(base[2], prog[2])
 
 
+def test_jpeg_12bit_precision():
+    """12-bit JPEG (r8): SOF1 extended sequential and 12-bit
+    progressive, level shift 2048, DC categories to 15 / AC to 14.
+
+    - block-constant random 12-bit content round-trips EXACTLY at
+      full internal depth (any early 8-bit truncation — e.g. a wrong
+      level shift or category cap — would corrupt the values, not
+      just blur them), then maps to uint8 by >>4;
+    - 12-bit progressive decodes pixel-identical to 12-bit baseline
+      (same coefficients, different entropy layering);
+    - spec boundaries: SOF0 must reject precision 12 (baseline is
+      8-bit-only, T.81 Table B.2), SOF1 must accept an 8-bit stream;
+    - hi-contrast content (0 vs 4095 blocks) exercises DC categories
+      above the 8-bit cap of 11 on both encode and decode sides;
+    - truncation sweep: every prefix degrades to None, never raises.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    vals = rng.integers(0, 4096, size=(4, 6))
+    px12 = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1).astype(np.int64)
+    enc = mm._encode_jpeg(px12, precision=12)
+    assert b"\xff\xc1" in enc and b"JFIF" not in enc
+    w, h, rgb = mm._decode_jpeg(enc)
+    assert (w, h) == (48, 32)
+    assert np.array_equal(rgb[:, :, 0], (px12 >> 4).astype(np.uint8))
+    assert np.array_equal(rgb[:, :, 0], rgb[:, :, 1])
+
+    prog = mm._decode_jpeg(mm._encode_jpeg_progressive(px12, precision=12))
+    assert np.array_equal(prog[2], rgb)
+    noisy = rng.integers(0, 4096, size=(24, 40)).astype(np.int64)
+    b2 = mm._decode_jpeg(mm._encode_jpeg(noisy, precision=12))
+    p2 = mm._decode_jpeg(mm._encode_jpeg_progressive(noisy, precision=12))
+    assert b2 is not None and np.array_equal(b2[2], p2[2])
+
+    # hi-contrast: DC diff magnitude up to 32760 → category 12+
+    hc = np.zeros((8, 16), dtype=np.int64)
+    hc[:, 8:] = 4095
+    d = mm._decode_jpeg(mm._encode_jpeg(hc, precision=12))
+    assert sorted(np.unique(d[2][:, :, 0]).tolist()) == [0, 255]
+
+    # SOF0 + precision 12 is illegal; SOF1 + 8-bit is legal
+    bad = bytearray(enc)
+    bad[bytes(bad).find(b"\xff\xc1") + 1] = 0xC0
+    assert mm._decode_jpeg(bytes(bad)) is None
+    e8 = bytearray(mm._encode_jpeg(np.full((8, 8), 200, dtype=np.uint8)))
+    e8[bytes(e8).find(b"\xff\xc0") + 1] = 0xC1
+    d8 = mm._decode_jpeg(bytes(e8))
+    assert d8 is not None and int(d8[2][0, 0, 0]) == 200
+
+    # degrade contract on the 12-bit stream
+    for cut in range(2, len(enc)):
+        out = mm._decode_jpeg(enc[:cut])
+        assert out is None or isinstance(out, tuple), cut
+
+
 def test_jpeg_progressive_corrupt_degrades():
     """Truncating a progressive payload at every byte boundary (mid
     scan-script, mid DHT, mid refinement bits) degrades to None or a
