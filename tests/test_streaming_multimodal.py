@@ -1405,9 +1405,40 @@ def test_all_decoders_survive_mutation_fuzz():
     entropy data, CRCs) against the corrupt-corpus case at once."""
     import numpy as np
 
+    import struct
+
     rng = np.random.default_rng(42)
     t = np.arange(3000)
     pcm = (9000 * np.sin(2 * np.pi * 500 * t / 8000)).astype(np.int16)
+
+    # stereo IMA-ADPCM WAV (ADVICE r7: the stereo block path crashed
+    # pre-fix on ragged bodies — fuzz it too, not just mono)
+    mono_data, ba = mm._ima_adpcm_encode(pcm[:1010])
+    st_ba = 2 * ba
+    st_fmt = struct.pack("<HHIIHH", 0x11, 2, 8000, 8000, st_ba, 4)
+    st_blocks = b""
+    nblocks = len(mono_data) // ba
+    for bi in range(nblocks):
+        blk = mono_data[bi * ba : (bi + 1) * ba]
+        hdr, body = blk[:4], blk[4:]
+        inter = b"".join(
+            body[g : g + 4] * 2 for g in range(0, len(body), 4)
+        )
+        st_blocks += hdr + hdr + inter
+    st_body = b"fmt " + struct.pack("<I", len(st_fmt)) + st_fmt
+    st_body += b"data" + struct.pack("<I", len(st_blocks)) + st_blocks
+    stereo_adpcm = (
+        b"RIFF" + struct.pack("<I", 4 + len(st_body)) + b"WAVE" + st_body
+    )
+
+    au = (
+        b".snd"
+        + struct.pack(">IIIII", 24, 2000, 1, 8000, 1)
+        + bytes(mm._g711_ulaw_encode(pcm[:2000]).tobytes())
+    )
+    px12 = np.repeat(
+        np.repeat(rng.integers(0, 4096, size=(2, 2)), 8, 0), 8, 1
+    ).astype(np.int64)
     targets = [
         (mm._decode_bmp, mm.synth_bmp(16, 16, 7)),
         (mm._decode_png, mm.synth_png(16, 16, 7)),
@@ -1415,12 +1446,23 @@ def test_all_decoders_survive_mutation_fuzz():
         (mm._decode_jpeg, mm._encode_jpeg(mm._gradient_px(16, 16, 7, block=8))),
         (mm._decode_jpeg, mm._encode_jpeg_progressive(
             mm._gradient_px(16, 16, 7, block=8))),
+        (mm._decode_jpeg, mm._encode_jpeg(px12, precision=12)),
         (mm._decode_y4m, mm.synth_y4m(16, 8, [100, 200])),
         (mm._decode_wav, mm.synth_wav(300.0, 200)),
         (mm._decode_wav, mm._encode_wav_compressed(pcm, 8000, "ulaw")),
+        (mm._decode_wav, mm._encode_wav_compressed(pcm, 8000, "alaw")),
         (mm._decode_wav, mm._encode_wav_compressed(pcm, 8000, "ima_adpcm")),
+        (mm._decode_wav, stereo_adpcm),
+        (mm._decode_wav, au),
         (mm._decode_flac, mm._flac_encode(pcm, 8000)),
+        (mm._decode_flac, mm._flac_encode(
+            np.stack([pcm[:2000], pcm[1000:3000]], axis=1), 8000,
+            stereo_mode="mid_side")),
     ]
+    # the hand-assembled payloads must decode BEFORE mutation (else
+    # the fuzz would be vacuous)
+    assert mm._decode_wav(stereo_adpcm) is not None
+    assert mm._decode_wav(au) is not None
     for decode, payload in targets:
         base = bytearray(payload)
         for _ in range(150):
