@@ -123,6 +123,44 @@ def ngram_array(toks: Column, n: int) -> Column:
     return out
 
 
+def ngram_array_doubling(toks: Column, n: int) -> Column:
+    """`ngram_array` for LARGE n: the same zip_with/concat
+    construction, but composed by BINARY DOUBLING — G_{2k}[i] =
+    G_k[i] ⧺ G_k[i+k], then n assembled from its set bits — so the
+    expression tree is O(log n) zip_withs deep instead of n−1.
+    The linear chain trips the analyzer's fixed-point iteration cap
+    (~100) near n ≈ 100; this builds 99-grams in 12 layers. Values
+    are IDENTICAL to `ngram_array`; registered small-n queries keep
+    the original to leave their audited plans untouched."""
+    if n <= 1:
+        return F.filter(toks, lambda t: t.isNotNull())
+    pow2: dict[int, Column] = {1: toks}
+    k = 1
+    while k * 2 <= n:
+        pow2[k * 2] = F.zip_with(
+            pow2[k],
+            F.slice(pow2[k], 1 + k, F.greatest(F.size(toks) - k, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+        k *= 2
+    bits = [1 << b for b in range(n.bit_length()) if n & (1 << b)]
+    bits.sort(reverse=True)
+    out = pow2[bits[0]]
+    acc = bits[0]
+    for b in bits[1:]:
+        out = F.zip_with(
+            out,
+            F.slice(
+                pow2[b], 1 + acc, F.greatest(F.size(toks) - acc, F.lit(0))
+            ),
+            lambda a, bb: F.concat(a, F.lit(" "), bb),
+        )
+        acc += b
+    # positions 1..size-n+1 are complete n-grams; the tail entries are
+    # partial/null (zip_with null-pads the shorter side) — slice off
+    return F.slice(out, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+
+
 def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """Explode each document into its distinct word n-gram shingles.
 
@@ -840,4 +878,117 @@ def duplicate_spans(
             "span_end",
             (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
         )
+    )
+
+
+def longest_repeated_span_length(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_docs: int = 2,
+    max_len: int | None = None,
+) -> int:
+    """EXACT length of the longest token span repeated in >=
+    ``min_docs`` distinct documents — the corpus-level duplication
+    diagnostic Lee et al. 2022 read off their suffix array, computed
+    here by BINARY SEARCH on the span length instead: a repeated span
+    of length L exists iff some positional L-gram occurs in >=
+    ``min_docs`` docs, and that predicate is monotone in L, so
+    O(log max_len) probes — each ONE map-side-combinable aggregation
+    — replace suffix-array construction entirely.
+
+    Scale shape per probe: explode positional L-grams, hash each to
+    64 bits IMMEDIATELY (`xxhash64`), aggregate count_distinct(doc)
+    per hash — the shuffle carries 8-byte keys, not O(L)-token
+    strings, so probe cost is O(corpus positions), independent of L.
+    Hashing can only create FALSE positives (collisions), never false
+    negatives, so the search result can only err upward — and the
+    final answer is re-verified with exact string grams
+    (`repeated_spans_at`); a collision-induced inconsistency raises
+    loudly rather than returning a wrong length (at 64 bits the
+    probability is ~n²/2⁶⁴ — negligible, but checked, not assumed).
+
+    Driver loop over probes mirrors the engine's other iterative
+    operators (PageRank, CC, k-core): per-round DataFrame actions,
+    nothing data-sized ever collected.
+    """
+    base = (
+        fan_out_narrow_input(df)
+        .select(F.col(id_col).alias("_id"), tokens(text_col).alias("_toks"))
+        .persist()
+    )
+    try:
+        if max_len is None:
+            max_len = base.agg(F.max(F.size("_toks"))).first()[0] or 0
+        if max_len <= 0:
+            return 0
+
+        def probe(n: int) -> bool:
+            grams = base.select(
+                "_id",
+                F.explode(
+                    ngram_array_doubling(F.col("_toks"), n)
+                ).alias("g"),
+            ).select("_id", F.xxhash64("g").alias("h"))
+            hit = (
+                grams.groupBy("h")
+                .agg(F.count_distinct("_id").alias("nd"))
+                .where(F.col("nd") >= min_docs)
+                .limit(1)
+            )
+            return len(hit.take(1)) > 0
+
+        if not probe(1):
+            return 0
+        lo = 1
+        hi = max_len + 1  # probe(hi) treated as False
+        if probe(max_len):
+            lo = max_len
+        while hi - lo > 1:
+            mid = (lo + hi) // 2
+            if probe(mid):
+                lo = mid
+            else:
+                hi = mid
+        # exact re-verification of the hash-probed answer
+        exact = repeated_spans_at(
+            base.select(F.col("_id").alias(id_col),
+                        F.array_join("_toks", " ").alias(text_col)),
+            id_col, text_col, lo, min_docs=min_docs,
+        )
+        if len(exact.take(1)) == 0:
+            raise ValueError(
+                "longest_repeated_span_length: hash probe said length "
+                f"{lo} but exact verification found no repeated span — "
+                "a 64-bit gram-hash collision steered the search; rerun "
+                "with exact probes (astronomically rare)"
+            )
+        return lo
+    finally:
+        base.unpersist()
+
+
+def repeated_spans_at(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    min_docs: int = 2,
+) -> DataFrame:
+    """All EXACT token spans of length ``n`` occurring in >=
+    ``min_docs`` distinct documents: (span, n_docs). The exact-string
+    companion to the hashed probes of
+    :func:`longest_repeated_span_length` — used standalone to list
+    the offending boilerplate/templates once the length is known, and
+    as the collision check inside the binary search. One explode +
+    one agg; the gram strings shuffle here (O(n) bytes each), so call
+    it at a FIXED n, not in a loop."""
+    grams = fan_out_narrow_input(df).select(
+        F.col(id_col).alias("_id"),
+        F.explode(ngram_array_doubling(tokens(text_col), n)).alias("span"),
+    )
+    return (
+        grams.groupBy("span")
+        .agg(F.count_distinct("_id").alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
     )

@@ -642,3 +642,62 @@ def image_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").cast("long").alias("component"),
         (F.col("vertex") == F.col("component")).alias("is_rep"),
     )
+
+
+@_pending(
+    "corpus_longest_repeated_span",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         t -> t <> '') AS t
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, t, unnest(generate_series(1, len(t))) AS p FROM toks
+    ),
+    ls AS (SELECT unnest(generate_series(1, (SELECT max(len(t)) FROM toks)))
+               AS L),
+    grams AS (
+      SELECT doc_id, L, array_to_string(list_slice(t, p, p + L - 1), ' ')
+                 AS g
+      FROM pos CROSS JOIN ls
+      WHERE p + L - 1 <= len(t)
+    ),
+    rep AS (
+      SELECT L, g FROM grams GROUP BY L, g
+      HAVING count(DISTINCT doc_id) >= 2
+    ),
+    best AS (SELECT max(L) AS span_len FROM rep)
+    SELECT CAST(b.span_len AS BIGINT) AS span_len,
+           count(*) AS n_spans,
+           min(r.g) AS lexmin_span
+    FROM rep r, best b WHERE r.L = b.span_len GROUP BY b.span_len
+    """,
+)
+def corpus_longest_repeated_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest token span shared by >= 2 distinct documents (r8,
+    `dedup.longest_repeated_span_length`) — the corpus duplication
+    diagnostic Lee et al. 2022 read off a suffix array, computed by
+    BINARY SEARCH on span length: each probe is one positional-L-gram
+    aggregation over 8-byte xxhash64 keys (shuffle cost independent
+    of L), O(log max_len) probes total, and the answer re-verified
+    with exact strings (`repeated_spans_at` — a 64-bit collision
+    cannot silently inflate the result). The oracle brute-forces all
+    (position, length) grams — O(T·L) rows, fine at oracle scale,
+    exactly the asymmetry the binary search exists to avoid. Emits
+    (span_len, n_spans, lexmin_span): length, number of distinct
+    spans at that length, lexicographically smallest one."""
+    from ..operators import dedup
+
+    docs = read_table(spark, sf_dir, "documents")
+    n = dedup.longest_repeated_span_length(docs, "doc_id", "text")
+    spans = dedup.repeated_spans_at(docs, "doc_id", "text", n)
+    return spans.agg(
+        F.count("*").alias("n_spans"),
+        F.min("span").alias("lexmin_span"),
+    ).select(
+        F.lit(n).cast("long").alias("span_len"),
+        "n_spans",
+        "lexmin_span",
+    )

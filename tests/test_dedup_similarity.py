@@ -399,3 +399,70 @@ def test_jaccard_pairs_cross_equals_filtered_full(spark):
         ).collect()
     }
     assert cross == full and cross
+
+
+def test_ngram_array_doubling_equals_linear(spark):
+    """The binary-doubling n-gram builder is value-identical to the
+    linear-chain `ngram_array` at every n, and still analyzes at
+    n ~ 100 where the linear chain trips the analyzer's fixed-point
+    cap (the reason it exists)."""
+    rows = [
+        (0, " ".join(f"t{i % 7}" for i in range(120))),
+        (1, "a b c"),
+        (2, "solo"),
+        (3, "x " * 99),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    toks = dedup.tokens("text")
+    for n in (1, 2, 3, 4, 5, 7, 8, 9, 16, 31, 33):
+        lin = df.select(
+            "doc_id", dedup.ngram_array(toks, n).alias("g")
+        ).collect()
+        dbl = df.select(
+            "doc_id", dedup.ngram_array_doubling(toks, n).alias("g")
+        ).collect()
+        assert {r.doc_id: r.g for r in lin} == {
+            r.doc_id: r.g for r in dbl
+        }, n
+    # n=99 must analyze and produce exactly size-98 grams per doc
+    big = df.select(
+        "doc_id", F.size(dedup.ngram_array_doubling(toks, 99)).alias("k")
+    ).collect()
+    assert {r.doc_id: r.k for r in big} == {0: 22, 1: 0, 2: 0, 3: 1}
+
+
+def test_longest_repeated_span_planted(spark):
+    """Binary search recovers the EXACT planted maximum: doc pairs
+    share runs of known lengths (17, 31, and 60 tokens — 60 planted
+    twice); filler tokens are globally unique so nothing else
+    repeats. Also: the unique-corpus case returns 0, and min_docs=3
+    sees only the triple-planted span."""
+    shared60 = " ".join(f"s{i}" for i in range(60))
+    shared31 = " ".join(f"u{i}" for i in range(31))
+    shared17 = " ".join(f"v{i}" for i in range(17))
+    mk = lambda i, body: (i, f"f{i}a f{i}b {body} f{i}c")
+    rows = [
+        mk(0, shared60), mk(1, shared60), mk(2, shared60),
+        mk(3, shared31), mk(4, shared31),
+        mk(5, shared17), mk(6, shared17),
+        (7, "w1 w2 w3 w4 w5"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert dedup.longest_repeated_span_length(df, "doc_id", "text") == 60
+    assert (
+        dedup.longest_repeated_span_length(df, "doc_id", "text", min_docs=3)
+        == 60
+    )
+    assert (
+        dedup.longest_repeated_span_length(df, "doc_id", "text", min_docs=4)
+        == 0
+    )
+    spans = dedup.repeated_spans_at(df, "doc_id", "text", 60).collect()
+    assert len(spans) == 1
+    assert spans[0].span == shared60 and spans[0].n_docs == 3
+    # unique corpus -> 0
+    uniq = spark.createDataFrame(
+        [(i, f"q{i}x q{i}y q{i}z") for i in range(4)],
+        "doc_id long, text string",
+    )
+    assert dedup.longest_repeated_span_length(uniq, "doc_id", "text") == 0
