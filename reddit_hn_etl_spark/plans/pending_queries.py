@@ -173,21 +173,30 @@ def gif_lzw_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_pending(
     "image_jpeg_metrics",
     """
-    SELECT doc_id AS media_id,
+    SELECT doc_id AS media_id, mode,
            CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
            CAST(60 + doc_id AS INTEGER) AS mean_gray,
            TRUE AS channels_equal
-    FROM documents WHERE doc_id < 60
+    FROM documents
+    CROSS JOIN (
+        SELECT unnest(['baseline8', 'progressive8', 'sof1_12bit'])
+            AS mode
+    )
+    WHERE doc_id < 60
     """,
 )
 def image_jpeg_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The codec-metrics family member for REAL baseline JPEG (r7):
-    a grayscale two-band image (left half 60, right half 60+2·doc_id)
-    goes through the full encode → Huffman/DCT decode pipeline;
-    grayscale block-constant content round-trips EXACTLY (DC-only
-    blocks, all-ones quant), so the recovered mean is the closed-form
-    integer 60+doc_id with NO tolerance — a quantization, zigzag,
-    IDCT, or predictor bug shifts it and fails the hash.
+    """The codec-metrics family member for REAL JPEG across all three
+    Huffman entropy layouts (r7 baseline + progressive, r8 12-bit
+    SOF1): a grayscale two-band image (left half 60, right half
+    60+2·doc_id) goes through each full encode → Huffman/DCT decode
+    pipeline; grayscale block-constant content round-trips EXACTLY
+    (DC-only blocks, all-ones quant — the 12-bit row encodes the
+    samples << 4 at level shift 2048 and must come back bit-equal
+    after the >> 4 output contract), so the recovered mean is the
+    closed-form integer 60+doc_id with NO tolerance per mode — a
+    quantization, zigzag, IDCT, predictor, scan-script, or
+    level-shift bug shifts one mode's rows and fails the hash.
     ``channels_equal`` pins the gray-replication contract.
 
     Scale shape: synth + decode share one mapInPandas stage; payloads
@@ -200,7 +209,7 @@ def image_jpeg_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     out_schema = (
-        "media_id long, width int, height int, "
+        "media_id long, mode string, width int, height int, "
         "mean_gray int, channels_equal boolean"
     )
 
@@ -213,23 +222,33 @@ def image_jpeg_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             for m in pdf["media_id"]:
                 g = np.full((16, 16), 60, dtype=np.uint8)
                 g[:, 8:] = 60 + 2 * int(m)
-                w, h, px = mm._decode_jpeg(mm._encode_jpeg(g))
-                rows.append(
-                    (
-                        int(m),
-                        w,
-                        h,
-                        int(round(px[:, :, 0].mean())),
-                        bool(
-                            np.array_equal(px[:, :, 0], px[:, :, 1])
-                            and np.array_equal(px[:, :, 0], px[:, :, 2])
-                        ),
+                payloads = {
+                    "baseline8": mm._encode_jpeg(g),
+                    "progressive8": mm._encode_jpeg_progressive(g),
+                    "sof1_12bit": mm._encode_jpeg(
+                        g.astype(np.int64) << 4, precision=12
+                    ),
+                }
+                for mode, payload in payloads.items():
+                    w, h, px = mm._decode_jpeg(payload)
+                    rows.append(
+                        (
+                            int(m),
+                            mode,
+                            w,
+                            h,
+                            int(round(px[:, :, 0].mean())),
+                            bool(
+                                np.array_equal(px[:, :, 0], px[:, :, 1])
+                                and np.array_equal(px[:, :, 0], px[:, :, 2])
+                            ),
+                        )
                     )
-                )
             yield pd.DataFrame(
                 rows,
                 columns=[
                     "media_id",
+                    "mode",
                     "width",
                     "height",
                     "mean_gray",
