@@ -1616,6 +1616,52 @@ def test_decoders_on_real_third_party_files():
     assert checked >= 3, "too few real-world files present to validate"
 
 
+def test_perceptual_hash_on_real_photos(spark):
+    """pHash on REAL libjpeg photographs (Spark's mllib samples): a
+    brightness-shifted re-encode of the same photo must land within a
+    small hamming distance of the original (pHash drops DC; residual
+    bits move only via clipping and JPEG re-encode noise), while
+    DIFFERENT photos stay far apart — the separation property the
+    near-dup pair queries rely on, demonstrated on non-synthetic
+    content. Skips if the sample images are absent."""
+    import os
+
+    import numpy as np
+    import pytest
+
+    base = "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin"
+    paths = [
+        f"{base}/kittens/29.5.a_b_EGDP022204.jpg",
+        f"{base}/kittens/54893.jpg",
+        f"{base}/multi-channel/chr30.4.184.jpg",
+    ]
+    if not all(os.path.exists(p) for p in paths):
+        pytest.skip("mllib sample images not present")
+    rows = []
+    for i, p in enumerate(paths):
+        payload = open(p, "rb").read()
+        w, h, px = mm._decode_rgb(payload)
+        rows.append((2 * i, bytearray(payload)))
+        shifted = np.clip(px.astype(np.int64) + 6, 0, 255).astype(np.uint8)
+        rows.append((2 * i + 1, bytearray(mm._encode_jpeg(shifted))))
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        r["media_id"]: r["phash"]
+        for r in mm.perceptual_hash(df).collect()
+    }
+    assert len(got) == 6
+
+    def ham(a, b):
+        return bin((got[a] ^ got[b]) & ((1 << 63) - 1)).count("1")
+
+    for i in range(3):
+        same = ham(2 * i, 2 * i + 1)
+        assert same <= 8, (i, same)  # brightness twin: near-identical
+        for j in range(3):
+            if i != j:
+                assert ham(2 * i, 2 * j) >= 16, (i, j)  # distinct photos
+
+
 def test_wav_all_pcm_widths_on_real_recordings():
     """CPython's test-suite 'pluck' recordings — the SAME audio at
     8/16/24/32-bit and WAVE_FORMAT_EXTENSIBLE, written by real tools
