@@ -667,23 +667,49 @@ def simhash_near_pairs(
     all-pairs, blocking vacuous; 16-bit chunks (blocks=4) produced
     493k, a 27x cut and 4.3x wall-clock win for max_hamming=3.
     """
+    fps = simhash(df, id_col, text_col, bits=bits)
+    return hamming_near_pairs(
+        fps, id_col, "simhash",
+        max_hamming=max_hamming, bits=bits, blocks=blocks,
+    )
+
+
+def hamming_near_pairs(
+    fp_df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int = 3,
+    bits: int = 64,
+    blocks: int = 4,
+) -> DataFrame:
+    """Pigeonhole-blocked near-pairs over ANY int64 fingerprint
+    column — the generic scale path shared by SimHash
+    (`simhash_near_pairs`), the DCT perceptual hash
+    (`multimodal.perceptual_hash` — image near-dup at hamming > 0,
+    where the cluster queries' exact hamming-0 groupBy no longer
+    applies), and audio fingerprints. Semantics and plan are exactly
+    the former `simhash_near_pairs` body: split the fingerprint into
+    ``blocks`` chunks; a pair within distance ``max_hamming < blocks``
+    must agree on at least one chunk (pigeonhole), so candidates come
+    from an equality join on (block_idx, chunk) — one shuffle, never
+    all-pairs. ``blocks = max_hamming + 1`` is the measured optimum
+    (see `simhash_near_pairs`). Output: (doc_a, doc_b, hamming)."""
     assert bits % blocks == 0
     w = bits // blocks
-    fps = simhash(df, id_col, text_col, bits=bits)
     chunk_structs = F.array(
         *[
             F.struct(
                 F.lit(i).alias("blk"),
-                F.shiftrightunsigned(F.col("simhash"), i * w)
+                F.shiftrightunsigned(F.col(hash_col), i * w)
                 .bitwiseAND(F.lit((1 << w) - 1).cast("long"))
                 .alias("chunk"),
             )
             for i in range(blocks)
         ]
     )
-    blocked = fps.select(
-        F.col(id_col), F.col("simhash"), F.explode(chunk_structs).alias("c")
-    ).select(id_col, "simhash", "c.blk", "c.chunk")
+    blocked = fp_df.select(
+        F.col(id_col), F.col(hash_col), F.explode(chunk_structs).alias("c")
+    ).select(id_col, hash_col, "c.blk", "c.chunk")
     a, b = blocked.alias("a"), blocked.alias("b")
     return (
         a.join(b, on=["blk", "chunk"])
@@ -692,7 +718,7 @@ def simhash_near_pairs(
             F.col(f"a.{id_col}").alias("doc_a"),
             F.col(f"b.{id_col}").alias("doc_b"),
             F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+                F.col(f"a.{hash_col}").bitwiseXOR(F.col(f"b.{hash_col}"))
             ).alias("hamming"),
         )
         .dropDuplicates(["doc_a", "doc_b"])

@@ -466,3 +466,50 @@ def test_longest_repeated_span_planted(spark):
         "doc_id long, text string",
     )
     assert dedup.longest_repeated_span_length(uniq, "doc_id", "text") == 0
+
+
+def test_hamming_near_pairs_generic_over_phash(spark):
+    """The pigeonhole pairing generalized from simhash works over the
+    DCT perceptual hash: brightness-shifted pattern twins land at
+    hamming 0, a deliberately corrupted fingerprint at small hamming
+    is still FOUND (pigeonhole guarantee for d <= blocks-1), and
+    unrelated patterns are not paired. Differential: results equal
+    the brute-force all-pairs filter."""
+    from reddit_hn_etl_spark.functions.multimodal import (
+        perceptual_hash,
+        synth_bmp_phash_pattern,
+    )
+
+    rows = [
+        (i, bytearray(synth_bmp_phash_pattern(g, s)))
+        for i, (g, s) in enumerate(
+            [(0, 0), (0, 5), (1, 0), (1, 3), (2, 0), (3, 0), (4, 0)]
+        )
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    fps = perceptual_hash(df)
+    # flip 2 bits of one group-0 twin: still within max_hamming=3
+    fps = fps.withColumn(
+        "phash",
+        F.when(
+            F.col("media_id") == 1,
+            F.col("phash").bitwiseXOR(F.lit(0b101).cast("long")),
+        ).otherwise(F.col("phash")),
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dedup.hamming_near_pairs(
+            fps, "media_id", "phash", max_hamming=3, blocks=4
+        ).collect()
+    }
+    brute = {}
+    fp = {r.media_id: r.phash for r in fps.collect()}
+    for a in fp:
+        for b in fp:
+            if a < b:
+                d = bin((fp[a] ^ fp[b]) & ((1 << 64) - 1)).count("1")
+                if d <= 3:
+                    brute[(a, b)] = d
+    assert got == brute
+    assert got[(0, 1)] == 2  # corrupted twin still found
+    assert got[(2, 3)] == 0  # exact group twin
