@@ -19378,9 +19378,12 @@ def corpus_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_doc = toks.select(
         "doc_id", F.size("w").cast("bigint").alias("n_tok")
     )
+    # per-doc array_distinct BEFORE the explode: (doc_id, term) pairs
+    # are already distinct, so the corpus-wide distinct() exchange
+    # (a full token-stream shuffle at 100 TB) disappears — identical
+    # values, one less shuffle (r8)
     firsts = (
-        toks.select("doc_id", F.explode("w").alias("term"))
-        .distinct()
+        toks.select("doc_id", F.explode(F.array_distinct("w")).alias("term"))
         .groupBy("term")
         .agg(F.min("doc_id").alias("doc_id"))
     )
