@@ -63,7 +63,8 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 32) -> DataFrame:
 
 
 def cms_table(
-    df: DataFrame, col: str, depth: int = 4, width: int = 256
+    df: DataFrame, col: str, depth: int = 4, width: int = 256,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Count-Min sketch (Cormode & Muthukrishnan 2005) as a
     DataFrame: (r, bucket, cnt) for depth hash rows × width buckets.
@@ -76,7 +77,13 @@ def cms_table(
     partial aggregate; merge cost: the same aggregation (CMS tables
     add cell-wise). est(x) = min_r cnt[r, h_r(x)] ≥ true(x), with
     overestimate ≤ εN at width = ⌈e/ε⌉ w.h.p. over hash choice.
-    """
+
+    ``weight_col`` (r8) builds the IDENTICAL sketch from
+    pre-aggregated (key, weight) rows — cnt per cell is Σ weight
+    instead of a row count, so a caller that already has per-key
+    frequencies pays depth hashes per DISTINCT key, not per input
+    row (`cms_selfjoin_size_estimate` shares one aggregation between
+    the sketch and its exact twin this way)."""
     rows = F.sequence(F.lit(0), F.lit(depth - 1))
     bucket = lambda r: F.conv(  # noqa: E731
         F.substring(
@@ -87,14 +94,16 @@ def cms_table(
         16,
         10,
     ).cast("long") % width
+    w = F.lit(1) if weight_col is None else F.col(weight_col)
     pairs = df.select(
         F.explode(
             F.transform(
                 rows, lambda r: F.struct(r.alias("r"), bucket(r).alias("bucket"))
             )
-        ).alias("rb")
-    ).select(F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket"))
-    return pairs.groupBy("r", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+        ).alias("rb"),
+        w.alias("_w"),
+    ).select(F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket"), "_w")
+    return pairs.groupBy("r", "bucket").agg(F.sum("_w").alias("cnt"))
 
 
 def cms_estimates(

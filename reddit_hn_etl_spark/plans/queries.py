@@ -15375,16 +15375,22 @@ def cms_selfjoin_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import sketch
 
     li = read_table(spark, sf_dir, "lineitem")
-    # the self-join references the sketch twice — checkpoint the
-    # 1 KB cell table so the corpus-sized build (4 md5 per row) runs
-    # once, not once per reference (measured 5.4s → ~3s at sf0.1)
-    cms = sketch.cms_table(li, "l_suppkey", depth=4, width=256).localCheckpoint()
-    est = sketch.cms_join_size(cms, cms, depth=4)
-    true_size = (
+    # ONE corpus aggregation feeds both the sketch and its exact twin
+    # (r8): per-key frequencies first, then the weighted cms_table
+    # pays 4 md5 per DISTINCT suppkey instead of per lineitem row
+    # (~60x fewer hashes at sf0.1), and true_size reuses the same
+    # frame. localCheckpoint because three branches hang off it
+    # (sketch ×2 via the self-join + the exact sum).
+    freq = (
         li.groupBy("l_suppkey")
         .agg(F.count(F.lit(1)).alias("f"))
-        .agg(F.sum(F.col("f") * F.col("f")).alias("true_size"))
+        .localCheckpoint()
     )
+    cms = sketch.cms_table(
+        freq, "l_suppkey", depth=4, width=256, weight_col="f"
+    ).localCheckpoint()
+    est = sketch.cms_join_size(cms, cms, depth=4)
+    true_size = freq.agg(F.sum(F.col("f") * F.col("f")).alias("true_size"))
     return true_size.crossJoin(F.broadcast(est)).select(
         F.col("true_size").cast("long").alias("true_size"),
         F.col("est").cast("long").alias("est"),
