@@ -912,14 +912,15 @@ def _decode_gif(payload: bytes):
 # pipeline with per-image canonical Huffman tables built from actual
 # symbol frequencies (written as DHT segments — no reliance on the
 # Annex K defaults) and the libjpeg dummy-symbol trick so no real
-# symbol takes the all-ones code. Progressive (SOF2) and 12-bit
-# (SOF1 extended sequential / 12-bit progressive, r8) are REAL;
-# arithmetic-coded and hierarchical modes return None (honest
-# capability boundary — the T.81 Annex D QM-coder state table is not
-# reproducible here without the spec, and a self-consistent-but-wrong
-# table would be fake interop; same degrade contract as the other
-# decoders: corrupt or unsupported payloads return None, never
-# raise).
+# symbol takes the all-ones code. Progressive (SOF2), 12-bit
+# (SOF1 extended sequential / 12-bit progressive, r8), and LOSSLESS
+# (SOF3 predictive, Annex H, 2-16 bit, all 7 predictors + point
+# transform, r8) are REAL; arithmetic-coded and hierarchical modes
+# return None (honest capability boundary — the T.81 Annex D
+# QM-coder state table is not reproducible here without the spec,
+# and a self-consistent-but-wrong table would be fake interop; same
+# degrade contract as the other decoders: corrupt or unsupported
+# payloads return None, never raise).
 # ---------------------------------------------------------------------------
 
 
@@ -1583,6 +1584,174 @@ def _jpeg_split_scan(data: bytes, start: int):
     return segs, i
 
 
+def _jpeg_lossless_predict(
+    plane, y: int, x: int, sel: int, default: int
+) -> int:
+    """T.81 Annex H.1.2.1 prediction from RECONSTRUCTED neighbors
+    a (left), b (above), c (above-left). First sample → the default
+    2^(P−Pt−1); rest of the first line → predictor 1 (a); first
+    column of later lines → predictor 2 (b); otherwise the scan's
+    selection value ``sel`` (1..7)."""
+    if y == 0:
+        if x == 0:
+            return default
+        return int(plane[0][x - 1])
+    if x == 0:
+        return int(plane[y - 1][0])
+    a = int(plane[y][x - 1])
+    b = int(plane[y - 1][x])
+    c = int(plane[y - 1][x - 1])
+    if sel == 1:
+        return a
+    if sel == 2:
+        return b
+    if sel == 3:
+        return c
+    if sel == 4:
+        return a + b - c
+    if sel == 5:
+        return a + ((b - c) >> 1)
+    if sel == 6:
+        return b + ((a - c) >> 1)
+    return (a + b) >> 1  # sel == 7
+
+
+def _jpeg_decode_lossless_scan(
+    payload, sos_body, seg_end, comps, huff, planes, size, prec: int
+):
+    """Decode ONE lossless-JPEG (SOF3) scan into the per-component
+    sample planes — T.81 Annex H: Huffman-coded DC-style difference
+    categories (SSSS ≤ 16; category 16 carries NO extra bits and
+    means 32768), EXTEND, prediction per H.1.2.1, reconstruction
+    modulo 2^16 (H.1.2.2). Planes receive FULL-scale values
+    (sample << Pt). Restart intervals are out of scope (the honest
+    bound — encoder never emits DRI for lossless; a DRI'd lossless
+    stream degrades upstream). Returns the position after the scan."""
+    h, w = size
+    ns = sos_body[0]
+    stabs = []
+    for ci in range(ns):
+        cid = sos_body[1 + 2 * ci]
+        td = sos_body[2 + 2 * ci] >> 4
+        stabs.append((cid, td))
+    sel, se, ahal = sos_body[1 + 2 * ns : 4 + 2 * ns]
+    pt = ahal & 0xF
+    if not (1 <= sel <= 7) or se != 0:
+        raise ValueError("jpeg lossless: bad predictor selection")
+    if pt >= prec:
+        raise ValueError("jpeg lossless: point transform >= precision")
+    segs, endpos = _jpeg_split_scan(payload, seg_end)
+    cid_to_ci = {c[0]: i for i, c in enumerate(comps)}
+    scomps = []
+    for cid, td in stabs:
+        if cid not in cid_to_ci:
+            raise ValueError("jpeg lossless: scan names unknown component")
+        dcm = huff.get((0, td))
+        if dcm is None:
+            raise ValueError("jpeg lossless: missing DC table")
+        scomps.append((cid_to_ci[cid], dcm))
+    bits = _JpegBits(segs[0])
+    default = 1 << (prec - pt - 1)
+    # raw (P−Pt)-precision reconstruction planes, per scan component
+    recon = {ci: [[0] * w for _ in range(h)] for ci, _ in scomps}
+
+    def next_diff(dcm) -> int:
+        s = _jpeg_huff_decode(bits, dcm)
+        if s > 16:
+            raise ValueError("jpeg lossless: category out of range")
+        if s == 16:  # H.2: SSSS=16 codes diff 32768 with no extra bits
+            return 32768
+        return _jpeg_extend(bits.bits(s), s) if s else 0
+
+    for y in range(h):
+        for x in range(w):
+            for ci, dcm in scomps:
+                pred = _jpeg_lossless_predict(recon[ci], y, x, sel, default)
+                v = (pred + next_diff(dcm)) & 0xFFFF
+                recon[ci][y][x] = v
+                planes[ci][y][x] = v << pt
+    return endpos
+
+
+def _encode_jpeg_lossless(px, predictor: int = 4, precision: int = 8,
+                          point_transform: int = 0) -> bytes:
+    """Lossless-JPEG (SOF3) encoder twin: HxW grayscale or HxWx3
+    samples carried VERBATIM as 1 or 3 components (T.81 specifies no
+    color transform for lossless; JFIF's YCbCr contract applies to
+    DCT JPEG only, so no APP0 is written). Per-image canonical
+    Huffman table over difference categories (0..16), prediction and
+    modulo-2^16 differences exactly as the decoder reconstructs —
+    decode(encode(x)) == (x >> Pt) << Pt by construction, bit-exact,
+    at any precision 2..16."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(px, dtype=np.int64)
+    if not (2 <= precision <= 16) or not (0 <= point_transform < precision):
+        raise ValueError("jpeg lossless: bad precision/point transform")
+    if int(arr.max(initial=0)) >= (1 << precision) or int(
+        arr.min(initial=0)
+    ) < 0:
+        raise ValueError("jpeg lossless: samples exceed precision")
+    if not (1 <= predictor <= 7):
+        raise ValueError("jpeg lossless: predictor must be 1..7")
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    comps = [arr] if gray else [arr[:, :, i] for i in range(arr.shape[2])]
+    pt = point_transform
+    default = 1 << (precision - pt - 1)
+
+    # pass 1: diffs per component (prediction over the Pt-shifted
+    # samples — reconstruction equals them exactly, lossless)
+    freqs: dict = {}
+    stream: list = []  # (sym, extra, elen) in MCU-interleaved order
+    shifted = [(c >> pt).tolist() for c in comps]
+    for y in range(h):
+        for x in range(w):
+            for plane in shifted:
+                pred = _jpeg_lossless_predict(
+                    plane, y, x, predictor, default
+                )
+                diff = (plane[y][x] - pred) & 0xFFFF
+                if diff >= 32768:
+                    if diff == 32768:
+                        freqs[16] = freqs.get(16, 0) + 1
+                        stream.append((16, 0, 0))
+                        continue
+                    diff -= 65536
+                s = _jpeg_category(diff)
+                freqs[s] = freqs.get(s, 0) + 1
+                extra = diff if diff >= 0 else diff + (1 << s) - 1
+                stream.append((s, extra, s))
+    counts, vals = _jpeg_build_table(freqs)
+    enc = _jpeg_canonical_codes(counts, vals)[1]
+    bw = _JpegBitWriter()
+    for sym, extra, elen in stream:
+        code, ln = enc[sym]
+        bw.write(code, ln)
+        if elen:
+            bw.write(extra, elen)
+    bw.flush()
+
+    ncomp = len(comps)
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xc3" + struct.pack(
+        ">HBHHB", 8 + 3 * ncomp, precision, h, w, ncomp
+    )
+    for ci in range(ncomp):
+        out += struct.pack(">BBB", ci + 1, 0x11, 0)  # h=v=1, Tq unused
+    out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), 0x00)
+    out += bytes(counts) + bytes(vals)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+    for ci in range(ncomp):
+        out += struct.pack(">BB", ci + 1, 0x00)
+    out += bytes([predictor, 0, pt])  # Ss=selector, Se=0, AhAl=Pt
+    out += bw.buf
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def _jpeg_decode_scan(
     payload, sos_body, seg_end, comps, huff, dri, coef, prog, geom,
     prec: int = 8,
@@ -1753,10 +1922,12 @@ def _decode_jpeg(payload: bytes):
     one-scan special case of the same pipeline. 12-bit precision
     (SOF1 extended sequential and 12-bit SOF2, r8) reconstructs at
     full depth — level shift 2048, DC categories to 15 / AC to 14 —
-    then drops to the uint8 output contract. Returns (width, height,
-    HxWx3 RGB uint8) or None for anything unsupported (arithmetic
-    coding, hierarchical, lossless) or corrupt — the shared degrade
-    contract."""
+    then drops to the uint8 output contract. LOSSLESS (SOF3, Annex
+    H, r8) decodes 2-16-bit predictive scans exactly (no DCT, no
+    color transform) and scales onto the same contract. Returns
+    (width, height, HxWx3 RGB uint8) or None for anything
+    unsupported (arithmetic coding, hierarchical) or corrupt — the
+    shared degrade contract."""
     import struct
 
     import numpy as np
@@ -1769,6 +1940,7 @@ def _decode_jpeg(payload: bytes):
     huff: dict = {}
     sof = None
     prog = False
+    lossless = False
     dri = 0
     saw_scan = False
     pos = 2
@@ -1810,6 +1982,26 @@ def _decode_jpeg(payload: bytes):
                     vals = list(body[b + 17 : b + 17 + nv])
                     huff[(cls, tid)] = _jpeg_canonical_codes(counts, vals)[0]
                     b += 17 + nv
+            elif marker == 0xC3:  # SOF3 lossless (Huffman, Annex H)
+                prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+                if not (2 <= prec <= 16) or nc not in (1, 3):
+                    return None
+                if w == 0 or h == 0:
+                    return None
+                comps = []
+                for ci in range(nc):
+                    cid, hv, tq = struct.unpack_from(
+                        ">BBB", body, 6 + 3 * ci
+                    )
+                    if hv != 0x11:  # lossless scope: no subsampling
+                        return None
+                    comps.append((cid, 1, 1, tq))
+                llplanes = [
+                    np.zeros((h, w), dtype=np.int64) for _ in comps
+                ]
+                lossless = True
+                prog = False
+                sof = (h, w, comps)
             elif marker in (0xC0, 0xC1, 0xC2):
                 # SOF0 baseline / SOF1 extended sequential / SOF2
                 # progressive (all Huffman). Baseline is 8-bit-only
@@ -1838,26 +2030,49 @@ def _decode_jpeg(payload: bytes):
                 ]
                 sof = (h, w, comps)
             elif marker in (
-                0xC3, 0xC5, 0xC6, 0xC7,
+                0xC5, 0xC6, 0xC7,
                 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF,
             ):
-                return None  # arithmetic/lossless/hierarchical: boundary
+                return None  # arithmetic/hierarchical: boundary
             elif marker == 0xDD:  # DRI
                 (dri,) = struct.unpack_from(">H", body, 0)
             elif marker == 0xDA:  # SOS
                 if sof is None:
                     return None
-                pos = _jpeg_decode_scan(
-                    payload, body, seg_end, sof[2], huff, dri, coef,
-                    prog, (sof[0], sof[1], hmax, vmax, mcx, mcy),
-                    prec=prec,
-                )
+                if lossless:
+                    if dri:  # restart intervals: out of lossless scope
+                        return None
+                    pos = _jpeg_decode_lossless_scan(
+                        payload, body, seg_end, sof[2], huff, llplanes,
+                        (sof[0], sof[1]), prec,
+                    )
+                else:
+                    pos = _jpeg_decode_scan(
+                        payload, body, seg_end, sof[2], huff, dri, coef,
+                        prog, (sof[0], sof[1], hmax, vmax, mcx, mcy),
+                        prec=prec,
+                    )
                 saw_scan = True
                 continue
             pos = seg_end
         if sof is None or not saw_scan:
             return None
         h, w, comps = sof
+        if lossless:
+            # samples are carried verbatim (no DQT/IDCT, no YCbCr —
+            # T.81 defines no color transform for lossless); scale
+            # full-precision values onto the uint8 output contract
+            outp = []
+            for pl in llplanes:
+                if prec > 8:
+                    pl = pl >> (prec - 8)
+                elif prec < 8:
+                    pl = pl << (8 - prec)
+                outp.append(np.clip(pl, 0, 255).astype(np.uint8))
+            if len(outp) == 1:
+                g = outp[0]
+                return int(w), int(h), np.stack([g, g, g], axis=2)
+            return int(w), int(h), np.stack(outp, axis=2)
         full = []
         for (cid, hh, v, tq), cf in zip(comps, coef):
             if tq not in qts:

@@ -1384,6 +1384,60 @@ def test_jpeg_12bit_precision():
         assert out is None or isinstance(out, tuple), cut
 
 
+def test_jpeg_lossless_sof3():
+    """Lossless JPEG (SOF3, T.81 Annex H, r8): decode(encode(x)) is
+    BIT-EXACT by the Annex-H construction — prediction from
+    reconstructed neighbors (== originals, losslessness), modulo-2^16
+    differences, SSSS<=16 categories with the 16→32768 special case.
+    Swept: all 7 predictors × precisions {4, 8, 12, 16} × gray/RGB,
+    point transform, the first-line/first-column predictor overrides,
+    and a 16-bit image opening with sample 0 (diff −32768 from the
+    default predictor 2^15 — the no-extra-bits SSSS=16 code). SOF3
+    carries components verbatim (no YCbCr). Truncation degrades."""
+    import numpy as np
+
+    rng = np.random.default_rng(21)
+
+    def check(px, precision, pt=0, preds=range(1, 8)):
+        arr = np.asarray(px, dtype=np.int64)
+        for pred in preds:
+            enc = mm._encode_jpeg_lossless(
+                px, predictor=pred, precision=precision,
+                point_transform=pt,
+            )
+            out = mm._decode_jpeg(enc)
+            assert out is not None, (precision, pred, pt)
+            expect = (arr >> pt) << pt
+            if precision > 8:
+                expect >>= precision - 8
+            elif precision < 8:
+                expect <<= 8 - precision
+            expect = np.clip(expect, 0, 255).astype(np.uint8)
+            got = out[2][:, :, 0] if arr.ndim == 2 else out[2]
+            assert np.array_equal(got, expect), (precision, pred, pt)
+            if arr.ndim == 2:  # gray replicates channels
+                assert np.array_equal(out[2][:, :, 0], out[2][:, :, 1])
+
+    check(rng.integers(0, 256, size=(13, 17)), 8)
+    check(rng.integers(0, 4096, size=(9, 11)), 12)
+    g16 = rng.integers(0, 65536, size=(8, 8))
+    g16[0, 0] = 0  # default pred 32768 → diff −32768 → SSSS=16
+    check(g16, 16)
+    check(rng.integers(0, 16, size=(6, 7)), 4)
+    check(rng.integers(0, 256, size=(10, 12, 3)), 8)  # RGB verbatim
+    check(rng.integers(0, 256, size=(13, 17)), 8, pt=2, preds=[4])
+    # 16-bit full-depth identity: v*257 >> 8 recovers v uniquely, so
+    # any internal precision loss would corrupt the uint8 output
+    v = (rng.integers(0, 256, size=(7, 7)) * 257).astype(np.int64)
+    _, _, rgb = mm._decode_jpeg(mm._encode_jpeg_lossless(v, 7, 16))
+    assert np.array_equal(rgb[:, :, 0], (v >> 8).astype(np.uint8))
+    # degrade contract
+    enc = mm._encode_jpeg_lossless(rng.integers(0, 256, size=(8, 9)), 5)
+    for cut in range(2, len(enc)):
+        out = mm._decode_jpeg(enc[:cut])
+        assert out is None or isinstance(out, tuple), cut
+
+
 def test_jpeg_progressive_corrupt_degrades():
     """Truncating a progressive payload at every byte boundary (mid
     scan-script, mid DHT, mid refinement bits) degrades to None or a
@@ -1447,6 +1501,8 @@ def test_all_decoders_survive_mutation_fuzz():
         (mm._decode_jpeg, mm._encode_jpeg_progressive(
             mm._gradient_px(16, 16, 7, block=8))),
         (mm._decode_jpeg, mm._encode_jpeg(px12, precision=12)),
+        (mm._decode_jpeg, mm._encode_jpeg_lossless(
+            rng.integers(0, 256, size=(12, 14)).astype(np.int64))),
         (mm._decode_y4m, mm.synth_y4m(16, 8, [100, 200])),
         (mm._decode_wav, mm.synth_wav(300.0, 200)),
         (mm._decode_wav, mm._encode_wav_compressed(pcm, 8000, "ulaw")),
