@@ -179,7 +179,8 @@ def gif_lzw_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
            TRUE AS channels_equal
     FROM documents
     CROSS JOIN (
-        SELECT unnest(['baseline8', 'progressive8', 'sof1_12bit'])
+        SELECT unnest(['baseline8', 'progressive8', 'sof1_12bit',
+                       'lossless8'])
             AS mode
     )
     WHERE doc_id < 60
@@ -187,8 +188,9 @@ def gif_lzw_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def image_jpeg_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The codec-metrics family member for REAL JPEG across all three
-    Huffman entropy layouts (r7 baseline + progressive, r8 12-bit
-    SOF1): a grayscale two-band image (left half 60, right half
+    DCT Huffman entropy layouts (r7 baseline + progressive, r8
+    12-bit SOF1) plus the r8 PREDICTIVE lossless mode (SOF3,
+    bit-exact by construction): a grayscale two-band image (left half 60, right half
     60+2·doc_id) goes through each full encode → Huffman/DCT decode
     pipeline; grayscale block-constant content round-trips EXACTLY
     (DC-only blocks, all-ones quant — the 12-bit row encodes the
@@ -227,6 +229,9 @@ def image_jpeg_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "progressive8": mm._encode_jpeg_progressive(g),
                     "sof1_12bit": mm._encode_jpeg(
                         g.astype(np.int64) << 4, precision=12
+                    ),
+                    "lossless8": mm._encode_jpeg_lossless(
+                        g.astype(np.int64), predictor=4
                     ),
                 }
                 for mode, payload in payloads.items():
