@@ -1214,3 +1214,37 @@ def test_ngram_array_matches_model(spark, docs, n):
             " ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)
         ]
         assert got[i] == expect, (i, toks, n)
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("ab cd ef gh ij".split()),
+                 min_size=0, max_size=40),
+        min_size=1, max_size=5,
+    ),
+    n=st.integers(1, 37),
+)
+@SET
+def test_ngram_doubling_matches_python_model(spark, docs, n):
+    """`ngram_array_doubling` (r8 — the O(log n)-depth builder the
+    LRS binary search uses at large n) vs the obvious Python n-gram
+    model, over random token lists crossing every n/size boundary
+    (n > size → empty, n == size → one gram, repeats kept)."""
+    from reddit_hn_etl_spark.operators.dedup import (
+        ngram_array_doubling,
+        tokens,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.g
+        for r in df.select(
+            "doc_id", ngram_array_doubling(tokens("text"), n).alias("g")
+        ).collect()
+    }
+    for i, t in enumerate(docs):
+        want = [" ".join(t[j : j + n]) for j in range(len(t) - n + 1)]
+        assert got[i] == want, (i, n, t)
