@@ -1,13 +1,14 @@
 #!/usr/bin/env bash
-# Full test suite in four sequential chunks, each comfortably under a
+# Full test suite in five sequential chunks, each comfortably under a
 # 10-minute harness/CI timeout (the one-shot `pytest tests/` run takes
-# ~15 min: 272 oracle differentials + property tests + streaming +
-# the iterative-CC compositions). Chunks partition tests/ exactly — no
-# file runs twice, none is skipped; a file added later lands in chunk
-# D via the ignore-list construction. Re-timed r6 (316-query
-# registry; D now carries the registry-wide plan walker + the live
-# Postgres parity tests): A 3:25, B 2:33, C 4:14, D 4:00 — all under
-# the 6-minute comfort line.
+# ~18 min: 316 oracle differentials + property tests + streaming +
+# codecs + the registry-wide plan walkers). Chunks partition tests/
+# exactly — no file runs twice, none is skipped; a file added later
+# lands in chunk D via the ignore-list construction. Re-timed r8
+# (316-query registry + canonicalizability contract; the two
+# registry-wide walkers in test_plan_contracts moved to their own
+# chunk E after D crept past 7 min): A 3:31, B 3:10, C 4:53,
+# D 3:19, E ~4:00 — all under the 6-minute comfort line.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
@@ -19,6 +20,7 @@ tests/test_diff.py tests/test_external_io.py tests/test_graph.py \
 tests/test_hn_pipeline.py tests/test_incremental_marts.py \
 tests/test_kafka_seam.py tests/test_maintenance.py"
 CHUNK_C="tests/test_stateful_streaming.py tests/test_properties.py"
+CHUNK_E="tests/test_plan_contracts.py"
 
 echo "== chunk A: oracle differentials =="
 python -m pytest $CHUNK_A -q
@@ -28,5 +30,7 @@ echo "== chunk C: streaming + property tests =="
 python -m pytest $CHUNK_C -q
 echo "== chunk D: remainder =="
 python -m pytest tests/ -q --ignore=tests/test_oracle.py \
-  $(for f in $CHUNK_B $CHUNK_C; do printf -- "--ignore=%s " "$f"; done)
+  $(for f in $CHUNK_B $CHUNK_C $CHUNK_E; do printf -- "--ignore=%s " "$f"; done)
+echo "== chunk E: registry-wide plan + schema contracts =="
+python -m pytest $CHUNK_E -q
 echo "== suite green =="
