@@ -1504,6 +1504,9 @@ def test_all_decoders_survive_mutation_fuzz():
         (mm._decode_jpeg, mm._encode_jpeg_lossless(
             rng.integers(0, 256, size=(12, 14)).astype(np.int64))),
         (mm._decode_y4m, mm.synth_y4m(16, 8, [100, 200])),
+        (mm._decode_avi, mm.synth_avi(
+            8, 6, [rng.integers(0, 256, size=(6, 8, 3)).astype(np.uint8)
+                   for _ in range(2)])),
         (mm._decode_wav, mm.synth_wav(300.0, 200)),
         (mm._decode_wav, mm._encode_wav_compressed(pcm, 8000, "ulaw")),
         (mm._decode_wav, mm._encode_wav_compressed(pcm, 8000, "alaw")),
@@ -1716,6 +1719,59 @@ def test_perceptual_hash_on_real_photos(spark):
         for j in range(3):
             if i != j:
                 assert ham(2 * i, 2 * j) >= 16, (i, j)  # distinct photos
+
+
+def test_avi_container_decode_and_format_invariance(spark):
+    """AVI (r8): RIFF/AVI with uncompressed 24-bit DIB frames decodes
+    BIT-EXACTLY (bottom-up padded BGR rows — the BMP pixel layout,
+    including odd-width row padding), feeds sample_video_frames like
+    Y4M/GIF, and — format invariance — the same grayscale frame
+    sequence carried as AVI and as Y4M yields IDENTICAL per-frame
+    aHashes through the full real pipeline. Truncation degrades."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    frames = [
+        rng.integers(0, 256, size=(14, 18, 3)).astype(np.uint8)
+        for _ in range(5)
+    ]
+    w, h, dec = mm._decode_avi(mm.synth_avi(18, 14, frames))
+    assert (w, h, len(dec)) == (18, 14, 5)
+    assert all(np.array_equal(a, b) for a, b in zip(frames, dec))
+    odd = [rng.integers(0, 256, size=(7, 9, 3)).astype(np.uint8)]
+    assert np.array_equal(mm._decode_avi(mm.synth_avi(9, 7, odd))[2][0],
+                          odd[0])
+    avi = mm.synth_avi(18, 14, frames)
+    for cut in range(0, len(avi), 3):
+        out = mm._decode_avi(avi[:cut])
+        assert out is None or isinstance(out, tuple), cut
+
+    # format invariance through the Spark path: gray stripes as AVI
+    # vs Y4M (U=V=128 ⇒ RGB == Y exactly) → identical aHash per frame
+    lumas = []
+    for fno in range(4):
+        lum = np.full((16, 16), 40, dtype=np.uint8)
+        lum[:, : 4 + 2 * fno] = 200
+        lumas.append(lum)
+    gray_frames = [np.stack([l, l, l], axis=2) for l in lumas]
+    df = spark.createDataFrame(
+        [
+            (0, bytearray(mm.synth_avi(16, 16, gray_frames))),
+            (1, bytearray(mm.synth_y4m(16, 16, lumas))),
+        ],
+        "media_id long, payload binary",
+    )
+    sampled = mm.sample_video_frames(df, n_frames=4)
+    hashes = mm.average_hash(
+        sampled.select(
+            (F.col("media_id") * 10 + F.col("frame_idx")).alias("media_id"),
+            "payload",
+        )
+    )
+    got = {r.media_id: r.ahash for r in hashes.collect()}
+    assert len(got) == 8
+    for i in range(4):
+        assert got[i] == got[10 + i], i  # AVI frame == Y4M frame
 
 
 def test_wav_all_pcm_widths_on_real_recordings():
