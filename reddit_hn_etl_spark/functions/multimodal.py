@@ -3810,3 +3810,341 @@ def extract_wav_spectrograms(
             )
 
     return df.select(id_col, payload_col).mapInPandas(work, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Unified media catalog probe (r8): HEADER-ONLY metadata extraction
+# across every container this module knows — the cataloging entry
+# point a 100 TB media lake needs before deciding what to decode.
+# Each prober reads headers/structure only (IHDR, SOF, fmt, STREAMINFO,
+# avih, moov boxes...), never pixel or PCM payloads, so probing cost
+# is O(bytes examined) ≈ O(KB) per object regardless of media size.
+# MP4/ISO-BMFF is METADATA-ONLY by design: the box tree (brand, mvhd
+# duration, per-track handler + sample-entry fourcc) is parseable
+# without codecs; its STREAMS are not decodable here (honest
+# boundary, like compressed AVI).
+# ---------------------------------------------------------------------------
+
+
+def _probe_mp4(payload: bytes):
+    """ISO-BMFF (MP4/MOV) box walk: major brand from ftyp, movie
+    duration from mvhd (version 0 and 1 layouts), per-track handler
+    types from hdlr and codec fourccs from stsd. No stream decode."""
+    import struct
+
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        return None
+    try:
+        brand = payload[8:12].decode("latin1")
+        duration_ms = None
+        tracks: list[str] = []
+        codecs: list[str] = []
+
+        def walk(pos: int, end: int) -> None:
+            nonlocal duration_ms
+            while pos + 8 <= end:
+                (sz,) = struct.unpack_from(">I", payload, pos)
+                btype = payload[pos + 4 : pos + 8]
+                hdr = 8
+                if sz == 1:
+                    if pos + 16 > end:
+                        return
+                    (sz,) = struct.unpack_from(">Q", payload, pos + 8)
+                    hdr = 16
+                elif sz == 0:
+                    sz = end - pos
+                if sz < hdr or pos + sz > end:
+                    return
+                body = pos + hdr
+                if btype in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+                    walk(body, pos + sz)
+                elif btype == b"mvhd" and sz >= hdr + 20:
+                    ver = payload[body]
+                    if ver == 1 and sz >= hdr + 28:
+                        ts, dur = struct.unpack_from(
+                            ">IQ", payload, body + 20
+                        )
+                    else:
+                        ts, dur = struct.unpack_from(
+                            ">II", payload, body + 12
+                        )
+                    if ts:
+                        duration_ms = int(dur * 1000 // ts)
+                elif btype == b"hdlr" and sz >= hdr + 12:
+                    tracks.append(
+                        payload[body + 8 : body + 12].decode("latin1")
+                    )
+                elif btype == b"stsd" and sz >= hdr + 16:
+                    codecs.append(
+                        payload[body + 12 : body + 16].decode("latin1")
+                    )
+                pos += sz
+
+        walk(0, len(payload))
+        return {
+            "mime": "video/mp4",
+            "container": f"mp4/{brand}",
+            "duration_ms": duration_ms,
+            "codec": ",".join(codecs) or None,
+            "n_streams": len(tracks) or None,
+        }
+    except (ValueError, IndexError, struct.error):
+        return None
+
+
+def _probe_media(payload: bytes) -> dict | None:
+    """Sniff + header-parse one payload. Returns a metadata dict
+    (mime, container, width, height, duration_ms, codec, n_frames,
+    sample_rate, channels, bits, n_streams — absent keys = unknown)
+    or None for unrecognized/corrupt payloads (degrade contract)."""
+    import struct
+
+    try:
+        if payload[:2] == b"BM" and len(payload) >= 30:
+            _, w, h, _, bpp, comp = struct.unpack_from("<IiiHHI", payload, 14)
+            if comp != 0 or w <= 0:
+                return None
+            return {
+                "mime": "image/bmp", "container": "bmp",
+                "width": int(w), "height": abs(int(h)),
+                "codec": "rgb", "bits": int(bpp),
+            }
+        if payload[:8] == _PNG_SIG and len(payload) >= 29:
+            if payload[12:16] != b"IHDR":
+                return None
+            w, h = struct.unpack_from(">II", payload, 16)
+            depth, ctype = payload[24], payload[25]
+            return {
+                "mime": "image/png", "container": "png",
+                "width": int(w), "height": int(h),
+                "codec": {0: "gray", 2: "rgb", 3: "palette", 4: "gray+a",
+                          6: "rgba"}.get(ctype, f"ctype{ctype}"),
+                "bits": int(depth),
+            }
+        if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 13:
+            w, h = struct.unpack_from("<HH", payload, 6)
+            # frame count: walk block structure (no LZW decode)
+            n = 0
+            pos = 13
+            if payload[10] & 0x80:
+                pos += 3 * (2 << (payload[10] & 7))
+            while pos < len(payload):
+                b = payload[pos]
+                if b == 0x3B:
+                    break
+                if b == 0x21:  # extension: label + sub-blocks
+                    pos += 2
+                    while pos < len(payload) and payload[pos]:
+                        pos += payload[pos] + 1
+                    pos += 1
+                elif b == 0x2C:  # image descriptor
+                    n += 1
+                    flags = payload[pos + 9]
+                    pos += 10
+                    if flags & 0x80:
+                        pos += 3 * (2 << (flags & 7))
+                    pos += 1  # LZW min code size
+                    while pos < len(payload) and payload[pos]:
+                        pos += payload[pos] + 1
+                    pos += 1
+                else:
+                    return None
+            return {
+                "mime": "image/gif", "container": "gif",
+                "width": int(w), "height": int(h),
+                "codec": "lzw", "n_frames": n or None,
+            }
+        if payload[:2] == b"\xff\xd8":
+            pos = 2
+            while pos + 4 <= len(payload):
+                if payload[pos] != 0xFF:
+                    return None
+                marker = payload[pos + 1]
+                if marker in (0xC0, 0xC1, 0xC2, 0xC3):
+                    prec, h, w, nc = struct.unpack_from(
+                        ">BHHB", payload, pos + 4
+                    )
+                    mode = {0xC0: "baseline", 0xC1: "extended",
+                            0xC2: "progressive", 0xC3: "lossless"}[marker]
+                    return {
+                        "mime": "image/jpeg", "container": "jpeg",
+                        "width": int(w), "height": int(h),
+                        "codec": mode, "bits": int(prec),
+                        "n_streams": int(nc),
+                    }
+                if marker in (0xC9, 0xCA, 0xCB):
+                    return {"mime": "image/jpeg", "container": "jpeg",
+                            "codec": "arithmetic"}
+                if marker == 0xD9 or marker == 0xDA:
+                    return None  # scan before any SOF: corrupt
+                (sz,) = struct.unpack_from(">H", payload, pos + 2)
+                pos += 2 + sz
+            return None
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            chunks = _riff_chunks(payload)
+            if not chunks or b"fmt " not in chunks:
+                return None
+            fmt = chunks[b"fmt "][0]
+            tag, ch, sr, _bps, block_align, bits = struct.unpack_from(
+                "<HHIIHH", fmt, 0
+            )
+            if tag == 0xFFFE and len(fmt) >= 26:
+                (tag,) = struct.unpack_from("<H", fmt, 24)
+            data = chunks.get(b"data", [b""])[0]
+            codec = {1: "pcm", 6: "alaw", 7: "ulaw",
+                     0x11: "ima_adpcm"}.get(tag, f"tag{tag}")
+            dur = None
+            if sr and tag == 1 and bits and ch:
+                dur = int(len(data) * 1000 // (sr * ch * (bits // 8 or 1)))
+            elif sr and tag in (6, 7):
+                dur = int(len(data) * 1000 // (sr * ch))
+            return {
+                "mime": "audio/wav", "container": "riff/wave",
+                "codec": codec, "sample_rate": int(sr),
+                "channels": int(ch), "bits": int(bits) or None,
+                "duration_ms": dur,
+            }
+        if payload[:4] == b".snd" and len(payload) >= 24:
+            off, size, enc, sr, ch = struct.unpack_from(">IIIII", payload, 4)
+            codec = {1: "ulaw", 2: "pcm8", 3: "pcm16", 27: "alaw"}.get(
+                enc, f"enc{enc}"
+            )
+            nbytes = min(len(payload) - off, size) if off < len(
+                payload
+            ) else 0
+            per = 2 if enc == 3 else 1
+            dur = (
+                int(nbytes * 1000 // (sr * ch * per)) if sr and ch else None
+            )
+            return {
+                "mime": "audio/basic", "container": "au",
+                "codec": codec, "sample_rate": int(sr),
+                "channels": int(ch), "duration_ms": dur,
+            }
+        if payload[:4] == b"fLaC" and len(payload) >= 42:
+            packed = int.from_bytes(payload[18:26], "big")
+            sr = packed >> 44
+            nch = ((packed >> 41) & 0x7) + 1
+            bps = ((packed >> 36) & 0x1F) + 1
+            total = packed & ((1 << 36) - 1)
+            dur = int(total * 1000 // sr) if sr and total else None
+            return {
+                "mime": "audio/flac", "container": "flac",
+                "codec": "flac", "sample_rate": int(sr),
+                "channels": int(nch), "bits": int(bps),
+                "duration_ms": dur,
+            }
+        if payload.startswith(_Y4M_MAGIC):
+            nl = payload.find(b"\n")
+            if nl < 0:
+                return None
+            w = h = None
+            cs = "C420"
+            fps = None
+            for tok in payload[len(_Y4M_MAGIC): nl].split():
+                t = tok.decode("ascii", "replace")
+                if t.startswith("W"):
+                    w = int(t[1:])
+                elif t.startswith("H"):
+                    h = int(t[1:])
+                elif t.startswith("C"):
+                    cs = t
+                elif t.startswith("F") and ":" in t:
+                    num, den = t[1:].split(":")
+                    fps = int(num) / int(den) if int(den) else None
+            if not w or not h:
+                return None
+            cw, chh = (
+                (w, h) if cs.startswith("C444")
+                else (0, 0) if cs.startswith("Cmono")
+                else (w // 2, h // 2)
+            )
+            fb = w * h + 2 * cw * chh
+            # frame count from size arithmetic (FRAME\n + planes)
+            n = max(0, (len(payload) - nl - 1) // (6 + fb))
+            dur = int(n * 1000 / fps) if fps and n else None
+            return {
+                "mime": "video/x-yuv4mpeg", "container": "y4m",
+                "width": int(w), "height": int(h), "codec": cs.lower(),
+                "n_frames": n or None, "duration_ms": dur,
+            }
+        if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+            import struct as _s
+
+            w = h = nfr = usec = None
+            ok24 = False
+
+            def walk(pos, end):
+                nonlocal w, h, nfr, usec, ok24
+                while pos + 8 <= end:
+                    cid = payload[pos:pos + 4]
+                    (sz,) = _s.unpack_from("<I", payload, pos + 4)
+                    body, bend = pos + 8, pos + 8 + sz
+                    if bend > len(payload):
+                        return
+                    if cid == b"LIST" and payload[body:body + 4] != b"movi":
+                        walk(body + 4, bend)
+                    elif cid == b"avih" and sz >= 40:
+                        usec, = _s.unpack_from("<I", payload, body)
+                        nfr, = _s.unpack_from("<I", payload, body + 16)
+                        w, h = _s.unpack_from("<II", payload, body + 32)
+                    elif cid == b"strf" and sz >= 40:
+                        _, _, _, _, bpp, comp = _s.unpack_from(
+                            "<IiiHHI", payload, body
+                        )
+                        ok24 = bpp == 24 and comp == 0
+                    pos = bend + (sz & 1)
+
+            walk(12, len(payload))
+            if not w or not h:
+                return None
+            return {
+                "mime": "video/x-msvideo", "container": "avi",
+                "width": int(w), "height": int(h),
+                "codec": "rgb24" if ok24 else "compressed",
+                "n_frames": int(nfr) if nfr else None,
+                "duration_ms": int(nfr * usec // 1000)
+                if nfr and usec else None,
+            }
+        return _probe_mp4(payload)
+    except (ValueError, IndexError, struct.error):
+        return None
+
+
+def probe_media_metadata(df: DataFrame, id_col: str = "media_id",
+                         payload_col: str = "payload") -> DataFrame:
+    """Catalog probe over a binary media column: sniff the container
+    and HEADER-PARSE its typed metadata — mime, container, dims,
+    duration, codec, frame/stream counts, sample rate/channels/bits —
+    without decoding pixels or PCM (O(KB) examined per object, so the
+    catalog pass over a 100 TB lake costs header reads, not decode).
+    Unrecognized/corrupt payloads yield mime 'unknown' (kept, not
+    dropped — a catalog must account for every object).
+
+    Scale shape: one mapInPandas stage; payloads die inside the UDF,
+    ~100-byte metadata rows continue."""
+    out_schema = (
+        f"{id_col} long, mime string, container string, "
+        "width int, height int, duration_ms long, codec string, "
+        "n_frames int, sample_rate int, channels int, bits int, "
+        "n_streams int"
+    )
+    cols = ["mime", "container", "width", "height", "duration_ms",
+            "codec", "n_frames", "sample_rate", "channels", "bits",
+            "n_streams"]
+
+    def work(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                meta = _probe_media(bytes(payload)) or {"mime": "unknown"}
+                rows.append(
+                    (int(mid), *[meta.get(c) for c in cols])
+                )
+            yield pd.DataFrame(rows, columns=[id_col, *cols])
+
+    return df.select(id_col, payload_col).mapInPandas(work, out_schema)

@@ -1774,6 +1774,147 @@ def test_avi_container_decode_and_format_invariance(spark):
         assert got[i] == got[10 + i], i  # AVI frame == Y4M frame
 
 
+def test_probe_media_metadata_catalog(spark):
+    """Unified catalog probe (r8): header-only metadata for EVERY
+    container the module knows — dims/codec/bits for images (incl.
+    the four JPEG modes), codec/rate/duration for audio, frame
+    counts/duration for video, and the MP4/ISO-BMFF metadata-only
+    walk (brand, mvhd duration, track fourccs — streams not
+    decodable here, honestly). Unknown payloads catalog as mime
+    'unknown' rather than dropping; 150 seeded mutations per format
+    must never raise. Real third-party files (libpng icon, giflib
+    icon, libjpeg photo, CPython pluck WAV) probe with correct
+    metadata when present."""
+    import os
+    import struct
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    pcm = (9000 * np.sin(2 * np.pi * 440 * np.arange(8000) / 8000)).astype(
+        np.int16
+    )
+
+    def box(t, body):
+        return struct.pack(">I", 8 + len(body)) + t + body
+
+    mp4 = (
+        box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"iso2mp41")
+        + box(
+            b"moov",
+            box(
+                b"mvhd",
+                bytes(12) + struct.pack(">II", 1000, 5500) + bytes(80),
+            )
+            + box(
+                b"trak",
+                box(
+                    b"mdia",
+                    box(b"hdlr", bytes(8) + b"vide" + bytes(13))
+                    + box(
+                        b"minf",
+                        box(
+                            b"stbl",
+                            box(
+                                b"stsd",
+                                bytes(4)
+                                + struct.pack(">I", 1)
+                                + box(b"avc1", bytes(70)),
+                            ),
+                        ),
+                    ),
+                ),
+            ),
+        )
+    )
+    lum = [np.full((16, 16), 40 + i, dtype=np.uint8) for i in range(3)]
+    fr = [
+        rng.integers(0, 256, size=(16, 16, 3)).astype(np.uint8)
+        for _ in range(3)
+    ]
+    cases = {
+        0: (mm.synth_bmp(16, 16, 7), ("image/bmp", "rgb", 16, None)),
+        1: (mm.synth_png(16, 16, 7), ("image/png", "rgb", 16, None)),
+        2: (mm.synth_gif(16, 16, 7), ("image/gif", "lzw", 16, None)),
+        3: (
+            mm._encode_jpeg(mm._gradient_px(16, 16, 7, block=8)),
+            ("image/jpeg", "baseline", 16, None),
+        ),
+        4: (
+            mm._encode_jpeg_progressive(mm._gradient_px(16, 16, 7, block=8)),
+            ("image/jpeg", "progressive", 16, None),
+        ),
+        5: (
+            mm._encode_jpeg(np.full((8, 8), 1000, dtype=np.int64),
+                            precision=12),
+            ("image/jpeg", "extended", 8, None),
+        ),
+        6: (
+            mm._encode_jpeg_lossless(np.full((8, 8), 77, dtype=np.int64)),
+            ("image/jpeg", "lossless", 8, None),
+        ),
+        7: (mm.synth_wav(300.0, 500), ("audio/wav", "pcm", None, 500)),
+        8: (
+            mm._encode_wav_compressed(pcm, 8000, "ulaw"),
+            ("audio/wav", "ulaw", None, 1000),
+        ),
+        9: (mm._flac_encode(pcm, 8000), ("audio/flac", "flac", None, 1000)),
+        10: (
+            b".snd" + struct.pack(">IIIII", 24, 4000, 1, 8000, 1)
+            + bytes(4000),
+            ("audio/basic", "ulaw", None, 500),
+        ),
+        11: (mm.synth_y4m(16, 16, lum), ("video/x-yuv4mpeg", "c444", 16, 120)),
+        12: (mm.synth_avi(16, 16, fr), ("video/x-msvideo", "rgb24", 16, 120)),
+        13: (mp4, ("video/mp4", "avc1", None, 5500)),
+        14: (b"not media at all", ("unknown", None, None, None)),
+    }
+    df = spark.createDataFrame(
+        [(k, bytearray(p)) for k, (p, _) in cases.items()],
+        "media_id long, payload binary",
+    )
+    got = {r["media_id"]: r for r in mm.probe_media_metadata(df).collect()}
+    assert len(got) == len(cases)
+    for k, (_, (mime, codec, width, dur)) in cases.items():
+        r = got[k]
+        assert r["mime"] == mime, (k, r)
+        assert r["codec"] == codec, (k, r)
+        assert r["width"] == width, (k, r)
+        assert r["duration_ms"] == dur, (k, r)
+    assert got[5]["bits"] == 12 and got[6]["bits"] == 8
+    assert got[11]["n_frames"] == 3 and got[12]["n_frames"] == 3
+    assert got[13]["container"] == "mp4/isom"
+
+    # mutation safety: the probe must never raise
+    for k in (0, 3, 7, 9, 11, 12, 13):
+        base = bytearray(cases[k][0])
+        for _ in range(150):
+            mutated = bytearray(base)
+            for _ in range(int(rng.integers(1, 4))):
+                i = int(rng.integers(0, len(mutated)))
+                mutated[i] = int(rng.integers(0, 256))
+            out = mm._probe_media(bytes(mutated))
+            assert out is None or isinstance(out, dict)
+
+    # real third-party files
+    real = {
+        "/usr/share/doc/python3/_static/file.png": ("image/png", 16),
+        "/root/.pyenv/versions/3.11.7/lib/python3.11/idlelib/Icons/"
+        "python.gif": ("image/gif", 16),
+        "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/"
+        "multi-channel/grayscale.jpg": ("image/jpeg", 300),
+        "/root/.pyenv/versions/3.13.0/lib/python3.13/test/audiodata/"
+        "pluck-pcm16.wav": ("audio/wav", None),
+    }
+    for path, (mime, width) in real.items():
+        if not os.path.exists(path):
+            continue
+        meta = mm._probe_media(open(path, "rb").read())
+        assert meta and meta["mime"] == mime, path
+        if width:
+            assert meta["width"] == width, (path, meta)
+
+
 def test_wav_all_pcm_widths_on_real_recordings():
     """CPython's test-suite 'pluck' recordings — the SAME audio at
     8/16/24/32-bit and WAVE_FORMAT_EXTENSIBLE, written by real tools
