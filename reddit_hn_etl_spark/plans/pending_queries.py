@@ -725,3 +725,89 @@ def corpus_longest_repeated_span(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_spans",
         "lexmin_span",
     )
+
+
+@_pending(
+    "media_catalog_report",
+    """
+    WITH base AS (SELECT doc_id FROM documents WHERE doc_id < 60)
+    SELECT CASE doc_id % 6
+               WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'image/png'
+               WHEN 2 THEN 'image/jpeg' WHEN 3 THEN 'audio/wav'
+               WHEN 4 THEN 'video/x-msvideo' ELSE 'unknown' END AS mime,
+           CASE doc_id % 6
+               WHEN 0 THEN 'rgb' WHEN 1 THEN 'rgb'
+               WHEN 2 THEN 'lossless' WHEN 3 THEN 'ulaw'
+               WHEN 4 THEN 'rgb24' ELSE NULL END AS codec,
+           count(*) AS n_objects,
+           CASE WHEN doc_id % 6 IN (0, 1, 2, 4)
+                THEN CAST(16 AS BIGINT) END AS max_width,
+           CASE doc_id % 6 WHEN 3 THEN CAST(250 AS BIGINT)
+                           WHEN 4 THEN CAST(120 AS BIGINT) END
+               AS max_duration_ms
+    FROM base
+    GROUP BY doc_id % 6
+    """,
+)
+def media_catalog_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog report over a synthetic mixed media lake (r8,
+    `multimodal.probe_media_metadata`): each doc row synthesizes one
+    of six payload kinds (BMP, PNG, lossless JPEG, u-law WAV,
+    uncompressed AVI, or non-media junk), the HEADER-ONLY probe
+    extracts typed metadata, and the report aggregates per
+    (mime, codec) — object counts, max width, max duration — with
+    every value stated in closed form by the oracle from the
+    synthesis parameters. A sniffing bug, a header-field offset
+    error, a duration arithmetic slip, or dropping unknown payloads
+    (they must catalog as 'unknown') moves real values. Scale shape:
+    synth + probe share one mapInPandas stage (payloads die in the
+    UDF); the report aggregation runs on ~100-byte metadata rows."""
+    from ..functions import multimodal as mm
+
+    docs = read_table(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") < 60).select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 6).cast("int").alias("kind"),
+    )
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        pcm = (
+            9000 * np.sin(2 * np.pi * 440 * np.arange(2000) / 8000)
+        ).astype(np.int16)
+
+        def payload(kind: int) -> bytes:
+            if kind == 0:
+                return mm.synth_bmp(16, 16, 7)
+            if kind == 1:
+                return mm.synth_png(16, 16, 7)
+            if kind == 2:
+                return mm._encode_jpeg_lossless(
+                    np.full((16, 16), 90, dtype=np.int64)
+                )
+            if kind == 3:
+                return mm._encode_wav_compressed(pcm, 8000, "ulaw")
+            if kind == 4:
+                frames = [
+                    np.full((16, 16, 3), 40 + 20 * i, dtype=np.uint8)
+                    for i in range(3)
+                ]
+                return mm.synth_avi(16, 16, frames)
+            return b"opaque non-media payload"
+
+        for pdf in batches:
+            rows = [
+                (int(m), payload(int(k)))
+                for m, k in zip(pdf["media_id"], pdf["kind"])
+            ]
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    lake = base.mapInPandas(synth, "media_id long, payload binary")
+    meta = mm.probe_media_metadata(lake)
+    return meta.groupBy("mime", "codec").agg(
+        F.count(F.lit(1)).alias("n_objects"),
+        F.max("width").cast("long").alias("max_width"),
+        F.max("duration_ms").alias("max_duration_ms"),
+    )
