@@ -360,9 +360,9 @@ def _decode_png(payload: bytes) -> tuple[int, int, "object"] | None:
 
 
 def _decode_rgb(payload: bytes) -> tuple[int, int, "object"] | None:
-    """Dispatch over the REAL in-container decoders (BMP, PNG,
-    baseline JPEG, then GIF first-frame). Returns (width, height,
-    HxWx3 RGB uint8) or None."""
+    """Dispatch over the REAL in-container decoders (BMP, PNG, JPEG
+    incl. progressive/12-bit/lossless, GIF first-frame, TIFF, ICO).
+    Returns (width, height, HxWx3 RGB uint8) or None."""
     decoded = _decode_bmp(payload)
     if decoded is None:
         decoded = _decode_png(payload)
@@ -373,7 +373,180 @@ def _decode_rgb(payload: bytes) -> tuple[int, int, "object"] | None:
         if gif is not None:
             w, h, frames = gif
             decoded = (w, h, frames[0])
+    if decoded is None:
+        decoded = _decode_tiff(payload)
+    if decoded is None:
+        decoded = _decode_ico(payload)
     return decoded
+
+
+def _decode_tiff(payload: bytes) -> tuple[int, int, "object"] | None:
+    """REAL image decode for baseline TIFF (r8): II/MM byte order,
+    first-IFD tag walk, strip assembly; uncompressed (compression 1)
+    and PackBits (32773); photometric 0/1 (8-bit gray, white-is-zero
+    inverted), 2 (8-bit RGB, extra samples such as alpha dropped),
+    3 (palette via the 16-bit ColorMap, high byte). Chunky planar
+    config only; other shapes degrade to None — LZW/JPEG-in-TIFF
+    stay honestly undecoded. Validated against CPython's real
+    python.tiff (uncompressed 16×16 RGBA)."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 8 or payload[:2] not in (b"II", b"MM"):
+        return None
+    bo = "<" if payload[:2] == b"II" else ">"
+    try:
+        magic, ifd_off = struct.unpack_from(bo + "HI", payload, 2)
+        if magic != 42:
+            return None
+        (n_ent,) = struct.unpack_from(bo + "H", payload, ifd_off)
+        tags: dict = {}
+        tsize = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+        tfmt = {1: "B", 3: "H", 4: "I"}
+        for i in range(n_ent):
+            tag, typ, cnt, raw = struct.unpack_from(
+                bo + "HHII", payload, ifd_off + 2 + 12 * i
+            )
+            if typ not in tfmt:
+                tags[tag] = None
+                continue
+            total = tsize[typ] * cnt
+            if total <= 4:
+                vals = struct.unpack_from(
+                    bo + tfmt[typ] * cnt, payload, ifd_off + 10 + 12 * i
+                )
+            else:
+                vals = struct.unpack_from(bo + tfmt[typ] * cnt, payload, raw)
+            tags[tag] = list(vals)
+
+        def one(tag, default=None):
+            v = tags.get(tag)
+            return v[0] if v else default
+
+        w, h = one(256), one(257)
+        comp = one(259, 1)
+        photo = one(262)
+        spp = one(277, 1)
+        bits = tags.get(258, [1])
+        rows_per = one(278, h)
+        offs = tags.get(273)
+        cnts = tags.get(279)
+        planar = one(284, 1)
+        if (
+            not w or not h or photo is None or offs is None
+            or comp not in (1, 32773) or planar != 1
+            or any(b != 8 for b in bits[: min(spp, 3)])
+        ):
+            return None
+        if cnts is None:
+            if comp != 1 or len(offs) != 1:
+                return None
+            cnts = [w * h * spp]
+        raw = bytearray()
+        for off, cnt in zip(offs, cnts):
+            strip = payload[off : off + cnt]
+            if len(strip) < cnt:
+                return None
+            if comp == 32773:  # PackBits (Apple RLE)
+                out = bytearray()
+                i = 0
+                while i < len(strip):
+                    n = strip[i]
+                    i += 1
+                    if n < 128:
+                        out += strip[i : i + n + 1]
+                        i += n + 1
+                    elif n > 128:
+                        out += strip[i : i + 1] * (257 - n)
+                        i += 1
+                    # 128: no-op
+                strip = bytes(out)
+            raw += strip
+        need = w * h * spp
+        if len(raw) < need:
+            return None
+        px = np.frombuffer(bytes(raw), np.uint8, count=need).reshape(
+            h, w, spp
+        )
+        if photo == 3:  # palette: ColorMap is 3×2^bits 16-bit values
+            cmap = tags.get(320)
+            if not cmap or spp != 1:
+                return None
+            third = len(cmap) // 3
+            lut = (
+                np.asarray(cmap, dtype=np.uint16).reshape(3, third).T >> 8
+            ).astype(np.uint8)
+            return int(w), int(h), lut[px[:, :, 0]]
+        if photo in (0, 1):
+            g = px[:, :, 0]
+            if photo == 0:  # white-is-zero
+                g = 255 - g
+            return int(w), int(h), np.stack([g, g, g], axis=2)
+        if photo == 2 and spp >= 3:
+            return int(w), int(h), px[:, :, :3].copy()
+        return None
+    except (ValueError, IndexError, struct.error):
+        return None
+
+
+def _decode_ico(payload: bytes) -> tuple[int, int, "object"] | None:
+    """REAL image decode for Windows ICO (r8): directory walk, pick
+    the LARGEST entry, decode it — either an embedded PNG (real icons
+    ship the 256px size as PNG — reuses `_decode_png`) or a 32/24-bit
+    BITMAPINFOHEADER DIB (doubled height = XOR image + AND mask;
+    bottom-up BGR(A) rows; 32-bit alpha dropped after composite-on-
+    black... kept as straight RGB — the metrics path needs RGB).
+    Paletted DIB entries degrade to None (honest bound). Validated
+    against the real idle.ico shipped with CPython."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 6:
+        return None
+    try:
+        rsv, typ, cnt = struct.unpack_from("<HHH", payload, 0)
+        if rsv != 0 or typ != 1 or not (1 <= cnt <= 64):
+            return None
+        if len(payload) < 6 + 16 * cnt:
+            return None
+        best = None
+        for i in range(cnt):
+            w8, h8, _, _, _, bpp, size, off = struct.unpack_from(
+                "<BBBBHHII", payload, 6 + 16 * i
+            )
+            w, h = w8 or 256, h8 or 256
+            if off + size > len(payload):
+                return None
+            if best is None or w * h > best[0] * best[1]:
+                best = (w, h, off, size)
+        w, h, off, size = best
+        body = payload[off : off + size]
+        if body[:8] == _PNG_SIG:
+            return _decode_png(body)
+        if len(body) < 40:
+            return None
+        bisize, bw, bh, planes, bpp, comp = struct.unpack_from(
+            "<IiiHHI", body, 0
+        )
+        if bisize < 40 or comp != 0 or bpp not in (24, 32):
+            return None
+        # bh counts XOR + AND mask rows
+        if bh != 2 * h or bw != w:
+            return None
+        nb = bpp // 8
+        stride = (w * nb + 3) & ~3
+        data_off = bisize
+        if len(body) < data_off + stride * h:
+            return None
+        rows = np.frombuffer(
+            body, np.uint8, count=stride * h, offset=data_off
+        ).reshape(h, stride)[:, : w * nb].reshape(h, w, nb)
+        rgb = rows[::-1, :, 2::-1].copy()  # bottom-up BGR(A) → RGB
+        return int(w), int(h), rgb
+    except (ValueError, IndexError, struct.error):
+        return None
 
 
 def _decode_image(payload: bytes) -> tuple[int, int, list[float]]:
@@ -3980,6 +4153,53 @@ def _probe_media(payload: bytes) -> dict | None:
                 (sz,) = struct.unpack_from(">H", payload, pos + 2)
                 pos += 2 + sz
             return None
+        if payload[:2] in (b"II", b"MM") and len(payload) >= 8:
+            bo = "<" if payload[:2] == b"II" else ">"
+            magic, ifd = struct.unpack_from(bo + "HI", payload, 2)
+            if magic != 42:
+                return None
+            (n_ent,) = struct.unpack_from(bo + "H", payload, ifd)
+            w = h = comp = bits = None
+            for i in range(n_ent):
+                tag, typ, cnt, raw = struct.unpack_from(
+                    bo + "HHII", payload, ifd + 2 + 12 * i
+                )
+                if typ == 3 and cnt == 1:
+                    (raw,) = struct.unpack_from(
+                        bo + "H", payload, ifd + 10 + 12 * i
+                    )
+                if tag == 256:
+                    w = raw
+                elif tag == 257:
+                    h = raw
+                elif tag == 259:
+                    comp = raw
+                elif tag == 258 and cnt == 1:
+                    bits = raw
+            if not w or not h:
+                return None
+            return {
+                "mime": "image/tiff", "container": "tiff",
+                "width": int(w), "height": int(h),
+                "codec": {1: "none", 5: "lzw", 7: "jpeg",
+                          32773: "packbits"}.get(comp, f"comp{comp}"),
+                "bits": int(bits) if bits else None,
+            }
+        if payload[:4] == b"\x00\x00\x01\x00" and len(payload) >= 22:
+            cnt = struct.unpack_from("<H", payload, 4)[0]
+            if not (1 <= cnt <= 64):
+                return None
+            best_w = best_h = 0
+            for i in range(min(cnt, (len(payload) - 6) // 16)):
+                w8, h8 = payload[6 + 16 * i], payload[7 + 16 * i]
+                w0, h0 = w8 or 256, h8 or 256
+                if w0 * h0 > best_w * best_h:
+                    best_w, best_h = w0, h0
+            return {
+                "mime": "image/x-icon", "container": "ico",
+                "width": best_w, "height": best_h,
+                "n_frames": int(cnt),
+            }
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             chunks = _riff_chunks(payload)
             if not chunks or b"fmt " not in chunks:

@@ -1774,6 +1774,136 @@ def test_avi_container_decode_and_format_invariance(spark):
         assert got[i] == got[10 + i], i  # AVI frame == Y4M frame
 
 
+def test_tiff_and_ico_decode_real_files():
+    """TIFF + ICO decoders (r8) against REAL third-party files:
+    CPython's python.tiff (uncompressed 16×16 RGBA from a real
+    encoder — alpha dropped) must agree with its python.jpg twin of
+    the same logo within JPEG tolerance; idle.ico must yield its
+    largest entry (the 256×256 embedded PNG). Synthetic TIFFs cover
+    PackBits, gray white-is-zero inversion, and palette ColorMap.
+    Everything degrades on truncation."""
+    import os
+    import struct
+
+    import numpy as np
+    import pytest
+
+    tp = (
+        "/root/.pyenv/versions/3.13.0/lib/python3.13/test/"
+        "test_email/data/python.tiff"
+    )
+    ip = "/root/.pyenv/versions/3.13.0/lib/python3.13/idlelib/Icons/idle.ico"
+    if not (os.path.exists(tp) and os.path.exists(ip)):
+        pytest.skip("real tiff/ico not present")
+    tiff = open(tp, "rb").read()
+    w, h, px = mm._decode_tiff(tiff)
+    assert (w, h) == (16, 16) and px.shape == (16, 16, 3)
+    jp = tp.replace("python.tiff", "python.jpg")
+    if os.path.exists(jp):
+        oj = mm._decode_jpeg(open(jp, "rb").read())
+        assert oj is not None
+        assert abs(float(px.mean()) - float(oj[2].mean())) < 8
+    wi, hi, pxi = mm._decode_ico(open(ip, "rb").read())
+    assert (wi, hi) == (256, 256)  # largest entry, PNG-embedded
+
+    # single-entry DIB ICO: rebuild around idle.ico's first entry
+    ico = open(ip, "rb").read()
+    w8, h8, nc, _, pl, bpp, size, off = struct.unpack_from(
+        "<BBBBHHII", ico, 6
+    )
+    assert bpp == 32
+    one = (
+        struct.pack("<HHH", 0, 1, 1)
+        + struct.pack("<BBBBHHII", w8, h8, nc, 0, pl, bpp, size, 22)
+        + ico[off : off + size]
+    )
+    wd, hd, pxd = mm._decode_ico(one)
+    assert (wd, hd) == (16, 16) and pxd.shape == (16, 16, 3)
+
+    # synthetic TIFF coverage: PackBits, photometric 0/1, palette
+    def mk_tiff(w, h, payload_px, comp=1, photo=2, spp=3, cmap=None):
+        data = payload_px.tobytes()
+        if comp == 32773:
+            out = bytearray()
+            i = 0
+            while i < len(data):
+                chunk = data[i : i + 128]
+                out.append(len(chunk) - 1)
+                out += chunk
+                i += 128
+            data = bytes(out)
+        entries = [
+            (256, 3, 1, w), (257, 3, 1, h), (258, 3, spp, None),
+            (259, 3, 1, comp), (262, 3, 1, photo), (273, 4, 1, None),
+            (277, 3, 1, spp), (278, 3, 1, h), (279, 4, 1, len(data)),
+        ]
+        if cmap is not None:
+            entries.append((320, 3, len(cmap), None))
+        entries.sort()
+        n = len(entries)
+        bits_off = 8 + 2 + 12 * n + 4
+        cmap_off = bits_off + 2 * spp
+        data_off = cmap_off + (2 * len(cmap) if cmap is not None else 0)
+        buf = bytearray(struct.pack("<2sHI", b"II", 42, 8))
+        buf += struct.pack("<H", n)
+        for tag, typ, cnt, val in entries:
+            if tag == 258:
+                val = bits_off if 2 * spp > 4 else (8 | (8 << 16))
+                if spp == 1:
+                    val = 8
+            if tag == 273:
+                val = data_off
+            if tag == 320:
+                val = cmap_off
+            buf += struct.pack("<HHII", tag, typ, cnt, val)
+        buf += struct.pack("<I", 0)
+        buf += struct.pack("<" + "H" * spp, *([8] * spp))
+        if cmap is not None:
+            buf += struct.pack("<" + "H" * len(cmap), *cmap)
+        buf += data
+        return bytes(buf)
+
+    rng = np.random.default_rng(2)
+    px3 = rng.integers(0, 256, size=(5, 7, 3)).astype(np.uint8)
+    for comp in (1, 32773):
+        got = mm._decode_tiff(mk_tiff(7, 5, px3, comp=comp))
+        assert got is not None and np.array_equal(got[2], px3), comp
+    g = rng.integers(0, 256, size=(4, 6, 1)).astype(np.uint8)
+    got = mm._decode_tiff(mk_tiff(6, 4, g, photo=1, spp=1))
+    assert np.array_equal(got[2][:, :, 0], g[:, :, 0])
+    got = mm._decode_tiff(mk_tiff(6, 4, g, photo=0, spp=1))
+    assert np.array_equal(got[2][:, :, 0], 255 - g[:, :, 0])
+    idx = rng.integers(0, 4, size=(4, 6, 1)).astype(np.uint8)
+    cmap = [(i * 60) << 8 for i in range(4)] * 3
+    got = mm._decode_tiff(mk_tiff(6, 4, idx, photo=3, spp=1, cmap=cmap))
+    assert np.array_equal(got[2][:, :, 0], (idx[:, :, 0] * 60))
+    # truncation degrade
+    t = mk_tiff(7, 5, px3, comp=32773)
+    for cut in range(0, len(t), 3):
+        out = mm._decode_tiff(t[:cut])
+        assert out is None or isinstance(out, tuple)
+    for cut in range(0, len(one), 7):
+        out = mm._decode_ico(one[:cut])
+        assert out is None or isinstance(out, tuple)
+
+    # the catalog probe sees both (real files)
+    mt = mm._probe_media(tiff)
+    assert mt["mime"] == "image/tiff" and mt["codec"] == "none"
+    assert (mt["width"], mt["height"]) == (16, 16)
+    mi = mm._probe_media(ico)
+    assert mi["mime"] == "image/x-icon" and mi["n_frames"] == 4
+    assert (mi["width"], mi["height"]) == (256, 256)
+    # probe mutation safety for the two new sniffers
+    for base in (bytearray(tiff), bytearray(one)):
+        for _ in range(150):
+            mutated = bytearray(base)
+            for _ in range(int(rng.integers(1, 4))):
+                i = int(rng.integers(0, len(mutated)))
+                mutated[i] = int(rng.integers(0, 256))
+            out = mm._probe_media(bytes(mutated))
+            assert out is None or isinstance(out, dict)
+
+
 def test_probe_media_metadata_catalog(spark):
     """Unified catalog probe (r8): header-only metadata for EVERY
     container the module knows — dims/codec/bits for images (incl.
