@@ -4200,6 +4200,38 @@ def _probe_media(payload: bytes) -> dict | None:
                 "width": best_w, "height": best_h,
                 "n_frames": int(cnt),
             }
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+            # metadata-only (VP8 streams are honestly undecodable
+            # here): dims from the first VP8X/VP8L/VP8 chunk
+            pos = 12
+            while pos + 8 <= len(payload):
+                cid = payload[pos : pos + 4]
+                (sz,) = struct.unpack_from("<I", payload, pos + 4)
+                body = payload[pos + 8 : pos + 8 + sz]
+                if cid == b"VP8X" and sz >= 10:
+                    w = 1 + int.from_bytes(body[4:7], "little")
+                    h = 1 + int.from_bytes(body[7:10], "little")
+                    return {"mime": "image/webp", "container": "webp",
+                            "width": w, "height": h, "codec": "vp8x"}
+                if cid == b"VP8L" and sz >= 5 and body[0] == 0x2F:
+                    bits = int.from_bytes(body[1:5], "little")
+                    return {"mime": "image/webp", "container": "webp",
+                            "width": (bits & 0x3FFF) + 1,
+                            "height": ((bits >> 14) & 0x3FFF) + 1,
+                            "codec": "vp8l"}
+                if cid == b"VP8 " and sz >= 10:
+                    # lossy keyframe: 3-byte frame tag, 3-byte sync,
+                    # then 14-bit dims
+                    if body[3:6] == b"\x9d\x01\x2a":
+                        w = int.from_bytes(body[6:8], "little") & 0x3FFF
+                        h = int.from_bytes(body[8:10], "little") & 0x3FFF
+                        return {"mime": "image/webp",
+                                "container": "webp", "width": w,
+                                "height": h, "codec": "vp8"}
+                    return {"mime": "image/webp", "container": "webp",
+                            "codec": "vp8"}
+                pos += 8 + sz + (sz & 1)
+            return {"mime": "image/webp", "container": "webp"}
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             chunks = _riff_chunks(payload)
             if not chunks or b"fmt " not in chunks:

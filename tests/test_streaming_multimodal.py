@@ -1893,7 +1893,14 @@ def test_tiff_and_ico_decode_real_files():
     mi = mm._probe_media(ico)
     assert mi["mime"] == "image/x-icon" and mi["n_frames"] == 4
     assert (mi["width"], mi["height"]) == (256, 256)
-    # probe mutation safety for the two new sniffers
+    # WebP: metadata-only probe on the REAL python.webp twin of the
+    # same 16x16 logo (VP8X canvas dims; streams stay undecodable)
+    wp = tp.replace("python.tiff", "python.webp")
+    if os.path.exists(wp):
+        mw = mm._probe_media(open(wp, "rb").read())
+        assert mw["mime"] == "image/webp"
+        assert (mw["width"], mw["height"]) == (16, 16)
+    # probe mutation safety for the new sniffers
     for base in (bytearray(tiff), bytearray(one)):
         for _ in range(150):
             mutated = bytearray(base)
