@@ -380,6 +380,70 @@ def _decode_rgb(payload: bytes) -> tuple[int, int, "object"] | None:
     return decoded
 
 
+def _encode_tiff(px_rgb, packbits: bool = False) -> bytes:
+    """Encode an HxWx3 RGB uint8 array as a baseline little-endian
+    TIFF (one strip, chunky, 8-bit RGB; optional PackBits) — the
+    synth twin for `_decode_tiff`. Pure struct, no library."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(px_rgb, dtype=np.uint8)
+    h, w = px.shape[:2]
+    data = px.tobytes()
+    comp = 1
+    if packbits:
+        comp = 32773
+        out = bytearray()
+        i = 0
+        while i < len(data):
+            chunk = data[i : i + 128]
+            out.append(len(chunk) - 1)
+            out += chunk
+            i += 128
+        data = bytes(out)
+    entries = [
+        (256, 3, 1, w), (257, 3, 1, h), (258, 3, 3, None),
+        (259, 3, 1, comp), (262, 3, 1, 2), (273, 4, 1, None),
+        (277, 3, 1, 3), (278, 3, 1, h), (279, 4, 1, len(data)),
+    ]
+    n = len(entries)
+    bits_off = 8 + 2 + 12 * n + 4
+    data_off = bits_off + 6
+    buf = bytearray(struct.pack("<2sHI", b"II", 42, 8))
+    buf += struct.pack("<H", n)
+    for tag, typ, cnt, val in entries:
+        if tag == 258:
+            val = bits_off
+        if tag == 273:
+            val = data_off
+        buf += struct.pack("<HHII", tag, typ, cnt, val)
+    buf += struct.pack("<I", 0)
+    buf += struct.pack("<HHH", 8, 8, 8)
+    buf += data
+    return bytes(buf)
+
+
+def _encode_ico_png(px_rgb) -> bytes:
+    """Wrap an image as a 1-entry ICO with an embedded PNG payload
+    (the layout real 256px icon entries use) — the synth twin for
+    `_decode_ico`'s PNG path."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(px_rgb, dtype=np.uint8)
+    h, w = px.shape[:2]
+    png = _encode_png(px)
+    return (
+        struct.pack("<HHH", 0, 1, 1)
+        + struct.pack(
+            "<BBBBHHII", w % 256, h % 256, 0, 0, 1, 32, len(png), 22
+        )
+        + png
+    )
+
+
 def _decode_tiff(payload: bytes) -> tuple[int, int, "object"] | None:
     """REAL image decode for baseline TIFF (r8): II/MM byte order,
     first-IFD tag walk, strip assembly; uncompressed (compression 1)

@@ -731,22 +731,24 @@ def corpus_longest_repeated_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     "media_catalog_report",
     """
     WITH base AS (SELECT doc_id FROM documents WHERE doc_id < 60)
-    SELECT CASE doc_id % 6
+    SELECT CASE doc_id % 8
                WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'image/png'
                WHEN 2 THEN 'image/jpeg' WHEN 3 THEN 'audio/wav'
-               WHEN 4 THEN 'video/x-msvideo' ELSE 'unknown' END AS mime,
-           CASE doc_id % 6
+               WHEN 4 THEN 'video/x-msvideo' WHEN 5 THEN 'image/tiff'
+               WHEN 6 THEN 'image/x-icon' ELSE 'unknown' END AS mime,
+           CASE doc_id % 8
                WHEN 0 THEN 'rgb' WHEN 1 THEN 'rgb'
                WHEN 2 THEN 'lossless' WHEN 3 THEN 'ulaw'
-               WHEN 4 THEN 'rgb24' ELSE NULL END AS codec,
+               WHEN 4 THEN 'rgb24' WHEN 5 THEN 'packbits'
+               ELSE NULL END AS codec,
            count(*) AS n_objects,
-           CASE WHEN doc_id % 6 IN (0, 1, 2, 4)
+           CASE WHEN doc_id % 8 IN (0, 1, 2, 4, 5, 6)
                 THEN CAST(16 AS BIGINT) END AS max_width,
-           CASE doc_id % 6 WHEN 3 THEN CAST(250 AS BIGINT)
+           CASE doc_id % 8 WHEN 3 THEN CAST(250 AS BIGINT)
                            WHEN 4 THEN CAST(120 AS BIGINT) END
                AS max_duration_ms
     FROM base
-    GROUP BY doc_id % 6
+    GROUP BY doc_id % 8
     """,
 )
 def media_catalog_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -767,7 +769,7 @@ def media_catalog_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     base = docs.where(F.col("doc_id") < 60).select(
         F.col("doc_id").alias("media_id"),
-        (F.col("doc_id") % 6).cast("int").alias("kind"),
+        (F.col("doc_id") % 8).cast("int").alias("kind"),
     )
 
     def synth(batches):
@@ -795,6 +797,15 @@ def media_catalog_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                     for i in range(3)
                 ]
                 return mm.synth_avi(16, 16, frames)
+            if kind == 5:
+                return mm._encode_tiff(
+                    np.full((16, 16, 3), 70, dtype=np.uint8),
+                    packbits=True,
+                )
+            if kind == 6:
+                return mm._encode_ico_png(
+                    np.full((16, 16, 3), 90, dtype=np.uint8)
+                )
             return b"opaque non-media payload"
 
         for pdf in batches:
