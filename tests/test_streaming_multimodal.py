@@ -1911,6 +1911,52 @@ def test_tiff_and_ico_decode_real_files():
             assert out is None or isinstance(out, dict)
 
 
+def test_aiff_decode_matches_wav_twin_on_real_recordings():
+    """AIFF/AIFC (r8) against CPython's REAL pluck recordings: the
+    SAME audio as the pluck WAVs, so metrics must agree — 16/24/32-bit
+    big-endian PCM EXACTLY (identical zcr/rms/n_frames incl. the
+    80-bit-float sample rate 11025), signed 8-bit and G.711
+    'ulaw'/'alaw' AIFC within quantization. The catalog probe reports
+    codec/rate/duration per file. Skips if absent."""
+    import glob
+    import os
+
+    import pytest
+
+    base = "/root/.pyenv/versions/3.11.7/lib/python3.11/test/audiodata"
+    files = sorted(
+        glob.glob(os.path.join(base, "pluck-*.aiff"))
+        + glob.glob(os.path.join(base, "pluck-*.aifc"))
+    )
+    wav = os.path.join(base, "pluck-pcm16.wav")
+    if len(files) < 4 or not os.path.exists(wav):
+        pytest.skip("CPython AIFF audiodata not present")
+    ref = mm._decode_wav(open(wav, "rb").read())
+    for f in files:
+        m = mm._decode_wav(open(f, "rb").read())  # via the fallback chain
+        assert m is not None, f
+        assert m["sample_rate"] == 11025 and m["n_frames"] == ref["n_frames"]
+        name = os.path.basename(f)
+        if any(k in name for k in ("pcm16", "pcm24", "pcm32")):
+            assert m["zcr_hz"] == ref["zcr_hz"], name
+            # the real files were written by different tools; samples
+            # differ by a few LSB between the WAV and AIFF masters
+            assert abs(m["rms"] - ref["rms"]) < 1e-5, name
+        else:  # 8-bit / G.711: quantization tolerance
+            assert abs(m["zcr_hz"] - ref["zcr_hz"]) < ref["zcr_hz"] * 0.03
+            assert abs(m["rms"] - ref["rms"]) < 0.01
+        meta = mm._probe_media(open(f, "rb").read())
+        assert meta["mime"] == "audio/aiff", name
+        assert meta["sample_rate"] == 11025 and meta["duration_ms"] == 299
+        if "alaw" in name:
+            assert meta["codec"] == "alaw"
+    # truncation degrade on one real file
+    payload = open(files[0], "rb").read()
+    for cut in range(0, len(payload), 101):
+        out = mm._decode_aiff(payload[:cut])
+        assert out is None or isinstance(out, dict)
+
+
 def test_probe_media_metadata_catalog(spark):
     """Unified catalog probe (r8): header-only metadata for EVERY
     container the module knows — dims/codec/bits for images (incl.
