@@ -1248,3 +1248,44 @@ def test_ngram_doubling_matches_python_model(spark, docs, n):
     for i, t in enumerate(docs):
         want = [" ".join(t[j : j + n]) for j in range(len(t) - n + 1)]
         assert got[i] == want, (i, n, t)
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("aa bb cc".split()), min_size=0,
+                 max_size=8),
+        min_size=1, max_size=4,
+    ),
+    min_docs=st.integers(2, 3),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_longest_repeated_span_matches_brute_force(spark, docs, min_docs):
+    """`longest_repeated_span_length` (r8 binary search over hashed
+    L-grams) vs the O(n^3) brute-force model on tiny random corpora —
+    the 3-token alphabet forces heavy cross-doc gram collisions,
+    short docs hit the empty/min_docs-unsatisfiable edges, and the
+    exact-string re-verification runs on every found answer."""
+    from reddit_hn_etl_spark.operators.dedup import (
+        longest_repeated_span_length,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = longest_repeated_span_length(df, "doc_id", "text",
+                                       min_docs=min_docs)
+
+    best = 0
+    for length in range(1, max((len(t) for t in docs), default=0) + 1):
+        grams: dict = {}
+        for i, t in enumerate(docs):
+            for j in range(len(t) - length + 1):
+                grams.setdefault(tuple(t[j : j + length]), set()).add(i)
+        if any(len(v) >= min_docs for v in grams.values()):
+            best = length
+    assert got == best, (docs, min_docs, got, best)
