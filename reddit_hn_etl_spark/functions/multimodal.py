@@ -473,9 +473,13 @@ def _decode_tiff(payload: bytes) -> tuple[int, int, "object"] | None:
                 bo + "HHII", payload, ifd_off + 2 + 12 * i
             )
             if typ not in tfmt:
-                tags[tag] = None
-                continue
+                continue  # unsupported value type: treat tag as absent
             total = tsize[typ] * cnt
+            # corrupt-stream guard: a mutated count field can claim
+            # billions of values — the format string alone would
+            # allocate GBs; nothing valid exceeds the payload
+            if total > len(payload):
+                return None
             if total <= 4:
                 vals = struct.unpack_from(
                     bo + tfmt[typ] * cnt, payload, ifd_off + 10 + 12 * i
@@ -550,7 +554,7 @@ def _decode_tiff(payload: bytes) -> tuple[int, int, "object"] | None:
         if photo == 2 and spp >= 3:
             return int(w), int(h), px[:, :, :3].copy()
         return None
-    except (ValueError, IndexError, struct.error):
+    except (ValueError, IndexError, OverflowError, struct.error):
         return None
 
 
@@ -609,7 +613,7 @@ def _decode_ico(payload: bytes) -> tuple[int, int, "object"] | None:
         ).reshape(h, stride)[:, : w * nb].reshape(h, w, nb)
         rgb = rows[::-1, :, 2::-1].copy()  # bottom-up BGR(A) → RGB
         return int(w), int(h), rgb
-    except (ValueError, IndexError, struct.error):
+    except (ValueError, IndexError, OverflowError, struct.error):
         return None
 
 
@@ -2341,7 +2345,7 @@ def _decode_jpeg(payload: bytes):
             g = full[0].astype(np.uint8)
             return int(w), int(h), np.stack([g, g, g], axis=2)
         return int(w), int(h), _jpeg_rgb_from_ycbcr(*full)
-    except (ValueError, IndexError, struct.error):
+    except (ValueError, IndexError, OverflowError, struct.error):
         return None
 
 
@@ -2548,7 +2552,7 @@ def _decode_avi(payload: bytes):
             ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
             out.append(rows[::-1, :, ::-1].copy())  # bottom-up BGR → RGB
         return int(w), int(h), out
-    except (ValueError, IndexError, struct.error):
+    except (ValueError, IndexError, OverflowError, struct.error):
         return None
 
 
@@ -3101,11 +3105,14 @@ def _decode_au(payload: bytes) -> dict | None:
 def _f80_to_float(b: bytes) -> float:
     """IEEE 754 80-bit extended float (the AIFF COMM sample-rate
     field): sign, 15-bit exponent biased 16383, 64-bit mantissa with
-    EXPLICIT integer bit."""
+    EXPLICIT integer bit. Exponents outside double range (corrupt
+    streams; 2**16000 raises OverflowError, the one exception the
+    degrade handlers don't classify) return 0.0 — callers reject
+    non-positive rates."""
     sign = -1.0 if b[0] & 0x80 else 1.0
     exp = (((b[0] & 0x7F) << 8) | b[1]) - 16383
     mant = int.from_bytes(b[2:10], "big")
-    if mant == 0:
+    if mant == 0 or not (-1100 < exp < 1000):
         return 0.0
     return sign * mant * 2.0 ** (exp - 63)
 
@@ -3196,7 +3203,7 @@ def _decode_aiff(payload: bytes) -> dict | None:
         if len(x) <= 1:
             return None
         return _wav_metrics_from_signal(np.clip(x, -1.0, 1.0), int(sr))
-    except (ValueError, IndexError, struct.error):
+    except (ValueError, IndexError, OverflowError, struct.error):
         return None
 
 
@@ -3908,7 +3915,7 @@ def _decode_flac(payload: bytes):
             "pcm": arrs,
             **metrics,
         }
-    except (ValueError, IndexError, struct.error):
+    except (ValueError, IndexError, OverflowError, struct.error):
         return None
 
 
@@ -4228,7 +4235,7 @@ def _probe_mp4(payload: bytes):
             "codec": ",".join(codecs) or None,
             "n_streams": len(tracks) or None,
         }
-    except (ValueError, IndexError, struct.error):
+    except (ValueError, IndexError, OverflowError, struct.error):
         return None
 
 
@@ -4553,7 +4560,7 @@ def _probe_media(payload: bytes) -> dict | None:
                 if nfr and usec else None,
             }
         return _probe_mp4(payload)
-    except (ValueError, IndexError, struct.error):
+    except (ValueError, IndexError, OverflowError, struct.error):
         return None
 
 

@@ -1517,7 +1517,25 @@ def test_all_decoders_survive_mutation_fuzz():
         (mm._decode_flac, mm._flac_encode(
             np.stack([pcm[:2000], pcm[1000:3000]], axis=1), 8000,
             stereo_mode="mid_side")),
+        (mm._decode_tiff, mm._encode_tiff(
+            rng.integers(0, 256, size=(9, 11, 3)).astype(np.uint8),
+            packbits=True)),
+        (mm._decode_ico, mm._encode_ico_png(
+            rng.integers(0, 256, size=(8, 8, 3)).astype(np.uint8))),
+        (mm._probe_media, mm._encode_tiff(
+            rng.integers(0, 256, size=(5, 5, 3)).astype(np.uint8))),
     ]
+    # AIFF fuzz via the real pluck master when present (the 80-bit
+    # float rate field is the interesting corrupt surface)
+    import os as _os
+
+    _aiff = (
+        "/root/.pyenv/versions/3.11.7/lib/python3.11/test/audiodata/"
+        "pluck-pcm16.aiff"
+    )
+    if _os.path.exists(_aiff):
+        targets.append((mm._decode_aiff, open(_aiff, "rb").read()))
+        targets.append((mm._probe_media, open(_aiff, "rb").read()))
     # the hand-assembled payloads must decode BEFORE mutation (else
     # the fuzz would be vacuous)
     assert mm._decode_wav(stereo_adpcm) is not None
