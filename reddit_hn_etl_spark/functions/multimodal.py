@@ -382,6 +382,39 @@ def _decode_rgb(payload: bytes) -> tuple[int, int, "object"] | None:
     return decoded
 
 
+def _netpbm_header(payload: bytes) -> tuple[int, int, int, int, int] | None:
+    """Header-only netpbm tokenizer: magic + whitespace-separated ints
+    with '#' comments. Returns (kind, width, height, maxval, pos)
+    where pos is the offset just past the last header token, or None
+    for a malformed header. O(header bytes) — never touches samples,
+    so the catalog probe can classify a multi-megabyte ASCII PPM at
+    header cost (ADVICE r8)."""
+    if len(payload) < 3 or payload[0:1] != b"P" or payload[1] not in b"123456":
+        return None
+    kind = payload[1] - 0x30
+    pos = 2
+    tokens_needed = 2 if kind in (1, 4) else 3
+    vals: list[int] = []
+    while len(vals) < tokens_needed:
+        while pos < len(payload) and payload[pos] in b" \t\r\n":
+            pos += 1
+        if pos < len(payload) and payload[pos] == 0x23:  # '#'
+            while pos < len(payload) and payload[pos] not in b"\r\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and payload[pos] in b"0123456789":
+            pos += 1
+        if pos == start:
+            return None
+        vals.append(int(payload[start:pos]))
+    w, h = vals[0], vals[1]
+    maxval = vals[2] if tokens_needed == 3 else 1
+    if w <= 0 or h <= 0 or maxval <= 0 or maxval > 65535:
+        return None
+    return kind, w, h, maxval, pos
+
+
 def _decode_netpbm(payload: bytes) -> tuple[int, int, "object"] | None:
     """REAL image decode for the netpbm family (r8): P1/P4 bitmap
     (1 = black), P2/P5 graymap, P3/P6 pixmap — ASCII and binary
@@ -391,31 +424,11 @@ def _decode_netpbm(payload: bytes) -> tuple[int, int, "object"] | None:
     logo as the TIFF/JPEG twins)."""
     import numpy as np
 
-    if len(payload) < 3 or payload[0:1] != b"P" or payload[1] not in b"123456":
+    hdr = _netpbm_header(payload)
+    if hdr is None:
         return None
-    kind = payload[1] - 0x30
+    kind, w, h, maxval, pos = hdr
     try:
-        # header tokenizer: whitespace-separated ints, '#' comments
-        pos = 2
-        tokens_needed = 2 if kind in (1, 4) else 3
-        vals: list[int] = []
-        while len(vals) < tokens_needed:
-            while pos < len(payload) and payload[pos] in b" \t\r\n":
-                pos += 1
-            if pos < len(payload) and payload[pos] == 0x23:  # '#'
-                while pos < len(payload) and payload[pos] not in b"\r\n":
-                    pos += 1
-                continue
-            start = pos
-            while pos < len(payload) and payload[pos] in b"0123456789":
-                pos += 1
-            if pos == start:
-                return None
-            vals.append(int(payload[start:pos]))
-        w, h = vals[0], vals[1]
-        maxval = vals[2] if tokens_needed == 3 else 1
-        if w <= 0 or h <= 0 or maxval <= 0 or maxval > 65535:
-            return None
         if kind >= 4:  # binary: exactly ONE whitespace after header
             pos += 1
             body = payload[pos:]
@@ -651,7 +664,8 @@ def _decode_tiff(payload: bytes) -> tuple[int, int, "object"] | None:
         if photo == 2 and spp >= 3:
             return int(w), int(h), px[:, :, :3].copy()
         return None
-    except (ValueError, IndexError, OverflowError, struct.error):
+    except (ValueError, IndexError, OverflowError, ZeroDivisionError,
+            struct.error):
         return None
 
 
@@ -710,7 +724,8 @@ def _decode_ico(payload: bytes) -> tuple[int, int, "object"] | None:
         ).reshape(h, stride)[:, : w * nb].reshape(h, w, nb)
         rgb = rows[::-1, :, 2::-1].copy()  # bottom-up BGR(A) → RGB
         return int(w), int(h), rgb
-    except (ValueError, IndexError, OverflowError, struct.error):
+    except (ValueError, IndexError, OverflowError, ZeroDivisionError,
+            struct.error):
         return None
 
 
@@ -2442,7 +2457,8 @@ def _decode_jpeg(payload: bytes):
             g = full[0].astype(np.uint8)
             return int(w), int(h), np.stack([g, g, g], axis=2)
         return int(w), int(h), _jpeg_rgb_from_ycbcr(*full)
-    except (ValueError, IndexError, OverflowError, struct.error):
+    except (ValueError, IndexError, OverflowError, ZeroDivisionError,
+            struct.error):
         return None
 
 
@@ -2611,11 +2627,17 @@ def _decode_avi(payload: bytes):
         return None
     try:
         w = h = None
-        ok_format = False
+        vid_stream = None  # stream index of the validated DIB strf
+        n_strl = 0
         frames = []
 
-        def walk(pos: int, end: int) -> None:
-            nonlocal w, h, ok_format
+        def walk(pos: int, end: int, cur_stream: int | None) -> None:
+            # strl LISTs appear in stream order, so the Nth strl IS
+            # stream NN — its strf's validation must only license
+            # '##db'/'##dc' chunks with the MATCHING two-digit prefix
+            # (ADVICE r8: a compressed second stream's '01dc' chunks
+            # were decoded as DIB pixels when any strf was 24bpp).
+            nonlocal w, h, vid_stream, n_strl
             while pos + 8 <= end:
                 cid = payload[pos : pos + 4]
                 (sz,) = struct.unpack_from("<I", payload, pos + 4)
@@ -2623,25 +2645,43 @@ def _decode_avi(payload: bytes):
                 if bend > len(payload):
                     return
                 if cid == b"LIST":
-                    walk(body + 4, bend)  # skip the list type fourcc
+                    ltype = payload[body : body + 4]
+                    if ltype == b"strl":
+                        s = n_strl
+                        n_strl += 1
+                        walk(body + 4, bend, s)
+                    else:
+                        walk(body + 4, bend, cur_stream)
                 elif cid == b"avih" and sz >= 40:
                     w, h = struct.unpack_from("<II", payload, body + 32)
-                elif cid == b"strf" and sz >= 40:
+                elif cid == b"strf" and sz >= 40 and cur_stream is not None:
                     (bisize, bw, bh, planes, bpp, comp) = struct.unpack_from(
                         "<IiiHHI", payload, body
                     )
-                    if bpp == 24 and comp == 0:
-                        ok_format = True
-                elif cid[2:4] in (b"db", b"dc") and sz > 0:
-                    frames.append((body, sz))
+                    if bpp == 24 and comp == 0 and vid_stream is None:
+                        vid_stream = cur_stream
+                elif (
+                    cid[2:4] in (b"db", b"dc")
+                    and cid[:2].isdigit()
+                    and sz > 0
+                ):
+                    frames.append((cid, body, sz))
                 pos = bend + (sz & 1)  # chunks are word-aligned
 
-        walk(12, len(payload))
-        if not w or not h or not ok_format or not frames:
+        walk(12, len(payload), None)
+        if not w or not h or vid_stream is None:
+            return None
+        prefix = b"%02d" % vid_stream
+        mine = [f for f in frames if f[0][:2] == prefix]
+        # prefer 'db' (explicitly uncompressed) over 'dc' when both
+        # appear for the validated stream
+        db = [f for f in mine if f[0][2:4] == b"db"]
+        picked = db or mine
+        if not picked:
             return None
         stride = (w * 3 + 3) & ~3
         out = []
-        for off, sz in frames:
+        for _cid, off, sz in picked:
             if sz < stride * h:
                 return None
             rows = np.frombuffer(
@@ -2649,7 +2689,8 @@ def _decode_avi(payload: bytes):
             ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
             out.append(rows[::-1, :, ::-1].copy())  # bottom-up BGR → RGB
         return int(w), int(h), out
-    except (ValueError, IndexError, OverflowError, struct.error):
+    except (ValueError, IndexError, OverflowError, ZeroDivisionError,
+            struct.error):
         return None
 
 
@@ -3300,7 +3341,8 @@ def _decode_aiff(payload: bytes) -> dict | None:
         if len(x) <= 1:
             return None
         return _wav_metrics_from_signal(np.clip(x, -1.0, 1.0), int(sr))
-    except (ValueError, IndexError, OverflowError, struct.error):
+    except (ValueError, IndexError, OverflowError, ZeroDivisionError,
+            struct.error):
         return None
 
 
@@ -4012,7 +4054,8 @@ def _decode_flac(payload: bytes):
             "pcm": arrs,
             **metrics,
         }
-    except (ValueError, IndexError, OverflowError, struct.error):
+    except (ValueError, IndexError, OverflowError, ZeroDivisionError,
+            struct.error):
         return None
 
 
@@ -4332,7 +4375,8 @@ def _probe_mp4(payload: bytes):
             "codec": ",".join(codecs) or None,
             "n_streams": len(tracks) or None,
         }
-    except (ValueError, IndexError, OverflowError, struct.error):
+    except (ValueError, IndexError, OverflowError, ZeroDivisionError,
+            struct.error):
         return None
 
 
@@ -4477,16 +4521,19 @@ def _probe_media(payload: bytes) -> dict | None:
             and payload[1] in b"123456"
             and payload[2] in b" \t\r\n#"
         ):
-            dec = _decode_netpbm(payload)
-            if dec is None:
+            # header-only (ADVICE r8): tokenizing magic/w/h/maxval
+            # costs O(header bytes); a full _decode_netpbm would parse
+            # every ASCII sample, breaking the catalog's O(KB) contract
+            hdr = _netpbm_header(payload)
+            if hdr is None:
                 return None
-            kind = payload[1] - 0x30
+            kind, w, h, _maxval, _pos = hdr
             return {
                 "mime": "image/x-portable-"
                 + {1: "bitmap", 4: "bitmap", 2: "graymap", 5: "graymap",
                    3: "pixmap", 6: "pixmap"}[kind],
                 "container": f"pnm/p{kind}",
-                "width": dec[0], "height": dec[1],
+                "width": int(w), "height": int(h),
                 "codec": "ascii" if kind <= 3 else "binary",
             }
         if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
@@ -4537,7 +4584,9 @@ def _probe_media(payload: bytes) -> dict | None:
             dur = None
             if sr and tag == 1 and bits and ch:
                 dur = int(len(data) * 1000 // (sr * ch * (bits // 8 or 1)))
-            elif sr and tag in (6, 7):
+            elif sr and ch and tag in (6, 7):
+                # ch check (ADVICE r8): a corrupt fmt chunk with
+                # channels=0 must degrade, not ZeroDivisionError
                 dur = int(len(data) * 1000 // (sr * ch))
             return {
                 "mime": "audio/wav", "container": "riff/wave",
@@ -4559,8 +4608,12 @@ def _probe_media(payload: bytes) -> dict | None:
                         if payload[8:12] == b"AIFC" and sz >= 22
                         else "pcm"
                     )
+                    # int(sr) >= 1 (ADVICE r8): _f80_to_float can
+                    # return 0 < sr < 1, so sr > 0 still divides by 0
                     dur = (
-                        int(nframes * 1000 // int(sr)) if sr > 0 else None
+                        int(nframes * 1000 // int(sr))
+                        if int(sr) >= 1
+                        else None
                     )
                     return {
                         "mime": "audio/aiff",
@@ -4675,7 +4728,8 @@ def _probe_media(payload: bytes) -> dict | None:
                 if nfr and usec else None,
             }
         return _probe_mp4(payload)
-    except (ValueError, IndexError, OverflowError, struct.error):
+    except (ValueError, IndexError, OverflowError, ZeroDivisionError,
+            struct.error):
         return None
 
 

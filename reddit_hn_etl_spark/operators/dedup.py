@@ -695,6 +695,13 @@ def hamming_near_pairs(
     all-pairs. ``blocks = max_hamming + 1`` is the measured optimum
     (see `simhash_near_pairs`). Output: (doc_a, doc_b, hamming)."""
     assert bits % blocks == 0
+    # Pigeonhole only guarantees recall for d <= blocks - 1; a larger
+    # max_hamming would silently MISS pairs (ADVICE r8) — error loudly.
+    assert max_hamming < blocks, (
+        f"pigeonhole requires max_hamming < blocks "
+        f"(got max_hamming={max_hamming}, blocks={blocks}): a pair can "
+        f"differ in every chunk once d >= blocks, so recall is lost"
+    )
     w = bits // blocks
     chunk_structs = F.array(
         *[

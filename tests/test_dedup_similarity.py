@@ -193,8 +193,10 @@ def test_simhash_near_pairs(spark):
     assert fps[3] == fps[4]  # identical docs → identical fingerprints
     pairs = {
         (r.doc_a, r.doc_b): r.hamming
+        # blocks must exceed max_hamming for the pigeonhole recall
+        # guarantee (r9 assert); 32 2-bit chunks are fine at test size
         for r in dedup.simhash_near_pairs(
-            _docs_df(spark), "doc_id", "text", max_hamming=16
+            _docs_df(spark), "doc_id", "text", max_hamming=16, blocks=32
         ).collect()
     }
     assert pairs[(3, 4)] == 0

@@ -2249,3 +2249,172 @@ def test_au_container_real_file_and_roundtrip():
     assert mm._decode_au(b"RIFF not au") is None
     bad = b".snd" + struct.pack(">IIIII", 24, 100, 99, sr, 1) + b"\x00" * 100
     assert mm._decode_au(bad) is None  # unknown encoding
+
+
+def test_probe_media_corrupt_divisors_degrade_not_raise():
+    """ADVICE r9: corrupt payloads that zero a duration divisor must
+    degrade per the probe contract (metadata dict or None), never
+    ZeroDivisionError: (1) a u-law WAV whose fmt chunk claims
+    channels=0; (2) an AIFF whose 80-bit-float sample rate lands in
+    (0, 1) so sr > 0 yet int(sr) == 0."""
+    import struct
+
+    # u-law WAV, channels=0 (tag 7 = ulaw; PCM branch already guarded)
+    fmt = struct.pack("<HHIIHH", 7, 0, 8000, 8000, 1, 8)
+    data = b"\x7f" * 800
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    meta = mm._probe_media(wav)
+    assert meta is not None and meta["mime"] == "audio/wav"
+    assert meta["codec"] == "ulaw" and meta["duration_ms"] is None
+
+    # AIFF with sr = 0.5: exponent 16382, mantissa 0x8000...; the
+    # old `sr > 0` guard passed while int(sr) == 0 divided by zero
+    sr80 = struct.pack(">HQ", 0x3FFE, 0x8000000000000000)
+    assert 0.0 < mm._f80_to_float(sr80) < 1.0  # non-vacuous
+    comm = struct.pack(">HIH", 1, 100, 16) + sr80
+    body = b"AIFF" + b"COMM" + struct.pack(">I", len(comm)) + comm
+    aiff = b"FORM" + struct.pack(">I", len(body)) + body
+    meta = mm._probe_media(aiff)
+    assert meta is not None and meta["mime"] == "audio/aiff"
+    assert meta["duration_ms"] is None
+
+
+def test_probe_media_netpbm_is_header_only():
+    """ADVICE r9: the catalog probe's netpbm branch must classify at
+    header cost. A P2 whose header is valid but whose SAMPLE data is
+    garbage (full decode returns None) still catalogs with dims —
+    proof the probe no longer routes through the pixel decoder."""
+    pgm = b"P2\n# c\n4 3\n255\nnot digits at all"
+    assert mm._decode_netpbm(pgm) is None  # full decode fails
+    meta = mm._probe_media(pgm)
+    assert meta is not None
+    assert meta["mime"] == "image/x-portable-graymap"
+    assert (meta["width"], meta["height"]) == (4, 3)
+    assert meta["codec"] == "ascii"
+    # binary variant truncated mid-body: same header-only contract
+    pgm5 = b"P5\n4 3\n255\n" + b"\x10" * 3
+    assert mm._decode_netpbm(pgm5) is None
+    meta = mm._probe_media(pgm5)
+    assert meta is not None and meta["codec"] == "binary"
+    assert (meta["width"], meta["height"]) == (4, 3)
+    # malformed header still degrades to None from the netpbm branch
+    assert mm._netpbm_header(b"P2\n0 3\n255\n1") is None
+
+
+def test_avi_multistream_decodes_only_validated_dib_stream():
+    """ADVICE r9: in a 2-stream AVI (stream 00 = uncompressed DIB,
+    stream 01 = compressed) the '01dc' chunks must NOT be parsed as
+    DIB pixels even when they pass the frame-size check — only the
+    stream whose strf validated may contribute frames, and 'db'
+    chunks win over 'dc' within that stream."""
+    import struct
+
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    frame = rng.integers(0, 256, size=(8, 8, 3)).astype(np.uint8)
+    stride = (8 * 3 + 3) & ~3
+    frame_sz = stride * 8
+
+    def chunk(cid, body):
+        return cid + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    def lst(ltype, body):
+        return chunk(b"LIST", ltype + body)
+
+    def dib_bytes(px):
+        bgr = px[::-1, :, ::-1]
+        padded = np.zeros((8, stride), dtype=np.uint8)
+        padded[:, : 8 * 3] = bgr.reshape(8, 8 * 3)
+        return padded.tobytes()
+
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        40000, frame_sz * 25, 0, 0x10, 1, 0, 2, frame_sz, 8, 8,
+        0, 0, 0, 0,
+    )
+    strh_v = (
+        b"vids" + b"DIB " + struct.pack(
+            "<IHHIIIIIIII", 0, 0, 0, 0, 1, 25, 0, 1, frame_sz,
+            10000, frame_sz,
+        ) + struct.pack("<4H", 0, 0, 8, 8)
+    )
+    strf_dib = struct.pack(
+        "<IiiHHIIiiII", 40, 8, 8, 1, 24, 0, frame_sz, 2835, 2835, 0, 0
+    )
+    strh_c = (
+        b"vids" + b"MJPG" + struct.pack(
+            "<IHHIIIIIIII", 0, 0, 0, 0, 1, 25, 0, 1, frame_sz,
+            10000, frame_sz,
+        ) + struct.pack("<4H", 0, 0, 8, 8)
+    )
+    # compressed strf: biCompression = 'MJPG' fourcc, must NOT validate
+    strf_c = struct.pack(
+        "<IiiHHIIiiII", 40, 8, 8, 1, 24,
+        struct.unpack("<I", b"MJPG")[0], frame_sz, 2835, 2835, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh_v) + chunk(b"strf", strf_dib))
+        + lst(b"strl", chunk(b"strh", strh_c) + chunk(b"strf", strf_c)),
+    )
+    garbage = b"\xab" * frame_sz  # big enough to pass the size check
+    movi = lst(
+        b"movi",
+        chunk(b"00db", dib_bytes(frame))
+        + chunk(b"01dc", garbage)
+        + chunk(b"00dc", garbage),
+    )
+    body = b"AVI " + hdrl + movi
+    avi = b"RIFF" + struct.pack("<I", len(body)) + body
+
+    w, h, frames = mm._decode_avi(avi)
+    assert (w, h) == (8, 8)
+    assert len(frames) == 1  # 01dc rejected (wrong stream), 00dc (db wins)
+    assert np.array_equal(frames[0], frame)
+
+    # streams swapped: validated strf is stream 01 → only 01db decodes
+    hdrl2 = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh_c) + chunk(b"strf", strf_c))
+        + lst(b"strl", chunk(b"strh", strh_v) + chunk(b"strf", strf_dib)),
+    )
+    movi2 = lst(
+        b"movi",
+        chunk(b"00db", garbage) + chunk(b"01db", dib_bytes(frame)),
+    )
+    body2 = b"AVI " + hdrl2 + movi2
+    avi2 = b"RIFF" + struct.pack("<I", len(body2)) + body2
+    w2, h2, frames2 = mm._decode_avi(avi2)
+    assert len(frames2) == 1 and np.array_equal(frames2[0], frame)
+
+    # no validating strf at all → None (unchanged degrade contract)
+    hdrl3 = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh_c) + chunk(b"strf", strf_c)),
+    )
+    body3 = b"AVI " + hdrl3 + movi2
+    assert mm._decode_avi(
+        b"RIFF" + struct.pack("<I", len(body3)) + body3
+    ) is None
+
+
+def test_hamming_near_pairs_rejects_unsound_max_hamming():
+    """ADVICE r9: max_hamming >= blocks voids the pigeonhole recall
+    guarantee — the API must error loudly, not silently lose pairs."""
+    from reddit_hn_etl_spark.operators import dedup
+
+    with pytest.raises(AssertionError, match="pigeonhole"):
+        dedup.hamming_near_pairs(None, "id", "h", max_hamming=4, blocks=4)
+    with pytest.raises(AssertionError, match="pigeonhole"):
+        dedup.hamming_near_pairs(None, "id", "h", max_hamming=9, blocks=8)
