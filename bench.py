@@ -344,6 +344,19 @@ BENCH_QUERIES_R6 = [
     "cluster_keep_best",
 ]
 
+# Added in round 9 with the registry-freeze lift: the two newly
+# registered queries whose cost actually scales with SF (the other
+# eight promoted codec/media queries are bounded synth families —
+# see the `synth-bounded` exclusion class below).
+BENCH_QUERIES_R9 = [
+    # 3 full-batch GD steps = 3 scans + 1-row reduces over documents
+    "doc_quality_logistic",
+    # binary search on repeated-L-gram predicate: O(log max_len)
+    # corpus-wide gram aggregations — the priciest benched query by
+    # design (it replaces a suffix-array build)
+    "corpus_longest_repeated_span",
+]
+
 # Exact all-pairs similarity: run ONCE per round (no repeat sweeps)
 # after the budgeted sweeps, each alongside the name of its benched
 # approximate twin, so the exact-vs-LSH speedup is a recorded number
@@ -374,7 +387,25 @@ EXACT_PAIRS_PROBE = {
 #   micro — ≤ ~2.5s at sf0.1 (measured r6), exercising a physical
 #       plan shape already covered by a benched sibling; adds sweep
 #       wall-time and scheduler noise, not signal.
+#   synth-bounded — codec-correctness queries over a FIXED-size
+#       synthetic payload family (doc_id < 20..60): cost is constant
+#       in SF, so a timing carries no scale signal; the SF-scaled
+#       mapInPandas media plan shape is benched via media_features /
+#       media_resize / audio_wav_metrics / image_bmp_metrics.
 BENCH_EXCLUDED = {
+    **{
+        n: "synth-bounded"
+        for n in [
+            "image_png_metrics",
+            "gif_lzw_roundtrip",
+            "image_jpeg_metrics",
+            "audio_g711_adpcm_metrics",
+            "audio_flac_roundtrip",
+            "video_y4m_scene_cuts",
+            "image_phash_clusters",
+            "media_catalog_report",
+        ]
+    },
     **{n: "exact-pairs" for n in EXACT_PAIRS_PROBE},
     "near_dup_triangles": "approx-eval",
     "simhash_planted_recall": "approx-eval",
@@ -529,6 +560,7 @@ def main() -> None:
         + BENCH_QUERIES_R4
         + BENCH_QUERIES_R5
         + BENCH_QUERIES_R6
+        + BENCH_QUERIES_R9
     )
     # The sweep lists + BENCH_EXCLUDED must partition the registry
     # exactly — a new registry entry that lands in neither is a

@@ -467,6 +467,7 @@ def test_bench_lists_partition_registry():
         + bench.BENCH_QUERIES_R4
         + bench.BENCH_QUERIES_R5
         + bench.BENCH_QUERIES_R6
+        + bench.BENCH_QUERIES_R9
     )
     assert len(names) == len(set(names)), "duplicate sweep entries"
     swept, excluded = set(names), set(bench.BENCH_EXCLUDED)
@@ -479,6 +480,7 @@ def test_bench_lists_partition_registry():
         "exact-pairs",
         "approx-eval",
         "micro",
+        "synth-bounded",
     }
     for exact, twin in bench.EXACT_PAIRS_PROBE.items():
         assert bench.BENCH_EXCLUDED.get(exact) == "exact-pairs"
