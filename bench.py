@@ -609,6 +609,46 @@ def main() -> None:
             ),
         }
 
+    # ANN recall probe (VERDICT r8 #4): the registered LSH/IVF queries
+    # assert a per-query recall FLOOR over 5 query vectors; this
+    # records the actual average recall@10 over a 50-query panel at
+    # the bench SF, so approximation QUALITY is a per-round number
+    # next to the speedup the twins' timings already record. Work is
+    # server-side (semi-join + count); only two scalars collect.
+    ann_recall: dict[str, float] = {}
+    if time.perf_counter() - t_start <= budget_s * 1.25:
+        from pyspark.sql import functions as F
+
+        from reddit_hn_etl_spark.operators import similarity
+        from reddit_hn_etl_spark.sources.tables import read_table
+
+        emb = read_table(spark, sf_dir, "embeddings")
+        qvecs = emb.where(F.col("vec_id") < 50).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        exact = similarity.knn_cosine_bruteforce(emb, qvecs, k=10).select(
+            "query_id", "vec_id"
+        ).localCheckpoint(eager=True)
+        n_q = qvecs.count()
+        approxes = {
+            "lsh": similarity.knn_cosine_lsh(
+                emb, qvecs, dim=64, k=10, n_planes=3, n_tables=8
+            ),
+            "ivf": similarity.knn_cosine_ivf(
+                emb, qvecs, dim=64, k=10, n_cells=16, n_probe=4, iters=3
+            ),
+        }
+        for kind, approx in approxes.items():
+            hits = exact.join(
+                approx.select("query_id", "vec_id"),
+                ["query_id", "vec_id"],
+                "left_semi",
+            ).count()
+            ann_recall[f"{kind}_recall_at_10"] = round(
+                hits / (10 * n_q), 4
+            )
+        ann_recall["n_queries"] = n_q
+
     # A query that never completed a sweep (budget expiry / hard
     # kill mid-first-sweep) must not leak bare Infinity into the
     # JSON (ADVICE r5) — report null and keep totals finite.
@@ -674,6 +714,7 @@ def main() -> None:
                 "n_incomplete": len(incomplete),
                 "n_excluded": len(BENCH_EXCLUDED),
                 "exact_pairs_probe_n": len(probe),
+                "ann_recall": ann_recall,
                 "git_head": git_head(),
                 "cpu_calib_ms": calib,
                 "queries": slowest,
