@@ -355,6 +355,8 @@ BENCH_QUERIES_R9 = [
     # corpus-wide gram aggregations — the priciest benched query by
     # design (it replaces a suffix-array build)
     "corpus_longest_repeated_span",
+    # occurrence-mode twin (min_count): same probe cost shape
+    "corpus_repeated_span_occurrences",
 ]
 
 # Exact all-pairs similarity: run ONCE per round (no repeat sweeps)

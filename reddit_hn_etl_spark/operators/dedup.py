@@ -920,6 +920,7 @@ def longest_repeated_span_length(
     text_col: str,
     min_docs: int = 2,
     max_len: int | None = None,
+    min_count: int | None = None,
 ) -> int:
     """EXACT length of the longest token span repeated in >=
     ``min_docs`` distinct documents — the corpus-level duplication
@@ -929,6 +930,17 @@ def longest_repeated_span_length(
     ``min_docs`` docs, and that predicate is monotone in L, so
     O(log max_len) probes — each ONE map-side-combinable aggregation
     — replace suffix-array construction entirely.
+
+    ``min_count`` (r9) switches to OCCURRENCE counting — the span
+    must occur at >= ``min_count`` distinct token positions anywhere
+    in the corpus, INCLUDING repeats inside a single document (the
+    suffix-array diagnostic's native semantics: Lee et al. count
+    repeated substrings of the concatenated corpus, so a template
+    pasted five times into one document is duplication too, which
+    distinct-doc counting can't see). Monotone for the same reason:
+    every occurrence of an L-gram contains an occurrence of its
+    (L-1)-prefix at the same position, so position counts only grow
+    as L shrinks. When set, ``min_docs`` is ignored.
 
     Scale shape per probe: explode positional L-grams, hash each to
     64 bits IMMEDIATELY (`xxhash64`), aggregate count_distinct(doc)
@@ -963,10 +975,17 @@ def longest_repeated_span_length(
                     ngram_array_doubling(F.col("_toks"), n)
                 ).alias("g"),
             ).select("_id", F.xxhash64("g").alias("h"))
+            if min_count is not None:
+                # occurrence mode: count positions, not documents
+                agg = F.count(F.lit(1)).alias("nd")
+                floor = min_count
+            else:
+                agg = F.count_distinct("_id").alias("nd")
+                floor = min_docs
             hit = (
                 grams.groupBy("h")
-                .agg(F.count_distinct("_id").alias("nd"))
-                .where(F.col("nd") >= min_docs)
+                .agg(agg)
+                .where(F.col("nd") >= floor)
                 .limit(1)
             )
             return len(hit.take(1)) > 0
@@ -987,7 +1006,7 @@ def longest_repeated_span_length(
         exact = repeated_spans_at(
             base.select(F.col("_id").alias(id_col),
                         F.array_join("_toks", " ").alias(text_col)),
-            id_col, text_col, lo, min_docs=min_docs,
+            id_col, text_col, lo, min_docs=min_docs, min_count=min_count,
         )
         if len(exact.take(1)) == 0:
             raise ValueError(
@@ -1007,21 +1026,26 @@ def repeated_spans_at(
     text_col: str,
     n: int,
     min_docs: int = 2,
+    min_count: int | None = None,
 ) -> DataFrame:
     """All EXACT token spans of length ``n`` occurring in >=
-    ``min_docs`` distinct documents: (span, n_docs). The exact-string
-    companion to the hashed probes of
+    ``min_docs`` distinct documents: (span, n_docs, n_occurrences).
+    The exact-string companion to the hashed probes of
     :func:`longest_repeated_span_length` — used standalone to list
     the offending boilerplate/templates once the length is known, and
-    as the collision check inside the binary search. One explode +
-    one agg; the gram strings shuffle here (O(n) bytes each), so call
-    it at a FIXED n, not in a loop."""
+    as the collision check inside the binary search. With
+    ``min_count`` set, filters on total occurrences (positions)
+    instead of distinct docs — the within-doc duplication mode.
+    One explode + one agg; the gram strings shuffle here (O(n) bytes
+    each), so call it at a FIXED n, not in a loop."""
     grams = fan_out_narrow_input(df).select(
         F.col(id_col).alias("_id"),
         F.explode(ngram_array_doubling(tokens(text_col), n)).alias("span"),
     )
-    return (
-        grams.groupBy("span")
-        .agg(F.count_distinct("_id").alias("n_docs"))
-        .where(F.col("n_docs") >= min_docs)
+    counted = grams.groupBy("span").agg(
+        F.count_distinct("_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_occurrences"),
     )
+    if min_count is not None:
+        return counted.where(F.col("n_occurrences") >= min_count)
+    return counted.where(F.col("n_docs") >= min_docs)

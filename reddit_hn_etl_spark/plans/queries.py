@@ -22848,6 +22848,79 @@ def corpus_longest_repeated_span(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "corpus_repeated_span_occurrences",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         t -> t <> '') AS t
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, t, unnest(generate_series(1, len(t))) AS p FROM toks
+    ),
+    ls AS (SELECT unnest(generate_series(1, (SELECT max(len(t)) FROM toks)))
+               AS L),
+    grams AS (
+      SELECT doc_id, L, array_to_string(list_slice(t, p, p + L - 1), ' ')
+                 AS g
+      FROM pos CROSS JOIN ls
+      WHERE p + L - 1 <= len(t)
+    ),
+    rep AS (
+      SELECT L, g,
+             count(*) AS n_occ,
+             count(DISTINCT doc_id) AS n_docs
+      FROM grams GROUP BY L, g
+      HAVING count(*) >= 3
+    ),
+    best AS (SELECT max(L) AS span_len FROM rep)
+    SELECT CAST(b.span_len AS BIGINT) AS span_len,
+           count(*) AS n_spans,
+           CAST(max(r.n_occ) AS BIGINT) AS max_occurrences,
+           CAST(min(r.n_docs) AS BIGINT) AS min_docs_touched,
+           min(r.g) AS lexmin_span
+    FROM rep r, best b WHERE r.L = b.span_len GROUP BY b.span_len
+    """,
+)
+def corpus_repeated_span_occurrences(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """`corpus_longest_repeated_span`'s OCCURRENCE-mode twin (r9,
+    `min_count`): longest token span occurring at >= 3 positions
+    anywhere in the corpus — within-doc repeats count, which is the
+    suffix-array diagnostic's native semantics (Lee et al. 2022 count
+    repeated substrings of the CONCATENATED corpus; a template pasted
+    repeatedly into one document is duplication the distinct-doc mode
+    cannot see). Same binary search on a monotone predicate — every
+    occurrence of an L-gram contains its (L-1)-prefix at the same
+    position — with occurrence-counting probes and exact re-verify.
+    Emits (span_len, n_spans, max_occurrences, min_docs_touched,
+    lexmin_span); min_docs_touched < 3 would prove a within-doc
+    repeat contributed (at sf0.01 the answer span occurs 3x across
+    docs; the tests pin the pure within-doc case)."""
+    from ..operators import dedup
+
+    docs = read_table(spark, sf_dir, "documents")
+    n = dedup.longest_repeated_span_length(
+        docs, "doc_id", "text", min_count=3
+    )
+    spans = dedup.repeated_spans_at(docs, "doc_id", "text", n, min_count=3)
+    return spans.agg(
+        F.count("*").alias("n_spans"),
+        F.max("n_occurrences").alias("max_occurrences"),
+        F.min("n_docs").alias("min_docs_touched"),
+        F.min("span").alias("lexmin_span"),
+    ).select(
+        F.lit(n).cast("long").alias("span_len"),
+        "n_spans",
+        "max_occurrences",
+        "min_docs_touched",
+        "lexmin_span",
+    )
+
+
+@_q(
     "media_catalog_report",
     """
     WITH base AS (SELECT doc_id FROM documents WHERE doc_id < 60)

@@ -470,6 +470,51 @@ def test_longest_repeated_span_planted(spark):
     assert dedup.longest_repeated_span_length(uniq, "doc_id", "text") == 0
 
 
+def test_longest_repeated_span_min_count_within_doc(spark):
+    """r9 occurrence mode: a 40-token template pasted three times
+    into ONE document is invisible to distinct-doc counting but is
+    exactly what min_count sees (the suffix-array diagnostic's
+    native semantics). A 12-token span shared across two docs is the
+    distinct-doc answer; occurrence thresholds walk the planted
+    ladder: >=2 occurrences -> 40+overlap? no — fillers between
+    copies break longer spans, so min_count=2 and 3 both find the
+    40-token template, min_count=4 falls back to the 12-token span
+    (2 cross-doc + filler-free overlap cannot reach 4)."""
+    tpl = " ".join(f"t{i}" for i in range(40))
+    cross = " ".join(f"c{i}" for i in range(12))
+    rows = [
+        (0, f"a0 {tpl} a1 {tpl} a2 {tpl} a3"),
+        (1, f"b0 {cross} b1 {cross} b2"),
+        (2, f"d0 {cross} d1"),
+        (3, "e0 e1 e2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # distinct-doc mode can't see the within-doc template
+    assert dedup.longest_repeated_span_length(df, "doc_id", "text") == 12
+    assert (
+        dedup.longest_repeated_span_length(df, "doc_id", "text", min_count=2)
+        == 40
+    )
+    assert (
+        dedup.longest_repeated_span_length(df, "doc_id", "text", min_count=3)
+        == 40
+    )
+    # cross appears 3 times total (2 in doc 1 + 1 in doc 2); tpl 3
+    # times — nothing reaches 4 except short grams... the longest
+    # 4-occurrence span is whatever sub-span overlap allows: none of
+    # the planted spans repeat 4 times, so the answer drops below 12
+    got4 = dedup.longest_repeated_span_length(
+        df, "doc_id", "text", min_count=4
+    )
+    assert got4 < 12
+    spans = dedup.repeated_spans_at(
+        df, "doc_id", "text", 40, min_count=3
+    ).collect()
+    assert len(spans) == 1
+    assert spans[0].span == tpl
+    assert spans[0].n_docs == 1 and spans[0].n_occurrences == 3
+
+
 def test_hamming_near_pairs_generic_over_phash(spark):
     """The pigeonhole pairing generalized from simhash works over the
     DCT perceptual hash: brightness-shifted pattern twins land at

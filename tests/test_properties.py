@@ -1289,3 +1289,21 @@ def test_longest_repeated_span_matches_brute_force(spark, docs, min_docs):
         if any(len(v) >= min_docs for v in grams.values()):
             best = length
     assert got == best, (docs, min_docs, got, best)
+
+    # occurrence mode (r9, min_count): same brute force but counting
+    # POSITIONS — within-doc repeats count; the 3-token alphabet
+    # makes single-doc repetition frequent, exercising exactly the
+    # cases distinct-doc counting cannot see
+    got_occ = longest_repeated_span_length(
+        df, "doc_id", "text", min_count=min_docs
+    )
+    best_occ = 0
+    for length in range(1, max((len(t) for t in docs), default=0) + 1):
+        counts: dict = {}
+        for t in docs:
+            for j in range(len(t) - length + 1):
+                key = tuple(t[j : j + length])
+                counts[key] = counts.get(key, 0) + 1
+        if any(v >= min_docs for v in counts.values()):
+            best_occ = length
+    assert got_occ == best_occ, (docs, min_docs, got_occ, best_occ)
