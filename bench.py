@@ -357,6 +357,8 @@ BENCH_QUERIES_R9 = [
     "corpus_longest_repeated_span",
     # occurrence-mode twin (min_count): same probe cost shape
     "corpus_repeated_span_occurrences",
+    # ExactSubstr removal: gram agg + hit join + doc-bounded rebuild
+    "doc_exact_substring_trim",
 ]
 
 # Exact all-pairs similarity: run ONCE per round (no repeat sweeps)

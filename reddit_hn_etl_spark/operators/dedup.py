@@ -914,6 +914,89 @@ def duplicate_spans(
     )
 
 
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """EXCISE cross-document duplicated spans from every document —
+    the removal step of Lee et al. 2022's ExactSubstr deduplication
+    (the paper's suffix-array pass diagnoses AND deletes; this is the
+    deletion, composing with :func:`duplicate_spans` which is the
+    diagnosis). Every token position covered by a duplicated k-gram
+    (>= ``min_docs`` distinct docs) is dropped and the survivors are
+    reassembled in order; the span CATALOG (`duplicate_spans` /
+    `repeated_spans_at`) is where one canonical copy of each removed
+    span remains available, so corpus + catalog preserve information
+    while no training document repeats another's k-token span.
+
+    Output: (id_col, cleaned_text, n_tokens, n_tokens_removed) — one
+    row per input document, including documents trimmed to empty and
+    documents with no tokens at all (a removal operator that DROPS
+    rows would silently change corpus membership).
+
+    Scale shape: one gram-frequency agg (partial-aggregatable, 8-byte
+    ``xxhash64`` keys — gram strings never shuffle), one hit join on
+    the hashed gram (the duplicated-gram side is the small
+    information-carrying head), one distinct on (doc, position), one
+    anti join, and a per-document reassembly agg (doc-bounded
+    collect_list — the same per-doc bound every chunking query
+    carries). Nothing global, nothing driver-side. Hash collisions
+    can only OVER-trim a k-gram pair (~n²/2⁶⁴ odds) and cannot create
+    wrong text — the trimmed output is rebuilt from true tokens."""
+    toks_arr = tokens(text_col)
+    base = fan_out_narrow_input(df).select(
+        F.col(id_col), toks_arr.alias("_toks")
+    )
+    ps = base.select(
+        F.col(id_col),
+        F.posexplode(ngram_array_doubling(F.col("_toks"), k)).alias(
+            "pos", "g"
+        ),
+    ).select(id_col, "pos", F.xxhash64("g").alias("h"))
+    dup = (
+        ps.groupBy("h")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("h")
+    )
+    covered = (
+        ps.join(dup, "h")
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+            ).alias("tpos"),
+        )
+        .distinct()
+    )
+    tok_rows = base.select(
+        F.col(id_col), F.posexplode("_toks").alias("tpos", "tok")
+    )
+    kept = tok_rows.join(covered, [id_col, "tpos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tpos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    sizes = base.select(F.col(id_col), F.size("_toks").alias("n_tokens"))
+    return sizes.join(rebuilt, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+        "n_tokens",
+        (
+            F.col("n_tokens") - F.coalesce(F.col("_n_kept"), F.lit(0))
+        ).alias("n_tokens_removed"),
+    )
+
+
 def longest_repeated_span_length(
     df: DataFrame,
     id_col: str,

@@ -22921,6 +22921,77 @@ def corpus_repeated_span_occurrences(
 
 
 @_q(
+    "doc_exact_substring_trim",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         t -> t <> '') AS t
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, t, unnest(generate_series(1, len(t))) AS p FROM toks
+    ),
+    grams AS (
+      SELECT doc_id, p, array_to_string(list_slice(t, p, p + 4), ' ') AS g
+      FROM pos WHERE p + 4 <= len(t)
+    ),
+    dup AS (
+      SELECT g FROM grams GROUP BY g
+      HAVING count(DISTINCT doc_id) >= 2
+    ),
+    cov AS (
+      SELECT DISTINCT grams.doc_id, grams.p + i.i AS cp
+      FROM grams JOIN dup USING (g)
+      CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS i) i
+    ),
+    kept AS (
+      SELECT pos.doc_id, pos.p, pos.t[pos.p] AS tok
+      FROM pos LEFT JOIN cov
+        ON pos.doc_id = cov.doc_id AND pos.p = cov.cp
+      WHERE cov.cp IS NULL
+    ),
+    reb AS (
+      SELECT doc_id,
+             string_agg(tok, ' ' ORDER BY p) AS cleaned,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT toks.doc_id,
+           CAST(len(toks.t) AS INTEGER) AS n_tokens,
+           CAST(len(toks.t) - COALESCE(reb.n_kept, 0) AS INTEGER)
+               AS n_tokens_removed,
+           md5(COALESCE(reb.cleaned, '')) AS cleaned_md5
+    FROM toks LEFT JOIN reb USING (doc_id)
+    """,
+)
+def doc_exact_substring_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr REMOVAL (r9, `dedup.remove_duplicate_spans`) — the
+    deletion step of Lee et al. 2022's span-level dedup that
+    `duplicate_token_spans` only diagnoses: every token position
+    covered by a 5-gram shared by >= 2 distinct docs is excised and
+    the survivors reassembled in order. Emits per doc (n_tokens,
+    n_tokens_removed, md5 of the cleaned text) — the md5 pins the
+    EXACT surviving string, so an off-by-one in coverage expansion,
+    ordering, or the empty-survivor contract fails the hash. The
+    oracle recomputes the trim from positional grams in SQL.
+
+    Scale shape: gram-frequency agg on 8-byte hashed keys, hit join,
+    doc-bounded reassembly — see the operator docstring; nothing
+    global, rows never dropped (docs trimmed to empty stay)."""
+    from ..operators import dedup
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = dedup.remove_duplicate_spans(docs, "doc_id", "text", k=5)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.col("n_tokens_removed").cast("int").alias("n_tokens_removed"),
+        F.md5(F.col("cleaned_text").cast("binary")).alias("cleaned_md5"),
+    )
+
+
+@_q(
     "media_catalog_report",
     """
     WITH base AS (SELECT doc_id FROM documents WHERE doc_id < 60)

@@ -347,6 +347,47 @@ def test_duplicate_spans_within_doc_repeat_not_flagged(spark):
     assert dedup.duplicate_spans(docs, "doc_id", "text", k=5).count() == 0
 
 
+def test_remove_duplicate_spans_planted(spark):
+    """r9 ExactSubstr removal: the shared 7-token passage is excised
+    from BOTH docs (exact surviving text pinned), the unique doc is
+    untouched, a doc that is ENTIRELY a duplicate trims to empty but
+    keeps its row, and a token-free doc survives with n_tokens=0."""
+    shared = "alpha bravo charlie delta echo foxtrot golf"
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two three {shared} four five"),
+            (2, f"{shared} six seven eight nine ten"),
+            (3, "eleven twelve thirteen fourteen fifteen sixteen"),
+            (4, shared),  # pure duplicate -> empty survivor
+            (5, "   "),  # no tokens at all
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.cleaned_text, r.n_tokens, r.n_tokens_removed)
+        for r in dedup.remove_duplicate_spans(
+            docs, "doc_id", "text", k=5
+        ).collect()
+    }
+    assert got[1] == ("one two three four five", 12, 7)
+    assert got[2] == ("six seven eight nine ten", 12, 7)
+    assert got[3] == (
+        "eleven twelve thirteen fourteen fifteen sixteen", 6, 0
+    )
+    assert got[4] == ("", 7, 7)
+    assert got[5] == ("", 0, 0)
+    assert set(got) == {1, 2, 3, 4, 5}  # no row dropped
+    # idempotence: a second pass removes nothing more
+    once = dedup.remove_duplicate_spans(docs, "doc_id", "text", k=5)
+    twice = dedup.remove_duplicate_spans(
+        once.select("doc_id", F.col("cleaned_text").alias("text")),
+        "doc_id",
+        "text",
+        k=5,
+    )
+    assert twice.agg(F.sum("n_tokens_removed")).first()[0] == 0
+
+
 def test_semantic_dedup_planted_clusters(spark):
     """Three planted groups: two near-identical pairs (same cell,
     cosine ≈ 1) and one isolated vector — reps are the min ids, the

@@ -1307,3 +1307,50 @@ def test_longest_repeated_span_matches_brute_force(spark, docs, min_docs):
         if any(v >= min_docs for v in counts.values()):
             best_occ = length
     assert got_occ == best_occ, (docs, min_docs, got_occ, best_occ)
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("aa bb cc".split()), min_size=0,
+                 max_size=10),
+        min_size=1, max_size=5,
+    ),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_remove_duplicate_spans_matches_brute_force(spark, docs):
+    """`remove_duplicate_spans` (r9 ExactSubstr removal) vs the
+    direct Python model: mark every position covered by a k-gram
+    shared by >= 2 distinct docs, drop it, reassemble. The 3-token
+    alphabet forces dense cross-doc gram collisions and the size-0
+    docs hit the empty-row contract."""
+    from reddit_hn_etl_spark.operators.dedup import remove_duplicate_spans
+
+    k = 2
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.cleaned_text, r.n_tokens, r.n_tokens_removed)
+        for r in remove_duplicate_spans(df, "doc_id", "text", k=k).collect()
+    }
+
+    gram_docs: dict = {}
+    for i, t in enumerate(docs):
+        for j in range(len(t) - k + 1):
+            gram_docs.setdefault(tuple(t[j : j + k]), set()).add(i)
+    dup = {g for g, ds in gram_docs.items() if len(ds) >= 2}
+    for i, t in enumerate(docs):
+        covered = set()
+        for j in range(len(t) - k + 1):
+            if tuple(t[j : j + k]) in dup:
+                covered.update(range(j, j + k))
+        keep = [tok for j, tok in enumerate(t) if j not in covered]
+        assert got[i] == (" ".join(keep), len(t), len(covered)), (
+            docs, i, got[i]
+        )
+    assert set(got) == set(range(len(docs)))
