@@ -110,6 +110,13 @@ PROBES = [
     # replicated embeddings are exact twins and salted text keeps
     # jaccard pairs linear but the probes' interest is the new
     # statistic algebra, already covered by the singles above.
+    # r9 additions: per-token salting keeps replicas copy-distinct,
+    # so each replica's INTERNAL repeated spans persist while copies
+    # never cross-match — the duplicated-gram head and covered
+    # positions grow k×, probe count stays O(log max_len).
+    "corpus_repeated_span_occurrences",  # documents: binary-search LRS
+    "doc_exact_substring_trim",  # documents: gram agg + trim rebuild
+    "doc_quality_logistic",      # documents: 3 scans -> 1-row reduces
 ]
 
 
