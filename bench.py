@@ -359,6 +359,8 @@ BENCH_QUERIES_R9 = [
     "corpus_repeated_span_occurrences",
     # ExactSubstr removal: gram agg + hit join + doc-bounded rebuild
     "doc_exact_substring_trim",
+    # growing-corpus twin: index join + batch-sized trim
+    "incremental_span_trim",
 ]
 
 # Exact all-pairs similarity: run ONCE per round (no repeat sweeps)

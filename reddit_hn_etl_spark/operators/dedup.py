@@ -946,9 +946,22 @@ def remove_duplicate_spans(
     carries). Nothing global, nothing driver-side. Hash collisions
     can only OVER-trim a k-gram pair (~n²/2⁶⁴ odds) and cannot create
     wrong text — the trimmed output is rebuilt from true tokens."""
-    toks_arr = tokens(text_col)
+    base, ps = _gram_base(df, id_col, text_col, k)
+    dup = (
+        ps.groupBy("h")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("h")
+    )
+    return _excise_covered(base, ps, dup, id_col, k)
+
+
+def _gram_base(df, id_col: str, text_col: str, k: int):
+    """(base, ps): tokenized docs and their positional k-gram hashes —
+    the shared projection under the ExactSubstr trim family. Gram
+    strings die inside the projection; only 8-byte hashes continue."""
     base = fan_out_narrow_input(df).select(
-        F.col(id_col), toks_arr.alias("_toks")
+        F.col(id_col), tokens(text_col).alias("_toks")
     )
     ps = base.select(
         F.col(id_col),
@@ -956,12 +969,16 @@ def remove_duplicate_spans(
             "pos", "g"
         ),
     ).select(id_col, "pos", F.xxhash64("g").alias("h"))
-    dup = (
-        ps.groupBy("h")
-        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
-        .where(F.col("nd") >= min_docs)
-        .select("h")
-    )
+    return base, ps
+
+
+def _excise_covered(
+    base: DataFrame, ps: DataFrame, dup: DataFrame, id_col: str, k: int
+) -> DataFrame:
+    """Drop every token position covered by a duplicated gram start
+    and reassemble per-doc survivors — the trim/rebuild half shared
+    by remove_duplicate_spans and trim_batch_against_index. One row
+    per input doc always (empty survivors kept)."""
     covered = (
         ps.join(dup, "h")
         .select(
@@ -995,6 +1012,91 @@ def remove_duplicate_spans(
             F.col("n_tokens") - F.coalesce(F.col("_n_kept"), F.lit(0))
         ).alias("n_tokens_removed"),
     )
+
+
+def gram_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Persistable k-gram document-frequency index: (h, n_docs) with
+    ``h`` the xxhash64 of the space-joined k-gram. The ExactSubstr
+    analogue of :func:`minhash_index` for a GROWING corpus: build
+    once, persist (bucket by ``h`` at scale so batch joins co-locate),
+    then trim each incoming batch with
+    :func:`trim_batch_against_index` — indexed text is never re-read.
+    Index size: one 16-byte row per distinct gram, independent of how
+    often it repeats."""
+    ps = positional_gram_hashes(df, id_col, text_col, k)
+    return ps.groupBy("h").agg(
+        F.count_distinct(F.col(id_col)).alias("n_docs")
+    )
+
+
+def merge_gram_index(index: DataFrame, batch_index: DataFrame) -> DataFrame:
+    """Fold a batch's gram_index rows into the persisted index (same
+    k; doc ids disjoint by the caller's contract): outer-join on h,
+    sum the document counts. Append-merge like the minhash index's
+    'append the batch's own rows afterwards' step."""
+    a = index.select("h", F.col("n_docs").alias("_a"))
+    b = batch_index.select("h", F.col("n_docs").alias("_b"))
+    return a.join(b, "h", "full_outer").select(
+        "h",
+        (
+            F.coalesce(F.col("_a"), F.lit(0))
+            + F.coalesce(F.col("_b"), F.lit(0))
+        ).alias("n_docs"),
+    )
+
+
+def positional_gram_hashes(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """(id, pos, h): xxhash64 of every positional k-gram — the shared
+    projection under gram_index / trim_batch_against_index /
+    remove_duplicate_spans (gram strings die inside the projection;
+    only 8-byte hashes shuffle)."""
+    return _gram_base(df, id_col, text_col, k)[1]
+
+
+def trim_batch_against_index(
+    new_df: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """ExactSubstr trim of an incoming batch against the ACCUMULATED
+    corpus: a batch position is excised when its k-gram's combined
+    document frequency — persisted ``gram_index`` count plus the
+    batch's own distinct docs — reaches ``min_docs``, so batch-vs-
+    corpus AND batch-internal duplication both trim. With disjoint
+    ids this equals :func:`remove_duplicate_spans` over the full
+    corpus restricted to the batch (pinned by
+    test_incremental_trim_equals_full), while only the BATCH is
+    tokenized and hashed; the index join touches (h, n_docs) rows.
+    Same output contract as remove_duplicate_spans (no row dropped).
+
+    Scale shape: batch-sized gram projection, one agg, one join
+    against the index (bucket the persisted index by h and only the
+    batch shuffles), then the per-doc trim/reassembly."""
+    base, ps = _gram_base(new_df, id_col, text_col, k)
+    batch_df = ps.groupBy("h").agg(
+        F.count_distinct(F.col(id_col)).alias("_nd_new")
+    )
+    dup = (
+        batch_df.join(
+            index.select("h", F.col("n_docs").alias("_nd_old")), "h", "left"
+        )
+        .where(
+            F.col("_nd_new") + F.coalesce(F.col("_nd_old"), F.lit(0))
+            >= min_docs
+        )
+        .select("h")
+    )
+    return _excise_covered(base, ps, dup, id_col, k)
 
 
 def longest_repeated_span_length(

@@ -22992,6 +22992,86 @@ def doc_exact_substring_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "incremental_span_trim",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         t -> t <> '') AS t
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, t, unnest(generate_series(1, len(t))) AS p FROM toks
+    ),
+    grams AS (
+      SELECT doc_id, p, array_to_string(list_slice(t, p, p + 4), ' ') AS g
+      FROM pos WHERE p + 4 <= len(t)
+    ),
+    dup AS (
+      SELECT g FROM grams GROUP BY g
+      HAVING count(DISTINCT doc_id) >= 2
+    ),
+    cov AS (
+      SELECT DISTINCT grams.doc_id, grams.p + i.i AS cp
+      FROM grams JOIN dup USING (g)
+      CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS i) i
+    ),
+    kept AS (
+      SELECT pos.doc_id, pos.p, pos.t[pos.p] AS tok
+      FROM pos LEFT JOIN cov
+        ON pos.doc_id = cov.doc_id AND pos.p = cov.cp
+      WHERE cov.cp IS NULL
+    ),
+    reb AS (
+      SELECT doc_id,
+             string_agg(tok, ' ' ORDER BY p) AS cleaned,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT toks.doc_id,
+           CAST(len(toks.t) AS INTEGER) AS n_tokens,
+           CAST(len(toks.t) - COALESCE(reb.n_kept, 0) AS INTEGER)
+               AS n_tokens_removed,
+           md5(COALESCE(reb.cleaned, '')) AS cleaned_md5
+    FROM toks LEFT JOIN reb USING (doc_id)
+    WHERE toks.doc_id % 2 = 1
+    """,
+)
+def incremental_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growing-corpus ExactSubstr (r9, `dedup.gram_index` +
+    `dedup.trim_batch_against_index`) — the operational shape for
+    continuous ingestion, mirroring `incremental_near_dup`: even-id
+    docs play the already-indexed corpus (only their 16-byte
+    (gram-hash, n_docs) index rows participate — their text is never
+    re-read), odd-id docs the incoming batch; a batch position trims
+    when index count + batch count reaches 2, so batch-vs-corpus AND
+    batch-internal duplication both excise. With disjoint ids this
+    EQUALS the full-corpus trim restricted to the batch (the operator
+    test pins it; the oracle exploits it — full-corpus positional-gram
+    trim WHERE doc_id odd), so any drift between the incremental and
+    batch paths fails the hash.
+
+    Scale shape: batch-sized gram projection + one agg + one join
+    against the persisted index (bucket it by h and only the batch
+    shuffles), then the doc-bounded trim/reassembly."""
+    from ..operators import dedup
+
+    docs = read_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    idx = dedup.gram_index(corpus, "doc_id", "text", k=5)
+    out = dedup.trim_batch_against_index(
+        batch, idx, "doc_id", "text", k=5
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.col("n_tokens_removed").cast("int").alias("n_tokens_removed"),
+        F.md5(F.col("cleaned_text").cast("binary")).alias("cleaned_md5"),
+    )
+
+
+@_q(
     "media_catalog_report",
     """
     WITH base AS (SELECT doc_id FROM documents WHERE doc_id < 60)

@@ -388,6 +388,63 @@ def test_remove_duplicate_spans_planted(spark):
     assert twice.agg(F.sum("n_tokens_removed")).first()[0] == 0
 
 
+def test_incremental_trim_equals_full(spark):
+    """r9 growing-corpus ExactSubstr: trimming a batch against the
+    persisted gram_index of the already-ingested corpus equals the
+    full-corpus remove_duplicate_spans restricted to the batch —
+    batch-vs-corpus, batch-internal, AND corpus-internal-only
+    duplication all resolve identically (disjoint ids). Also pins
+    merge_gram_index: index ∪ batch grams == index built from the
+    union."""
+    shared = "alpha bravo charlie delta echo foxtrot golf"
+    batch_dup = "hotel india juliet kilo lima"
+    corpus = spark.createDataFrame(
+        [
+            (0, f"one two {shared} three"),
+            (2, "unique0 unique1 unique2 unique3 unique4 unique5"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, f"{shared} four five six seven"),  # dup vs corpus
+            (3, f"{batch_dup} mid0 {batch_dup} tail"),  # within-doc
+            (5, f"x0 {batch_dup} x1"),  # dup vs another batch doc
+            (7, "lone0 lone1 lone2 lone3 lone4 lone5"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = dedup.gram_index(corpus, "doc_id", "text", k=5)
+    inc = {
+        r.doc_id: (r.cleaned_text, r.n_tokens, r.n_tokens_removed)
+        for r in dedup.trim_batch_against_index(
+            batch, idx, "doc_id", "text", k=5
+        ).collect()
+    }
+    full = {
+        r.doc_id: (r.cleaned_text, r.n_tokens, r.n_tokens_removed)
+        for r in dedup.remove_duplicate_spans(
+            corpus.unionByName(batch), "doc_id", "text", k=5
+        ).collect()
+        if r.doc_id in {1, 3, 5, 7}
+    }
+    assert inc == full
+    assert inc[1] == ("four five six seven", 11, 7)
+    assert inc[7][2] == 0  # untouched
+    # within-doc repeat in 3 and cross-batch dup in 5 both trimmed
+    assert inc[3][2] >= 10 and inc[5][2] == 5
+
+    merged = dedup.merge_gram_index(
+        idx, dedup.gram_index(batch, "doc_id", "text", k=5)
+    )
+    rebuilt = dedup.gram_index(
+        corpus.unionByName(batch), "doc_id", "text", k=5
+    )
+    a = {(r.h, r.n_docs) for r in merged.collect()}
+    b = {(r.h, r.n_docs) for r in rebuilt.collect()}
+    assert a == b
+
+
 def test_semantic_dedup_planted_clusters(spark):
     """Three planted groups: two near-identical pairs (same cell,
     cosine ≈ 1) and one isolated vector — reps are the min ids, the
