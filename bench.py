@@ -361,6 +361,9 @@ BENCH_QUERIES_R9 = [
     "doc_exact_substring_trim",
     # growing-corpus twin: index join + batch-sized trim
     "incremental_span_trim",
+    # URL canonicalization dedup: scan → native string project →
+    # hash agg on the canonical key (SF-scaled)
+    "url_canonical_dedup",
 ]
 
 # Exact all-pairs similarity: run ONCE per round (no repeat sweeps)

@@ -76,3 +76,69 @@ def batch_ts_from_filename(pattern_prefix: str = "hn_raw_") -> Column:
     name = F.element_at(F.split(F.input_file_name(), "/"), -1)
     stamp = F.regexp_extract(name, pattern_prefix + r"(\d{8}_\d{6})", 1)
     return F.to_timestamp(stamp, "yyyyMMdd_HHmmss")
+
+
+_TRACKING_PARAM_RE = r"^(utm_|gclid=|fbclid=|ref=)"
+
+
+def canonical_url(url: str | Column) -> Column:
+    """URL canonicalization for URL-level dedup — the crawl-dedup
+    normalization step (RefinedWeb-style URL dedup), extending F1-F4's
+    `domain_from_url` from host extraction to a full canonical key.
+
+    Rules (each mirrored verbatim by the DuckDB oracle of the
+    `url_canonical_dedup` query — a drift in any rule flips its hash):
+
+    1. scheme and host lowercased;
+    2. a leading ``www.`` dropped from the host;
+    3. the default port stripped (``:80`` for http, ``:443`` for
+       https); any other explicit port kept;
+    4. the ``#fragment`` dropped;
+    5. query params split on ``&``; empty params and tracking params
+       matching ``^(utm_|gclid=|fbclid=|ref=)`` dropped; survivors
+       sorted lexicographically as whole ``k=v`` strings and
+       re-joined — param order never discriminates;
+    6. trailing ``/`` runs stripped from the path (the canonical root
+       is the bare authority).
+
+    Pure native column expressions (regexp_extract / split_part /
+    filter / array_sort / concat_ws) — whole-stage-codegen eligible,
+    no UDF, so the 100 TB shape is scan → project → hash-agg on the
+    canonical key. NULL/empty input stays NULL. IPv6 bracket hosts
+    are out of scope (the ``:`` port split would mangle them).
+    """
+    u = F.col(url) if isinstance(url, str) else url
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    nofrag = F.regexp_extract(rest, r"^([^#]*)", 1)
+    authority = F.regexp_extract(nofrag, r"^([^/?]*)", 1)
+    host = F.regexp_replace(
+        F.lower(F.split_part(authority, F.lit(":"), F.lit(1))), r"^www\.", ""
+    )
+    port = F.split_part(authority, F.lit(":"), F.lit(2))
+    keep_port = (
+        (port != "")
+        & ~((scheme == F.lit("http")) & (port == F.lit("80")))
+        & ~((scheme == F.lit("https")) & (port == F.lit("443")))
+    )
+    port_part = F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(
+        F.lit("")
+    )
+    pathquery = F.substr(nofrag, F.length(authority) + F.lit(1))
+    path = F.regexp_replace(
+        F.regexp_extract(pathquery, r"^([^?]*)", 1), r"/+$", ""
+    )
+    query = F.regexp_extract(pathquery, r"\?(.*)$", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(_TRACKING_PARAM_RE),
+        )
+    )
+    query_part = F.when(
+        F.size(params) > 0, F.concat(F.lit("?"), F.concat_ws("&", params))
+    ).otherwise(F.lit(""))
+    out = F.concat(scheme, F.lit("://"), host, port_part, path, query_part)
+    return F.when(u.isNull() | (u == ""), F.lit(None).cast("string")).otherwise(
+        out
+    )

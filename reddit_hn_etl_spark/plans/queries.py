@@ -23168,6 +23168,153 @@ def media_catalog_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 # ---------------------------------------------------------------------------
+# URL-level dedup (the crawl-dedup normalization step; extends the
+# reference's F1-F4 domain pipeline, `sql/mart/02_marts.sql:56-65`,
+# from host extraction to a full canonical key). The testdata has no
+# URL column, so the query synthesizes one deterministically from
+# events rows (same precedent as domain_extract's synthesized URL
+# column) covering every variant class the canonicalizer must
+# collapse: scheme/host case, www prefix, default vs explicit port,
+# param order, tracking params, fragments, trailing slashes.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "url_canonical_dedup",
+    r"""
+    WITH raw AS (
+        SELECT (CASE event_id % 4 WHEN 0 THEN 'https' WHEN 1 THEN 'http'
+                                  WHEN 2 THEN 'HTTPS' ELSE 'Http' END)
+               || '://'
+               || (CASE event_id % 3 WHEN 0 THEN 'Example.COM'
+                                     WHEN 1 THEN 'www.example.com'
+                                     ELSE 'example.com' END)
+               || (CASE WHEN event_id % 5 = 0 THEN
+                         (CASE WHEN event_id % 2 = 0 THEN ':443' ELSE ':80' END)
+                        WHEN event_id % 5 = 1 THEN ':8080' ELSE '' END)
+               || '/t/' || event_type
+               || '/u' || CAST(user_id % 25 AS VARCHAR)
+               || (CASE WHEN event_id % 2 = 0 THEN '/' ELSE '' END)
+               || (CASE event_id % 4 WHEN 0 THEN '?a=1&b=2'
+                                     WHEN 1 THEN '?b=2&a=1'
+                                     WHEN 2 THEN '?a=1&utm_source=feed&b=2'
+                                     ELSE '?b=2&a=1&fbclid=XYZ' END)
+               || (CASE WHEN event_id % 7 = 0
+                        THEN '#sec' || CAST(event_id % 3 AS VARCHAR)
+                        ELSE '' END) AS url
+        FROM events
+    ),
+    parts AS (
+        SELECT url,
+               lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+                   AS scheme,
+               regexp_extract(regexp_replace(url,
+                   '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^([^#]*)', 1) AS nofrag
+        FROM raw
+    ),
+    pieces AS (
+        SELECT url, scheme, nofrag,
+               regexp_extract(nofrag, '^([^/?]*)', 1) AS authority
+        FROM parts
+    ),
+    fields AS (
+        SELECT url, scheme,
+               regexp_replace(lower(split_part(authority, ':', 1)),
+                              '^www\.', '') AS host,
+               split_part(authority, ':', 2) AS port,
+               substring(nofrag, length(authority) + 1) AS pathquery
+        FROM pieces
+    ),
+    assembled AS (
+        SELECT url, scheme, host,
+               CASE WHEN port <> ''
+                         AND NOT (scheme = 'http'  AND port = '80')
+                         AND NOT (scheme = 'https' AND port = '443')
+                    THEN ':' || port ELSE '' END AS port_part,
+               regexp_replace(regexp_extract(pathquery, '^([^?]*)', 1),
+                              '/+$', '') AS path,
+               list_sort(list_filter(
+                   string_split(regexp_extract(pathquery, '\?(.*)$', 1), '&'),
+                   p -> p <> ''
+                        AND NOT regexp_matches(p, '^(utm_|gclid=|fbclid=|ref=)')
+               )) AS params
+        FROM fields
+    )
+    SELECT scheme || '://' || host || port_part || path
+           || CASE WHEN len(params) > 0
+                   THEN '?' || array_to_string(params, '&') ELSE '' END
+               AS canonical_url,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT url) AS n_variants
+    FROM assembled
+    GROUP BY 1
+    """,
+)
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup report: synthesize raw URLs (deterministic
+    variant classes over events), canonicalize with
+    `scalars.canonical_url`, and group — n_rows counts collapsed rows
+    per canonical key, n_variants the surviving raw spellings. The
+    canonicalizer is pure native string/array expressions (no UDF);
+    the oracle re-implements every rule in DuckDB SQL, so a drift in
+    any rule (scheme/host case, www, default ports, tracking params,
+    param order, fragments, trailing slashes) flips the hash.
+    Scale: one scan → project → hash-agg on the canonical key — the
+    exact shape of URL dedup over a 100 TB crawl."""
+    ev = read_table(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    scheme_str = (
+        F.when(eid % 4 == 0, F.lit("https"))
+        .when(eid % 4 == 1, F.lit("http"))
+        .when(eid % 4 == 2, F.lit("HTTPS"))
+        .otherwise(F.lit("Http"))
+    )
+    host_str = (
+        F.when(eid % 3 == 0, F.lit("Example.COM"))
+        .when(eid % 3 == 1, F.lit("www.example.com"))
+        .otherwise(F.lit("example.com"))
+    )
+    port_str = (
+        F.when(
+            eid % 5 == 0,
+            F.when(eid % 2 == 0, F.lit(":443")).otherwise(F.lit(":80")),
+        )
+        .when(eid % 5 == 1, F.lit(":8080"))
+        .otherwise(F.lit(""))
+    )
+    query_str = (
+        F.when(eid % 4 == 0, F.lit("?a=1&b=2"))
+        .when(eid % 4 == 1, F.lit("?b=2&a=1"))
+        .when(eid % 4 == 2, F.lit("?a=1&utm_source=feed&b=2"))
+        .otherwise(F.lit("?b=2&a=1&fbclid=XYZ"))
+    )
+    frag_str = F.when(
+        eid % 7 == 0, F.concat(F.lit("#sec"), (eid % 3).cast("string"))
+    ).otherwise(F.lit(""))
+    url = F.concat(
+        scheme_str,
+        F.lit("://"),
+        host_str,
+        port_str,
+        F.lit("/t/"),
+        F.col("event_type"),
+        F.lit("/u"),
+        (F.col("user_id") % 25).cast("string"),
+        F.when(eid % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        query_str,
+        frag_str,
+    )
+    return (
+        ev.select(url.alias("url"))
+        .groupBy(scalars.canonical_url("url").alias("canonical_url"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("url").alias("n_variants"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window.
 #
 # The driver hard-verifies (rows + schema + value hash vs the DuckDB

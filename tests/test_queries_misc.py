@@ -42,6 +42,50 @@ def test_domain_from_url_scheme_case(spark):
     ]
 
 
+def test_canonical_url_rules(spark):
+    """Pin every canonicalization rule of scalars.canonical_url one
+    by one (case, www, default/explicit ports, fragment, tracking
+    params, param sort, empty params, trailing slashes, NULL/empty
+    passthrough) — the url_canonical_dedup oracle mirrors these in
+    SQL, so this is the engine-side half of the differential."""
+    from pyspark.sql import functions as F
+
+    from reddit_hn_etl_spark.functions.scalars import canonical_url
+
+    cases = [
+        # scheme/host case + www + default https port + fragment
+        ("HTTPS://WWW.Example.COM:443/A/b/#frag", "https://example.com/A/b"),
+        # http default port + tracking params dropped + params sorted
+        (
+            "http://example.com:80/p?utm_source=x&b=2&a=1",
+            "http://example.com/p?a=1&b=2",
+        ),
+        # explicit non-default port kept
+        ("https://example.com:8080/p", "https://example.com:8080/p"),
+        # http with :443 is NOT a default port — kept
+        ("http://example.com:443/p", "http://example.com:443/p"),
+        # empty + tracking-only query drops the '?'
+        ("https://example.com/p?utm_campaign=z&fbclid=Q", "https://example.com/p"),
+        # gclid= and ref= are tracking; refresh=1 is NOT (prefix match
+        # requires the '=' right after the name)
+        (
+            "https://example.com/p?gclid=1&ref=hn&refresh=1",
+            "https://example.com/p?refresh=1",
+        ),
+        # trailing slash runs collapse; bare root has no path
+        ("https://example.com///", "https://example.com"),
+        # query without path; duplicate '&&' yields no empty param
+        ("https://example.com?b=2&&a=1", "https://example.com?a=1&b=2"),
+        ("", None),
+        (None, None),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [
+        r.c for r in df.select(canonical_url(F.col("url")).alias("c")).collect()
+    ]
+    assert got == [want for _, want in cases]
+
+
 def test_event_type_sets_array(spark, sf_dir):
     """Array variant agrees element-wise with the driver's joined-string
     variant, and every array is sorted (deterministic)."""
