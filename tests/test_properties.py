@@ -1354,3 +1354,101 @@ def test_remove_duplicate_spans_matches_brute_force(spark, docs):
             docs, i, got[i]
         )
     assert set(got) == set(range(len(docs)))
+
+
+# ---------------------------------------------------------------------------
+# canonical_url (functions/scalars.py): differential vs a direct
+# Python model of the 6 documented rules, plus idempotence
+# (canonical(canonical(u)) == canonical(u)) — the invariant that makes
+# a canonical key safe to persist and re-canonicalize across pipeline
+# versions. URLs are generated from a component grammar (no IPv6 —
+# documented out of scope).
+# ---------------------------------------------------------------------------
+
+_TRACKING = ("utm_", "gclid=", "fbclid=", "ref=")
+
+
+def _model_canonical(url: str) -> str:
+    import re
+
+    m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://", url)
+    scheme = m.group(1).lower() if m else ""
+    rest = re.sub(r"^[A-Za-z][A-Za-z0-9+.-]*://", "", url)
+    nofrag = rest.split("#", 1)[0]
+    m2 = re.match(r"^([^/?]*)", nofrag)
+    authority = m2.group(1)
+    hostport = authority.split(":", 1)
+    host = re.sub(r"^www\.", "", hostport[0].lower())
+    port = hostport[1] if len(hostport) > 1 else ""
+    keep = port != "" and not (
+        (scheme == "http" and port == "80")
+        or (scheme == "https" and port == "443")
+    )
+    port_part = f":{port}" if keep else ""
+    pathquery = nofrag[len(authority):]
+    path = re.sub(r"/+$", "", pathquery.split("?", 1)[0])
+    query = pathquery.split("?", 1)[1] if "?" in pathquery else ""
+    params = sorted(
+        p
+        for p in query.split("&")
+        if p != "" and not any(p.startswith(t) for t in _TRACKING)
+    )
+    qp = "?" + "&".join(params) if params else ""
+    return f"{scheme}://{host}{port_part}{path}{qp}"
+
+
+_url_strategy = st.builds(
+    lambda scheme, www, host, port, segs, slash, params, frag: (
+        scheme
+        + "://"
+        + www
+        + host
+        + port
+        + "".join("/" + s for s in segs)
+        + slash
+        + ("?" + "&".join(params) if params else "")
+        + frag
+    ),
+    scheme=st.sampled_from(["http", "https", "HTTPS", "Http", "ftp"]),
+    www=st.sampled_from(["", "www.", "WWW."]),
+    host=st.sampled_from(["example.com", "Example.COM", "sub.host.org"]),
+    port=st.sampled_from(["", ":80", ":443", ":8080"]),
+    segs=st.lists(
+        st.text(
+            alphabet="abcA1.-_~%", min_size=1, max_size=4
+        ),
+        max_size=3,
+    ),
+    slash=st.sampled_from(["", "/", "//"]),
+    params=st.lists(
+        st.sampled_from(
+            ["a=1", "b=2", "b=10", "z=", "utm_source=x", "utm_c=y",
+             "gclid=G", "fbclid=F", "ref=hn", "refresh=1", ""]
+        ),
+        max_size=4,
+    ),
+    frag=st.sampled_from(["", "#top", "#a?b=2"]),
+)
+
+
+@given(urls=st.lists(_url_strategy, min_size=1, max_size=24))
+@SET
+def test_canonical_url_matches_model_and_is_idempotent(spark, urls):
+    from reddit_hn_etl_spark.functions.scalars import canonical_url
+
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [
+        r.c
+        for r in df.select(
+            canonical_url(F.col("url")).alias("c")
+        ).collect()
+    ]
+    assert got == [_model_canonical(u) for u in urls]
+    df2 = spark.createDataFrame([(c,) for c in got], "url string")
+    got2 = [
+        r.c
+        for r in df2.select(
+            canonical_url(F.col("url")).alias("c")
+        ).collect()
+    ]
+    assert got2 == got
