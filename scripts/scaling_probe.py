@@ -117,6 +117,7 @@ PROBES = [
     "corpus_repeated_span_occurrences",  # documents: binary-search LRS
     "doc_exact_substring_trim",  # documents: gram agg + trim rebuild
     "doc_quality_logistic",      # documents: 3 scans -> 1-row reduces
+    "url_canonical_dedup",       # events: native string project + key agg
 ]
 
 
