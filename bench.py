@@ -498,6 +498,34 @@ def cpu_calibration_ms() -> float:
     return round((time.perf_counter() - t0) * 1000, 1)
 
 
+def _calib_worker(_):
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(2_000_000):
+        x += i * i
+    assert x > 0
+    return time.perf_counter() - t0
+
+
+def cpu_multicore_parallelism() -> float:
+    """Effective parallelism of the box: 32 copies of the calibration
+    loop in separate processes; returns (32 × single-proc time) /
+    wall — the number of single-thread-equivalent cores ACTUALLY
+    delivered. Single-thread calib alone mislabels a box whose 32
+    logical CPUs share 16 physical cores or suffer hypervisor steal
+    (r9: calib said 'fast box' while a 32-thread sweep ran ~2× slow —
+    measured parallelism was 16.8/32). Stamped as cpu_parallelism so
+    cross-round normalization can account for BOTH axes."""
+    import multiprocessing as mp
+
+    single = _calib_worker(None)
+    with mp.Pool(32) as pool:
+        t0 = time.perf_counter()
+        pool.map(_calib_worker, range(32))
+        wall = time.perf_counter() - t0
+    return round(32.0 * single / wall, 1) if wall > 0 else 0.0
+
+
 def git_head() -> str:
     """Commit the bench ran against (VERDICT r5 #5 — BENCH_r04 was
     generated mid-r5 and the label ambiguity cost a round of
@@ -726,6 +754,7 @@ def main() -> None:
                 "ann_recall": ann_recall,
                 "git_head": git_head(),
                 "cpu_calib_ms": calib,
+                "cpu_parallelism": cpu_multicore_parallelism(),
                 "queries": slowest,
             }
         )
