@@ -652,8 +652,16 @@ def main() -> None:
     # the bench SF, so approximation QUALITY is a per-round number
     # next to the speedup the twins' timings already record. Work is
     # server-side (semi-join + count); only two scalars collect.
-    ann_recall: dict[str, float] = {}
-    if time.perf_counter() - t_start <= budget_s * 1.25:
+    # The panel itself costs ~15s — keep it unless the run is already
+    # 2x past budget, and NEVER drop it silently (a slow box skipped
+    # it twice in r9 and the round lost its quality number).
+    ann_recall: dict = {}
+    if time.perf_counter() - t_start > budget_s * 2:
+        ann_recall["skipped"] = (
+            f"run at {round(time.perf_counter() - t_start)}s exceeded "
+            f"2x budget ({budget_s}s) before the recall panel"
+        )
+    else:
         from pyspark.sql import functions as F
 
         from reddit_hn_etl_spark.operators import similarity
