@@ -1621,3 +1621,61 @@ def test_quantile_summary_stream_rejects_legacy_flat_sink(spark, tmp_path):
             k=4,
             parts=2,
         )
+
+
+def test_streaming_url_dedup_on_canonical_key(spark, tmp_path):
+    """Crawl-stream URL dedup: canonical_url is a deterministic
+    per-row projection, so it composes with the bounded-state
+    streaming dedup — different raw spellings of the same URL
+    (scheme case, www, default port, param order, tracking params,
+    fragment) collapse to ONE surviving row per canonical key within
+    the watermark horizon, while genuinely different URLs all pass."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from reddit_hn_etl_spark.functions.scalars import canonical_url
+    from reddit_hn_etl_spark.streaming.ingest import (
+        dedup_stream_within_watermark,
+    )
+
+    src = tmp_path / "urlstream"
+    src.mkdir()
+    out = tmp_path / "url_out"
+    ckpt = str(tmp_path / "url_ckpt")
+
+    rows = [
+        # four spellings of ONE canonical url
+        ("2024-01-01 10:00:00", "https://www.example.com:443/p?b=2&a=1"),
+        ("2024-01-01 10:00:10", "HTTPS://Example.COM/p?a=1&b=2#frag"),
+        ("2024-01-01 10:00:20", "https://example.com/p/?a=1&utm_source=x&b=2"),
+        ("2024-01-01 10:00:30", "https://example.com/p?b=2&a=1&fbclid=Q"),
+        # two distinct canonical urls
+        ("2024-01-01 10:00:40", "https://example.com/p?a=1"),
+        ("2024-01-01 10:00:50", "http://example.com/p?a=1&b=2"),
+    ]
+    with open(src / "b1.jsonl", "w", encoding="utf-8") as f:
+        for ts, url in rows:
+            f.write(_json.dumps({"ts": ts, "url": url}) + "\n")
+
+    stream = (
+        spark.readStream.schema("ts timestamp, url string")
+        .json(str(src))
+        .withColumn("canonical_url", canonical_url(F.col("url")))
+    )
+    deduped = dedup_stream_within_watermark(stream, ["canonical_url"])
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(r.canonical_url for r in spark.read.parquet(str(out)).collect())
+    assert got == [
+        "http://example.com/p?a=1&b=2",
+        "https://example.com/p?a=1",
+        "https://example.com/p?a=1&b=2",
+    ]
