@@ -23330,69 +23330,68 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
-    # --- r9 rotation ---
-    # Freeze-lift round (VERDICT r8 #1/#2): 38 backlog slots (the 44
-    # never-driver-checked queries in registration order, minus the 6
-    # tail stats queries deferred to r10 — the window holds exactly
-    # 50) + the 10 newly registered codec/media/LRS queries + 2
-    # re-checks of queries whose physical plans were rewritten in r8
-    # after their last driver rows (corpus_heaps_fit,
-    # cms_selfjoin_size_estimate — both r6). If all land green the
-    # backlog is 6; r10 = 6 backlog + 5 evergreens + re-checks.
-    # backlog, registration order:
-    "brand_value_concentration",
-    "large_volume_orders",
-    "media_frames",
-    "users_purchase_and_error",
-    "users_purchase_no_error",
-    "unpivot_daily_types",
-    "part_supplier_counts",
-    "bulk_suppliers",
-    "rich_idle_customers",
-    "top_revenue_supplier",
-    "approx_value_percentiles",
-    "order_priority_check",
-    "doc_chunking",
-    "salted_event_enrichment",
-    "quantize_embeddings_int8",
-    "shipping_lag_stats",
-    "source_dup_matrix",
-    "doc_repetition",
-    "simhash_jaccard_consistency",
-    "doc_distinctive_token",
-    "corpus_mix_allocation",
-    "near_dup_edit_distance",
-    "user_engagement_rank",
-    "doc_unigram_logprob",
-    "orders_column_stats",
-    "cluster_balanced_sample",
-    "doc_unicode_normalize",
-    "brand_price_regression",
-    "incremental_daily_metrics",
-    "source_diversity_entropy",
-    "order_priority_multiset_ops",
-    "trimmed_mean_value",
-    "type_value_mutual_info",
-    "pca_second_component",
-    "source_temperature_mix",
-    "cluster_top_terms",
-    "quality_brier_decomposition",
-    "daily_trend_theil_sen",
-    # the 10 promoted this round (zero added debt — registered and
-    # windowed in the same commit):
-    "image_png_metrics",
-    "gif_lzw_roundtrip",
-    "image_jpeg_metrics",
-    "audio_g711_adpcm_metrics",
-    "audio_flac_roundtrip",
-    "doc_quality_logistic",
-    "video_y4m_scene_cuts",
-    "image_phash_clusters",
-    "corpus_longest_repeated_span",
-    "media_catalog_report",
-    # r8-replanned re-checks (VERDICT r8 #2; last driver rows r6):
-    "corpus_heaps_fit",
-    "cms_selfjoin_size_estimate",
+    # --- r10 rotation ---
+    # Coverage-closing round (VERDICT r9 #1): the 10 never-checked
+    # queries (6 stats-tail deferred from r9 + the 4 r9-registered)
+    # + the 5 r6/r3 evergreen flagship marts + the 35 oldest green
+    # rows (all r3 — no query's last green row ages past ~6 rounds
+    # once this lands; VERDICT r9 #6 rotation policy). After this
+    # window every one of the 330 registered queries has >=1 green
+    # driver row. Pre-cleared at sf0.01 under TZ=America/New_York
+    # in r9 (NOTES_r9) and re-verified this round.
+    # never-checked (registration order):
+    "daily_spearman_corr",
+    "doc_token_dropout",
+    "daily_value_ar1",
+    "user_interarrival_burstiness",
+    "rolling_corr_value_count",
+    "dsir_ess_report",
+    "corpus_repeated_span_occurrences",
+    "doc_exact_substring_trim",
+    "incremental_span_trim",
+    "url_canonical_dedup",
+    # evergreen flagships (reference-mart semantics; last rows r6/r3):
+    "daily_metrics",
+    "domain_extract",
+    "user_activity",
+    "dedup_keep_last",
+    "scalar_summary",
+    # 35 oldest green rows (all last-green r3), registration order:
+    "type_daily",
+    "part_type_norm",
+    "customers_no_orders",
+    "top_orders",
+    "customer_order_deltas",
+    "filter_project",
+    "json_props",
+    "doc_exact_dedup",
+    "doc_token_jaccard",
+    "doc_minhash_pairs",
+    "knn_cosine",
+    "knn_cosine_lsh",
+    "doc_lang_id",
+    "doc_tokens",
+    "doc_fingerprint",
+    "doc_quality",
+    "asof_rates",
+    "interval_purchases_near_errors",
+    "rollup_daily",
+    "orders_cube",
+    "pivot_daily_types",
+    "distinct_users_daily",
+    "approx_distinct_users",
+    "value_percentiles",
+    "brand_revenue",
+    "calendar_breakdown",
+    "weekly_counts",
+    "conditional_agg",
+    "scalar_subqueries",
+    "embedding_near_dup",
+    "local_supplier_volume",
+    "shipping_priority",
+    "top_words",
+    "value_stats",
+    "salted_user_counts",
 ]
 
 
