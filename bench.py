@@ -507,23 +507,26 @@ def _calib_worker(_):
     return time.perf_counter() - t0
 
 
-def cpu_multicore_parallelism() -> float:
-    """Effective parallelism of the box: 32 copies of the calibration
-    loop in separate processes; returns (32 × single-proc time) /
-    wall — the number of single-thread-equivalent cores ACTUALLY
-    delivered. Single-thread calib alone mislabels a box whose 32
-    logical CPUs share 16 physical cores or suffer hypervisor steal
-    (r9: calib said 'fast box' while a 32-thread sweep ran ~2× slow —
-    measured parallelism was 16.8/32). Stamped as cpu_parallelism so
-    cross-round normalization can account for BOTH axes."""
+def cpu_multicore_parallelism(workers: int) -> float:
+    """Effective parallelism of the box: `workers` copies of the
+    calibration loop in separate processes; returns (workers ×
+    single-proc time) / wall — the number of single-thread-equivalent
+    cores ACTUALLY delivered out of `workers`. Single-thread calib
+    alone mislabels a box whose logical CPUs share fewer physical
+    cores or suffer hypervisor steal (r9: calib said 'fast box' while
+    a 32-thread sweep ran ~2× slow — measured parallelism was
+    16.8/32). `workers` follows the session's SPARK_GRAFT_CPUS so the
+    stamp measures the same parallelism the sweep used; the summary
+    records the denominator (cpu_parallelism_of) alongside the
+    ratio."""
     import multiprocessing as mp
 
     single = _calib_worker(None)
-    with mp.Pool(32) as pool:
+    with mp.Pool(workers) as pool:
         t0 = time.perf_counter()
-        pool.map(_calib_worker, range(32))
+        pool.map(_calib_worker, range(workers))
         wall = time.perf_counter() - t0
-    return round(32.0 * single / wall, 1) if wall > 0 else 0.0
+    return round(workers * single / wall, 1) if wall > 0 else 0.0
 
 
 def git_head() -> str:
@@ -762,7 +765,8 @@ def main() -> None:
                 "ann_recall": ann_recall,
                 "git_head": git_head(),
                 "cpu_calib_ms": calib,
-                "cpu_parallelism": cpu_multicore_parallelism(),
+                "cpu_parallelism": cpu_multicore_parallelism(int(cpus)),
+                "cpu_parallelism_of": int(cpus),
                 "queries": slowest,
             }
         )

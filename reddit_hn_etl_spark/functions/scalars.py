@@ -78,7 +78,7 @@ def batch_ts_from_filename(pattern_prefix: str = "hn_raw_") -> Column:
     return F.to_timestamp(stamp, "yyyyMMdd_HHmmss")
 
 
-_TRACKING_PARAM_RE = r"^(utm_|gclid=|fbclid=|ref=)"
+_TRACKING_PARAM_RE = r"(?i)^(utm_|gclid=|fbclid=|ref=)"
 
 
 def canonical_url(url: str | Column) -> Column:
@@ -91,13 +91,19 @@ def canonical_url(url: str | Column) -> Column:
 
     1. scheme and host lowercased;
     2. a leading ``www.`` dropped from the host;
-    3. the default port stripped (``:80`` for http, ``:443`` for
+    3. the port is everything after the FIRST colon of the authority
+       (a malformed or userinfo-bearing multi-colon authority keeps
+       its full tail verbatim, so distinct spellings stay distinct);
+       the default port stripped (``:80`` for http, ``:443`` for
        https); any other explicit port kept;
     4. the ``#fragment`` dropped;
     5. query params split on ``&``; empty params and tracking params
-       matching ``^(utm_|gclid=|fbclid=|ref=)`` dropped; survivors
-       sorted lexicographically as whole ``k=v`` strings and
-       re-joined — param order never discriminates;
+       matching ``(?i)^(utm_|gclid=|fbclid=|ref=)`` dropped
+       (case-INSENSITIVELY — ``?UTM_SOURCE=x`` and ``?utm_source=x``
+       collapse to the same key, matching the case-normalized
+       scheme/host); survivors sorted lexicographically as whole
+       ``k=v`` strings and re-joined — param order never
+       discriminates;
     6. trailing ``/`` runs stripped from the path (the canonical root
        is the bare authority).
 
@@ -115,7 +121,7 @@ def canonical_url(url: str | Column) -> Column:
     host = F.regexp_replace(
         F.lower(F.split_part(authority, F.lit(":"), F.lit(1))), r"^www\.", ""
     )
-    port = F.split_part(authority, F.lit(":"), F.lit(2))
+    port = F.regexp_extract(authority, r"^[^:]*:(.*)$", 1)
     keep_port = (
         (port != "")
         & ~((scheme == F.lit("http")) & (port == F.lit("80")))

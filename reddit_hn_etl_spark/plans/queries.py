@@ -23191,14 +23191,15 @@ def media_catalog_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      ELSE 'example.com' END)
                || (CASE WHEN event_id % 5 = 0 THEN
                          (CASE WHEN event_id % 2 = 0 THEN ':443' ELSE ':80' END)
-                        WHEN event_id % 5 = 1 THEN ':8080' ELSE '' END)
+                        WHEN event_id % 5 = 1 THEN ':8080'
+                        WHEN event_id % 5 = 2 THEN ':8080:x' ELSE '' END)
                || '/t/' || event_type
                || '/u' || CAST(user_id % 25 AS VARCHAR)
                || (CASE WHEN event_id % 2 = 0 THEN '/' ELSE '' END)
                || (CASE event_id % 4 WHEN 0 THEN '?a=1&b=2'
                                      WHEN 1 THEN '?b=2&a=1'
-                                     WHEN 2 THEN '?a=1&utm_source=feed&b=2'
-                                     ELSE '?b=2&a=1&fbclid=XYZ' END)
+                                     WHEN 2 THEN '?a=1&UTM_Source=feed&b=2'
+                                     ELSE '?b=2&a=1&FBclid=XYZ' END)
                || (CASE WHEN event_id % 7 = 0
                         THEN '#sec' || CAST(event_id % 3 AS VARCHAR)
                         ELSE '' END) AS url
@@ -23221,7 +23222,7 @@ def media_catalog_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT url, scheme,
                regexp_replace(lower(split_part(authority, ':', 1)),
                               '^www\.', '') AS host,
-               split_part(authority, ':', 2) AS port,
+               regexp_extract(authority, '^[^:]*:(.*)$', 1) AS port,
                substring(nofrag, length(authority) + 1) AS pathquery
         FROM pieces
     ),
@@ -23236,7 +23237,7 @@ def media_catalog_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                list_sort(list_filter(
                    string_split(regexp_extract(pathquery, '\?(.*)$', 1), '&'),
                    p -> p <> ''
-                        AND NOT regexp_matches(p, '^(utm_|gclid=|fbclid=|ref=)')
+                        AND NOT regexp_matches(p, '(?i)^(utm_|gclid=|fbclid=|ref=)')
                )) AS params
         FROM fields
     )
@@ -23280,13 +23281,14 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(eid % 2 == 0, F.lit(":443")).otherwise(F.lit(":80")),
         )
         .when(eid % 5 == 1, F.lit(":8080"))
+        .when(eid % 5 == 2, F.lit(":8080:x"))
         .otherwise(F.lit(""))
     )
     query_str = (
         F.when(eid % 4 == 0, F.lit("?a=1&b=2"))
         .when(eid % 4 == 1, F.lit("?b=2&a=1"))
-        .when(eid % 4 == 2, F.lit("?a=1&utm_source=feed&b=2"))
-        .otherwise(F.lit("?b=2&a=1&fbclid=XYZ"))
+        .when(eid % 4 == 2, F.lit("?a=1&UTM_Source=feed&b=2"))
+        .otherwise(F.lit("?b=2&a=1&FBclid=XYZ"))
     )
     frag_str = F.when(
         eid % 7 == 0, F.concat(F.lit("#sec"), (eid % 3).cast("string"))

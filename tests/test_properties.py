@@ -1391,7 +1391,7 @@ def _model_canonical(url: str) -> str:
     params = sorted(
         p
         for p in query.split("&")
-        if p != "" and not any(p.startswith(t) for t in _TRACKING)
+        if p != "" and not any(p.lower().startswith(t) for t in _TRACKING)
     )
     qp = "?" + "&".join(params) if params else ""
     return f"{scheme}://{host}{port_part}{path}{qp}"
@@ -1412,7 +1412,10 @@ _url_strategy = st.builds(
     scheme=st.sampled_from(["http", "https", "HTTPS", "Http", "ftp"]),
     www=st.sampled_from(["", "www.", "WWW."]),
     host=st.sampled_from(["example.com", "Example.COM", "sub.host.org"]),
-    port=st.sampled_from(["", ":80", ":443", ":8080"]),
+    # multi-colon authorities (malformed / userinfo-ish) exercise the
+    # port-is-everything-after-the-FIRST-colon rule — engine and model
+    # must agree that ':8080:1' and ':8080:2' stay distinct.
+    port=st.sampled_from(["", ":80", ":443", ":8080", ":8080:1", ":8080:2"]),
     segs=st.lists(
         st.text(
             alphabet="abcA1.-_~%", min_size=1, max_size=4
@@ -1423,7 +1426,9 @@ _url_strategy = st.builds(
     params=st.lists(
         st.sampled_from(
             ["a=1", "b=2", "b=10", "z=", "utm_source=x", "utm_c=y",
-             "gclid=G", "fbclid=F", "ref=hn", "refresh=1", ""]
+             "gclid=G", "fbclid=F", "ref=hn", "refresh=1", "",
+             # case-variant tracking params (matched case-insensitively)
+             "UTM_SOURCE=X", "REF=y", "Ref=hn", "FBclid=Q", "Refresh=1"]
         ),
         max_size=4,
     ),

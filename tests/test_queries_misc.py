@@ -72,6 +72,17 @@ def test_canonical_url_rules(spark):
             "https://example.com/p?gclid=1&ref=hn&refresh=1",
             "https://example.com/p?refresh=1",
         ),
+        # tracking prefixes match case-INSENSITIVELY (like the
+        # case-normalized scheme/host); Refresh=1 still survives
+        # because the prefix needs the '=' right after 'ref'
+        (
+            "https://example.com/p?REF=y&UTM_SOURCE=x&Refresh=1&b=1",
+            "https://example.com/p?Refresh=1&b=1",
+        ),
+        # multi-colon authority: the port is everything after the
+        # FIRST colon, kept verbatim — distinct spellings stay distinct
+        ("http://example.com:8080:1/p", "http://example.com:8080:1/p"),
+        ("http://example.com:8080:2/p", "http://example.com:8080:2/p"),
         # trailing slash runs collapse; bare root has no path
         ("https://example.com///", "https://example.com"),
         # query without path; duplicate '&&' yields no empty param
