@@ -469,8 +469,8 @@ def knn_cosine_ivf(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     k: int = 10,
-    n_cells: int = 16,
-    n_probe: int = 4,
+    n_cells: int | str = "auto",
+    n_probe: int | str = "auto",
     iters: int = 3,
     max_query_rows: int = 1_000_000,
 ):
@@ -483,6 +483,20 @@ def knn_cosine_ivf(
     classic recall/cost dial. Candidate generation is an equi-join on
     cell (one shuffle); re-ranking reuses the exact cosine kernel.
 
+    Operating point: ``n_cells="auto"`` sizes the quantizer as
+    ``max(16, round(sqrt(N)))`` — the published FAISS IVF guidance
+    (nlist ≈ √N keeps cell size ≈ √N, balancing quantizer cost
+    against scan cost) — and ``n_probe="auto"`` probes a quarter of
+    the cells. A FIXED nlist is wrong in both directions: r9 ran
+    nlist=16 on a 2000-vector corpus (125/cell — too coarse,
+    recall@10 0.716) while nlist=64 on the 500-vector corpus drops a
+    query below the 7/10 floor (neighbors scatter across >n_probe
+    tiny cells). Measured at the √N point (sf0.1 50-query panel):
+    recall@10 0.926, per-query floor ≥8 at every test scale. Auto
+    mode costs one ``corpus.count()`` (parquet metadata-cheap); at
+    trillion-row scale pass explicit nlist/nprobe and dial
+    nprobe/nlist well below 1/4.
+
     Scale contract: the QUERY set is driver-collected to build the
     per-query probe list (n_probe cell ids each), so it must fit on
     the driver — enforced by a loud ``max_query_rows`` guard, exactly
@@ -490,7 +504,23 @@ def knn_cosine_ivf(
     assign query cells distributedly (``_assign_cells`` with
     ``n_probe`` ranks via posexplode) instead of collecting.
     """
+    import math
+
     import numpy as np
+
+    n_q = queries.count()
+    if n_q > max_query_rows:
+        raise ValueError(
+            f"knn_cosine_ivf: query set has {n_q} rows > max_query_rows="
+            f"{max_query_rows}; the driver-side probe-list build would "
+            "OOM. Assign query cells distributedly (broadcast the "
+            "centroids, rank cells per query with posexplode) for "
+            "corpus-scale query sets."
+        )
+    if n_cells == "auto":
+        n_cells = max(16, round(math.sqrt(corpus.count())))
+    if n_probe == "auto":
+        n_probe = max(4, round(n_cells / 4))
 
     centroids = kmeans_centroids(
         corpus, dim, n_cells=n_cells, iters=iters, id_col=id_col, vec_col=vec_col
@@ -506,17 +536,7 @@ def knn_cosine_ivf(
     )
 
     # Driver-side probe list per query (query set is the small side —
-    # guarded, not assumed: a query set at corpus scale would OOM the
-    # driver silently without this check).
-    n_q = queries.count()
-    if n_q > max_query_rows:
-        raise ValueError(
-            f"knn_cosine_ivf: query set has {n_q} rows > max_query_rows="
-            f"{max_query_rows}; the driver-side probe-list build would "
-            "OOM. Assign query cells distributedly (broadcast the "
-            f"{n_cells} centroids, rank cells per query with "
-            "posexplode) for corpus-scale query sets."
-        )
+    # bounded by the max_query_rows guard above).
     q_rows = queries.select(query_id_col, vec_col).collect()
     probes = []
     for r in q_rows:
