@@ -1,19 +1,24 @@
 #!/usr/bin/env bash
-# Full test suite in six sequential chunks, each comfortably under a
+# Full test suite in nine sequential chunks, each comfortably under a
 # 10-minute harness/CI timeout (the one-shot `pytest tests/` run takes
 # ~20 min: 330 oracle differentials + property tests + streaming +
 # codecs + the registry-wide plan walkers). Chunks partition tests/
 # exactly — no file runs twice, none is skipped; a file added later
-# lands in chunk D via the ignore-list construction. r9 rebalance:
-# property tests split out of C into their own chunk F after C
-# (streaming + properties) solo-timed 7:44 on the r9 box (threshold
-# 6:00; the box ran at ~2/3 effective cores, but the split keeps a
-# margin on any box). r8 solo times for the other chunks: A 3:31,
-# B 3:10, D 3:19, E ~4:00.
+# lands in chunk D via the ignore-list construction.
+# r10 rebalance (threshold 6:00 solo): chunk A (oracle differentials,
+# 5:53 solo r9, grows with the registry) split into even/odd registry
+# halves A + A2 (2:37 / 2:56 solo r10) — the parity split
+# self-balances as the registry grows; chunk E (5:13 solo r10) split
+# three ways: per-query plan tests (E, ~2:06), the registry-wide
+# schema walker (E2, test_schema_contracts.py, 3:52 solo), and the
+# registry-wide plan walker (E3, 3:07 solo) — both walkers grow with
+# the registry, so they get their own chunks.
+# r9 rebalance: property tests split out of C into their own chunk F.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
 CHUNK_A="tests/test_oracle.py"
+CHUNK_A2="tests/test_oracle_b.py"
 CHUNK_B="tests/test_bloom_filter.py tests/test_bucketed_join.py \
 tests/test_cleaning.py tests/test_cli_logging.py tests/test_curation.py \
 tests/test_curation_depth.py tests/test_dedup_similarity.py \
@@ -22,19 +27,26 @@ tests/test_hn_pipeline.py tests/test_incremental_marts.py \
 tests/test_kafka_seam.py tests/test_maintenance.py"
 CHUNK_C="tests/test_stateful_streaming.py"
 CHUNK_E="tests/test_plan_contracts.py"
+CHUNK_E2="tests/test_schema_contracts.py"
 CHUNK_F="tests/test_properties.py"
 
-echo "== chunk A: oracle differentials =="
+echo "== chunk A: oracle differentials (even half) =="
 python -m pytest $CHUNK_A -q
+echo "== chunk A2: oracle differentials (odd half) =="
+python -m pytest $CHUNK_A2 -q
 echo "== chunk B: operator/unit tests (bloom..maintenance) =="
 python -m pytest $CHUNK_B -q
 echo "== chunk C: streaming tests =="
 python -m pytest $CHUNK_C -q
 echo "== chunk D: remainder =="
 python -m pytest tests/ -q --ignore=tests/test_oracle.py \
-  $(for f in $CHUNK_B $CHUNK_C $CHUNK_E $CHUNK_F; do printf -- "--ignore=%s " "$f"; done)
-echo "== chunk E: registry-wide plan + schema contracts =="
-python -m pytest $CHUNK_E -q
+  $(for f in $CHUNK_A2 $CHUNK_B $CHUNK_C $CHUNK_E $CHUNK_E2 $CHUNK_F; do printf -- "--ignore=%s " "$f"; done)
+echo "== chunk E: per-query plan contracts =="
+python -m pytest $CHUNK_E -q -k "not registry_wide_plan_contract"
+echo "== chunk E2: registry-wide schema contract =="
+python -m pytest $CHUNK_E2 -q
+echo "== chunk E3: registry-wide plan walker =="
+python -m pytest "$CHUNK_E::test_registry_wide_plan_contract" -q
 echo "== chunk F: property tests =="
 python -m pytest $CHUNK_F -q
 echo "== suite green =="

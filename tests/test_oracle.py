@@ -40,8 +40,7 @@ def _rowset(cols, rows):
     return sorted("|".join(_norm_cell(r[i]) for i in idx) for r in rows)
 
 
-@pytest.mark.parametrize("name", sorted(ORACLES))
-def test_query_matches_oracle(name, spark, duck, sf_dir):
+def _assert_query_matches_oracle(name, spark, duck, sf_dir):
     sdf = QUERIES[name](spark, sf_dir)
     srows = [tuple(r) for r in sdf.collect()]
     scols = list(sdf.columns)
@@ -61,6 +60,14 @@ def test_query_matches_oracle(name, spark, duck, sf_dir):
         raise AssertionError(
             f"{name}: value mismatch\n spark-only: {diff_s}\n duck-only: {diff_d}"
         )
+
+
+# Even-index half of the registry; the odd-index half runs in chunk A2
+# (test_oracle_b.py) so neither chunk breaches the 6:00 solo line as
+# the registry grows.
+@pytest.mark.parametrize("name", sorted(ORACLES)[0::2])
+def test_query_matches_oracle(name, spark, duck, sf_dir):
+    _assert_query_matches_oracle(name, spark, duck, sf_dir)
 
 
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))

@@ -290,31 +290,6 @@ def test_registry_wide_plan_contract(spark, sf_dir):
     )
 
 
-def test_registry_driver_canonicalizable_schemas(spark, sf_dir):
-    """Driver-canonicalizability contract (r8, from the r7 driver
-    failure): the driver compares Spark vs oracle results by sorting
-    a pandas frame over ALL columns and hashing — a top-level
-    array/map/struct column makes pandas raise `unhashable type:
-    'list'` and burns the window slot (pq_codes/pq_residual_codes,
-    CORRECTNESS_r07). Every oracle-backed query must therefore emit
-    only scalar top-level columns (join arrays to CSV strings, or
-    explode). Oracle-less (rows-only) queries are exempt — the driver
-    only counts them."""
-    from pyspark.sql import types as T
-
-    from reddit_hn_etl_spark.plans.queries import ORACLES
-
-    bad: list[str] = []
-    for name in QUERIES:
-        if name not in ORACLES:
-            continue
-        schema = QUERIES[name](spark, sf_dir).schema
-        for f in schema.fields:
-            if isinstance(
-                f.dataType, (T.ArrayType, T.MapType, T.StructType)
-            ):
-                bad.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
-    assert not bad, (
-        "oracle-backed queries with driver-unhashable columns:\n"
-        + "\n".join(bad)
-    )
+# The registry-wide driver-canonicalizability (schema) walker lives in
+# test_schema_contracts.py (chunk E2) — split from this file when chunk
+# E approached the 6:00 solo line (r10 rebalance).
