@@ -686,6 +686,74 @@ def screen_stream_against_minhash_index(
     )
 
 
+def trim_stream_against_gram_index(
+    docs: DataFrame,
+    index_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_docs: int = 2,
+) -> StreamingQuery:
+    """Streaming twin of the growing-corpus ExactSubstr trim: each
+    micro-batch is span-trimmed against the PERSISTED k-gram index
+    (`operators/dedup.trim_batch_against_index` reused unchanged —
+    only the batch is tokenized/hashed, indexed text is never
+    re-read), the trimmed docs are appended to ``out_dir``, and the
+    batch's own ``gram_index`` rows are appended to ``index_dir`` so
+    later batches trim against it — the same foreachBatch discipline
+    as `screen_stream_against_minhash_index`, with the gram index as
+    the on-storage state.
+
+    Index layout: per-batch PARTIAL rows (batch_id, h, n_docs); the
+    read side dedups on (batch_id, h) then sums per h, so an
+    at-least-once replayed batch (which re-appends identical partial
+    rows) cannot inflate document counts — the merged index is
+    idempotent under replay, matching the engine's keyed-merge replay
+    story. Trimmed output is keyed by ``id_col``; a replayed batch
+    duplicates rows, consumers dedup by key (same contract as the
+    minhash twin's hits surface).
+
+    Scale shape per batch: batch-sized gram projection, one agg, one
+    join against the merged index (bucket/partition the index by
+    ``h`` at scale so only the batch shuffles), then per-doc
+    reassembly — O(batch), never O(corpus).
+    """
+    from ..operators.dedup import gram_index, trim_batch_against_index
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark_b = batch_df.sparkSession
+        batch = batch_df.select(id_col, text_col).persist()
+        try:
+            try:
+                merged = (
+                    spark_b.read.parquet(index_dir)
+                    .dropDuplicates(["batch_id", "h"])
+                    .groupBy("h")
+                    .agg(F.sum("n_docs").alias("n_docs"))
+                )
+            except AnalysisException:  # first batch: no index yet
+                merged = spark_b.createDataFrame([], "h long, n_docs long")
+            trim_batch_against_index(
+                batch, merged, id_col, text_col, k=k, min_docs=min_docs
+            ).write.mode("append").parquet(out_dir)
+            gram_index(batch, id_col, text_col, k=k).withColumn(
+                "batch_id", F.lit(batch_id)
+            ).write.mode("append").parquet(index_dir)
+        finally:
+            batch.unpersist()
+
+    return (
+        docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def zscore_stream(
     events: DataFrame,
     key_col: str = "user_id",

@@ -230,6 +230,124 @@ def test_stream_static_enrichment(spark, tmp_path):
     assert got == {1: "content", 2: "reaction", 3: None}
 
 
+def test_trim_stream_against_gram_index(spark, tmp_path):
+    """Streaming growing-corpus ExactSubstr trim: batch 0 seeds the
+    persisted gram index (nothing to trim against), batch 1 is
+    trimmed against it without re-reading batch 0's text. The
+    streamed outputs must equal the BATCH operator applied per batch
+    (b0 vs an empty index, b1 vs gram_index(b0)) — the same fixture
+    as test_incremental_trim_equals_full — and the merged on-storage
+    index must equal the index built from the full corpus."""
+    import json
+    import os as _os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from reddit_hn_etl_spark.operators import dedup
+    from reddit_hn_etl_spark.streaming import ingest
+
+    shared = "alpha bravo charlie delta echo foxtrot golf"
+    batch_dup = "hotel india juliet kilo lima"
+    b0_rows = [
+        {"doc_id": 0, "text": f"one two {shared} three"},
+        {"doc_id": 2, "text": "unique0 unique1 unique2 unique3 unique4 unique5"},
+    ]
+    b1_rows = [
+        {"doc_id": 1, "text": f"{shared} four five six seven"},
+        {"doc_id": 3, "text": f"{batch_dup} mid0 {batch_dup} tail"},
+        {"doc_id": 5, "text": f"x0 {batch_dup} x1"},
+        {"doc_id": 7, "text": "lone0 lone1 lone2 lone3 lone4 lone5"},
+    ]
+    src = tmp_path / "docs"
+    src.mkdir()
+    # FileStreamSource orders new files by modification time — pin
+    # distinct mtimes so b0 seeds the index before b1 trims.
+    (src / "b0.jsonl").write_text(
+        "\n".join(json.dumps(r) for r in b0_rows), encoding="utf-8"
+    )
+    (src / "b1.jsonl").write_text(
+        "\n".join(json.dumps(r) for r in b1_rows), encoding="utf-8"
+    )
+    base_t = _time.time() - 100
+    _os.utime(src / "b0.jsonl", (base_t, base_t))
+    _os.utime(src / "b1.jsonl", (base_t + 10, base_t + 10))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = ingest.trim_stream_against_gram_index(
+        stream,
+        index_dir=str(tmp_path / "index"),
+        out_dir=str(tmp_path / "trimmed"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        k=5,
+    )
+    q.awaitTermination(180)
+
+    def trimmed_map(df):
+        return {
+            r.doc_id: (r.cleaned_text, r.n_tokens, r.n_tokens_removed)
+            for r in df.collect()
+        }
+
+    b0 = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in b0_rows], "doc_id long, text string"
+    )
+    b1 = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in b1_rows], "doc_id long, text string"
+    )
+    empty_idx = spark.createDataFrame([], "h long, n_docs long")
+    want = trimmed_map(
+        dedup.trim_batch_against_index(b0, empty_idx, "doc_id", "text", k=5)
+    ) | trimmed_map(
+        dedup.trim_batch_against_index(
+            b1, dedup.gram_index(b0, "doc_id", "text", k=5), "doc_id", "text",
+            k=5,
+        )
+    )
+    got = trimmed_map(spark.read.parquet(str(tmp_path / "trimmed")))
+    assert got == want
+    assert want[0][2] == 0 and want[2][2] == 0  # b0 untrimmed
+    assert want[1][2] > 0 and want[3][2] > 0 and want[5][2] > 0  # b1 trimmed
+    assert want[7][2] == 0  # unique b1 doc untouched
+
+    # Merged on-storage index (replay-idempotent read: dedup per
+    # (batch_id, h) then sum) == index built from the full corpus.
+    merged = {
+        (r.h, r.n_docs)
+        for r in spark.read.parquet(str(tmp_path / "index"))
+        .dropDuplicates(["batch_id", "h"])
+        .groupBy("h")
+        .agg(F.sum("n_docs").alias("n_docs"))
+        .collect()
+    }
+    full = {
+        (r.h, r.n_docs)
+        for r in dedup.gram_index(
+            b0.unionByName(b1), "doc_id", "text", k=5
+        ).collect()
+    }
+    assert merged == full
+
+    # At-least-once replay: re-appending a batch's identical partial
+    # rows (same batch_id) must NOT inflate the merged counts — the
+    # (batch_id, h) dedup on the read side absorbs it.
+    idx_path = str(tmp_path / "index")
+    replay = spark.read.parquet(idx_path).where(F.col("batch_id") == 1)
+    replay.write.mode("append").parquet(idx_path)
+    merged_after = {
+        (r.h, r.n_docs)
+        for r in spark.read.parquet(idx_path)
+        .dropDuplicates(["batch_id", "h"])
+        .groupBy("h")
+        .agg(F.sum("n_docs").alias("n_docs"))
+        .collect()
+    }
+    assert merged_after == full
+
+
 def test_stream_screen_against_minhash_index(spark, tmp_path):
     """Streaming incremental near-dup: batch 1 seeds the persisted
     index (no hits possible), batch 2's near-dup of a batch-1 doc is
