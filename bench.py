@@ -366,6 +366,15 @@ BENCH_QUERIES_R9 = [
     "url_canonical_dedup",
 ]
 
+BENCH_QUERIES_R10 = [
+    # IVF kNN-JOIN: every vector queries the corpus through the
+    # distributed probe path — executor-side cell assignment, one
+    # shuffle join on cell, window top-k (plus the exact bruteforce
+    # side for the recall floor). SF-scaled in BOTH the corpus and
+    # the query set.
+    "embedding_knn_join",
+]
+
 # Exact all-pairs similarity: run ONCE per round (no repeat sweeps)
 # after the budgeted sweeps, each alongside the name of its benched
 # approximate twin, so the exact-vs-LSH speedup is a recorded number
@@ -601,6 +610,7 @@ def main() -> None:
         + BENCH_QUERIES_R5
         + BENCH_QUERIES_R6
         + BENCH_QUERIES_R9
+        + BENCH_QUERIES_R10
     )
     # The sweep lists + BENCH_EXCLUDED must partition the registry
     # exactly — a new registry entry that lands in neither is a

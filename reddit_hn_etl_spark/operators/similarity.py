@@ -420,6 +420,49 @@ def _assign_cells(df, id_col, vec_col, centroids, extra_cols=()):
     return df.select(*cols).mapInPandas(assign, out_schema)
 
 
+def _assign_probe_cells(
+    queries, query_id_col, vec_col, centroids, n_probe: int
+):
+    """(query_id, cell, _qvec, _qn): the ``n_probe`` nearest centroid
+    cells per query, computed DISTRIBUTEDLY (blocked GEMM against the
+    broadcast centroid matrix, n_probe rows emitted per query) — the
+    corpus-scale twin of knn_cosine_ivf's driver-side probe-list
+    build. The query vector and its norm ride along so candidate
+    generation is ONE shuffle join on cell, never a second join back
+    to the query table. Tie-break: (-sim, cell index), identical to
+    the driver path (stable argsort on -sims both sides). ``_qn`` is
+    computed Spark-side with the same l2_norm expression as the
+    driver path (bit-identical summation), not in numpy."""
+    import numpy as np
+
+    spark = queries.sparkSession
+    c = np.asarray(centroids, dtype=np.float64)
+    cn = c / np.maximum(np.linalg.norm(c, axis=1), 1e-12)[:, None]
+    b_c = spark.sparkContext.broadcast(cn)
+    out_schema = f"{query_id_col} long, cell int, _qvec array<double>"
+
+    def assign(batches):
+        import pandas as pd
+
+        cm = b_c.value
+        for pdf in batches:
+            m = np.array(list(pdf[vec_col]), dtype=np.float64)
+            norms = np.maximum(np.linalg.norm(m, axis=1), 1e-12)
+            sims = (m / norms[:, None]) @ cm.T
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+            yield pd.DataFrame(
+                {
+                    query_id_col: pdf[query_id_col].to_numpy().repeat(n_probe),
+                    "cell": order.reshape(-1).astype("int32"),
+                    "_qvec": [list(v) for v in m.repeat(n_probe, axis=0)],
+                }
+            )
+
+    return queries.select(query_id_col, vec_col).mapInPandas(
+        assign, out_schema
+    ).withColumn("_qn", l2_norm(F.col("_qvec")))
+
+
 def kmeans_centroids(
     corpus,
     dim: int,
@@ -473,6 +516,7 @@ def knn_cosine_ivf(
     n_probe: int | str = "auto",
     iters: int = 3,
     max_query_rows: int = 1_000_000,
+    distributed_queries: bool = False,
 ):
     """IVF-style approximate kNN: k-means cells over the corpus; each
     query probes its ``n_probe`` nearest cells; exact cosine re-rank
@@ -497,26 +541,40 @@ def knn_cosine_ivf(
     trillion-row scale pass explicit nlist/nprobe and dial
     nprobe/nlist well below 1/4.
 
-    Scale contract: the QUERY set is driver-collected to build the
-    per-query probe list (n_probe cell ids each), so it must fit on
-    the driver — enforced by a loud ``max_query_rows`` guard, exactly
-    like :func:`cosine_pairs_blocked`'s corpus guard. Above the bound
-    assign query cells distributedly (``_assign_cells`` with
-    ``n_probe`` ranks via posexplode) instead of collecting.
+    Scale contract, two query regimes:
+
+    * default (``distributed_queries=False``): the QUERY set is
+      driver-collected to build the per-query probe list (n_probe
+      cell ids each), so it must fit on the driver — enforced by a
+      loud ``max_query_rows`` guard, exactly like
+      :func:`cosine_pairs_blocked`'s corpus guard. The probe list and
+      query vectors broadcast into the candidate join — right when
+      queries ≪ corpus.
+    * ``distributed_queries=True``: probe cells are assigned
+      executor-side (:func:`_assign_probe_cells` — blocked GEMM
+      against the broadcast centroids, n_probe rows per query with
+      the query vector riding along), candidate generation is ONE
+      shuffle equi-join on cell, and nothing query-sized ever touches
+      the driver — the kNN-JOIN regime (queries AT corpus scale,
+      e.g. every document finding its neighbors for semantic dedup).
+      Identical results to the default path (same centroids, same
+      (-sim, index) probe tie-break, bit-identical scoring) — pinned
+      by test_ivf_distributed_equals_collected.
     """
     import math
 
     import numpy as np
 
-    n_q = queries.count()
-    if n_q > max_query_rows:
-        raise ValueError(
-            f"knn_cosine_ivf: query set has {n_q} rows > max_query_rows="
-            f"{max_query_rows}; the driver-side probe-list build would "
-            "OOM. Assign query cells distributedly (broadcast the "
-            "centroids, rank cells per query with posexplode) for "
-            "corpus-scale query sets."
-        )
+    if not distributed_queries:
+        n_q = queries.count()
+        if n_q > max_query_rows:
+            raise ValueError(
+                f"knn_cosine_ivf: query set has {n_q} rows > max_query_rows="
+                f"{max_query_rows}; the driver-side probe-list build would "
+                "OOM. Pass distributed_queries=True (executor-side probe "
+                "assignment, one shuffle join on cell) for corpus-scale "
+                "query sets."
+            )
     if n_cells == "auto":
         n_cells = max(16, round(math.sqrt(corpus.count())))
     if n_probe == "auto":
@@ -535,28 +593,39 @@ def knn_cosine_ivf(
         id_col,
     )
 
-    # Driver-side probe list per query (query set is the small side —
-    # bounded by the max_query_rows guard above).
-    q_rows = queries.select(query_id_col, vec_col).collect()
-    probes = []
-    for r in q_rows:
-        v = np.asarray(r[1], dtype=np.float64)
-        v = v / max(np.linalg.norm(v), 1e-12)
-        order = (cn @ v).argsort()[::-1][:n_probe]
-        probes.extend((int(r[0]), int(cell)) for cell in order)
-    spark = corpus.sparkSession
-    probe_df = spark.createDataFrame(probes, f"{query_id_col} long, cell int")
-    q_vec = queries.select(
-        F.col(query_id_col),
-        F.col(vec_col).alias("_qvec"),
-        l2_norm(F.col(vec_col)).alias("_qn"),
-    )
-
-    cand = (
-        corpus_cells.join(F.broadcast(probe_df), "cell")
-        .join(F.broadcast(q_vec), query_id_col)
-        .dropDuplicates([query_id_col, id_col])
-    )
+    if distributed_queries:
+        # Executor-side probe assignment; a corpus vector lives in
+        # exactly ONE cell and each query's probe cells are distinct,
+        # so (query, id) candidate pairs are unique by construction —
+        # no dropDuplicates (and no extra shuffle).
+        probe = _assign_probe_cells(
+            queries, query_id_col, vec_col, centroids, n_probe
+        )
+        cand = corpus_cells.join(probe, "cell")
+    else:
+        # Driver-side probe list per query (query set is the small
+        # side — bounded by the max_query_rows guard above).
+        q_rows = queries.select(query_id_col, vec_col).collect()
+        probes = []
+        for r in q_rows:
+            v = np.asarray(r[1], dtype=np.float64)
+            v = v / max(np.linalg.norm(v), 1e-12)
+            order = np.argsort(-(cn @ v), kind="stable")[:n_probe]
+            probes.extend((int(r[0]), int(cell)) for cell in order)
+        spark = corpus.sparkSession
+        probe_df = spark.createDataFrame(
+            probes, f"{query_id_col} long, cell int"
+        )
+        q_vec = queries.select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("_qvec"),
+            l2_norm(F.col(vec_col)).alias("_qn"),
+        )
+        cand = (
+            corpus_cells.join(F.broadcast(probe_df), "cell")
+            .join(F.broadcast(q_vec), query_id_col)
+            .dropDuplicates([query_id_col, id_col])
+        )
     scored = cand.select(
         F.col(query_id_col),
         F.col(id_col),

@@ -23318,6 +23318,47 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "embedding_knn_join",
+    """
+    SELECT vec_id AS query_id, TRUE AS recall_ok
+    FROM embeddings
+    """,
+)
+def embedding_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF kNN-JOIN (r10): EVERY vector finds its approximate top-10
+    — the semantic-dedup/self-similarity regime where the query set
+    IS the corpus, exercising `knn_cosine_ivf(distributed_queries=
+    True)`: probe cells assigned executor-side, candidate generation
+    one shuffle join on cell, nothing query-sized on the driver (the
+    collected path's max_query_rows guard names this as the
+    corpus-scale alternative). Bound-checked per query like
+    knn_cosine_ivf: "the approximate top-10 recovers >=2 of the exact
+    top-10" — self-retrieval is structural (a vector's own cell is
+    always its first probe), so the floor asserts self plus >=1 true
+    neighbor for ALL queries, not just the 5 easy panel vectors.
+    Measured at the auto (√N cells, quarter-probe) point: min hits 2,
+    mean 6.60-6.77/10 at every test scale (the corpus tail is
+    near-isotropic noise — mean top-10 cosine 0.35 — so corpus-wide
+    mean recall is intrinsically lower than the planted-easy
+    vec_id<50 panel's 0.926)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = similarity.knn_cosine_bruteforce(emb, queries, k=10).select(
+        "query_id", "vec_id"
+    )
+    approx = similarity.knn_cosine_ivf(
+        emb, queries, dim=64, k=10, iters=3, distributed_queries=True
+    ).select("query_id", "vec_id")
+    hits = exact.join(approx, ["query_id", "vec_id"], "left_semi").groupBy(
+        "query_id"
+    ).agg(F.count("*").alias("_hits"))
+    return queries.select("query_id").join(hits, "query_id", "left").select(
+        "query_id",
+        (F.coalesce(F.col("_hits"), F.lit(0)) >= 2).alias("recall_ok"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver verification window.
 #

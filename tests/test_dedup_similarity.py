@@ -296,6 +296,56 @@ def test_ivf_knn_recall_against_bruteforce(spark, sf_dir):
     assert recall >= 0.5, f"IVF recall too low: {recall}"
 
 
+def test_ivf_distributed_equals_collected(spark, sf_dir):
+    """distributed_queries=True (executor-side probe assignment, one
+    shuffle join on cell) must return EXACTLY the collected path's
+    rows: same centroids, same (-sim, index) probe tie-break (stable
+    argsort on -sims both sides), Spark-side l2_norm for the query
+    norm so the cosine is bit-identical."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from reddit_hn_etl_spark.sources.tables import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = similarity.knn_cosine_ivf(
+        emb, q, dim=64, k=10, n_cells=24, n_probe=6, iters=3
+    )
+    b = similarity.knn_cosine_ivf(
+        emb, q, dim=64, k=10, n_cells=24, n_probe=6, iters=3,
+        distributed_queries=True,
+    )
+    sa = {tuple(r) for r in a.collect()}
+    sb = {tuple(r) for r in b.collect()}
+    assert sa == sb and len(sa) == 200
+
+
+def test_ivf_distributed_handles_corpus_scale_queries(spark, sf_dir):
+    """The kNN-join regime: a query set far over max_query_rows runs
+    through the distributed path (which never counts or collects the
+    queries) instead of raising — the documented corpus-scale
+    alternative to the guard."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from reddit_hn_etl_spark.sources.tables import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    out = similarity.knn_cosine_ivf(
+        emb, queries, dim=64, k=3, n_cells=16, n_probe=8, iters=1,
+        max_query_rows=2, distributed_queries=True,
+    )
+    got = out.groupBy("query_id").count()
+    n_q = queries.count()
+    assert got.count() == n_q  # every query produced neighbors
+    # self-retrieval is structural: a vector's own cell is always
+    # its first probe, so (q, q) is in every top-3
+    self_rows = out.where(F.col("query_id") == F.col("vec_id")).count()
+    assert self_rows == n_q
+
+
 def test_fan_out_narrow_input(spark):
     from reddit_hn_etl_spark.operators.dedup import fan_out_narrow_input
 
