@@ -1457,3 +1457,51 @@ def test_canonical_url_matches_model_and_is_idempotent(spark, urls):
         ).collect()
     ]
     assert got2 == got
+
+
+# ---------------------------------------------------------------------------
+# _assign_probe_cells (operators/similarity.py): the distributed
+# probe-assignment stage of the IVF kNN-join vs a direct numpy model —
+# per query, the n_probe nearest centroid cells under the documented
+# (-cosine, cell index) tie-break, with the query vector riding along
+# unchanged. Centroid/vector grids are coarse so exact similarity TIES
+# occur and the stable tie-break is actually exercised.
+# ---------------------------------------------------------------------------
+
+_vec = st.lists(
+    st.sampled_from([-2.0, -1.0, 0.0, 1.0, 2.0]), min_size=4, max_size=4
+)
+
+
+@given(
+    centroids=st.lists(_vec, min_size=3, max_size=6),
+    queries=st.lists(_vec, min_size=1, max_size=8),
+    n_probe=st.integers(1, 3),
+)
+@SET
+def test_assign_probe_cells_matches_numpy_model(
+    spark, centroids, queries, n_probe
+):
+    import numpy as np
+
+    from reddit_hn_etl_spark.operators.similarity import _assign_probe_cells
+
+    qdf = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(queries)],
+        "query_id long, embedding array<double>",
+    )
+    got = sorted(
+        (r.query_id, r.cell, tuple(r._qvec))
+        for r in _assign_probe_cells(
+            qdf, "query_id", "embedding", centroids, n_probe
+        ).collect()
+    )
+    c = np.asarray(centroids, dtype=np.float64)
+    cn = c / np.maximum(np.linalg.norm(c, axis=1), 1e-12)[:, None]
+    want = []
+    for i, v in enumerate(queries):
+        q = np.asarray(v, dtype=np.float64)
+        sims = (q / max(np.linalg.norm(q), 1e-12)) @ cn.T
+        order = np.argsort(-sims, kind="stable")[:n_probe]
+        want.extend((i, int(cell), tuple(q)) for cell in order)
+    assert got == sorted(want)
