@@ -429,10 +429,15 @@ def _assign_probe_cells(
     corpus-scale twin of knn_cosine_ivf's driver-side probe-list
     build. The query vector and its norm ride along so candidate
     generation is ONE shuffle join on cell, never a second join back
-    to the query table. Tie-break: (-sim, cell index), identical to
-    the driver path (stable argsort on -sims both sides). ``_qn`` is
-    computed Spark-side with the same l2_norm expression as the
-    driver path (bit-identical summation), not in numpy."""
+    to the query table. Tie-break: (-sim, cell index) on sims
+    QUANTIZED to 12 decimals — without the rounding, a mathematically
+    exact tie can round differently under the batch GEMM here vs the
+    driver path's matrix-vector product (different BLAS accumulation
+    order) and the two paths would probe different cells; 1e-12 is
+    far below any meaningful cosine difference (hypothesis found the
+    divergence on an exact-tie grid). ``_qn`` is computed Spark-side
+    with the same l2_norm expression as the driver path
+    (bit-identical summation), not in numpy."""
     import numpy as np
 
     spark = queries.sparkSession
@@ -448,7 +453,7 @@ def _assign_probe_cells(
         for pdf in batches:
             m = np.array(list(pdf[vec_col]), dtype=np.float64)
             norms = np.maximum(np.linalg.norm(m, axis=1), 1e-12)
-            sims = (m / norms[:, None]) @ cm.T
+            sims = np.round((m / norms[:, None]) @ cm.T, 12)
             order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
             yield pd.DataFrame(
                 {
@@ -558,8 +563,10 @@ def knn_cosine_ivf(
       the driver — the kNN-JOIN regime (queries AT corpus scale,
       e.g. every document finding its neighbors for semantic dedup).
       Identical results to the default path (same centroids, same
-      (-sim, index) probe tie-break, bit-identical scoring) — pinned
-      by test_ivf_distributed_equals_collected.
+      (-sim, index) probe tie-break on 1e-12-quantized sims so a
+      BLAS-path rounding difference cannot flip an exact tie,
+      bit-identical scoring) — pinned by
+      test_ivf_distributed_equals_collected.
     """
     import math
 
@@ -610,7 +617,7 @@ def knn_cosine_ivf(
         for r in q_rows:
             v = np.asarray(r[1], dtype=np.float64)
             v = v / max(np.linalg.norm(v), 1e-12)
-            order = np.argsort(-(cn @ v), kind="stable")[:n_probe]
+            order = np.argsort(-np.round(cn @ v, 12), kind="stable")[:n_probe]
             probes.extend((int(r[0]), int(cell)) for cell in order)
         spark = corpus.sparkSession
         probe_df = spark.createDataFrame(

@@ -1501,7 +1501,7 @@ def test_assign_probe_cells_matches_numpy_model(
     want = []
     for i, v in enumerate(queries):
         q = np.asarray(v, dtype=np.float64)
-        sims = (q / max(np.linalg.norm(q), 1e-12)) @ cn.T
+        sims = np.round((q / max(np.linalg.norm(q), 1e-12)) @ cn.T, 12)
         order = np.argsort(-sims, kind="stable")[:n_probe]
         want.extend((i, int(cell), tuple(q)) for cell in order)
     assert got == sorted(want)
