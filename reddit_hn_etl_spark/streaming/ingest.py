@@ -706,14 +706,17 @@ def trim_stream_against_gram_index(
     as `screen_stream_against_minhash_index`, with the gram index as
     the on-storage state.
 
-    Index layout: per-batch PARTIAL rows (batch_id, h, n_docs); the
-    read side dedups on (batch_id, h) then sums per h, so an
-    at-least-once replayed batch (which re-appends identical partial
-    rows) cannot inflate document counts — the merged index is
-    idempotent under replay, matching the engine's keyed-merge replay
-    story. Trimmed output is keyed by ``id_col``; a replayed batch
-    duplicates rows, consumers dedup by key (same contract as the
-    minhash twin's hits surface).
+    Index layout: per-batch PARTIAL rows (batch_id, h, n_docs,
+    thru=null); the merged read (`read_gram_index_merged`) dedups on
+    (batch_id, h) then sums per h, so an at-least-once replayed batch
+    (which re-appends identical partial rows) cannot inflate document
+    counts — the merged index is idempotent under replay, matching
+    the engine's keyed-merge replay story — and `compact_gram_index`
+    can fold history into one snapshot row per gram without breaking
+    that (its ``thru`` watermark drops post-compaction replays of
+    already-folded batches). Trimmed output is keyed by ``id_col``; a
+    replayed batch duplicates rows, consumers dedup by key (same
+    contract as the minhash twin's hits surface).
 
     Scale shape per batch: batch-sized gram projection, one agg, one
     join against the merged index (bucket/partition the index by
@@ -729,19 +732,19 @@ def trim_stream_against_gram_index(
         batch = batch_df.select(id_col, text_col).persist()
         try:
             try:
-                merged = (
-                    spark_b.read.parquet(index_dir)
-                    .dropDuplicates(["batch_id", "h"])
-                    .groupBy("h")
-                    .agg(F.sum("n_docs").alias("n_docs"))
-                )
+                merged = read_gram_index_merged(spark_b, index_dir)
             except AnalysisException:  # first batch: no index yet
                 merged = spark_b.createDataFrame([], "h long, n_docs long")
             trim_batch_against_index(
                 batch, merged, id_col, text_col, k=k, min_docs=min_docs
             ).write.mode("append").parquet(out_dir)
+            # batch_id pinned to long: the compaction snapshot writes
+            # int64 and parquet schema inference must see ONE type
+            # across files (a mixed int32/int64 dir fails the read).
             gram_index(batch, id_col, text_col, k=k).withColumn(
-                "batch_id", F.lit(batch_id)
+                "batch_id", F.lit(batch_id).cast("long")
+            ).withColumn(
+                "thru", F.lit(None).cast("long")
             ).write.mode("append").parquet(index_dir)
         finally:
             batch.unpersist()
@@ -752,6 +755,72 @@ def trim_stream_against_gram_index(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def read_gram_index_merged(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Merged (h, n_docs) view of a streaming gram-index directory:
+    per-batch partial rows (batch_id >= 0) plus at most one compacted
+    snapshot (batch_id = -1 carrying ``thru`` = the highest batch it
+    folded). Replay-idempotent BOTH ways: a replayed batch with
+    batch_id <= thru is dropped by the watermark filter (its counts
+    already live in the snapshot); a replayed batch above the
+    watermark re-appends identical (batch_id, h) rows and dedups
+    away. One tiny driver action (the max-watermark probe) per read.
+    """
+    df = spark.read.parquet(index_dir)
+    thru = df.agg(F.max("thru")).first()[0]
+    if thru is not None:
+        df = df.where((F.col("batch_id") == -1) | (F.col("batch_id") > thru))
+    return (
+        df.dropDuplicates(["batch_id", "h"])
+        .groupBy("h")
+        .agg(F.sum("n_docs").alias("n_docs"))
+    )
+
+
+def compact_gram_index(spark: SparkSession, index_dir: str) -> int:
+    """Compact the per-batch partial gram-index rows that
+    `trim_stream_against_gram_index` appends into ONE snapshot row
+    per distinct gram (batch_id = -1, ``thru`` = the highest batch_id
+    folded in), via the write-new-then-swap protocol. Returns the
+    compacted row count (distinct grams).
+
+    Why: the streaming twin appends one partial row per (batch, gram)
+    forever, so every trim re-aggregates all history; after
+    compaction the merged read sees one row per gram. The ``thru``
+    watermark keeps the at-least-once contract intact ACROSS the
+    compaction: a batch replayed after its rows were folded in is
+    dropped by `read_gram_index_merged`'s watermark filter instead of
+    double-counting. Run between batches (single writer — the same
+    window `_swap_dir` already requires); the trigger=availableNow
+    drain or a stopped stream gives it.
+
+    Scale shape: one shuffle on h (the sum), one 24-byte row per
+    distinct gram out; at scale write bucketed by h so trim joins
+    partition-prune.
+    """
+    df = spark.read.parquet(index_dir)
+    new_thru = df.agg(
+        F.greatest(F.max("batch_id"), F.coalesce(F.max("thru"), F.lit(-1)))
+    ).first()[0]
+    prev_thru = df.agg(F.max("thru")).first()[0]
+    if prev_thru is not None:
+        df = df.where(
+            (F.col("batch_id") == -1) | (F.col("batch_id") > prev_thru)
+        )
+    merged = (
+        df.dropDuplicates(["batch_id", "h"])
+        .groupBy("h")
+        .agg(F.sum("n_docs").alias("n_docs"))
+        .withColumn("batch_id", F.lit(-1).cast("long"))
+        .withColumn("thru", F.lit(new_thru).cast("long"))
+    )
+    tmp = index_dir.rstrip("/") + "_compacting"
+    shutil.rmtree(tmp, ignore_errors=True)
+    merged.write.mode("overwrite").parquet(tmp)
+    n = spark.read.parquet(tmp).count()
+    _swap_dir(tmp, index_dir)
+    return n
 
 
 def zscore_stream(

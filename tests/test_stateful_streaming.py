@@ -313,39 +313,49 @@ def test_trim_stream_against_gram_index(spark, tmp_path):
     assert want[1][2] > 0 and want[3][2] > 0 and want[5][2] > 0  # b1 trimmed
     assert want[7][2] == 0  # unique b1 doc untouched
 
-    # Merged on-storage index (replay-idempotent read: dedup per
-    # (batch_id, h) then sum) == index built from the full corpus.
-    merged = {
-        (r.h, r.n_docs)
-        for r in spark.read.parquet(str(tmp_path / "index"))
-        .dropDuplicates(["batch_id", "h"])
-        .groupBy("h")
-        .agg(F.sum("n_docs").alias("n_docs"))
-        .collect()
-    }
+    # Merged on-storage index (replay-idempotent read) == index built
+    # from the full corpus.
+    idx_path = str(tmp_path / "index")
+
+    def merged_set():
+        return {
+            (r.h, r.n_docs)
+            for r in ingest.read_gram_index_merged(spark, idx_path).collect()
+        }
+
     full = {
         (r.h, r.n_docs)
         for r in dedup.gram_index(
             b0.unionByName(b1), "doc_id", "text", k=5
         ).collect()
     }
-    assert merged == full
+    assert merged_set() == full
 
     # At-least-once replay: re-appending a batch's identical partial
     # rows (same batch_id) must NOT inflate the merged counts — the
     # (batch_id, h) dedup on the read side absorbs it.
-    idx_path = str(tmp_path / "index")
-    replay = spark.read.parquet(idx_path).where(F.col("batch_id") == 1)
+    # localCheckpoint pins the replay rows NOW — the lazy plan would
+    # otherwise re-scan idx_path after the compaction swap below and
+    # find nothing with batch_id == 1.
+    replay = (
+        spark.read.parquet(idx_path)
+        .where(F.col("batch_id") == 1)
+        .localCheckpoint(eager=True)
+    )
+    assert replay.count() > 0
     replay.write.mode("append").parquet(idx_path)
-    merged_after = {
-        (r.h, r.n_docs)
-        for r in spark.read.parquet(idx_path)
-        .dropDuplicates(["batch_id", "h"])
-        .groupBy("h")
-        .agg(F.sum("n_docs").alias("n_docs"))
-        .collect()
-    }
-    assert merged_after == full
+    assert merged_set() == full
+
+    # Compaction folds history into one snapshot row per gram and the
+    # merged view is unchanged.
+    n = ingest.compact_gram_index(spark, idx_path)
+    assert n == len(full)
+    assert merged_set() == full
+    # A batch replayed AFTER its rows were folded into the snapshot
+    # (batch_id 1 <= thru) is dropped by the watermark filter instead
+    # of double-counting.
+    replay.write.mode("append").parquet(idx_path)
+    assert merged_set() == full
 
 
 def test_stream_screen_against_minhash_index(spark, tmp_path):
