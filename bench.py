@@ -710,6 +710,26 @@ def main() -> None:
                 hits / (10 * n_q), 4
             )
         ann_recall["n_queries"] = n_q
+        # Corpus-wide kNN-join mean recall (r10): the vec_id<50 panel
+        # is planted-easy (tail vectors are near-isotropic, mean
+        # top-10 cosine ~0.35), so also record the honest number —
+        # EVERY vector as a query through the distributed probe path.
+        qall = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+        exact_all = similarity.knn_cosine_bruteforce(
+            emb, qall, k=10
+        ).select("query_id", "vec_id").localCheckpoint(eager=True)
+        join_hits = exact_all.join(
+            similarity.knn_cosine_ivf(
+                emb, qall, dim=64, k=10, iters=3, distributed_queries=True
+            ).select("query_id", "vec_id"),
+            ["query_id", "vec_id"],
+            "left_semi",
+        ).count()
+        n_all = qall.count()
+        ann_recall["ivf_knn_join_mean_recall_at_10"] = round(
+            join_hits / (10 * n_all), 4
+        )
+        ann_recall["knn_join_n_queries"] = n_all
 
     # A query that never completed a sweep (budget expiry / hard
     # kill mid-first-sweep) must not leak bare Infinity into the
