@@ -421,30 +421,37 @@ def _assign_cells(df, id_col, vec_col, centroids, extra_cols=()):
 
 
 def _assign_probe_cells(
-    queries, query_id_col, vec_col, centroids, n_probe: int
+    queries,
+    query_id_col,
+    vec_col,
+    centroids,
+    n_probe: int,
+    vec_out: str = "_qvec",
+    norm_out: str = "_qn",
 ):
-    """(query_id, cell, _qvec, _qn): the ``n_probe`` nearest centroid
-    cells per query, computed DISTRIBUTEDLY (blocked GEMM against the
-    broadcast centroid matrix, n_probe rows emitted per query) — the
-    corpus-scale twin of knn_cosine_ivf's driver-side probe-list
-    build. The query vector and its norm ride along so candidate
-    generation is ONE shuffle join on cell, never a second join back
-    to the query table. Tie-break: (-sim, cell index) on sims
-    QUANTIZED to 12 decimals — without the rounding, a mathematically
-    exact tie can round differently under the batch GEMM here vs the
-    driver path's matrix-vector product (different BLAS accumulation
-    order) and the two paths would probe different cells; 1e-12 is
-    far below any meaningful cosine difference (hypothesis found the
-    divergence on an exact-tie grid). ``_qn`` is computed Spark-side
-    with the same l2_norm expression as the driver path
-    (bit-identical summation), not in numpy."""
+    """(id, cell, <vec_out>, <norm_out>): the ``n_probe`` nearest
+    centroid cells per row, computed DISTRIBUTEDLY (blocked GEMM
+    against the broadcast centroid matrix, n_probe rows emitted per
+    input row) — the corpus-scale twin of knn_cosine_ivf's
+    driver-side probe-list build, and with ``n_probe=1`` the CARRYING
+    cell assignment for the corpus side (the vector rides along, so
+    no join back to the source table is ever needed). Tie-break:
+    (-sim, cell index) on sims QUANTIZED to 12 decimals — without the
+    rounding, a mathematically exact tie can round differently under
+    the batch GEMM here vs the driver path's matrix-vector product
+    (different BLAS accumulation order) and the two paths would probe
+    different cells; 1e-12 is far below any meaningful cosine
+    difference (hypothesis found the divergence on an exact-tie
+    grid). ``norm_out`` is computed Spark-side with the same l2_norm
+    expression as the driver path (bit-identical summation), not in
+    numpy."""
     import numpy as np
 
     spark = queries.sparkSession
     c = np.asarray(centroids, dtype=np.float64)
     cn = c / np.maximum(np.linalg.norm(c, axis=1), 1e-12)[:, None]
     b_c = spark.sparkContext.broadcast(cn)
-    out_schema = f"{query_id_col} long, cell int, _qvec array<double>"
+    out_schema = f"{query_id_col} long, cell int, {vec_out} array<double>"
 
     def assign(batches):
         import pandas as pd
@@ -459,13 +466,13 @@ def _assign_probe_cells(
                 {
                     query_id_col: pdf[query_id_col].to_numpy().repeat(n_probe),
                     "cell": order.reshape(-1).astype("int32"),
-                    "_qvec": [list(v) for v in m.repeat(n_probe, axis=0)],
+                    vec_out: [list(v) for v in m.repeat(n_probe, axis=0)],
                 }
             )
 
     return queries.select(query_id_col, vec_col).mapInPandas(
         assign, out_schema
-    ).withColumn("_qn", l2_norm(F.col("_qvec")))
+    ).withColumn(norm_out, l2_norm(F.col(vec_out)))
 
 
 def kmeans_centroids(
@@ -593,11 +600,15 @@ def knn_cosine_ivf(
     c = np.asarray(centroids, dtype=np.float64)
     cn = c / np.maximum(np.linalg.norm(c, axis=1), 1e-12)[:, None]
 
-    corpus_cells = _assign_cells(corpus, id_col, vec_col, centroids).join(
-        corpus.select(
-            id_col, vec_col, l2_norm(F.col(vec_col)).alias("_cn")
-        ),
-        id_col,
+    # Carrying assignment (r10): the vector and its norm ride along
+    # with the cell, so the corpus is never joined back to itself —
+    # the previous assign-then-join-on-id shape cost a corpus-sized
+    # shuffle at scale before the cell join even started. Cell
+    # tie-break matches the probe side: (-sim, index) on
+    # 1e-12-quantized sims.
+    corpus_cells = _assign_probe_cells(
+        corpus, id_col, vec_col, centroids, 1,
+        vec_out=vec_col, norm_out="_cn",
     )
 
     if distributed_queries:
