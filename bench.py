@@ -373,6 +373,9 @@ BENCH_QUERIES_R10 = [
     # side for the recall floor). SF-scaled in BOTH the corpus and
     # the query set.
     "embedding_knn_join",
+    # IVF-PQ kNN-JOIN: encode projection + cell join + per-query ADC
+    # tables built executor-side (40 fixed queries, SF-scaled corpus)
+    "pq_knn_join",
 ]
 
 # Exact all-pairs similarity: run ONCE per round (no repeat sweeps)

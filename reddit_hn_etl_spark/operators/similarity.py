@@ -1020,6 +1020,149 @@ def ivf_pq_search(
     )
 
 
+def pq_knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    coarse_centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    nprobe: int = 3,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-PQ kNN-JOIN: `ivf_pq_search` for a DataFrame of queries —
+    the billion-scale ANN backfill where the query set is itself
+    corpus-sized, so nothing per-query may touch the driver (the
+    single-query path inlines the probed-cell set and the ADC table
+    as plan literals, which cannot scale past a handful of queries).
+
+    Three stages, all distributed:
+    1. encode: the corpus compresses to (id, cell, codes) via the
+       same shuffle-free `assign` + `pq_encode` projections — at
+       scale this is the PERSISTED index, partitioned by cell;
+    2. probe: a mapInPandas stage computes each query's nprobe
+       nearest cells with the SAME `_fold_sq_dist` left fold and
+       (distance, index) tie-break as the single-query path — exact,
+       not a vectorized approximation — and emits (query_id, cell,
+       qvec), the query vector riding along;
+    3. ADC: candidates = ONE equi-join on cell; a mapInPandas stage
+       builds each query's m×k lookup table once per task (cached by
+       query id, `_fold_sq_dist` per entry) and accumulates the m
+       lookup adds PER ROW IN SUBSPACE ORDER — bit-identical to the
+       single-query path's Spark-side literal fold, pinned by
+       test_pq_knn_join_equals_single_query_path. Top-k per query is
+       a query-partitioned window (WindowGroupLimit prunes before the
+       exchange), never a global sort.
+
+    Raw-vector codes (the `pq_encode` simplification the single-query
+    path documents); the residual variant changes the encode pass and
+    makes the LUT per (query, cell) — same join shape.
+    """
+    import numpy as np
+
+    from .kmeans import assign
+
+    sub = len(codebooks[0][0])
+    m = len(codebooks)
+    spark = queries.sparkSession
+
+    enc = pq_encode(
+        assign(corpus, coarse_centroids, id_col=id_col, vec_col=vec_col),
+        codebooks,
+        id_col=id_col,
+        vec_col=vec_col,
+        keep_cols=["cluster_id"],
+    ).withColumn("cell", F.col("cluster_id").cast("int"))
+
+    b_cc = spark.sparkContext.broadcast(
+        [[float(x) for x in c] for c in coarse_centroids]
+    )
+    probe_schema = f"{query_id_col} long, cell int, _qvec array<double>"
+
+    def probes(batches):
+        import pandas as pd
+
+        cc = b_cc.value
+        for pdf in batches:
+            qids: list[int] = []
+            cells: list[int] = []
+            vecs: list[list[float]] = []
+            for qid, vec in zip(pdf[query_id_col], pdf[vec_col]):
+                v = [float(x) for x in vec]
+                cd = [_fold_sq_dist(v, c) for c in cc]
+                order = sorted(range(len(cd)), key=lambda i: (cd[i], i))
+                for cell in order[:nprobe]:
+                    qids.append(int(qid))
+                    cells.append(cell)
+                    vecs.append(v)
+            yield pd.DataFrame(
+                {query_id_col: qids, "cell": cells, "_qvec": vecs}
+            )
+
+    probe = queries.select(query_id_col, vec_col).mapInPandas(
+        probes, probe_schema
+    )
+
+    cand = enc.select(id_col, "cell", "codes").join(probe, "cell")
+    b_cb = spark.sparkContext.broadcast(
+        [[[float(x) for x in cw] for cw in cb] for cb in codebooks]
+    )
+    score_schema = (
+        f"{query_id_col} long, {id_col} long, cell int, est_dist double"
+    )
+
+    def score(batches):
+        import pandas as pd
+
+        cbs = b_cb.value
+        luts: dict[int, list[list[float]]] = {}
+        for pdf in batches:
+            qid_arr = [int(q) for q in pdf[query_id_col]]
+            for qid, qv in zip(qid_arr, pdf["_qvec"]):
+                if qid not in luts:
+                    v = list(qv)
+                    luts[qid] = [
+                        [
+                            _fold_sq_dist(v[s * sub : (s + 1) * sub], cw)
+                            for cw in cb
+                        ]
+                        for s, cb in enumerate(cbs)
+                    ]
+            codes_arr = [list(c) for c in pdf["codes"]]
+            est = np.zeros(len(pdf), dtype=np.float64)
+            # subspace-order accumulation: each row's adds happen
+            # left-to-right exactly like the literal-LUT Spark fold
+            for s in range(m):
+                est += np.array(
+                    [
+                        luts[q][s][c[s]]
+                        for q, c in zip(qid_arr, codes_arr)
+                    ],
+                    dtype=np.float64,
+                )
+            yield pd.DataFrame(
+                {
+                    query_id_col: qid_arr,
+                    id_col: pdf[id_col],
+                    "cell": pdf["cell"],
+                    "est_dist": est,
+                }
+            )
+
+    scored = cand.select(
+        query_id_col, id_col, "cell", "codes", "_qvec"
+    ).mapInPandas(score, score_schema)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.asc("est_dist"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("_rank", F.row_number().over(w))
+        .where(F.col("_rank") <= k)
+        .select(query_id_col, id_col, "cell", "est_dist")
+    )
+
+
 def pq_encode_residual(
     df: DataFrame,
     coarse_centroids: list[list[float]],

@@ -23359,6 +23359,82 @@ def embedding_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "pq_knn_join",
+    f"""
+    WITH {_KMEANS_DIST_CTES},
+    pcb AS (SELECT * FROM (VALUES {_PQ_CB_VALUES}) AS t(s, cid, cv)),
+    pd AS (
+        SELECT vec_id, cluster_id, s, cid,
+               list_reduce(
+                   list_transform(e[s * {_PQ_SUB} + 1 : (s + 1) * {_PQ_SUB}],
+                                  (x, i) -> (x - cv[i]) * (x - cv[i])),
+                   (a, b) -> a + b) AS ds
+        FROM best CROSS JOIN pcb
+    ),
+    pbest AS (
+        SELECT vec_id, cluster_id, s, cid FROM pd
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                   ORDER BY ds, cid) = 1
+    ),
+    qprobe AS (
+        SELECT vec_id AS query_id, e AS qe, cid AS cell
+        FROM d WHERE vec_id < 40
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY dist_sq, cid) <= 3
+    ),
+    qlut AS (
+        SELECT q.query_id, p.s, p.cid,
+               list_reduce(
+                   list_transform(
+                       q.qe[p.s * {_PQ_SUB} + 1 : (p.s + 1) * {_PQ_SUB}],
+                       (x, i) -> (x - p.cv[i]) * (x - p.cv[i])),
+                   (a, b) -> a + b) AS lv
+        FROM (SELECT DISTINCT query_id, qe FROM qprobe) q CROSS JOIN pcb p
+    ),
+    cand AS (
+        SELECT qp.query_id, b.vec_id, b.cluster_id, b.s, b.cid
+        FROM qprobe qp JOIN pbest b ON b.cluster_id = qp.cell
+    ),
+    est AS (
+        SELECT c.query_id, c.vec_id, c.cluster_id,
+               list_reduce(list(l.lv ORDER BY c.s), (a, b) -> a + b)
+                   AS est_raw
+        FROM cand c JOIN qlut l
+          ON l.query_id = c.query_id AND l.s = c.s AND l.cid = c.cid
+        GROUP BY c.query_id, c.vec_id, c.cluster_id
+    )
+    SELECT query_id, vec_id, CAST(cluster_id AS INTEGER) AS cell,
+           ROUND(est_raw, 6) AS est_dist
+    FROM est
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY est_raw, vec_id) <= 10
+    """,
+)
+def pq_knn_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ kNN-JOIN (r10, `similarity.pq_knn_join`): 40 query
+    vectors search the PQ-compressed corpus through the DISTRIBUTED
+    path — executor-side probe assignment and per-query ADC tables
+    built inside the scoring stage (cached per task), never inlined
+    plan literals, so the same plan serves a corpus-sized query set.
+    est_dist is bit-equal across engines (every fold — coarse probe
+    distances, LUT entries, the m per-row adds — runs left-to-right
+    over identical doubles on both sides; the equivalence with the
+    single-query literal-LUT path is pinned by
+    test_pq_knn_join_equals_single_query_path), so the per-query
+    top-10 membership cannot flip."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    qdf = emb.where(F.col("vec_id") < 40).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.pq_knn_join(
+        emb, qdf, _KMEANS_CENTROIDS, _PQ_CODEBOOKS, nprobe=3, k=10
+    )
+    return out.select(
+        "query_id", "vec_id", "cell", F.round("est_dist", 6).alias("est_dist")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver verification window.
 #
