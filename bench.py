@@ -376,6 +376,8 @@ BENCH_QUERIES_R10 = [
     # IVF-PQ kNN-JOIN: encode projection + cell join + per-query ADC
     # tables built executor-side (40 fixed queries, SF-scaled corpus)
     "pq_knn_join",
+    # residual mode: per-(query, cell) ADC tables, same join shape
+    "pq_residual_knn_join",
 ]
 
 # Exact all-pairs similarity: run ONCE per round (no repeat sweeps)

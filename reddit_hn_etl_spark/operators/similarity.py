@@ -1030,6 +1030,7 @@ def pq_knn_join(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ kNN-JOIN: `ivf_pq_search` for a DataFrame of queries —
     the billion-scale ANN backfill where the query set is itself
@@ -1055,9 +1056,12 @@ def pq_knn_join(
        a query-partitioned window (WindowGroupLimit prunes before the
        exchange), never a global sort.
 
-    Raw-vector codes (the `pq_encode` simplification the single-query
-    path documents); the residual variant changes the encode pass and
-    makes the LUT per (query, cell) — same join shape.
+    ``residual=True`` switches to the production FAISS detail (the
+    `ivf_pq_search_residual` twin): codes quantize x − cc[cell], so
+    the ADC table becomes per (query, cell) — the scoring stage's
+    cache key gains the cell, everything else (probe, join, fold
+    order) is identical, and est_dist stays bit-equal to the
+    single-query residual path.
     """
     import numpy as np
 
@@ -1067,13 +1071,19 @@ def pq_knn_join(
     m = len(codebooks)
     spark = queries.sparkSession
 
-    enc = pq_encode(
-        assign(corpus, coarse_centroids, id_col=id_col, vec_col=vec_col),
-        codebooks,
-        id_col=id_col,
-        vec_col=vec_col,
-        keep_cols=["cluster_id"],
-    ).withColumn("cell", F.col("cluster_id").cast("int"))
+    if residual:
+        enc = pq_encode_residual(
+            corpus, coarse_centroids, codebooks,
+            id_col=id_col, vec_col=vec_col,
+        ).withColumn("cell", F.col("cluster_id").cast("int"))
+    else:
+        enc = pq_encode(
+            assign(corpus, coarse_centroids, id_col=id_col, vec_col=vec_col),
+            codebooks,
+            id_col=id_col,
+            vec_col=vec_col,
+            keep_cols=["cluster_id"],
+        ).withColumn("cell", F.col("cluster_id").cast("int"))
 
     b_cc = spark.sparkContext.broadcast(
         [[float(x) for x in c] for c in coarse_centroids]
@@ -1116,19 +1126,33 @@ def pq_knn_join(
         import pandas as pd
 
         cbs = b_cb.value
-        luts: dict[int, list[list[float]]] = {}
+        cc = b_cc.value
+        luts: dict[object, list[list[float]]] = {}
+
+        def lut_for(key, qv, cell):
+            got = luts.get(key)
+            if got is None:
+                v = list(qv)
+                if residual:
+                    # mirror ivf_pq_search_residual: center the query
+                    # on the candidate's coarse centroid FIRST
+                    v = [q - c for q, c in zip(v, cc[cell])]
+                got = luts[key] = [
+                    [
+                        _fold_sq_dist(v[s * sub : (s + 1) * sub], cw)
+                        for cw in cb
+                    ]
+                    for s, cb in enumerate(cbs)
+                ]
+            return got
+
         for pdf in batches:
             qid_arr = [int(q) for q in pdf[query_id_col]]
-            for qid, qv in zip(qid_arr, pdf["_qvec"]):
-                if qid not in luts:
-                    v = list(qv)
-                    luts[qid] = [
-                        [
-                            _fold_sq_dist(v[s * sub : (s + 1) * sub], cw)
-                            for cw in cb
-                        ]
-                        for s, cb in enumerate(cbs)
-                    ]
+            cell_arr = [int(c) for c in pdf["cell"]]
+            row_luts = [
+                lut_for((qid, cell) if residual else qid, qv, cell)
+                for qid, cell, qv in zip(qid_arr, cell_arr, pdf["_qvec"])
+            ]
             codes_arr = [list(c) for c in pdf["codes"]]
             est = np.zeros(len(pdf), dtype=np.float64)
             # subspace-order accumulation: each row's adds happen
@@ -1136,8 +1160,8 @@ def pq_knn_join(
             for s in range(m):
                 est += np.array(
                     [
-                        luts[q][s][c[s]]
-                        for q, c in zip(qid_arr, codes_arr)
+                        lut[s][c[s]]
+                        for lut, c in zip(row_luts, codes_arr)
                     ],
                     dtype=np.float64,
                 )

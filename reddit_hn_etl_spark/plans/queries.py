@@ -23435,6 +23435,105 @@ def pq_knn_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "pq_residual_knn_join",
+    f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings),
+    cc AS (SELECT * FROM (VALUES {_KMEANS_CENTROID_VALUES}) AS t(ccid, ccv)),
+    cd AS (
+        SELECT vec_id, e, ccid, ccv,
+               list_reduce(
+                   list_transform(e, (x, i) -> (x - ccv[i]) * (x - ccv[i])),
+                   (a, b) -> a + b) AS ds
+        FROM v CROSS JOIN cc
+    ),
+    bestc AS (
+        SELECT vec_id, e, ccid AS cluster_id, ccv FROM cd
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY ds, ccid) = 1
+    ),
+    rv AS (
+        SELECT vec_id, cluster_id,
+               list_transform(e, (x, i) -> x - ccv[i]) AS re
+        FROM bestc
+    ),
+    pcb AS (SELECT * FROM (VALUES {_PQ_CB_VALUES}) AS t(s, cid, cv)),
+    pd AS (
+        SELECT vec_id, cluster_id, s, cid,
+               list_reduce(
+                   list_transform(re[s * {_PQ_SUB} + 1 : (s + 1) * {_PQ_SUB}],
+                                  (x, i) -> (x - cv[i]) * (x - cv[i])),
+                   (a, b) -> a + b) AS ds
+        FROM rv CROSS JOIN pcb
+    ),
+    pbest AS (
+        SELECT vec_id, cluster_id, s, cid FROM pd
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                   ORDER BY ds, cid) = 1
+    ),
+    qprobe AS (
+        SELECT vec_id AS query_id, e AS qe, ccid AS cell
+        FROM cd WHERE vec_id < 40
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY ds, ccid) <= 3
+    ),
+    qres AS (
+        SELECT qp.query_id, qp.cell,
+               list_transform(qp.qe, (x, i) -> x - c.ccv[i]) AS qr
+        FROM qprobe qp JOIN cc c ON c.ccid = qp.cell
+    ),
+    qlut AS (
+        SELECT q.query_id, q.cell, p.s, p.cid,
+               list_reduce(
+                   list_transform(
+                       q.qr[p.s * {_PQ_SUB} + 1 : (p.s + 1) * {_PQ_SUB}],
+                       (x, i) -> (x - p.cv[i]) * (x - p.cv[i])),
+                   (a, b) -> a + b) AS lv
+        FROM qres q CROSS JOIN pcb p
+    ),
+    cand AS (
+        SELECT qp.query_id, b.vec_id, b.cluster_id, b.s, b.cid
+        FROM (SELECT DISTINCT query_id, cell FROM qprobe) qp
+        JOIN pbest b ON b.cluster_id = qp.cell
+    ),
+    est AS (
+        SELECT c.query_id, c.vec_id, c.cluster_id,
+               list_reduce(list(l.lv ORDER BY c.s), (a, b) -> a + b)
+                   AS est_raw
+        FROM cand c JOIN qlut l
+          ON l.query_id = c.query_id AND l.cell = c.cluster_id
+         AND l.s = c.s AND l.cid = c.cid
+        GROUP BY c.query_id, c.vec_id, c.cluster_id
+    )
+    SELECT query_id, vec_id, CAST(cluster_id AS INTEGER) AS cell,
+           ROUND(est_raw, 6) AS est_dist
+    FROM est
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY est_raw, vec_id) <= 10
+    """,
+)
+def pq_residual_knn_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual-mode IVF-PQ kNN-JOIN (r10): codes quantize
+    x − cc[cell], so the ADC table is per (query, cell) — built
+    inside the distributed scoring stage (cache keyed (query, cell)),
+    never a plan literal, with the same probe/join/fold discipline as
+    `pq_knn_join`. est_dist stays bit-equal across engines and to the
+    single-query `ivf_pq_search_residual`
+    (test_pq_residual_knn_join_equals_single_query_path)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    qdf = emb.where(F.col("vec_id") < 40).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.pq_knn_join(
+        emb, qdf, _KMEANS_CENTROIDS, _PQ_CODEBOOKS, nprobe=3, k=10,
+        residual=True,
+    )
+    return out.select(
+        "query_id", "vec_id", "cell", F.round("est_dist", 6).alias("est_dist")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver verification window.
 #

@@ -219,3 +219,33 @@ def test_pq_knn_join_handles_corpus_scale_queries(spark, sf_dir):
     n_q = qall.count()
     assert per_q.count() == n_q
     assert per_q.agg({"count": "min"}).first()[0] == 5
+
+
+def test_pq_residual_knn_join_equals_single_query_path(spark, sf_dir):
+    """Residual mode: per-(query, cell) ADC tables; must reproduce
+    `ivf_pq_search_residual` per query exactly, est_dist bit-equal."""
+    from pyspark.sql import functions as F
+
+    from reddit_hn_etl_spark.operators import kmeans
+
+    cc = kmeans.seeded_centroids(dim=64, k=8, seed=11)
+    emb = read_table(spark, sf_dir, "embeddings")
+    qdf = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    joined = {
+        (r.query_id, r.vec_id): (r.cell, r.est_dist)
+        for r in similarity.pq_knn_join(
+            emb, qdf, cc, CB, nprobe=3, k=10, residual=True
+        ).collect()
+    }
+    q_rows = {r.query_id: list(r.embedding) for r in qdf.collect()}
+    for qid, qvec in q_rows.items():
+        single = {
+            (qid, r.vec_id): (r.cell, r.est_dist)
+            for r in similarity.ivf_pq_search_residual(
+                emb, cc, CB, [float(x) for x in qvec], nprobe=3, k=10
+            ).collect()
+        }
+        got = {kk: vv for kk, vv in joined.items() if kk[0] == qid}
+        assert got == single, f"query {qid} diverged (residual)"
