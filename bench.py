@@ -543,6 +543,76 @@ def cpu_multicore_parallelism(workers: int) -> float:
     return round(workers * single / wall, 1) if wall > 0 else 0.0
 
 
+def two_axis_norm(
+    sec: float, calib_ms: float, par: float, par_of: int
+) -> float | None:
+    """Memory-pinned cross-round normalization (SCALING.md): raw wall
+    time rescaled to a reference box — ×(100/calib_ms) for
+    single-thread speed, ×(par/par_of) for delivered parallelism.
+    Valid for comparing parallelism-bound queries across boxes; at
+    par < ~16/32 it over-corrects (NOTES_r10) so treat as a flag, not
+    a verdict."""
+    if not calib_ms or calib_ms <= 0 or not par or not par_of:
+        return None
+    return sec * (100.0 / calib_ms) * (par / par_of)
+
+
+def load_prior_summary(repo_dir: str) -> dict | None:
+    """Summary JSON of the latest recorded round (BENCH_r*.json).
+    The driver stores only the last ~2000 chars of stdout ('tail');
+    the final self-contained summary line survives by design — parse
+    it back out for the outlier re-run rule."""
+    import glob
+    import re
+
+    paths = sorted(
+        glob.glob(os.path.join(repo_dir, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+    )
+    if not paths:
+        return None
+    try:
+        with open(paths[-1], encoding="utf-8") as f:
+            rec = json.load(f)
+        tail = rec.get("tail", "")
+        i = tail.rfind('{"metric"')
+        return json.loads(tail[i:]) if i >= 0 else None
+    except Exception:
+        return None
+
+
+def outlier_names(
+    timings: dict[str, float | None],
+    cur_calib: float,
+    cur_par: float,
+    cur_par_of: int,
+    prior: dict | None,
+) -> list[str]:
+    """Queries whose two-axis-normalized time regressed >2× vs the
+    prior round's recorded value (VERDICT r10 #4: BENCH_r10 shipped a
+    4× steal artifact for fuzzy_decontamination on a 16.2/32-core
+    box). Applied only when the box is degraded (cpu_parallelism <
+    28) — on a healthy box a 2× regression is signal, not steal.
+    Prior per-query values exist only for the recorded slowest-20;
+    that is exactly the set where a steal burst distorts the round's
+    story. Pure function — pinned by test_queries_misc."""
+    if prior is None or cur_par >= 28:
+        return []
+    p_calib = prior.get("cpu_calib_ms")
+    p_par = prior.get("cpu_parallelism")
+    p_par_of = prior.get("cpu_parallelism_of", 32)
+    flagged = []
+    for name, p_sec in (prior.get("queries") or {}).items():
+        c_sec = timings.get(name)
+        if c_sec is None or p_sec is None:
+            continue
+        c_n = two_axis_norm(c_sec, cur_calib, cur_par, cur_par_of)
+        p_n = two_axis_norm(p_sec, p_calib, p_par, p_par_of)
+        if c_n is not None and p_n is not None and c_n > 2.0 * p_n:
+            flagged.append(name)
+    return flagged
+
+
 def git_head() -> str:
     """Commit the bench ran against (VERDICT r5 #5 — BENCH_r04 was
     generated mid-r5 and the label ambiguity cost a round of
@@ -642,6 +712,36 @@ def main() -> None:
             ).save()
             timings[name] = min(timings[name], time.perf_counter() - t0)
         sweeps_done += 1
+
+    # Outlier re-run rule (VERDICT r10 #4): on a degraded box
+    # (delivered parallelism < 28/32), a single steal burst can stamp
+    # a 4× phantom regression (BENCH_r10's fuzzy_decontamination:
+    # 30.9 s in-bench, 7.2-8.2 s solo ×3). Re-run any query whose
+    # two-axis-normalized time is >2× its prior-round record and keep
+    # the best — bounded re-runs, inside a 1.5× budget guard.
+    calib = cpu_calibration_ms()
+    cpu_par = cpu_multicore_parallelism(int(cpus))
+    outlier_reruns: dict[str, dict] = {}
+    flagged = outlier_names(
+        {n: (None if t == float("inf") else t) for n, t in timings.items()},
+        calib, cpu_par, int(cpus), load_prior_summary(
+            os.path.dirname(os.path.abspath(__file__))
+        ),
+    )
+    for name in flagged:
+        if time.perf_counter() - t_start > budget_s * 1.5:
+            break
+        before = timings[name]
+        for _ in range(2):
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            timings[name] = min(timings[name], time.perf_counter() - t0)
+        outlier_reruns[name] = {
+            "before": round(before, 3),
+            "after": round(timings[name], 3),
+        }
 
     # Exact all-pairs probe: one run each, paired with the benched
     # approximate twin's sweep timing so the speedup is recorded.
@@ -775,7 +875,6 @@ def main() -> None:
             key=lambda kv: -kv[1],
         )[:20]
     )
-    calib = cpu_calibration_ms()
     # Box speeds vary ~1.7x round to round; `value` is the raw wall
     # time, `value_normalized` rescales it to a reference box where
     # the fixed Python calibration loop takes 100 ms (value x
@@ -804,7 +903,8 @@ def main() -> None:
                 "ann_recall": ann_recall,
                 "git_head": git_head(),
                 "cpu_calib_ms": calib,
-                "cpu_parallelism": cpu_multicore_parallelism(int(cpus)),
+                "cpu_parallelism": cpu_par,
+                "outlier_reruns": outlier_reruns,
                 "cpu_parallelism_of": int(cpus),
                 "queries": slowest,
             }

@@ -449,6 +449,12 @@ def _assign_probe_cells(
 
     spark = queries.sparkSession
     c = np.asarray(centroids, dtype=np.float64)
+    # Clamp like the collected path does implicitly (argsort over
+    # n_cells columns yields at most n_cells probes): n_probe >
+    # n_cells would repeat ids n_probe times against an
+    # order-matrix of only n_cells columns and die inside pandas
+    # with an opaque length mismatch (ADVICE r10).
+    n_probe = min(n_probe, len(c))
     cn = c / np.maximum(np.linalg.norm(c, axis=1), 1e-12)[:, None]
     b_c = spark.sparkContext.broadcast(cn)
     out_schema = f"{query_id_col} long, cell int, {vec_out} array<double>"
@@ -592,7 +598,24 @@ def knn_cosine_ivf(
     if n_cells == "auto":
         n_cells = max(16, round(math.sqrt(corpus.count())))
     if n_probe == "auto":
-        n_probe = max(4, round(n_cells / 4))
+        # Regime-split operating point (VERDICT r10 #3, measured
+        # curve in SCALING.md §ANN): the collected regime keeps the
+        # published FAISS quarter-probe (panel recall@10 0.926); the
+        # kNN-JOIN regime (queries = corpus, semantic-dedup) probes
+        # HALF the cells — corpus-wide mean recall@10 0.677 → 0.870
+        # at sf0.1 with wall time flat at test scale (probe/k-means
+        # overhead dominates candidate scoring there). At production
+        # scale candidate scoring is the cost and half-probe is 2× a
+        # quarter-probe scan — the curve is monotone and callers dial
+        # n_probe explicitly when recall 0.68 is enough.
+        n_probe = max(
+            4, round(n_cells / (2 if distributed_queries else 4))
+        )
+    # Probing more cells than exist is the same as probing them all;
+    # without the clamp the distributed path crashed in pandas while
+    # the collected path degraded gracefully (ADVICE r10) — e.g.
+    # explicit n_cells=2 with auto n_probe (=4).
+    n_probe = min(n_probe, n_cells)
 
     centroids = kmeans_centroids(
         corpus, dim, n_cells=n_cells, iters=iters, id_col=id_col, vec_col=vec_col
@@ -644,6 +667,48 @@ def knn_cosine_ivf(
             .join(F.broadcast(q_vec), query_id_col)
             .dropDuplicates([query_id_col, id_col])
         )
+    scored = cand.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        (dot(F.col("_qvec"), F.col(vec_col))
+         / (F.col("_qn") * F.col("_cn"))).alias("_cos"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("_cos"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, F.round("_cos", 4).alias("cosine_sim"), "rank")
+    )
+
+
+def knn_join_ivf_index(
+    index: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """kNN-join against a PERSISTED IVF index — the production shape
+    where the quantizer is fitted once and the corpus is assigned
+    once (`streaming/ingest.ivf_index_stream` maintains the index
+    incrementally; `read_ivf_index_merged` yields these rows):
+    ``index`` is (id, cell, vector, _cn) partitioned by cell on
+    storage, so every query batch pays ONLY executor-side probe
+    assignment + one equi-join on cell + exact cosine rerank — no
+    k-means fit, no corpus assignment, per batch.
+
+    Bit-identical to `knn_cosine_ivf(distributed_queries=True)` over
+    the same corpus and centroids (same `_assign_probe_cells`
+    quantized tie-break, same Spark-side l2_norm, same scoring
+    expression and (desc cos, asc id) window) — pinned by
+    test_stateful_streaming's streaming-IVF twin."""
+    probe = _assign_probe_cells(
+        queries, query_id_col, vec_col, centroids, n_probe
+    )
+    cand = index.join(probe, "cell")
     scored = cand.select(
         F.col(query_id_col),
         F.col(id_col),
@@ -1114,7 +1179,18 @@ def pq_knn_join(
         probes, probe_schema
     )
 
-    cand = enc.select(id_col, "cell", "codes").join(probe, "cell")
+    # Cluster each task's rows by LUT cache key (query, then cell for
+    # residual) BEFORE the scoring stage: a local sort, no shuffle —
+    # after the cell equi-join a task would otherwise interleave every
+    # query probing its cells and each LUT would be rebuilt (or, with
+    # an unbounded cache, pinned forever: at corpus-scale query sets
+    # that dict grows O(distinct queries per task × m×k) and OOMs the
+    # executor — ADVICE r10). Sorted input means a cache key never
+    # recurs once a new key appears, so a small LRU gives one build
+    # per key per task at bounded memory.
+    cand = enc.select(id_col, "cell", "codes").join(
+        probe, "cell"
+    ).sortWithinPartitions(query_id_col, "cell")
     b_cb = spark.sparkContext.broadcast(
         [[[float(x) for x in cw] for cw in cb] for cb in codebooks]
     )
@@ -1123,15 +1199,24 @@ def pq_knn_join(
     )
 
     def score(batches):
+        from collections import OrderedDict
+
         import pandas as pd
 
         cbs = b_cb.value
         cc = b_cc.value
-        luts: dict[object, list[list[float]]] = {}
+        # LRU-bounded (sorted input ⇒ one miss per key per task; the
+        # bound is pure defense so an unsorted caller can't OOM).
+        luts: OrderedDict[object, list[list[float]]] = OrderedDict()
+        lut_cap = 4096
 
         def lut_for(key, qv, cell):
             got = luts.get(key)
+            if got is not None:
+                luts.move_to_end(key)
             if got is None:
+                while len(luts) >= lut_cap:
+                    luts.popitem(last=False)
                 v = list(qv)
                 if residual:
                     # mirror ivf_pq_search_residual: center the query

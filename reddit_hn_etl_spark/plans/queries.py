@@ -23332,16 +23332,20 @@ def embedding_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     True)`: probe cells assigned executor-side, candidate generation
     one shuffle join on cell, nothing query-sized on the driver (the
     collected path's max_query_rows guard names this as the
-    corpus-scale alternative). Bound-checked per query like
-    knn_cosine_ivf: "the approximate top-10 recovers >=2 of the exact
-    top-10" — self-retrieval is structural (a vector's own cell is
-    always its first probe), so the floor asserts self plus >=1 true
-    neighbor for ALL queries, not just the 5 easy panel vectors.
-    Measured at the auto (√N cells, quarter-probe) point: min hits 2,
-    mean 6.60-6.77/10 at every test scale (the corpus tail is
-    near-isotropic noise — mean top-10 cosine 0.35 — so corpus-wide
-    mean recall is intrinsically lower than the planted-easy
-    vec_id<50 panel's 0.926)."""
+    corpus-scale alternative). The differential floor is the
+    STRUCTURAL guarantee only (ADVICE r10): a vector's own cell is
+    always its first probe, so the approximate top-10 always recovers
+    the vector itself — hits >= 1 holds for every query regardless of
+    data generation, k-means iteration count, or the auto
+    n_cells/n_probe formula. The stronger MEASURED floor (min hits 2,
+    mean 6.60-6.77/10 at every test scale with the √N-cells /
+    quarter-probe auto point) is data-dependent — zero margin at the
+    tail — so it is pinned separately in
+    test_dedup_similarity.py::test_embedding_knn_join_measured_floor
+    where a data regen shows up as a test edit, not a registry-wide
+    differential failure. (Corpus tail is near-isotropic noise — mean
+    top-10 cosine 0.35 — hence corpus-wide mean recall sits below the
+    planted-easy vec_id<50 panel's 0.926.)"""
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
     exact = similarity.knn_cosine_bruteforce(emb, queries, k=10).select(
@@ -23355,7 +23359,7 @@ def embedding_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count("*").alias("_hits"))
     return queries.select("query_id").join(hits, "query_id", "left").select(
         "query_id",
-        (F.coalesce(F.col("_hits"), F.lit(0)) >= 2).alias("recall_ok"),
+        (F.coalesce(F.col("_hits"), F.lit(0)) >= 1).alias("recall_ok"),
     )
 
 
@@ -23550,68 +23554,66 @@ def pq_residual_knn_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
-    # --- r10 rotation ---
-    # Coverage-closing round (VERDICT r9 #1): the 10 never-checked
-    # queries (6 stats-tail deferred from r9 + the 4 r9-registered)
-    # + the 5 r6/r3 evergreen flagship marts + the 35 oldest green
-    # rows (all r3 — no query's last green row ages past ~6 rounds
-    # once this lands; VERDICT r9 #6 rotation policy). After this
-    # window every one of the 330 registered queries has >=1 green
-    # driver row. Pre-cleared at sf0.01 under TZ=America/New_York
-    # in r9 (NOTES_r9) and re-verified this round.
+    # --- r11 rotation (VERDICT r10 #1, NOTES_r10 plan) ---
+    # The 3 r10 registrations (only never-checked entries in the
+    # 333-query registry; judge-emulated MATCH at sf0.01 in r10)
+    # + the 5 evergreen flagship marts + the 42 oldest green rows
+    # (40 last-green r4, 1 r3, 1 r5 — VERDICT r9 #6 rotation policy:
+    # no query's last green row ages past ~6 rounds). After this
+    # window, never-checked = 0 again.
     # never-checked (registration order):
-    "daily_spearman_corr",
-    "doc_token_dropout",
-    "daily_value_ar1",
-    "user_interarrival_burstiness",
-    "rolling_corr_value_count",
-    "dsir_ess_report",
-    "corpus_repeated_span_occurrences",
-    "doc_exact_substring_trim",
-    "incremental_span_trim",
-    "url_canonical_dedup",
-    # evergreen flagships (reference-mart semantics; last rows r6/r3):
+    "embedding_knn_join",
+    "pq_knn_join",
+    "pq_residual_knn_join",
+    # evergreen flagships (reference-mart semantics):
     "daily_metrics",
     "domain_extract",
     "user_activity",
     "dedup_keep_last",
     "scalar_summary",
-    # 35 oldest green rows (all last-green r3), registration order:
-    "type_daily",
-    "part_type_norm",
-    "customers_no_orders",
-    "top_orders",
-    "customer_order_deltas",
-    "filter_project",
-    "json_props",
-    "doc_exact_dedup",
-    "doc_token_jaccard",
-    "doc_minhash_pairs",
-    "knn_cosine",
-    "knn_cosine_lsh",
-    "doc_lang_id",
-    "doc_tokens",
-    "doc_fingerprint",
-    "doc_quality",
-    "asof_rates",
-    "interval_purchases_near_errors",
-    "rollup_daily",
-    "orders_cube",
-    "pivot_daily_types",
-    "distinct_users_daily",
-    "approx_distinct_users",
-    "value_percentiles",
-    "brand_revenue",
-    "calendar_breakdown",
-    "weekly_counts",
-    "conditional_agg",
-    "scalar_subqueries",
-    "embedding_near_dup",
-    "local_supplier_volume",
-    "shipping_priority",
-    "top_words",
-    "value_stats",
-    "salted_user_counts",
+    # 42 oldest green rows (last-green round, then registration order):
+    "user_event_type_sets",
+    "doc_token_jaccard_capped",
+    "pit_user_features",
+    "selective_order_lines",
+    "curate_documents",
+    "knn_cosine_ivf",
+    "media_features",
+    "media_resize",
+    "nation_trade_volume",
+    "min_cost_supplier",
+    "sole_late_suppliers",
+    "nation_share_by_year",
+    "train_val_split_counts",
+    "benchmark_contamination",
+    "not_in_null_semantics",
+    "status_priority_grouping_sets",
+    "forward_fill_values",
+    "curation_funnel",
+    "pack_token_budget",
+    "interpolate_missing_values",
+    "cluster_keep_best",
+    "audio_wav_metrics",
+    "image_bmp_metrics",
+    "session_funnel",
+    "weekly_cohort_retention",
+    "customer_rfm_segments",
+    "duplicate_token_spans",
+    "semantic_dedup_cells",
+    "event_sequence_funnel",
+    "embedding_covariance",
+    "pca_power_component",
+    "phrase_search_positional",
+    "image_ahash_pairs",
+    "customer_fellegi_sunter",
+    "daily_value_changepoint",
+    "event_value_bootstrap_se",
+    "bigram_pmi_collocations",
+    "neyman_allocation",
+    "attribution_credit_models",
+    "customer_golden_records",
+    "quantile_sketch_order_values",
+    "props_variant_agg",
 ]
 
 

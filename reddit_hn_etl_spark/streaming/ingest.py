@@ -647,6 +647,20 @@ def screen_stream_against_minhash_index(
     and the index join dedups candidate pairs, so BOTH surfaces are
     safe to consume with a keyed dropDuplicates / the freshness merge
     downstream; results converge, the reference's replay story.
+    Replay determinism (r11, same contract as the gram-index trim):
+    the index a batch screens against is read with ``before_batch =
+    batch_id``, so a batch replayed after its index append landed
+    does not meet its own band rows — the replayed hit rows are
+    bit-identical to the originals, not a superset.
+
+    Index layout (r11): band rows carry ``batch_id`` (and a null
+    ``thru``); `read_minhash_index_merged` dedups replays on
+    (batch_id, id, band) and `compact_minhash_index` folds history
+    into one snapshot (batch_id = -1, ``thru`` = highest folded
+    batch) whose watermark drops post-compaction replays — the same
+    replay-watermark protocol as the gram index, closing the last
+    unbounded-growth seam (duplicate rows + one parquet append per
+    batch forever) in the incremental dedup path.
 
     State: none in the streaming engine (the index IS the state, on
     storage, partitioned by band for a partition-pruned join). At
@@ -665,16 +679,34 @@ def screen_stream_against_minhash_index(
         ).persist()
         try:
             try:
-                existing = spark_b.read.parquet(index_dir)
+                existing = read_minhash_index_merged(
+                    spark_b, index_dir, id_col, before_batch=batch_id
+                )
+                snap_thru = (
+                    spark_b.read.parquet(index_dir)
+                    .agg(F.max("thru"))
+                    .first()[0]
+                )
+                if snap_thru is not None and snap_thru >= batch_id:
+                    # compaction folded this (then-uncommitted) batch
+                    # into the snapshot; band rows key by doc id and
+                    # batch ids are disjoint (caller contract), so an
+                    # anti-join on the batch's own ids reconstructs
+                    # the pre-batch index exactly.
+                    existing = existing.join(
+                        batch_df.select(id_col), id_col, "left_anti"
+                    )
             except AnalysisException:  # first batch: no index yet
                 existing = None
             if existing is not None:
                 index_pairs(
                     batch_banded, existing, id_col, num_hashes, threshold
                 ).write.mode("append").parquet(hits_dir)
-            batch_banded.write.mode("append").partitionBy("band").parquet(
-                index_dir
-            )
+            batch_banded.withColumn(
+                "batch_id", F.lit(batch_id).cast("long")
+            ).withColumn(
+                "thru", F.lit(None).cast("long")
+            ).write.mode("append").partitionBy("band").parquet(index_dir)
         finally:
             batch_banded.unpersist()
 
@@ -684,6 +716,235 @@ def screen_stream_against_minhash_index(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def ivf_index_stream(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    index_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> StreamingQuery:
+    """Streaming incremental IVF index (VERDICT r10 #7): each
+    micro-batch of new vectors is assigned to its nearest EXISTING
+    cell executor-side (`similarity._assign_probe_cells` with
+    n_probe=1 — the carrying assignment, bit-identical to
+    `knn_cosine_ivf`'s corpus side including the 1e-12-quantized
+    (-sim, index) tie-break) and appended to ``index_dir``
+    partitioned by cell — completing the batch/streaming symmetry
+    the dedup family already has (minhash bands, gram index). The
+    quantizer is FIXED at stream start (the FAISS operating model:
+    train once, add forever); re-centering is offline maintenance —
+    refit with `similarity.kmeans_centroids` over the merged index
+    vectors and rebuild, exactly like a batch index rebuild.
+
+    Index layout: the replay-watermark protocol shared with the gram
+    and minhash indexes — per-batch rows carry ``batch_id`` (and a
+    null ``thru``); `read_ivf_index_merged` dedups replayed rows on
+    (batch_id, id) and `compact_ivf_index` folds history into one
+    snapshot whose ``thru`` watermark drops post-compaction replays.
+    Query path: `similarity.knn_join_ivf_index` over the merged rows
+    — probe + one cell equi-join + exact rerank, no fit and no
+    corpus assignment per query batch.
+
+    Scale shape per batch: one Arrow GEMM stage over the batch (the
+    broadcast centroid matrix is tiny), zero shuffles, O(batch)
+    rows appended; the corpus is never re-read or re-assigned."""
+    from ..operators.similarity import _assign_probe_cells
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        _assign_probe_cells(
+            batch_df.select(id_col, vec_col), id_col, vec_col,
+            centroids, 1, vec_out=vec_col, norm_out="_cn",
+        ).withColumn(
+            "batch_id", F.lit(batch_id).cast("long")
+        ).withColumn(
+            "thru", F.lit(None).cast("long")
+        ).write.mode("append").partitionBy("cell").parquet(index_dir)
+
+    return (
+        vectors.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_ivf_index_merged(
+    spark: SparkSession,
+    index_dir: str,
+    id_col: str = "vec_id",
+    before_batch: int | None = None,
+) -> DataFrame:
+    """Merged (id, cell, vector, _cn) view of a streaming IVF index
+    directory — same replay-watermark read as the gram/minhash
+    indexes: snapshot rows (batch_id = -1, ``thru``) bound replayed
+    folded batches; above-watermark replays dedup on (batch_id, id).
+    Rows feed `similarity.knn_join_ivf_index` directly."""
+    df = spark.read.parquet(index_dir)
+    thru = df.agg(F.max("thru")).first()[0]
+    if thru is not None:
+        df = df.where((F.col("batch_id") == -1) | (F.col("batch_id") > thru))
+    if before_batch is not None:
+        df = df.where(
+            (F.col("batch_id") == -1) | (F.col("batch_id") < before_batch)
+        )
+    cols = [c for c in df.columns if c not in ("batch_id", "thru")]
+    return df.dropDuplicates(["batch_id", id_col]).select(*cols)
+
+
+def compact_ivf_index(
+    spark: SparkSession, index_dir: str, id_col: str = "vec_id"
+) -> int:
+    """Fold per-batch IVF index rows into ONE snapshot row per vector
+    (batch_id = -1, ``thru`` = highest batch folded) via
+    write-new-then-swap; returns the snapshot row count. Same
+    protocol and single-writer window as `compact_gram_index` /
+    `compact_minhash_index`; bounds the one-parquet-append-per-batch
+    growth and keeps replays safe across the fold."""
+    df = spark.read.parquet(index_dir)
+    new_thru = df.agg(
+        F.greatest(F.max("batch_id"), F.coalesce(F.max("thru"), F.lit(-1)))
+    ).first()[0]
+    prev_thru = df.agg(F.max("thru")).first()[0]
+    if prev_thru is not None:
+        df = df.where(
+            (F.col("batch_id") == -1) | (F.col("batch_id") > prev_thru)
+        )
+    merged = (
+        df.dropDuplicates(["batch_id", id_col])
+        .drop("batch_id", "thru")
+        .withColumn("batch_id", F.lit(-1).cast("long"))
+        .withColumn("thru", F.lit(new_thru).cast("long"))
+    )
+    tmp = index_dir.rstrip("/") + "_compacting"
+    shutil.rmtree(tmp, ignore_errors=True)
+    merged.write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    n = spark.read.parquet(tmp).count()
+    _swap_dir(tmp, index_dir)
+    return n
+
+
+def recenter_ivf_index(
+    spark: SparkSession,
+    index_dir: str,
+    dim: int,
+    n_cells: int,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Offline IVF maintenance (the 'periodic re-center' half of
+    VERDICT r10 #7): refit the quantizer over ALL indexed vectors
+    (`similarity.kmeans_centroids` — the same deterministic
+    smallest-ids init + Lloyd steps the batch path uses), reassign
+    every vector to the refit cells with the same carrying
+    assignment, and rebuild the index as one compacted snapshot
+    (batch_id = -1, ``thru`` = highest batch folded) via
+    write-new-then-swap. Returns the refit centroids — the stream
+    (and `knn_join_ivf_index` callers) must switch to them, exactly
+    like a FAISS retrain-and-rebuild.
+
+    Single-writer window, same as the compactions. Scale shape: one
+    pass to refit (iters × assign+mean), one assignment pass, one
+    partitioned write — never more than O(corpus) per step, no
+    driver-sized state beyond the n_cells × dim centroid matrix."""
+    from ..operators.similarity import _assign_probe_cells, kmeans_centroids
+
+    merged = read_ivf_index_merged(spark, index_dir, id_col=id_col)
+    df = spark.read.parquet(index_dir)
+    new_thru = df.agg(
+        F.greatest(F.max("batch_id"), F.coalesce(F.max("thru"), F.lit(-1)))
+    ).first()[0]
+    vectors = merged.select(id_col, vec_col).localCheckpoint(eager=True)
+    centroids = kmeans_centroids(
+        vectors, dim, n_cells=n_cells, iters=iters,
+        id_col=id_col, vec_col=vec_col,
+    )
+    rebuilt = (
+        _assign_probe_cells(
+            vectors, id_col, vec_col, centroids, 1,
+            vec_out=vec_col, norm_out="_cn",
+        )
+        .withColumn("batch_id", F.lit(-1).cast("long"))
+        .withColumn("thru", F.lit(new_thru).cast("long"))
+    )
+    tmp = index_dir.rstrip("/") + "_recentering"
+    shutil.rmtree(tmp, ignore_errors=True)
+    rebuilt.write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    _swap_dir(tmp, index_dir)
+    return centroids
+
+
+def read_minhash_index_merged(
+    spark: SparkSession,
+    index_dir: str,
+    id_col: str = "doc_id",
+    before_batch: int | None = None,
+) -> DataFrame:
+    """Merged band-row view of a streaming minhash-index directory
+    (the LSH twin of `read_gram_index_merged`, VERDICT r10 #5):
+    per-batch rows (batch_id >= 0) plus at most one compacted
+    snapshot (batch_id = -1 carrying ``thru``). Replay-idempotent:
+    rows of a batch at or below the snapshot watermark are dropped
+    (already folded); an above-watermark replay re-appends identical
+    (batch_id, id, band) rows and dedups away. ``before_batch``
+    bounds the partial rows so a batch never screens against its own
+    uncommitted append. Returns plain (id, sig, band, bucket) rows —
+    the exact `minhash_index` schema `index_pairs` consumes."""
+    df = spark.read.parquet(index_dir)
+    thru = df.agg(F.max("thru")).first()[0]
+    if thru is not None:
+        df = df.where((F.col("batch_id") == -1) | (F.col("batch_id") > thru))
+    if before_batch is not None:
+        df = df.where(
+            (F.col("batch_id") == -1) | (F.col("batch_id") < before_batch)
+        )
+    return df.dropDuplicates([
+        "batch_id", id_col, "band"
+    ]).select(id_col, "sig", "band", "bucket")
+
+
+def compact_minhash_index(spark: SparkSession, index_dir: str) -> int:
+    """Fold the per-batch band rows that
+    `screen_stream_against_minhash_index` appends into ONE snapshot
+    row per (doc, band) — batch_id = -1, ``thru`` = highest batch_id
+    folded — via write-new-then-swap. Returns the snapshot row count.
+
+    Same replay-watermark protocol as `compact_gram_index` (747ca8a):
+    a batch replayed after its rows were folded is dropped by
+    `read_minhash_index_merged`'s watermark instead of re-appearing
+    as duplicate band rows; at-least-once stays safe ACROSS
+    compactions. Run between batches (single writer). Scale shape:
+    one dedup shuffle; output is docs × bands rows, one parquet
+    file set per band partition instead of one per batch forever."""
+    df = spark.read.parquet(index_dir)
+    new_thru = df.agg(
+        F.greatest(F.max("batch_id"), F.coalesce(F.max("thru"), F.lit(-1)))
+    ).first()[0]
+    prev_thru = df.agg(F.max("thru")).first()[0]
+    if prev_thru is not None:
+        df = df.where(
+            (F.col("batch_id") == -1) | (F.col("batch_id") > prev_thru)
+        )
+    id_cols = [
+        c for c in df.columns if c not in ("batch_id", "thru", "sig", "bucket")
+    ]
+    merged = (
+        df.dropDuplicates(["batch_id", *id_cols])
+        .drop("batch_id", "thru")
+        .withColumn("batch_id", F.lit(-1).cast("long"))
+        .withColumn("thru", F.lit(new_thru).cast("long"))
+    )
+    tmp = index_dir.rstrip("/") + "_compacting"
+    shutil.rmtree(tmp, ignore_errors=True)
+    merged.write.mode("overwrite").partitionBy("band").parquet(tmp)
+    n = spark.read.parquet(tmp).count()
+    _swap_dir(tmp, index_dir)
+    return n
 
 
 def trim_stream_against_gram_index(
@@ -714,8 +975,22 @@ def trim_stream_against_gram_index(
     the engine's keyed-merge replay story — and `compact_gram_index`
     can fold history into one snapshot row per gram without breaking
     that (its ``thru`` watermark drops post-compaction replays of
-    already-folded batches). Trimmed output is keyed by ``id_col``; a
-    replayed batch duplicates rows, consumers dedup by key (same
+    already-folded batches).
+
+    Replay determinism of the TRIM itself (ADVICE r10): the merged
+    index a batch trims against is built with ``before_batch =
+    batch_id`` — partial rows from the current batch (and any later
+    one) are excluded, so a batch replayed after a failure BETWEEN
+    the index append and the checkpoint commit does not see its own
+    grams (which would push every batch gram to min_docs via
+    old+new double-counting and over-trim the replayed copy). If a
+    compaction ran in that window and folded the uncommitted batch
+    into the snapshot (thru >= batch_id), the batch's own gram
+    counts — recomputed from the batch, bit-identical to what the
+    snapshot folded — are subtracted back out. Either way a replay
+    trims against exactly the pre-batch index and reproduces
+    bit-identical rows, so ``out_dir`` holds only IDENTICAL
+    duplicate rows per key and consumers dedup by ``id_col`` (same
     contract as the minhash twin's hits surface).
 
     Scale shape per batch: batch-sized gram projection, one agg, one
@@ -730,23 +1005,53 @@ def trim_stream_against_gram_index(
             return
         spark_b = batch_df.sparkSession
         batch = batch_df.select(id_col, text_col).persist()
+        own = gram_index(batch, id_col, text_col, k=k).persist()
         try:
             try:
-                merged = read_gram_index_merged(spark_b, index_dir)
+                merged = read_gram_index_merged(
+                    spark_b, index_dir, before_batch=batch_id
+                )
+                snap_thru = (
+                    spark_b.read.parquet(index_dir)
+                    .agg(F.max("thru"))
+                    .first()[0]
+                )
             except AnalysisException:  # first batch: no index yet
                 merged = spark_b.createDataFrame([], "h long, n_docs long")
+                snap_thru = None
+            if snap_thru is not None and snap_thru >= batch_id:
+                # A compaction folded this (then-uncommitted) batch
+                # into the snapshot; subtract its own counts — the
+                # snapshot folded each (batch, h) exactly once, so
+                # this reconstructs the pre-batch index exactly.
+                merged = (
+                    merged.join(
+                        own.select("h", F.col("n_docs").alias("_own")),
+                        "h",
+                        "left",
+                    )
+                    .select(
+                        "h",
+                        (
+                            F.col("n_docs")
+                            - F.coalesce(F.col("_own"), F.lit(0))
+                        ).alias("n_docs"),
+                    )
+                    .where(F.col("n_docs") > 0)
+                )
             trim_batch_against_index(
                 batch, merged, id_col, text_col, k=k, min_docs=min_docs
             ).write.mode("append").parquet(out_dir)
             # batch_id pinned to long: the compaction snapshot writes
             # int64 and parquet schema inference must see ONE type
             # across files (a mixed int32/int64 dir fails the read).
-            gram_index(batch, id_col, text_col, k=k).withColumn(
+            own.withColumn(
                 "batch_id", F.lit(batch_id).cast("long")
             ).withColumn(
                 "thru", F.lit(None).cast("long")
             ).write.mode("append").parquet(index_dir)
         finally:
+            own.unpersist()
             batch.unpersist()
 
     return (
@@ -757,7 +1062,9 @@ def trim_stream_against_gram_index(
     )
 
 
-def read_gram_index_merged(spark: SparkSession, index_dir: str) -> DataFrame:
+def read_gram_index_merged(
+    spark: SparkSession, index_dir: str, before_batch: int | None = None
+) -> DataFrame:
     """Merged (h, n_docs) view of a streaming gram-index directory:
     per-batch partial rows (batch_id >= 0) plus at most one compacted
     snapshot (batch_id = -1 carrying ``thru`` = the highest batch it
@@ -766,11 +1073,22 @@ def read_gram_index_merged(spark: SparkSession, index_dir: str) -> DataFrame:
     already live in the snapshot); a replayed batch above the
     watermark re-appends identical (batch_id, h) rows and dedups
     away. One tiny driver action (the max-watermark probe) per read.
+
+    ``before_batch``: upper bound on the partial rows included —
+    only batch_id < before_batch contributes (snapshot rows always
+    pass; they are bounded by their own ``thru``). The streaming
+    trim passes its current batch_id here so a replayed batch never
+    trims against its own (uncommitted-checkpoint) index append
+    (ADVICE r10 replay determinism).
     """
     df = spark.read.parquet(index_dir)
     thru = df.agg(F.max("thru")).first()[0]
     if thru is not None:
         df = df.where((F.col("batch_id") == -1) | (F.col("batch_id") > thru))
+    if before_batch is not None:
+        df = df.where(
+            (F.col("batch_id") == -1) | (F.col("batch_id") < before_batch)
+        )
     return (
         df.dropDuplicates(["batch_id", "h"])
         .groupBy("h")

