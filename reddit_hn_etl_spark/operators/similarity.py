@@ -1085,6 +1085,39 @@ def ivf_pq_search(
     )
 
 
+def pq_encode_corpus(
+    corpus: DataFrame,
+    coarse_centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    residual: bool = False,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Stage 1 of the IVF-PQ index, factored out so the batch join
+    (`pq_knn_join`) and the streaming maintainer
+    (`streaming/ingest.pq_index_stream`) share ONE encode path:
+    coarse-assign then PQ-encode (residual or raw) — shuffle-free
+    projections, output (id, cell, codes[, cluster_id]). At scale
+    these rows ARE the persisted compressed index, partitioned by
+    cell; ~m bytes per vector instead of 8·dim."""
+    from .kmeans import assign
+
+    if residual:
+        enc = pq_encode_residual(
+            corpus, coarse_centroids, codebooks,
+            id_col=id_col, vec_col=vec_col,
+        )
+    else:
+        enc = pq_encode(
+            assign(corpus, coarse_centroids, id_col=id_col, vec_col=vec_col),
+            codebooks,
+            id_col=id_col,
+            vec_col=vec_col,
+            keep_cols=["cluster_id"],
+        )
+    return enc.withColumn("cell", F.col("cluster_id").cast("int"))
+
+
 def pq_knn_join(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1096,6 +1129,7 @@ def pq_knn_join(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     residual: bool = False,
+    encoded: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ kNN-JOIN: `ivf_pq_search` for a DataFrame of queries —
     the billion-scale ANN backfill where the query set is itself
@@ -1127,28 +1161,29 @@ def pq_knn_join(
     cache key gains the cell, everything else (probe, join, fold
     order) is identical, and est_dist stays bit-equal to the
     single-query residual path.
+
+    ``encoded``: a PRE-ENCODED corpus — (id, cell, codes) rows from a
+    persisted index (`streaming/ingest.pq_index_stream` maintains one
+    incrementally; `read_pq_index_merged` yields these rows). When
+    given, stage 1 is skipped entirely: the billion-scale operating
+    shape where the corpus is compressed ONCE and every query batch
+    pays only probe + join + ADC. Must have been encoded with the
+    SAME coarse_centroids/codebooks (and the same ``residual`` mode)
+    passed here — the ADC tables are meaningless otherwise.
     """
     import numpy as np
-
-    from .kmeans import assign
 
     sub = len(codebooks[0][0])
     m = len(codebooks)
     spark = queries.sparkSession
 
-    if residual:
-        enc = pq_encode_residual(
-            corpus, coarse_centroids, codebooks,
-            id_col=id_col, vec_col=vec_col,
-        ).withColumn("cell", F.col("cluster_id").cast("int"))
+    if encoded is not None:
+        enc = encoded.withColumn("cell", F.col("cell").cast("int"))
     else:
-        enc = pq_encode(
-            assign(corpus, coarse_centroids, id_col=id_col, vec_col=vec_col),
-            codebooks,
-            id_col=id_col,
-            vec_col=vec_col,
-            keep_cols=["cluster_id"],
-        ).withColumn("cell", F.col("cluster_id").cast("int"))
+        enc = pq_encode_corpus(
+            corpus, coarse_centroids, codebooks,
+            residual=residual, id_col=id_col, vec_col=vec_col,
+        )
 
     b_cc = spark.sparkContext.broadcast(
         [[float(x) for x in c] for c in coarse_centroids]

@@ -718,6 +718,69 @@ def screen_stream_against_minhash_index(
     )
 
 
+def _read_row_index_merged(
+    spark: SparkSession,
+    index_dir: str,
+    key_cols: list[str],
+    before_batch: int | None = None,
+) -> DataFrame:
+    """Shared replay-watermark READ for row-identity streaming
+    indexes (minhash bands, IVF cells, PQ codes — anything where a
+    replayed batch re-appends IDENTICAL rows, unlike the gram index's
+    summed counts): drop partial rows at or below the snapshot
+    ``thru`` watermark (already folded), optionally bound partials to
+    batch_id < ``before_batch`` (a batch must never read its own
+    uncommitted append), dedup replays on (batch_id, *key_cols), and
+    strip the protocol columns. One tiny driver action (the
+    max-watermark probe) per read."""
+    df = spark.read.parquet(index_dir)
+    thru = df.agg(F.max("thru")).first()[0]
+    if thru is not None:
+        df = df.where((F.col("batch_id") == -1) | (F.col("batch_id") > thru))
+    if before_batch is not None:
+        df = df.where(
+            (F.col("batch_id") == -1) | (F.col("batch_id") < before_batch)
+        )
+    cols = [c for c in df.columns if c not in ("batch_id", "thru")]
+    return df.dropDuplicates(["batch_id", *key_cols]).select(*cols)
+
+
+def _compact_row_index(
+    spark: SparkSession,
+    index_dir: str,
+    key_cols: list[str],
+    partition_col: str,
+) -> int:
+    """Shared replay-watermark COMPACTION for row-identity streaming
+    indexes: fold per-batch partial rows into ONE snapshot row per
+    key (batch_id = -1, ``thru`` = highest batch folded) via
+    write-new-then-swap; returns the snapshot row count. Run between
+    batches (single writer — the `_swap_dir` window). Keeps
+    at-least-once safe ACROSS compactions: a batch replayed after its
+    rows were folded is dropped by the read's watermark filter."""
+    df = spark.read.parquet(index_dir)
+    new_thru = df.agg(
+        F.greatest(F.max("batch_id"), F.coalesce(F.max("thru"), F.lit(-1)))
+    ).first()[0]
+    prev_thru = df.agg(F.max("thru")).first()[0]
+    if prev_thru is not None:
+        df = df.where(
+            (F.col("batch_id") == -1) | (F.col("batch_id") > prev_thru)
+        )
+    merged = (
+        df.dropDuplicates(["batch_id", *key_cols])
+        .drop("batch_id", "thru")
+        .withColumn("batch_id", F.lit(-1).cast("long"))
+        .withColumn("thru", F.lit(new_thru).cast("long"))
+    )
+    tmp = index_dir.rstrip("/") + "_compacting"
+    shutil.rmtree(tmp, ignore_errors=True)
+    merged.write.mode("overwrite").partitionBy(partition_col).parquet(tmp)
+    n = spark.read.parquet(tmp).count()
+    _swap_dir(tmp, index_dir)
+    return n
+
+
 def ivf_index_stream(
     vectors: DataFrame,
     centroids: list[list[float]],
@@ -784,16 +847,9 @@ def read_ivf_index_merged(
     indexes: snapshot rows (batch_id = -1, ``thru``) bound replayed
     folded batches; above-watermark replays dedup on (batch_id, id).
     Rows feed `similarity.knn_join_ivf_index` directly."""
-    df = spark.read.parquet(index_dir)
-    thru = df.agg(F.max("thru")).first()[0]
-    if thru is not None:
-        df = df.where((F.col("batch_id") == -1) | (F.col("batch_id") > thru))
-    if before_batch is not None:
-        df = df.where(
-            (F.col("batch_id") == -1) | (F.col("batch_id") < before_batch)
-        )
-    cols = [c for c in df.columns if c not in ("batch_id", "thru")]
-    return df.dropDuplicates(["batch_id", id_col]).select(*cols)
+    return _read_row_index_merged(
+        spark, index_dir, [id_col], before_batch=before_batch
+    )
 
 
 def compact_ivf_index(
@@ -805,27 +861,79 @@ def compact_ivf_index(
     protocol and single-writer window as `compact_gram_index` /
     `compact_minhash_index`; bounds the one-parquet-append-per-batch
     growth and keeps replays safe across the fold."""
-    df = spark.read.parquet(index_dir)
-    new_thru = df.agg(
-        F.greatest(F.max("batch_id"), F.coalesce(F.max("thru"), F.lit(-1)))
-    ).first()[0]
-    prev_thru = df.agg(F.max("thru")).first()[0]
-    if prev_thru is not None:
-        df = df.where(
-            (F.col("batch_id") == -1) | (F.col("batch_id") > prev_thru)
-        )
-    merged = (
-        df.dropDuplicates(["batch_id", id_col])
-        .drop("batch_id", "thru")
-        .withColumn("batch_id", F.lit(-1).cast("long"))
-        .withColumn("thru", F.lit(new_thru).cast("long"))
+    return _compact_row_index(spark, index_dir, [id_col], "cell")
+
+
+def pq_index_stream(
+    vectors: DataFrame,
+    coarse_centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    index_dir: str,
+    checkpoint_dir: str,
+    residual: bool = False,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> StreamingQuery:
+    """Streaming incremental IVF-PQ index: each micro-batch of new
+    vectors is coarse-assigned and PQ-encoded against the FIXED
+    quantizer/codebooks (`similarity.pq_encode_corpus` — the exact
+    stage-1 path `pq_knn_join` runs inline, so the persisted codes
+    are bit-identical to an inline encode) and appended to
+    ``index_dir`` partitioned by cell, under the shared
+    replay-watermark protocol. The compressed twin of
+    `ivf_index_stream`: ~m bytes per vector instead of 8·dim — the
+    billion-scale regime where the raw vectors don't fit the index.
+
+    Query path: `similarity.pq_knn_join(..., encoded=
+    read_pq_index_merged(...))` — the corpus is encoded ONCE, ever;
+    each query batch pays probe + one cell equi-join + ADC. Retrain
+    (new codebooks/centroids) is an offline rebuild, same as
+    `recenter_ivf_index`'s contract.
+
+    Scale shape per batch: shuffle-free encode projections over the
+    batch, O(batch) rows appended; corpus never re-read."""
+    from ..operators.similarity import pq_encode_corpus
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        pq_encode_corpus(
+            batch_df.select(id_col, vec_col), coarse_centroids,
+            codebooks, residual=residual, id_col=id_col, vec_col=vec_col,
+        ).select(id_col, "cell", "codes").withColumn(
+            "batch_id", F.lit(batch_id).cast("long")
+        ).withColumn(
+            "thru", F.lit(None).cast("long")
+        ).write.mode("append").partitionBy("cell").parquet(index_dir)
+
+    return (
+        vectors.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
     )
-    tmp = index_dir.rstrip("/") + "_compacting"
-    shutil.rmtree(tmp, ignore_errors=True)
-    merged.write.mode("overwrite").partitionBy("cell").parquet(tmp)
-    n = spark.read.parquet(tmp).count()
-    _swap_dir(tmp, index_dir)
-    return n
+
+
+def read_pq_index_merged(
+    spark: SparkSession,
+    index_dir: str,
+    id_col: str = "vec_id",
+    before_batch: int | None = None,
+) -> DataFrame:
+    """Merged (id, cell, codes) view of a streaming IVF-PQ index —
+    the shared replay-watermark read; rows feed
+    `similarity.pq_knn_join(encoded=...)` directly."""
+    return _read_row_index_merged(
+        spark, index_dir, [id_col], before_batch=before_batch
+    )
+
+
+def compact_pq_index(
+    spark: SparkSession, index_dir: str, id_col: str = "vec_id"
+) -> int:
+    """Fold per-batch IVF-PQ index rows into one snapshot row per
+    vector — the shared replay-watermark compaction."""
+    return _compact_row_index(spark, index_dir, [id_col], "cell")
 
 
 def recenter_ivf_index(
@@ -895,17 +1003,9 @@ def read_minhash_index_merged(
     bounds the partial rows so a batch never screens against its own
     uncommitted append. Returns plain (id, sig, band, bucket) rows —
     the exact `minhash_index` schema `index_pairs` consumes."""
-    df = spark.read.parquet(index_dir)
-    thru = df.agg(F.max("thru")).first()[0]
-    if thru is not None:
-        df = df.where((F.col("batch_id") == -1) | (F.col("batch_id") > thru))
-    if before_batch is not None:
-        df = df.where(
-            (F.col("batch_id") == -1) | (F.col("batch_id") < before_batch)
-        )
-    return df.dropDuplicates([
-        "batch_id", id_col, "band"
-    ]).select(id_col, "sig", "band", "bucket")
+    return _read_row_index_merged(
+        spark, index_dir, [id_col, "band"], before_batch=before_batch
+    ).select(id_col, "sig", "band", "bucket")
 
 
 def compact_minhash_index(spark: SparkSession, index_dir: str) -> int:
@@ -921,30 +1021,11 @@ def compact_minhash_index(spark: SparkSession, index_dir: str) -> int:
     compactions. Run between batches (single writer). Scale shape:
     one dedup shuffle; output is docs × bands rows, one parquet
     file set per band partition instead of one per batch forever."""
-    df = spark.read.parquet(index_dir)
-    new_thru = df.agg(
-        F.greatest(F.max("batch_id"), F.coalesce(F.max("thru"), F.lit(-1)))
-    ).first()[0]
-    prev_thru = df.agg(F.max("thru")).first()[0]
-    if prev_thru is not None:
-        df = df.where(
-            (F.col("batch_id") == -1) | (F.col("batch_id") > prev_thru)
-        )
     id_cols = [
-        c for c in df.columns if c not in ("batch_id", "thru", "sig", "bucket")
+        c for c in spark.read.parquet(index_dir).columns
+        if c not in ("batch_id", "thru", "sig", "bucket")
     ]
-    merged = (
-        df.dropDuplicates(["batch_id", *id_cols])
-        .drop("batch_id", "thru")
-        .withColumn("batch_id", F.lit(-1).cast("long"))
-        .withColumn("thru", F.lit(new_thru).cast("long"))
-    )
-    tmp = index_dir.rstrip("/") + "_compacting"
-    shutil.rmtree(tmp, ignore_errors=True)
-    merged.write.mode("overwrite").partitionBy("band").parquet(tmp)
-    n = spark.read.parquet(tmp).count()
-    _swap_dir(tmp, index_dir)
-    return n
+    return _compact_row_index(spark, index_dir, id_cols, "band")
 
 
 def trim_stream_against_gram_index(

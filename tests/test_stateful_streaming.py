@@ -790,6 +790,112 @@ def test_ivf_index_stream_matches_batch_and_replays(
     assert via_index2 == end_to_end2 and len(via_index2) == 25
 
 
+def test_pq_index_stream_matches_inline_join_and_replays(
+    spark, tmp_path, sf_dir
+):
+    """Streaming incremental IVF-PQ index (r11, the compressed twin
+    of ivf_index_stream): codes streamed per batch against fixed
+    centroids/codebooks must be BIT-IDENTICAL to the inline encode,
+    `pq_knn_join(encoded=merged_index)` must reproduce the inline
+    join exactly (raw AND residual), and the index follows the shared
+    replay-watermark protocol."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from reddit_hn_etl_spark.operators import kmeans, similarity
+    from reddit_hn_etl_spark.sources.tables import read_table
+    from reddit_hn_etl_spark.streaming import ingest
+
+    cc = kmeans.seeded_centroids(dim=64, k=8, seed=11)
+    cb = similarity.pq_codebooks(dim=64, n_sub=8, k=16, seed=101)
+    emb = read_table(spark, sf_dir, "embeddings").localCheckpoint(
+        eager=True
+    )
+    qdf = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    rows = [(r.vec_id, [float(x) for x in r.embedding]) for r in emb.collect()]
+    src = tmp_path / "vecs"
+    src.mkdir()
+    half = len(rows) // 2
+    for i, chunk in enumerate((rows[:half], rows[half:])):
+        (src / f"b{i}.jsonl").write_text(
+            "\n".join(
+                _json.dumps({"vec_id": v, "embedding": e}) for v, e in chunk
+            ),
+            encoding="utf-8",
+        )
+    base_t = _time.time() - 100
+    _os.utime(src / "b0.jsonl", (base_t, base_t))
+    _os.utime(src / "b1.jsonl", (base_t + 10, base_t + 10))
+
+    for residual in (False, True):
+        idx_dir = str(tmp_path / f"pq_index_{residual}")
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        q = ingest.pq_index_stream(
+            stream, cc, cb, idx_dir,
+            str(tmp_path / f"ckpt_{residual}"), residual=residual,
+        )
+        q.awaitTermination(180)
+
+        # 1. streamed codes == inline encode, bit-identical
+        want = {
+            (r.vec_id, r.cell, tuple(r.codes))
+            for r in similarity.pq_encode_corpus(
+                emb, cc, cb, residual=residual
+            ).select("vec_id", "cell", "codes").collect()
+        }
+        merged = ingest.read_pq_index_merged(spark, idx_dir)
+        got = {
+            (r.vec_id, r.cell, tuple(r.codes)) for r in merged.collect()
+        }
+        assert got == want and len(got) == len(rows)
+
+        # 2. join over the persisted index == inline join, exactly
+        via_index = {
+            tuple(r)
+            for r in similarity.pq_knn_join(
+                None, qdf, cc, cb, nprobe=3, k=10, residual=residual,
+                encoded=ingest.read_pq_index_merged(spark, idx_dir),
+            ).collect()
+        }
+        inline = {
+            tuple(r)
+            for r in similarity.pq_knn_join(
+                emb, qdf, cc, cb, nprobe=3, k=10, residual=residual,
+            ).collect()
+        }
+        assert via_index == inline and len(via_index) == 40
+
+        # 3. replay-watermark protocol
+        replay = (
+            spark.read.parquet(idx_dir)
+            .where(F.col("batch_id") == 1)
+            .localCheckpoint(eager=True)
+        )
+        assert replay.count() > 0
+        replay.write.mode("append").partitionBy("cell").parquet(idx_dir)
+        assert {
+            (r.vec_id, r.cell, tuple(r.codes))
+            for r in ingest.read_pq_index_merged(spark, idx_dir).collect()
+        } == want
+        n = ingest.compact_pq_index(spark, idx_dir)
+        assert n == len(rows)
+        replay.write.mode("append").partitionBy("cell").parquet(idx_dir)
+        assert {
+            (r.vec_id, r.cell, tuple(r.codes))
+            for r in ingest.read_pq_index_merged(spark, idx_dir).collect()
+        } == want
+
+
 def test_curate_doc_stream_quality_and_dedup(spark, tmp_path):
     """Streaming corpus intake: junk filtered, exact dups (by
     normalized content, across different doc_ids) deduped within the
