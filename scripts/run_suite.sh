@@ -16,7 +16,9 @@
 # r11 rebalance (VERDICT r10 #6): both registry-wide walkers reached
 # ~5:00 solo on the judge's box — each parity-split into even/odd
 # halves (E2/E2b schema, E3/E3b plan), the same self-balancing trick
-# as A/A2. Eleven chunks total.
+# as A/A2. Chunk F (property battery, 5:32 solo on a degraded r11
+# box, does NOT self-balance) split by file into F + F2. Twelve
+# chunks total.
 # r9 rebalance: property tests split out of C into their own chunk F.
 set -euo pipefail
 cd "$(dirname "$0")/.."
@@ -33,6 +35,7 @@ CHUNK_C="tests/test_stateful_streaming.py"
 CHUNK_E="tests/test_plan_contracts.py"
 CHUNK_E2="tests/test_schema_contracts.py"
 CHUNK_F="tests/test_properties.py"
+CHUNK_F2="tests/test_properties_b.py"
 
 echo "== chunk A: oracle differentials (even half) =="
 python -m pytest $CHUNK_A -q
@@ -44,7 +47,7 @@ echo "== chunk C: streaming tests =="
 python -m pytest $CHUNK_C -q
 echo "== chunk D: remainder =="
 python -m pytest tests/ -q --ignore=tests/test_oracle.py \
-  $(for f in $CHUNK_A2 $CHUNK_B $CHUNK_C $CHUNK_E $CHUNK_E2 $CHUNK_F; do printf -- "--ignore=%s " "$f"; done)
+  $(for f in $CHUNK_A2 $CHUNK_B $CHUNK_C $CHUNK_E $CHUNK_E2 $CHUNK_F $CHUNK_F2; do printf -- "--ignore=%s " "$f"; done)
 echo "== chunk E: per-query plan contracts =="
 python -m pytest $CHUNK_E -q -k "not registry_wide_plan_contract"
 echo "== chunk E2: registry-wide schema contract (even half) =="
@@ -55,6 +58,8 @@ echo "== chunk E3: registry-wide plan walker (even half) =="
 python -m pytest "$CHUNK_E::test_registry_wide_plan_contract_even" -q
 echo "== chunk E3b: registry-wide plan walker (odd half) =="
 python -m pytest "$CHUNK_E::test_registry_wide_plan_contract_odd" -q
-echo "== chunk F: property tests =="
+echo "== chunk F: property tests (first half) =="
 python -m pytest $CHUNK_F -q
+echo "== chunk F2: property tests (second half) =="
+python -m pytest $CHUNK_F2 -q
 echo "== suite green =="
