@@ -380,6 +380,12 @@ BENCH_QUERIES_R10 = [
     "pq_residual_knn_join",
 ]
 
+BENCH_QUERIES_R11 = [
+    # persisted-IVF-index join differential: index build (carrying
+    # assignment) + knn_join_ivf_index vs the fitted end-to-end path
+    "ivf_index_knn_join",
+]
+
 # Exact all-pairs similarity: run ONCE per round (no repeat sweeps)
 # after the budgeted sweeps, each alongside the name of its benched
 # approximate twin, so the exact-vs-LSH speedup is a recorded number
@@ -686,6 +692,7 @@ def main() -> None:
         + BENCH_QUERIES_R6
         + BENCH_QUERIES_R9
         + BENCH_QUERIES_R10
+        + BENCH_QUERIES_R11
     )
     # The sweep lists + BENCH_EXCLUDED must partition the registry
     # exactly — a new registry entry that lands in neither is a

@@ -23538,6 +23538,71 @@ def pq_residual_knn_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "ivf_index_knn_join",
+    """
+    SELECT vec_id AS query_id,
+           10 AS n_agree, 0 AS n_index_only, 0 AS n_fit_only,
+           TRUE AS self_in_topk
+    FROM embeddings WHERE vec_id < 20
+    """,
+)
+def ivf_index_knn_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-IVF-index kNN join (r11): the production regime
+    where the corpus is cell-assigned ONCE into a persisted index
+    (`streaming/ingest.ivf_index_stream` maintains it incrementally;
+    here the batch carrying assignment builds the same rows in-query)
+    and query batches search it via `similarity.knn_join_ivf_index` —
+    no k-means fit and no corpus assignment per batch. The driver row
+    is an IN-QUERY DIFFERENTIAL: the persisted-index path is
+    full-outer-joined per (query, neighbor, cosine, rank) against the
+    fitted end-to-end path (`knn_cosine_ivf(distributed_queries=
+    True)` with the same sizing — same centroids by determinism of
+    the smallest-ids init + Lloyd folds), so the oracle is exact and
+    STRUCTURAL: 10 agreeing rows per query, zero path-exclusive rows,
+    self in every top-10 (a vector's own cell is always its first
+    probe). Any divergence between the persisted-index and fitted
+    paths — wrong cells, a dropped candidate, a tie broken
+    differently — flips a count and fails the hash. numpy's pairwise
+    summation makes the probe sims irreproducible in SQL at the last
+    bit (why this oracle is a structural differential, not a value
+    re-computation — same reason embedding_knn_join's is a bound)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    centroids = similarity.kmeans_centroids(emb, dim=64, n_cells=8, iters=2)
+    index = similarity._assign_probe_cells(
+        emb, "vec_id", "embedding", centroids, 1,
+        vec_out="embedding", norm_out="_cn",
+    )
+    q = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    via_index = similarity.knn_join_ivf_index(
+        index, q, centroids, k=10, n_probe=4
+    )
+    fitted = similarity.knn_cosine_ivf(
+        emb, q, dim=64, k=10, n_cells=8, n_probe=4, iters=2,
+        distributed_queries=True,
+    )
+    keys = ["query_id", "vec_id", "cosine_sim", "rank"]
+    both = via_index.withColumn("_a", F.lit(1)).join(
+        fitted.withColumn("_b", F.lit(1)), keys, "full_outer"
+    )
+    return both.groupBy("query_id").agg(
+        F.sum(
+            F.when(F.col("_a").isNotNull() & F.col("_b").isNotNull(), 1)
+            .otherwise(0)
+        ).cast("int").alias("n_agree"),
+        F.sum(F.when(F.col("_b").isNull(), 1).otherwise(0))
+        .cast("int").alias("n_index_only"),
+        F.sum(F.when(F.col("_a").isNull(), 1).otherwise(0))
+        .cast("int").alias("n_fit_only"),
+        F.max(
+            (F.col("query_id") == F.col("vec_id"))
+            & F.col("_a").isNotNull()
+        ).alias("self_in_topk"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver verification window.
 #
