@@ -107,8 +107,8 @@ PROBES = [
     "cluster_label_purity",     # embeddings: assignment + cell windows
     # knn_shapley / knn_label_diagnostics / mmr / source_overlap /
     # source_loo / embedding_knn_join / pq_knn_join /
-    # pq_residual_knn_join (r10) EXCLUDED like the other pair-surface
-    # queries:
+    # pq_residual_knn_join (r10) / ivf_index_knn_join (r11)
+    # EXCLUDED like the other pair-surface queries:
     # replicated embeddings are exact twins and salted text keeps
     # jaccard pairs linear but the probes' interest is the new
     # statistic algebra, already covered by the singles above.
