@@ -23619,66 +23619,66 @@ def ivf_index_knn_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
-    # --- r11 rotation (VERDICT r10 #1, NOTES_r10 plan) ---
-    # The 3 r10 registrations (only never-checked entries in the
-    # 333-query registry; judge-emulated MATCH at sf0.01 in r10)
-    # + the 5 evergreen flagship marts + the 42 oldest green rows
-    # (40 last-green r4, 1 r3, 1 r5 — VERDICT r9 #6 rotation policy:
-    # no query's last green row ages past ~6 rounds). After this
-    # window, never-checked = 0 again.
-    # never-checked (registration order):
-    "embedding_knn_join",
-    "pq_knn_join",
-    "pq_residual_knn_join",
+    # --- r12 rotation (VERDICT r11 #1, NOTES_r11 plan) ---
+    # Lead: ivf_index_knn_join — the registry's only never-checked
+    # entry (registered post-driver in r11; judge-emulated MATCH at
+    # sf0.01, builder-emulated at sf0.001/sf0.01+TZ/sf0.1). After
+    # this window, never-checked = 0 again. Then the 5 evergreen
+    # flagship marts + the 44 oldest green rows (all last-green r5 —
+    # computed from the CORRECTNESS_r* history by (last-green round,
+    # registration order), VERDICT r9 #6 rotation policy).
+    "ivf_index_knn_join",
     # evergreen flagships (reference-mart semantics):
     "daily_metrics",
     "domain_extract",
     "user_activity",
     "dedup_keep_last",
     "scalar_summary",
-    # 42 oldest green rows (last-green round, then registration order):
-    "user_event_type_sets",
-    "doc_token_jaccard_capped",
-    "pit_user_features",
-    "selective_order_lines",
-    "curate_documents",
-    "knn_cosine_ivf",
-    "media_features",
-    "media_resize",
-    "nation_trade_volume",
-    "min_cost_supplier",
-    "sole_late_suppliers",
-    "nation_share_by_year",
-    "train_val_split_counts",
-    "benchmark_contamination",
-    "not_in_null_semantics",
-    "status_priority_grouping_sets",
-    "forward_fill_values",
-    "curation_funnel",
-    "pack_token_budget",
-    "interpolate_missing_values",
-    "cluster_keep_best",
-    "audio_wav_metrics",
-    "image_bmp_metrics",
-    "session_funnel",
-    "weekly_cohort_retention",
-    "customer_rfm_segments",
-    "duplicate_token_spans",
-    "semantic_dedup_cells",
-    "event_sequence_funnel",
-    "embedding_covariance",
-    "pca_power_component",
-    "phrase_search_positional",
-    "image_ahash_pairs",
-    "customer_fellegi_sunter",
-    "daily_value_changepoint",
-    "event_value_bootstrap_se",
-    "bigram_pmi_collocations",
-    "neyman_allocation",
-    "attribution_credit_models",
-    "customer_golden_records",
-    "quantile_sketch_order_values",
-    "props_variant_agg",
+    # 44 oldest green rows (all last-green r5; registration order):
+    "incremental_near_dup",
+    "hll_sketch_weekly_users",
+    "bpe_merge_pairs",
+    "user_value_ema",
+    "customer_revenue_pareto",
+    "orders_group_checksum",
+    "customer_chain_rollup",
+    "lateral_recent_orders",
+    "kmeans_update_step",
+    "semantic_dedup_kmeans",
+    "pq_adc_topk",
+    "hopping_window_counts",
+    "ivf_pq_residual_knn",
+    "doc_dsir_weights",
+    "dsir_gumbel_sample",
+    "customer_graph_pagerank",
+    "orders_constraint_report",
+    "referral_reach_bfs",
+    "order_value_percentiles",
+    "source_mixture_weights",
+    "daily_value_cusum",
+    "order_value_equidepth_hist",
+    "event_value_auc",
+    "referral_lpa_communities",
+    "daily_value_ohlc",
+    "customer_revenue_gini",
+    "event_transition_matrix",
+    "monthly_value_growth",
+    "rolling_median_value",
+    "value_distribution_moments",
+    "sorted_neighborhood_pairs",
+    "hybrid_search_rrf",
+    "embeddings_constraint_report",
+    "cohort_ltv_curve",
+    "dow_adjusted_anomalies",
+    "ivm_nation_revenue",
+    "daily_value_holt_winters",
+    "daily_value_stl_lite",
+    "holt_backtest_skill",
+    "daily_mann_kendall",
+    "value_conformal_intervals",
+    "bloom_customer_screen",
+    "ucb1_brand_ranking",
+    "daily_kendall_tau",
 ]
 
 
