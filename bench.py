@@ -386,6 +386,12 @@ BENCH_QUERIES_R11 = [
     "ivf_index_knn_join",
 ]
 
+BENCH_QUERIES_R12 = [
+    # persisted-PQ-index join differential: pq_encode_corpus index
+    # + pq_knn_join(encoded=...) vs the inline path, raw AND residual
+    "pq_index_knn_join",
+]
+
 # Exact all-pairs similarity: run ONCE per round (no repeat sweeps)
 # after the budgeted sweeps, each alongside the name of its benched
 # approximate twin, so the exact-vs-LSH speedup is a recorded number
@@ -693,6 +699,7 @@ def main() -> None:
         + BENCH_QUERIES_R9
         + BENCH_QUERIES_R10
         + BENCH_QUERIES_R11
+        + BENCH_QUERIES_R12
     )
     # The sweep lists + BENCH_EXCLUDED must partition the registry
     # exactly — a new registry entry that lands in neither is a

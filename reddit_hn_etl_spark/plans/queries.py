@@ -23603,6 +23603,78 @@ def ivf_index_knn_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "pq_index_knn_join",
+    """
+    SELECT m.mode, e.vec_id AS query_id,
+           10 AS n_agree, 0 AS n_index_only, 0 AS n_inline_only
+    FROM embeddings e
+    CROSS JOIN (SELECT 'raw' AS mode UNION ALL SELECT 'residual') m
+    WHERE e.vec_id < 40
+    """,
+)
+def pq_index_knn_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-PQ-index kNN join (r12): the production regime where
+    the corpus is PQ-compressed ONCE into a persisted (id, cell,
+    codes) index (`streaming/ingest.pq_index_stream` maintains it
+    incrementally; here `similarity.pq_encode_corpus` builds the same
+    rows in-query — the streamed codes are pinned bit-equal to this
+    encode by test_pq_index_stream) and every query batch pays only
+    probe + cell-join + ADC via `pq_knn_join(encoded=...)`. The
+    driver row is an IN-QUERY DIFFERENTIAL, the `ivf_index_knn_join`
+    pattern applied to BOTH PQ regimes: for raw AND residual codes,
+    the encoded-index path is full-outer-joined per (query, neighbor,
+    cell, est_dist) against the inline end-to-end path (stage 1
+    re-encoded per run — identical projections, so est_dist is
+    bit-equal), making the oracle exact and STRUCTURAL: 10 agreeing
+    rows per (mode, query), zero path-exclusive rows. Any divergence
+    — a code byte, a cell assignment, an ADC fold order, a tie broken
+    differently — flips a count and fails the hash. The ADC values
+    themselves are not SQL-reproducible at the last bit across
+    engines for the residual mode's per-cell tables (same reason the
+    IVF differential is structural), so the constant oracle is the
+    strongest driver-checkable form."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    qdf = emb.where(F.col("vec_id") < 40).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    keys = ["query_id", "vec_id", "cell", "est_dist"]
+    parts = []
+    for mode, residual in (("raw", False), ("residual", True)):
+        enc = similarity.pq_encode_corpus(
+            emb, _KMEANS_CENTROIDS, _PQ_CODEBOOKS, residual=residual
+        ).select("vec_id", "cell", "codes")
+        via_index = similarity.pq_knn_join(
+            emb, qdf, _KMEANS_CENTROIDS, _PQ_CODEBOOKS, nprobe=3, k=10,
+            residual=residual, encoded=enc,
+        )
+        inline = similarity.pq_knn_join(
+            emb, qdf, _KMEANS_CENTROIDS, _PQ_CODEBOOKS, nprobe=3, k=10,
+            residual=residual,
+        )
+        both = via_index.withColumn("_a", F.lit(1)).join(
+            inline.withColumn("_b", F.lit(1)), keys, "full_outer"
+        )
+        parts.append(
+            both.groupBy("query_id")
+            .agg(
+                F.sum(
+                    F.when(
+                        F.col("_a").isNotNull() & F.col("_b").isNotNull(), 1
+                    ).otherwise(0)
+                ).cast("int").alias("n_agree"),
+                F.sum(F.when(F.col("_b").isNull(), 1).otherwise(0))
+                .cast("int").alias("n_index_only"),
+                F.sum(F.when(F.col("_a").isNull(), 1).otherwise(0))
+                .cast("int").alias("n_inline_only"),
+            )
+            .withColumn("mode", F.lit(mode))
+        )
+    return parts[0].unionByName(parts[1]).select(
+        "mode", "query_id", "n_agree", "n_index_only", "n_inline_only"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver verification window.
 #

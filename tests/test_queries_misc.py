@@ -525,6 +525,7 @@ def test_bench_lists_partition_registry():
         + bench.BENCH_QUERIES_R9
         + bench.BENCH_QUERIES_R10
         + bench.BENCH_QUERIES_R11
+        + bench.BENCH_QUERIES_R12
     )
     assert len(names) == len(set(names)), "duplicate sweep entries"
     swept, excluded = set(names), set(bench.BENCH_EXCLUDED)
