@@ -20,7 +20,7 @@ from __future__ import annotations
 import os
 import shutil
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.utils import AnalysisException
@@ -678,15 +678,14 @@ def screen_stream_against_minhash_index(
             num_hashes, bands, shingle_n,
         ).persist()
         try:
-            try:
+            idx_df = _read_index_dir(spark_b, index_dir)
+            if idx_df is None:  # first batch: no index yet
+                existing = None
+            else:
                 existing = read_minhash_index_merged(
                     spark_b, index_dir, id_col, before_batch=batch_id
                 )
-                snap_thru = (
-                    spark_b.read.parquet(index_dir)
-                    .agg(F.max("thru"))
-                    .first()[0]
-                )
+                snap_thru = idx_df.agg(F.max("thru")).first()[0]
                 if snap_thru is not None and snap_thru >= batch_id:
                     # compaction folded this (then-uncommitted) batch
                     # into the snapshot; band rows key by doc id and
@@ -696,8 +695,6 @@ def screen_stream_against_minhash_index(
                     existing = existing.join(
                         batch_df.select(id_col), id_col, "left_anti"
                     )
-            except AnalysisException:  # first batch: no index yet
-                existing = None
             if existing is not None:
                 index_pairs(
                     batch_banded, existing, id_col, num_hashes, threshold
@@ -718,6 +715,41 @@ def screen_stream_against_minhash_index(
     )
 
 
+def _is_path_missing(ex: AnalysisException) -> bool:
+    """True iff the AnalysisException is the path-not-found raised on
+    the FIRST read of a not-yet-created streaming state/index dir —
+    the ONLY AnalysisException the foreachBatch loops may treat as
+    "first batch". Anything else (an unresolved protocol column on a
+    pre-protocol index dir, a corrupt schema) must surface loudly:
+    swallowing it silently resets state — near-dup hits vanish and
+    new-schema rows land in a mixed-schema dir (ADVICE r11)."""
+    msg = str(ex)
+    return "PATH_NOT_FOUND" in msg or "Path does not exist" in msg
+
+
+def _read_index_dir(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    """Open a replay-watermark index dir: None when the dir does not
+    exist yet (first batch), the raw DataFrame when it carries the
+    protocol columns, and a loud ValueError when it exists WITHOUT
+    them — a pre-protocol dir must be migrated (re-append its rows
+    with batch_id/thru, or rebuild) before streaming against it;
+    treating it as "first batch" would miss every existing row."""
+    try:
+        df = spark.read.parquet(index_dir)
+    except AnalysisException as ex:
+        if _is_path_missing(ex):
+            return None
+        raise
+    missing = {"batch_id", "thru"} - set(df.columns)
+    if missing:
+        raise ValueError(
+            f"index dir {index_dir!r} exists but lacks replay-protocol "
+            f"columns {sorted(missing)}; migrate or rebuild it before "
+            "streaming against it"
+        )
+    return df
+
+
 def _read_row_index_merged(
     spark: SparkSession,
     index_dir: str,
@@ -730,9 +762,18 @@ def _read_row_index_merged(
     summed counts): drop partial rows at or below the snapshot
     ``thru`` watermark (already folded), optionally bound partials to
     batch_id < ``before_batch`` (a batch must never read its own
-    uncommitted append), dedup replays on (batch_id, *key_cols), and
-    strip the protocol columns. One tiny driver action (the
-    max-watermark probe) per read."""
+    uncommitted append), resolve each key LAST-WRITE-WINS (highest
+    visible batch_id per key — the snapshot's batch_id = -1 sorts
+    below every partial, so a re-delivered key deterministically
+    reads as its newest row, never an arbitrary one; replays of one
+    batch append bit-identical rows, so the within-batch pick is
+    content-deterministic), and strip the protocol columns. One tiny
+    driver action (the max-watermark probe) per read. Caveat for
+    multi-row-per-entity keys (minhash bands key (id, band)): LWW
+    resolves each surviving key to its newest row but cannot DELETE
+    a stale key an updated entity no longer produces — content-
+    changing redelivery there still needs disjoint ids upstream or
+    an explicit rebuild."""
     df = spark.read.parquet(index_dir)
     thru = df.agg(F.max("thru")).first()[0]
     if thru is not None:
@@ -742,7 +783,12 @@ def _read_row_index_merged(
             (F.col("batch_id") == -1) | (F.col("batch_id") < before_batch)
         )
     cols = [c for c in df.columns if c not in ("batch_id", "thru")]
-    return df.dropDuplicates(["batch_id", *key_cols]).select(*cols)
+    w = Window.partitionBy(*key_cols).orderBy(F.desc("batch_id"))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(*cols)
+    )
 
 
 def _compact_row_index(
@@ -757,7 +803,15 @@ def _compact_row_index(
     write-new-then-swap; returns the snapshot row count. Run between
     batches (single writer — the `_swap_dir` window). Keeps
     at-least-once safe ACROSS compactions: a batch replayed after its
-    rows were folded is dropped by the read's watermark filter."""
+    rows were folded is dropped by the read's watermark filter.
+
+    The fold is LAST-WRITE-WINS per key (highest batch_id; the prior
+    snapshot's batch_id = -1 loses to every partial) — a key
+    re-delivered in two un-folded batches snapshots as its NEWEST
+    row, matching what `_read_row_index_merged` resolves pre-
+    compaction, so compaction never changes what a reader sees
+    (ADVICE r11: previously the duplicate survived into the snapshot
+    and the read kept an arbitrary one)."""
     df = spark.read.parquet(index_dir)
     new_thru = df.agg(
         F.greatest(F.max("batch_id"), F.coalesce(F.max("thru"), F.lit(-1)))
@@ -767,9 +821,11 @@ def _compact_row_index(
         df = df.where(
             (F.col("batch_id") == -1) | (F.col("batch_id") > prev_thru)
         )
+    w = Window.partitionBy(*key_cols).orderBy(F.desc("batch_id"))
     merged = (
-        df.dropDuplicates(["batch_id", *key_cols])
-        .drop("batch_id", "thru")
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "batch_id", "thru")
         .withColumn("batch_id", F.lit(-1).cast("long"))
         .withColumn("thru", F.lit(new_thru).cast("long"))
     )
@@ -1088,18 +1144,15 @@ def trim_stream_against_gram_index(
         batch = batch_df.select(id_col, text_col).persist()
         own = gram_index(batch, id_col, text_col, k=k).persist()
         try:
-            try:
+            idx_df = _read_index_dir(spark_b, index_dir)
+            if idx_df is None:  # first batch: no index yet
+                merged = spark_b.createDataFrame([], "h long, n_docs long")
+                snap_thru = None
+            else:
                 merged = read_gram_index_merged(
                     spark_b, index_dir, before_batch=batch_id
                 )
-                snap_thru = (
-                    spark_b.read.parquet(index_dir)
-                    .agg(F.max("thru"))
-                    .first()[0]
-                )
-            except AnalysisException:  # first batch: no index yet
-                merged = spark_b.createDataFrame([], "h long, n_docs long")
-                snap_thru = None
+                snap_thru = idx_df.agg(F.max("thru")).first()[0]
             if snap_thru is not None and snap_thru >= batch_id:
                 # A compaction folded this (then-uncommitted) batch
                 # into the snapshot; subtract its own counts — the
@@ -1880,7 +1933,9 @@ def bloom_ingest_stream(
                 .groupBy("word_idx")
                 .agg(F.bit_or("word").alias("word"))
             )
-        except AnalysisException:  # first batch: empty filter
+        except AnalysisException as ex:  # first batch: empty filter
+            if not _is_path_missing(ex):
+                raise
             existing = None
         keys = batch_df.select(col)
         if existing is not None:
@@ -1952,7 +2007,9 @@ def cdc_apply_stream(
         try:
             state = spark_b.read.parquet(state_dir).select(*cols)
             merged = state.unionByName(incoming)
-        except AnalysisException:
+        except AnalysisException as ex:  # first batch: no state yet
+            if not _is_path_missing(ex):
+                raise
             merged = incoming
         from pyspark.sql import Window as W
 

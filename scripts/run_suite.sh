@@ -1,5 +1,5 @@
 #!/usr/bin/env bash
-# Full test suite in nine sequential chunks, each comfortably under a
+# Full test suite in thirteen sequential chunks, each comfortably under a
 # 10-minute harness/CI timeout (the one-shot `pytest tests/` run takes
 # ~20 min: 330 oracle differentials + property tests + streaming +
 # codecs + the registry-wide plan walkers). Chunks partition tests/
@@ -20,6 +20,11 @@
 # box, does NOT self-balance) split by file into F + F2. Twelve
 # chunks total.
 # r9 rebalance: property tests split out of C into their own chunk F.
+# r12 rebalance (VERDICT r11 #4): chunk C (streaming, 4:47 solo r11,
+# grows with every streaming twin) split by file into C
+# (test_stateful_streaming.py, 2:18 solo) + C2
+# (test_stateful_streaming_b.py, persisted-index protocol tests,
+# 2:55 solo). Thirteen chunks total.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
@@ -32,6 +37,7 @@ tests/test_diff.py tests/test_external_io.py tests/test_graph.py \
 tests/test_hn_pipeline.py tests/test_incremental_marts.py \
 tests/test_kafka_seam.py tests/test_maintenance.py"
 CHUNK_C="tests/test_stateful_streaming.py"
+CHUNK_C2="tests/test_stateful_streaming_b.py"
 CHUNK_E="tests/test_plan_contracts.py"
 CHUNK_E2="tests/test_schema_contracts.py"
 CHUNK_F="tests/test_properties.py"
@@ -45,9 +51,11 @@ echo "== chunk B: operator/unit tests (bloom..maintenance) =="
 python -m pytest $CHUNK_B -q
 echo "== chunk C: streaming tests =="
 python -m pytest $CHUNK_C -q
+echo "== chunk C2: streaming persisted-index protocol tests =="
+python -m pytest $CHUNK_C2 -q
 echo "== chunk D: remainder =="
 python -m pytest tests/ -q --ignore=tests/test_oracle.py \
-  $(for f in $CHUNK_A2 $CHUNK_B $CHUNK_C $CHUNK_E $CHUNK_E2 $CHUNK_F $CHUNK_F2; do printf -- "--ignore=%s " "$f"; done)
+  $(for f in $CHUNK_A2 $CHUNK_B $CHUNK_C $CHUNK_C2 $CHUNK_E $CHUNK_E2 $CHUNK_F $CHUNK_F2; do printf -- "--ignore=%s " "$f"; done)
 echo "== chunk E: per-query plan contracts =="
 python -m pytest $CHUNK_E -q -k "not registry_wide_plan_contract"
 echo "== chunk E2: registry-wide schema contract (even half) =="

@@ -230,672 +230,6 @@ def test_stream_static_enrichment(spark, tmp_path):
     assert got == {1: "content", 2: "reaction", 3: None}
 
 
-def test_trim_stream_against_gram_index(spark, tmp_path):
-    """Streaming growing-corpus ExactSubstr trim: batch 0 seeds the
-    persisted gram index (nothing to trim against), batch 1 is
-    trimmed against it without re-reading batch 0's text. The
-    streamed outputs must equal the BATCH operator applied per batch
-    (b0 vs an empty index, b1 vs gram_index(b0)) — the same fixture
-    as test_incremental_trim_equals_full — and the merged on-storage
-    index must equal the index built from the full corpus."""
-    import json
-    import os as _os
-    import time as _time
-
-    from pyspark.sql import functions as F
-
-    from reddit_hn_etl_spark.operators import dedup
-    from reddit_hn_etl_spark.streaming import ingest
-
-    shared = "alpha bravo charlie delta echo foxtrot golf"
-    batch_dup = "hotel india juliet kilo lima"
-    b0_rows = [
-        {"doc_id": 0, "text": f"one two {shared} three"},
-        {"doc_id": 2, "text": "unique0 unique1 unique2 unique3 unique4 unique5"},
-    ]
-    b1_rows = [
-        {"doc_id": 1, "text": f"{shared} four five six seven"},
-        {"doc_id": 3, "text": f"{batch_dup} mid0 {batch_dup} tail"},
-        {"doc_id": 5, "text": f"x0 {batch_dup} x1"},
-        {"doc_id": 7, "text": "lone0 lone1 lone2 lone3 lone4 lone5"},
-    ]
-    src = tmp_path / "docs"
-    src.mkdir()
-    # FileStreamSource orders new files by modification time — pin
-    # distinct mtimes so b0 seeds the index before b1 trims.
-    (src / "b0.jsonl").write_text(
-        "\n".join(json.dumps(r) for r in b0_rows), encoding="utf-8"
-    )
-    (src / "b1.jsonl").write_text(
-        "\n".join(json.dumps(r) for r in b1_rows), encoding="utf-8"
-    )
-    base_t = _time.time() - 100
-    _os.utime(src / "b0.jsonl", (base_t, base_t))
-    _os.utime(src / "b1.jsonl", (base_t + 10, base_t + 10))
-    stream = (
-        spark.readStream.schema("doc_id long, text string")
-        .option("maxFilesPerTrigger", 1)
-        .json(str(src))
-    )
-    q = ingest.trim_stream_against_gram_index(
-        stream,
-        index_dir=str(tmp_path / "index"),
-        out_dir=str(tmp_path / "trimmed"),
-        checkpoint_dir=str(tmp_path / "ckpt"),
-        k=5,
-    )
-    q.awaitTermination(180)
-
-    def trimmed_map(df):
-        return {
-            r.doc_id: (r.cleaned_text, r.n_tokens, r.n_tokens_removed)
-            for r in df.collect()
-        }
-
-    b0 = spark.createDataFrame(
-        [(r["doc_id"], r["text"]) for r in b0_rows], "doc_id long, text string"
-    )
-    b1 = spark.createDataFrame(
-        [(r["doc_id"], r["text"]) for r in b1_rows], "doc_id long, text string"
-    )
-    empty_idx = spark.createDataFrame([], "h long, n_docs long")
-    want = trimmed_map(
-        dedup.trim_batch_against_index(b0, empty_idx, "doc_id", "text", k=5)
-    ) | trimmed_map(
-        dedup.trim_batch_against_index(
-            b1, dedup.gram_index(b0, "doc_id", "text", k=5), "doc_id", "text",
-            k=5,
-        )
-    )
-    got = trimmed_map(spark.read.parquet(str(tmp_path / "trimmed")))
-    assert got == want
-    assert want[0][2] == 0 and want[2][2] == 0  # b0 untrimmed
-    assert want[1][2] > 0 and want[3][2] > 0 and want[5][2] > 0  # b1 trimmed
-    assert want[7][2] == 0  # unique b1 doc untouched
-
-    # Merged on-storage index (replay-idempotent read) == index built
-    # from the full corpus.
-    idx_path = str(tmp_path / "index")
-
-    def merged_set():
-        return {
-            (r.h, r.n_docs)
-            for r in ingest.read_gram_index_merged(spark, idx_path).collect()
-        }
-
-    full = {
-        (r.h, r.n_docs)
-        for r in dedup.gram_index(
-            b0.unionByName(b1), "doc_id", "text", k=5
-        ).collect()
-    }
-    assert merged_set() == full
-
-    # At-least-once replay: re-appending a batch's identical partial
-    # rows (same batch_id) must NOT inflate the merged counts — the
-    # (batch_id, h) dedup on the read side absorbs it.
-    # localCheckpoint pins the replay rows NOW — the lazy plan would
-    # otherwise re-scan idx_path after the compaction swap below and
-    # find nothing with batch_id == 1.
-    replay = (
-        spark.read.parquet(idx_path)
-        .where(F.col("batch_id") == 1)
-        .localCheckpoint(eager=True)
-    )
-    assert replay.count() > 0
-    replay.write.mode("append").parquet(idx_path)
-    assert merged_set() == full
-
-    # Compaction folds history into one snapshot row per gram and the
-    # merged view is unchanged.
-    n = ingest.compact_gram_index(spark, idx_path)
-    assert n == len(full)
-    assert merged_set() == full
-    # A batch replayed AFTER its rows were folded into the snapshot
-    # (batch_id 1 <= thru) is dropped by the watermark filter instead
-    # of double-counting.
-    replay.write.mode("append").parquet(idx_path)
-    assert merged_set() == full
-
-
-def test_trim_stream_replay_after_index_append_is_bit_identical(
-    spark, tmp_path
-):
-    """ADVICE r10 (medium): a batch replayed AFTER its gram-index
-    append landed but BEFORE the checkpoint commit must trim against
-    the PRE-batch index — not an index containing its own grams
-    (which double-counts every batch gram to min_docs and over-trims
-    the replayed copy, leaving CONFLICTING rows per doc_id in
-    out_dir). Simulated faithfully: run the stream to completion,
-    delete the checkpoint's commit marker for the last batch, and
-    restart — Spark re-runs batch 1 with the same batch_id against an
-    index_dir that already holds batch 1's partial rows. The replayed
-    rows must be BIT-IDENTICAL to the originals. Second restart
-    exercises the compaction-ahead case: the commit marker is deleted
-    again and `compact_gram_index` folds the uncommitted batch into
-    the snapshot (thru >= batch_id) before the replay — the operator
-    subtracts the batch's own counts back out."""
-    import json
-    import os as _os
-    import time as _time
-
-    from reddit_hn_etl_spark.streaming import ingest
-
-    shared = "alpha bravo charlie delta echo foxtrot golf"
-    b0_rows = [{"doc_id": 0, "text": f"one two {shared} three"}]
-    b1_rows = [
-        {"doc_id": 1, "text": f"{shared} four five six seven"},
-        {"doc_id": 7, "text": "lone0 lone1 lone2 lone3 lone4 lone5"},
-    ]
-    src = tmp_path / "docs"
-    src.mkdir()
-    (src / "b0.jsonl").write_text(
-        "\n".join(json.dumps(r) for r in b0_rows), encoding="utf-8"
-    )
-    (src / "b1.jsonl").write_text(
-        "\n".join(json.dumps(r) for r in b1_rows), encoding="utf-8"
-    )
-    base_t = _time.time() - 100
-    _os.utime(src / "b0.jsonl", (base_t, base_t))
-    _os.utime(src / "b1.jsonl", (base_t + 10, base_t + 10))
-
-    def run_stream():
-        stream = (
-            spark.readStream.schema("doc_id long, text string")
-            .option("maxFilesPerTrigger", 1)
-            .json(str(src))
-        )
-        q = ingest.trim_stream_against_gram_index(
-            stream,
-            index_dir=str(tmp_path / "index"),
-            out_dir=str(tmp_path / "trimmed"),
-            checkpoint_dir=str(tmp_path / "ckpt"),
-            k=5,
-        )
-        q.awaitTermination(180)
-
-    run_stream()
-    out = str(tmp_path / "trimmed")
-    b1_ids = {1, 7}
-
-    def rows_by_doc():
-        got: dict[int, list[tuple]] = {}
-        for r in spark.read.parquet(out).collect():
-            got.setdefault(r.doc_id, []).append(
-                (r.cleaned_text, r.n_tokens, r.n_tokens_removed)
-            )
-        return got
-
-    orig = rows_by_doc()
-    assert orig[1][0][2] > 0  # shared span trimmed in doc 1
-    assert orig[7][0][2] == 0
-
-    def uncommit(batch: str) -> None:
-        # remove the commit marker AND its checksum twin — a stale
-        # .crc makes the replayed commit's rename fail (Hadoop
-        # LocalFS) and masquerade as a concurrent-query error
-        _os.remove(str(tmp_path / "ckpt" / "commits" / batch))
-        crc = tmp_path / "ckpt" / "commits" / f".{batch}.crc"
-        if crc.exists():
-            _os.remove(str(crc))
-
-    # Replay #1: index append landed, commit marker gone.
-    uncommit("1")
-    run_stream()
-    got = rows_by_doc()
-    for d in b1_ids:
-        assert len(got[d]) == 2 and set(got[d]) == {orig[d][0]}, (
-            f"replayed doc {d} rows not bit-identical: {got[d]}"
-        )
-
-    # Replay #2: a compaction folded the uncommitted batch first.
-    uncommit("1")
-    ingest.compact_gram_index(spark, str(tmp_path / "index"))
-    run_stream()
-    got = rows_by_doc()
-    for d in b1_ids:
-        assert len(got[d]) == 3 and set(got[d]) == {orig[d][0]}, (
-            f"post-compaction replayed doc {d} diverged: {got[d]}"
-        )
-
-
-def test_stream_screen_against_minhash_index(spark, tmp_path):
-    """Streaming incremental near-dup: batch 1 seeds the persisted
-    index (no hits possible), batch 2's near-dup of a batch-1 doc is
-    flagged against the index without re-reading batch 1's text."""
-    import json
-
-    from reddit_hn_etl_spark.streaming import ingest
-
-    a = ("the quick brown fox jumps over the lazy dog near the river "
-         "bank today in the morning light")
-    b = ("spark dataframes shuffle partitions while the optimizer "
-         "prunes columns and pipelines operators")
-    src = tmp_path / "docs"
-    src.mkdir()
-    # One file per micro-batch (maxFilesPerTrigger=1). FileStreamSource
-    # orders new files by MODIFICATION TIME, not name — pin distinct
-    # mtimes so b0 is guaranteed to seed the index before b1 screens.
-    import os as _os
-    import time as _time
-
-    (src / "b0.jsonl").write_text(
-        "\n".join(json.dumps(r) for r in [
-            {"doc_id": 1, "text": a},
-            {"doc_id": 2, "text": b},
-        ]), encoding="utf-8",
-    )
-    (src / "b1.jsonl").write_text(
-        json.dumps({"doc_id": 3, "text": a + " extra"}), encoding="utf-8"
-    )
-    base_t = _time.time() - 100
-    _os.utime(src / "b0.jsonl", (base_t, base_t))
-    _os.utime(src / "b1.jsonl", (base_t + 10, base_t + 10))
-    stream = (
-        spark.readStream.schema("doc_id long, text string")
-        .option("maxFilesPerTrigger", 1)
-        .json(str(src))
-    )
-    q = ingest.screen_stream_against_minhash_index(
-        stream,
-        index_dir=str(tmp_path / "index"),
-        hits_dir=str(tmp_path / "hits"),
-        checkpoint_dir=str(tmp_path / "ckpt"),
-        num_hashes=64, bands=32, shingle_n=1, threshold=0.5,
-    )
-    q.awaitTermination(180)
-    hits = {
-        (r.doc_old, r.doc_new): r.est_jaccard
-        for r in spark.read.parquet(str(tmp_path / "hits")).collect()
-    }
-    assert (1, 3) in hits and hits[(1, 3)] > 0.6
-    assert all(old != 2 for old, _new in hits)  # unrelated doc silent
-    # The index now holds band rows for ALL docs, batch 2 included.
-    idx_path = str(tmp_path / "index")
-    idx = spark.read.parquet(idx_path)
-    assert set(r.doc_id for r in idx.select("doc_id").distinct().collect()) == {1, 2, 3}
-
-    # --- compaction twin (VERDICT r10 #5): same replay-watermark
-    # protocol as the gram index ---
-    from pyspark.sql import functions as F
-
-    def merged_rows():
-        return {
-            (r.doc_id, r.band, r.bucket)
-            for r in ingest.read_minhash_index_merged(
-                spark, idx_path
-            ).collect()
-        }
-
-    full = merged_rows()
-    assert {d for d, _, _ in full} == {1, 2, 3}
-    # at-least-once replay of batch 1's band rows: absorbed by the
-    # (batch_id, id, band) dedup on the read side
-    replay = (
-        spark.read.parquet(idx_path)
-        .where(F.col("batch_id") == 1)
-        .localCheckpoint(eager=True)  # pin rows before the swap below
-    )
-    assert replay.count() > 0
-    replay.write.mode("append").partitionBy("band").parquet(idx_path)
-    assert merged_rows() == full
-
-    # compaction folds history into one snapshot row per (doc, band)
-    n = ingest.compact_minhash_index(spark, idx_path)
-    assert n == len(full)
-    assert merged_rows() == full
-    snap = spark.read.parquet(idx_path)
-    assert snap.where(F.col("batch_id") >= 0).count() == 0
-    # a batch replayed AFTER its rows were folded (batch_id <= thru)
-    # is dropped by the watermark filter instead of re-appearing
-    replay.write.mode("append").partitionBy("band").parquet(idx_path)
-    assert merged_rows() == full
-    # (the before_batch bound — a batch never screening against its
-    # own uncommitted append — is pinned end-to-end by
-    # test_screen_stream_replay_after_index_append_is_bit_identical)
-
-
-def test_screen_stream_replay_after_index_append_is_bit_identical(
-    spark, tmp_path
-):
-    """r11: the minhash screen twin of the gram-index replay pin — a
-    batch replayed after its band rows were appended (failure between
-    the index append and the checkpoint commit) must screen against
-    the PRE-batch index, so the replayed hits are bit-identical
-    duplicates, not a superset with batch-self pairs."""
-    import json
-    import os as _os
-    import time as _time
-
-    from reddit_hn_etl_spark.streaming import ingest
-
-    a = ("the quick brown fox jumps over the lazy dog near the river "
-         "bank today in the morning light")
-    src = tmp_path / "docs"
-    src.mkdir()
-    (src / "b0.jsonl").write_text(
-        json.dumps({"doc_id": 1, "text": a}), encoding="utf-8"
-    )
-    (src / "b1.jsonl").write_text(
-        "\n".join(
-            json.dumps(r)
-            for r in [
-                {"doc_id": 3, "text": a + " extra"},
-                {"doc_id": 4, "text": a + " bonus"},
-            ]
-        ),
-        encoding="utf-8",
-    )
-    base_t = _time.time() - 100
-    _os.utime(src / "b0.jsonl", (base_t, base_t))
-    _os.utime(src / "b1.jsonl", (base_t + 10, base_t + 10))
-
-    def run_stream():
-        stream = (
-            spark.readStream.schema("doc_id long, text string")
-            .option("maxFilesPerTrigger", 1)
-            .json(str(src))
-        )
-        q = ingest.screen_stream_against_minhash_index(
-            stream,
-            index_dir=str(tmp_path / "index"),
-            hits_dir=str(tmp_path / "hits"),
-            checkpoint_dir=str(tmp_path / "ckpt"),
-            num_hashes=64, bands=32, shingle_n=1, threshold=0.5,
-        )
-        q.awaitTermination(180)
-
-    run_stream()
-
-    def hit_rows():
-        got: dict[tuple, int] = {}
-        for r in spark.read.parquet(str(tmp_path / "hits")).collect():
-            key = (r.doc_old, r.doc_new, r.est_jaccard)
-            got[key] = got.get(key, 0) + 1
-        return got
-
-    orig = hit_rows()
-    # docs 3 and 4 both hit doc 1; WITHOUT the before_batch bound a
-    # replay would also emit (3,4)/(4,3) batch-self pairs
-    assert {(o, n) for o, n, _ in orig} == {(1, 3), (1, 4)}
-
-    def uncommit(batch: str) -> None:
-        _os.remove(str(tmp_path / "ckpt" / "commits" / batch))
-        crc = tmp_path / "ckpt" / "commits" / f".{batch}.crc"
-        if crc.exists():
-            _os.remove(str(crc))
-
-    # Replay #1: band rows landed, commit marker gone.
-    uncommit("1")
-    run_stream()
-    got = hit_rows()
-    assert set(got) == set(orig) and all(c == 2 for c in got.values()), got
-
-    # Replay #2: compaction folded the uncommitted batch first
-    # (thru >= batch_id) — the anti-join on the batch's own ids
-    # reconstructs the pre-batch index.
-    uncommit("1")
-    ingest.compact_minhash_index(spark, str(tmp_path / "index"))
-    run_stream()
-    got = hit_rows()
-    assert set(got) == set(orig) and all(c == 3 for c in got.values()), got
-
-
-def test_ivf_index_stream_matches_batch_and_replays(
-    spark, tmp_path, sf_dir
-):
-    """Streaming incremental IVF twin (VERDICT r10 #7): vectors
-    arriving in micro-batches are cell-assigned against a FIXED
-    quantizer and appended to a persisted index; the result must be
-    BIT-IDENTICAL to the batch corpus assignment, a kNN-join against
-    the persisted index must return EXACTLY what knn_cosine_ivf
-    (distributed path) computes end-to-end over the same corpus and
-    centroids, and the index follows the shared replay-watermark
-    protocol (replay dedup, compaction, post-compaction replay)."""
-    from pyspark.sql import functions as F
-
-    from reddit_hn_etl_spark.operators import similarity
-    from reddit_hn_etl_spark.sources.tables import read_table
-    from reddit_hn_etl_spark.streaming import ingest
-
-    emb = read_table(spark, sf_dir, "embeddings").localCheckpoint(
-        eager=True
-    )
-    centroids = similarity.kmeans_centroids(emb, dim=64, n_cells=8, iters=2)
-
-    # two micro-batches by vec_id parity, as json files
-    src = tmp_path / "vecs"
-    src.mkdir()
-    import json as _json
-    import os as _os
-    import time as _time
-
-    rows = [(r.vec_id, [float(x) for x in r.embedding]) for r in emb.collect()]
-    half = len(rows) // 2
-    for i, chunk in enumerate((rows[:half], rows[half:])):
-        (src / f"b{i}.jsonl").write_text(
-            "\n".join(
-                _json.dumps({"vec_id": v, "embedding": e}) for v, e in chunk
-            ),
-            encoding="utf-8",
-        )
-    base_t = _time.time() - 100
-    _os.utime(src / "b0.jsonl", (base_t, base_t))
-    _os.utime(src / "b1.jsonl", (base_t + 10, base_t + 10))
-
-    idx_dir = str(tmp_path / "ivf_index")
-
-    def run_stream():
-        stream = (
-            spark.readStream.schema("vec_id long, embedding array<double>")
-            .option("maxFilesPerTrigger", 1)
-            .json(str(src))
-        )
-        q = ingest.ivf_index_stream(
-            stream, centroids, idx_dir, str(tmp_path / "ckpt")
-        )
-        q.awaitTermination(180)
-
-    run_stream()
-
-    # 1. streamed index == batch carrying assignment, bit-equal cells
-    batch_assign = similarity._assign_probe_cells(
-        emb, "vec_id", "embedding", centroids, 1,
-        vec_out="embedding", norm_out="_cn",
-    )
-    want = {(r.vec_id, r.cell) for r in batch_assign.collect()}
-    merged = ingest.read_ivf_index_merged(spark, idx_dir)
-    got = {(r.vec_id, r.cell) for r in merged.collect()}
-    assert got == want and len(got) == len(rows)
-
-    # 2. kNN-join against the persisted index == knn_cosine_ivf
-    # distributed end-to-end (same centroids: n_cells=8, iters=2)
-    q5 = emb.where(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    via_index = {
-        tuple(r)
-        for r in similarity.knn_join_ivf_index(
-            ingest.read_ivf_index_merged(spark, idx_dir), q5, centroids,
-            k=5, n_probe=4,
-        ).collect()
-    }
-    end_to_end = {
-        tuple(r)
-        for r in similarity.knn_cosine_ivf(
-            emb, q5, dim=64, k=5, n_cells=8, n_probe=4, iters=2,
-            distributed_queries=True,
-        ).collect()
-    }
-    assert via_index == end_to_end and len(via_index) == 25
-
-    # 3. replay-watermark protocol: replay dedups, compaction folds,
-    # post-compaction replay is dropped
-    replay = (
-        spark.read.parquet(idx_dir)
-        .where(F.col("batch_id") == 1)
-        .localCheckpoint(eager=True)
-    )
-    assert replay.count() > 0
-    replay.write.mode("append").partitionBy("cell").parquet(idx_dir)
-    assert {
-        (r.vec_id, r.cell)
-        for r in ingest.read_ivf_index_merged(spark, idx_dir).collect()
-    } == want
-    n = ingest.compact_ivf_index(spark, idx_dir)
-    assert n == len(rows)
-    snap = spark.read.parquet(idx_dir)
-    assert snap.where(F.col("batch_id") >= 0).count() == 0
-    replay.write.mode("append").partitionBy("cell").parquet(idx_dir)
-    assert {
-        (r.vec_id, r.cell)
-        for r in ingest.read_ivf_index_merged(spark, idx_dir).collect()
-    } == want
-
-    # 4. offline re-center: refit over the indexed vectors must equal
-    # a fresh batch fit over the corpus (the index stores the vectors
-    # bit-exactly), and the rebuilt index must equal the batch
-    # carrying assignment against the refit centroids end-to-end
-    refit = ingest.recenter_ivf_index(
-        spark, idx_dir, dim=64, n_cells=12, iters=2
-    )
-    fresh = similarity.kmeans_centroids(emb, dim=64, n_cells=12, iters=2)
-    assert refit == fresh
-    want2 = {
-        (r.vec_id, r.cell)
-        for r in similarity._assign_probe_cells(
-            emb, "vec_id", "embedding", refit, 1,
-            vec_out="embedding", norm_out="_cn",
-        ).collect()
-    }
-    got2 = {
-        (r.vec_id, r.cell)
-        for r in ingest.read_ivf_index_merged(spark, idx_dir).collect()
-    }
-    assert got2 == want2
-    via_index2 = {
-        tuple(r)
-        for r in similarity.knn_join_ivf_index(
-            ingest.read_ivf_index_merged(spark, idx_dir), q5, refit,
-            k=5, n_probe=4,
-        ).collect()
-    }
-    end_to_end2 = {
-        tuple(r)
-        for r in similarity.knn_cosine_ivf(
-            emb, q5, dim=64, k=5, n_cells=12, n_probe=4, iters=2,
-            distributed_queries=True,
-        ).collect()
-    }
-    assert via_index2 == end_to_end2 and len(via_index2) == 25
-
-
-def test_pq_index_stream_matches_inline_join_and_replays(
-    spark, tmp_path, sf_dir
-):
-    """Streaming incremental IVF-PQ index (r11, the compressed twin
-    of ivf_index_stream): codes streamed per batch against fixed
-    centroids/codebooks must be BIT-IDENTICAL to the inline encode,
-    `pq_knn_join(encoded=merged_index)` must reproduce the inline
-    join exactly (raw AND residual), and the index follows the shared
-    replay-watermark protocol."""
-    import json as _json
-    import os as _os
-    import time as _time
-
-    from pyspark.sql import functions as F
-
-    from reddit_hn_etl_spark.operators import kmeans, similarity
-    from reddit_hn_etl_spark.sources.tables import read_table
-    from reddit_hn_etl_spark.streaming import ingest
-
-    cc = kmeans.seeded_centroids(dim=64, k=8, seed=11)
-    cb = similarity.pq_codebooks(dim=64, n_sub=8, k=16, seed=101)
-    emb = read_table(spark, sf_dir, "embeddings").localCheckpoint(
-        eager=True
-    )
-    qdf = emb.where(F.col("vec_id") < 4).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-
-    rows = [(r.vec_id, [float(x) for x in r.embedding]) for r in emb.collect()]
-    src = tmp_path / "vecs"
-    src.mkdir()
-    half = len(rows) // 2
-    for i, chunk in enumerate((rows[:half], rows[half:])):
-        (src / f"b{i}.jsonl").write_text(
-            "\n".join(
-                _json.dumps({"vec_id": v, "embedding": e}) for v, e in chunk
-            ),
-            encoding="utf-8",
-        )
-    base_t = _time.time() - 100
-    _os.utime(src / "b0.jsonl", (base_t, base_t))
-    _os.utime(src / "b1.jsonl", (base_t + 10, base_t + 10))
-
-    for residual in (False, True):
-        idx_dir = str(tmp_path / f"pq_index_{residual}")
-        stream = (
-            spark.readStream.schema("vec_id long, embedding array<double>")
-            .option("maxFilesPerTrigger", 1)
-            .json(str(src))
-        )
-        q = ingest.pq_index_stream(
-            stream, cc, cb, idx_dir,
-            str(tmp_path / f"ckpt_{residual}"), residual=residual,
-        )
-        q.awaitTermination(180)
-
-        # 1. streamed codes == inline encode, bit-identical
-        want = {
-            (r.vec_id, r.cell, tuple(r.codes))
-            for r in similarity.pq_encode_corpus(
-                emb, cc, cb, residual=residual
-            ).select("vec_id", "cell", "codes").collect()
-        }
-        merged = ingest.read_pq_index_merged(spark, idx_dir)
-        got = {
-            (r.vec_id, r.cell, tuple(r.codes)) for r in merged.collect()
-        }
-        assert got == want and len(got) == len(rows)
-
-        # 2. join over the persisted index == inline join, exactly
-        via_index = {
-            tuple(r)
-            for r in similarity.pq_knn_join(
-                None, qdf, cc, cb, nprobe=3, k=10, residual=residual,
-                encoded=ingest.read_pq_index_merged(spark, idx_dir),
-            ).collect()
-        }
-        inline = {
-            tuple(r)
-            for r in similarity.pq_knn_join(
-                emb, qdf, cc, cb, nprobe=3, k=10, residual=residual,
-            ).collect()
-        }
-        assert via_index == inline and len(via_index) == 40
-
-        # 3. replay-watermark protocol
-        replay = (
-            spark.read.parquet(idx_dir)
-            .where(F.col("batch_id") == 1)
-            .localCheckpoint(eager=True)
-        )
-        assert replay.count() > 0
-        replay.write.mode("append").partitionBy("cell").parquet(idx_dir)
-        assert {
-            (r.vec_id, r.cell, tuple(r.codes))
-            for r in ingest.read_pq_index_merged(spark, idx_dir).collect()
-        } == want
-        n = ingest.compact_pq_index(spark, idx_dir)
-        assert n == len(rows)
-        replay.write.mode("append").partitionBy("cell").parquet(idx_dir)
-        assert {
-            (r.vec_id, r.cell, tuple(r.codes))
-            for r in ingest.read_pq_index_merged(spark, idx_dir).collect()
-        } == want
-
-
 def test_curate_doc_stream_quality_and_dedup(spark, tmp_path):
     """Streaming corpus intake: junk filtered, exact dups (by
     normalized content, across different doc_ids) deduped within the
