@@ -577,6 +577,53 @@ def test_bench_outlier_rerun_rule():
     assert bench.outlier_names(
         {"q_ok": 22.0}, 100.0, 16.0, 32, prior2
     ) == []
+    # ADVICE r11: the degraded-box gate is RELATIVE (cur_par <
+    # 0.875 * cur_par_of), not the absolute 28 that misclassified
+    # every smaller box. On an 8-core box delivering 7.5/8 (~94%),
+    # the rule is OFF even with a >2× normalized regression ...
+    prior8 = {
+        "cpu_calib_ms": 100.0,
+        "cpu_parallelism": 8.0,
+        "cpu_parallelism_of": 8,
+        "queries": {"q_slow": 10.0},
+    }
+    assert bench.outlier_names(
+        {"q_slow": 45.0}, 100.0, 7.5, 8, prior8
+    ) == []
+    # ... and ON when the same box delivers 4/8 (50%).
+    assert bench.outlier_names(
+        {"q_slow": 45.0}, 100.0, 4.0, 8, prior8
+    ) == ["q_slow"]
+
+
+def test_bench_r01_subtotal_self_describing():
+    """VERDICT r11 #5: a sweeps=1 bench includes first-run plan
+    compile in the r01-comparable subtotal; the summary must say so
+    in-band (cold flag + first-sweep subtotal) so BENCH_rN.json alone
+    can't be misread as a warm regression."""
+    import bench
+
+    q0, q1 = bench.BENCH_QUERIES[0], bench.BENCH_QUERIES[1]
+    first = {q0: 5.0, q1: 7.0, "not_r01": 99.0}
+    # one sweep: best == first, flagged cold
+    got = bench.r01_subtotal_fields(first, dict(first), sweeps_done=1)
+    assert got == {
+        "r01_comparable_subtotal": 12.0,
+        "r01_subtotal_cold": True,
+        "r01_subtotal_first_sweep": 12.0,
+    }
+    # two sweeps: best improves, flag off, cold bound preserved
+    best = {q0: 3.0, q1: 6.5, "not_r01": 50.0}
+    got = bench.r01_subtotal_fields(first, best, sweeps_done=2)
+    assert got == {
+        "r01_comparable_subtotal": 9.5,
+        "r01_subtotal_cold": False,
+        "r01_subtotal_first_sweep": 12.0,
+    }
+    # a query that never completed (None in best) drops from the
+    # best-of subtotal without poisoning it
+    got = bench.r01_subtotal_fields(first, {q0: 3.0, q1: None}, 2)
+    assert got["r01_comparable_subtotal"] == 3.0
 
 
 def test_bench_parallelism_denominator_not_hardcoded():
