@@ -23323,6 +23323,8 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT vec_id AS query_id, TRUE AS recall_ok
     FROM embeddings
+    UNION ALL
+    SELECT -1 AS query_id, TRUE AS recall_ok
     """,
 )
 def embedding_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -23345,7 +23347,17 @@ def embedding_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     where a data regen shows up as a test edit, not a registry-wide
     differential failure. (Corpus tail is near-isotropic noise — mean
     top-10 cosine 0.35 — hence corpus-wide mean recall sits below the
-    planted-easy vec_id<50 panel's 0.926.)"""
+    planted-easy vec_id<50 panel's 0.926.)
+
+    ADVICE r11: the structural floor alone cannot see a recall
+    regression from the driver, so one extra sentinel row
+    (query_id=-1) carries a MEASURED-but-COARSE signal: mean hits
+    across all queries >= 4/10. Measured mean is 6.6-8.7 at every
+    test scale and probe point since r10 (quarter- and half-probe),
+    so the floor has >2.5 hits of margin against data regens, while
+    a genuine probe/assignment bug (mean collapses to ~1, the
+    structural self-hit) flips the sentinel row and fails the
+    driver's value-hash."""
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
     exact = similarity.knn_cosine_bruteforce(emb, queries, k=10).select(
@@ -23357,9 +23369,28 @@ def embedding_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = exact.join(approx, ["query_id", "vec_id"], "left_semi").groupBy(
         "query_id"
     ).agg(F.count("*").alias("_hits"))
-    return queries.select("query_id").join(hits, "query_id", "left").select(
-        "query_id",
-        (F.coalesce(F.col("_hits"), F.lit(0)) >= 1).alias("recall_ok"),
+    per_query = (
+        queries.select("query_id")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("_hits"), F.lit(0)).alias("_hits"),
+        )
+    )
+    # One pass for both signals: rollup emits each per-query group
+    # plus ONE grand-total group (query_id NULL — vec_id is never
+    # null, so NULL unambiguously marks the sentinel). No second
+    # evaluation of the kNN subtree, no global window.
+    rolled = per_query.rollup("query_id").agg(
+        F.avg("_hits").alias("_mean_hits")
+    )
+    return rolled.select(
+        F.coalesce(F.col("query_id"), F.lit(-1)).alias("query_id"),
+        F.when(
+            F.col("query_id").isNull(), F.col("_mean_hits") >= 4.0
+        )
+        .otherwise(F.col("_mean_hits") >= 1.0)
+        .alias("recall_ok"),
     )
 
 

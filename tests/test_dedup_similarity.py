@@ -405,6 +405,24 @@ def test_embedding_knn_join_measured_floor(spark, sf_dir):
     assert row.mean >= 5.0, f"measured mean regressed: {row.mean}"
 
 
+def test_embedding_knn_join_registry_sentinel_row(spark, sf_dir):
+    """ADVICE r11: the registry query carries ONE driver-visible
+    measured signal — a query_id=-1 sentinel row asserting mean hits
+    >= 4/10 (measured 8.5-8.7 at every SF since the half-probe auto;
+    the per-query rows keep the structural >= 1 floor). Pins that the
+    sentinel exists, is unique, is TRUE on healthy data, and that the
+    rollup emits exactly N+1 rows."""
+    from reddit_hn_etl_spark.plans.queries import QUERIES
+    from reddit_hn_etl_spark.sources.tables import read_table
+
+    out = QUERIES["embedding_knn_join"](spark, sf_dir).collect()
+    n_emb = read_table(spark, sf_dir, "embeddings").count()
+    assert len(out) == n_emb + 1
+    sentinels = [r for r in out if r.query_id == -1]
+    assert len(sentinels) == 1 and sentinels[0].recall_ok is True
+    assert all(r.recall_ok for r in out)
+
+
 def test_fan_out_narrow_input(spark):
     from reddit_hn_etl_spark.operators.dedup import fan_out_narrow_input
 
