@@ -909,15 +909,159 @@ def read_ivf_index_merged(
 
 
 def compact_ivf_index(
-    spark: SparkSession, index_dir: str, id_col: str = "vec_id"
+    spark: SparkSession,
+    index_dir: str,
+    id_col: str = "vec_id",
+    centroids: list[list[float]] | None = None,
+    vec_col: str = "embedding",
 ) -> int:
     """Fold per-batch IVF index rows into ONE snapshot row per vector
     (batch_id = -1, ``thru`` = highest batch folded) via
     write-new-then-swap; returns the snapshot row count. Same
     protocol and single-writer window as `compact_gram_index` /
     `compact_minhash_index`; bounds the one-parquet-append-per-batch
-    growth and keeps replays safe across the fold."""
+    growth and keeps replays safe across the fold.
+
+    When ``centroids`` (the stream's fixed quantizer) is passed, a
+    drift report over the rows being folded is computed FIRST and
+    appended to the ``<index_dir>_drift`` history (VERDICT r11 #3):
+    compaction is the natural observation point — it sees exactly the
+    newly-indexed rows before they merge into the snapshot baseline.
+    See `ivf_index_drift_report` for the metric and SCALING.md
+    §Similarity for the recenter trigger thresholds."""
+    if centroids is not None:
+        report = ivf_index_drift_report(
+            spark, index_dir, centroids, id_col=id_col, vec_col=vec_col
+        )
+        fields = [f.split()[0] for f in _DRIFT_REPORT_SCHEMA.split(", ")]
+        spark.createDataFrame(
+            [tuple(report[f] for f in fields)], schema=_DRIFT_REPORT_SCHEMA
+        ).write.mode("append").parquet(index_dir.rstrip("/") + "_drift")
     return _compact_row_index(spark, index_dir, [id_col], "cell")
+
+
+_DRIFT_REPORT_SCHEMA = (
+    "thru long, n_new long, n_snapshot long, "
+    "new_mean_cos double, new_p05_cos double, "
+    "base_mean_cos double, base_p05_cos double, "
+    "mean_cos_drop double, cell_skew double, "
+    "cells_used int, n_cells int"
+)
+
+
+def ivf_index_drift_report(
+    spark: SparkSession,
+    index_dir: str,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Assignment-quality drift of a streaming IVF index vs its fixed
+    quantizer (VERDICT r11 #3): at 100 TB the stream carries
+    assignment against centroids fitted once, so a drifting corpus
+    distribution silently degrades join recall — the probe stage
+    ranks cells by query-to-centroid cosine, and when vectors sit
+    farther from EVERY centroid the probed cells overlap the true
+    neighbors' cells less. Nothing in the query path measures that;
+    this maintenance op does, so the `recenter_ivf_index` decision is
+    a recorded metric, not a guess.
+
+    Metrics, over the currently VISIBLE rows (snapshot + above-
+    watermark partials, last-write-wins per id — the same resolution
+    the read path applies):
+
+    - ``new_mean_cos`` / ``new_p05_cos``: mean and worst-5%-tail
+      cosine of the NEWLY-indexed vectors (batch_id > thru) to their
+      assigned centroid.
+    - ``base_mean_cos`` / ``base_p05_cos``: the same over the
+      snapshot rows — the baseline the quantizer was (re)fitted
+      against. None before the first compaction.
+    - ``mean_cos_drop``: base_mean_cos - new_mean_cos (positive =
+      new data assigns worse than the baseline did). None without a
+      baseline.
+    - ``cell_skew``: max/mean visible cell size — drifted data piling
+      into few cells unbalances the cell equi-join (straggler tasks)
+      even before recall moves.
+
+    Scale shape: one broadcast of the n_cells×dim centroid matrix,
+    one scan with a JVM-side zip_with/aggregate dot product, one
+    LWW window (the id-keyed shuffle every merged read already
+    pays), two small aggregations. Nothing driver-sized beyond the
+    returned dict."""
+    import numpy as np
+
+    c = np.asarray(centroids, dtype=np.float64)
+    cn = c / np.maximum(np.linalg.norm(c, axis=1), 1e-12)[:, None]
+    cent_df = spark.createDataFrame(
+        [(int(i), [float(x) for x in row]) for i, row in enumerate(cn)],
+        "cell int, _cvec array<double>",
+    )
+    df = spark.read.parquet(index_dir)
+    thru = df.agg(F.max("thru")).first()[0]
+    thru = -1 if thru is None else int(thru)
+    w = Window.partitionBy(id_col).orderBy(F.desc("batch_id"))
+    visible = (
+        df.where((F.col("batch_id") == -1) | (F.col("batch_id") > thru))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col(vec_col), F.col("_cvec"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = visible.join(F.broadcast(cent_df), "cell").select(
+        (F.col("batch_id") == -1).alias("_snap"),
+        (dot / F.greatest(F.col("_cn"), F.lit(1e-12))).alias("_cos"),
+        "cell",
+    )
+    stats = {
+        r["_snap"]: r
+        for r in scored.groupBy("_snap")
+        .agg(
+            F.count("*").alias("n"),
+            F.avg("_cos").alias("mean_cos"),
+            F.percentile_approx("_cos", 0.05).alias("p05_cos"),
+        )
+        .collect()
+    }
+    sk = (
+        scored.groupBy("cell")
+        .agg(F.count("*").alias("n"))
+        .agg(
+            F.max("n").alias("mx"),
+            F.avg("n").alias("mean"),
+            F.count("*").alias("used"),
+        )
+        .first()
+    )
+    new, base = stats.get(False), stats.get(True)
+    drop = (
+        float(base["mean_cos"]) - float(new["mean_cos"])
+        if new is not None and base is not None
+        else None
+    )
+    return {
+        "thru": thru,
+        "n_new": int(new["n"]) if new is not None else 0,
+        "n_snapshot": int(base["n"]) if base is not None else 0,
+        "new_mean_cos": float(new["mean_cos"]) if new is not None else None,
+        "new_p05_cos": float(new["p05_cos"]) if new is not None else None,
+        "base_mean_cos": float(base["mean_cos"]) if base is not None else None,
+        "base_p05_cos": float(base["p05_cos"]) if base is not None else None,
+        "mean_cos_drop": drop,
+        "cell_skew": float(sk["mx"]) / float(sk["mean"]) if sk["mx"] is not None else None,
+        "cells_used": int(sk["used"]),
+        "n_cells": len(centroids),
+    }
+
+
+def read_ivf_drift_history(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The drift-report history `compact_ivf_index(..., centroids=)`
+    appends — one row per compaction, keyed by the pre-fold ``thru``
+    watermark. The recenter trigger (SCALING.md §Similarity) reads
+    the latest row."""
+    return spark.read.parquet(index_dir.rstrip("/") + "_drift")
 
 
 def pq_index_stream(

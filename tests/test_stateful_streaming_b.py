@@ -782,3 +782,82 @@ def test_row_index_last_write_wins_read_and_compaction(spark, tmp_path):
     assert merged_set() == want_after
     ingest.compact_pq_index(spark, idx)
     assert merged_set() == want_after
+
+
+def test_ivf_drift_report_moves_under_drift(spark, tmp_path):
+    """VERDICT r11 #3: the drift metric recorded at compaction time
+    must MOVE when the incoming distribution drifts away from the
+    fixed quantizer. Synthetic 8-dim axis clusters: the quantizer is
+    fitted on +axis data; an in-distribution batch reports ~zero
+    mean-cos drop, a -axis (drifted) batch reports a large drop and
+    piles into few cells (skew). Also pins the report plumbing:
+    sidecar history rows keyed by pre-fold thru, no report when
+    centroids aren't passed, baseline None before the first fold."""
+    from pyspark.sql import functions as F
+
+    from reddit_hn_etl_spark.operators import similarity
+
+    dim = 8
+
+    def axis_vec(cluster, i, sign=1.0):
+        v = [0.0] * dim
+        v[cluster] = sign
+        v[(cluster + 1) % dim] = 0.01 * ((i % 7) - 3)  # tiny spread
+        return v
+
+    base = [(i, axis_vec(i % dim, i)) for i in range(160)]
+    base_df = spark.createDataFrame(
+        base, "vec_id long, embedding array<double>"
+    )
+    centroids = similarity.kmeans_centroids(
+        base_df, dim=dim, n_cells=dim, iters=2
+    )
+    idx = str(tmp_path / "idx")
+
+    def append_batch(rows, batch_id):
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        similarity._assign_probe_cells(
+            df, "vec_id", "embedding", centroids, 1,
+            vec_out="embedding", norm_out="_cn",
+        ).withColumn("batch_id", F.lit(batch_id).cast("long")).withColumn(
+            "thru", F.lit(None).cast("long")
+        ).write.mode("append").partitionBy("cell").parquet(idx)
+
+    # batch 0: the fit population itself -> first compaction has no
+    # snapshot baseline yet
+    append_batch(base, 0)
+    n = ingest.compact_ivf_index(spark, idx, centroids=centroids)
+    assert n == 160
+    hist = ingest.read_ivf_drift_history(spark, idx).orderBy("thru")
+    r0 = hist.collect()[0]
+    assert r0.thru == -1 and r0.n_snapshot == 0 and r0.n_new == 160
+    assert r0.base_mean_cos is None and r0.mean_cos_drop is None
+    assert r0.new_mean_cos > 0.95  # in-distribution assigns tightly
+
+    # batch 1: more in-distribution data -> drop ~ 0
+    append_batch(
+        [(1000 + i, axis_vec(i % dim, i)) for i in range(80)], 1
+    )
+    ingest.compact_ivf_index(spark, idx, centroids=centroids)
+    r1 = ingest.read_ivf_drift_history(spark, idx).orderBy("thru").collect()[1]
+    assert r1.n_snapshot == 160 and r1.n_new == 80
+    assert abs(r1.mean_cos_drop) < 0.02, r1.mean_cos_drop
+    healthy_skew = r1.cell_skew
+
+    # batch 2: DRIFTED -axis data -> large drop, worse tail, skew up
+    append_batch(
+        [(2000 + i, axis_vec(i % 2, i, sign=-1.0)) for i in range(80)], 2
+    )
+    ingest.compact_ivf_index(spark, idx, centroids=centroids)
+    r2 = ingest.read_ivf_drift_history(spark, idx).orderBy("thru").collect()[2]
+    assert r2.n_new == 80 and r2.n_snapshot == 240
+    assert r2.mean_cos_drop > 0.5, r2.mean_cos_drop
+    assert r2.new_p05_cos < r2.base_p05_cos - 0.5
+    assert r2.cell_skew > healthy_skew  # -axis data piles into 2 cells
+
+    # compaction WITHOUT centroids records nothing (back-compat)
+    n_hist = ingest.read_ivf_drift_history(spark, idx).count()
+    ingest.compact_ivf_index(spark, idx)
+    assert ingest.read_ivf_drift_history(spark, idx).count() == n_hist
