@@ -390,6 +390,9 @@ BENCH_QUERIES_R12 = [
     # persisted-PQ-index join differential: pq_encode_corpus index
     # + pq_knn_join(encoded=...) vs the inline path, raw AND residual
     "pq_index_knn_join",
+    # exact-rerank stage differential: full-probe full-rerank PQ join
+    # vs exact L2 brute-force (the IVFPQR anchor identity)
+    "pq_rerank_knn_join",
 ]
 
 # Exact all-pairs similarity: run ONCE per round (no repeat sweeps)

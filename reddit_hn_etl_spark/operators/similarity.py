@@ -1130,6 +1130,8 @@ def pq_knn_join(
     query_id_col: str = "query_id",
     residual: bool = False,
     encoded: DataFrame | None = None,
+    rerank: int | None = None,
+    corpus_vectors: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ kNN-JOIN: `ivf_pq_search` for a DataFrame of queries —
     the billion-scale ANN backfill where the query set is itself
@@ -1170,6 +1172,23 @@ def pq_knn_join(
     pays only probe + join + ADC. Must have been encoded with the
     SAME coarse_centroids/codebooks (and the same ``residual`` mode)
     passed here — the ADC tables are meaningless otherwise.
+
+    ``rerank`` (VERDICT r11 #6, the FAISS IVFPQR shape): keep the
+    top-``rerank`` ADC candidates per query (rerank >= k), fetch
+    those candidates' RAW vectors, score them by EXACT squared L2
+    (the same distance space est_dist approximates — a JVM-side
+    zip_with/aggregate fold, deterministic array order), and cut to
+    k on (exact_dist, id). ADC quantization error then only has to
+    keep a true neighbor inside the top-``rerank`` — a far weaker
+    ask than ranking it top-k — so recall climbs steeply with a
+    small multiplier (measured curve: SCALING.md §Similarity;
+    `scripts/pq_rerank_recall_sweep.py` reproduces). Cost at scale:
+    two equi-joins over n_queries×rerank candidate rows (query and
+    corpus vectors re-attached AFTER the cut — query vectors never
+    ride through the ADC scan) + one more per-query window; output
+    gains ``exact_dist``. The raw vectors come from ``corpus``, or
+    from ``corpus_vectors`` when the corpus arrived pre-``encoded``
+    (the persisted-index regime stores codes only).
     """
     import numpy as np
 
@@ -1300,10 +1319,51 @@ def pq_knn_join(
     w = Window.partitionBy(query_id_col).orderBy(
         F.asc("est_dist"), F.asc(id_col)
     )
-    return (
+    if rerank is None:
+        return (
+            scored.withColumn("_rank", F.row_number().over(w))
+            .where(F.col("_rank") <= k)
+            .select(query_id_col, id_col, "cell", "est_dist")
+        )
+    if rerank < k:
+        raise ValueError(f"rerank ({rerank}) must be >= k ({k})")
+    vec_src = corpus_vectors if corpus_vectors is not None else corpus
+    if vec_src is None:
+        raise ValueError(
+            "rerank needs the raw vectors: pass corpus or corpus_vectors"
+        )
+    topc = (
         scored.withColumn("_rank", F.row_number().over(w))
-        .where(F.col("_rank") <= k)
+        .where(F.col("_rank") <= rerank)
         .select(query_id_col, id_col, "cell", "est_dist")
+    )
+    sq_dist = F.aggregate(
+        F.zip_with(
+            F.col("_qv"),
+            F.col("_cv"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    exact = (
+        topc.join(
+            queries.select(query_id_col, F.col(vec_col).alias("_qv")),
+            query_id_col,
+        )
+        .join(
+            vec_src.select(id_col, F.col(vec_col).alias("_cv")), id_col
+        )
+        .withColumn("exact_dist", sq_dist)
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(
+        F.asc("exact_dist"), F.asc(id_col)
+    )
+    return (
+        exact.withColumn("_rank", F.row_number().over(w2))
+        .where(F.col("_rank") <= k)
+        .select(query_id_col, id_col, "cell", "est_dist", "exact_dist")
     )
 
 

@@ -23706,6 +23706,94 @@ def pq_index_knn_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "pq_rerank_knn_join",
+    """
+    SELECT e.vec_id AS query_id,
+           10 AS n_agree, 0 AS n_rerank_only, 0 AS n_exact_only
+    FROM embeddings e
+    WHERE e.vec_id < 30
+    """,
+)
+def pq_rerank_knn_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ kNN-join exact-rerank stage (r12, VERDICT r11 #6 — the
+    FAISS IVFPQR shape): ADC orders a candidate pool, the top-c fetch
+    their RAW vectors and are re-scored by exact squared L2, and the
+    cut to k happens on exact distance. The driver row pins the
+    stage's ANCHOR IDENTITY as an in-query differential: with every
+    cell probed and EVERY candidate reranked, the rerank path must
+    return the true L2 top-10 — so it is full-outer-joined per
+    (query, neighbor, exact_dist) against an exact L2 brute-force
+    computed with the SAME zip_with/aggregate fold (bit-equal
+    distances by construction), and the oracle is the exact constant:
+    10 agreeing rows per query, zero path-exclusive rows. Any defect
+    in the rerank plumbing — a candidate dropped before the cut, a
+    wrong vector re-attached by either equi-join, a fold-order
+    change, a tie broken differently — produces an exclusive row and
+    fails the hash. The measured recall/cost curve at the PRODUCTION
+    operating points (nprobe=3, c=2k..16k vs the probe-coverage
+    ceiling) is recorded in SCALING.md §Similarity
+    (`scripts/pq_rerank_recall_sweep.py` reproduces); recall-curve
+    floors stay in pytest, the driver checks the identity.
+
+    Scale shape: the rerank adds two equi-joins over n_q×c candidate
+    rows (query then corpus vectors re-attached AFTER the ADC cut —
+    vectors never ride through the ADC scan) + one per-query window;
+    the exact side broadcasts the 30 fixed queries over one corpus
+    scan."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    qdf = emb.where(F.col("vec_id") < 30).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    rerank = similarity.pq_knn_join(
+        emb, qdf, _KMEANS_CENTROIDS, _PQ_CODEBOOKS,
+        nprobe=len(_KMEANS_CENTROIDS), k=10, rerank=10**9,
+    ).select("query_id", "vec_id", "exact_dist")
+    sq = F.aggregate(
+        F.zip_with(
+            F.col("_qv"),
+            F.col("embedding"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("exact_dist"), F.asc("vec_id")
+    )
+    exact = (
+        emb.join(
+            F.broadcast(
+                qdf.select("query_id", F.col("embedding").alias("_qv"))
+            )
+        )
+        .select("query_id", "vec_id", sq.alias("exact_dist"))
+        .withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= 10)
+        .select("query_id", "vec_id", "exact_dist")
+    )
+    keys = ["query_id", "vec_id", "exact_dist"]
+    both = rerank.withColumn("_a", F.lit(1)).join(
+        exact.withColumn("_b", F.lit(1)), keys, "full_outer"
+    )
+    return (
+        both.groupBy("query_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("_a").isNotNull() & F.col("_b").isNotNull(), 1
+                ).otherwise(0)
+            ).cast("int").alias("n_agree"),
+            F.sum(F.when(F.col("_b").isNull(), 1).otherwise(0))
+            .cast("int").alias("n_rerank_only"),
+            F.sum(F.when(F.col("_a").isNull(), 1).otherwise(0))
+            .cast("int").alias("n_exact_only"),
+        )
+        .select("query_id", "n_agree", "n_rerank_only", "n_exact_only")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver verification window.
 #
