@@ -1097,10 +1097,14 @@ def pq_index_stream(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # recon_err rides along (8 bytes/vector next to the m-byte
+        # codes): it is the codebook-fit signal `pq_index_drift_report`
+        # trends at compaction time — codes alone can't say how badly
+        # they quantize.
         pq_encode_corpus(
             batch_df.select(id_col, vec_col), coarse_centroids,
             codebooks, residual=residual, id_col=id_col, vec_col=vec_col,
-        ).select(id_col, "cell", "codes").withColumn(
+        ).select(id_col, "cell", "codes", "recon_err").withColumn(
             "batch_id", F.lit(batch_id).cast("long")
         ).withColumn(
             "thru", F.lit(None).cast("long")
@@ -1129,11 +1133,128 @@ def read_pq_index_merged(
 
 
 def compact_pq_index(
-    spark: SparkSession, index_dir: str, id_col: str = "vec_id"
+    spark: SparkSession,
+    index_dir: str,
+    id_col: str = "vec_id",
+    track_drift: bool = False,
 ) -> int:
     """Fold per-batch IVF-PQ index rows into one snapshot row per
-    vector — the shared replay-watermark compaction."""
+    vector — the shared replay-watermark compaction. With
+    ``track_drift=True``, a codebook-fit drift row is recorded to the
+    ``<index_dir>_drift`` sidecar first (see
+    `pq_index_drift_report`) — the PQ twin of
+    `compact_ivf_index(..., centroids=)`."""
+    if track_drift:
+        report = pq_index_drift_report(spark, index_dir, id_col=id_col)
+        fields = [f.split()[0] for f in _PQ_DRIFT_REPORT_SCHEMA.split(", ")]
+        spark.createDataFrame(
+            [tuple(report[f] for f in fields)],
+            schema=_PQ_DRIFT_REPORT_SCHEMA,
+        ).write.mode("append").parquet(index_dir.rstrip("/") + "_drift")
     return _compact_row_index(spark, index_dir, [id_col], "cell")
+
+
+_PQ_DRIFT_REPORT_SCHEMA = (
+    "thru long, n_new long, n_snapshot long, "
+    "new_mean_err double, new_p95_err double, "
+    "base_mean_err double, base_p95_err double, "
+    "mean_err_rise double, cell_skew double, cells_used int"
+)
+
+
+def pq_index_drift_report(
+    spark: SparkSession, index_dir: str, id_col: str = "vec_id"
+) -> dict:
+    """Codebook-fit drift of a streaming IVF-PQ index — the PQ twin
+    of `ivf_index_drift_report`, watching the OTHER quantizer: the
+    codebooks were trained once, so a drifting corpus distribution
+    raises reconstruction error, which inflates ADC estimation error
+    and silently degrades search quality (the rerank stage can buy
+    some of it back, but only inside the candidate pool ADC ranks).
+    The index stores no raw vectors — by design, that's the
+    compression — so the signal is the ``recon_err`` each row carried
+    from encode time: zero extra passes over anything raw.
+
+    Metrics over the currently VISIBLE rows (LWW per id, as the read
+    path resolves): ``new_mean_err``/``new_p95_err`` of newly-indexed
+    rows (batch_id > thru) vs ``base_mean_err``/``base_p95_err`` of
+    the snapshot baseline; ``mean_err_rise`` = new − base (positive =
+    codebooks fit the new data worse); visible ``cell_skew``
+    (max/mean) — same join-balance signal as the IVF report. Retrain
+    trigger guidance in SCALING.md §Similarity.
+
+    Raises loudly on an index whose rows lack ``recon_err`` (written
+    by a pre-r12 `pq_index_stream`): rebuild or re-encode before
+    enabling drift tracking — a mixed-schema dir must not silently
+    report over a subset (the ADVICE r11 lesson)."""
+    df = spark.read.option("mergeSchema", "true").parquet(index_dir)
+    if "recon_err" not in df.columns:
+        raise ValueError(
+            f"index dir {index_dir!r} has no recon_err column (pre-r12 "
+            "layout); rebuild the index before enabling drift tracking"
+        )
+    thru = df.agg(F.max("thru")).first()[0]
+    thru = -1 if thru is None else int(thru)
+    w = Window.partitionBy(id_col).orderBy(F.desc("batch_id"))
+    visible = (
+        df.where((F.col("batch_id") == -1) | (F.col("batch_id") > thru))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+    )
+    if visible.where(F.col("recon_err").isNull()).limit(1).count() > 0:
+        raise ValueError(
+            f"index dir {index_dir!r} mixes pre- and post-recon_err "
+            "rows; rebuild before enabling drift tracking"
+        )
+    stats = {
+        r["_snap"]: r
+        for r in visible.groupBy(
+            (F.col("batch_id") == -1).alias("_snap")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.avg("recon_err").alias("mean_err"),
+            F.percentile_approx("recon_err", 0.95).alias("p95_err"),
+        )
+        .collect()
+    }
+    sk = (
+        visible.groupBy("cell")
+        .agg(F.count("*").alias("n"))
+        .agg(
+            F.max("n").alias("mx"),
+            F.avg("n").alias("mean"),
+            F.count("*").alias("used"),
+        )
+        .first()
+    )
+    new, base = stats.get(False), stats.get(True)
+    rise = (
+        float(new["mean_err"]) - float(base["mean_err"])
+        if new is not None and base is not None
+        else None
+    )
+    return {
+        "thru": thru,
+        "n_new": int(new["n"]) if new is not None else 0,
+        "n_snapshot": int(base["n"]) if base is not None else 0,
+        "new_mean_err": float(new["mean_err"]) if new is not None else None,
+        "new_p95_err": float(new["p95_err"]) if new is not None else None,
+        "base_mean_err": float(base["mean_err"]) if base is not None else None,
+        "base_p95_err": float(base["p95_err"]) if base is not None else None,
+        "mean_err_rise": rise,
+        "cell_skew": float(sk["mx"]) / float(sk["mean"])
+        if sk["mx"] is not None
+        else None,
+        "cells_used": int(sk["used"]),
+    }
+
+
+def read_pq_drift_history(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The drift-report history `compact_pq_index(...,
+    track_drift=True)` appends — one row per compaction, keyed by the
+    pre-fold ``thru`` watermark."""
+    return spark.read.parquet(index_dir.rstrip("/") + "_drift")
 
 
 def recenter_ivf_index(

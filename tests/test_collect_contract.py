@@ -26,6 +26,7 @@ ALLOWED = {
     ("streaming/ingest.py", "_batch_stamp_epoch"): "distinct source filenames of one micro-batch / 1-row max aggregate",
     ("streaming/ingest.py", "stream_merge_to_staging.process"): "1-row scalar aggregate (max batch ts)",
     ("streaming/ingest.py", "ivf_index_drift_report"): "2-row aggregate (new vs snapshot drift stats)",
+    ("streaming/ingest.py", "pq_index_drift_report"): "2-row aggregate (new vs snapshot recon_err stats)",
     ("operators/kmeans.py", "update_centroids"): "n_cells centroid rows (k-means k)",
     ("operators/merge.py", "merge_upsert"): "1-row inserted/updated metrics aggregate",
     ("operators/graph.py", "connected_components"): "1-row convergence probe (sum of label changes)",

@@ -861,3 +861,77 @@ def test_ivf_drift_report_moves_under_drift(spark, tmp_path):
     n_hist = ingest.read_ivf_drift_history(spark, idx).count()
     ingest.compact_ivf_index(spark, idx)
     assert ingest.read_ivf_drift_history(spark, idx).count() == n_hist
+
+
+def test_pq_drift_report_moves_under_drift(spark, tmp_path, sf_dir):
+    """The PQ twin of the IVF drift report: the index stores codes,
+    not vectors, so the codebook-fit signal is the recon_err each row
+    carried from encode time. In-distribution batches report ~zero
+    mean-err rise; a drifted batch (vectors scaled 5x — squared
+    reconstruction error scales ~25x against codebooks trained at
+    unit scale) must move the rise and the p95 tail. Also pins the
+    loud failure on a pre-recon_err index dir and the no-track
+    back-compat path."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from reddit_hn_etl_spark.operators import kmeans, similarity
+    from reddit_hn_etl_spark.sources.tables import read_table
+
+    cc = kmeans.seeded_centroids(dim=64, k=8, seed=11)
+    cb = similarity.pq_codebooks(dim=64, n_sub=8, k=16, seed=101)
+    emb = read_table(spark, sf_dir, "embeddings").localCheckpoint(eager=True)
+    idx = str(tmp_path / "pq_idx")
+
+    def append_batch(df, batch_id):
+        similarity.pq_encode_corpus(df, cc, cb).select(
+            "vec_id", "cell", "codes", "recon_err"
+        ).withColumn("batch_id", F.lit(batch_id).cast("long")).withColumn(
+            "thru", F.lit(None).cast("long")
+        ).write.mode("append").partitionBy("cell").parquet(idx)
+
+    n = emb.count()
+    append_batch(emb, 0)
+    ingest.compact_pq_index(spark, idx, track_drift=True)
+    hist = ingest.read_pq_drift_history(spark, idx).orderBy("thru").collect()
+    assert hist[0].thru == -1 and hist[0].n_snapshot == 0
+    assert hist[0].n_new == n and hist[0].mean_err_rise is None
+
+    # in-distribution: the same vectors under new ids -> rise ~ 0
+    shifted_ids = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    append_batch(shifted_ids, 1)
+    ingest.compact_pq_index(spark, idx, track_drift=True)
+    r1 = ingest.read_pq_drift_history(spark, idx).orderBy("thru").collect()[1]
+    assert r1.n_snapshot == n and r1.n_new == n
+    assert abs(r1.mean_err_rise) < 1e-9  # identical distribution
+
+    # drifted: 5x-scaled vectors -> squared err ~25x, rise large
+    scaled = emb.select(
+        (F.col("vec_id") + 200000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 5.0).alias("embedding"),
+    )
+    append_batch(scaled, 2)
+    ingest.compact_pq_index(spark, idx, track_drift=True)
+    r2 = ingest.read_pq_drift_history(spark, idx).orderBy("thru").collect()[2]
+    assert r2.n_new == n and r2.n_snapshot == 2 * n
+    assert r2.mean_err_rise > 5 * r2.base_mean_err, (
+        r2.mean_err_rise, r2.base_mean_err
+    )
+    assert r2.new_p95_err > 5 * r2.base_p95_err
+
+    # back-compat: compaction without track_drift records nothing
+    n_hist = ingest.read_pq_drift_history(spark, idx).count()
+    ingest.compact_pq_index(spark, idx)
+    assert ingest.read_pq_drift_history(spark, idx).count() == n_hist
+
+    # a pre-r12 index (no recon_err) fails LOUDLY, never silently
+    legacy = str(tmp_path / "legacy_idx")
+    similarity.pq_encode_corpus(emb, cc, cb).select(
+        "vec_id", "cell", "codes"
+    ).withColumn("batch_id", F.lit(0).cast("long")).withColumn(
+        "thru", F.lit(None).cast("long")
+    ).write.mode("append").partitionBy("cell").parquet(legacy)
+    with pytest.raises(ValueError, match="recon_err"):
+        ingest.pq_index_drift_report(spark, legacy)
