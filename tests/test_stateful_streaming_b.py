@@ -935,3 +935,56 @@ def test_pq_drift_report_moves_under_drift(spark, tmp_path, sf_dir):
     ).write.mode("append").partitionBy("cell").parquet(legacy)
     with pytest.raises(ValueError, match="recon_err"):
         ingest.pq_index_drift_report(spark, legacy)
+
+
+def test_persisted_pq_plus_ivf_rerank_composition(spark, tmp_path, sf_dir):
+    """The full persisted-index production wiring, zero new API: the
+    PQ index supplies the compressed candidates (encoded=), the IVF
+    index supplies the raw vectors for the exact-rerank fetch
+    (corpus_vectors= — its rows store the vectors bit-exactly), and
+    the composed join must equal the inline-everything rerank join
+    row-for-row. This is the 100 TB shape: neither the codes nor the
+    vectors are re-derived per query batch."""
+    from pyspark.sql import functions as F
+
+    from reddit_hn_etl_spark.operators import kmeans, similarity
+    from reddit_hn_etl_spark.sources.tables import read_table
+
+    cc = kmeans.seeded_centroids(dim=64, k=8, seed=11)
+    cb = similarity.pq_codebooks(dim=64, n_sub=8, k=16, seed=101)
+    emb = read_table(spark, sf_dir, "embeddings").localCheckpoint(eager=True)
+    centroids = [[float(x) for x in c] for c in cc]
+
+    pq_idx = str(tmp_path / "pq_idx")
+    similarity.pq_encode_corpus(emb, cc, cb).select(
+        "vec_id", "cell", "codes", "recon_err"
+    ).withColumn("batch_id", F.lit(0).cast("long")).withColumn(
+        "thru", F.lit(None).cast("long")
+    ).write.mode("append").partitionBy("cell").parquet(pq_idx)
+
+    ivf_idx = str(tmp_path / "ivf_idx")
+    similarity._assign_probe_cells(
+        emb, "vec_id", "embedding", centroids, 1,
+        vec_out="embedding", norm_out="_cn",
+    ).withColumn("batch_id", F.lit(0).cast("long")).withColumn(
+        "thru", F.lit(None).cast("long")
+    ).write.mode("append").partitionBy("cell").parquet(ivf_idx)
+
+    qdf = emb.where(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    composed = {
+        tuple(r)
+        for r in similarity.pq_knn_join(
+            None, qdf, cc, cb, nprobe=3, k=10, rerank=40,
+            encoded=ingest.read_pq_index_merged(spark, pq_idx),
+            corpus_vectors=ingest.read_ivf_index_merged(spark, ivf_idx),
+        ).collect()
+    }
+    inline = {
+        tuple(r)
+        for r in similarity.pq_knn_join(
+            emb, qdf, cc, cb, nprobe=3, k=10, rerank=40
+        ).collect()
+    }
+    assert composed == inline and len(composed) == 60
