@@ -180,6 +180,70 @@ def update_centroids(
     return out
 
 
+def update_centroids_minibatch(
+    new_vectors: DataFrame,
+    centroids: Centroids,
+    counts: list[int],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[Centroids, list[int]]:
+    """Count-weighted incremental centroid update from ONLY a batch
+    of new vectors — mini-batch k-means (Sculley, WWW 2010) in its
+    batch-aggregated form: assign the batch against the current
+    centroids (the same shuffle-free literal argmin as `assign`),
+    aggregate per-cell coordinate sums + member counts (ONE k·dim-
+    wide shuffle with map-side partials, never N·dim), then
+
+        c' = (n_old·c + Σ new members) / (n_old + n_new)
+
+    per cell; cells with no new members are untouched. Sculley's
+    per-sample learning rate 1/n_c is exactly this formula folded
+    over a batch whose assignments are all taken against the SAME
+    centroids (coarser than per-sample sequential updates — which
+    cannot distribute — and the standard distributed variant).
+
+    With ``counts`` all zero and the full corpus as the batch this
+    IS one Lloyd update step (pinned vs `update_centroids`). The
+    intended use is the cheap half of the drift loop (SCALING.md
+    §Similarity): track a candidate quantizer from each compaction's
+    newly-indexed rows at O(batch) cost, and when the drift report
+    triggers, pass the tracked centroids to
+    `recenter_ivf_index(..., centroids=)` — paying one O(corpus)
+    reassign+rewrite but SKIPPING the O(corpus × iters) refit.
+
+    Returns (updated centroids, updated per-cell counts); the driver
+    holds only k×dim doubles + k longs."""
+    if len(counts) != len(centroids):
+        raise ValueError(
+            f"counts has {len(counts)} cells, centroids {len(centroids)}"
+        )
+    assigned = assign(new_vectors, centroids, id_col=id_col, vec_col=vec_col)
+    rows = (
+        assigned.select(
+            F.col("cluster_id"),
+            F.posexplode(F.col(vec_col)).alias("pos", "v"),
+        )
+        .groupBy("cluster_id", "pos")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("v").cast("double")).alias("s"),
+        )
+        .collect()
+    )
+    out = [list(c) for c in centroids]
+    new_counts = list(counts)
+    n_new: dict[int, int] = {}
+    for r in rows:
+        n_new[r["cluster_id"]] = int(r["n"])
+    for r in rows:
+        c, p = r["cluster_id"], r["pos"]
+        denom = counts[c] + n_new[c]
+        out[c][p] = (counts[c] * centroids[c][p] + float(r["s"])) / denom
+    for c, n in n_new.items():
+        new_counts[c] = counts[c] + n
+    return out, new_counts
+
+
 def lloyd(
     df: DataFrame,
     k: int,

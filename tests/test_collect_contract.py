@@ -28,6 +28,7 @@ ALLOWED = {
     ("streaming/ingest.py", "ivf_index_drift_report"): "2-row aggregate (new vs snapshot drift stats)",
     ("streaming/ingest.py", "pq_index_drift_report"): "2-row aggregate (new vs snapshot recon_err stats)",
     ("operators/kmeans.py", "update_centroids"): "n_cells centroid rows (k-means k)",
+    ("operators/kmeans.py", "update_centroids_minibatch"): "k·dim partial rows (k-means k)",
     ("operators/merge.py", "merge_upsert"): "1-row inserted/updated metrics aggregate",
     ("operators/graph.py", "connected_components"): "1-row convergence probe (sum of label changes)",
     ("operators/graph.py", "connected_components_star._probe"): "1-row convergence probe",

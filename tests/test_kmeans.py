@@ -153,3 +153,74 @@ def test_assign_plan_is_shuffle_free(emb):
     cents = kmeans.seeded_centroids(64, 8, seed=11)
     plan = kmeans.assign(emb, cents)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_minibatch_update_from_zero_equals_lloyd_step(emb):
+    """With all counts zero and the full corpus as the batch, the
+    mini-batch update IS one Lloyd update step: c' = mean of members
+    (the n_old·c term vanishes). Empty cells keep their previous
+    centroid in both paths."""
+    dim = len(emb.select("embedding").first()[0])
+    cents = kmeans.seeded_centroids(dim, 8, seed=11)
+    assigned = kmeans.assign(emb, cents)
+    want = kmeans.update_centroids(assigned, cents)
+    got, counts = kmeans.update_centroids_minibatch(
+        emb, cents, [0] * 8
+    )
+    for c in range(8):
+        for p in range(dim):
+            assert abs(got[c][p] - want[c][p]) <= 1e-9
+    n = emb.count()
+    assert sum(counts) == n
+
+
+def test_minibatch_update_weighted_mean_counts_and_validation(spark):
+    """Hand-checkable case: one prior cell with mass n_old=4 at
+    [0,0]; a batch of two vectors near it and one near the other
+    cell. The updated centroid is the exact count-weighted mean, the
+    untouched coordinate path for the other cell applies its own
+    batch member, and counts accumulate per cell. Mismatched counts
+    length raises."""
+    import pytest as _pytest
+
+    cents = [[0.0, 0.0], [10.0, 10.0]]
+    counts = [4, 1]
+    batch = spark.createDataFrame(
+        [(1, [2.0, 0.0]), (2, [0.0, 2.0]), (3, [12.0, 10.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got, new_counts = kmeans.update_centroids_minibatch(
+        batch, cents, counts
+    )
+    # cell 0: (4*0 + 2+0)/6, (4*0 + 0+2)/6
+    assert got[0] == [2.0 / 6.0, 2.0 / 6.0]
+    # cell 1: (1*10 + 12)/2, (1*10 + 10)/2
+    assert got[1] == [11.0, 10.0]
+    assert new_counts == [6, 2]
+    # input centroids untouched (pure function)
+    assert cents == [[0.0, 0.0], [10.0, 10.0]]
+    with _pytest.raises(ValueError, match="cells"):
+        kmeans.update_centroids_minibatch(batch, cents, [4])
+
+
+def test_minibatch_update_moves_toward_drifted_batch(spark):
+    """The drift-loop property: feeding a drifted batch moves the
+    assigned cell's centroid strictly toward the batch mean, and
+    repeated batches converge it there (old mass decays as
+    n_old/(n_old+Σ n_new))."""
+    cents = [[1.0, 0.0], [-1.0, 0.0]]
+    counts = [10, 10]
+    drift = [(i, [3.0, 4.0]) for i in range(20)]
+    batch = spark.createDataFrame(
+        drift, "vec_id long, embedding array<double>"
+    )
+    d0 = (cents[0][0] - 3.0) ** 2 + (cents[0][1] - 4.0) ** 2
+    c1, n1 = kmeans.update_centroids_minibatch(batch, cents, counts)
+    d1 = (c1[0][0] - 3.0) ** 2 + (c1[0][1] - 4.0) ** 2
+    c2, n2 = kmeans.update_centroids_minibatch(batch, c1, n1)
+    d2 = (c2[0][0] - 3.0) ** 2 + (c2[0][1] - 4.0) ** 2
+    assert d1 < d0 and d2 < d1
+    # cell 1 never assigned -> untouched
+    assert c2[1] == [-1.0, 0.0] and n2[1] == 10
+    # exact decay: after the first batch, weight on old mass 10/30
+    assert abs(c1[0][0] - (10 * 1.0 + 20 * 3.0) / 30) <= 1e-12
