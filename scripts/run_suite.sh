@@ -25,6 +25,13 @@
 # (test_stateful_streaming.py, 2:18 solo) + C2
 # (test_stateful_streaming_b.py, persisted-index protocol tests,
 # 2:55 solo). Thirteen chunks total.
+# r12 rebalance #2: chunk D (the remainder) breached at 7:33 solo on
+# a degraded r12 box (~5:24 normalized — at the edge and growing
+# with every non-streaming test file). The seven heaviest files
+# (multimodal codecs, PQ, kmeans, live-Postgres parity x2, BPE,
+# sketches) split out into an explicit chunk D2 (3:07 solo); D keeps
+# the ignore-list construction so NEW files still land in D (3:27
+# solo). Fourteen chunks total.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
@@ -38,6 +45,9 @@ tests/test_hn_pipeline.py tests/test_incremental_marts.py \
 tests/test_kafka_seam.py tests/test_maintenance.py"
 CHUNK_C="tests/test_stateful_streaming.py"
 CHUNK_C2="tests/test_stateful_streaming_b.py"
+CHUNK_D2="tests/test_streaming_multimodal.py tests/test_pq.py \
+tests/test_kmeans.py tests/test_postgres_local_parity.py \
+tests/test_jdbc_postgres_parity.py tests/test_bpe.py tests/test_sketch.py"
 CHUNK_E="tests/test_plan_contracts.py"
 CHUNK_E2="tests/test_schema_contracts.py"
 CHUNK_F="tests/test_properties.py"
@@ -53,9 +63,11 @@ echo "== chunk C: streaming tests =="
 python -m pytest $CHUNK_C -q
 echo "== chunk C2: streaming persisted-index protocol tests =="
 python -m pytest $CHUNK_C2 -q
+echo "== chunk D2: heavy operator files (codecs/pq/kmeans/pg/bpe/sketch) =="
+python -m pytest $CHUNK_D2 -q
 echo "== chunk D: remainder =="
 python -m pytest tests/ -q --ignore=tests/test_oracle.py \
-  $(for f in $CHUNK_A2 $CHUNK_B $CHUNK_C $CHUNK_C2 $CHUNK_E $CHUNK_E2 $CHUNK_F $CHUNK_F2; do printf -- "--ignore=%s " "$f"; done)
+  $(for f in $CHUNK_A2 $CHUNK_B $CHUNK_C $CHUNK_C2 $CHUNK_D2 $CHUNK_E $CHUNK_E2 $CHUNK_F $CHUNK_F2; do printf -- "--ignore=%s " "$f"; done)
 echo "== chunk E: per-query plan contracts =="
 python -m pytest $CHUNK_E -q -k "not registry_wide_plan_contract"
 echo "== chunk E2: registry-wide schema contract (even half) =="
