@@ -1145,21 +1145,84 @@ def longest_repeated_span_length(
     base = (
         fan_out_narrow_input(df)
         .select(F.col(id_col).alias("_id"), tokens(text_col).alias("_toks"))
+        .withColumn(
+            # r12: per-token hashes computed ONCE; every probe
+            # composes them by binary doubling (the hash-composition
+            # twin of `ngram_array_doubling`) instead of building
+            # O(L)-byte gram strings per position per probe — same
+            # false-positive-only collision class, and the
+            # exact-string re-verification below is unchanged.
+            "_htoks",
+            F.transform(F.col("_toks"), lambda t: F.xxhash64(t)),
+        )
         .persist()
     )
+    levels: DataFrame | None = None
     try:
         if max_len is None:
             max_len = base.agg(F.max(F.size("_toks"))).first()[0] or 0
         if max_len <= 0:
             return 0
 
+        # r12: every power-of-2 hash level H_{2k}[i] =
+        # xxhash64(H_k[i], H_k[i+k]) is computed ONCE and persisted as
+        # a column; a probe at any n then composes only n's set bits
+        # (≤ log₂ n zip_withs) instead of rebuilding the whole
+        # doubling ladder per probe — the ladder is shared across the
+        # O(log max_len) binary-search probes. ~7 levels × positions
+        # × 8 bytes of extra storage; zip_with's null-padded tail
+        # garbage never reaches a probe (sliced to size−n+1 exactly
+        # like the string version's null tail).
+        lvl_cols: dict[int, str] = {1: "_htoks"}
+        lv_frame = base
+        k = 1
+        while k * 2 <= max_len:
+            prev = F.col(lvl_cols[k])
+            lv_frame = lv_frame.withColumn(
+                f"_h{k * 2}",
+                F.zip_with(
+                    prev,
+                    F.slice(
+                        prev,
+                        1 + k,
+                        F.greatest(F.size("_htoks") - k, F.lit(0)),
+                    ),
+                    lambda a, b: F.xxhash64(a, b),
+                ),
+            )
+            lvl_cols[k * 2] = f"_h{k * 2}"
+            k *= 2
+        levels = lv_frame.persist()
+
+        def gram_hashes(n: int) -> Column:
+            """Positional n-gram hashes from the persisted levels —
+            identical composition to `gram_hash_doubling`."""
+            if n <= 1:
+                return F.col("_htoks")
+            bits = [1 << b for b in range(n.bit_length()) if n & (1 << b)]
+            bits.sort(reverse=True)
+            out = F.col(lvl_cols[bits[0]])
+            acc = bits[0]
+            for b in bits[1:]:
+                out = F.zip_with(
+                    out,
+                    F.slice(
+                        F.col(lvl_cols[b]),
+                        1 + acc,
+                        F.greatest(F.size("_htoks") - acc, F.lit(0)),
+                    ),
+                    lambda a, bb: F.xxhash64(a, bb),
+                )
+                acc += b
+            return F.slice(
+                out, 1, F.greatest(F.size("_htoks") - (n - 1), F.lit(0))
+            )
+
         def probe(n: int) -> bool:
-            grams = base.select(
+            grams = levels.select(
                 "_id",
-                F.explode(
-                    ngram_array_doubling(F.col("_toks"), n)
-                ).alias("g"),
-            ).select("_id", F.xxhash64("g").alias("h"))
+                F.explode(gram_hashes(n)).alias("h"),
+            )
             if min_count is not None:
                 # occurrence mode: count positions, not documents
                 agg = F.count(F.lit(1)).alias("nd")
@@ -1202,6 +1265,8 @@ def longest_repeated_span_length(
             )
         return lo
     finally:
+        if levels is not None:
+            levels.unpersist()
         base.unpersist()
 
 

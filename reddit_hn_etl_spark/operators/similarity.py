@@ -37,6 +37,48 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def _ordered_fold_dots(m, q_mat):
+    """(n_rows × n_q) dot matrix with the LEFT-TO-RIT ARRAY-ORDER
+    accumulation of the engine's `dot` expression — acc starts at 0.0
+    and adds one per-dimension product at a time, so every pair's
+    double sequence is ((0 + p₀) + p₁) + … exactly as the zip_with/
+    aggregate fold produces (IEEE ops are deterministic; numpy only
+    vectorizes ACROSS pairs, never reorders within one). A BLAS GEMM
+    would be ~10× faster again but accumulates pairwise — NOT
+    bit-identical — so it is deliberately not used on any path whose
+    values the oracle hashes."""
+    import numpy as np
+
+    acc = np.zeros((m.shape[0], q_mat.shape[0]))
+    for i in range(m.shape[1]):
+        acc += np.multiply.outer(m[:, i], q_mat[:, i])
+    return acc
+
+
+def _ordered_fold_sq_norms(m):
+    """Per-row Σx² with the array-order fold of `l2_norm` (pre-sqrt)."""
+    import numpy as np
+
+    acc = np.zeros(m.shape[0])
+    for i in range(m.shape[1]):
+        acc += m[:, i] * m[:, i]
+    return acc
+
+
+def _topk_ties_mask(cos, k, np):
+    """Boolean (n_rows × n_q) mask keeping, per query column, every
+    row whose score ties-or-beats the k-th largest — a SUPERSET of
+    any top-k tie-break, so the caller's global (desc cos, asc id)
+    window selects exactly the rows the unfiltered plan would.
+    NaN maps to +inf first (Spark orders NaN as the LARGEST value in
+    a descending sort, numpy comparisons would drop it)."""
+    cosp = np.where(np.isnan(cos), np.inf, cos)
+    if cosp.shape[0] <= k:
+        return np.ones(cosp.shape, dtype=bool)
+    thresh = np.partition(cosp, -k, axis=0)[-k, :]
+    return cosp >= thresh[None, :]
+
+
 def knn_cosine_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,
@@ -45,6 +87,7 @@ def knn_cosine_bruteforce(
     query_id_col: str = "query_id",
     k: int = 10,
     exclude_self: bool = False,
+    max_query_rows: int = 1_000_000,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
@@ -53,41 +96,96 @@ def knn_cosine_bruteforce(
     row after a k+1 rank is wrong when exact-duplicate vectors tie
     the self pair at cos = 1.0.
 
-    ``queries`` (query_id_col, vec_col) is broadcast against the
-    corpus — one corpus scan, no shuffle for the scoring; the top-k
-    per query is a windowed rank over (queries × corpus) rows, cheap
-    because the query side is small.
+    r12 (optimization): the scoring stage is an Arrow kernel instead
+    of the broadcast-nested-loop join over interpreted zip_with/
+    aggregate folds (higher-order functions are CodegenFallback —
+    measured ~5.6 µs per pair; the kernel is vectorized ACROSS pairs
+    while keeping each pair's accumulation in ARRAY ORDER, so every
+    _cos double is bit-identical to the old expression — see
+    `_ordered_fold_dots`). The query set is driver-collected and
+    task-broadcast (the identical memory class as the old
+    `F.broadcast(q)` plan, now guarded loudly by ``max_query_rows``
+    instead of an 8 GB broadcast cap); the corpus crosses the Python
+    boundary once (id + vector only). Each batch emits only the
+    per-query rows that tie-or-beat its k-th best (ties kept), so the
+    final (desc cos, asc id) window ranks a candidates-superset and
+    returns exactly the rows the all-pairs plan would — pinned by
+    tests against the recorded oracle outputs.
+
+    Scale contract unchanged: one corpus scan, nothing corpus-sized
+    on the driver; this remains the EXACT baseline (cost O(N·Q·d) by
+    definition) — the 100 TB path is the IVF/LSH family.
 
     Output: (query_id, vec_id, cosine_sim, rank) with rank 1..k,
     deterministic tie-break on vec_id.
     """
-    # Norms are computed ONCE per row in the pre-join projections
-    # (they survive as plain columns through the join), not per scored
-    # pair — recomputing l2_norm inside the pair expression tripled
-    # the interpreted higher-order-function cost (VERDICT r1 #5).
-    # dot/(qn*cn) is float-identical to cosine(): same op order.
+    import numpy as np
+
     from .dedup import fan_out_narrow_input
 
-    q = queries.select(
-        F.col(query_id_col),
-        F.col(vec_col).alias("_qvec"),
-        l2_norm(F.col(vec_col)).alias("_qn"),
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    if len(q_rows) > max_query_rows:
+        raise ValueError(
+            f"knn_cosine_bruteforce: query set has {len(q_rows)} rows > "
+            f"max_query_rows={max_query_rows}; the broadcast scoring "
+            "kernel would OOM executors. Use the IVF kNN-join "
+            "(knn_cosine_ivf(distributed_queries=True)) for "
+            "corpus-scale query sets."
+        )
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = (
+        np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+        if q_rows
+        else np.zeros((0, 1))
     )
-    # The per-pair dot products are CPU-bound and run at the INPUT
-    # partitioning (no shuffle before them) — fan a narrow corpus out.
-    c = fan_out_narrow_input(corpus).select(
-        F.col(id_col),
-        F.col(vec_col),
-        l2_norm(F.col(vec_col)).alias("_cn"),
+    q_norms = np.sqrt(_ordered_fold_sq_norms(q_mat))
+    spark = corpus.sparkSession
+    b_q = spark.sparkContext.broadcast((q_ids, q_mat, q_norms))
+    q_id_type = dict(queries.dtypes)[query_id_col]
+    c_id_type = dict(corpus.dtypes)[id_col]
+    out_schema = (
+        f"{query_id_col} {q_id_type}, {id_col} {c_id_type}, _cos double"
     )
-    scored = c.crossJoin(F.broadcast(q)).select(
-        F.col(query_id_col),
-        F.col(id_col),
-        (dot(F.col("_qvec"), F.col(vec_col))
-         / (F.col("_qn") * F.col("_cn"))).alias("_cos"),
+
+    def score(batches):
+        import pandas as pd
+
+        ids_q, qm, qn = b_q.value
+        n_q = len(ids_q)
+        for pdf in batches:
+            if n_q == 0 or not len(pdf):
+                continue
+            cids = pdf[id_col].to_numpy(dtype=np.int64)
+            m = np.array(list(pdf[vec_col]), dtype=np.float64)
+            # Row-chunk so the (rows × queries) accumulator stays
+            # cache-resident regardless of the Arrow batch size.
+            step = max(1, min(len(cids), 4_194_304 // max(n_q, 1)))
+            for lo in range(0, len(cids), step):
+                mm, cc = m[lo : lo + step], cids[lo : lo + step]
+                dots = _ordered_fold_dots(mm, qm)
+                cn = np.sqrt(_ordered_fold_sq_norms(mm))
+                cos = dots / np.multiply.outer(cn, qn)
+                if exclude_self:
+                    cos[cc[:, None] == ids_q[None, :]] = -np.inf
+                keep = _topk_ties_mask(cos, k, np)
+                if exclude_self:
+                    keep &= cc[:, None] != ids_q[None, :]
+                ri, qi = np.nonzero(keep)
+                yield pd.DataFrame(
+                    {
+                        query_id_col: ids_q[qi],
+                        id_col: cc[ri],
+                        "_cos": cos[ri, qi],
+                    }
+                )
+
+    # The per-pair scoring is CPU-bound and runs at the INPUT
+    # partitioning (no shuffle before it) — fan a narrow corpus out.
+    scored = (
+        fan_out_narrow_input(corpus)
+        .select(id_col, vec_col)
+        .mapInPandas(score, out_schema)
     )
-    if exclude_self:
-        scored = scored.where(F.col(query_id_col) != F.col(id_col))
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("_cos"), F.asc(id_col)
     )
@@ -481,6 +579,87 @@ def _assign_probe_cells(
     ).withColumn(norm_out, l2_norm(F.col(vec_out)))
 
 
+def _score_cells_cogroup(
+    corpus_cells: DataFrame,
+    probe: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    k: int,
+) -> DataFrame:
+    """Candidate generation + exact cosine scoring for the cell-join
+    regime (IVF kNN-join / persisted-index join) as ONE
+    cogroup-by-cell Arrow kernel (r12 optimization).
+
+    Replaces `corpus_cells.join(probe, "cell")` + the interpreted
+    zip_with/aggregate fold per candidate pair: the cogroup IS the
+    equi-join on cell (both sides shuffle by cell exactly as before),
+    but each side's vectors cross the Python boundary ONCE PER CELL
+    instead of once per candidate pair through the joined rows, and
+    scoring is vectorized across pairs while each pair keeps the
+    ARRAY-ORDER accumulation (`_ordered_fold_dots`) — every _cos
+    double is bit-identical to the old `dot(_qvec, vec)/(_qn*_cn)`
+    expression (norms are the carried Spark-side `l2_norm` columns,
+    untouched). Only per-(cell, query) rows that tie-or-beat the
+    cell-local k-th best leave the kernel (ties kept), a superset of
+    every query's global top-k, so the caller's (desc _cos, asc id)
+    window returns exactly the rows the join plan would.
+
+    Emits (query_id, id, _cos)."""
+    import numpy as np
+
+    q_id_type = dict(probe.dtypes)[query_id_col]
+    c_id_type = dict(corpus_cells.dtypes)[id_col]
+    out_schema = (
+        f"{query_id_col} {q_id_type}, {id_col} {c_id_type}, _cos double"
+    )
+
+    def score(left, right):
+        import pandas as pd
+
+        if not len(left) or not len(right):
+            return pd.DataFrame(
+                {query_id_col: [], id_col: [], "_cos": []}
+            )
+        cids = left[id_col].to_numpy(dtype=np.int64)
+        m = np.array(list(left[vec_col]), dtype=np.float64)
+        cn = left["_cn"].to_numpy(dtype=np.float64)
+        qids = right[query_id_col].to_numpy(dtype=np.int64)
+        qm = np.array(list(right["_qvec"]), dtype=np.float64)
+        qn = right["_qn"].to_numpy(dtype=np.float64)
+        outs = []
+        # Row-chunk so the (rows × queries) score block stays
+        # cache-resident whatever the cell size.
+        step = max(1, min(len(cids), 4_194_304 // max(len(qids), 1)))
+        for lo in range(0, len(cids), step):
+            cos = _ordered_fold_dots(
+                m[lo : lo + step], qm
+            ) / np.multiply.outer(cn[lo : lo + step], qn)
+            keep = _topk_ties_mask(cos, k, np)
+            ri, qi = np.nonzero(keep)
+            outs.append(
+                pd.DataFrame(
+                    {
+                        query_id_col: qids[qi],
+                        id_col: cids[lo : lo + step][ri],
+                        "_cos": cos[ri, qi],
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return (
+        corpus_cells.select("cell", id_col, vec_col, "_cn")
+        .groupBy("cell")
+        .cogroup(
+            probe.select("cell", query_id_col, "_qvec", "_qn").groupBy(
+                "cell"
+            )
+        )
+        .applyInPandas(score, out_schema)
+    )
+
+
 def kmeans_centroids(
     corpus,
     dim: int,
@@ -638,11 +817,29 @@ def knn_cosine_ivf(
         # Executor-side probe assignment; a corpus vector lives in
         # exactly ONE cell and each query's probe cells are distinct,
         # so (query, id) candidate pairs are unique by construction —
-        # no dropDuplicates (and no extra shuffle).
+        # no dropDuplicates (and no extra shuffle). Candidate join +
+        # scoring run as one cogroup-by-cell Arrow kernel (r12,
+        # `_score_cells_cogroup` — bit-identical _cos, vectors cross
+        # the Python boundary per cell, not per candidate pair).
         probe = _assign_probe_cells(
             queries, query_id_col, vec_col, centroids, n_probe
         )
-        cand = corpus_cells.join(probe, "cell")
+        scored = _score_cells_cogroup(
+            corpus_cells, probe, id_col, vec_col, query_id_col, k
+        )
+        w = Window.partitionBy(query_id_col).orderBy(
+            F.desc("_cos"), F.asc(id_col)
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(
+                query_id_col,
+                id_col,
+                F.round("_cos", 4).alias("cosine_sim"),
+                "rank",
+            )
+        )
     else:
         # Driver-side probe list per query (query set is the small
         # side — bounded by the max_query_rows guard above).
@@ -702,18 +899,15 @@ def knn_join_ivf_index(
 
     Bit-identical to `knn_cosine_ivf(distributed_queries=True)` over
     the same corpus and centroids (same `_assign_probe_cells`
-    quantized tie-break, same Spark-side l2_norm, same scoring
-    expression and (desc cos, asc id) window) — pinned by
-    test_stateful_streaming's streaming-IVF twin."""
+    quantized tie-break, same Spark-side l2_norm, same scoring fold —
+    both paths share `_score_cells_cogroup` since r12 — and
+    (desc cos, asc id) window) — pinned by test_stateful_streaming's
+    streaming-IVF twin."""
     probe = _assign_probe_cells(
         queries, query_id_col, vec_col, centroids, n_probe
     )
-    cand = index.join(probe, "cell")
-    scored = cand.select(
-        F.col(query_id_col),
-        F.col(id_col),
-        (dot(F.col("_qvec"), F.col(vec_col))
-         / (F.col("_qn") * F.col("_cn"))).alias("_cos"),
+    scored = _score_cells_cogroup(
+        index, probe, id_col, vec_col, query_id_col, k
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("_cos"), F.asc(id_col))
     return (

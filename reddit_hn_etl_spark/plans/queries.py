@@ -1266,8 +1266,12 @@ def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fps = dedup.simhash(docs, "doc_id", "text")
     ha = fps.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("_ha"))
     hb = fps.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("_hb"))
-    blocked = dedup.simhash_near_pairs(
-        docs, "doc_id", "text", max_hamming=3, blocks=4
+    # r12: the blocked surface reuses the SAME fps subplan instead of
+    # re-fingerprinting the corpus through simhash_near_pairs (which
+    # recomputed the tokenize + 64-column vote aggregation a second
+    # time); hamming_near_pairs over fps is the identical operator.
+    blocked = dedup.hamming_near_pairs(
+        fps, "doc_id", "simhash", max_hamming=3, blocks=4
     ).select("doc_a", "doc_b", F.lit(True).alias("_found"))
     hamming = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
     return (

@@ -155,11 +155,17 @@ def test_bloom_probe_is_broadcast_not_shuffle(spark, sf_dir):
 
 def test_mutual_knn_scoring_broadcasts_queries(spark, sf_dir):
     """The all-pairs scoring stage must broadcast the query side (one
-    corpus scan), and the top-k filter must plan WindowGroupLimit so
-    only k rows per query survive the rank sort."""
+    corpus scan — since r12 a task-broadcast Arrow kernel,
+    MapInPandas, instead of a BroadcastNestedLoopJoin over interpreted
+    folds; same memory class, bit-identical _cos), and the top-k
+    filter must plan WindowGroupLimit so only k rows per query
+    survive the rank sort. No join of any kind may appear in the
+    scoring stage — the corpus is scanned exactly once."""
     plan = _plan(spark, sf_dir, "mutual_knn_pairs")
-    assert "BroadcastNestedLoopJoin" in plan
+    assert "MapInPandas" in plan
     assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_bigram_lm_default_has_no_vocab_sized_single_partition(
