@@ -65,9 +65,12 @@ def seeded_centroids(
 
 
 def _centroid_literal(centroids: Centroids) -> Column:
-    return F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
-    )
+    # ONE py4j call producing one Literal node (r12): the per-element
+    # F.array(*[F.lit(x) ...]) construction cost k·dim driver round
+    # trips to BUILD and gave the analyzer a CreateArray tree with
+    # k·dim children to walk on every rule pass; the values (and the
+    # constant-folded result) are identical.
+    return F.lit([[float(x) for x in c] for c in centroids])
 
 
 def squared_distances(vec: Column, centroids: Centroids) -> Column:

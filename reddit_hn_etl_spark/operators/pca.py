@@ -344,7 +344,7 @@ def project(
     (the `kmeans_assign` gotcha), so both engines add the same
     doubles in the same order and the fold is bit-equal.
     """
-    lit_v = F.array(*[F.lit(float(x)) for x in component])
+    lit_v = F.lit([float(x) for x in component])
     prods = F.zip_with(
         F.col(vec_col).cast("array<double>"),
         lit_v,

@@ -217,9 +217,7 @@ def all_plane_projections(vec: Column, planes: list[list[float]]) -> Column:
     a constant plane matrix. Building a separate aggregate expression
     per plane instead makes the expression tree (and its compile
     time) scale with n_planes; this keeps it constant."""
-    planes_lit = F.array(
-        *[F.array(*[F.lit(float(x)) for x in p]) for p in planes]
-    )
+    planes_lit = F.lit([[float(x) for x in p] for p in planes])
     return F.transform(
         planes_lit,
         lambda p: F.aggregate(
@@ -1150,16 +1148,29 @@ def pq_encode(
         squared_distances(F.slice(F.col(vec_col), s * sub + 1, sub), cb)
         for s, cb in enumerate(codebooks)
     ]
+    # Two-step select (r12, the kmeans.assign `_dists` pattern): each
+    # subspace's distance array is NAMED once and the argmin/min
+    # consumers reference the column, instead of repeating the
+    # interpreted transform/zip_with fold three times per subspace
+    # per row (codes position, codes min, err min). CollapseProject
+    # keeps the split because the producer is non-cheap and
+    # multiply-referenced. Values are the identical expressions.
+    tmp = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in (keep_cols or [])],
+        *[d.alias(f"_pqd{s}") for s, d in enumerate(dists)],
+    )
+    named = [F.col(f"_pqd{s}") for s in range(len(dists))]
     codes = F.array(
         *[
             (F.array_position(d, F.array_min(d)).cast("int") - F.lit(1))
-            for d in dists
+            for d in named
         ]
     )
     err = sum(
-        (F.array_min(d) for d in dists[1:]), start=F.array_min(dists[0])
+        (F.array_min(d) for d in named[1:]), start=F.array_min(named[0])
     )
-    return df.select(
+    return tmp.select(
         F.col(id_col),
         codes.alias("codes"),
         err.alias("recon_err"),
@@ -1190,9 +1201,7 @@ def pq_adc_scores(
         ]
         for s, cb in enumerate(codebooks)
     ]
-    lut_lit = F.array(
-        *[F.array(*[F.lit(v) for v in row]) for row in lut]
-    )
+    lut_lit = F.lit([[float(v) for v in row] for row in lut])
     est = F.aggregate(
         F.zip_with(
             lut_lit,
@@ -1587,12 +1596,18 @@ def pq_encode_residual(
 
     coarse_lit = _centroid_literal(coarse_centroids)
     cd = squared_distances(F.col(vec_col), coarse_centroids)
+    # Name the coarse-distance array once (r12, kmeans.assign's
+    # `_dists` pattern) so argmin evaluates the interpreted fold once
+    # per row, not twice.
     with_cell = df.select(
+        F.col(id_col), F.col(vec_col), cd.alias("_cd")
+    ).select(
         F.col(id_col),
         F.col(vec_col),
-        (F.array_position(cd, F.array_min(cd)).cast("int") - F.lit(1)).alias(
-            "cluster_id"
-        ),
+        (
+            F.array_position(F.col("_cd"), F.array_min(F.col("_cd")))
+            .cast("int") - F.lit(1)
+        ).alias("cluster_id"),
     ).select(
         id_col,
         "cluster_id",
@@ -1650,9 +1665,9 @@ def ivf_pq_search_residual(
             )
         else:  # never indexed: the cell filter runs first
             lut3.append([[0.0] * len(cb) for cb in codebooks])
-    lut3_lit = F.array(
-        *[
-            F.array(*[F.array(*[F.lit(v) for v in row]) for row in cell_lut])
+    lut3_lit = F.lit(
+        [
+            [[float(v) for v in row] for row in cell_lut]
             for cell_lut in lut3
         ]
     )

@@ -7460,7 +7460,7 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     adc = similarity.pq_adc_scores(enc, _PQ_CODEBOOKS, _PQ_QUERY)
     # exact distance via the same ordered fold as the engines' other
     # distance expressions
-    q_lit = F.array(*[F.lit(float(x)) for x in _PQ_QUERY])
+    q_lit = F.lit([float(x) for x in _PQ_QUERY])
     tdist = F.aggregate(
         F.zip_with(
             F.col("embedding"),
@@ -15269,7 +15269,7 @@ def embedding_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     planes = _jl_planes()
     lits = [
-        F.array(*[F.lit(v) for v in pl]).alias(f"_p{j}")
+        F.lit([float(v) for v in pl]).alias(f"_p{j}")
         for j, pl in enumerate(planes)
     ]
     base = emb.select(
