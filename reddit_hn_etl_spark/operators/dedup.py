@@ -195,6 +195,16 @@ def jaccard_pairs(
     (stopword shingles carry no signal) — at 100 TB use that or
     ``minhash_lsh_pairs``. NOTE: df_cap changes the measured set, so
     it is an approximation switch, off by default.
+
+    r12: the inverted-index join keys on ``xxhash64(shingle)`` — the
+    shingle strings die in the map-side projection AFTER the per-doc
+    distinct (set sizes stay exact string-distinct counts), so the
+    self-join shuffles and compares 8-byte keys instead of O(n·word)
+    strings (measured 4.9 s → 3.0 s at sf0.1, identical pairs). A
+    64-bit collision can only merge two DIFFERENT shingles across the
+    join (~distinct²/2⁶⁴ odds — the same documented class as the
+    ExactSubstr gram hashes and the span probes); equal shingles
+    always collide equal, so no pair is ever missed.
     """
     df = fan_out_narrow_input(df)
     if n > 1:
@@ -204,6 +214,7 @@ def jaccard_pairs(
             F.col(id_col),
             F.explode(F.array_distinct(tokens(text_col))).alias("shingle"),
         )
+    sh = sh.select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
     # The per-doc set size rides along via a window instead of a
     # separate groupBy branch + two post-joins (that branch forced a
     # full re-evaluation of the explode and two extra shuffles). The
@@ -289,6 +300,11 @@ def jaccard_pairs_cross(
                     "shingle"
                 ),
             )
+        # 8-byte join keys, exact string-distinct set sizes — the
+        # same r12 trade as jaccard_pairs (see its docstring).
+        sh = sh.select(
+            F.col(id_col), F.xxhash64("shingle").alias("shingle")
+        )
         return sh.withColumn(
             "set_size", F.count("*").over(Window.partitionBy(id_col))
         )
@@ -956,19 +972,70 @@ def remove_duplicate_spans(
     return _excise_covered(base, ps, dup, id_col, k)
 
 
+def gram_hash_doubling(toks: Column, n: int) -> Column:
+    """Positional n-gram HASHES by binary doubling over per-token
+    hashes (r12): H₁[i] = xxhash64(tok[i]), H_{2k}[i] =
+    xxhash64(H_k[i], H_k[i+k]), n assembled from its set bits — the
+    hash-composition twin of `ngram_array_doubling` for callers that
+    only ever HASH the gram (the ExactSubstr trim family, the
+    repeated-span probes). The string route materializes O(n)-byte
+    gram strings per position before hashing (~2n·token_len bytes
+    copied per position through the doubling layers); this composes
+    8-byte hashes, so gram hashing costs O(positions · popcount+log n)
+    fixed-size ops whatever n is. Equal grams always collide equal;
+    two DIFFERENT grams collide with the same ~positions²/2⁶⁴ odds
+    the string hash already carried — the family's documented
+    false-positive class is unchanged (and the span search keeps its
+    exact-string re-verification). Tail entries past size−n+1 are
+    garbage from null-padded composition and are sliced off exactly
+    like the string version's null tail. NOTE: values differ from
+    xxhash64(gram string) — persisted `gram_index` dirs built before
+    r12 are not comparable and must be rebuilt."""
+    htoks = F.transform(toks, lambda t: F.xxhash64(t))
+    if n <= 1:
+        return htoks
+    pow2: dict[int, Column] = {1: htoks}
+    k = 1
+    while k * 2 <= n:
+        pow2[k * 2] = F.zip_with(
+            pow2[k],
+            F.slice(
+                pow2[k], 1 + k, F.greatest(F.size(toks) - k, F.lit(0))
+            ),
+            lambda a, b: F.xxhash64(a, b),
+        )
+        k *= 2
+    bits = [1 << b for b in range(n.bit_length()) if n & (1 << b)]
+    bits.sort(reverse=True)
+    out = pow2[bits[0]]
+    acc = bits[0]
+    for b in bits[1:]:
+        out = F.zip_with(
+            out,
+            F.slice(
+                pow2[b], 1 + acc, F.greatest(F.size(toks) - acc, F.lit(0))
+            ),
+            lambda a, bb: F.xxhash64(a, bb),
+        )
+        acc += b
+    return F.slice(out, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+
+
 def _gram_base(df, id_col: str, text_col: str, k: int):
     """(base, ps): tokenized docs and their positional k-gram hashes —
     the shared projection under the ExactSubstr trim family. Gram
-    strings die inside the projection; only 8-byte hashes continue."""
+    strings are never even BUILT (r12): the positional hash comes
+    from `gram_hash_doubling`'s 8-byte hash composition; only 8-byte
+    hashes continue."""
     base = fan_out_narrow_input(df).select(
         F.col(id_col), tokens(text_col).alias("_toks")
     )
     ps = base.select(
         F.col(id_col),
-        F.posexplode(ngram_array_doubling(F.col("_toks"), k)).alias(
-            "pos", "g"
+        F.posexplode(gram_hash_doubling(F.col("_toks"), k)).alias(
+            "pos", "h"
         ),
-    ).select(id_col, "pos", F.xxhash64("g").alias("h"))
+    )
     return base, ps
 
 

@@ -949,10 +949,18 @@ def tf_cosine_pairs(
     toks = tokens(text_col)
     # zip_with construction (dedup.ngram_array), never an
     # outer-capture transform lambda — that knocks the explode off
-    # whole-stage codegen (6x, see ngram_array's docstring)
+    # whole-stage codegen (6x, see ngram_array's docstring).
+    # r12: the tf key and the inverted-index join key is
+    # xxhash64(gram) — gram strings die in the map-side projection,
+    # so the (doc, gram) aggregation and the self-join shuffle 8-byte
+    # keys instead of O(n·word) strings. Equal grams always collide
+    # equal; a 64-bit collision (~distinct²/2⁶⁴, the documented
+    # ExactSubstr-gram class) could only merge two different grams'
+    # term frequencies.
     grams = ngram_array(toks, n) if n > 1 else toks
     tf = (
-        df.select(F.col(id_col), F.explode(grams).alias("gram"))
+        df.select(F.col(id_col), F.explode(grams).alias("_g"))
+        .select(F.col(id_col), F.xxhash64("_g").alias("gram"))
         .groupBy(id_col, "gram")
         .agg(F.count("*").alias("tf"))
     )
