@@ -595,8 +595,21 @@ def minhash_lsh_pairs(
 
     This is the 100 TB-scale near-dup path: candidate cost is
     O(docs × bands) rows into the bucket join instead of all-pairs.
+
+    r12: the band rows are localCheckpoint-ed before the self-join.
+    Both join sides reference the same banded frame, but Catalyst
+    inlines each side into its own full signature computation
+    (shingle + 64 hashes + 64-min agg over the corpus) and at
+    broadcast-join sizes no exchange reuse saves the second pass.
+    The banded frame is exactly the artifact `minhash_index` tells
+    callers to PERSIST at scale (~0.5 KB/doc, corpus-length
+    independent), so materializing it once inside the one-shot
+    operator is the batch mirror of the production layout, not a
+    cache across runs.
     """
-    banded = minhash_index(df, id_col, text_col, num_hashes, bands, shingle_n)
+    banded = minhash_index(
+        df, id_col, text_col, num_hashes, bands, shingle_n
+    ).localCheckpoint(eager=True)
 
     a, b = banded.alias("a"), banded.alias("b")
     cand = (

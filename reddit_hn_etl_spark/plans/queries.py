@@ -1263,13 +1263,23 @@ def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     true_pairs = dedup.jaccard_pairs(
         docs, "doc_id", "text", n=3, threshold=0.5
     )
-    fps = dedup.simhash(docs, "doc_id", "text")
+    # r12: fingerprint ONCE and materialize. The fps frame is
+    # referenced four times (ha, hb, both sides of the pigeonhole
+    # block join); Catalyst inlines each reference into its own
+    # tokenize + 64-column vote aggregation subtree and the sizes
+    # here make the optimizer broadcast rather than reuse the
+    # exchange, so the corpus was fingerprinted 4x (the old
+    # simhash_near_pairs call even built its own fps from scratch).
+    # One localCheckpoint of the (doc_id, int64) fingerprint table —
+    # 16 bytes/doc at ANY corpus size, the same artifact a production
+    # pipeline would persist — makes every reference read the
+    # materialized rows. hamming_near_pairs over the same frame is
+    # the identical operator simhash_near_pairs wraps.
+    fps = dedup.simhash(docs, "doc_id", "text").localCheckpoint(
+        eager=True
+    )
     ha = fps.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("_ha"))
     hb = fps.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("_hb"))
-    # r12: the blocked surface reuses the SAME fps subplan instead of
-    # re-fingerprinting the corpus through simhash_near_pairs (which
-    # recomputed the tokenize + 64-column vote aggregation a second
-    # time); hamming_near_pairs over fps is the identical operator.
     blocked = dedup.hamming_near_pairs(
         fps, "doc_id", "simhash", max_hamming=3, blocks=4
     ).select("doc_a", "doc_b", F.lit(True).alias("_found"))
