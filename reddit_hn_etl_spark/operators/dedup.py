@@ -1330,12 +1330,51 @@ def longest_repeated_span_length(
                 lo = mid
             else:
                 hi = mid
-        # exact re-verification of the hash-probed answer
-        exact = repeated_spans_at(
-            base.select(F.col("_id").alias(id_col),
-                        F.array_join("_toks", " ").alias(text_col)),
-            id_col, text_col, lo, min_docs=min_docs, min_count=min_count,
+        # Exact re-verification of the hash-probed answer, RESTRICTED
+        # to witness positions (r12): instead of rebuilding lo-token
+        # gram STRINGS at every corpus position (O(positions · lo)
+        # bytes — the single most expensive pass of the old search),
+        # collect the witness HASHES (those meeting the floor — the
+        # probe's own aggregate without the limit), keep only
+        # positions carrying a witness hash (a left-semi on 8-byte
+        # keys; a handful of rows unless the corpus is one giant
+        # template), and build exact strings for those alone.
+        # EQUIVALENT accept/reject to the full exact check at length
+        # lo: any truly repeated gram g* has equal hashes at all its
+        # occurrences, so count(H(g*)) >= count(g*) >= floor makes
+        # H(g*) a witness and g* survives the restriction; conversely
+        # the restricted check only accepts on a truly repeated gram.
+        occ = levels.select(
+            "_id", F.posexplode(gram_hashes(lo)).alias("pos", "h")
         )
+        if min_count is not None:
+            wit_agg = F.count(F.lit(1)).alias("nd")
+            wfloor = min_count
+        else:
+            wit_agg = F.count_distinct("_id").alias("nd")
+            wfloor = min_docs
+        witnesses = (
+            occ.groupBy("h").agg(wit_agg).where(F.col("nd") >= wfloor)
+            .select("h")
+        )
+        cand_grams = (
+            occ.join(witnesses, "h", "left_semi")
+            .join(levels.select("_id", "_toks"), "_id")
+            .select(
+                "_id",
+                F.array_join(
+                    F.slice(F.col("_toks"), F.col("pos") + 1, lo), " "
+                ).alias("g"),
+            )
+        )
+        if min_count is not None:
+            exact = cand_grams.groupBy("g").agg(
+                F.count(F.lit(1)).alias("nc")
+            ).where(F.col("nc") >= min_count)
+        else:
+            exact = cand_grams.groupBy("g").agg(
+                F.count_distinct("_id").alias("nc")
+            ).where(F.col("nc") >= min_docs)
         if len(exact.take(1)) == 0:
             raise ValueError(
                 "longest_repeated_span_length: hash probe said length "
