@@ -935,13 +935,23 @@ def tf_cosine_pairs(
     bit-identical IEEE ops on both engines, so the DuckDB oracle
     hash-matches without tolerance.
 
-    Plan: non-distinct n-gram explode → (doc, gram, tf) partial-agg
-    groupBy → inverted-index self-join on the gram (one reused
-    exchange, same shape as dedup.jaccard_pairs) → integer dot-product
-    agg. Output: (doc_a, doc_b, cosine_tf), doc_a < doc_b. Hot grams
-    are the quadratic risk at 100 TB, exactly as in jaccard_pairs —
-    cap gram document frequency upstream or screen through the
-    MinHash index first.
+    Plan (r13): non-distinct n-gram explode → (doc, gram, tf)
+    partial-agg groupBy → the tf frame MATERIALIZED once
+    (localCheckpoint; it is exactly the sparse tf index a production
+    pipeline persists — ~16 B/posting, document-length independent) →
+    inverted-index self-join on the gram → integer dot agg keyed on
+    (doc_a, doc_b) ONLY → broadcast re-attach of the tiny per-doc
+    norms. Before r13 the tf subtree (scan + explode + two exchanges
+    + a window) was inlined TWICE (both join sides) and every one of
+    the Σdf² candidate rows carried both 8-byte norms through the
+    partial/final dot aggregation as extra group-key columns; now the
+    subtree runs once and the pair flow carries two ids + two tfs.
+    Norms are integer sums of the SAME materialized tf rows the
+    window used to sum, so every value is unchanged. Output:
+    (doc_a, doc_b, cosine_tf), doc_a < doc_b. Hot grams are the
+    quadratic risk at 100 TB, exactly as in jaccard_pairs — cap gram
+    document frequency upstream or screen through the MinHash index
+    first.
     """
     from .dedup import fan_out_narrow_input, ngram_array, tokens
 
@@ -963,29 +973,52 @@ def tf_cosine_pairs(
         .select(F.col(id_col), F.xxhash64("_g").alias("gram"))
         .groupBy(id_col, "gram")
         .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
     )
-    # Norm rides along via a window over the id (single evaluation of
-    # the tf subplan, same trick as jaccard_pairs' set_size).
-    sized = tf.withColumn(
-        "norm_sq", F.sum(F.col("tf") * F.col("tf")).over(Window.partitionBy(id_col))
+    # Integer ‖v‖² per doc from the materialized postings — the same
+    # rows the pre-r13 window summed, so the value is identical
+    # (order-free integer sum); docs × 16 B, broadcast-sized by
+    # construction relative to the pair flow.
+    norms = tf.groupBy(id_col).agg(
+        F.sum(F.col("tf") * F.col("tf")).alias("nsq")
     )
-    a = sized.select(
-        F.col(id_col).alias("doc_a"), "gram",
-        F.col("tf").alias("tf_a"), F.col("norm_sq").alias("nsq_a"),
+    a = tf.select(
+        F.col(id_col).alias("doc_a"), "gram", F.col("tf").alias("tf_a")
     )
-    b = sized.select(
-        F.col(id_col).alias("doc_b"), "gram",
-        F.col("tf").alias("tf_b"), F.col("norm_sq").alias("nsq_b"),
+    b = tf.select(
+        F.col(id_col).alias("doc_b"), "gram", F.col("tf").alias("tf_b")
     )
+    # Explicit pair-key repartition BEFORE the dot aggregation (r13,
+    # guide §2.5 skew/§2.3): a pair's candidate rows are scattered
+    # across gram partitions (one row per shared gram, placed by the
+    # gram hash), so the map-side partial aggregate compresses almost
+    # nothing while building a near-distinct-pair-sized hash table per
+    # task (spill/sort fallback at Σdf² volume — measured 21-23 s →
+    # 11-13 s for the agg at sf0.1). Repartitioning by the pair first
+    # makes every pair's rows co-located, so the aggregation hash
+    # tables stay group-sized. Partition count follows
+    # spark.sql.shuffle.partitions (scale-adaptive, AQE-coalescible).
     dots = (
         a.join(b, on="gram")
         .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b", "nsq_a", "nsq_b")
+        .repartition(F.col("doc_a"), F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
         .agg(F.sum(F.col("tf_a") * F.col("tf_b")).alias("dot"))
+    )
+    joined = dots.join(
+        F.broadcast(
+            norms.select(F.col(id_col).alias("doc_a"), F.col("nsq").alias("nsq_a"))
+        ),
+        "doc_a",
+    ).join(
+        F.broadcast(
+            norms.select(F.col(id_col).alias("doc_b"), F.col("nsq").alias("nsq_b"))
+        ),
+        "doc_b",
     )
     cos = F.col("dot") / (F.sqrt("nsq_a") * F.sqrt("nsq_b"))
     return (
-        dots.where(cos >= threshold)
+        joined.where(cos >= threshold)
         .select("doc_a", "doc_b", F.round(cos, 4).alias("cosine_tf"))
     )
 

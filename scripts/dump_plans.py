@@ -1,8 +1,8 @@
-"""Dump .explain("formatted") for registry queries to plans/r12/.
+"""Dump .explain("formatted") for registry queries to plans/r13/.
 
     python scripts/dump_plans.py SUFFIX q1 q2 ... [--sf DIR]
 
-Writes plans/r12/<query>_<SUFFIX>.txt per query (SUFFIX: before/after).
+Writes plans/r13/<query>_<SUFFIX>.txt per query (SUFFIX: before/after).
 """
 
 from __future__ import annotations
@@ -19,7 +19,7 @@ from reddit_hn_etl_spark.plans.queries import QUERIES  # noqa: E402
 OUT_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "plans",
-    "r12",
+    "r13",
 )
 
 
