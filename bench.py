@@ -580,9 +580,20 @@ def load_prior_summary(repo_dir: str) -> dict | None:
     import glob
     import re
 
+    # Main-round records ONLY (BENCH_r<N>.json): the driver also
+    # writes variant artifacts like BENCH_r12_c8.json (the 8-core
+    # scaling run) whose round number TIES the main record in a loose
+    # glob — r13 inherited a loader/test pair that broke the tie in
+    # opposite directions, and the outlier rules must baseline against
+    # the main 32-core record, not the low-core rerun.
+    def _round(p: str) -> int | None:
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(p))
+        return int(m.group(1)) if m else None
+
     paths = sorted(
-        glob.glob(os.path.join(repo_dir, "BENCH_r*.json")),
-        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+        (p for p in glob.glob(os.path.join(repo_dir, "BENCH_r*.json"))
+         if _round(p) is not None),
+        key=_round,
     )
     if not paths:
         return None
@@ -627,6 +638,50 @@ def outlier_names(
         c_n = two_axis_norm(c_sec, cur_calib, cur_par, cur_par_of)
         p_n = two_axis_norm(p_sec, p_calib, p_par, p_par_of)
         if c_n is not None and p_n is not None and c_n > 2.0 * p_n:
+            flagged.append(name)
+    return flagged
+
+
+def record_outlier_names(
+    timings: dict[str, float | None],
+    cur_calib: float,
+    cur_par: float,
+    cur_par_of: int,
+    prior: dict | None,
+) -> list[str]:
+    """Queries setting a NEW all-time record (VERDICT r12 #3):
+    BENCH_r12 crowned url_canonical_dedup the round's slowest query at
+    30.3 s when it solo-times at ~3 s — a steal burst on a query with
+    NO prior-round record (prior per-query values exist only for the
+    recorded slowest-20, so the >2× rule in `outlier_names` could
+    never fire for it). A query absent from the prior slowest-20 is
+    bounded ABOVE by the prior round's 20th-slowest time (the cutoff);
+    if its two-axis-normalized time now exceeds 2.5× that normalized
+    cutoff, it jumped from below the leaderboard to far above it in
+    one round — re-run it before recording. Applies on ANY box (a
+    single burst can strike a box whose average parallelism passes the
+    0.875 degradation gate). Additive: never unflags anything
+    `outlier_names` flags. Pure function — pinned by
+    test_queries_misc."""
+    if prior is None:
+        return []
+    p_vals = [v for v in (prior.get("queries") or {}).values() if v]
+    if not p_vals:
+        return []
+    p_cut = two_axis_norm(
+        min(p_vals),
+        prior.get("cpu_calib_ms"),
+        prior.get("cpu_parallelism"),
+        prior.get("cpu_parallelism_of", 32),
+    )
+    if p_cut is None:
+        return []
+    flagged = []
+    for name, c_sec in timings.items():
+        if c_sec is None or name in (prior.get("queries") or {}):
+            continue
+        c_n = two_axis_norm(c_sec, cur_calib, cur_par, cur_par_of)
+        if c_n is not None and c_n > 2.5 * p_cut:
             flagged.append(name)
     return flagged
 
@@ -773,12 +828,21 @@ def main() -> None:
     calib = cpu_calibration_ms()
     cpu_par = cpu_multicore_parallelism(int(cpus))
     outlier_reruns: dict[str, dict] = {}
-    flagged = outlier_names(
-        {n: (None if t == float("inf") else t) for n, t in timings.items()},
-        calib, cpu_par, int(cpus), load_prior_summary(
-            os.path.dirname(os.path.abspath(__file__))
-        ),
-    )
+    _prior = load_prior_summary(os.path.dirname(os.path.abspath(__file__)))
+    _finite = {
+        n: (None if t == float("inf") else t) for n, t in timings.items()
+    }
+    flagged = outlier_names(_finite, calib, cpu_par, int(cpus), _prior)
+    # Additive record-rule (VERDICT r12 #3): also re-run queries that
+    # jumped past 2.5x the prior round's slowest-20 cutoff without a
+    # prior record of their own.
+    flagged += [
+        n
+        for n in record_outlier_names(
+            _finite, calib, cpu_par, int(cpus), _prior
+        )
+        if n not in flagged
+    ]
     for name in flagged:
         if time.perf_counter() - t_start > budget_s * 1.5:
             break

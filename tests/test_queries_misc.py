@@ -596,6 +596,44 @@ def test_bench_outlier_rerun_rule():
     ) == ["q_slow"]
 
 
+def test_bench_record_outlier_rule():
+    """VERDICT r12 #3: BENCH_r12 crowned url_canonical_dedup slowest
+    at 30.3 s (solo ~3 s) — a steal burst on a query with no
+    prior-round record, invisible to the >2x degraded-box rule. The
+    additive record-rule flags queries ABSENT from the prior
+    slowest-20 whose normalized time exceeds 2.5x the normalized
+    prior cutoff (the 20th-slowest bound), on ANY box."""
+    import bench
+
+    prior = {
+        "cpu_calib_ms": 100.0,
+        "cpu_parallelism": 32.0,
+        "cpu_parallelism_of": 32,
+        "queries": {"q_a": 10.0, "q_b": 5.0},  # cutoff = 5.0
+    }
+    # healthy box, same calib: q_new 30 s > 2.5*5 -> flagged even
+    # though the degraded-box rule is off; q_a has a prior record so
+    # the record-rule never touches it; q_mid 12 s <= 12.5 passes.
+    timings = {"q_a": 45.0, "q_new": 30.0, "q_mid": 12.0, "q_none": None}
+    assert bench.record_outlier_names(
+        timings, 100.0, 32.0, 32, prior
+    ) == ["q_new"]
+    # two-axis normalization enters: at half parallelism the same
+    # 30 s normalizes to 15 s > 12.5 still flags, but 24 s -> 12 does
+    # not.
+    assert bench.record_outlier_names(
+        {"q_new": 24.0}, 100.0, 16.0, 32, prior
+    ) == []
+    # no prior summary (or an empty per-query map): off.
+    assert bench.record_outlier_names(timings, 100.0, 32.0, 32, None) == []
+    assert (
+        bench.record_outlier_names(
+            timings, 100.0, 32.0, 32, {"cpu_calib_ms": 100.0, "queries": {}}
+        )
+        == []
+    )
+
+
 def test_bench_r01_subtotal_self_describing():
     """VERDICT r11 #5: a sweeps=1 bench includes first-run plan
     compile in the r01-comparable subtotal; the summary must say so
@@ -656,8 +694,15 @@ def test_bench_prior_summary_loader():
     import glob
     import re
 
+    # main-round records only — variant artifacts (BENCH_r12_c8.json,
+    # the driver's 8-core scaling run) tie the round number and must
+    # not become the outlier-rule baseline
     newest = max(
-        glob.glob(_os.path.join(root, "BENCH_r*.json")),
+        (
+            p
+            for p in glob.glob(_os.path.join(root, "BENCH_r*.json"))
+            if re.fullmatch(r"BENCH_r\d+\.json", _os.path.basename(p))
+        ),
         key=lambda p: int(re.search(r"r(\d+)", _os.path.basename(p)).group(1)),
     )
     rec = _json.load(open(newest, encoding="utf-8"))
