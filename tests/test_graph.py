@@ -35,6 +35,19 @@ def test_long_chain_converges(spark):
     assert set(cc.values()) == {0} and len(cc) == n + 1
 
 
+def test_very_long_chain_converges_within_default_iters(spark):
+    """r13 pointer-jumping pin: a 200-vertex path has diameter 200 —
+    plain neighbor-min needs ~200 rounds and would exhaust the
+    default max_iter=20 SILENTLY (wrong labels, no error); with the
+    label-compression pass rounds are O(log diameter), so the default
+    budget converges to the true min label. Guards against losing
+    the jump pass in a refactor."""
+    n = 200
+    edges = _edges(spark, [(i, i + 1) for i in range(n)])
+    cc = {r.vertex: r.component for r in connected_components(edges).collect()}
+    assert set(cc.values()) == {0} and len(cc) == n + 1
+
+
 def test_empty_edges(spark):
     # A corpus with zero near-dup pairs must flow through cleanly:
     # no vertices, no clusters, no drops — not an error.
