@@ -239,8 +239,11 @@ def connected_components_star(
 
     prev = None
     for _ in range(max_iter):
+        # lazy checkpoint + probe in one job (r13): the probe's
+        # count/xor aggregate materializes (and persists) the round's
+        # edge set itself — one driver job per round instead of two.
         e = _star(_star(e, large=True), large=False).localCheckpoint(
-            eager=True
+            eager=False
         )
         cur = _probe(e)
         if cur == prev:
@@ -497,15 +500,22 @@ def bfs_distances(
     )
     frontier = settled
     for hop in range(1, max_hops + 1):
+        # Lazy checkpoints (r13): BFS runs a FIXED hop count with no
+        # per-round convergence probe, so nothing needs per-round
+        # materialization — the caller's first action computes the
+        # whole unrolled expansion in ONE job while each hop's
+        # checkpoint still cuts the logical plan (round i's plan reads
+        # round i−1's RDD scan, not its lineage). Eager mode paid two
+        # materialization jobs per hop of pure scheduling latency.
         nxt = (
             frontier.join(e, frontier["vertex"] == e["src"])
             .select(F.col("dst").alias("vertex"))
             .distinct()
             .join(settled.select("vertex"), "vertex", "left_anti")
             .withColumn("dist", F.lit(hop))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        settled = settled.union(nxt).localCheckpoint(eager=True)
+        settled = settled.union(nxt).localCheckpoint(eager=False)
         frontier = nxt
     return settled
 
@@ -557,7 +567,10 @@ def label_propagation(
             counts.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1)
             .select("vertex", "community")
-            .localCheckpoint(eager=True)
+            # lazy (r13): fixed round count, no convergence probe —
+            # the caller's action materializes all rounds in one job
+            # while each round's checkpoint still cuts the plan
+            .localCheckpoint(eager=False)
         )
     return labels
 
@@ -614,10 +627,13 @@ def kcore(
     for _ in range(max_rounds):
         deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
         keep = deg.where(F.col("deg") >= k).select("s")
+        # lazy checkpoint + count probe in one job (r13): the eager
+        # materialization job and the count job per round fuse — the
+        # count computes (and persists) the round's edge set itself.
         e2 = (
             e.join(keep, "s", "left_semi")
             .join(keep.select(F.col("s").alias("d")), "d", "left_semi")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         after = e2.count()
         e = e2
@@ -666,7 +682,9 @@ def bellman_ford(
             .unionByName(dist)
             .groupBy("vertex")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
+            # lazy: the changed-count probe below materializes (and
+            # persists) the round's distances in the same job (r13)
+            .localCheckpoint(eager=False)
         )
         changed = (
             relaxed.join(
