@@ -733,7 +733,15 @@ def _read_index_dir(spark: SparkSession, index_dir: str) -> DataFrame | None:
     protocol columns, and a loud ValueError when it exists WITHOUT
     them — a pre-protocol dir must be migrated (re-append its rows
     with batch_id/thru, or rebuild) before streaming against it;
-    treating it as "first batch" would miss every existing row."""
+    treating it as "first batch" would miss every existing row.
+
+    A dir holding ONLY underscore/dot-prefixed files (e.g. just the
+    gram-scheme marker after a crash between marker stamp and first
+    parquet append) is an empty index, not an error."""
+    if os.path.isdir(index_dir) and not any(
+        not f.startswith(("_", ".")) for f in os.listdir(index_dir)
+    ):
+        return None
     try:
         df = spark.read.parquet(index_dir)
     except AnalysisException as ex:
@@ -748,6 +756,61 @@ def _read_index_dir(spark: SparkSession, index_dir: str) -> DataFrame | None:
             "streaming against it"
         )
     return df
+
+
+# Gram-hash scheme of the CURRENT code (ADVICE r12 → r13): scheme 2 is
+# the composed doubling-ladder hash (`dedup.gram_hash_doubling`, commit
+# ad9fd7c); scheme 1 was xxhash64 over the materialized gram STRING.
+# The two produce disjoint hash values for the same gram, so a dir
+# written under one scheme silently misses every duplicate span when
+# read under the other — the marker makes the mismatch loud instead.
+_GRAM_HASH_SCHEME = 2
+_GRAM_SCHEME_MARKER = "_gram_hash_scheme"
+
+
+def _check_gram_scheme(index_dir: str, create: bool = False) -> None:
+    """Fail loudly unless ``index_dir`` carries the current gram-hash
+    scheme marker (an underscore-prefixed file Spark's parquet reader
+    ignores, like _SUCCESS). Three cases:
+
+    * marker present, matching → OK;
+    * marker present, different → ValueError (rebuild required);
+    * parquet data present but NO marker → a dir written before the
+      marker existed. Its hashes may be scheme-1 (pre-r12 gram-string
+      xxhash64) — indistinguishable from early scheme-2 rows, so the
+      only safe answer is a loud rebuild error, never silent mixing
+      (false-negative span misses).
+
+    ``create=True`` (writer path) stamps the marker on a dir that has
+    no parquet data yet — BEFORE the first append, so a crash between
+    the two writes leaves a marker-only dir (read back as an empty
+    index), never data without a marker."""
+    marker = os.path.join(index_dir, _GRAM_SCHEME_MARKER)
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            found = fh.read().strip()
+        if found != str(_GRAM_HASH_SCHEME):
+            raise ValueError(
+                f"gram index dir {index_dir!r} was written with gram-hash "
+                f"scheme {found}, but this code computes scheme "
+                f"{_GRAM_HASH_SCHEME}; rebuild the index (hash values are "
+                "disjoint across schemes — mixing silently misses spans)"
+            )
+        return
+    has_data = os.path.isdir(index_dir) and any(
+        not f.startswith(("_", ".")) for f in os.listdir(index_dir)
+    )
+    if has_data:
+        raise ValueError(
+            f"gram index dir {index_dir!r} has no gram-hash scheme marker: "
+            "it predates the scheme-2 composed gram hashing (r12) and its "
+            f"rows cannot be mixed with scheme-{_GRAM_HASH_SCHEME} batches; "
+            "rebuild the index from the source docs"
+        )
+    if create:
+        os.makedirs(index_dir, exist_ok=True)
+        with open(marker, "w") as fh:
+            fh.write(str(_GRAM_HASH_SCHEME))
 
 
 def _read_row_index_merged(
@@ -1422,6 +1485,9 @@ def trim_stream_against_gram_index(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # Refuse a pre-r12 (scheme-1) index dir before reading or
+        # appending; stamp the current scheme on a fresh dir.
+        _check_gram_scheme(index_dir, create=True)
         spark_b = batch_df.sparkSession
         batch = batch_df.select(id_col, text_col).persist()
         own = gram_index(batch, id_col, text_col, k=k).persist()
@@ -1497,6 +1563,7 @@ def read_gram_index_merged(
     trims against its own (uncommitted-checkpoint) index append
     (ADVICE r10 replay determinism).
     """
+    _check_gram_scheme(index_dir)
     df = spark.read.parquet(index_dir)
     thru = df.agg(F.max("thru")).first()[0]
     if thru is not None:
@@ -1533,6 +1600,7 @@ def compact_gram_index(spark: SparkSession, index_dir: str) -> int:
     distinct gram out; at scale write bucketed by h so trim joins
     partition-prune.
     """
+    _check_gram_scheme(index_dir)
     df = spark.read.parquet(index_dir)
     new_thru = df.agg(
         F.greatest(F.max("batch_id"), F.coalesce(F.max("thru"), F.lit(-1)))
@@ -1552,6 +1620,10 @@ def compact_gram_index(spark: SparkSession, index_dir: str) -> int:
     tmp = index_dir.rstrip("/") + "_compacting"
     shutil.rmtree(tmp, ignore_errors=True)
     merged.write.mode("overwrite").parquet(tmp)
+    # the swap replaces the dir wholesale — re-stamp the scheme
+    # marker so the compacted dir stays readable
+    with open(os.path.join(tmp, _GRAM_SCHEME_MARKER), "w") as fh:
+        fh.write(str(_GRAM_HASH_SCHEME))
     n = spark.read.parquet(tmp).count()
     _swap_dir(tmp, index_dir)
     return n

@@ -1085,3 +1085,61 @@ def test_minibatch_tracked_recenter_closes_drift_loop(spark, tmp_path):
         ingest.recenter_ivf_index(
             spark, idx, dim=dim, n_cells=3, centroids=tracked
         )
+
+
+def test_gram_index_scheme_marker(spark, tmp_path):
+    """ADVICE r12: the r12 gram-hash change (composed doubling-ladder
+    hashes, scheme 2) made every pre-r12 persisted gram_index dir
+    silently incompatible (disjoint hash values -> missed duplicate
+    spans). The dir now carries a scheme marker; reads and appends
+    against a dir without it (or with a different scheme) must fail
+    loudly, and the marker must survive compaction."""
+    import pytest
+
+    # (a) pre-marker dir with data: every entry point refuses
+    legacy = str(tmp_path / "legacy_gram")
+    spark.createDataFrame(
+        [(123456789, 2, 0, None)], "h long, n_docs long, batch_id long, thru long"
+    ).write.parquet(legacy)
+    for fn in (
+        lambda: ingest.read_gram_index_merged(spark, legacy),
+        lambda: ingest.compact_gram_index(spark, legacy),
+        lambda: ingest._check_gram_scheme(legacy, create=True),
+    ):
+        with pytest.raises(ValueError, match="scheme"):
+            fn()
+
+    # (b) wrong-scheme marker refuses identically
+    import os
+
+    wrong = str(tmp_path / "wrong_gram")
+    spark.createDataFrame(
+        [(1, 1, 0, None)], "h long, n_docs long, batch_id long, thru long"
+    ).write.parquet(wrong)
+    with open(os.path.join(wrong, ingest._GRAM_SCHEME_MARKER), "w") as fh:
+        fh.write("1")
+    with pytest.raises(ValueError, match="scheme 1"):
+        ingest.read_gram_index_merged(spark, wrong)
+
+    # (c) writer path stamps a fresh dir; reads + compaction keep it
+    fresh = str(tmp_path / "fresh_gram")
+    ingest._check_gram_scheme(fresh, create=True)
+    marker = os.path.join(fresh, ingest._GRAM_SCHEME_MARKER)
+    assert open(marker).read() == str(ingest._GRAM_HASH_SCHEME)
+    # marker-only dir reads back as an empty index, not an error
+    assert ingest._read_index_dir(spark, fresh) is None
+    spark.createDataFrame(
+        [(42, 1, 0, None), (42, 1, 1, None)],
+        "h long, n_docs long, batch_id long, thru long",
+    ).write.mode("append").parquet(fresh)
+    got = {
+        (r.h, r.n_docs)
+        for r in ingest.read_gram_index_merged(spark, fresh).collect()
+    }
+    assert got == {(42, 2)}
+    assert ingest.compact_gram_index(spark, fresh) == 1
+    assert open(marker).read() == str(ingest._GRAM_HASH_SCHEME)
+    assert {
+        (r.h, r.n_docs)
+        for r in ingest.read_gram_index_merged(spark, fresh).collect()
+    } == {(42, 2)}
