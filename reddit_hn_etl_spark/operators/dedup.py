@@ -214,41 +214,58 @@ def jaccard_pairs(
             F.col(id_col),
             F.explode(F.array_distinct(tokens(text_col))).alias("shingle"),
         )
-    sh = sh.select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
-    # The per-doc set size rides along via a window instead of a
-    # separate groupBy branch + two post-joins (that branch forced a
-    # full re-evaluation of the explode and two extra shuffles). The
-    # self-join's sides are the identical subplan: at corpus scale
-    # both sides shuffle on `shingle` and canonicalize to ONE reused
-    # exchange; on small inputs the optimizer broadcasts the build
-    # side instead (second explode evaluation, but tiny by
-    # definition). No persist — caching here leaks storage memory
-    # across long-lived driver sessions.
-    sized = sh.withColumn(
-        "set_size", F.count("*").over(Window.partitionBy(id_col))
-    )
+    # Postings materialized ONCE (r13, the tf_cosine_pairs shape from
+    # 4f74b78): the (doc, shingle-hash) set used to be inlined into
+    # BOTH self-join sides — each a scan + explode + window (two
+    # exchanges) — and the per-doc set size rode through the Σdf² pair
+    # flow as two extra 8-byte group-key columns. Now the postings
+    # localCheckpoint once (~16 B/row, the sparse set index a
+    # production pipeline persists), set sizes come from a tiny
+    # groupBy of the SAME materialized rows (identical exact
+    # string-distinct counts), and they re-attach by broadcast AFTER
+    # the intersection aggregation.
+    posts = sh.localCheckpoint(eager=True)
+    sizes = posts.groupBy(id_col).agg(F.count("*").alias("set_size"))
     if df_cap is not None:
-        freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-        sized = sized.join(
+        freq = posts.groupBy("shingle").agg(F.count("*").alias("df"))
+        posts = posts.join(
             F.broadcast(freq.where(F.col("df") <= df_cap).select("shingle")), "shingle"
         )
-    a = sized.select(
-        F.col(id_col).alias("doc_a"), "shingle",
-        F.col("set_size").alias("size_a"),
-    )
-    b = sized.select(
-        F.col(id_col).alias("doc_b"), "shingle",
-        F.col("set_size").alias("size_b"),
-    )
+    a = posts.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = posts.select(F.col(id_col).alias("doc_b"), "shingle")
+    # Pair-key repartition BEFORE the intersection count (r13, guide
+    # §2.5/§2.3, measured on the tf twin): a pair's candidate rows are
+    # scattered across shingle partitions, so the map-side partial
+    # aggregate compresses almost nothing while building a
+    # near-distinct-pair-sized hash table per task; co-locating each
+    # pair first keeps the aggregation hash tables group-sized.
+    # Partition count follows spark.sql.shuffle.partitions.
     inter = (
         a.join(b, on="shingle")
         .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b", "size_a", "size_b")  # sizes are
-        # functionally dependent on the ids — free extra group keys
+        .repartition(F.col("doc_a"), F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
     )
+    joined = inter.join(
+        F.broadcast(
+            sizes.select(
+                F.col(id_col).alias("doc_a"),
+                F.col("set_size").alias("size_a"),
+            )
+        ),
+        "doc_a",
+    ).join(
+        F.broadcast(
+            sizes.select(
+                F.col(id_col).alias("doc_b"),
+                F.col("set_size").alias("size_b"),
+            )
+        ),
+        "doc_b",
+    )
     return (
-        inter.withColumn(
+        joined.withColumn(
             "jaccard",
             F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")),
         )
@@ -380,23 +397,41 @@ def containment_pairs(
             F.col(id_col),
             F.explode(F.array_distinct(tokens(text_col))).alias("shingle"),
         )
-    sized = sh.withColumn(
-        "set_size", F.count("*").over(Window.partitionBy(id_col))
-    )
-    a = sized.select(
-        F.col(id_col).alias("doc_a"), "shingle",
-        F.col("set_size").alias("size_a"),
-    )
-    b = sized.select(
-        F.col(id_col).alias("doc_b"), "shingle",
-        F.col("set_size").alias("size_b"),
-    )
+    # Same r13 restructure as jaccard_pairs (see its comment):
+    # postings materialized once, intersection aggregation keyed on
+    # the pair only after a pair-key repartition, exact set sizes
+    # re-attached by broadcast. The postings key is xxhash64(shingle)
+    # — the r12 8-byte-key trade jaccard_pairs documents (equal
+    # shingles always collide equal, so no pair is missed; a 64-bit
+    # collision can only merge two different shingles at
+    # ~distinct²/2⁶⁴ odds), which r12 never applied here.
+    sh = sh.select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
+    posts = sh.localCheckpoint(eager=True)
+    sizes = posts.groupBy(id_col).agg(F.count("*").alias("set_size"))
+    a = posts.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = posts.select(F.col(id_col).alias("doc_b"), "shingle")
     inter = (
         a.join(b, on="shingle")
         .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b", "size_a", "size_b")  # sizes are
-        # functionally dependent on the ids — free extra group keys
+        .repartition(F.col("doc_a"), F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
+    ).join(
+        F.broadcast(
+            sizes.select(
+                F.col(id_col).alias("doc_a"),
+                F.col("set_size").alias("size_a"),
+            )
+        ),
+        "doc_a",
+    ).join(
+        F.broadcast(
+            sizes.select(
+                F.col(id_col).alias("doc_b"),
+                F.col("set_size").alias("size_b"),
+            )
+        ),
+        "doc_b",
     )
     directed = inter.select(
         F.explode(
