@@ -1307,7 +1307,12 @@ def longest_repeated_span_length(
             )
             lvl_cols[k * 2] = f"_h{k * 2}"
             k *= 2
-        levels = lv_frame.persist()
+        # localCheckpoint, not persist (r13): a persisted frame keeps
+        # its full lineage in the logical plan, so EVERY probe's
+        # analysis re-walked the 7-level zip_with ladder (~2-3 s of
+        # Catalyst time per probe at any data size); the checkpoint
+        # truncates probe plans to a Scan ExistingRDD of the ladder.
+        levels = lv_frame.localCheckpoint(eager=True)
 
         def gram_hashes(n: int) -> Column:
             """Positional n-gram hashes from the persisted levels —
@@ -1333,38 +1338,129 @@ def longest_repeated_span_length(
                 out, 1, F.greatest(F.size("_htoks") - (n - 1), F.lit(0))
             )
 
-        def probe(n: int) -> bool:
-            grams = levels.select(
-                "_id",
-                F.explode(gram_hashes(n)).alias("h"),
-            )
-            if min_count is not None:
-                # occurrence mode: count positions, not documents
-                agg = F.count(F.lit(1)).alias("nd")
-                floor = min_count
-            else:
-                agg = F.count_distinct("_id").alias("nd")
-                floor = min_docs
-            hit = (
-                grams.groupBy("h")
-                .agg(agg)
-                .where(F.col("nd") >= floor)
-                .limit(1)
-            )
-            return len(hit.take(1)) > 0
+        if min_count is not None:
+            # occurrence mode: count positions, not documents
+            floor = min_count
 
-        if not probe(1):
-            return 0
-        lo = 1
+            def _agg() -> Column:
+                return F.count(F.lit(1)).alias("nd")
+        else:
+            floor = min_docs
+
+            def _agg() -> Column:
+                return F.count_distinct("_id").alias("nd")
+
+        # Witness-position restriction (r13, guide §2.3 shuffle fewer
+        # bytes): every occurrence of a repeated n'-gram starts where
+        # its n-prefix (n < n') also meets the floor — prefix hashes
+        # are equal wherever the gram is, and hash collisions only ADD
+        # positions — so once a probe at n succeeds, its floor-meeting
+        # positions are a SUPERSET of every longer probe's candidate
+        # starts. Each successful probe therefore materializes its
+        # witness (id, pos) set (lazy localCheckpoint — the probe's
+        # own take(1) is the materializing action, no extra job), and
+        # later probes compose gram hashes ONLY at those positions
+        # via element_at on the persisted level columns instead of
+        # exploding every corpus position. Binary search only probes
+        # above the best TRUE length, so the newest witness always
+        # applies; witness size is bounded by the floor-meeting rows
+        # the unrestricted probe's shuffle already carried. probe(1)
+        # never adopts a witness (nearly every position shares a
+        # common token — the set would be corpus-positions-sized).
+        wp: DataFrame | None = None
+        wp_n = 0
+
+        def gram_hash_at(n: int) -> Column:
+            """Hash of the n-gram at 0-based `pos` — the per-position
+            twin of gram_hashes (identical composition order)."""
+            bits = [1 << b for b in range(n.bit_length()) if n & (1 << b)]
+            bits.sort(reverse=True)
+            out = F.element_at(F.col(lvl_cols[bits[0]]), F.col("pos") + 1)
+            acc = bits[0]
+            for b in bits[1:]:
+                out = F.xxhash64(
+                    out,
+                    F.element_at(F.col(lvl_cols[b]), F.col("pos") + 1 + acc),
+                )
+                acc += b
+            return out
+
+        def occ_at(n: int) -> DataFrame:
+            """(_id, pos, h) positional gram hashes at length n,
+            witness-restricted when a witness is available."""
+            if wp is None or n < 2:
+                return levels.select(
+                    "_id", F.posexplode(gram_hashes(n)).alias("pos", "h")
+                )
+            bits = {1 << b for b in range(n.bit_length()) if n & (1 << b)}
+            need = ["_htoks"] + [
+                lvl_cols[b] for b in sorted(bits) if lvl_cols[b] != "_htoks"
+            ]
+            return (
+                wp.join(levels.select("_id", *need), "_id")
+                .where(F.col("pos") <= F.size("_htoks") - n)
+                .select("_id", "pos", gram_hash_at(n).alias("h"))
+            )
+
+        def probe(n: int) -> bool:
+            nonlocal wp, wp_n
+            if n < 2:
+                # existence gate only (witness never adopted at n=1 —
+                # see above): keep the cheap limit-1 aggregate probe
+                hit = (
+                    levels.select("_id", F.explode(F.col("_htoks")).alias("h"))
+                    .groupBy("h").agg(_agg())
+                    .where(F.col("nd") >= floor)
+                    .limit(1)
+                )
+                return len(hit.take(1)) > 0
+            occ = occ_at(n)
+            # The witness semi-join reads occ twice (aggregate side +
+            # probe side); cache the one unrestricted (positions-sized)
+            # evaluation — restricted probes are witness-sized either
+            # way. Volume bound: the same rows the probe's shuffle
+            # carries.
+            cache = wp is None
+            if cache:
+                occ = occ.persist()
+            try:
+                wit_h = (
+                    occ.groupBy("h").agg(_agg()).where(F.col("nd") >= floor)
+                    .select("h")
+                )
+                cand = (
+                    occ.join(wit_h, "h", "left_semi")
+                    .select("_id", "pos")
+                    .localCheckpoint(eager=False)
+                )
+                # count() (not take(1)) so the lazy checkpoint fully
+                # materializes while occ is still cached
+                hit = cand.count() > 0
+            finally:
+                if cache:
+                    occ.unpersist()
+            if not hit:
+                return False
+            wp, wp_n = cand, n
+            return True
+
+        # Plain binary search over [0, max_len] (r13): the old
+        # probe(1) / probe(max_len) entry gates cost two extra full
+        # probes on every call to fast-path the answer∈{0, max_len}
+        # cases the search handles in the same ceil(log₂ max_len)
+        # probes anyway — probe(1) now runs only when the search
+        # actually descends there. lo == 0 at the end ⇔ nothing
+        # repeats.
+        lo = 0  # unproven floor; probes establish lo ≥ 1
         hi = max_len + 1  # probe(hi) treated as False
-        if probe(max_len):
-            lo = max_len
         while hi - lo > 1:
             mid = (lo + hi) // 2
             if probe(mid):
                 lo = mid
             else:
                 hi = mid
+        if lo == 0:
+            return 0
         # Exact re-verification of the hash-probed answer, RESTRICTED
         # to witness positions (r12): instead of rebuilding lo-token
         # gram STRINGS at every corpus position (O(positions · lo)
@@ -1379,17 +1475,9 @@ def longest_repeated_span_length(
         # occurrences, so count(H(g*)) >= count(g*) >= floor makes
         # H(g*) a witness and g* survives the restriction; conversely
         # the restricted check only accepts on a truly repeated gram.
-        occ = levels.select(
-            "_id", F.posexplode(gram_hashes(lo)).alias("pos", "h")
-        )
-        if min_count is not None:
-            wit_agg = F.count(F.lit(1)).alias("nd")
-            wfloor = min_count
-        else:
-            wit_agg = F.count_distinct("_id").alias("nd")
-            wfloor = min_docs
+        occ = occ_at(lo)
         witnesses = (
-            occ.groupBy("h").agg(wit_agg).where(F.col("nd") >= wfloor)
+            occ.groupBy("h").agg(_agg()).where(F.col("nd") >= floor)
             .select("h")
         )
         cand_grams = (
