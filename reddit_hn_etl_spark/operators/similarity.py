@@ -79,6 +79,24 @@ def _topk_ties_mask(cos, k, np):
     return cosp >= thresh[None, :]
 
 
+_INTEGRAL_ID_TYPES = {"tinyint", "smallint", "int", "bigint"}
+
+
+def _require_integral_ids(op: str, *cols: tuple[str, str]) -> None:
+    """The Arrow scoring kernels hold ids as int64 numpy arrays
+    (to_numpy(dtype=np.int64)) — a string/decimal id would die inside
+    the kernel with an opaque cast error at runtime (ADVICE r12).
+    Validate up front with an error that names the restriction."""
+    for name, dtype in cols:
+        if dtype not in _INTEGRAL_ID_TYPES:
+            raise TypeError(
+                f"{op}: id column {name!r} has type {dtype}, but the "
+                "Arrow scoring kernel supports integral ids only "
+                f"({sorted(_INTEGRAL_ID_TYPES)}); map ids to integers "
+                "upstream (e.g. xxhash64 or a dictionary join)"
+            )
+
+
 def knn_cosine_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,
@@ -118,20 +136,44 @@ def knn_cosine_bruteforce(
 
     Output: (query_id, vec_id, cosine_sim, rank) with rank 1..k,
     deterministic tie-break on vec_id.
+
+    NOTE: constructing this DataFrame is EAGER — it runs a budget
+    aggregate and collects the query set for the task broadcast
+    (r12 kernel; guarded by the rows×dim ``max_query_rows`` budget).
+    Ids must be integral types (loud TypeError otherwise — the
+    kernel holds them as int64).
     """
     import numpy as np
 
     from .dedup import fan_out_narrow_input
 
-    q_rows = queries.select(query_id_col, vec_col).collect()
-    if len(q_rows) > max_query_rows:
+    _require_integral_ids(
+        "knn_cosine_bruteforce",
+        (query_id_col, dict(queries.dtypes)[query_id_col]),
+        (id_col, dict(corpus.dtypes)[id_col]),
+    )
+    # NOTE (laziness contract): building this DataFrame runs Spark
+    # jobs NOW — a budget aggregate and then the query-set collect the
+    # broadcast kernel needs. The budget is rows×dim CELLS, not rows
+    # (ADVICE r12): driver collect + per-executor broadcast scale with
+    # both, and 1M rows at 768-dim is ~6 GB pickled — the row-only
+    # guard waved that through. The default envelope keeps the old
+    # 1M-rows-at-64-dim operating point; checked BEFORE the collect so
+    # the guard protects the driver, not just the executors.
+    n_q, q_dim = queries.agg(
+        F.count(F.lit(1)), F.max(F.size(vec_col))
+    ).first()
+    if n_q * (q_dim or 1) > max_query_rows * 64:
         raise ValueError(
-            f"knn_cosine_bruteforce: query set has {len(q_rows)} rows > "
-            f"max_query_rows={max_query_rows}; the broadcast scoring "
-            "kernel would OOM executors. Use the IVF kNN-join "
+            f"knn_cosine_bruteforce: query set is {n_q} rows × {q_dim} "
+            f"dims = {n_q * (q_dim or 1)} cells > the "
+            f"{max_query_rows * 64}-cell budget (max_query_rows="
+            f"{max_query_rows} × 64); the driver collect and broadcast "
+            "scoring kernel would OOM. Use the IVF kNN-join "
             "(knn_cosine_ivf(distributed_queries=True)) for "
             "corpus-scale query sets."
         )
+    q_rows = queries.select(query_id_col, vec_col).collect()
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_mat = (
         np.array([list(r[1]) for r in q_rows], dtype=np.float64)
@@ -564,11 +606,17 @@ def _assign_probe_cells(
             norms = np.maximum(np.linalg.norm(m, axis=1), 1e-12)
             sims = np.round((m / norms[:, None]) @ cm.T, 12)
             order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+            # Repeat the ORIGINAL Arrow array objects for the carried
+            # vector (r13): building n_probe fresh Python lists per
+            # row from the float64 matrix copies every value through
+            # Python floats; the source column already holds the same
+            # doubles (schema array<double>), so repeating references
+            # is value-identical and kernel-CPU-free.
             yield pd.DataFrame(
                 {
                     query_id_col: pdf[query_id_col].to_numpy().repeat(n_probe),
                     "cell": order.reshape(-1).astype("int32"),
-                    vec_out: [list(v) for v in m.repeat(n_probe, axis=0)],
+                    vec_out: pdf[vec_col].to_numpy().repeat(n_probe),
                 }
             )
 
@@ -608,6 +656,11 @@ def _score_cells_cogroup(
 
     q_id_type = dict(probe.dtypes)[query_id_col]
     c_id_type = dict(corpus_cells.dtypes)[id_col]
+    _require_integral_ids(
+        "_score_cells_cogroup",
+        (query_id_col, q_id_type),
+        (id_col, c_id_type),
+    )
     out_schema = (
         f"{query_id_col} {q_id_type}, {id_col} {c_id_type}, _cos double"
     )

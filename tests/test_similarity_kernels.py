@@ -181,3 +181,46 @@ def test_bruteforce_query_guard(spark, sf_dir, bad_rows):
         similarity.knn_cosine_bruteforce(
             emb, queries, k=3, max_query_rows=bad_rows
         )
+
+
+def test_kernel_id_dtype_validation(spark, sf_dir):
+    """ADVICE r12: the Arrow kernels hold ids as int64 — a string id
+    must fail up front with an error naming the restriction, not die
+    inside the kernel with an opaque cast error."""
+    from reddit_hn_etl_spark.sources.tables import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    bad = emb.select(
+        F.col("vec_id").cast("string").alias("vec_id"), "embedding"
+    )
+    queries = emb.limit(3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    with pytest.raises(TypeError, match="integral ids"):
+        similarity.knn_cosine_bruteforce(bad, queries, k=3)
+    with pytest.raises(TypeError, match="integral ids"):
+        similarity.knn_cosine_bruteforce(
+            emb, queries.withColumn("query_id", F.col("query_id").cast("string")), k=3
+        )
+
+
+def test_bruteforce_budget_is_rows_times_dim(spark):
+    """ADVICE r12: the guard budgets rows×dim cells (driver collect
+    and broadcast scale with both), checked BEFORE the collect. 3 rows
+    at 128 dims busts a 2-row budget (2×64 cells) even though a
+    row-only guard at 3 rows > 2 would too — so also pin the converse:
+    1 wide row (128 dims > 64) within a 2-row budget passes."""
+    wide = spark.createDataFrame(
+        [(i, [float(i)] * 128) for i in range(3)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="cell"):
+        similarity.knn_cosine_bruteforce(
+            wide, wide.selectExpr("vec_id as query_id", "embedding"),
+            k=1, max_query_rows=2,
+        )
+    out = similarity.knn_cosine_bruteforce(
+        wide, wide.limit(1).selectExpr("vec_id as query_id", "embedding"),
+        k=1, max_query_rows=2,
+    )
+    assert out.count() == 1
