@@ -293,6 +293,14 @@ def triangle_stats(
     degree 1), rounded to 4 — exact rational before the final divide,
     so cross-engine hash-stable.
     """
+    # Materialize the canonical edge list ONCE (r13): `und` feeds the
+    # degree aggregate, the orientation join (twice), all three legs
+    # of the wedge/closure joins and the final report — without the
+    # checkpoint every reference re-inlines the PRODUCER of `edges`
+    # (for the near-dup graph that is the whole Sum-df^2 jaccard
+    # candidate flow, re-executed up to 8x). The near-dup edge list
+    # is pairs-above-threshold — orders of magnitude below corpus
+    # scale by construction.
     und = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .where(F.col("u") != F.col("v"))
@@ -300,6 +308,7 @@ def triangle_stats(
             F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = (
         und.select(F.col("u").alias("vertex"))

@@ -92,7 +92,16 @@ def cooccurrence_pairs(
     Σ c(b)² — bounded when the item dimension is coarse (brands, not
     SKUs) or baskets are capped upstream.
     """
-    inc = df.select(basket_col, item_col).distinct()
+    # Materialize the incidence list ONCE (r13): it feeds both pair
+    # sides, the item totals, and the n_baskets count — the count is
+    # its own driver job, so without the checkpoint the upstream
+    # pipeline (e.g. brand_copurchase_lift's lineitem ⋈ part +
+    # distinct) executed once for the count and again for the main
+    # action. The incidence list is (basket, item) distinct — the
+    # compact co-purchase index a production pipeline persists.
+    inc = df.select(basket_col, item_col).distinct().localCheckpoint(
+        eager=True
+    )
     a = inc.select(
         F.col(basket_col).alias("_b"), F.col(item_col).alias("item_a")
     )
