@@ -20,6 +20,9 @@ from reddit_hn_etl_spark.plans.queries import QUERIES
 
 from .conftest import SF_DIR
 
+# r13: bloom injection e2e is exhaustive-marked (~20s incl fixture; run_suite chunk B runs it)
+pytestmark = pytest.mark.exhaustive
+
 _CONFS = {
     "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
     "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",

@@ -7,6 +7,10 @@ from __future__ import annotations
 import datetime as dt
 import json
 import logging
+import pytest
+
+# r13: CLI end-to-end battery is exhaustive-marked (~70s; run_suite chunk B runs it)
+pytestmark = pytest.mark.exhaustive
 
 
 def _reset_loggers():

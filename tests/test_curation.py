@@ -2,6 +2,7 @@
 near-dup docs get the right fate; survivors carry annotations."""
 
 from __future__ import annotations
+import pytest
 
 from reddit_hn_etl_spark.plans.llm_data_pipeline import (
     CurationConfig,
@@ -33,6 +34,7 @@ def _docs(spark):
     return spark.createDataFrame(DOCS, "doc_id long, text string")
 
 
+@pytest.mark.exhaustive
 def test_curation_fates(spark):
     kept, fate = curate_corpus(
         _docs(spark), config=CurationConfig(min_quality=0.5, minhash_threshold=0.5)
@@ -73,6 +75,7 @@ def test_lang_filter(spark):
     assert kept.count() == 0
 
 
+@pytest.mark.exhaustive
 def test_keep_best_quality_policy(spark):
     # near-dup pair where the HIGHER id is the higher-quality member:
     # doc 10 is doc 11 plus punctuation junk (lower alpha_ratio).

@@ -3,6 +3,7 @@ approximate true Jaccard, SimHash must find planted near-dups, and
 LSH kNN must recover most exact neighbors."""
 
 from __future__ import annotations
+import pytest
 
 from pyspark.sql import functions as F
 
@@ -121,6 +122,7 @@ def test_minhash_estimates_jaccard(spark):
     assert (1, 2) in est and est[(1, 2)] > 0.6  # true jaccard ≈ 0.86
 
 
+@pytest.mark.exhaustive
 def test_incremental_equals_full_cross_pairs(spark):
     """For any old/new corpus split, matching the new batch against
     the old batch's persisted index must yield EXACTLY the full run's
@@ -150,6 +152,7 @@ def test_incremental_equals_full_cross_pairs(spark):
     assert inc  # non-vacuous: the (3, 4) exact dup straddles the split
 
 
+@pytest.mark.exhaustive
 def test_minhash_index_parquet_roundtrip(spark, tmp_path):
     """The index survives a parquet write/read partitioned by band
     (the layout the incremental join partition-prunes against)."""
@@ -628,6 +631,7 @@ def test_jaccard_pairs_cross_equals_filtered_full(spark):
     assert cross == full and cross
 
 
+@pytest.mark.exhaustive
 def test_ngram_array_doubling_equals_linear(spark):
     """The binary-doubling n-gram builder is value-identical to the
     linear-chain `ngram_array` at every n, and still analyzes at
@@ -658,6 +662,7 @@ def test_ngram_array_doubling_equals_linear(spark):
     assert {r.doc_id: r.k for r in big} == {0: 22, 1: 0, 2: 0, 3: 1}
 
 
+@pytest.mark.exhaustive
 def test_longest_repeated_span_planted(spark):
     """Binary search recovers the EXACT planted maximum: doc pairs
     share runs of known lengths (17, 31, and 60 tokens — 60 planted
@@ -695,6 +700,7 @@ def test_longest_repeated_span_planted(spark):
     assert dedup.longest_repeated_span_length(uniq, "doc_id", "text") == 0
 
 
+@pytest.mark.exhaustive
 def test_longest_repeated_span_min_count_within_doc(spark):
     """r9 occurrence mode: a 40-token template pasted three times
     into ONE document is invisible to distinct-doc counting but is

@@ -12,6 +12,12 @@ from __future__ import annotations
 
 import pytest
 
+# r13: odd half of the oracle differential battery — exhaustive-
+# marked so the driver's single default pytest run finishes in
+# budget; the even half (test_oracle.py) stays in the default run
+# and run_suite.sh chunk A2 still runs this half on every suite.
+pytestmark = pytest.mark.exhaustive
+
 from reddit_hn_etl_spark.plans.queries import ORACLES
 
 from tests.test_oracle import _assert_query_matches_oracle

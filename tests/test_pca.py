@@ -121,6 +121,7 @@ def test_project_matches_numpy_fold(spark, emb_np):
         assert got[vid] == acc, vid
 
 
+@pytest.mark.exhaustive
 def test_deflated_component_orthogonal_and_in_spectrum(spark, emb_np):
     _, mat = emb_np
     cov = _np_cov(mat)

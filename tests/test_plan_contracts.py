@@ -311,10 +311,12 @@ def test_bounded_allowlist_names_are_registered():
     assert not ghosts, f"allowlist entries for unregistered queries: {sorted(ghosts)}"
 
 
+@pytest.mark.exhaustive
 def test_registry_wide_plan_contract_even(spark, sf_dir):
     _walk_plan_half(spark, sf_dir, 0)
 
 
+@pytest.mark.exhaustive
 def test_registry_wide_plan_contract_odd(spark, sf_dir):
     _walk_plan_half(spark, sf_dir, 1)
 

@@ -2,6 +2,7 @@
 and the identities that make ADC search trustworthy."""
 
 from __future__ import annotations
+import pytest
 
 import numpy as np
 
@@ -166,6 +167,7 @@ def test_ivf_pq_residual_search_matches_numpy(spark, sf_dir):
         assert abs(r["est_dist"] - est) <= 1e-9
 
 
+@pytest.mark.exhaustive
 def test_pq_knn_join_equals_single_query_path(spark, sf_dir):
     """The distributed kNN-join must reproduce `ivf_pq_search`
     EXACTLY per query — same probed cells ((distance, index)
@@ -200,6 +202,7 @@ def test_pq_knn_join_equals_single_query_path(spark, sf_dir):
         assert got == single, f"query {qid} diverged"
 
 
+@pytest.mark.exhaustive
 def test_pq_knn_join_handles_corpus_scale_queries(spark, sf_dir):
     """Every corpus vector as a query: nothing per-query is inlined
     or collected, each query returns k rows, and self-retrieval holds
@@ -221,6 +224,7 @@ def test_pq_knn_join_handles_corpus_scale_queries(spark, sf_dir):
     assert per_q.agg({"count": "min"}).first()[0] == 5
 
 
+@pytest.mark.exhaustive
 def test_pq_residual_knn_join_equals_single_query_path(spark, sf_dir):
     """Residual mode: per-(query, cell) ADC tables; must reproduce
     `ivf_pq_search_residual` per query exactly, est_dist bit-equal."""
@@ -335,6 +339,7 @@ def test_pq_rerank_recall_dominates_adc(spark, sf_dir):
     assert sum(rr.values()) > sum(adc.values())
 
 
+@pytest.mark.exhaustive
 def test_pq_rerank_encoded_index_parity_and_validation(spark, sf_dir):
     """Persisted-index regime: rerank over a pre-encoded corpus with
     corpus_vectors supplied must equal the inline-encode rerank

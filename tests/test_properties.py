@@ -7,6 +7,7 @@ Examples are kept small and few: each example runs real Spark jobs.
 """
 
 from __future__ import annotations
+import pytest
 
 import datetime as dt
 
@@ -65,6 +66,7 @@ def _merge_model(target, source):
 
 @given(target=rows, source=rows)
 @SET
+@pytest.mark.exhaustive
 def test_merge_matches_model(spark, target, source):
     # make target keys unique (staging invariant: PK per key)
     tgt = list({k: (k, m, v) for k, m, v in target}.values())
@@ -156,6 +158,7 @@ def _asof_model(left, right):
 
 @given(left=rows, right=rows)
 @SET
+@pytest.mark.exhaustive
 def test_asof_join_matches_model(spark, left, right):
     from reddit_hn_etl_spark.operators.dedup import dedup_keep_last
     from reddit_hn_etl_spark.operators.joins import asof_join
@@ -200,6 +203,7 @@ def _pit_model(left, right, tol_min):
 
 @given(left=rows, right=rows, tol=st.sampled_from([None, 0, 2, 5]))
 @SET
+@pytest.mark.exhaustive
 def test_pit_join_matches_model(spark, left, right, tol):
     """Strict (<) tie semantics and the freshness tolerance: a
     same-instant right row must NOT match (lookahead leakage), and a
@@ -237,6 +241,7 @@ def test_pit_join_matches_model(spark, left, right, tol):
     parts=st.integers(1, 7),
 )
 @SET
+@pytest.mark.exhaustive
 def test_prefix_sum_matches_model(spark, vals, parts):
     """Hierarchical prefix sum == brute-force running sum for any
     value signs, NULLs (add 0), and partition counts — including more
@@ -283,6 +288,7 @@ def test_prefix_sum_plan_has_no_full_data_single_partition(spark):
     desc=st.booleans(),
 )
 @SET
+@pytest.mark.exhaustive
 def test_global_ntile_matches_spark_window(spark, vals, n, parts, desc):
     """Hierarchical global_ntile == Spark's NTILE(n) OVER (ORDER BY …)
     under a total order, for N<n, N%n!=0, duplicates-broken-by-key,
@@ -323,6 +329,7 @@ def test_global_ntile_matches_spark_window(spark, vals, n, parts, desc):
     how=st.sampled_from(["inner", "left"]),
 )
 @SET
+@pytest.mark.exhaustive
 def test_salted_join_matches_plain(spark, left, right, buckets, how):
     """salted_join must be invisible in the result for ANY bucket
     count / join type — including empty sides, duplicate keys on both
@@ -432,6 +439,7 @@ def _uf_components(pairs):
 
 @given(pairs=edges_strategy)
 @SET
+@pytest.mark.exhaustive
 def test_connected_components_match_union_find(spark, pairs):
     from reddit_hn_etl_spark.operators.graph import connected_components
 
@@ -495,6 +503,7 @@ def test_jaccard_pairs_match_brute_force(spark, docs):
 
 @given(pairs=edges_strategy)
 @SET
+@pytest.mark.exhaustive
 def test_star_components_match_union_find(spark, pairs):
     from reddit_hn_etl_spark.operators.graph import (
         connected_components_star,
@@ -534,6 +543,7 @@ def _brute_triangles(pairs):
 
 @given(pairs=edges_strategy)
 @SET
+@pytest.mark.exhaustive
 def test_triangle_stats_match_bruteforce(spark, pairs):
     from reddit_hn_etl_spark.operators.graph import triangle_stats
 
@@ -713,6 +723,7 @@ edge = st.tuples(st.integers(0, 9), st.integers(0, 9))
 
 @given(pairs=st.lists(edge, min_size=1, max_size=15))
 @SET
+@pytest.mark.exhaustive
 def test_pagerank_matches_power_iteration(spark, pairs):
     """Undirected PageRank vs a brute-force power iteration with the
     identical update rule; total mass exactly 1 on every random

@@ -6,6 +6,7 @@ discipline: operators vs brute-force Python models on random inputs,
 few small examples (each runs real Spark jobs)."""
 
 from __future__ import annotations
+import pytest
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -72,6 +73,7 @@ basket_strategy = st.lists(
 
 @given(rows=basket_strategy)
 @SET
+@pytest.mark.exhaustive
 def test_cooccurrence_matches_bruteforce(spark, rows):
     from reddit_hn_etl_spark.operators.relational import cooccurrence_pairs
 
@@ -146,6 +148,7 @@ def _brute_bfs(edges, seeds, max_hops):
 
 @given(data=bfs_strategy)
 @SET
+@pytest.mark.exhaustive
 def test_bfs_distances_match_bruteforce(spark, data):
     from reddit_hn_etl_spark.operators.graph import bfs_distances
 
@@ -280,6 +283,7 @@ def _brute_lpa(edges, n_iter):
 
 @given(edges=lpa_strategy, n_iter=st.integers(min_value=1, max_value=3))
 @SET
+@pytest.mark.exhaustive
 def test_label_propagation_matches_bruteforce(spark, edges, n_iter):
     from reddit_hn_etl_spark.operators.graph import label_propagation
 
@@ -314,6 +318,7 @@ cms_strategy = st.lists(
 
 @given(items=cms_strategy)
 @SET
+@pytest.mark.exhaustive
 def test_cms_never_undercounts_and_is_partitioning_invariant(spark, items):
     import hashlib
 
@@ -377,6 +382,7 @@ def test_cms_never_undercounts_and_is_partitioning_invariant(spark, items):
     ),
     n=st.integers(min_value=1, max_value=5),
 )
+@pytest.mark.exhaustive
 def test_ngram_array_matches_model(spark, docs, n):
     """dedup.ngram_array (the zip_with n-gram builder every shingle
     consumer now shares) == the obvious Python sliding window, for
@@ -448,6 +454,7 @@ def test_ngram_doubling_matches_python_model(spark, docs, n):
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.exhaustive
 def test_longest_repeated_span_matches_brute_force(spark, docs, min_docs):
     """`longest_repeated_span_length` (r8 binary search over hashed
     L-grams) vs the O(n^3) brute-force model on tiny random corpora —
@@ -506,6 +513,7 @@ def test_longest_repeated_span_matches_brute_force(spark, docs, min_docs):
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.exhaustive
 def test_remove_duplicate_spans_matches_brute_force(spark, docs):
     """`remove_duplicate_spans` (r9 ExactSubstr removal) vs the
     direct Python model: mark every position covered by a k-gram
@@ -623,6 +631,7 @@ _url_strategy = st.builds(
 
 @given(urls=st.lists(_url_strategy, min_size=1, max_size=24))
 @SET
+@pytest.mark.exhaustive
 def test_canonical_url_matches_model_and_is_idempotent(spark, urls):
     from reddit_hn_etl_spark.functions.scalars import canonical_url
 

@@ -2,6 +2,7 @@
 schema ownership, option parsing."""
 
 from __future__ import annotations
+import pytest
 
 from pyspark.sql import functions as F
 
@@ -53,6 +54,7 @@ def test_schema_and_type_semantics(spark):
             assert r.url is not None and r.text is None
 
 
+@pytest.mark.exhaustive
 def test_streaming_reader_batches_and_replay(spark, tmp_path):
     """readStream over the registered format: engine-managed offsets
     advance items_per_poll per micro-batch, all ids arrive exactly

@@ -14,6 +14,7 @@ contracts.
 """
 
 from __future__ import annotations
+import pytest
 
 from reddit_hn_etl_spark.plans.queries import ORACLES, QUERIES
 
@@ -46,9 +47,11 @@ def _walk_half(spark, sf_dir, parity: int) -> None:
     )
 
 
+@pytest.mark.exhaustive
 def test_registry_driver_canonicalizable_schemas_even(spark, sf_dir):
     _walk_half(spark, sf_dir, 0)
 
 
+@pytest.mark.exhaustive
 def test_registry_driver_canonicalizable_schemas_odd(spark, sf_dir):
     _walk_half(spark, sf_dir, 1)

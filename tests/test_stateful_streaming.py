@@ -2,6 +2,7 @@
 micro-batches through the state store."""
 
 from __future__ import annotations
+import pytest
 
 import json
 
@@ -585,6 +586,7 @@ def test_heavy_hitters_stream_bounds_and_replay(spark, tmp_path):
     assert merged2 == merged
 
 
+@pytest.mark.exhaustive
 def test_stream_stream_outer_join_emits_after_eviction(spark, tmp_path):
     """left_outer: a purchase with no error inside its interval emits
     (user, l_ts, NULL) only after the watermark passes its horizon
@@ -852,6 +854,7 @@ def test_transform_with_state_matches_legacy_api(spark, tmp_path):
             )
 
 
+@pytest.mark.exhaustive
 def test_stream_stream_full_outer_interval_join(spark, tmp_path):
     """full_outer: BOTH sides' unmatched rows surface with NULLs —
     but only after the watermark proves no future partner can match
@@ -970,6 +973,7 @@ def test_cms_stream_exactly_matches_batch_sketch(spark, tmp_path):
     assert replayed == expect
 
 
+@pytest.mark.exhaustive
 def test_holt_winters_stream_matches_batch_fold(spark, tmp_path):
     # The streaming (level, trend) carry must be BIT-identical to the
     # batch holt_winters_per_key under in-order micro-batches.

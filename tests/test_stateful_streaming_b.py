@@ -5,10 +5,14 @@ index, and IVF-PQ code index streams and their replay/compaction
 bit-identity pins, plus the shared replay-watermark helpers."""
 
 from __future__ import annotations
+import pytest
 
 import json
 
 from reddit_hn_etl_spark.streaming import ingest
+
+# r13: whole persisted-index protocol battery is exhaustive-marked (~2-3 min; run_suite chunk C2 runs it)
+pytestmark = pytest.mark.exhaustive
 
 
 def _write_events_jsonl(path, rows):
