@@ -23824,66 +23824,80 @@ def pq_rerank_knn_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
-    # --- r12 rotation (VERDICT r11 #1, NOTES_r11 plan) ---
-    # Lead: ivf_index_knn_join — the registry's only never-checked
-    # entry (registered post-driver in r11; judge-emulated MATCH at
-    # sf0.01, builder-emulated at sf0.001/sf0.01+TZ/sf0.1). After
-    # this window, never-checked = 0 again. Then the 5 evergreen
-    # flagship marts + the 44 oldest green rows (all last-green r5 —
-    # computed from the CORRECTNESS_r* history by (last-green round,
-    # registration order), VERDICT r9 #6 rotation policy).
-    "ivf_index_knn_join",
+    # --- r13 rotation (VERDICT r12 #5) ---
+    # Lead: the registry's only two never-driver-checked entries
+    # (registered r12 post-window; builder-emulated MATCH at 3 SFs,
+    # COVERAGE named pq_index_knn_join the r13 candidate). Then the
+    # 5 evergreen flagship marts, then every query whose physical
+    # plan changed in the r12 optimization segment (88950b5..b3a3bb3:
+    # Arrow kNN kernels, hash ladder, banding materialization, hashed
+    # join keys, PQ literal/CSE) or this round (jaccard/containment
+    # postings, span witness probes, graph lazy-checkpoint rounds,
+    # CC pointer jumping, triangle/cooccurrence materialization, kNN
+    # guards) — r12-window-green queries rotate back in ONLY if r13
+    # touched them again (ivf_index_knn_join, incremental_near_dup,
+    # referral_reach_bfs, referral_lpa_communities).
+    "pq_index_knn_join",
+    "pq_rerank_knn_join",
     # evergreen flagships (reference-mart semantics):
     "daily_metrics",
     "domain_extract",
     "user_activity",
     "dedup_keep_last",
     "scalar_summary",
-    # 44 oldest green rows (all last-green r5; registration order):
+    # r13 jaccard/containment postings restructure (3fc90d0):
+    "doc_token_jaccard",
+    "doc_token_jaccard_capped",
+    "doc_containment_pairs",
+    "cluster_keep_best",
+    "corpus_datasheet",
+    "leakage_safe_split",
+    "near_dup_clusters",
+    "near_dup_edit_distance",
+    "near_dup_triangles",
+    "quantize_embeddings_int8",
+    "simhash_jaccard_consistency",
+    "source_dup_matrix",
+    "source_loo_impact",
+    "source_overlap_matrix",
     "incremental_near_dup",
-    "hll_sketch_weekly_users",
-    "bpe_merge_pairs",
-    "user_value_ema",
-    "customer_revenue_pareto",
-    "orders_group_checksum",
-    "customer_chain_rollup",
-    "lateral_recent_orders",
-    "kmeans_update_step",
-    "semantic_dedup_kmeans",
-    "pq_adc_topk",
-    "hopping_window_counts",
-    "ivf_pq_residual_knn",
-    "doc_dsir_weights",
-    "dsir_gumbel_sample",
-    "customer_graph_pagerank",
-    "orders_constraint_report",
+    # r13 tf postings + pair-key repartition (4f74b78):
+    "doc_tf_cosine_pairs",
+    # r12 hash ladder + r13 witness-restricted probes (6edfc27):
+    "corpus_longest_repeated_span",
+    "corpus_repeated_span_occurrences",
+    # r12 gram hashing family:
+    "doc_exact_substring_trim",
+    "incremental_span_trim",
+    "duplicate_token_spans",
+    # r13 graph lazy-checkpoint rounds (4fbe48e) + CC pointer
+    # jumping (d4d836d):
+    "copurchase_kcore",
+    "referral_weighted_sssp",
     "referral_reach_bfs",
-    "order_value_percentiles",
-    "source_mixture_weights",
-    "daily_value_cusum",
-    "order_value_equidepth_hist",
-    "event_value_auc",
     "referral_lpa_communities",
-    "daily_value_ohlc",
-    "customer_revenue_gini",
-    "event_transition_matrix",
-    "monthly_value_growth",
-    "rolling_median_value",
-    "value_distribution_moments",
-    "sorted_neighborhood_pairs",
-    "hybrid_search_rrf",
-    "embeddings_constraint_report",
-    "cohort_ltv_curve",
-    "dow_adjusted_anomalies",
-    "ivm_nation_revenue",
-    "daily_value_holt_winters",
-    "daily_value_stl_lite",
-    "holt_backtest_skill",
-    "daily_mann_kendall",
-    "value_conformal_intervals",
-    "bloom_customer_screen",
-    "ucb1_brand_ranking",
-    "daily_kendall_tau",
+    "semantic_dedup_cells",
+    "customer_golden_records",
+    "curate_documents",
+    # r13 triangle/cooccurrence materialization (906c032):
+    "brand_copurchase_lift",
+    "brand_item_item_cf",
+    "brand_copurchase_pagerank",
+    # r12 Arrow kNN kernels + r13 guards/probe kernel (6b86d35):
+    "embedding_knn_join",
+    "knn_cosine",
+    "mutual_knn_pairs",
+    "knn_cosine_lsh",
+    "knn_cosine_ivf",
+    "ivf_index_knn_join",
+    # r12 banding materialization (33948ff):
+    "fuzzy_decontamination",
+    "doc_simhash_pairs",
+    "doc_minhash_pairs",
+    # r12 PQ encode CSE + constant-matrix literals (8ca288e):
+    "pq_knn_join",
+    "pq_residual_knn_join",
+    "pq_codes",
 ]
 
 
